@@ -1,38 +1,441 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (fused 4-variable
+two-ring Gaussian smoothing + tile-assignment join — the reference v5
+configuration, /root/reference/src/cuda/hex_smooth_cuda_v5.cu:906-941,
+re-expressed Spark-first). ``queries()`` exposes every SQL-expressible
+operator from SURVEY.md §2 plus the training-data-pipeline additions;
+``oracle_sql()`` gives each one an ANSI-SQL DuckDB twin built from the
+SAME literal constants (weights, offsets, hash parameters), so the
+driver's row-count/schema/value-hash gate is exact.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cuda_gis_smoothing_spark.functions.text import (
+    BPE_REGEX,
+    STOPWORDS,
+    language_id,
+    quality_features,
+)
+from cuda_gis_smoothing_spark.functions.numeric import round6
+from cuda_gis_smoothing_spark.hexgrid import ENC, OFFSET, RING1_OFFSETS, RING2_OFFSETS
+from cuda_gis_smoothing_spark.operators import stats as stats_ops
+from cuda_gis_smoothing_spark.operators.dedup import (
+    MH_A,
+    MH_B,
+    MH_PRIME,
+    exact_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    token_hash_sql_duckdb,
+    tokenset_dedup,
+)
+from cuda_gis_smoothing_spark.operators.similarity import cosine_knn
+from cuda_gis_smoothing_spark.operators.smoothing import (
+    derive_variables,
+    smooth,
+    smoothing_sql,
+)
+from cuda_gis_smoothing_spark.operators.spatial import tile_assignment, tile_sql
+from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
+from cuda_gis_smoothing_spark.plans.partitioning import morton_sql
+from cuda_gis_smoothing_spark.sources.tables import GRID_CELLS_SQL, grid_from_lineitem, load
+
+_R1 = [dq * ENC + dr for dq, dr in RING1_OFFSETS]
+_R2 = [dq * ENC + dr for dq, dr in RING2_OFFSETS]
+_JACCARD_THRESHOLD = 0.45
+_KNN_QUERIES = 8
+_ZOOM = 12
 
 
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fused 4-var two-ring Gaussian smoothing + tile join."""
+    sf_dir = "/root/testdata/sf0.001"
+    cells = grid_from_lineitem(spark, sf_dir)
+    plan = SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES)
+    smoothed = smooth(cells, plan)
+    tiles = tile_assignment(cells, zoom=_ZOOM)
+    return smoothed.join(tiles, "cell").orderBy("cell")
+
+
+# --------------------------------------------------------------------------
+# Spark queries
+# --------------------------------------------------------------------------
+def _rounded_smooth(variant: str, variables: tuple[str, ...]):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cells = grid_from_lineitem(spark, sf_dir)
+        out = smooth(cells, SmoothingPlan(variant=variant, variables=variables))
+        return out.select(
+            "cell",
+            *[round6(f"smoothed_{v}").alias(f"smoothed_{v}") for v in variables],
+        )
+
+    return q
+
+
+def _q_neighbor_stats(spark, sf_dir):
+    return stats_ops.neighbor_stats(grid_from_lineitem(spark, sf_dir), k=1)
+
+
+def _q_edge_count(spark, sf_dir):
+    cells = grid_from_lineitem(spark, sf_dir)
+    return stats_ops.valid_edges(cells, 1).agg(F.count(F.lit(1)).alias("total_edges"))
+
+
+def _q_derived_variables(spark, sf_dir):
+    cells = grid_from_lineitem(spark, sf_dir).select("cell", "ndvi")
+    return derive_variables(cells).select(
+        "cell",
+        *[round6(v).alias(v) for v in ALL_VARIABLES],
+    )
+
+
+def _q_ring2_cardinality(spark, sf_dir):
+    cells = grid_from_lineitem(spark, sf_dir)
+    return stats_ops.neighbor_counts(cells, k=2, ring=2).select(
+        "cell", F.col("n_neighbors").alias("n_ring2")
+    )
+
+
+def _q_locality(spark, sf_dir):
+    return stats_ops.locality_metric(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_quadrants(spark, sf_dir):
+    return stats_ops.quadrant_histogram(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_tiles(spark, sf_dir):
+    return tile_assignment(grid_from_lineitem(spark, sf_dir), zoom=_ZOOM)
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("ws"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round6(F.avg("value")).alias("avg_value"),
+        )
+        .select(
+            F.col("ws").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    return quality_features(load(spark, sf_dir, "documents"))
+
+
+def _q_language_id(spark, sf_dir):
+    return language_id(load(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def _q_dedup_tokenset(spark, sf_dir):
+    return tokenset_dedup(load(spark, sf_dir, "documents"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from cuda_gis_smoothing_spark.functions.text import doc_fingerprint
+
+    return doc_fingerprint(load(spark, sf_dir, "documents"))
+
+
+def _q_minhash(spark, sf_dir):
+    return minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=6)
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+def _q_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD, block_col="lang"
+    )
+
+
+def _q_knn_cosine(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_knn(emb, queries, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
+        "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
+        "smooth_gaussian_k2": _rounded_smooth("gaussian_k2", ("ndvi",)),
+        "smooth_uniform_k2": _rounded_smooth("uniform_k2", ("ndvi",)),
+        "smooth_fused_k2": _rounded_smooth("gaussian_k2", ALL_VARIABLES),
+        "neighbor_stats": _q_neighbor_stats,
+        "edge_count": _q_edge_count,
+        "derived_variables": _q_derived_variables,
+        "ring2_cardinality": _q_ring2_cardinality,
+        "locality_metric": _q_locality,
+        "quadrant_histogram": _q_quadrants,
+        "tile_assignment": _q_tiles,
+        "events_hourly": _q_events_hourly,
+        "doc_quality": _q_doc_quality,
+        "doc_language_id": _q_language_id,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_tokenset": _q_dedup_tokenset,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "minhash_signatures": _q_minhash,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_jaccard,
+        "knn_cosine": _q_knn_cosine,
+    }
+    return qs
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+def _vals(deltas: list[int]) -> str:
+    return ", ".join(f"({d})" for d in deltas)
+
+
+def _stopword_pat(lang: str) -> str:
+    return "\\b(" + "|".join(STOPWORDS[lang]) + ")\\b"
+
+
+def _dedup_sql(key_expr: str) -> str:
+    return f"""
+SELECT doc_id,
+       COUNT(*) OVER (PARTITION BY {key_expr}) AS dup_group_size,
+       MIN(doc_id) OVER (PARTITION BY {key_expr}) AS canonical_id,
+       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY {key_expr}) AS INT) AS is_duplicate
+FROM documents
+""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tx, ty = tile_sql("cell", _ZOOM, "duckdb")
+    tok_cte = """
+tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+    FROM documents
+  ) WHERE t <> ''
+)""".strip()
+    tok_lang_cte = """
+tok AS (
+  SELECT DISTINCT doc_id, lang, t FROM (
+    SELECT doc_id, lang, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+    FROM documents
+  ) WHERE t <> ''
+)""".strip()
+    th = token_hash_sql_duckdb("t")
+    mh_aggs = ",\n       ".join(
+        f"MIN((h * {MH_A[i]} + {MH_B[i]}) % {MH_PRIME}) AS mh_{i}" for i in range(6)
+    )
+    langs = sorted(STOPWORDS)
+    hits_cols = ",\n       ".join(
+        f"LEN(regexp_extract_all(lower(text), '{_stopword_pat(lg)}')) AS hits_{lg}"
+        for lg in langs
+    )
+    gmax = "GREATEST(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    lang_case = (
+        f"CASE WHEN {gmax} = 0 THEN 'und' "
+        + " ".join(f"WHEN hits_{lg} = {gmax} THEN '{lg}'" for lg in langs[:-1])
+        + f" ELSE '{langs[-1]}' END"
+    )
+
+    return {
+        "smooth_simple_k1": smoothing_sql(
+            "simple_k1", ["ndvi"], "duckdb", source="cells4", with_ctes=GRID_CELLS_SQL
+        ),
+        "smooth_gaussian_k1": smoothing_sql(
+            "gaussian_k1", ["ndvi"], "duckdb", source="cells4", with_ctes=GRID_CELLS_SQL
+        ),
+        "smooth_gaussian_k2": smoothing_sql(
+            "gaussian_k2", ["ndvi"], "duckdb", source="cells4", with_ctes=GRID_CELLS_SQL
+        ),
+        "smooth_uniform_k2": smoothing_sql(
+            "uniform_k2", ["ndvi"], "duckdb", source="cells4", with_ctes=GRID_CELLS_SQL
+        ),
+        "smooth_fused_k2": smoothing_sql(
+            "gaussian_k2", list(ALL_VARIABLES), "duckdb", source="cells4", with_ctes=GRID_CELLS_SQL
+        ),
+        "neighbor_stats": f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)}),
+cnt AS (
+  SELECT c.cell, COUNT(n.cell) AS n_neighbors
+  FROM cells4 c CROSS JOIN offsets o
+  LEFT JOIN cells4 n ON n.cell = c.cell + o.delta
+  GROUP BY c.cell
+)
+SELECT MIN(n_neighbors) AS min_neighbors,
+       MAX(n_neighbors) AS max_neighbors,
+       ROUND(AVG(n_neighbors) + 1e-09, 6) AS avg_neighbors,
+       CAST(SUM(n_neighbors) AS BIGINT) AS total_edges
+FROM cnt
+""".strip(),
+        "edge_count": f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)})
+SELECT COUNT(*) AS total_edges
+FROM cells4 c CROSS JOIN offsets o
+JOIN cells4 n ON n.cell = c.cell + o.delta
+""".strip(),
+        "derived_variables": f"""
+WITH {GRID_CELLS_SQL}
+SELECT cell, ROUND(ndvi + 1e-09, 6) AS ndvi, ROUND(mndwi + 1e-09, 6) AS mndwi,
+       ROUND(evi + 1e-09, 6) AS evi, ROUND(ndwi + 1e-09, 6) AS ndwi
+FROM cells4
+""".strip(),
+        "ring2_cardinality": f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R2)})
+SELECT c.cell AS cell, COUNT(n.cell) AS n_ring2
+FROM cells4 c CROSS JOIN offsets o
+LEFT JOIN cells4 n ON n.cell = c.cell + o.delta
+GROUP BY c.cell
+""".strip(),
+        "locality_metric": f"""
+WITH {GRID_CELLS_SQL},
+z AS (
+  SELECT cell, {morton_sql("cell", "duckdb")} AS zkey,
+         ROW_NUMBER() OVER (ORDER BY cell) AS idx
+  FROM cells4
+),
+l AS (SELECT idx, LAG(idx) OVER (ORDER BY zkey, cell) AS pidx FROM z)
+SELECT ROUND(AVG(ABS(idx - pidx)) + 1e-09, 6) AS avg_index_distance
+FROM l WHERE pidx IS NOT NULL
+""".strip(),
+        "quadrant_histogram": f"""
+WITH {GRID_CELLS_SQL},
+qr AS (SELECT (cell // {ENC} - {OFFSET}) AS q, (cell % {ENC} - {OFFSET}) AS r FROM cells4),
+m AS (SELECT AVG(q) AS mq, AVG(r) AS mr FROM qr)
+SELECT CAST(q >= mq AS INT) AS q_hi, CAST(r >= mr AS INT) AS r_hi,
+       COUNT(*) AS n_cells
+FROM qr, m
+GROUP BY 1, 2
+""".strip(),
+        "tile_assignment": f"""
+WITH {GRID_CELLS_SQL}
+SELECT cell, {tx} AS tile_x, {ty} AS tile_y, {_ZOOM} AS zoom
+FROM cells4
+""".strip(),
+        "events_hourly": """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value) + 1e-09, 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""".strip(),
+        "doc_quality": f"""
+WITH base AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         LEN(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+         ROUND(LENGTH(regexp_replace(text, ' ', '', 'g')) * 1.0
+               / LEN(string_split(text, ' ')) + 1e-09, 6) AS avg_token_len,
+         ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+               / LENGTH(text) + 1e-09, 6) AS punct_ratio,
+         ROUND(LEN(regexp_extract_all(lower(text), '{_stopword_pat("en")}')) * 1.0
+               / LEN(string_split(text, ' ')) + 1e-09, 6) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, avg_token_len, punct_ratio, stopword_ratio,
+       ROUND(LEAST(n_tokens / 64.0, 1.0) * 0.5
+             + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.25
+             + LEAST(stopword_ratio * 4.0, 1.0) * 0.25 + 1e-09, 6) AS quality_score
+FROM base
+""".strip(),
+        "doc_language_id": f"""
+WITH h AS (
+  SELECT doc_id,
+       {hits_cols}
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"hits_{lg}" for lg in langs)},
+       {lang_case} AS pred_lang
+FROM h
+""".strip(),
+        "dedup_exact": _dedup_sql("md5(text)"),
+        "dedup_tokenset": _dedup_sql(
+            "md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))"
+        ),
+        "doc_fingerprint": f"""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(7 AS BIGINT),
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * 131 + c) % {MH_PRIME}) AS fingerprint
+FROM documents
+""".strip(),
+        "minhash_signatures": f"""
+WITH {tok_cte},
+h AS (SELECT doc_id, {th} AS h FROM tok)
+SELECT doc_id,
+       {mh_aggs}
+FROM h
+GROUP BY doc_id
+""".strip(),
+        "simhash": f"""
+WITH {tok_cte},
+h AS (SELECT doc_id, {th} AS h FROM tok),
+bits AS (
+  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id
+""".strip(),
+        "ngram_jaccard": f"""
+WITH {tok_lang_cte},
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.t = b.t AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(i * 1.0 / (sa.n + sb.n - i) + 1e-09, 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE ROUND(i * 1.0 / (sa.n + sb.n - i) + 1e-09, 6) >= {_JACCARD_THRESHOLD}
+""".strip(),
+        "knn_cosine": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
+p AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         list_dot_product(q.emb, x.emb) / (q.nrm * x.nrm) AS sim
+  FROM n q JOIN n x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < {_KNN_QUERIES}
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM p
+)
+WHERE rank <= 5
+""".strip(),
+    }

@@ -1,0 +1,104 @@
+"""Text-analysis column functions for document tables.
+
+All pure Catalyst expressions (no UDFs): language-ID by stopword
+hits, quality scoring by length/punct/stopword ratios, token counting
+(whitespace + a BPE-ish regex), and a portable polynomial document
+fingerprint. Each has an ANSI-SQL twin runnable by DuckDB (the driver
+oracle), built from the same literal constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: tiny per-language stopword lists (heuristic language ID)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "dans"),
+    "es": ("el", "la", "los", "y", "es", "en"),
+}
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def n_tokens_col(text_col: str = "text") -> Column:
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def bpe_token_count_col(text_col: str = "text") -> Column:
+    return F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_REGEX}', 0)"))
+
+
+def punct_ratio_col(text_col: str = "text") -> Column:
+    stripped = F.regexp_replace(F.col(text_col), "[.,!?;:]", "")
+    return (F.length(text_col) - F.length(stripped)) / F.length(text_col)
+
+
+def stopword_hits_col(text_col: str, lang: str) -> Column:
+    pat = "\\\\b(" + "|".join(STOPWORDS[lang]) + ")\\\\b"
+    return F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{pat}', 0)"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: lengths, token stats, punct/stopword
+    ratios, and a composite quality score in [0, 1]."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    nt = n_tokens_col(text_col)
+    out = df.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        nt.alias("n_tokens"),
+        bpe_token_count_col(text_col).alias("n_bpe_tokens"),
+        round6(F.length(F.regexp_replace(F.col(text_col), " ", "")) / nt).alias(
+            "avg_token_len"
+        ),
+        round6(punct_ratio_col(text_col)).alias("punct_ratio"),
+        round6(stopword_hits_col(text_col, "en") / nt).alias("stopword_ratio"),
+    )
+    score = (
+        F.least(F.col("n_tokens") / 64.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.25
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.25
+    )
+    return out.withColumn("quality_score", round6(score))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits
+    (deterministic tie-break by language code; 'und' when all zero)."""
+    hits = [
+        stopword_hits_col(text_col, lang).alias(f"hits_{lang}")
+        for lang in sorted(STOPWORDS)
+    ]
+    d = df.select(id_col, *hits)
+    langs = sorted(STOPWORDS)
+    # left-to-right scan: first language with a strictly higher hit
+    # count wins, so exact ties resolve to the alphabetically first
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:
+        cond = F.col(f"hits_{lang}") > best_hits
+        new_best = F.when(cond, F.lit(lang)).otherwise(best)
+        new_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
+        best, best_hits = new_best, new_hits
+    return d.select(id_col, *[f"hits_{lang}" for lang in langs], best.alias("pred_lang"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Portable polynomial rolling hash over the whole document
+    (char-level Karp-Rabin mod MH_PRIME) — the document-fingerprinting
+    primitive; identical in DuckDB via list_reduce."""
+    from cuda_gis_smoothing_spark.operators.dedup import MH_PRIME
+
+    fp = F.expr(
+        f"aggregate(split({text_col}, ''), CAST(7 AS BIGINT), "
+        f"(acc, c) -> (acc * 131 + ascii(c)) % {MH_PRIME})"
+    )
+    return df.select(id_col, fp.alias("fingerprint"))

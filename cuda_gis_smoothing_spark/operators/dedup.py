@@ -1,0 +1,205 @@
+"""Deduplication operators over document tables (training-data pipeline).
+
+No reference counterpart (the reference is a smoothing kernel); these
+are the graft's large-scale-pipeline additions. All hot paths are
+JVM-side built-ins; the only "hash functions" used for cross-engine
+checkable variants are arithmetic constructions (affine transforms over
+a shared polynomial token hash) that Spark SQL and DuckDB evaluate
+identically — no engine-private hash in any correctness-gated output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# modulus < 2^31 so a*x+b stays under 2^62 (no int64 overflow in either
+# engine — DuckDB raises on bigint overflow, Spark wraps; staying exact
+# keeps both identical)
+MH_PRIME = 2_147_483_629  # largest prime < 2^31
+MH_A = (906_021_953, 1_396_241_621, 403_931_569, 1_803_059_29, 729_614_273, 53_045_021)
+MH_B = (252_529_531, 1_142_678_147, 882_212_081, 66_048_17, 1_989_221_141, 90_362_951)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5-keyed duplicate groups with a canonical row.
+
+    Scale path: the window over md5(text) is a hash shuffle on the
+    digest — uniformly distributed, no skew; at 100 TB prefer the
+    groupBy+join form (same plan shape, avoids whole-partition sort).
+    """
+    key = F.md5(F.col(text_col))
+    w = Window.partitionBy(key)
+    return df.select(
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).alias("dup_group_size"),
+        F.min(id_col).over(w).alias("canonical_id"),
+    ).withColumn("is_duplicate", (F.col(id_col) != F.col("canonical_id")).cast("int"))
+
+
+def tokenset_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup by normalized token multiset → exact key dedup.
+
+    Normalization: lowercase, whitespace tokenize, distinct, sort,
+    rejoin — catches word-order shuffles and duplicated-token noise.
+    """
+    norm = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))), " "
+    )
+    key = F.md5(norm)
+    w = Window.partitionBy(key)
+    return df.select(
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).alias("dup_group_size"),
+        F.min(id_col).over(w).alias("canonical_id"),
+    ).withColumn("is_duplicate", (F.col(id_col) != F.col("canonical_id")).cast("int"))
+
+
+def token_hash_col(token_col: str = "t"):
+    """Polynomial rolling hash of a token, mod MH_PRIME, as a Column.
+
+    Computed with the ``aggregate`` higher-order function over the
+    token's characters — pure Catalyst expressions, and reproducible in
+    DuckDB via ``list_reduce`` (same fold order, same arithmetic).
+    """
+    return F.expr(
+        f"aggregate(split({token_col}, ''), CAST(7 AS BIGINT), "
+        f"(acc, c) -> (acc * 131 + ascii(c)) % {MH_PRIME})"
+    )
+
+
+def token_hash_sql_duckdb(token_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        f"list_transform(string_split({token_expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 131 + c) % {MH_PRIME})"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 6
+) -> DataFrame:
+    """MinHash over the distinct-token set: one row per doc with
+    ``mh_0..mh_{n-1}`` columns (min of affine transforms of the shared
+    token hash). Entirely JVM-side: explode → hash → groupBy(min)."""
+    toks = df.select(
+        id_col, F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("t")
+    ).where(F.col("t") != "")
+    h = toks.select(id_col, token_hash_col("t").alias("h"))
+    aggs = [
+        F.min((F.col("h") * MH_A[i] + MH_B[i]) % MH_PRIME).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 6,
+    bands: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, self-join on band value.
+
+    rows-per-band = n_hashes // bands. At scale the band join is the
+    classic shingle→minhash→band→bucket-join: shuffle keyed on
+    (band_id, band_hash), candidate verification local to the match.
+    Output: (doc_a, doc_b, n_shared_bands).
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = (expr * 8191 + p) % MH_PRIME
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), expr.alias("bh"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Token-set Jaccard near-dup pairs above ``threshold``.
+
+    Blocked on ``block_col`` to bound the pair space (at 100 TB use the
+    MinHash-LSH path for candidate generation; this is the exact
+    verifier). Implemented as token explode + equi self-join + count —
+    a pure shuffle-join, no UDFs, no cartesian product.
+    """
+    toks = df.select(
+        id_col,
+        *( [block_col] if block_col else [] ),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("t"),
+    ).where(F.col("t") != "")
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    join_keys = ["t"] + ([block_col] if block_col else [])
+    a = toks.alias("a")
+    b = toks.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for kcol in join_keys:
+        cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", round6(jac).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint (``bits`` wide) over distinct tokens.
+
+    Bit b of the fingerprint = majority vote of bit b across token
+    hashes. Expressed as explode(tokens) x explode(bits) → groupBy —
+    all JVM-side arithmetic on the shared portable token hash.
+    """
+    toks = df.select(
+        id_col, F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("t")
+    ).where(F.col("t") != "")
+    h = toks.select(id_col, token_hash_col("t").alias("h"))
+    bit = F.explode(F.array(*[F.lit(b) for b in range(bits)])).alias("b")
+    votes = h.select(id_col, "h", bit).select(
+        id_col,
+        "b",
+        F.expr("(shiftright(h, b) & 1) * 2 - 1").alias("v"),
+    )
+    bitvals = votes.groupBy(id_col, "b").agg(F.sum("v").alias("s"))
+    return bitvals.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )

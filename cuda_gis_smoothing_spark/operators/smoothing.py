@@ -1,0 +1,240 @@
+"""The core k-ring neighbor-average smoothing operators (J1/J2 + A1-A4).
+
+Reference semantics (transcribed, not ported):
+  * J1 neighbor gather      /root/reference/src/cpu/hex_smooth_naive.cpp:53-59
+  * J2 second-order set     /root/reference/src/cuda/hex_smooth_cuda_v5.cu:423-463
+  * A1 simple average       /root/reference/src/cpu/hex_smooth_naive.cpp:48-63
+  * A2 Gaussian weights     /root/reference/src/cpu/hex_smooth_naive.cpp:65-83
+  * A3 extended two-ring    /root/reference/src/cuda/hex_smooth_cuda_v5.cu:127-180
+  * A4 fused multi-variable /root/reference/src/cuda/hex_smooth_cuda_v4.cu:59-111
+
+Spark-first design (SURVEY.md §2/§7): the adjacency list, CSR offsets
+and padded neighbor arrays of the reference all disappear. k-ring
+expansion is an ``explode`` of a LITERAL (dq*ENC + dr, ring) offset
+array — pure column arithmetic inside whole-stage codegen, no UDF, no
+extra shuffle. The gather is ONE equi self-join; every weight scheme
+and every fused variable is folded into ONE groupBy aggregate, so the
+whole pass costs exactly one join + one aggregation regardless of how
+many variables are fused (the reference needed a hand-written CUDA
+kernel per combination).
+
+Scale notes (100 TB thinking):
+  * The join's build side (cell -> values) is the full cell table; for
+    city/continent grids it fits comfortably under a broadcast
+    threshold → zero-shuffle map-side join. For planet-scale grids,
+    hash join on ``cell`` shuffles both sides ONCE; AQE skew-join
+    splits hot cells.
+  * The groupBy reuses the join's output partitioning on ``cell`` when
+    the join was shuffle-hash on the same key → no second shuffle.
+  * Weighted sums accumulate in float64 regardless of input width
+    (partial-agg order is nondeterministic; float32 accumulation would
+    not be reproducible — SURVEY.md §7 numeric-parity risk).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from cuda_gis_smoothing_spark.hexgrid import kring_offsets, neighbor_delta
+from cuda_gis_smoothing_spark.plans.config import SmoothingPlan
+
+
+def kring_edges(
+    cells: DataFrame,
+    k: int,
+    include_center: bool = True,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """J1/J2: expand each cell to its k-ring as (cell, nbr, ring) rows.
+
+    Pure column math: ``nbr = cell + dq*ENC + dr`` over a literal offset
+    array. Emits 1 + 6 (+ 12) rows per cell; dangling neighbors are NOT
+    filtered here — the later inner join against the cell table drops
+    them, which IS the reference's validity filter
+    (/root/reference/src/cuda/hex_smooth_cuda_v1.cu:52).
+    """
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(neighbor_delta(dq, dr)).alias("delta"),
+                F.lit(ring).alias("ring"),
+            )
+            for dq, dr, ring in kring_offsets(k, include_center)
+        ]
+    )
+    return cells.select(
+        F.col(cell_col).alias("cell"),
+        F.explode(offs).alias("o"),
+    ).select(
+        "cell",
+        (F.col("cell") + F.col("o.delta")).alias("nbr"),
+        F.col("o.ring").alias("ring"),
+    )
+
+
+def ring_weight_col(weights: dict[int, float]):
+    """ring -> weight as a foldable CASE expression (Catalyst constant-folds)."""
+    expr = None
+    rings = sorted(weights)
+    for ring in rings[:-1]:
+        cond = F.col("ring") == ring
+        expr = F.when(cond, F.lit(weights[ring])) if expr is None else expr.when(cond, F.lit(weights[ring]))
+    last = F.lit(weights[rings[-1]])
+    return last if expr is None else expr.otherwise(last)
+
+
+def smooth(cells: DataFrame, plan: SmoothingPlan) -> DataFrame:
+    """A1-A4: one weighted neighbor-average pass over ``plan.variables``.
+
+    Input: DataFrame with ``cell`` plus one numeric column per variable.
+    Output: ``cell`` + ``smoothed_<var>`` per variable, one row per
+    input cell (isolated cells keep their own value — the join always
+    matches at least the ring-0 self row).
+    """
+    variables = list(plan.variables)
+    if plan.k == 2 and plan.strict_second_order:
+        ring01 = kring_edges(cells.select("cell"), 1, include_center=True)
+        ring2 = second_order_edges(cells.select("cell")).withColumn("ring", F.lit(2))
+        edges = ring01.unionByName(ring2)
+    else:
+        edges = kring_edges(cells.select("cell"), plan.k, include_center=True)
+
+    values = cells.select(
+        F.col("cell").alias("nbr"),
+        *[F.col(v).cast("double").alias(f"_v_{v}") for v in variables],
+    )
+    if plan.broadcast_values is True:
+        values = F.broadcast(values)
+
+    joined = edges.join(values, "nbr", "inner")
+    w = ring_weight_col(plan.ring_weights).alias("w")
+    joined = joined.select("cell", w, *[f"_v_{v}" for v in variables])
+
+    aggs = [
+        (F.sum(F.col(f"_v_{v}") * F.col("w")) / F.sum("w")).alias(f"smoothed_{v}")
+        for v in variables
+    ]
+    out = joined.groupBy("cell").agg(*aggs)
+
+    if plan.spatial_reorder:
+        from cuda_gis_smoothing_spark.plans.partitioning import spatial_repartition
+
+        out = spatial_repartition(out, plan.num_partitions)
+    return out
+
+
+def smooth_with_stats(cells: DataFrame, plan: SmoothingPlan) -> DataFrame:
+    """Like :func:`smooth` but also emits the valid-neighbor count and
+    weight mass per cell (useful for validation / lineage)."""
+    variables = list(plan.variables)
+    edges = kring_edges(cells.select("cell"), plan.k, include_center=True)
+    values = cells.select(
+        F.col("cell").alias("nbr"),
+        *[F.col(v).cast("double").alias(f"_v_{v}") for v in variables],
+    )
+    joined = edges.join(values, "nbr", "inner").select(
+        "cell",
+        "ring",
+        ring_weight_col(plan.ring_weights).alias("w"),
+        *[f"_v_{v}" for v in variables],
+    )
+    return joined.groupBy("cell").agg(
+        *[
+            (F.sum(F.col(f"_v_{v}") * F.col("w")) / F.sum("w")).alias(f"smoothed_{v}")
+            for v in variables
+        ],
+        F.sum(F.when(F.col("ring") > 0, 1).otherwise(0)).alias("n_valid_neighbors"),
+        F.sum("w").alias("weight_mass"),
+    )
+
+
+def derive_variables(cells: DataFrame, ndvi_col: str = "ndvi") -> DataFrame:
+    """P1: the reference's literal derived projections
+    (/root/reference/src/cuda/hex_smooth_cuda_v4.cu:359-363)."""
+    n = F.col(ndvi_col)
+    return cells.withColumns(
+        {
+            "mndwi": n * 0.9 + 0.05,
+            "evi": n * 1.1 - 0.05,
+            "ndwi": n * 0.95,
+        }
+    )
+
+
+def second_order_edges(cells: DataFrame) -> DataFrame:
+    """J2 as a *relational derivation* (parity check for kring ring 2):
+
+    neighbors-of-neighbors via two-hop self-join, excluding self and
+    first-order, deduped — the literal transcription of
+    ``generateSecondOrderNeighbors``
+    (/root/reference/src/cuda/hex_smooth_cuda_v5.cu:423-463). The fast
+    path is ``kring_edges(k=2)``; this exists to PROVE they agree (the
+    reference's own cross-validation spirit).
+    """
+    e1 = kring_edges(cells, 1, include_center=False).select("cell", "nbr")
+    # keep only edges that land on real cells before hopping again
+    real = cells.select(F.col("cell").alias("nbr"))
+    e1v = e1.join(real, "nbr", "left_semi")
+    hop2 = (
+        e1v.alias("a")
+        .join(
+            e1v.select(F.col("cell").alias("mid"), F.col("nbr").alias("nbr2")).alias("b"),
+            F.col("a.nbr") == F.col("b.mid"),
+        )
+        .select(F.col("a.cell").alias("cell"), F.col("b.nbr2").alias("nbr"))
+        .where(F.col("cell") != F.col("nbr"))
+        .distinct()
+    )
+    return hop2.join(e1v, ["cell", "nbr"], "left_anti")
+
+
+def smoothing_sql(
+    variant: str,
+    variables: Sequence[str],
+    dialect: str,
+    source: str = "cells",
+    with_ctes: str = "",
+) -> str:
+    """Emit the ANSI-SQL equivalent of :func:`smooth` for a given
+    dialect ('spark' | 'duckdb') over a relation named ``source``.
+
+    Shared by the DuckDB oracle (driver correctness gate) and by tests;
+    the literal weight constants guarantee both engines fold the same
+    doubles. ``with_ctes`` prepends extra CTEs (e.g. the testdata grid
+    derivation).
+    """
+    from cuda_gis_smoothing_spark.hexgrid import ENC
+    from cuda_gis_smoothing_spark.oracle import VARIANTS
+
+    weights = VARIANTS[variant]
+    k = 2 if variant.endswith("_k2") else 1
+    offs = kring_offsets(k, include_center=True)
+    rows = ",\n    ".join(
+        f"({dq * ENC + dr}, {ring})" for dq, dr, ring in offs
+    )
+    wcase = "CASE " + " ".join(
+        f"WHEN o.ring = {ring} THEN {w!r}" for ring, w in sorted(weights.items())
+    ) + " END"
+    aggs = ",\n  ".join(
+        f"ROUND((SUM(n.{v} * {wcase}) / SUM({wcase})) + 1e-09, 6) AS smoothed_{v}"
+        for v in variables
+    )
+    values = "VALUES\n    " + rows
+    if dialect == "spark":
+        offsets_cte = f"offsets (delta, ring) AS (SELECT * FROM ({values}) AS t(delta, ring))"
+    else:
+        offsets_cte = f"offsets (delta, ring) AS ({values})"
+    pre = f"{with_ctes}," if with_ctes else ""
+    return f"""
+WITH {pre}
+{offsets_cte}
+SELECT
+  c.cell AS cell,
+  {aggs}
+FROM {source} c
+CROSS JOIN offsets o
+JOIN {source} n ON n.cell = c.cell + o.delta
+GROUP BY c.cell
+""".strip()

@@ -1,0 +1,199 @@
+"""Spatial operators: raster-tile materialization, point-in-polygon,
+kNN via cell-covering + local refine (BASELINE.json north_star).
+
+The reference has no vector-spatial operators; these are the
+graft-mandated additions. Cell→tile math reuses the reference's
+"integer id → 2D coordinate" decode idea
+(/root/reference/src/cuda/hex_smooth_cuda_v5.cu:42-47) but projects the
+hex centroid to Web-Mercator slippy tiles. Tile/cell assignments are
+INTEGER invariants (bit-for-bit, BASELINE.json north_star), so the
+expression is emitted once as SQL text and evaluated by both Spark
+(``F.expr``) and the DuckDB oracle — identical shape, identical literal
+constants, with a round-before-floor guard against last-ulp libm
+differences between JVM and C math.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from cuda_gis_smoothing_spark.hexgrid import ENC, OFFSET, GridSpec
+from cuda_gis_smoothing_spark.oracle import point_in_polygon as _pip_scalar
+
+_G = GridSpec()
+_SQRT3 = 1.7320508075688772
+_PI = 3.141592653589793
+_COS0 = math.cos(math.radians(_G.origin_lat))
+
+
+def centroid_sql(cell_expr: str, dialect: str) -> tuple[str, str]:
+    """(lat, lon) centroid of a packed cell id as SQL text."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    q = f"(({cell_expr}) {idiv} {ENC} - {OFFSET})"
+    r = f"(({cell_expr}) % {ENC} - {OFFSET})"
+    x = f"({_G.size_deg!r} * ({_SQRT3!r} * ({q} + {r} / 2.0)))"
+    lat = f"({_G.size_deg!r} * 1.5 * {r} + {_G.origin_lat!r})"
+    lon = f"({x} / {_COS0!r} + {_G.origin_lon!r})"
+    return lat, lon
+
+
+def tile_sql(cell_expr: str, zoom: int, dialect: str) -> tuple[str, str]:
+    """(tile_x, tile_y) SQL text for the cell centroid at ``zoom``."""
+    lat, lon = centroid_sql(cell_expr, dialect)
+    n = 1 << zoom
+    # +1e-9 before FLOOR: both engines see the same double, so any
+    # last-ulp libm difference at an integer boundary lands the same side
+    tx = f"CAST(FLOOR((({lon} + 180.0) / 360.0 * {n}) + 1e-09) AS INT)"
+    lat_rad = f"({lat} * {_PI!r} / 180.0)"
+    ty = (
+        f"CAST(FLOOR(((1.0 - LN(TAN({lat_rad}) + 1.0 / COS({lat_rad})) / {_PI!r}) "
+        f"/ 2.0 * {n}) + 1e-09) AS INT)"
+    )
+    return tx, ty
+
+
+def tile_assignment(cells: DataFrame, zoom: int = 12, cell_col: str = "cell") -> DataFrame:
+    """Raster-tile materialization: cell → (tile_x, tile_y, zoom).
+
+    Pure column math — at 100 TB this is a projection fused into the
+    scan, no shuffle at all; the downstream ``groupBy(tile)`` is the
+    only exchange.
+    """
+    tx, ty = tile_sql(cell_col, zoom, "spark")
+    return cells.select(
+        F.col(cell_col).alias("cell"),
+        F.expr(tx).alias("tile_x"),
+        F.expr(ty).alias("tile_y"),
+        F.lit(zoom).alias("zoom"),
+    )
+
+
+def tile_histogram(cells: DataFrame, zoom: int = 12) -> DataFrame:
+    """Cells per tile — the materialization driver's work list."""
+    return (
+        tile_assignment(cells, zoom)
+        .groupBy("tile_x", "tile_y", "zoom")
+        .agg(F.count("*").alias("n_cells"))
+    )
+
+
+# --- point-in-polygon ---------------------------------------------------------
+def point_in_polygon(
+    points: DataFrame,
+    boundaries_pdf: pd.DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Tag each point with the region containing it (or null).
+
+    The boundary table is tiny (vector polygons) → it ships to every
+    executor as a plain broadcast variable; the test is a vectorized
+    numpy ray-casting inside ONE Arrow-batched pandas UDF with a bbox
+    prefilter. No join, no shuffle — the 100 TB point side streams
+    through map-side only.
+    """
+    spark = points.sparkSession
+    polys = [
+        (
+            str(row.region_id),
+            np.asarray([(p[0], p[1]) for p in row.ring_xy], dtype=np.float64),
+        )
+        for row in boundaries_pdf.itertuples()
+    ]
+    bc = spark.sparkContext.broadcast(
+        [
+            (rid, ring, ring[:, 0].min(), ring[:, 0].max(), ring[:, 1].min(), ring[:, 1].max())
+            for rid, ring in polys
+        ]
+    )
+
+    @F.pandas_udf(T.StringType())
+    def _tag(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        out = np.full(len(la), None, dtype=object)
+        unassigned = np.ones(len(la), dtype=bool)
+        for rid, ring, x0, x1, y0, y1 in bc.value:
+            cand = unassigned & (lo >= x0) & (lo <= x1) & (la >= y0) & (la <= y1)
+            if not cand.any():
+                continue
+            idx = np.nonzero(cand)[0]
+            inside = _ray_cast(lo[idx], la[idx], ring)
+            hit = idx[inside]
+            out[hit] = rid
+            unassigned[hit] = False
+        return pd.Series(out)
+
+    return points.withColumn("region_id", _tag(F.col(lat_col), F.col(lon_col)))
+
+
+def _ray_cast(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting; same semantics as oracle.point_in_polygon."""
+    inside = np.zeros(len(lon), dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        crosses = (y1 > lat) != (y2 > lat)
+        if not crosses.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        inside ^= crosses & (lon < xin)
+    return inside
+
+
+# --- kNN: covering cells + local refine ----------------------------------------
+def knn(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    ring: int = 2,
+    id_col: str = "image_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """k nearest points per query via cell covering + window refine.
+
+    Candidate generation joins each query's k-ring-``ring`` covering
+    cells against the (cell-bucketed) point table — an equi join that
+    broadcasts the (small) query side; exact distance + window rank
+    refine locally. Points/queries need (cell, lat, lon) columns.
+
+    At 100 TB the covering join touches only the partitions holding the
+    query neighborhoods (partition pruning on cell), never the full
+    point table; ``ring`` trades recall for candidate count and should
+    grow until ≥k candidates per query (caller-controlled).
+    """
+    from cuda_gis_smoothing_spark.operators.smoothing import kring_edges
+
+    cover = kring_edges(
+        queries.select(F.col("cell")).distinct(), ring, include_center=True
+    ).select(F.col("cell").alias("qcell"), F.col("nbr").alias("cell"))
+    qside = queries.select(
+        F.col(query_id_col),
+        F.col("cell").alias("qcell"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+    ).join(F.broadcast(cover), "qcell")
+
+    cand = points.select(
+        id_col, "cell", "lat", "lon"
+    ).join(F.broadcast(qside), "cell")
+
+    d2 = (
+        (F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat"))
+        + (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon")) * (_COS0 * _COS0)
+    ).alias("d2")
+    ranked = cand.select(query_id_col, id_col, d2).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(F.col("d2").asc(), F.col(id_col).asc())
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        query_id_col, id_col, "rank", F.round(F.sqrt("d2"), 9).alias("dist_deg")
+    )

@@ -1,0 +1,91 @@
+"""Grid statistics operators: A5 neighbor stats, A6 edge count,
+O3 locality metric, O4 quadrant histogram.
+
+References:
+  * A5 printStats        /root/reference/src/cpu/hex_smooth_naive.cpp:118-133
+  * A6 total connections /root/reference/src/cpu/hex_smooth_optimized.cpp:62,78-79
+  * O3 locality metric   /root/reference/src/cuda/hex_smooth_cuda_v5.cu:551-559
+  * O4 quadrant counts   /root/reference/src/cuda/hex_smooth_cuda_v5.cu:301-318
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cuda_gis_smoothing_spark.hexgrid import ENC, OFFSET
+from cuda_gis_smoothing_spark.operators.smoothing import kring_edges
+from cuda_gis_smoothing_spark.plans.partitioning import morton_col
+
+
+def valid_edges(cells: DataFrame, k: int = 1) -> DataFrame:
+    """Materialized valid adjacency (cell, nbr, ring): kring expansion
+    semi-joined against the cell table (drops dangling/border refs)."""
+    e = kring_edges(cells.select("cell"), k, include_center=False)
+    return e.join(cells.select(F.col("cell").alias("nbr")), "nbr", "left_semi")
+
+
+def neighbor_counts(cells: DataFrame, k: int = 1, ring: int | None = None) -> DataFrame:
+    """Per-cell valid neighbor count — left join keeps 0-neighbor cells
+    (the reference's isolated hexagons, D1 min=0). ``ring`` restricts to
+    one ring (e.g. ring=2 → the J2 second-order cardinality)."""
+    e = valid_edges(cells, k)
+    if ring is not None:
+        e = e.where(F.col("ring") == ring)
+    cnt = e.groupBy("cell").agg(F.count("*").alias("n_neighbors"))
+    return (
+        cells.select("cell")
+        .join(cnt, "cell", "left")
+        .select("cell", F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"))
+    )
+
+
+def neighbor_stats(cells: DataFrame, k: int = 1) -> DataFrame:
+    """A5+A6: one-row min/max/avg neighbor count + total edge count."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    return neighbor_counts(cells, k).agg(
+        F.min("n_neighbors").alias("min_neighbors"),
+        F.max("n_neighbors").alias("max_neighbors"),
+        round6(F.avg("n_neighbors")).alias("avg_neighbors"),
+        F.sum("n_neighbors").alias("total_edges"),
+    )
+
+
+def locality_metric(cells: DataFrame) -> DataFrame:
+    """O3: avg |original-position distance| between consecutive cells in
+    Morton order — the reference's post-reorder locality report (66.37,
+    results/benchmarks/extended_neighborhoods_study_5393971.out:10).
+
+    "Original position" = rank in cell-id order (the reference's array
+    index); the metric is how far apart Morton-consecutive cells sit in
+    the original layout.
+    """
+    idx = F.row_number().over(Window.orderBy("cell")).alias("idx")
+    z = morton_col("cell").alias("zkey")
+    df = cells.select("cell").select(F.col("cell"), idx, z)
+    lagged = F.lag("idx").over(Window.orderBy("zkey", "cell"))
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    return (
+        df.select((F.abs(F.col("idx") - lagged)).alias("d"))
+        .where(F.col("d").isNotNull())
+        .agg(round6(F.avg("d")).alias("avg_index_distance"))
+    )
+
+
+def quadrant_histogram(cells: DataFrame) -> DataFrame:
+    """O4: cell counts per (q, r) quadrant around the grid's midpoint."""
+    q = (F.col("cell") / ENC).cast("long") - OFFSET
+    r = (F.col("cell") % ENC) - OFFSET
+    mids = cells.agg(
+        F.avg(q).alias("mq"), F.avg(r).alias("mr")
+    )
+    c = cells.select("cell", q.alias("q"), r.alias("r")).crossJoin(F.broadcast(mids))
+    return (
+        c.select(
+            (F.col("q") >= F.col("mq")).cast("int").alias("q_hi"),
+            (F.col("r") >= F.col("mr")).cast("int").alias("r_hi"),
+        )
+        .groupBy("q_hi", "r_hi")
+        .agg(F.count("*").alias("n_cells"))
+    )

@@ -1,0 +1,101 @@
+"""Partitioning policy: the O1/O2 spatial-reordering analog + skew tools.
+
+The reference spends ~220 LoC on Morton / recursive-bisection reorder
+maps and inverse permutations (src/cuda/hex_smooth_cuda_v4.cu:264-297,
+src/cuda/hex_smooth_cuda_v5.cu:321-359,466-560). Under Spark, rows carry
+their keys, so a "reordering" is just a partitioner choice:
+``repartitionByRange`` on a space-filling-curve key clusters spatially
+adjacent cells into the same partition (less shuffle fan-out for the
+neighbor join), and ``orderBy(cell)`` at the sink replaces the entire
+inverse-permutation machinery (O5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cuda_gis_smoothing_spark.hexgrid import ENC, OFFSET
+
+_MASKS = (0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555)
+_SHIFTS = (8, 4, 2, 1)
+
+
+def _part1by1_sql(v: str, shift_fmt: str) -> str:
+    """Expand 16-bit value ``v`` to even bit positions (SQL text)."""
+    expr = v
+    for mask, sh in zip(_MASKS, _SHIFTS):
+        shifted = shift_fmt.format(x=expr, n=sh)
+        expr = f"(({expr} | {shifted}) & {mask})"
+    return expr
+
+
+def morton_sql(cell_expr: str, dialect: str) -> str:
+    """Z-order key of a packed cell id as a SQL expression.
+
+    Same bit interleave as the reference's ``morton2D``
+    (/root/reference/src/cuda/hex_smooth_cuda_v4.cu:29-44). Emitted as
+    SQL text in two dialects so the Spark plan (via ``F.expr``) and the
+    DuckDB oracle evaluate the IDENTICAL integer function.
+    """
+    shift_fmt = "shiftleft({x}, {n})" if dialect == "spark" else "({x} << {n})"
+    q = f"(({cell_expr}) DIV {ENC} - {OFFSET})" if dialect == "spark" else f"(({cell_expr}) // {ENC} - {OFFSET})"
+    r = f"(({cell_expr}) % {ENC} - {OFFSET})"
+    x = f"({q} & 65535)"
+    y = f"({r} & 65535)"
+    ex = _part1by1_sql(x, shift_fmt)
+    ey = _part1by1_sql(y, shift_fmt)
+    return f"({ex} | {shift_fmt.format(x=ey, n=1)})"
+
+
+def morton_col(cell_col: str = "cell") -> Column:
+    return F.expr(morton_sql(cell_col, "spark"))
+
+
+def spatial_repartition(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Range-partition + sort on the Morton key (reference O1/O2 analog).
+
+    At 100 TB this is the difference between neighbor-join shuffle
+    traffic going to 2 adjacent partitions vs all N — spatially local
+    keys land together, and AQE coalesces the tail.
+    """
+    zkey = morton_col("cell").alias("_zkey")
+    with_key = df.withColumn("_zkey", zkey)
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        with_key.repartitionByRange(parts, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+
+
+def salted_cell_aggregate(
+    df: DataFrame,
+    cell_col: str,
+    value_cols: list[str],
+    salt_buckets: int,
+    salt_source: str,
+) -> DataFrame:
+    """Two-stage salted aggregation for hot cells (explicit skew handling).
+
+    Stage 1 groups by (cell, salt) — the hot cell's millions of rows
+    split across ``salt_buckets`` reducers; stage 2 merges the partial
+    (sum, count) pairs. Sum/count compose exactly, so the result is
+    identical to the unsalted aggregate. This is the lever the
+    north_rule mandates beyond AQE's runtime skew splitting.
+    """
+    salt = (F.abs(F.hash(F.col(salt_source))) % salt_buckets).alias("_salt")
+    partial = (
+        df.select(F.col(cell_col).alias("cell"), salt, *value_cols)
+        .groupBy("cell", "_salt")
+        .agg(
+            *[F.sum(F.col(v).cast("double")).alias(f"_sum_{v}") for v in value_cols],
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+    )
+    return partial.groupBy("cell").agg(
+        *[
+            (F.sum(f"_sum_{v}") / F.sum("_cnt")).alias(f"avg_{v}")
+            for v in value_cols
+        ],
+        F.sum("_cnt").alias("n_rows"),
+    )

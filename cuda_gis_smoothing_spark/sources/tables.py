@@ -1,0 +1,75 @@
+"""Table sources over the driver's parquet testdata + the grid view.
+
+``grid_from_lineitem`` derives a deterministic hex-cell table from the
+TPC-H-ish ``lineitem`` table (FIXTURES.md driver-oracle mapping): the
+integer keys become axial coordinates, so every smoothing / stats
+operator gets an ANSI-SQL DuckDB oracle over the same parquet. The
+construction is exact in both engines: ``l_quantity`` is
+integer-valued, so per-cell sums (and hence avgs) are bit-identical
+doubles regardless of aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cuda_gis_smoothing_spark.hexgrid import ENC, OFFSET
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: grid side used for the testdata-derived cell table
+GRID = 40
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def grid_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cells(cell, ndvi, mndwi, evi, ndwi) derived from lineitem.
+
+    cell = pack(l_partkey % GRID, l_orderkey % GRID); ndvi = scaled
+    avg(l_quantity). Derived variables follow the reference's literal
+    projections (src/cuda/hex_smooth_cuda_v4.cu:359-363).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey", "l_quantity")
+    q = F.col("l_partkey") % GRID
+    r = F.col("l_orderkey") % GRID
+    cell = ((q + OFFSET) * ENC + (r + OFFSET)).alias("cell")
+    ndvi = (F.sum("l_quantity") / F.count(F.lit(1)) / 50.0).alias("ndvi")
+    cells = li.select(cell, "l_quantity").groupBy("cell").agg(ndvi)
+    return cells.withColumns(
+        {
+            "mndwi": F.col("ndvi") * 0.9 + 0.05,
+            "evi": F.col("ndvi") * 1.1 - 0.05,
+            "ndwi": F.col("ndvi") * 0.95,
+        }
+    )
+
+
+GRID_CELLS_SQL = f"""
+cells AS (
+  SELECT ((l_partkey % {GRID}) + {OFFSET}) * {ENC} + ((l_orderkey % {GRID}) + {OFFSET}) AS cell,
+         SUM(l_quantity) / COUNT(*) / 50.0 AS ndvi
+  FROM lineitem
+  GROUP BY 1
+),
+cells4 AS (
+  SELECT cell, ndvi,
+         ndvi * 0.9 + 0.05 AS mndwi,
+         ndvi * 1.1 - 0.05 AS evi,
+         ndvi * 0.95 AS ndwi
+  FROM cells
+)
+""".strip()

@@ -1,0 +1,85 @@
+"""In-repo replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB
+over the same parquet tables, compare row counts + order-insensitive
+values. Runs at sf0.001 for speed (the driver uses sf0.01)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+                    if v == 0:
+                        v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+ALL_QUERIES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_matches_duckdb_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    assert sql is not None, f"{name} has no oracle"
+    sdf = q(spark, SF_DIR)
+    cols = sorted(sdf.columns)
+    spark_rows = _norm([r.asDict() for r in sdf.collect()], cols)
+    rel = ddb.sql(sql)
+    duck_cols = list(rel.columns)
+    assert sorted(duck_cols) == cols, f"column mismatch: {sorted(duck_cols)} vs {cols}"
+    duck_rows = _norm(
+        [dict(zip(duck_cols, row)) for row in rel.fetchall()], cols
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(spark_rows, duck_rows) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    qs = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    assert oracles <= qs
+    missing = qs - oracles
+    # non-SQL-expressible ops may be missing, but must be known
+    assert missing <= set(), f"queries without oracle: {missing}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(10).collect()
+    assert len(rows) > 0
+    assert {"cell", "tile_x", "tile_y", "zoom"} <= set(df.columns)

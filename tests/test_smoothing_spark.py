@@ -1,0 +1,183 @@
+"""Differential tests: Spark smoothing pipeline vs the pure-Python oracle
+on the synthetic fixture grid — the reference's own validation strategy
+(golden cross-implementation compare, scripts/case-study.sh:107-137),
+at its tolerance (allclose atol=1e-4; we see ~1e-12 since both sides
+accumulate in float64)."""
+
+import numpy as np
+import pytest
+
+from cuda_gis_smoothing_spark import datagen, oracle
+from cuda_gis_smoothing_spark.operators import stats as stats_ops
+from cuda_gis_smoothing_spark.operators.smoothing import (
+    kring_edges,
+    second_order_edges,
+    smooth,
+    smooth_with_stats,
+)
+from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
+
+
+@pytest.fixture(scope="module")
+def cells_pdf():
+    return datagen.gen_cells(side=24, n_isolated=2)
+
+
+@pytest.fixture(scope="module")
+def cells_df(spark, cells_pdf):
+    return spark.createDataFrame(cells_pdf).cache()
+
+
+def _oracle_vals(cells_pdf, variables=("ndvi",)):
+    return {
+        int(r.cell): {v: float(getattr(r, v)) for v in variables}
+        for r in cells_pdf.itertuples()
+    }
+
+
+@pytest.mark.parametrize("variant", sorted(oracle.VARIANTS))
+def test_smooth_matches_oracle(spark, cells_df, cells_pdf, variant):
+    out = (
+        smooth(cells_df, SmoothingPlan(variant=variant, variables=("ndvi",)))
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    exp = oracle.smooth_cells(_oracle_vals(cells_pdf), variant)
+    assert len(out) == len(exp)
+    exp_arr = np.array([exp[c]["ndvi"] for c in out.index])
+    assert np.allclose(out["smoothed_ndvi"].to_numpy(), exp_arr, atol=1e-4)
+    # both sides are float64: should in fact be far tighter
+    assert np.abs(out["smoothed_ndvi"].to_numpy() - exp_arr).max() < 1e-9
+
+
+def test_fused_equals_per_variable_runs(spark, cells_df, cells_pdf):
+    """Kernel-fusion invariant (reference v4): the 4-variable single-pass
+    result must equal four independent single-variable passes."""
+    fused = (
+        smooth(cells_df, SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES))
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    for v in ALL_VARIABLES:
+        single = (
+            smooth(
+                cells_df.select("cell", v),
+                SmoothingPlan(variant="gaussian_k2", variables=(v,)),
+            )
+            .toPandas()
+            .set_index("cell")
+            .sort_index()
+        )
+        assert np.allclose(
+            fused[f"smoothed_{v}"].to_numpy(),
+            single[f"smoothed_{v}"].to_numpy(),
+            atol=1e-12,
+        )
+
+
+def test_isolated_cells_keep_value_spark(spark, cells_df, cells_pdf):
+    iso = cells_pdf.nlargest(2, "cell")  # isolated cells have max packed ids
+    out = smooth(cells_df, SmoothingPlan(variant="gaussian_k2", variables=("ndvi",)))
+    got = {
+        r["cell"]: r["smoothed_ndvi"]
+        for r in out.where(out.cell.isin([int(c) for c in iso.cell])).collect()
+    }
+    for r in iso.itertuples():
+        assert abs(got[int(r.cell)] - float(r.ndvi)) < 1e-12
+
+
+def test_second_order_relational_derivation(spark, cells_df):
+    """J2: the adjacency two-hop derivation (reference semantics) is a
+    subset of the geometric kring ring-2, and equals it on hole-free
+    interiors; on this ragged fixture only border/hole cells differ."""
+    via_join = second_order_edges(cells_df.select("cell"))
+    via_kring = (
+        kring_edges(cells_df.select("cell"), 2, include_center=False)
+        .where("ring = 2")
+        .join(cells_df.select("cell").withColumnRenamed("cell", "nbr"), "nbr", "left_semi")
+        .select("cell", "nbr")
+    )
+    assert via_join.exceptAll(via_kring).count() == 0  # strict ⊆ geometric
+    extra = via_kring.exceptAll(via_join).count()
+    assert extra >= 0  # ragged fixture: geometric may exceed strict
+
+
+def test_second_order_equality_on_complete_grid(spark):
+    """On a hole-free patch the geometric and adjacency ring-2 sets are
+    identical — the reference's own regime (its grid is contiguous)."""
+    import numpy as np
+    import pandas as pd
+
+    from cuda_gis_smoothing_spark.hexgrid import pack
+
+    qs, rs = np.meshgrid(np.arange(12), np.arange(12), indexing="ij")
+    pdf = pd.DataFrame({"cell": pack(qs.ravel(), rs.ravel())})
+    df = spark.createDataFrame(pdf)
+    via_join = second_order_edges(df.select("cell"))
+    via_kring = (
+        kring_edges(df.select("cell"), 2, include_center=False)
+        .where("ring = 2")
+        .join(df.select("cell").withColumnRenamed("cell", "nbr"), "nbr", "left_semi")
+        .select("cell", "nbr")
+    )
+    assert via_join.exceptAll(via_kring).count() == 0
+    assert via_kring.exceptAll(via_join).count() == 0
+
+
+def test_strict_second_order_smoothing_matches_oracle(spark, cells_df, cells_pdf):
+    """Strict (adjacency) two-ring smoothing vs the strict oracle on the
+    ragged fixture — the reference's literal semantics."""
+    out = (
+        smooth(
+            cells_df,
+            SmoothingPlan(
+                variant="gaussian_k2", variables=("ndvi",), strict_second_order=True
+            ),
+        )
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    exp = oracle.smooth_cells(
+        _oracle_vals(cells_pdf), "gaussian_k2", strict_second_order=True
+    )
+    exp_arr = np.array([exp[c]["ndvi"] for c in out.index])
+    assert np.abs(out["smoothed_ndvi"].to_numpy() - exp_arr).max() < 1e-9
+
+
+def test_neighbor_stats_match_oracle(spark, cells_df, cells_pdf):
+    st = stats_ops.neighbor_stats(cells_df).collect()[0].asDict()
+    exp = oracle.neighbor_stats([int(c) for c in cells_pdf.cell])
+    assert st["min_neighbors"] == exp["min_neighbors"] == 0
+    assert st["max_neighbors"] == exp["max_neighbors"] == 6
+    assert abs(st["avg_neighbors"] - exp["avg_neighbors"]) < 1e-6
+    assert st["total_edges"] == exp["total_edges"]
+
+
+def test_smooth_with_stats_neighbor_counts(spark, cells_df, cells_pdf):
+    out = smooth_with_stats(
+        cells_df, SmoothingPlan(variant="simple_k1", variables=("ndvi",))
+    )
+    exp = oracle.neighbor_stats([int(c) for c in cells_pdf.cell])
+    got_total = out.agg({"n_valid_neighbors": "sum"}).collect()[0][0]
+    assert got_total == exp["total_edges"]
+
+
+def test_dangling_neighbors_do_not_contribute(spark):
+    """A cell next to the patch border: its missing neighbors add neither
+    value nor weight (reference validity-filter semantics,
+    src/cuda/hex_smooth_cuda_v1.cu:52)."""
+    import pandas as pd
+
+    from cuda_gis_smoothing_spark.hexgrid import neighbor_delta, pack
+
+    c = int(pack(0, 0))
+    n1 = c + neighbor_delta(1, 0)
+    pdf = pd.DataFrame({"cell": [c, n1], "ndvi": [1.0, 5.0]})
+    df = spark.createDataFrame(pdf)
+    out = smooth(df, SmoothingPlan(variant="simple_k1", variables=("ndvi",)))
+    got = {r["cell"]: r["smoothed_ndvi"] for r in out.collect()}
+    assert abs(got[c] - 3.0) < 1e-12
+    assert abs(got[n1] - 3.0) < 1e-12
