@@ -51,6 +51,8 @@ _R1 = [dq * ENC + dr for dq, dr in RING1_OFFSETS]
 _R2 = [dq * ENC + dr for dq, dr in RING2_OFFSETS]
 _JACCARD_THRESHOLD = 0.45
 _KNN_QUERIES = 8
+_LSH_PLANES = 8
+_EMB_DIM = 64  # testdata embedding dimension (all sf tiers)
 _ZOOM = 12
 
 
@@ -179,6 +181,27 @@ def _q_knn_cosine(spark, sf_dir):
     return cosine_knn(emb, queries, k=5)
 
 
+def _q_knn_lsh(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.similarity import lsh_bucketed_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_knn(emb, queries, k=5, n_planes=_LSH_PLANES)
+
+
+def _q_smooth_strict_k2(spark, sf_dir):
+    cells = grid_from_lineitem(spark, sf_dir)
+    out = smooth(
+        cells,
+        SmoothingPlan(
+            variant="gaussian_k2", variables=("ndvi",), strict_second_order=True
+        ),
+    )
+    return out.select("cell", round6("smoothed_ndvi").alias("smoothed_ndvi"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
@@ -203,6 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
+        "knn_lsh": _q_knn_lsh,
+        "smooth_strict_k2": _q_smooth_strict_k2,
     }
     return qs
 
@@ -438,4 +463,72 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
 )
 WHERE rank <= 5
 """.strip(),
+        "knn_lsh": _knn_lsh_sql(),
+        "smooth_strict_k2": _smooth_strict_sql(),
     }
+
+
+def _lsh_plane_weights(p: int, dim: int = _EMB_DIM) -> list[float]:
+    """Deterministic hyperplane weights — MUST mirror the expression in
+    operators/similarity.lsh_bucketed_knn: ((i*(2p+3) + p*p+1) % 7) - 3."""
+    return [float((i * (2 * p + 3) + p * p + 1) % 7 - 3) for i in range(dim)]
+
+
+def _knn_lsh_sql() -> str:
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(emb, {_lsh_plane_weights(p)!r}::DOUBLE[]) > 0 "
+        f"THEN {1 << p} ELSE 0 END"
+        for p in range(_LSH_PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (
+  SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm,
+         ({bucket_terms}) AS bucket
+  FROM e
+),
+p AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         list_dot_product(q.emb, x.emb) / (q.nrm * x.nrm) AS sim
+  FROM n q JOIN n x ON x.bucket = q.bucket AND x.vec_id <> q.vec_id
+  WHERE q.vec_id < {_KNN_QUERIES}
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM p
+)
+WHERE rank <= 5
+""".strip()
+
+
+def _smooth_strict_sql() -> str:
+    """Adjacency-based (strict) two-ring smoothing: ring 2 reachable
+    only through a PRESENT ring-1 cell — the reference's literal
+    generateSecondOrderNeighbors semantics as relational SQL."""
+    from cuda_gis_smoothing_spark.hexgrid import W_EXT_RING1, W_EXT_RING2
+
+    return f"""
+WITH {GRID_CELLS_SQL},
+offs1 (delta) AS (VALUES {_vals(_R1)}),
+e1 AS (
+  SELECT c.cell AS cell, c.cell + o.delta AS nbr
+  FROM cells4 c CROSS JOIN offs1 o
+  JOIN cells4 n ON n.cell = c.cell + o.delta
+),
+r2 AS (
+  SELECT DISTINCT a.cell AS cell, b.nbr AS nbr
+  FROM e1 a JOIN e1 b ON b.cell = a.nbr
+  WHERE b.nbr <> a.cell
+    AND NOT EXISTS (SELECT 1 FROM e1 x WHERE x.cell = a.cell AND x.nbr = b.nbr)
+),
+contrib AS (
+  SELECT cell, cell AS src, 1.0 AS w FROM cells4
+  UNION ALL SELECT cell, nbr AS src, {W_EXT_RING1!r} AS w FROM e1
+  UNION ALL SELECT cell, nbr AS src, {W_EXT_RING2!r} AS w FROM r2
+)
+SELECT t.cell AS cell,
+       ROUND(SUM(v.ndvi * t.w) / SUM(t.w) + 1e-09, 6) AS smoothed_ndvi
+FROM contrib t JOIN cells4 v ON v.cell = t.src
+GROUP BY t.cell
+""".strip()

@@ -1,0 +1,278 @@
+#!/usr/bin/env python
+"""Benchmark harness (reference B1 analog: warm-up + timed steady runs,
+src/cpu/hex_smooth_naive.cpp:86-108 / hex_smooth_cuda_v2.cu:295-345).
+
+Prints ONE JSON line:
+  {"metric": "total_bench_sec", "value": <sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "images_per_sec": ..., "smoothing_cells_per_sec": ...,
+   "scaling": {"cores_lo": .., "cores_hi": .., "sec_lo": .., "sec_hi": ..,
+                "efficiency": ..}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for local[N] (default 32)
+  BENCH_IMAGES         image-pipeline corpus size (default 20000)
+  BENCH_SCALING        "0" to skip the two-parallelism scaling run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "20000"))
+#: scaling runs need enough per-task work that compute dominates
+#: scheduling (the reference hit the same wall: OpenMP lost to a single
+#: thread at small n, docs/IMPLEMENTATION_DETAILS.md:13-17)
+N_SCALE_IMAGES = int(os.environ.get("BENCH_SCALE_IMAGES", "1000000"))
+N_CELLS = int(os.environ.get("BENCH_CELLS", "500000"))
+DO_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
+
+#: bench-session file-split sizing: the synthetic corpora are a few GB,
+#: so the 128 MB default packs the whole decode stage into a couple of
+#: tasks; 4 MB splits keep input parallelism ≥ cores at THIS scale (at
+#: 100 TB the default is correct — this knob scales with data volume)
+BENCH_SPARK_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(256 * 1024),
+    # generous heap: GC pauses are pure noise for scaling measurements
+    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+}
+
+#: queries timed per-round (ngram_jaccard excluded: it is the exact
+#: quadratic verifier, correctness-gated at sf0.01; its bench-scale
+#: path is minhash-LSH candidates)
+BENCH_QUERIES = [
+    "smooth_simple_k1",
+    "smooth_gaussian_k2",
+    "smooth_fused_k2",
+    "neighbor_stats",
+    "ring2_cardinality",
+    "locality_metric",
+    "tile_assignment",
+    "events_hourly",
+    "doc_quality",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "knn_cosine",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def images_cache_path(n: int) -> str:
+    return f"/tmp/spark_graft_bench_images_{n}"
+
+
+def ensure_images(spark, n: int) -> str:
+    from cuda_gis_smoothing_spark.sources.images import read_manifest, write_images
+
+    path = images_cache_path(n)
+    try:
+        if read_manifest(path)["row_count"] == n:
+            return path
+    except Exception:
+        pass
+    log(f"synthesizing {n} images -> {path}")
+    write_images(spark, path, n)
+    return path
+
+
+def pipeline_seconds(spark, images_path: str) -> float:
+    from cuda_gis_smoothing_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from cuda_gis_smoothing_spark.sources.images import read_images
+
+    # the pipeline caches its per-cell aggregate; clear it so every
+    # timed pass includes the full decode (CacheManager would otherwise
+    # satisfy the new run's identical sub-plan from the previous run)
+    spark.catalog.clearCache()
+    images = read_images(spark, images_path)
+    t0 = time.perf_counter()
+    _run_noop(run_pipeline(images, PipelineConfig()))
+    return time.perf_counter() - t0
+
+
+def synth_grid(spark, n_cells: int):
+    """Hex patch of ~n_cells with deterministic values — pure column
+    math end to end (spark.range → pack → derived vars), no Python."""
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.hexgrid import ENC, OFFSET
+    from cuda_gis_smoothing_spark.operators.smoothing import derive_variables
+
+    side = int(n_cells**0.5)
+    q = F.col("id") % side
+    r = (F.col("id") / side).cast("long")
+    base = spark.range(0, side * side, 1, CPUS * 2).select(
+        ((q + OFFSET) * ENC + (r + OFFSET)).alias("cell")
+    )
+    ndvi = (F.abs(F.hash(F.col("cell"))) % 1000 / 1000.0).alias("ndvi")
+    return derive_variables(base.select("cell", ndvi)), side * side
+
+
+def d2_smoothing_bench(spark, n_cells: int) -> tuple[int, float]:
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth
+    from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
+
+    grid, n = synth_grid(spark, n_cells)
+    grid = grid.cache()
+    grid.count()
+    plan = SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES)
+    _run_noop(smooth(grid, plan))  # warm
+    t0 = time.perf_counter()
+    runs = 3
+    for _ in range(runs):
+        _run_noop(smooth(grid, plan))
+    sec = (time.perf_counter() - t0) / runs
+    grid.unpersist()
+    log(f"D2 fused pass: {sec:.2f}s for {n} cells")
+    return n, sec
+
+
+def scaling_child(cores: int, n_images: int) -> None:
+    """Entry for the subprocess: run the pipeline at local[cores]."""
+    from cuda_gis_smoothing_spark.session import get_spark
+
+    spark = get_spark(app=f"bench-scale-{cores}", cores=cores, extra=BENCH_SPARK_CONF)
+    path = ensure_images(spark, n_images)
+    pipeline_seconds(spark, path)  # warm-up (JIT/codegen/page cache)
+    secs = min(pipeline_seconds(spark, path) for _ in range(2))
+    print(json.dumps({"cores": cores, "sec": secs}))
+    spark.stop()
+
+
+def run_scaling(n_images: int) -> dict:
+    """Same job, two parallelism levels, fresh JVM each (the sandbox
+    stand-in for N vs 4N executors — see BENCH/BASELINE.md).
+
+    Levels are INTERLEAVED (lo, hi, lo, hi) with per-level minima: this
+    sandbox is a shared-host VM whose available CPU fluctuates between
+    epochs, and a per-level min over interleaved trials keeps one bad
+    epoch from landing entirely on one level.
+
+    Default pair is (CPUS/8 → CPUS/2), i.e. 4 → 16 on the 32-core box:
+    the N→4N factor the north_rule asks for, measured where both levels
+    leave memory-bus headroom. Saturating all 32 hardware threads adds
+    ~1.4x per-core slowdown from shared cache/membus contention — a
+    single-box artifact that a real 4N-EXECUTOR scale-up (more
+    machines) does not have. Override with BENCH_SCALE_LO/HI.
+    """
+    lo = int(os.environ.get("BENCH_SCALE_LO", max(CPUS // 8, 1)))
+    hi = int(os.environ.get("BENCH_SCALE_HI", lo * 4))
+    out: dict[int, float] = {}
+    for cores in (lo, hi, lo, hi):
+        log(f"scaling run at local[{cores}] ...")
+        r = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cores), str(n_images)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=1200,
+        )
+        line = r.stdout.strip().splitlines()[-1]
+        sec = json.loads(line)["sec"]
+        out[cores] = min(out.get(cores, sec), sec)
+    eff = (out[lo] / out[hi]) / (hi / lo)
+    return {
+        "n_images": n_images,
+        "cores_lo": lo,
+        "cores_hi": hi,
+        "sec_lo": round(out[lo], 3),
+        "sec_hi": round(out[hi], 3),
+        "images_per_sec_lo": round(n_images / out[lo], 1),
+        "images_per_sec_hi": round(n_images / out[hi], 1),
+        "efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    from cuda_gis_smoothing_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    t_start = time.perf_counter()
+    spark = get_spark(app="bench", cores=CPUS, extra=BENCH_SPARK_CONF)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    qs = entry_mod.queries()
+    # warm-up: one flagship pass (first action pays codegen/JIT)
+    _run_noop(qs["smooth_fused_k2"](spark, SF_DIR))
+
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _run_noop(qs[name](spark, SF_DIR))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        log(f"{name}: {per_query[name]}s")
+
+    # smoothing throughput: fused two-ring pass over the testdata grid
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth
+    from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, SF_DIR).cache()
+    n_cells = cells.count()
+    plan = SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES)
+    _run_noop(smooth(cells, plan))  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _run_noop(smooth(cells, plan))
+    smooth_sec = (time.perf_counter() - t0) / 3
+    cells.unpersist()
+
+    # reference-scale smoothing: D2 = 500,104 hexagons (BASELINE.md) —
+    # synthesized as a hex patch with pure column math, fused 4-var
+    # two-ring Gaussian pass (the reference v5 flagship config)
+    d2_cells, d2_sec = d2_smoothing_bench(spark, N_CELLS)
+
+    # image pipeline headline
+    images_path = ensure_images(spark, N_IMAGES)
+    pipeline_seconds(spark, images_path)  # warm
+    pipe_sec = pipeline_seconds(spark, images_path)
+    log(f"pipeline: {pipe_sec:.2f}s for {N_IMAGES} images")
+    spark.stop()
+
+    scaling = run_scaling(N_SCALE_IMAGES) if DO_SCALING else None
+
+    total = time.perf_counter() - t_start
+    result = {
+        "metric": "total_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "n_images": N_IMAGES,
+        "pipeline_sec": round(pipe_sec, 3),
+        "images_per_sec": round(N_IMAGES / pipe_sec, 1),
+        "n_cells": n_cells,
+        "smooth_fused_sec": round(smooth_sec, 4),
+        "smoothing_cells_per_sec": round(n_cells / smooth_sec, 1),
+        "d2_cells": d2_cells,
+        "d2_fused_pass_sec": round(d2_sec, 3),
+        "d2_cells_per_sec": round(d2_cells / d2_sec, 1),
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

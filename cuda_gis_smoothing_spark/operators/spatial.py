@@ -180,9 +180,11 @@ def knn(
         F.col("lon").alias("qlon"),
     ).join(F.broadcast(cover), "qcell")
 
-    cand = points.select(
-        id_col, "cell", "lat", "lon"
-    ).join(F.broadcast(qside), "cell")
+    cand = (
+        points.select(id_col, "cell", "lat", "lon")
+        .join(F.broadcast(qside), "cell")
+        .where(F.col(id_col) != F.col(query_id_col))  # self-exclusion
+    )
 
     d2 = (
         (F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat"))

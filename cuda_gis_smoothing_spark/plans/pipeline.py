@@ -1,0 +1,95 @@
+"""The flagship end-to-end pipeline (BASELINE.json north_star):
+
+images → (Arrow UDF) decode + geolocate → per-cell aggregates
+(explicit salted two-stage for hot cells) → derived variables →
+k-ring weighted smoothing (one join + one groupBy) → tile assignment →
+ordered sink. Stages are checkpointable (plans/lineage.py): a killed
+job resumes from the last materialized stage.
+
+Shuffle budget at 100 TB (the design target):
+  1. ingest groupBy(cell[, salt]) — the ONLY shuffle touching
+     image-cardinality data; map-side partial aggregation means each
+     executor emits ≤ |cells| × salt rows, not |images| rows.
+  2. smoothing join+groupBy on cell — cell-cardinality data (orders of
+     magnitude smaller); broadcast when the cell table fits.
+  3. tile assignment — pure projection, NO shuffle.
+Everything else is map-side. Pixels cross the Python boundary exactly
+once (ingest); all later stages are JVM-only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from cuda_gis_smoothing_spark.hexgrid import GridSpec
+from cuda_gis_smoothing_spark.operators.multimodal import image_features
+from cuda_gis_smoothing_spark.operators.smoothing import derive_variables, smooth
+from cuda_gis_smoothing_spark.operators.spatial import tile_assignment
+from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
+from cuda_gis_smoothing_spark.plans.partitioning import salted_cell_aggregate
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    plan: SmoothingPlan = SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES)
+    zoom: int = 12
+    salt_buckets: int = 8  # hot-cell skew handling in ingest (0 = off)
+
+
+def ingest_cells(images: DataFrame, cfg: PipelineConfig, grid: GridSpec | None = None) -> DataFrame:
+    """images → per-cell aggregate table (the reference's hexagon array).
+
+    ndvi per cell = mean of per-image vegetation indices; the other 3
+    variables are the reference's literal derived projections
+    (src/cuda/hex_smooth_cuda_v4.cu:359-363) applied to the aggregate.
+    """
+    if cfg.salt_buckets > 1:
+        # explicit two-stage salted aggregation over per-image rows —
+        # the standalone skew lever (plans/partitioning.py); kept as an
+        # alternate path and for the salted==unsalted invariant test
+        feats = image_features(images, grid)
+        agg = salted_cell_aggregate(
+            feats, "cell", ["ndvi"], cfg.salt_buckets, salt_source="image_id"
+        ).select("cell", F.col("avg_ndvi").alias("ndvi"), "n_rows")
+    else:
+        # default: Arrow-batch map-side combine (operators/multimodal.
+        # cell_partials) — Python returns cell-cardinality partials, so
+        # the only image-cardinality shuffle disappears entirely
+        from cuda_gis_smoothing_spark.operators.multimodal import cell_partials
+
+        partials = cell_partials(images, grid)
+        agg = partials.groupBy("cell").agg(
+            (F.sum("sum_ndvi") / F.sum("n")).alias("ndvi"),
+            F.sum("n").alias("n_rows"),
+        )
+    return derive_variables(agg).withColumnRenamed("n_rows", "n_images")
+
+
+def run_pipeline(
+    images: DataFrame, cfg: PipelineConfig | None = None, ordered: bool = False
+) -> DataFrame:
+    """Full pass: returns one row per cell with smoothed variables,
+    image count and tile assignment.
+
+    ``ordered=True`` restores cell order at the sink (the reference's
+    original-order CSV dump, src/cuda/hex_smooth_cuda_v5.cu:831-841) —
+    an explicit opt-in because a global sort's range-sampling pass
+    re-executes the input lineage before the cache is warm: golden
+    dumps want it, throughput paths don't.
+
+    ``cells`` is CACHED: it is consumed by four plan branches (edge
+    side + value side of the smoothing join, tile projection, image
+    counts) and sits at the image→cell cardinality cliff — without the
+    cache every branch would re-decode the full image corpus (at 100 TB,
+    four petabyte-scale decode passes instead of one; persist the
+    aggregate, it is orders of magnitude smaller than its input).
+    """
+    cfg = cfg or PipelineConfig()
+    cells = ingest_cells(images, cfg).cache()
+    smoothed = smooth(cells, cfg.plan)
+    tiles = tile_assignment(cells, zoom=cfg.zoom)
+    counts = cells.select("cell", "n_images")
+    out = smoothed.join(tiles, "cell").join(counts, "cell")
+    return out.orderBy("cell") if ordered else out

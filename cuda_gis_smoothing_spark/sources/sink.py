@@ -1,0 +1,76 @@
+"""Ordered result sinks + cross-implementation validation (S2, V1, O5).
+
+The reference writes one smoothed float per line, in ORIGINAL hexagon
+order, undoing any spatial reordering with an inverse permutation
+(saveResults, /root/reference/src/cpu/hex_smooth_naive.cpp:110-116;
+order restore /root/reference/src/cuda/hex_smooth_cuda_v5.cu:831-841).
+Under Spark rows carry their keys, so "restore order" is just an
+``orderBy`` at the sink — the entire reorder-map/inverse-map machinery
+(O5) is one clause.
+
+Validation mirrors the reference's golden cross-check
+(scripts/case-study.sh:107-137): row counts must match exactly, values
+within tolerance 1e-4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_ordered(
+    df: DataFrame,
+    path: str,
+    order_col: str = "cell",
+    fmt: str = "parquet",
+    single_file: bool = False,
+) -> None:
+    """S2: materialize results ordered by ``order_col``.
+
+    ``single_file`` coalesces to one output file (the reference's
+    one-CSV-per-impl shape — only for golden dumps; large results keep
+    their range-partitioned files, which preserve global order across
+    lexically sorted part files).
+    """
+    out = df.orderBy(order_col)
+    if single_file:
+        out = out.coalesce(1)
+    writer = out.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+    else:
+        writer.parquet(path)
+
+
+def cross_validate(
+    a: DataFrame,
+    b: DataFrame,
+    key: str = "cell",
+    atol: float = 1e-4,
+) -> dict:
+    """V1: compare two implementations' results (the reference's
+    `max|v1-v4| < 1e-4` numpy check, distributed).
+
+    Returns {rows_a, rows_b, rows_joined, max_abs_diff, passed}; value
+    columns are matched by name (all non-key numeric columns of ``a``).
+    """
+    val_cols = [c for c, t in a.dtypes if c != key and t in ("double", "float")]
+    bb = b.select(key, *[F.col(c).alias(f"_b_{c}") for c in val_cols])
+    joined = a.select(key, *val_cols).join(bb, key, "inner").cache()
+    diffs = [
+        F.max(F.abs(F.col(c) - F.col(f"_b_{c}"))).alias(c) for c in val_cols
+    ]
+    row = joined.agg(*diffs).collect()[0].asDict()
+    res = {
+        "rows_a": a.count(),
+        "rows_b": b.count(),
+        "rows_joined": joined.count(),
+        "max_abs_diff": max(row.values()) if row else 0.0,
+        "per_column": row,
+    }
+    joined.unpersist()
+    res["passed"] = (
+        res["rows_a"] == res["rows_b"] == res["rows_joined"]
+        and res["max_abs_diff"] < atol
+    )
+    return res

@@ -1,0 +1,96 @@
+"""Point-in-polygon and kNN vs brute-force python oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cuda_gis_smoothing_spark import datagen, oracle
+from cuda_gis_smoothing_spark.hexgrid import GridSpec
+from cuda_gis_smoothing_spark.operators.multimodal import geolocate
+from cuda_gis_smoothing_spark.operators.spatial import knn, point_in_polygon
+from cuda_gis_smoothing_spark.sources.images import synthesize_images
+
+
+@pytest.fixture(scope="module")
+def boundaries_pdf():
+    return datagen.gen_boundaries()
+
+
+def test_pip_matches_oracle(spark, boundaries_pdf):
+    imgs = synthesize_images(spark, 200, partitions=2)
+    pts = geolocate(imgs)
+    got = {
+        r["image_id"]: r["region_id"]
+        for r in point_in_polygon(pts, boundaries_pdf).collect()
+    }
+    assert len(got) == 200
+    # oracle: first region (in table order) containing the point
+    pdf = pts.toPandas()
+    rings = [
+        (row.region_id, [(p[0], p[1]) for p in row.ring_xy])
+        for row in boundaries_pdf.itertuples()
+    ]
+    n_inside = 0
+    for r in pdf.itertuples():
+        exp = None
+        for rid, ring in rings:
+            if oracle.point_in_polygon(r.lon, r.lat, ring):
+                exp = rid
+                break
+        assert got[r.image_id] == exp, (r.image_id, got[r.image_id], exp)
+        n_inside += exp is not None
+    # the fixture tiles ~70% of the box: some inside, some outside
+    assert 0 < n_inside < 200
+
+
+def test_knn_matches_bruteforce(spark):
+    """Dense one-point-per-cell patch: 5NN of interior queries is
+    guaranteed within the ring-2 covering → operator must equal the
+    global brute-force oracle exactly."""
+    g = GridSpec()
+    qs, rs = np.meshgrid(np.arange(20), np.arange(20), indexing="ij")
+    from cuda_gis_smoothing_spark.hexgrid import pack
+
+    cells = pack(qs.ravel(), rs.ravel())
+    lat, lon = g.cell_to_latlng(cells)
+    # deterministic jitter so distances are distinct (no ties)
+    u = (datagen.splitmix64(cells.astype(np.uint64)) % np.uint64(1000)).astype(np.float64)
+    lat = lat + (u / 1000.0 - 0.5) * g.size_deg * 0.3
+    lon = lon + (np.roll(u, 1) / 1000.0 - 0.5) * g.size_deg * 0.3
+    cells = g.latlng_to_cell(lat, lon)  # re-encode after jitter
+    pts_pdf = pd.DataFrame(
+        {"image_id": [f"p{i:04d}" for i in range(len(cells))],
+         "cell": cells, "lat": lat, "lon": lon}
+    )
+    points = spark.createDataFrame(pts_pdf)
+    interior = (qs.ravel() >= 5) & (qs.ravel() < 15) & (rs.ravel() >= 5) & (rs.ravel() < 15)
+    q_idx = np.nonzero(interior)[0][:12]
+    queries = spark.createDataFrame(
+        pts_pdf.iloc[q_idx].rename(columns={"image_id": "query_id"})
+    )
+    got = knn(points, queries, k=5, ring=2).toPandas()
+    cos2 = np.cos(np.radians(g.origin_lat)) ** 2
+    for qi in q_idx:
+        d2 = (lat - lat[qi]) ** 2 + (lon - lon[qi]) ** 2 * cos2
+        order = np.argsort(d2, kind="stable")
+        expect = [f"p{j:04d}" for j in order if j != qi][:5]
+        mine = got[got.query_id == f"p{qi:04d}"].sort_values("rank")["image_id"].tolist()
+        assert mine == expect, (qi, mine, expect)
+
+
+def test_knn_excludes_self_and_ranks_dense(spark):
+    g = GridSpec()
+    from cuda_gis_smoothing_spark.hexgrid import pack
+
+    cells = pack(np.arange(10), np.zeros(10, dtype=np.int64))
+    lat, lon = g.cell_to_latlng(cells)
+    pdf = pd.DataFrame(
+        {"image_id": [f"x{i}" for i in range(10)], "cell": cells, "lat": lat, "lon": lon}
+    )
+    points = spark.createDataFrame(pdf)
+    queries = spark.createDataFrame(
+        pdf.iloc[[5]].rename(columns={"image_id": "query_id"})
+    )
+    out = knn(points, queries, k=3, ring=2).toPandas().sort_values("rank")
+    assert "x5" not in out["image_id"].tolist()
+    assert out["rank"].tolist() == [1, 2, 3]
