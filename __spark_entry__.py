@@ -191,6 +191,24 @@ def _q_knn_lsh(spark, sf_dir):
     return lsh_bucketed_knn(emb, queries, k=5, n_planes=_LSH_PLANES)
 
 
+def _q_sessionize(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.events import sessionize
+
+    return sessionize(load(spark, sf_dir, "events"))
+
+
+def _q_top_event_types(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.events import top_event_types_per_user
+
+    return top_event_types_per_user(load(spark, sf_dir, "events"), k=3)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def _q_smooth_strict_k2(spark, sf_dir):
     cells = grid_from_lineitem(spark, sf_dir)
     out = smooth(
@@ -228,6 +246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
         "smooth_strict_k2": _q_smooth_strict_k2,
+        "sessionize": _q_sessionize,
+        "top_event_types": _q_top_event_types,
+        "dedup_embedding": _q_dedup_embedding,
     }
     return qs
 
@@ -465,7 +486,29 @@ WHERE rank <= 5
 """.strip(),
         "knn_lsh": _knn_lsh_sql(),
         "smooth_strict_k2": _smooth_strict_sql(),
+        "sessionize": _sessionize_sql(),
+        "top_event_types": _top_event_types_sql(),
+        "dedup_embedding": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
+""".strip(),
     }
+
+
+def _sessionize_sql() -> str:
+    from cuda_gis_smoothing_spark.operators.events import SESSIONIZE_SQL
+
+    return SESSIONIZE_SQL
+
+
+def _top_event_types_sql() -> str:
+    from cuda_gis_smoothing_spark.operators.events import top_event_types_sql
+
+    return top_event_types_sql(3)
 
 
 def _lsh_plane_weights(p: int, dim: int = _EMB_DIM) -> list[float]:

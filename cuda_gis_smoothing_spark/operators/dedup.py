@@ -180,6 +180,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= threshold).
+
+    Exact quadratic verifier (fine as a correctness gate); at 100 TB the
+    candidate set comes from similarity.lsh_bucketed_knn buckets and
+    this join runs per-bucket instead of globally.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.similarity import dot_col, with_norm
+
+    n = with_norm(df, emb_col).select(
+        F.col(id_col), F.col("_emb"), F.col("_nrm")
+    )
+    a = n.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("_emb").alias("ea"),
+        F.col("_nrm").alias("na"),
+    )
+    b = n.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("_emb").alias("eb"),
+        F.col("_nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = dot_col("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("vec_a", "vec_b", round6(sim).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """SimHash fingerprint (``bits`` wide) over distinct tokens.
 

@@ -1,0 +1,135 @@
+"""Partitioning (O1/O2 analog), salted aggregation, and the LSH-family
+dedup/similarity operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_gis_smoothing_spark import datagen
+from cuda_gis_smoothing_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cuda_gis_smoothing_spark.operators.similarity import cosine_knn, lsh_bucketed_knn
+from cuda_gis_smoothing_spark.plans.partitioning import (
+    morton_col,
+    salted_cell_aggregate,
+    spatial_repartition,
+)
+
+
+def test_spatial_repartition_preserves_rows_and_sorts(spark):
+    pdf = datagen.gen_cells(side=20, n_isolated=2)
+    df = spark.createDataFrame(pdf).repartition(7)
+    out = spatial_repartition(df, num_partitions=4)
+    got = out.toPandas()
+    assert sorted(got.cell) == sorted(pdf.cell)
+    # within each partition, rows are sorted by morton key
+    zdf = out.withColumn("_z", morton_col("cell")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    rows = zdf.select("_pid", "_z").toPandas()
+    for _, grp in rows.groupby("_pid"):
+        z = grp["_z"].to_numpy()
+        assert (z[:-1] <= z[1:]).all()
+
+
+def test_salted_aggregate_exact_vs_plain(spark):
+    """Sum/count composition is exact: salted two-stage == plain agg."""
+    rng = np.random.default_rng(42)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "cell": rng.integers(0, 40, n) * 1000,  # heavy repetition = skew
+            "key": [f"k{i}" for i in range(n)],
+            "v": rng.random(n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    salted = (
+        salted_cell_aggregate(df, "cell", ["v"], salt_buckets=16, salt_source="key")
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    plain = (
+        df.groupBy("cell")
+        .agg(F.avg("v").alias("avg_v"), F.count("*").alias("n_rows"))
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    assert (salted["n_rows"] == plain["n_rows"]).all()
+    assert np.allclose(salted["avg_v"], plain["avg_v"], atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(spark, docs_df):
+    """LSH must surface every pair above a high similarity bar (here:
+    everything the exact Jaccard verifier finds at >= 0.8 must share at
+    least one band) — the standard recall contract."""
+    high = ngram_jaccard_pairs(docs_df, threshold=0.8, block_col=None)
+    cands = minhash_lsh_pairs(docs_df, n_hashes=6, bands=3)
+    missing = high.join(cands, ["doc_a", "doc_b"], "left_anti").count()
+    n_high = high.count()
+    # with 6 hashes / 3 bands, P(miss | jac>=0.8) = (1-j^2)^3 <= 0.047
+    assert missing <= max(1, int(0.2 * n_high) if n_high else 1)
+
+
+def test_minhash_signature_agreement_tracks_jaccard(spark, docs_df):
+    """Fraction of agreeing minhashes estimates Jaccard: for the most
+    similar pair found by exact Jaccard, signatures must agree on more
+    hashes than for a random dissimilar pair."""
+    sig = minhash_signatures(docs_df, n_hashes=6).toPandas().set_index("doc_id")
+    jac = (
+        ngram_jaccard_pairs(docs_df, threshold=0.0, block_col=None)
+        .orderBy(F.col("jaccard").desc())
+        .limit(1)
+        .collect()
+    )
+    if not jac:
+        pytest.skip("no pairs")
+    a, b, j = jac[0]["doc_a"], jac[0]["doc_b"], jac[0]["jaccard"]
+    agree_sim = sum(sig.loc[a, f"mh_{i}"] == sig.loc[b, f"mh_{i}"] for i in range(6))
+    others = sig.index[:20]
+    lo = [x for x in others if x not in (a, b)][:2]
+    agree_rand = sum(
+        sig.loc[lo[0], f"mh_{i}"] == sig.loc[lo[1], f"mh_{i}"] for i in range(6)
+    )
+    assert agree_sim >= agree_rand
+
+
+def test_simhash_similar_docs_close_hamming(spark, docs_df):
+    sh = simhash(docs_df, bits=16).toPandas().set_index("doc_id")
+    jac = (
+        ngram_jaccard_pairs(docs_df, threshold=0.0, block_col=None)
+        .orderBy(F.col("jaccard").desc())
+        .limit(1)
+        .collect()
+    )
+    if not jac:
+        pytest.skip("no pairs")
+    a, b = jac[0]["doc_a"], jac[0]["doc_b"]
+    ham = bin(int(sh.loc[a, "simhash"]) ^ int(sh.loc[b, "simhash"])).count("1")
+    assert ham <= 10  # similar docs: well under the 16-bit expectation of 8
+
+
+def test_lsh_knn_subset_of_exact_with_positive_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_knn(emb, queries, k=5).toPandas()
+    approx = lsh_bucketed_knn(emb, queries, k=5, n_planes=6).toPandas()
+    # approx results must be real neighbors (ids exist) and overall
+    # recall vs exact must be positive (bucketing keeps near vectors)
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"], how="inner")
+    assert len(merged) > 0
+    assert (approx["rank"] >= 1).all()
