@@ -191,6 +191,12 @@ def _q_knn_lsh(spark, sf_dir):
     return lsh_bucketed_knn(emb, queries, k=5, n_planes=_LSH_PLANES)
 
 
+def _q_tile_pyramid(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.spatial import tile_pyramid
+
+    return tile_pyramid(grid_from_lineitem(spark, sf_dir), zooms=(10, 11, 12))
+
+
 def _q_sessionize(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import sessionize
 
@@ -249,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "top_event_types": _q_top_event_types,
         "dedup_embedding": _q_dedup_embedding,
+        "tile_pyramid": _q_tile_pyramid,
     }
     return qs
 
@@ -488,6 +495,7 @@ WHERE rank <= 5
         "smooth_strict_k2": _smooth_strict_sql(),
         "sessionize": _sessionize_sql(),
         "top_event_types": _top_event_types_sql(),
+        "tile_pyramid": _tile_pyramid_sql(),
         "dedup_embedding": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e)
@@ -497,6 +505,18 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
 """.strip(),
     }
+
+
+def _tile_pyramid_sql() -> str:
+    levels = []
+    for z in (10, 11, 12):
+        tx, ty = tile_sql("cell", z, "duckdb")
+        levels.append(
+            f"SELECT {tx} AS tile_x, {ty} AS tile_y, {z} AS zoom, COUNT(*) AS n_cells "
+            f"FROM cells4 GROUP BY 1, 2, 3"
+        )
+    body = "\nUNION ALL\n".join(levels)
+    return f"WITH {GRID_CELLS_SQL}\n{body}"
 
 
 def _sessionize_sql() -> str:

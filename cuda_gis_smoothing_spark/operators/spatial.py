@@ -81,6 +81,23 @@ def tile_histogram(cells: DataFrame, zoom: int = 12) -> DataFrame:
     )
 
 
+def tile_pyramid(cells: DataFrame, zooms: tuple[int, ...] = (10, 11, 12)) -> DataFrame:
+    """Multi-zoom tile rollup (the hypertable-rollup analog): cell
+    counts per tile at every zoom level in one DataFrame.
+
+    Parent tiles are exact halvings of child coordinates, so the rollup
+    could also be computed bottom-up (child>>1); we derive each level
+    from the cell centroid directly, which keeps every level an
+    independent projection of the SAME scan — Catalyst evaluates all
+    zoom expressions in one pass over a single exchange per level.
+    """
+    per_zoom = [tile_histogram(cells, z) for z in zooms]
+    out = per_zoom[0]
+    for p in per_zoom[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --- point-in-polygon ---------------------------------------------------------
 def point_in_polygon(
     points: DataFrame,

@@ -1,0 +1,103 @@
+"""Plan-quality assertions — the optimizer contracts SURVEY.md §4
+relies on must hold structurally, not just by luck.
+
+These inspect the physical plan text: column pruning (payload bytes
+never read by metadata-only operators), constant-folded weights, single
+aggregation for fused variables, no Python UDFs in JVM-only paths.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_gis_smoothing_spark import datagen
+from cuda_gis_smoothing_spark.operators.multimodal import geolocate, image_features
+from cuda_gis_smoothing_spark.operators.smoothing import smooth
+from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def images_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("imgs") / "tbl")
+    pdf = datagen.gen_images(50)
+    spark.createDataFrame(pdf).write.parquet(p)
+    return p
+
+
+def test_geolocate_prunes_payload_bytes(spark, images_parquet):
+    """Metadata-only cell encoding must never scan the bytes column —
+    at 100 TB that is the difference between reading 0.1% and 100% of
+    the table."""
+    df = spark.read.parquet(images_parquet)
+    plan = _optimized(geolocate(df))
+    import re
+
+    m = re.search(r"ReadSchema: (\S+)", _explain_formatted(geolocate(df)))
+    schema = m.group(1) if m else plan
+    assert "bytes" not in schema
+    assert "phash" in schema
+
+
+def test_image_features_reads_payload(spark, images_parquet):
+    df = spark.read.parquet(images_parquet)
+    m = _explain_formatted(image_features(df))
+    import re
+
+    mm = re.search(r"ReadSchema: (\S+)", m)
+    assert mm and "bytes" in mm.group(1)
+
+
+def _explain_formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_smoothing_weights_constant_folded(spark):
+    cells = spark.createDataFrame(datagen.gen_cells(side=8))
+    plan = _plan(smooth(cells, SmoothingPlan(variant="gaussian_k2", variables=("ndvi",))))
+    # the CASE must compare against literal doubles, not call exp()
+    assert "0.6065" in plan and "0.1353" in plan
+    assert "pythonUDF" not in plan.lower() or "ArrowEvalPython" not in plan
+
+
+def test_fused_smoothing_is_single_aggregation(spark):
+    cells = spark.createDataFrame(datagen.gen_cells(side=8))
+    plan = _plan(smooth(cells, SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES)))
+    # exactly one final-aggregate stage computes every smoothed_<var>
+    finals = [
+        ln
+        for ln in plan.splitlines()
+        if "HashAggregate" in ln and "smoothed_ndvi" in ln and "smoothed_ndwi" in ln
+    ]
+    assert finals, "fused variables must share one aggregate"
+    # and the whole smoothing pass has no Python evaluation at all
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_smoothing_join_is_broadcast_when_forced(spark):
+    cells = spark.createDataFrame(datagen.gen_cells(side=8))
+    plan = _plan(
+        smooth(
+            cells,
+            SmoothingPlan(
+                variant="simple_k1", variables=("ndvi",), broadcast_values=True
+            ),
+        )
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kring_expansion_has_no_shuffle_before_join(spark):
+    from cuda_gis_smoothing_spark.operators.smoothing import kring_edges
+
+    cells = spark.createDataFrame(datagen.gen_cells(side=8)).select("cell")
+    plan = _plan(kring_edges(cells, 2))
+    assert "Exchange" not in plan  # pure Generate + Project, map-side only
