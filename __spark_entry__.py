@@ -191,6 +191,34 @@ def _q_knn_lsh(spark, sf_dir):
     return lsh_bucketed_knn(emb, queries, k=5, n_planes=_LSH_PLANES)
 
 
+def _q_pip_regions(spark, sf_dir):
+    """Point-in-polygon through the REAL broadcast+numpy-raycast
+    operator, gated against an unrolled literal-polygon SQL oracle."""
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.operators.spatial import centroid_sql, point_in_polygon
+
+    cells = grid_from_lineitem(spark, sf_dir).select("cell")
+    lat, lon = centroid_sql("cell", "spark")
+    pts = cells.select(
+        "cell", F.expr(lat).alias("lat"), F.expr(lon).alias("lon")
+    )
+    out = point_in_polygon(pts, datagen.gen_boundaries())
+    return out.select("cell", "region_id")
+
+
+def _q_knn_cells(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.spatial import centroid_sql, knn
+
+    cells = grid_from_lineitem(spark, sf_dir).select("cell")
+    lat, lon = centroid_sql("cell", "spark")
+    pts = cells.select("cell", F.expr(lat).alias("lat"), F.expr(lon).alias("lon"))
+    queries = pts.where(F.col("cell") % 37 == 0).select(
+        F.col("cell").alias("query_id"), "cell", "lat", "lon"
+    )
+    out = knn(pts, queries, k=5, ring=2, id_col="cell", query_id_col="query_id")
+    return out.select("query_id", F.col("cell").alias("neighbor_cell"), "rank")
+
+
 def _q_tile_pyramid(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.spatial import tile_pyramid
 
@@ -256,6 +284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_types": _q_top_event_types,
         "dedup_embedding": _q_dedup_embedding,
         "tile_pyramid": _q_tile_pyramid,
+        "pip_regions": _q_pip_regions,
+        "knn_cells": _q_knn_cells,
     }
     return qs
 
@@ -496,6 +526,8 @@ WHERE rank <= 5
         "sessionize": _sessionize_sql(),
         "top_event_types": _top_event_types_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
+        "pip_regions": _pip_sql(),
+        "knn_cells": _knn_cells_sql(),
         "dedup_embedding": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e)
@@ -505,6 +537,52 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
 """.strip(),
     }
+
+
+def _pip_sql() -> str:
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.operators.spatial import centroid_sql, pip_region_sql
+
+    lat, lon = centroid_sql("cell", "duckdb")
+    case = pip_region_sql("pt.lat", "pt.lon", datagen.gen_boundaries())
+    return f"""
+WITH {GRID_CELLS_SQL},
+pt AS (SELECT cell, {lat} AS lat, {lon} AS lon FROM cells4)
+SELECT cell, {case} AS region_id
+FROM pt
+""".strip()
+
+
+def _knn_cells_sql() -> str:
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+    from cuda_gis_smoothing_spark.operators import spatial as _sp
+    from cuda_gis_smoothing_spark.operators.spatial import centroid_sql
+
+    # the EXACT double the knn operator folds into its d2 expression
+    cos2 = flit(_sp._COS0 * _sp._COS0)
+    lat, lon = centroid_sql("cell", "duckdb")
+    deltas = [0] + _R1 + _R2  # ring 0..2 covering, matches knn(ring=2)
+    return f"""
+WITH {GRID_CELLS_SQL},
+pt AS (SELECT cell, {lat} AS lat, {lon} AS lon FROM cells4),
+offs (delta) AS (VALUES {_vals(deltas)}),
+q AS (SELECT cell AS query_id, lat AS qlat, lon AS qlon FROM pt WHERE cell % 37 = 0),
+cover AS (SELECT q.query_id, q.qlat, q.qlon, q.query_id + o.delta AS ccell
+          FROM q CROSS JOIN offs o),
+cand AS (
+  SELECT c.query_id, p.cell AS neighbor_cell,
+         (p.lat - c.qlat) * (p.lat - c.qlat)
+         + (p.lon - c.qlon) * (p.lon - c.qlon) * {cos2} AS d2
+  FROM cover c JOIN pt p ON p.cell = c.ccell
+  WHERE p.cell <> c.query_id
+)
+SELECT query_id, neighbor_cell, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_cell,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_cell ASC) AS rank
+  FROM cand
+)
+WHERE rank <= 5
+""".strip()
 
 
 def _tile_pyramid_sql() -> str:

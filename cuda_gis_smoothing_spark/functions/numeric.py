@@ -33,3 +33,16 @@ def floor_stable(col) -> Column:
 
 def floor_stable_sql(expr: str) -> str:
     return f"FLOOR(({expr}) + 1e-09)"
+
+
+def flit(x: float) -> str:
+    """Float literal for embedding in cross-engine SQL.
+
+    DuckDB parses bare decimal literals (``32.58``) as DECIMAL and
+    keeps decimal arithmetic through literal-only subexpressions,
+    silently truncating scale; Spark parses them as DOUBLE. Exponent
+    notation forces DOUBLE in both engines. repr() gives the shortest
+    digits that round-trip the exact double.
+    """
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "n" in s) else s + "e0"

@@ -214,8 +214,10 @@ def smoothing_sql(
     rows = ",\n    ".join(
         f"({dq * ENC + dr}, {ring})" for dq, dr, ring in offs
     )
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
     wcase = "CASE " + " ".join(
-        f"WHEN o.ring = {ring} THEN {w!r}" for ring, w in sorted(weights.items())
+        f"WHEN o.ring = {ring} THEN {flit(w)}" for ring, w in sorted(weights.items())
     ) + " END"
     aggs = ",\n  ".join(
         f"ROUND((SUM(n.{v} * {wcase}) / SUM({wcase})) + 1e-09, 6) AS smoothed_{v}"

@@ -31,27 +31,38 @@ _COS0 = math.cos(math.radians(_G.origin_lat))
 
 
 def centroid_sql(cell_expr: str, dialect: str) -> tuple[str, str]:
-    """(lat, lon) centroid of a packed cell id as SQL text."""
+    """(lat, lon) centroid of a packed cell id as SQL text.
+
+    Every float literal goes through ``flit`` (exponent notation):
+    DuckDB would otherwise run literal-heavy subexpressions in DECIMAL
+    arithmetic and silently truncate (Spark parses the same literal as
+    DOUBLE) — integer outputs survive that, tie-sensitive ones don't.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
     idiv = "DIV" if dialect == "spark" else "//"
     q = f"(({cell_expr}) {idiv} {ENC} - {OFFSET})"
     r = f"(({cell_expr}) % {ENC} - {OFFSET})"
-    x = f"({_G.size_deg!r} * ({_SQRT3!r} * ({q} + {r} / 2.0)))"
-    lat = f"({_G.size_deg!r} * 1.5 * {r} + {_G.origin_lat!r})"
-    lon = f"({x} / {_COS0!r} + {_G.origin_lon!r})"
+    x = f"({flit(_G.size_deg)} * ({flit(_SQRT3)} * ({q} + {r} / 2e0)))"
+    lat = f"({flit(_G.size_deg)} * {flit(1.5)} * {r} + {flit(_G.origin_lat)})"
+    lon = f"({x} / {flit(_COS0)} + {flit(_G.origin_lon)})"
     return lat, lon
 
 
 def tile_sql(cell_expr: str, zoom: int, dialect: str) -> tuple[str, str]:
     """(tile_x, tile_y) SQL text for the cell centroid at ``zoom``."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
     lat, lon = centroid_sql(cell_expr, dialect)
     n = 1 << zoom
+    pi = flit(_PI)
     # +1e-9 before FLOOR: both engines see the same double, so any
     # last-ulp libm difference at an integer boundary lands the same side
-    tx = f"CAST(FLOOR((({lon} + 180.0) / 360.0 * {n}) + 1e-09) AS INT)"
-    lat_rad = f"({lat} * {_PI!r} / 180.0)"
+    tx = f"CAST(FLOOR((({lon} + 18e1) / 36e1 * {n}) + 1e-09) AS INT)"
+    lat_rad = f"({lat} * {pi} / 18e1)"
     ty = (
-        f"CAST(FLOOR(((1.0 - LN(TAN({lat_rad}) + 1.0 / COS({lat_rad})) / {_PI!r}) "
-        f"/ 2.0 * {n}) + 1e-09) AS INT)"
+        f"CAST(FLOOR(((1e0 - LN(TAN({lat_rad}) + 1e0 / COS({lat_rad})) / {pi}) "
+        f"/ 2e0 * {n}) + 1e-09) AS INT)"
     )
     return tx, ty
 
@@ -96,6 +107,35 @@ def tile_pyramid(cells: DataFrame, zooms: tuple[int, ...] = (10, 11, 12)) -> Dat
     for p in per_zoom[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pip_region_sql(lat_expr: str, lon_expr: str, boundaries_pdf) -> str:
+    """First-containing-region id as a SQL CASE over literal polygons.
+
+    Even-odd ray casting unrolled per edge — the same arithmetic (same
+    literal vertices, same crossing formula) as the vectorized UDF in
+    :func:`point_in_polygon`, so both engines agree except on exact
+    boundary points (measure zero). Used by the DuckDB oracle gate.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
+    branches = []
+    for row in boundaries_pdf.itertuples():
+        ring = [(float(p[0]), float(p[1])) for p in row.ring_xy]
+        terms = []
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = (flit(v) for v in ring[i])
+            x2, y2 = (flit(v) for v in ring[(i + 1) % n])
+            cross = (
+                f"(CASE WHEN (({y1} > {lat_expr}) <> ({y2} > {lat_expr})) "
+                f"AND ({lon_expr} < ({x2} - {x1}) * ({lat_expr} - {y1}) "
+                f"/ ({y2} - {y1}) + {x1}) THEN 1 ELSE 0 END)"
+            )
+            terms.append(cross)
+        inside = "(" + " + ".join(terms) + ") % 2 = 1"
+        branches.append(f"WHEN {inside} THEN '{row.region_id}'")
+    return "CASE " + " ".join(branches) + " ELSE NULL END"
 
 
 # --- point-in-polygon ---------------------------------------------------------

@@ -58,18 +58,20 @@ def grid_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# float literals in exponent form: DuckDB parses bare decimals as
+# DECIMAL (Spark: DOUBLE) — see functions/numeric.py::flit
 GRID_CELLS_SQL = f"""
 cells AS (
   SELECT ((l_partkey % {GRID}) + {OFFSET}) * {ENC} + ((l_orderkey % {GRID}) + {OFFSET}) AS cell,
-         SUM(l_quantity) / COUNT(*) / 50.0 AS ndvi
+         SUM(l_quantity) / COUNT(*) / 5e1 AS ndvi
   FROM lineitem
   GROUP BY 1
 ),
 cells4 AS (
   SELECT cell, ndvi,
-         ndvi * 0.9 + 0.05 AS mndwi,
-         ndvi * 1.1 - 0.05 AS evi,
-         ndvi * 0.95 AS ndwi
+         ndvi * 9e-1 + 5e-2 AS mndwi,
+         ndvi * 1.1e0 - 5e-2 AS evi,
+         ndvi * 9.5e-1 AS ndwi
   FROM cells
 )
 """.strip()
