@@ -152,7 +152,8 @@ def scaling_child(cores: int, n_images: int) -> None:
     spark = get_spark(app=f"bench-scale-{cores}", cores=cores, extra=BENCH_SPARK_CONF)
     path = ensure_images(spark, n_images)
     pipeline_seconds(spark, path)  # warm-up (JIT/codegen/page cache)
-    secs = min(pipeline_seconds(spark, path) for _ in range(2))
+    reps = 1 if cores <= 2 else 2  # slow level: the cross-child min covers noise
+    secs = min(pipeline_seconds(spark, path) for _ in range(reps))
     print(json.dumps({"cores": cores, "sec": secs}))
     spark.stop()
 

@@ -61,6 +61,87 @@ def cosine_knn(
     return ranked.where(F.col("rank") <= k).select(query_id_col, "neighbor_id", "rank")
 
 
+def ivf_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid buckets,
+    probe the ``n_probe`` nearest buckets per query, exact-rerank local.
+
+    Centroid "training" is deterministic (no RNG state): the corpus
+    vectors with the ``n_centroids`` smallest ids act as seeds — at
+    scale replace with a k-means|| pass; the bucketing/probing plumbing
+    is identical. Assignment is one numpy matmul per Arrow batch
+    (vectorized pandas UDF); the probe join shuffles on bucket id only.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = embeddings.sparkSession
+    seeds = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = np.asarray([r[0] for r in seeds], dtype=np.float64)  # (C, d)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+    bc = spark.sparkContext.broadcast(cents)
+
+    # NOTE: annotations set as live objects — postponed (string)
+    # annotations from `from __future__ import annotations` break
+    # pandas_udf's type-hint inference for closure-defined functions
+    def _nearest(emb):
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
+
+    _nearest.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    nearest_bucket = F.pandas_udf(_nearest, T.IntegerType())
+
+    def _probe(emb):
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        sims = m @ bc.value.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    _probe.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    probe_buckets = F.pandas_udf(_probe, T.ArrayType(T.IntegerType()))
+
+    c = with_norm(embeddings, "embedding").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_emb").alias("c_emb"),
+        F.col("_nrm").alias("c_nrm"),
+        nearest_bucket("embedding").alias("bucket"),
+    )
+    q = with_norm(queries, "embedding").select(
+        F.col(query_id_col),
+        F.col("_emb").alias("q_emb"),
+        F.col("_nrm").alias("q_nrm"),
+        F.explode(probe_buckets("embedding")).alias("bucket"),
+    )
+    pairs = c.join(F.broadcast(q), "bucket").where(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    sim = (dot_col("c_emb", "q_emb") / (F.col("c_nrm") * F.col("q_nrm"))).alias("sim")
+    ranked = pairs.select(query_id_col, "neighbor_id", sim).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.col("sim").desc(), F.col("neighbor_id").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(query_id_col, "neighbor_id", "rank")
+
+
 def lsh_bucketed_knn(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -121,6 +121,25 @@ def test_simhash_similar_docs_close_hamming(spark, docs_df):
     assert ham <= 10  # similar docs: well under the 16-bit expectation of 8
 
 
+def test_ivf_knn_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from cuda_gis_smoothing_spark.operators.similarity import ivf_knn
+
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_knn(emb, queries, k=5).toPandas()
+    # probing ALL buckets must reproduce exact brute force
+    full = ivf_knn(emb, queries, k=5, n_centroids=8, n_probe=8).toPandas()
+    a = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (a["neighbor_id"] == b["neighbor_id"]).all()
+    # partial probe still finds a nonempty, valid subset
+    part = ivf_knn(emb, queries, k=5, n_centroids=8, n_probe=2).toPandas()
+    merged = part.merge(exact, on=["query_id", "neighbor_id"], how="inner")
+    assert len(part) > 0 and len(merged) > 0
+
+
 def test_lsh_knn_subset_of_exact_with_positive_recall(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 10).select(
