@@ -12,9 +12,41 @@ driver's row-count/schema/value-hash gate is exact.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # driver may import us from another cwd
+    sys.path.insert(0, _REPO)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to python workers (addPyFile == --py-files).
+
+    Driver-side imports are covered by the sys.path insert above, but
+    executor python workers resolve imports from THEIR path — which
+    only contains this repo when the JVM happened to start in it.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        import shutil
+        import tempfile
+
+        zip_base = os.path.join(tempfile.gettempdir(), "cuda_gis_smoothing_spark_pkg")
+        zip_path = zip_base + ".zip"
+        if not os.path.exists(zip_path):
+            shutil.make_archive(zip_base, "zip", _REPO, "cuda_gis_smoothing_spark")
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already importable (normal case) — never fail the query
+    _SHIPPED.add(key)
 
 from cuda_gis_smoothing_spark.functions.text import (
     BPE_REGEX,
@@ -197,6 +229,7 @@ def _q_pip_regions(spark, sf_dir):
     from cuda_gis_smoothing_spark import datagen
     from cuda_gis_smoothing_spark.operators.spatial import centroid_sql, point_in_polygon
 
+    _ensure_shipped(spark)  # the ray-cast pandas UDF runs in py workers
     cells = grid_from_lineitem(spark, sf_dir).select("cell")
     lat, lon = centroid_sql("cell", "spark")
     pts = cells.select(

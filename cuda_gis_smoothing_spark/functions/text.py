@@ -51,11 +51,12 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
     nt = n_tokens_col(text_col)
+    # counts cast to long: DuckDB LEN/LENGTH are BIGINT, Spark's are int
     out = df.select(
         id_col,
-        F.length(text_col).alias("n_chars"),
-        nt.alias("n_tokens"),
-        bpe_token_count_col(text_col).alias("n_bpe_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        nt.cast("long").alias("n_tokens"),
+        bpe_token_count_col(text_col).cast("long").alias("n_bpe_tokens"),
         round6(F.length(F.regexp_replace(F.col(text_col), " ", "")) / nt).alias(
             "avg_token_len"
         ),
@@ -74,7 +75,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Heuristic language ID: argmax of per-language stopword hits
     (deterministic tie-break by language code; 'und' when all zero)."""
     hits = [
-        stopword_hits_col(text_col, lang).alias(f"hits_{lang}")
+        stopword_hits_col(text_col, lang).cast("long").alias(f"hits_{lang}")
         for lang in sorted(STOPWORDS)
     ]
     d = df.select(id_col, *hits)

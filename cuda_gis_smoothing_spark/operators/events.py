@@ -73,7 +73,7 @@ sess AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(MIN(ts) AS VARCHAR) AS session_start,
        COUNT(*) AS n_events,
        ROUND(SUM(value) + 1e-09, 6) AS sum_value
