@@ -180,6 +180,27 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Exact pairwise verifier over the fingerprint table (tiny rows). At
+    100 TB, block first on fingerprint bands (join on ``simhash >> b``
+    for a few rotations) so only candidate pairs reach bit_count.
+    """
+    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    ham = F.expr("bit_count(ha ^ hb)").alias("hamming")
+    return pairs.select("doc_a", "doc_b", ham).where(F.col("hamming") <= max_hamming)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

@@ -93,6 +93,8 @@ def smooth(cells: DataFrame, plan: SmoothingPlan) -> DataFrame:
     input cell (isolated cells keep their own value — the join always
     matches at least the ring-0 self row).
     """
+    if plan.strategy == "scatter":
+        return smooth_scatter(cells, plan)
     variables = list(plan.variables)
     if plan.k == 2 and plan.strict_second_order:
         ring01 = kring_edges(cells.select("cell"), 1, include_center=True)
@@ -123,6 +125,55 @@ def smooth(cells: DataFrame, plan: SmoothingPlan) -> DataFrame:
 
         out = spatial_repartition(out, plan.num_partitions)
     return out
+
+
+def smooth_scatter(cells: DataFrame, plan: SmoothingPlan) -> DataFrame:
+    """Alternative physical strategy for :func:`smooth` (same logical
+    operator — the reference's v1-vs-v2 'physical variants' spirit):
+
+    SCATTER instead of GATHER. Each cell explodes its value toward its
+    k-ring targets (ring offsets are symmetric, so scattering with ring
+    weights equals gathering); one groupBy(target) merges contributions
+    with map-side partial aggregation, and a left-semi join against the
+    cell table drops phantom targets (the validity filter).
+
+    Plan shape: Generate → partial agg → ONE exchange at cell
+    cardinality → final agg → semi join. The gather plan instead joins
+    at 19x cell cardinality BEFORE aggregating; scatter's shuffle
+    carries per-partition partials only — cheaper whenever cells per
+    partition overlap neighborhoods (always, after spatial
+    partitioning). Not applicable to strict adjacency ring-2 (needs the
+    two-hop join).
+    """
+    if plan.k == 2 and plan.strict_second_order:
+        raise ValueError("scatter strategy supports geometric rings only")
+    variables = list(plan.variables)
+    weights = plan.ring_weights
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(neighbor_delta(dq, dr)).alias("delta"),
+                F.lit(float(weights[ring])).alias("w"),
+            )
+            for dq, dr, ring in kring_offsets(plan.k, include_center=True)
+        ]
+    )
+    contrib = cells.select(
+        F.col("cell"),
+        F.explode(offs).alias("o"),
+        *[F.col(v).cast("double").alias(f"_v_{v}") for v in variables],
+    ).select(
+        (F.col("cell") + F.col("o.delta")).alias("cell"),
+        F.col("o.w").alias("w"),
+        *[f"_v_{v}" for v in variables],
+    )
+    agg = contrib.groupBy("cell").agg(
+        *[
+            (F.sum(F.col(f"_v_{v}") * F.col("w")) / F.sum("w")).alias(f"smoothed_{v}")
+            for v in variables
+        ]
+    )
+    return agg.join(cells.select("cell"), "cell", "left_semi")
 
 
 def smooth_with_stats(cells: DataFrame, plan: SmoothingPlan) -> DataFrame:

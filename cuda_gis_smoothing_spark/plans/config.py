@@ -51,6 +51,14 @@ class SmoothingPlan:
     num_partitions: int | None = None
     #: salt buckets for skewed per-cell aggregation in ingest (0 = off)
     salt_buckets: int = 0
+    #: physical strategy: "gather" (kring explode + join + groupBy) or
+    #: "scatter" (explode contributions toward targets, ONE exchange at
+    #: cell cardinality, semi-join validity filter) — two physical
+    #: variants of the same logical operator, cross-validated in tests;
+    #: scatter measured ~12% faster at D2 scale and ships partials, not
+    #: joined rows, through the shuffle. Gather required for strict
+    #: adjacency ring-2.
+    strategy: str = "gather"
 
     def __post_init__(self) -> None:
         if self.variant not in VARIANTS:

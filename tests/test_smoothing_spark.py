@@ -165,6 +165,20 @@ def test_smooth_with_stats_neighbor_counts(spark, cells_df, cells_pdf):
     assert got_total == exp["total_edges"]
 
 
+@pytest.mark.parametrize("variant", sorted(oracle.VARIANTS))
+def test_scatter_strategy_equals_gather(spark, cells_df, variant):
+    """Two physical strategies, one logical operator — must agree
+    (reference cross-validation spirit, v1 vs v2 kernels)."""
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth_scatter
+
+    plan = SmoothingPlan(variant=variant, variables=("ndvi", "evi"))
+    a = smooth(cells_df, plan).toPandas().set_index("cell").sort_index()
+    b = smooth_scatter(cells_df, plan).toPandas().set_index("cell").sort_index()
+    assert (a.index == b.index).all()
+    for v in ("ndvi", "evi"):
+        assert np.allclose(a[f"smoothed_{v}"], b[f"smoothed_{v}"], atol=1e-12)
+
+
 def test_dangling_neighbors_do_not_contribute(spark):
     """A cell next to the patch border: its missing neighbors add neither
     value nor weight (reference validity-filter semantics,
