@@ -65,6 +65,7 @@ from cuda_gis_smoothing_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
     token_hash_sql_duckdb,
     tokenset_dedup,
 )
@@ -199,6 +200,10 @@ def _q_simhash(spark, sf_dir):
     return simhash(load(spark, sf_dir, "documents"), bits=16)
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3, bits=16)
+
+
 def _q_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD, block_col="lang"
@@ -221,6 +226,21 @@ def _q_knn_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_bucketed_knn(emb, queries, k=5, n_planes=_LSH_PLANES)
+
+
+def _q_knn_ivf(spark, sf_dir):
+    """IVF ANN through the REAL pandas-UDF bucketing operator, gated
+    against a SQL oracle: centroid training is deterministic (seeds =
+    the 8 smallest vec_ids, normalized) so bucket assignment and
+    probing are expressible as a ranked cross join in DuckDB."""
+    from cuda_gis_smoothing_spark.operators.similarity import ivf_knn
+
+    _ensure_shipped(spark)  # pandas UDFs run in py workers
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_knn(emb, queries, k=5, n_centroids=8, n_probe=2)
 
 
 def _q_pip_regions(spark, sf_dir):
@@ -309,9 +329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "minhash_signatures": _q_minhash,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "smooth_strict_k2": _q_smooth_strict_k2,
         "sessionize": _q_sessionize,
         "top_event_types": _q_top_event_types,
@@ -523,6 +545,25 @@ SELECT doc_id,
 FROM bits
 GROUP BY doc_id
 """.strip(),
+        "simhash_pairs": f"""
+WITH {tok_cte},
+h AS (SELECT doc_id, {th} AS h FROM tok),
+bits AS (
+  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""".strip(),
         "ngram_jaccard": f"""
 WITH {tok_lang_cte},
 sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
@@ -555,6 +596,41 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
 WHERE rank <= 5
 """.strip(),
         "knn_lsh": _knn_lsh_sql(),
+        "knn_ivf": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         emb AS cemb, SQRT(list_dot_product(emb, emb)) AS cnrm
+  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT n.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm) DESC, c.cid
+         ) AS rk
+  FROM n CROSS JOIN cent c
+),
+bucket AS (SELECT vec_id, cid AS bucket FROM assign WHERE rk = 1),
+probe AS (
+  SELECT vec_id, cid AS bucket FROM assign WHERE rk <= 2 AND vec_id < {_KNN_QUERIES}
+),
+p AS (
+  SELECT pr.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(q.emb, x.emb) / (q.nrm * x.nrm) AS sim
+  FROM probe pr
+  JOIN bucket b ON b.bucket = pr.bucket AND b.vec_id <> pr.vec_id
+  JOIN n q ON q.vec_id = pr.vec_id
+  JOIN n x ON x.vec_id = b.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM p
+)
+WHERE rank <= 5
+""".strip(),
         "smooth_strict_k2": _smooth_strict_sql(),
         "sessionize": _sessionize_sql(),
         "top_event_types": _top_event_types_sql(),

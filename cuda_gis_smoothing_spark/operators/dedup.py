@@ -197,7 +197,7 @@ def simhash_pairs(
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    ham = F.expr("bit_count(ha ^ hb)").alias("hamming")
+    ham = F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming")
     return pairs.select("doc_a", "doc_b", ham).where(F.col("hamming") <= max_hamming)
 
 
