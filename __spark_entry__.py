@@ -200,6 +200,12 @@ def _q_simhash(spark, sf_dir):
     return simhash(load(spark, sf_dir, "documents"), bits=16)
 
 
+def _q_minhash_lsh(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), n_hashes=6, bands=3)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3, bits=16)
 
@@ -328,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tokenset": _q_dedup_tokenset,
         "doc_fingerprint": _q_doc_fingerprint,
         "minhash_signatures": _q_minhash,
+        "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_jaccard,
@@ -385,6 +392,12 @@ tok AS (
     th = token_hash_sql_duckdb("t")
     mh_aggs = ",\n       ".join(
         f"MIN((h * {MH_A[i]} + {MH_B[i]}) % {MH_PRIME}) AS mh_{i}" for i in range(6)
+    )
+    # LSH banding twin of operators/dedup.py::minhash_lsh_pairs
+    # (n_hashes=6, bands=3, rows_per_band=2): bh = (mh_even*8191 + mh_odd) % P
+    band_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (mh_{2 * b} * 8191 + mh_{2 * b + 1}) % {MH_PRIME} AS bh FROM sig"
+        for b in range(3)
     )
     langs = sorted(STOPWORDS)
     hits_cols = ",\n       ".join(
@@ -531,6 +544,18 @@ SELECT doc_id,
        {mh_aggs}
 FROM h
 GROUP BY doc_id
+""".strip(),
+        "minhash_lsh": f"""
+WITH {tok_cte},
+h AS (SELECT doc_id, {th} AS h FROM tok),
+sig AS (SELECT doc_id, {mh_aggs} FROM h GROUP BY doc_id),
+banded AS (
+  {band_union}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """.strip(),
         "simhash": f"""
 WITH {tok_cte},
