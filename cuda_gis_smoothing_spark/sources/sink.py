@@ -42,6 +42,47 @@ def write_ordered(
         writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 32,
+    key: str = "cell",
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Materialize ``df`` as a parquet table bucketed (and optionally
+    sorted) by ``key``.
+
+    A bucketed scan reports ``HashPartitioning(key, n_buckets)`` to
+    Catalyst, so every later join or aggregation keyed on ``key`` reads
+    the table pre-shuffled — the per-run Exchange on the bucketed side
+    disappears entirely (see tests/test_bucketing.py for the plan
+    proof). This is the cluster answer to the reference's one-off
+    spatial reordering (createSpatialReordering,
+    /root/reference/src/cuda/hex_smooth_cuda_v4.cu:264-297): pay the
+    layout cost once at write time, amortize it over every smoothing
+    epoch that follows. At 100 TB, bucket the canonical cell table with
+    n_buckets ~ cluster cores; repeated runs then co-locate for free.
+
+    ``path`` makes it an external table (data at ``path``, metadata in
+    the session catalog); without it data lands in the warehouse dir.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark, table: str) -> DataFrame:
+    """Read a table written by :func:`write_bucketed` with its bucketing
+    metadata intact (must go through the catalog —
+    ``spark.read.parquet(path)`` on the same files would forget the
+    layout and reintroduce the shuffle)."""
+    return spark.table(table)
+
+
 def cross_validate(
     a: DataFrame,
     b: DataFrame,
