@@ -18,14 +18,29 @@ Design (Spark-first):
     smoothing is a single pass over current values, never iterative —
     SURVEY.md §3.4).
 
-State lives in partitioned parquet next to the checkpoint dir, so a
-killed stream resumes exactly (source offsets via Spark's checkpoint,
-aggregate state via the atomic swap below).
+State storage is a base+delta log (a miniature of the Iceberg/Delta
+snapshot model), NOT a full rewrite per batch:
+
+  ``<state>/cell_aggregates/base-b00000007/``   full snapshot as of batch 7
+  ``<state>/cell_aggregates/delta-b00000008/``  merged rows for cells
+                                                updated in batch 8 only
+
+Reading = newest base ∪ later deltas, latest batch wins per cell
+(one ``max_by`` aggregate). A batch therefore writes O(updated cells),
+not O(total state); every ``compact_every`` deltas the view is folded
+into a fresh base and subsumed dirs are garbage-collected. Writes are
+idempotent by batch id — foreachBatch may replay a batch after a crash,
+and an existing ``delta-b{id}`` dir makes the replay a no-op — and
+crash-safe: a base is visible only after it is fully written, and
+leftover subsumed dirs lose latest-wins anyway, so GC can die midway
+with no correctness effect.
 """
 
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -38,6 +53,83 @@ from cuda_gis_smoothing_spark.operators.smoothing import (
 )
 from cuda_gis_smoothing_spark.plans.config import SmoothingPlan
 
+_SNAP_RE = re.compile(r"^(base|delta)-b(\d+)$")
+
+
+class SnapshotLog:
+    """Base+delta parquet log with latest-wins-per-key reads."""
+
+    def __init__(self, spark: SparkSession, path: str, key: str = "cell"):
+        self.spark = spark
+        self.path = path
+        self.key = key
+
+    def _snapshots(self) -> list[tuple[int, str, str]]:
+        """[(batch_id, kind, dir)] sorted by batch_id."""
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for name in os.listdir(self.path):
+            m = _SNAP_RE.match(name)
+            if m:
+                out.append((int(m.group(2)), m.group(1), os.path.join(self.path, name)))
+        return sorted(out)
+
+    def _live(self) -> list[tuple[int, str, str]]:
+        """Newest base plus every later delta (earlier dirs are
+        subsumed — present only if a GC died midway; harmless)."""
+        snaps = self._snapshots()
+        bases = [s for s in snaps if s[1] == "base"]
+        floor = bases[-1][0] if bases else -1
+        return ([bases[-1]] if bases else []) + [
+            s for s in snaps if s[1] == "delta" and s[0] > floor
+        ]
+
+    def has(self, batch_id: int) -> bool:
+        return any(b == batch_id for b, _, _ in self._snapshots())
+
+    def delta_count(self) -> int:
+        return sum(1 for _, kind, _ in self._live() if kind == "delta")
+
+    def read(self) -> DataFrame | None:
+        live = self._live()
+        if not live:
+            return None
+        parts = [
+            self.spark.read.parquet(d).withColumn("_b", F.lit(b)) for b, _, d in live
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if len(parts) == 1:
+            return df.drop("_b")
+        vals = [c for c in df.columns if c not in (self.key, "_b")]
+        return (
+            df.groupBy(self.key)
+            .agg(F.max_by(F.struct(*vals), F.col("_b")).alias("_s"))
+            .select(self.key, "_s.*")
+        )
+
+    def write_delta(self, df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"delta-b{batch_id:08d}")
+        )
+
+    def compact(self, batch_id: int) -> None:
+        """Fold the live view into ``base-b{batch_id}`` and GC subsumed
+        dirs. Visible only once fully written; idempotent per batch."""
+        base = os.path.join(self.path, f"base-b{batch_id:08d}")
+        if os.path.exists(base):
+            return
+        view = self.read()
+        if view is None:
+            return
+        view.write.mode("overwrite").parquet(base + ".tmp")
+        os.rename(base + ".tmp", base)
+        for b, kind, d in self._snapshots():
+            if d != base and b <= batch_id:
+                shutil.rmtree(d, ignore_errors=True)
+
 
 class IncrementalSmoother:
     """foreachBatch sink: merge partials, re-smooth affected k-rings."""
@@ -48,101 +140,80 @@ class IncrementalSmoother:
         state_dir: str,
         plan: SmoothingPlan | None = None,
         grid: GridSpec | None = None,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.state_dir = state_dir
         self.plan = plan or SmoothingPlan(variant="gaussian_k1", variables=("ndvi",))
         self.grid = grid or GridSpec()
+        self.compact_every = compact_every
         os.makedirs(state_dir, exist_ok=True)
+        self._agg = SnapshotLog(spark, os.path.join(state_dir, "cell_aggregates"))
+        self._smooth = SnapshotLog(spark, os.path.join(state_dir, "smoothed"))
 
-    # -- state table ---------------------------------------------------------
-    @property
-    def _agg_path(self) -> str:
-        return os.path.join(self.state_dir, "cell_aggregates")
-
-    @property
-    def _smooth_path(self) -> str:
-        return os.path.join(self.state_dir, "smoothed")
-
-    def _read_state(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self._agg_path)
-        except Exception:
-            return None
-
+    # -- state views -----------------------------------------------------------
     def current_aggregates(self) -> DataFrame | None:
-        return self._read_state()
+        return self._agg.read()
 
     def current_smoothed(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self._smooth_path)
-        except Exception:
-            return None
+        return self._smooth.read()
 
     # -- the foreachBatch body -------------------------------------------------
     def process_batch(self, images_batch: DataFrame, batch_id: int) -> None:
-        new = (
-            cell_partials(images_batch, self.grid)
-            .groupBy("cell")
-            .agg(F.sum("sum_ndvi").alias("sum_ndvi"), F.sum("n").alias("n"))
-            .cache()
-        )
-        if new.isEmpty():
-            new.unpersist()
-            return
-        prev = self._read_state()
-        if prev is None:
-            merged = new
+        new = None
+        agg_delta_dir = os.path.join(self._agg.path, f"delta-b{batch_id:08d}")
+        if self._agg.has(batch_id):  # crash replay: batch already applied
+            if not os.path.isdir(agg_delta_dir):
+                return  # applied AND compacted away — fully done
+            updated = self.spark.read.parquet(agg_delta_dir).select("cell")
         else:
-            merged = (
-                prev.unionByName(new)
+            new = (
+                cell_partials(images_batch, self.grid)
                 .groupBy("cell")
                 .agg(F.sum("sum_ndvi").alias("sum_ndvi"), F.sum("n").alias("n"))
+                .cache()
             )
-        # atomic swap: write new state beside, then rename
-        tmp = self._agg_path + f".b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = self._agg_path
-        bak = old + ".old"
-        if os.path.exists(old):
-            os.rename(old, bak)
-        os.rename(tmp, old)
-        if os.path.exists(bak):
-            import shutil
+            if new.isEmpty():
+                new.unpersist()
+                return
+            prev = self._agg.read()
+            if prev is None:
+                merged = new
+            else:
+                # only updated cells are re-merged and re-written:
+                # O(batch), not O(state)
+                merged = (
+                    prev.join(new.select("cell"), "cell", "left_semi")
+                    .unionByName(new)
+                    .groupBy("cell")
+                    .agg(F.sum("sum_ndvi").alias("sum_ndvi"), F.sum("n").alias("n"))
+                )
+            self._agg.write_delta(merged, batch_id)
+            updated = new.select("cell")
 
-            shutil.rmtree(bak)
+        if not self._smooth.has(batch_id):
+            # affected = updated cells ∪ k-ring(updated): every cell
+            # whose smoothed value references an updated aggregate
+            state = self._agg.read()
+            cells = derive_variables(
+                state.select("cell", (F.col("sum_ndvi") / F.col("n")).alias("ndvi"))
+            )
+            affected = (
+                kring_edges(updated, self.plan.k, include_center=True)
+                .select(F.col("nbr").alias("cell"))
+                .distinct()
+            )
+            # neighbor VALUES come from the full state; only the output
+            # set is restricted — semi-join after the smooth keeps the
+            # plan a pure subset of the batch plan (identical results)
+            smoothed = smooth(cells, self.plan).join(affected, "cell", "left_semi")
+            self._smooth.write_delta(smoothed, batch_id)
 
-        # affected = updated cells ∪ k-ring(updated): every cell whose
-        # smoothed value references an updated aggregate
-        state = self.spark.read.parquet(self._agg_path)
-        cells = derive_variables(
-            state.select("cell", (F.col("sum_ndvi") / F.col("n")).alias("ndvi"))
-        )
-        affected = (
-            kring_edges(new.select("cell"), self.plan.k, include_center=True)
-            .select(F.col("nbr").alias("cell"))
-            .distinct()
-        )
-        # neighbor VALUES must come from the full state; only the output
-        # set is restricted — semi-join after the smooth keeps the plan
-        # a pure subset of the batch plan (bit-identical results)
-        smoothed = smooth(cells, self.plan).join(affected, "cell", "left_semi")
-
-        # fold into the maintained full snapshot
-        prev_smooth = self.current_smoothed()
-        snap_tmp = self._smooth_path + f".b{batch_id}"
-        if prev_smooth is None:
-            base = smoothed
-        else:
-            prev_keep = prev_smooth.join(affected, "cell", "left_anti")
-            base = prev_keep.unionByName(smoothed)
-        base.write.mode("overwrite").parquet(snap_tmp)
-        if os.path.exists(self._smooth_path):
-            import shutil
-
-            shutil.rmtree(self._smooth_path)
-        os.rename(snap_tmp, self._smooth_path)
-        new.unpersist()
+        if self._agg.delta_count() >= self.compact_every:
+            self._agg.compact(batch_id)
+            self._smooth.compact(batch_id)
+        if new is not None:
+            new.unpersist()
 
     # -- stream wiring -----------------------------------------------------------
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):

@@ -63,3 +63,54 @@ def test_incremental_equals_batch_across_restarts(spark, tmp_path):
     # aggregates state must hold exactly all 270 images
     agg = sm.current_aggregates().agg({"n": "sum"}).collect()[0][0]
     assert agg == 270
+
+
+def _snapshot_dirs(state_root):
+    import os
+
+    path = str(state_root / "cell_aggregates")
+    return sorted(os.listdir(path)) if os.path.isdir(path) else []
+
+
+def test_snapshot_log_compacts_and_replays(spark, tmp_path):
+    """The base+delta state log: per-batch writes hold only updated
+    cells, compaction folds deltas into one base and GCs the rest, and
+    a foreachBatch crash-replay of an already-applied batch id is a
+    no-op — after all of which the snapshot still equals a from-scratch
+    batch run."""
+    import os
+
+    state = tmp_path / "state"
+    sm = IncrementalSmoother(spark, str(state), plan=PLAN, compact_every=2)
+
+    def batch_df(start, n):
+        return spark.createDataFrame(
+            datagen.gen_images(n, start=start), schema=IMAGES_SCHEMA
+        )
+
+    sm.process_batch(batch_df(0, 60), 0)
+    sm.process_batch(batch_df(60, 60), 1)  # 2nd delta -> compaction fires
+    dirs = _snapshot_dirs(state)
+    assert dirs == ["base-b00000001"], dirs
+
+    sm.process_batch(batch_df(120, 60), 2)
+    dirs = _snapshot_dirs(state)
+    assert dirs == ["base-b00000001", "delta-b00000002"], dirs
+    # the delta holds only the cells batch 2 touched, not the world
+    delta = spark.read.parquet(str(state / "cell_aggregates" / "delta-b00000002"))
+    assert delta.count() < sm.current_aggregates().count()
+
+    # crash replay of batch 2 (same id): state must not double-count
+    n_before = sm.current_aggregates().agg({"n": "sum"}).collect()[0][0]
+    sm.process_batch(batch_df(120, 60), 2)
+    assert sm.current_aggregates().agg({"n": "sum"}).collect()[0][0] == n_before
+    # replay of an already-COMPACTED batch id is also a no-op
+    sm.process_batch(batch_df(60, 60), 1)
+    assert sm.current_aggregates().agg({"n": "sum"}).collect()[0][0] == n_before
+    assert n_before == 180
+
+    got = sm.current_smoothed().toPandas().set_index("cell").sort_index()
+    exp = _batch_oracle(spark, batch_df(0, 180))
+    assert (got.index == exp.index).all()
+    assert np.allclose(got["smoothed_ndvi"], exp["smoothed_ndvi"], atol=1e-9)
+    assert os.path.isdir(str(state / "smoothed"))
