@@ -74,7 +74,7 @@ def decode_png(data: bytes, w: int | None = None, h: int | None = None) -> np.nd
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos = 8
-    idat = b""
+    idat_parts = []
     pw = ph = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -85,12 +85,12 @@ def decode_png(data: bytes, w: int | None = None, h: int | None = None) -> np.nd
             if depth != 8 or ctype != 2:
                 raise ValueError("only 8-bit RGB PNGs supported")
         elif tag == b"IDAT":
-            idat += payload
+            idat_parts.append(payload)
         elif tag == b"IEND":
             break
         pos += 12 + length
     assert pw is not None and ph is not None
-    raw = zlib.decompress(idat)
+    raw = zlib.decompress(b"".join(idat_parts))
     stride = pw * 3
     out = np.empty((ph, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

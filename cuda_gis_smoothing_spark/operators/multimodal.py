@@ -43,7 +43,9 @@ def _features_batch(pdf: pd.DataFrame, grid: GridSpec) -> pd.DataFrame:
     bts = pdf["bytes"].to_numpy()
     for i in range(n):  # loop over in-memory batch; decode is numpy-vectorized
         pix = codecs.decode(bts[i], fmts[i], int(ws[i]), int(hs[i]))
-        m = pix.reshape(-1, 3).mean(axis=0)
+        # integer sum then divide: bit-identical to float mean for uint8
+        # (every partial sum is an exact float64) at ~2/3 the cost
+        m = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64) / (pix.shape[0] * pix.shape[1])
         mean_r[i], mean_g[i], mean_b[i] = m
     # NDVI-like vegetation index from RGB means: (G - R) / (G + R)
     ndvi = (mean_g - mean_r) / (mean_g + mean_r + 1e-9)
@@ -132,7 +134,10 @@ def _partials_arrow_batch(batch, grid: GridSpec):
     offs = np.frombuffer(offsets_buf, dtype=np.int32)[
         barr.offset : barr.offset + len(barr) + 1
     ]
-    data = memoryview(data_buf)
+    # cast to unsigned bytes: pa.Buffer exposes format 'b' (signed), and
+    # memoryview equality compares ELEMENT VALUES, so magic-byte checks
+    # in the codecs would silently fail against bytes literals
+    data = memoryview(data_buf).cast("B")
     ws = cols["w"].to_numpy(zero_copy_only=False)
     hs = cols["h"].to_numpy(zero_copy_only=False)
     fids = cols["fmt_id"].to_numpy(zero_copy_only=False)
@@ -143,11 +148,14 @@ def _partials_arrow_batch(batch, grid: GridSpec):
     mean_g = np.empty(n)
     for i in range(n):
         pix = codecs.decode(
-            bytes(data[offs[i] : offs[i + 1]]), _FMT_BY_ID[fids[i]], int(ws[i]), int(hs[i])
+            data[offs[i] : offs[i + 1]], _FMT_BY_ID[fids[i]], int(ws[i]), int(hs[i])
         )
-        m = pix.reshape(-1, 3).mean(axis=0)
-        mean_r[i] = m[0]
-        mean_g[i] = m[1]
+        # integer sum then divide: bit-identical to float mean for uint8
+        # (every partial sum is an exact float64) at ~2/3 the cost
+        m = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        npix = pix.shape[0] * pix.shape[1]
+        mean_r[i] = m[0] / npix
+        mean_g[i] = m[1] / npix
     ndvi = (mean_g - mean_r) / (mean_g + mean_r + 1e-9)
     lat, lon = phash_to_latlng(phash)
     cell = grid.latlng_to_cell(lat, lon)
