@@ -126,23 +126,31 @@ def synth_grid(spark, n_cells: int):
     return derive_variables(base.select("cell", ndvi)), side * side
 
 
-def d2_smoothing_bench(spark, n_cells: int) -> tuple[int, float]:
+def d2_smoothing_bench(spark, n_cells: int) -> tuple[int, float, float]:
+    """Times BOTH physical strategies of the same logical smooth (the
+    reference's kernel-variant sweep, hex_smooth_cuda_v5.cu:906-941):
+    gather (join at 19x cell cardinality) vs scatter (one exchange at
+    cell cardinality, map-side partials)."""
     from cuda_gis_smoothing_spark.operators.smoothing import smooth
     from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
 
     grid, n = synth_grid(spark, n_cells)
     grid = grid.cache()
     grid.count()
-    plan = SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES)
-    _run_noop(smooth(grid, plan))  # warm
-    t0 = time.perf_counter()
+    secs = {}
     runs = 3
-    for _ in range(runs):
-        _run_noop(smooth(grid, plan))
-    sec = (time.perf_counter() - t0) / runs
+    for strategy in ("gather", "scatter"):
+        plan = SmoothingPlan(
+            variant="gaussian_k2", variables=ALL_VARIABLES, strategy=strategy
+        )
+        _run_noop(smooth(grid, plan))  # warm
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            _run_noop(smooth(grid, plan))
+        secs[strategy] = (time.perf_counter() - t0) / runs
+        log(f"D2 fused pass [{strategy}]: {secs[strategy]:.2f}s for {n} cells")
     grid.unpersist()
-    log(f"D2 fused pass: {sec:.2f}s for {n} cells")
-    return n, sec
+    return n, secs["gather"], secs["scatter"]
 
 
 def scaling_child(cores: int, n_images: int) -> None:
@@ -242,7 +250,7 @@ def main() -> None:
     # reference-scale smoothing: D2 = 500,104 hexagons (BASELINE.md) —
     # synthesized as a hex patch with pure column math, fused 4-var
     # two-ring Gaussian pass (the reference v5 flagship config)
-    d2_cells, d2_sec = d2_smoothing_bench(spark, N_CELLS)
+    d2_cells, d2_sec, d2_scatter_sec = d2_smoothing_bench(spark, N_CELLS)
 
     # image pipeline headline
     images_path = ensure_images(spark, N_IMAGES)
@@ -269,6 +277,8 @@ def main() -> None:
         "d2_cells": d2_cells,
         "d2_fused_pass_sec": round(d2_sec, 3),
         "d2_cells_per_sec": round(d2_cells / d2_sec, 1),
+        "d2_scatter_pass_sec": round(d2_scatter_sec, 3),
+        "d2_scatter_cells_per_sec": round(d2_cells / d2_scatter_sec, 1),
         "scaling": scaling,
     }
     print(json.dumps(result))
