@@ -33,7 +33,13 @@ from cuda_gis_smoothing_spark.plans.partitioning import salted_cell_aggregate
 
 @dataclass(frozen=True)
 class PipelineConfig:
-    plan: SmoothingPlan = SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES)
+    #: scatter strategy: one exchange at cell cardinality instead of the
+    #: 19x-cardinality gather join — measured ~2x faster at 100k cells
+    #: (bench.py d2_smoothing_bench sweeps both); results equal within
+    #: float reassociation (cross-validated in test_smoothing_spark)
+    plan: SmoothingPlan = SmoothingPlan(
+        variant="gaussian_k2", variables=ALL_VARIABLES, strategy="scatter"
+    )
     zoom: int = 12
     salt_buckets: int = 8  # hot-cell skew handling in ingest (0 = off)
 
