@@ -290,6 +290,12 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(load(spark, sf_dir, "events"))
 
 
+def _q_asof_attribution(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.events import asof_attribute
+
+    return asof_attribute(load(spark, sf_dir, "events"))
+
+
 def _q_top_event_types(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import top_event_types_per_user
 
@@ -343,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "smooth_strict_k2": _q_smooth_strict_k2,
         "sessionize": _q_sessionize,
+        "asof_attribution": _q_asof_attribution,
         "top_event_types": _q_top_event_types,
         "dedup_embedding": _q_dedup_embedding,
         "tile_pyramid": _q_tile_pyramid,
@@ -658,6 +665,7 @@ WHERE rank <= 5
 """.strip(),
         "smooth_strict_k2": _smooth_strict_sql(),
         "sessionize": _sessionize_sql(),
+        "asof_attribution": _asof_sql(),
         "top_event_types": _top_event_types_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
         "pip_regions": _pip_sql(),
@@ -735,6 +743,12 @@ def _sessionize_sql() -> str:
     from cuda_gis_smoothing_spark.operators.events import SESSIONIZE_SQL
 
     return SESSIONIZE_SQL
+
+
+def _asof_sql() -> str:
+    from cuda_gis_smoothing_spark.operators.events import asof_attribute_sql
+
+    return asof_attribute_sql()
 
 
 def _top_event_types_sql() -> str:

@@ -170,7 +170,8 @@ def run_scaling(n_images: int) -> dict:
     """Same job, two parallelism levels, fresh JVM each (the sandbox
     stand-in for N vs 4N executors — see BENCH/BASELINE.md).
 
-    Levels are INTERLEAVED (lo, hi, lo, hi) with per-level minima: this
+    Levels are INTERLEAVED (lo, hi, lo, hi, ... BENCH_SCALE_TRIALS
+    pairs) with per-level minima: this
     sandbox is a shared-host VM whose available CPU fluctuates between
     epochs, and a per-level min over interleaved trials keeps one bad
     epoch from landing entirely on one level.
@@ -186,8 +187,9 @@ def run_scaling(n_images: int) -> dict:
     """
     lo = int(os.environ.get("BENCH_SCALE_LO", max(CPUS // 16, 1)))
     hi = int(os.environ.get("BENCH_SCALE_HI", lo * 4))
+    trials = int(os.environ.get("BENCH_SCALE_TRIALS", "3"))
     out: dict[int, float] = {}
-    for cores in (lo, hi, lo, hi):
+    for cores in (lo, hi) * trials:
         log(f"scaling run at local[{cores}] ...")
         r = subprocess.run(
             [sys.executable, __file__, "--scaling-child", str(cores), str(n_images)],

@@ -111,3 +111,71 @@ SELECT user_id, event_type, n, CAST(rank AS INT) AS rank FROM (
 )
 WHERE rank <= {k}
 """.strip()
+
+
+def asof_attribute(
+    events: DataFrame, left_type: str = "purchase", right_type: str = "click"
+) -> DataFrame:
+    """As-of join, windowed: attach to each ``left_type`` event the most
+    recent ``right_type`` event of the same user at-or-before it
+    (inclusive backward match — DuckDB ``ASOF JOIN`` semantics).
+
+    Spark has no ASOF JOIN node; the classic translations are a range
+    join (quadratic blowup) or bucketed binary search. This instead
+    does ONE shuffle and ZERO joins: union both sides, sort within user
+    by (time, side), and carry the last-seen right row forward with
+    ``last(..., ignorenulls=True)`` — O(n log n) per user, partition-
+    parallel, and the shuffle key is the same user_id every other
+    event operator uses. At equal timestamps the right row sorts first
+    (inclusive); duplicate right timestamps resolve to the max
+    event_id in both engines (the oracle dedupes identically).
+
+    Output: (purchase_id, user_id, click_id, click_value, gap_us) with
+    NULL click columns for lefts with no prior right — only time
+    DIFFERENCES are emitted, so session-timezone offsets cancel.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    side = (F.col("event_type") == left_type).cast("int")
+    base = events.where(F.col("event_type").isin([left_type, right_type])).select(
+        "event_id", "user_id", "value", us.alias("us"), side.alias("_side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "_side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    right_val = lambda c: F.when(F.col("_side") == 0, F.col(c))  # noqa: E731
+    carried = (
+        base.withColumn("click_id", F.last(right_val("event_id"), True).over(w))
+        .withColumn("click_value", F.last(right_val("value"), True).over(w))
+        .withColumn("click_us", F.last(right_val("us"), True).over(w))
+    )
+    return carried.where(F.col("_side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "click_id",
+        "click_value",
+        (F.col("us") - F.col("click_us")).alias("gap_us"),
+    )
+
+
+def asof_attribute_sql(left_type: str = "purchase", right_type: str = "click") -> str:
+    """DuckDB twin of :func:`asof_attribute` via native ASOF LEFT JOIN
+    (right side deduped per (user, ts) to max event_id, matching the
+    window order's tie-break)."""
+    return f"""
+WITH r AS (
+  SELECT user_id, ts, event_id AS click_id, value AS click_value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = '{right_type}'
+  ) WHERE rn = 1
+),
+l AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = '{left_type}'
+)
+SELECT l.purchase_id, l.user_id, r.click_id, r.click_value,
+       CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""".strip()

@@ -1,0 +1,57 @@
+"""As-of join semantics pinned on hand-built rows: inclusive backward
+match, max-event_id tie-break on duplicate right timestamps, NULL for
+no-prior-match — plus the plan contract (zero join nodes, one shuffle).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_gis_smoothing_spark.operators.events import asof_attribute
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(eid, sec, uid, etype, value):
+    return (eid, T0 + dt.timedelta(seconds=sec), uid, etype, value, "{}")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: click@10 (two rows, tie on ts), purchase@10 (inclusive),
+        # purchase@5 (no prior click), click@20, purchase@25
+        _ev(1, 10, 1, "click", 1.0),
+        _ev(2, 10, 1, "click", 2.0),  # same ts, higher id must win
+        _ev(3, 10, 1, "purchase", 9.0),
+        _ev(4, 5, 1, "purchase", 9.0),
+        _ev(5, 20, 1, "click", 3.0),
+        _ev(6, 25, 1, "purchase", 9.0),
+        # user 2: purchase only — never attributed
+        _ev(7, 30, 2, "purchase", 9.0),
+        # noise type is ignored entirely
+        _ev(8, 1, 1, "view", 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+def test_asof_semantics(spark, events):
+    got = {
+        r["purchase_id"]: r.asDict()
+        for r in asof_attribute(events).collect()
+    }
+    assert set(got) == {3, 4, 6, 7}
+    assert got[3]["click_id"] == 2 and got[3]["gap_us"] == 0  # inclusive + tie→max id
+    assert got[3]["click_value"] == 2.0
+    assert got[4]["click_id"] is None and got[4]["gap_us"] is None
+    assert got[6]["click_id"] == 5 and got[6]["gap_us"] == 5_000_000
+    assert got[7]["click_id"] is None
+
+
+def test_asof_plan_has_no_join_and_one_shuffle(spark, events):
+    plan = asof_attribute(events)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # windowed carry-forward, not a join
+    assert plan.count("Exchange hashpartitioning") == 1
