@@ -210,6 +210,14 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3, bits=16)
 
 
+def _q_simhash_pairs_banded(spark, sf_dir):
+    """Banded (pigeonhole) simhash pair join — shares the quadratic
+    verifier's oracle, so the gate proves the banding is exact."""
+    from cuda_gis_smoothing_spark.operators.dedup import simhash_pairs_banded
+
+    return simhash_pairs_banded(load(spark, sf_dir, "documents"), max_hamming=3, bits=16)
+
+
 def _q_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD, block_col="lang"
@@ -343,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
+        "simhash_pairs_banded": _q_simhash_pairs_banded,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
@@ -418,7 +427,7 @@ tok AS (
         + f" ELSE '{langs[-1]}' END"
     )
 
-    return {
+    out = {
         "smooth_simple_k1": smoothing_sql(
             "simple_k1", ["ndvi"], "duckdb", source="cells4", with_ctes=GRID_CELLS_SQL
         ),
@@ -679,6 +688,10 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
 """.strip(),
     }
+    # the banded pair join must return EXACTLY the quadratic verifier's
+    # rows (pigeonhole guarantee) — sharing the oracle proves it
+    out["simhash_pairs_banded"] = out["simhash_pairs"]
+    return out
 
 
 def _pip_sql() -> str:
