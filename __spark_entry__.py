@@ -304,6 +304,12 @@ def _q_asof_attribution(spark, sf_dir):
     return asof_attribute(load(spark, sf_dir, "events"))
 
 
+def _q_range_join(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.events import range_join_followups
+
+    return range_join_followups(load(spark, sf_dir, "events"))
+
+
 def _q_top_event_types(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import top_event_types_per_user
 
@@ -359,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_strict_k2": _q_smooth_strict_k2,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
+        "range_join_followups": _q_range_join,
         "top_event_types": _q_top_event_types,
         "dedup_embedding": _q_dedup_embedding,
         "tile_pyramid": _q_tile_pyramid,
@@ -675,6 +682,7 @@ WHERE rank <= 5
         "smooth_strict_k2": _smooth_strict_sql(),
         "sessionize": _sessionize_sql(),
         "asof_attribution": _asof_sql(),
+        "range_join_followups": _range_join_sql(),
         "top_event_types": _top_event_types_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
         "pip_regions": _pip_sql(),
@@ -762,6 +770,12 @@ def _asof_sql() -> str:
     from cuda_gis_smoothing_spark.operators.events import asof_attribute_sql
 
     return asof_attribute_sql()
+
+
+def _range_join_sql() -> str:
+    from cuda_gis_smoothing_spark.operators.events import range_join_sql
+
+    return range_join_sql()
 
 
 def _top_event_types_sql() -> str:

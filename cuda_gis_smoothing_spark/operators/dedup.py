@@ -189,9 +189,10 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
-    Exact pairwise verifier over the fingerprint table (tiny rows). At
-    100 TB, block first on fingerprint bands (join on ``simhash >> b``
-    for a few rotations) so only candidate pairs reach bit_count.
+    Exact pairwise verifier over the fingerprint table (tiny rows),
+    quadratic in doc count — the differential baseline for
+    :func:`simhash_pairs_banded`, which is the scale path (same rows,
+    candidates from pigeonhole band equi-joins instead of all pairs).
     """
     sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))

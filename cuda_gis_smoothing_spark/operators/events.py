@@ -179,3 +179,64 @@ SELECT l.purchase_id, l.user_id, r.click_id, r.click_value,
        CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """.strip()
+
+
+def range_join_followups(
+    events: DataFrame,
+    src_type: str = "signup",
+    dst_type: str = "click",
+    window_s: int = 3600,
+) -> DataFrame:
+    """Range (interval) join: every ``dst_type`` event within
+    ``window_s`` seconds at-or-after a ``src_type`` event by the same
+    user (bounds inclusive).
+
+    A naive inequality join degenerates to a per-user cross product
+    (BroadcastNestedLoop at best). This buckets time by the window
+    width: a dst event lands in exactly one bucket, a src event's
+    window spans at most two, so replicating the src side twice turns
+    the range join into an EQUI join on (user_id, bucket) + a cheap
+    residual range filter — shuffle keyed and linear in matches, the
+    plan Catalyst can hash-partition (asserted in tests). At 100 TB the
+    replication factor stays 2 regardless of data volume or skew.
+    """
+    width_us = window_s * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    src = events.where(F.col("event_type") == src_type).select(
+        F.col("event_id").alias("src_id"),
+        "user_id",
+        us.alias("src_us"),
+        F.explode(
+            F.array(
+                (us / width_us).cast("long"),
+                (us / width_us).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    dst = events.where(F.col("event_type") == dst_type).select(
+        F.col("event_id").alias("dst_id"),
+        "user_id",
+        us.alias("dst_us"),
+        (us / width_us).cast("long").alias("bucket"),
+    )
+    joined = src.join(dst, ["user_id", "bucket"]).where(
+        F.col("dst_us").between(F.col("src_us"), F.col("src_us") + width_us)
+    )
+    return joined.select(
+        "src_id", "dst_id", "user_id", (F.col("dst_us") - F.col("src_us")).alias("gap_us")
+    )
+
+
+def range_join_sql(
+    src_type: str = "signup", dst_type: str = "click", window_s: int = 3600
+) -> str:
+    """DuckDB twin as the straightforward inequality join."""
+    return f"""
+SELECT s.event_id AS src_id, c.event_id AS dst_id, s.user_id,
+       CAST(epoch_us(c.ts) - epoch_us(s.ts) AS BIGINT) AS gap_us
+FROM events s
+JOIN events c
+  ON s.user_id = c.user_id
+ AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL {window_s} SECONDS
+WHERE s.event_type = '{src_type}' AND c.event_type = '{dst_type}'
+""".strip()

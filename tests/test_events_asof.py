@@ -55,3 +55,20 @@ def test_asof_plan_has_no_join_and_one_shuffle(spark, events):
     plan = asof_attribute(events)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # windowed carry-forward, not a join
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_semantics_and_plan(spark, events):
+    from cuda_gis_smoothing_spark.operators.events import range_join_followups
+
+    ev = events.withColumn(
+        "event_type",
+        F.when(F.col("event_id") == 4, F.lit("signup")).otherwise(F.col("event_type")),
+    )
+    # event 4 is user 1 at t=5s: clicks at 10,10,20 fall in [5, 5+15]
+    out = range_join_followups(ev, "signup", "click", window_s=15)
+    got = sorted((r["src_id"], r["dst_id"], r["gap_us"]) for r in out.collect())
+    assert got == [(4, 1, 5_000_000), (4, 2, 5_000_000), (4, 5, 15_000_000)]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "hashpartitioning(user_id" in plan or "SortMergeJoin" in plan or "HashJoin" in plan

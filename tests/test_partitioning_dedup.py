@@ -152,3 +152,17 @@ def test_lsh_knn_subset_of_exact_with_positive_recall(spark):
     merged = approx.merge(exact, on=["query_id", "neighbor_id"], how="inner")
     assert len(merged) > 0
     assert (approx["rank"] >= 1).all()
+
+
+def test_banded_simhash_pairs_equal_quadratic(spark, docs_df):
+    """Pigeonhole banding must lose NOTHING: the banded candidate path
+    and the all-pairs verifier return identical pair sets (the in-Spark
+    twin of their shared DuckDB oracle)."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_banded,
+    )
+
+    quad = sorted(map(tuple, simhash_pairs(docs_df, max_hamming=3).collect()))
+    band = sorted(map(tuple, simhash_pairs_banded(docs_df, max_hamming=3).collect()))
+    assert quad == band and len(quad) > 0
