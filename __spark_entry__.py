@@ -218,6 +218,15 @@ def _q_simhash_pairs_banded(spark, sf_dir):
     return simhash_pairs_banded(load(spark, sf_dir, "documents"), max_hamming=3, bits=16)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Iterative Spark label propagation vs a recursive DuckDB CTE —
+    the one gate where the two engines run genuinely different
+    algorithm families to the same fixpoint."""
+    from cuda_gis_smoothing_spark.operators.dedup import neardup_components
+
+    return neardup_components(load(spark, sf_dir, "documents"), max_hamming=1)
+
+
 def _q_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD, block_col="lang"
@@ -358,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_pairs_banded": _q_simhash_pairs_banded,
+        "dedup_components": _q_dedup_components,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
@@ -699,6 +709,22 @@ WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
     # the banded pair join must return EXACTLY the quadratic verifier's
     # rows (pigeonhole guarantee) — sharing the oracle proves it
     out["simhash_pairs_banded"] = out["simhash_pairs"]
+    # connected components: recursive CTE (transitive closure + min per
+    # node) checks Spark's iterative label propagation at its fixpoint
+    out["dedup_components"] = f"""
+WITH RECURSIVE pairs AS ({out["simhash_pairs"]}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE hamming <= 1),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(r.mn, d.doc_id)) AS component
+FROM documents d
+LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) r ON r.a = d.doc_id
+""".strip()
     return out
 
 

@@ -314,3 +314,68 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
         ).alias("simhash")
     )
+
+
+def neardup_components(
+    df: DataFrame,
+    max_hamming: int = 1,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over the simhash near-dup graph: every doc
+    labeled with the SMALLEST doc_id transitively reachable through
+    pairs within ``max_hamming`` — the canonicalization step of a dedup
+    pipeline (keep one representative per component).
+
+    Iterative min-label propagation to fixpoint: each round, a node's
+    label becomes the min of its own and its neighbors' labels; the
+    loop stops when no label changes (O(component diameter) rounds).
+    Lineage is truncated per round with ``localCheckpoint`` so the plan
+    does not grow with iterations — at 100 TB switch to reliable
+    checkpoints and the large-star/small-star edge rewiring (Kiveris et
+    al., "Connected Components in MapReduce"), which cuts rounds to
+    O(log n) with the same per-round shape (join + min-aggregate).
+
+    Not SQL-expressible in one pass — the DuckDB oracle uses a
+    recursive CTE (transitive closure + min per node), so the gate
+    cross-validates an ITERATIVE Spark algorithm against a recursive
+    SQL one.
+    """
+    pairs = simhash_pairs_banded(
+        df, max_hamming=max_hamming, bits=bits, text_col=text_col, id_col=id_col
+    )
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint()  # pairs plan is reused every round
+    labels = df.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, F.col("b") == F.col("node"))
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, F.col("node") == F.col("a"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
