@@ -218,6 +218,20 @@ def _q_simhash_pairs_banded(spark, sf_dir):
     return simhash_pairs_banded(load(spark, sf_dir, "documents"), max_hamming=3, bits=16)
 
 
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.2}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling — the per-row keep/drop
+    decision itself is gated (both engines draw the identical sample
+    from the shared affine hash), not just the rate."""
+    from cuda_gis_smoothing_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        load(spark, sf_dir, "documents"), _SAMPLE_FRACTIONS, default_fraction=0.05
+    )
+
+
 def _q_dedup_components(spark, sf_dir):
     """Iterative Spark label propagation vs a recursive DuckDB CTE —
     the one gate where the two engines run genuinely different
@@ -368,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "simhash_pairs_banded": _q_simhash_pairs_banded,
         "dedup_components": _q_dedup_components,
+        "stratified_sample": _q_stratified_sample,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
@@ -709,6 +724,11 @@ WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
     # the banded pair join must return EXACTLY the quadratic verifier's
     # rows (pigeonhole guarantee) — sharing the oracle proves it
     out["simhash_pairs_banded"] = out["simhash_pairs"]
+    from cuda_gis_smoothing_spark.operators.sampling import stratified_sample_sql
+
+    out["stratified_sample"] = stratified_sample_sql(
+        _SAMPLE_FRACTIONS, default_fraction=0.05
+    )
     # connected components: recursive CTE (transitive closure + min per
     # node) checks Spark's iterative label propagation at its fixpoint
     out["dedup_components"] = f"""

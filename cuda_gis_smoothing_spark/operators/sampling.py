@@ -1,0 +1,78 @@
+"""Deterministic sampling for training-data pipelines.
+
+Hash-based Bernoulli sampling keyed on a stable id — NOT ``rand()``:
+the sample is reproducible across runs, engines, partitionings and
+retries (a task retry with ``rand()`` silently changes the sample; at
+100 TB retries are a certainty). The hash is the repo's portable
+affine-over-prime construction (operators/dedup.py) so DuckDB draws
+the *identical* sample — the per-row decision itself is
+correctness-gated, not just the aggregate rate.
+
+Stratified mode takes per-stratum fractions (e.g. downsample dominant
+languages, keep all of rare ones) — the usual class-rebalancing step
+before training. Everything is a single Catalyst filter: no shuffle,
+no UDF, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cuda_gis_smoothing_spark.operators.dedup import MH_PRIME
+
+# one more affine pair, disjoint from the MinHash ones, so sampling
+# never correlates with signature buckets
+S_A = 1_094_795_711
+S_B = 373_587_883
+_DENOM = 1_000_000  # fraction resolution 1e-6
+
+
+def sample_hash_col(id_col: str = "doc_id") -> Column:
+    return (F.col(id_col) * S_A + S_B) % MH_PRIME % _DENOM
+
+
+def sample_hash_sql(id_expr: str = "doc_id") -> str:
+    return f"(({id_expr} * {S_A} + {S_B}) % {MH_PRIME}) % {_DENOM}"
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided purely by the row's id."""
+    return df.where(sample_hash_col(id_col) < int(fraction * _DENOM))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing).
+
+    ``fractions`` maps stratum value → keep-fraction; strata not listed
+    keep ``default_fraction``. One filter expression, no shuffle.
+    """
+    thresh = F.lit(int(default_fraction * _DENOM))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * _DENOM))
+        ).otherwise(thresh)
+    return df.where(sample_hash_col(id_col) < thresh)
+
+
+def stratified_sample_sql(
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin drawing the identical per-row sample."""
+    branches = " ".join(
+        f"WHEN {strata_col} = '{value}' THEN {int(frac * _DENOM)}"
+        for value, frac in sorted(fractions.items(), reverse=True)
+    )
+    case = f"CASE {branches} ELSE {int(default_fraction * _DENOM)} END"
+    return f"SELECT * FROM {source} WHERE {sample_hash_sql(id_col)} < {case}"

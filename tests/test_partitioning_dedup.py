@@ -166,3 +166,25 @@ def test_banded_simhash_pairs_equal_quadratic(spark, docs_df):
     quad = sorted(map(tuple, simhash_pairs(docs_df, max_hamming=3).collect()))
     band = sorted(map(tuple, simhash_pairs_banded(docs_df, max_hamming=3).collect()))
     assert quad == band and len(quad) > 0
+
+
+def test_deterministic_sample_stable_rate_and_no_shuffle(spark, docs_df):
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    a = sorted(r["doc_id"] for r in deterministic_sample(docs_df, 0.5).collect())
+    b = sorted(r["doc_id"] for r in deterministic_sample(docs_df, 0.5).collect())
+    assert a == b and a  # identical across runs, non-empty
+    n = docs_df.count()
+    assert 0.35 * n <= len(a) <= 0.65 * n  # ~Bernoulli(0.5)
+    # subset monotonicity: shrinking the fraction only removes rows
+    c = set(r["doc_id"] for r in deterministic_sample(docs_df, 0.2).collect())
+    assert c <= set(a)
+
+    strat = stratified_sample(docs_df, {"en": 1.0}, default_fraction=0.0)
+    plan = strat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one filter, map-side only
+    langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
+    assert langs == {"en"}
