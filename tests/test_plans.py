@@ -101,3 +101,31 @@ def test_kring_expansion_has_no_shuffle_before_join(spark):
     cells = spark.createDataFrame(datagen.gen_cells(side=8)).select("cell")
     plan = _plan(kring_edges(cells, 2))
     assert "Exchange" not in plan  # pure Generate + Project, map-side only
+
+
+def test_scatter_smoothing_has_single_aggregation_exchange(spark):
+    """Scatter's selling point is structural: Generate → partial agg →
+    ONE exchange at cell cardinality → final agg → semi join. The
+    gather join's second hashpartitioning exchange must not appear on
+    the aggregation path."""
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth_scatter
+
+    cells = spark.createDataFrame(datagen.gen_cells(side=8))
+    plan_cfg = SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        scatter = _plan(smooth_scatter(cells, plan_cfg))
+        gather = _plan(smooth(cells, plan_cfg))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert scatter.count("Exchange hashpartitioning") < gather.count(
+        "Exchange hashpartitioning"
+    )
+    # all four variables still fused into one final aggregate
+    finals = [
+        ln
+        for ln in scatter.splitlines()
+        if "HashAggregate" in ln and "smoothed_ndvi" in ln and "smoothed_ndwi" in ln
+    ]
+    assert finals
