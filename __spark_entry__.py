@@ -36,10 +36,25 @@ def _ensure_shipped(spark: SparkSession) -> None:
     if key in _SHIPPED:
         return
     try:
+        import hashlib
         import shutil
         import tempfile
 
-        zip_base = os.path.join(tempfile.gettempdir(), "cuda_gis_smoothing_spark_pkg")
+        # content-keyed archive name: a fixed path would let a stale
+        # zip (built before a code edit in the same container) ship old
+        # UDF code to executors while the driver runs new code
+        pkg = os.path.join(_REPO, "cuda_gis_smoothing_spark")
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(pkg)):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    h.update(p.encode())
+                    with open(p, "rb") as fh:
+                        h.update(fh.read())
+        zip_base = os.path.join(
+            tempfile.gettempdir(), f"cuda_gis_smoothing_spark_{h.hexdigest()[:16]}"
+        )
         zip_path = zip_base + ".zip"
         if not os.path.exists(zip_path):
             shutil.make_archive(zip_base, "zip", _REPO, "cuda_gis_smoothing_spark")
@@ -92,11 +107,16 @@ _ZOOM = 12
 # --------------------------------------------------------------------------
 # entry
 # --------------------------------------------------------------------------
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: fused 4-var two-ring Gaussian smoothing + tile join."""
-    sf_dir = "/root/testdata/sf0.001"
+def entry(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: fused 4-var two-ring Gaussian smoothing + tile join.
+
+    Runs the scatter strategy (the pipeline default — one exchange at
+    cell cardinality, see operators/smoothing.py::smooth_scatter).
+    """
     cells = grid_from_lineitem(spark, sf_dir)
-    plan = SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES)
+    plan = SmoothingPlan(
+        variant="gaussian_k2", variables=ALL_VARIABLES, strategy="scatter"
+    )
     smoothed = smooth(cells, plan)
     tiles = tile_assignment(cells, zoom=_ZOOM)
     return smoothed.join(tiles, "cell").orderBy("cell")

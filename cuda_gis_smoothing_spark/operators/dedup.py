@@ -10,7 +10,7 @@ identically — no engine-private hash in any correctness-gated output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # modulus < 2^31 so a*x+b stays under 2^62 (no int64 overflow in either
 # engine — DuckDB raises on bigint overflow, Spark wraps; staying exact
@@ -20,20 +20,38 @@ MH_A = (906_021_953, 1_396_241_621, 403_931_569, 1_803_059_29, 729_614_273, 53_0
 MH_B = (252_529_531, 1_142_678_147, 882_212_081, 66_048_17, 1_989_221_141, 90_362_951)
 
 
+def _group_dedup(df: DataFrame, key, id_col: str) -> DataFrame:
+    """groupBy + join keyed dedup (shared by exact / tokenset).
+
+    The window-function form would sort every shuffle partition by the
+    digest just to broadcast two group aggregates back to the rows; the
+    groupBy collapses to one row per distinct key with map-side partial
+    aggregation, and the join back is a SHUFFLE_HASH equi-join on the
+    same key (no sort on either side — plan-asserted in
+    tests/test_plans.py). At 100 TB the group table is also exactly the
+    "keep one canonical doc" output a dedup pipeline materializes.
+    """
+    keyed = df.select(F.col(id_col), key.alias("_k"))
+    groups = keyed.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("dup_group_size"),
+        F.min(id_col).alias("canonical_id"),
+    )
+    return (
+        keyed.join(groups.hint("SHUFFLE_HASH"), "_k")
+        .select(
+            id_col,
+            "dup_group_size",
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).cast("int").alias("is_duplicate"),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: md5-keyed duplicate groups with a canonical row.
 
-    Scale path: the window over md5(text) is a hash shuffle on the
-    digest — uniformly distributed, no skew; at 100 TB prefer the
-    groupBy+join form (same plan shape, avoids whole-partition sort).
-    """
-    key = F.md5(F.col(text_col))
-    w = Window.partitionBy(key)
-    return df.select(
-        F.col(id_col),
-        F.count(F.lit(1)).over(w).alias("dup_group_size"),
-        F.min(id_col).over(w).alias("canonical_id"),
-    ).withColumn("is_duplicate", (F.col(id_col) != F.col("canonical_id")).cast("int"))
+    Hash shuffle on the digest — uniformly distributed, no skew."""
+    return _group_dedup(df, F.md5(F.col(text_col)), id_col)
 
 
 def tokenset_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -45,13 +63,7 @@ def tokenset_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     norm = F.array_join(
         F.array_sort(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))), " "
     )
-    key = F.md5(norm)
-    w = Window.partitionBy(key)
-    return df.select(
-        F.col(id_col),
-        F.count(F.lit(1)).over(w).alias("dup_group_size"),
-        F.min(id_col).over(w).alias("canonical_id"),
-    ).withColumn("is_duplicate", (F.col(id_col) != F.col("canonical_id")).cast("int"))
+    return _group_dedup(df, F.md5(norm), id_col)
 
 
 def token_hash_col(token_col: str = "t"):

@@ -9,11 +9,34 @@ in both engines (float epoch seconds would tie-break differently).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from cuda_gis_smoothing_spark.functions.numeric import round6
 
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+def event_micros(ts_col: str = "ts") -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ column, timezone-FREE.
+
+    ``unix_micros(ts.cast("timestamp"))`` interprets the naive value in
+    the session timezone — a constant offset under a fixed-offset zone,
+    but ±3600s drift across a DST transition, which would flip session
+    breaks / as-of gaps vs DuckDB's ``epoch_us`` on the naive value.
+    ``timestampdiff`` between two NTZ values never consults the session
+    zone, so this matches ``epoch_us`` under ANY driver-supplied zone.
+    """
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+
+
+def floordiv(col: Column, divisor: int) -> Column:
+    """Mathematical floor division on integers (Spark's ``DIV`` and
+    ``CAST(x/y AS LONG)`` both truncate toward zero, which differs from
+    floor for negative operands — pre-epoch timestamps would land in
+    the wrong time bucket)."""
+    return ((col - F.pmod(col, F.lit(divisor))) / divisor).cast("long")
 
 
 def sessionize(events: DataFrame) -> DataFrame:
@@ -25,11 +48,7 @@ def sessionize(events: DataFrame) -> DataFrame:
     bounded, so no skew lever is needed (a viral-user variant would
     sessionize within (user, day) buckets first).
     """
-    # parquet naive timestamps read as TIMESTAMP_NTZ; unix_micros wants
-    # TIMESTAMP. The NTZ→TZ cast adds a constant session-tz offset that
-    # cancels in gap DIFFERENCES, so the session-break predicate matches
-    # DuckDB's epoch_us on the naive value.
-    us = F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    us = event_micros("ts").alias("us")
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flagged = (
         events.select("user_id", "event_id", "ts", "value", us)
@@ -134,7 +153,7 @@ def asof_attribute(
     NULL click columns for lefts with no prior right — only time
     DIFFERENCES are emitted, so session-timezone offsets cancel.
     """
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = event_micros("ts")
     side = (F.col("event_type") == left_type).cast("int")
     base = events.where(F.col("event_type").isin([left_type, right_type])).select(
         "event_id", "user_id", "value", us.alias("us"), side.alias("_side")
@@ -201,23 +220,22 @@ def range_join_followups(
     replication factor stays 2 regardless of data volume or skew.
     """
     width_us = window_s * 1_000_000
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = event_micros("ts")
+    # integer floor-div bucketing: double division + cast truncates
+    # (wrong bucket for pre-epoch events) and loses ULPs at very large
+    # widths — exact integer arithmetic sidesteps both
+    bkt = floordiv(us, width_us)
     src = events.where(F.col("event_type") == src_type).select(
         F.col("event_id").alias("src_id"),
         "user_id",
         us.alias("src_us"),
-        F.explode(
-            F.array(
-                (us / width_us).cast("long"),
-                (us / width_us).cast("long") + 1,
-            )
-        ).alias("bucket"),
+        F.explode(F.array(bkt, bkt + 1)).alias("bucket"),
     )
     dst = events.where(F.col("event_type") == dst_type).select(
         F.col("event_id").alias("dst_id"),
         "user_id",
         us.alias("dst_us"),
-        (us / width_us).cast("long").alias("bucket"),
+        bkt.alias("bucket"),
     )
     joined = src.join(dst, ["user_id", "bucket"]).where(
         F.col("dst_us").between(F.col("src_us"), F.col("src_us") + width_us)

@@ -109,7 +109,10 @@ def ivf_knn(
         m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
         m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
         sims = m @ bc.value.T
-        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        # stable sort: exact centroid-similarity ties (the fixture has
+        # near/exact duplicate vectors) must resolve to the LOWEST cid,
+        # matching the oracle's ORDER BY sim DESC, cid
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 
     _probe.__annotations__ = {"emb": pd.Series, "return": pd.Series}

@@ -10,7 +10,7 @@ References:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from cuda_gis_smoothing_spark.hexgrid import ENC, OFFSET
 from cuda_gis_smoothing_spark.operators.smoothing import kring_edges
@@ -59,16 +59,26 @@ def locality_metric(cells: DataFrame) -> DataFrame:
     "Original position" = rank in cell-id order (the reference's array
     index); the metric is how far apart Morton-consecutive cells sit in
     the original layout.
-    """
-    idx = F.row_number().over(Window.orderBy("cell")).alias("idx")
-    z = morton_col("cell").alias("zkey")
-    df = cells.select("cell").select(F.col("cell"), idx, z)
-    lagged = F.lag("idx").over(Window.orderBy("zkey", "cell"))
-    from cuda_gis_smoothing_spark.functions.numeric import round6
 
+    Partition-parallel: both global orderings go through
+    ``plans.partitioning.global_ranks`` (range partition + local sort +
+    partition offsets) instead of a ``Window.orderBy`` that would pull
+    the entire cell table into one partition; the "lag" is a self-join
+    on the dense Morton-order position (zpos == zpos - 1), shuffled on
+    a unique integer key. Plan-asserted in tests/test_plans.py.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
+
+    z = cells.select("cell").select(F.col("cell"), morton_col("cell").alias("zkey"))
+    with_idx = global_ranks(z, ["cell"], "idx")
+    with_zpos = global_ranks(with_idx, ["zkey", "cell"], "zpos")
+    prev = with_zpos.select(
+        (F.col("zpos") + 1).alias("zpos"), F.col("idx").alias("pidx")
+    )
     return (
-        df.select((F.abs(F.col("idx") - lagged)).alias("d"))
-        .where(F.col("d").isNotNull())
+        with_zpos.join(prev, "zpos")
+        .select(F.abs(F.col("idx") - F.col("pidx")).alias("d"))
         .agg(round6(F.avg("d")).alias("avg_index_distance"))
     )
 

@@ -68,6 +68,58 @@ def spatial_repartition(df: DataFrame, num_partitions: int | None = None) -> Dat
     )
 
 
+def global_ranks(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based ranks over ``order_cols`` WITHOUT a global
+    sort — partition-parallel at any scale.
+
+    ``Window.orderBy(...)`` pulls the whole table into ONE partition.
+    Instead: (1) bucket rows by a DETERMINISTIC uniform range split of
+    the leading key (min/max joined in-plan as a 1-row broadcast — a
+    pure function of the data, so every consumer of the plan sees the
+    same buckets even when exchanges are not reused; physical-partition
+    tricks like ``monotonically_increasing_id`` over
+    ``repartitionByRange`` break exactly there, because range-sampled
+    boundaries can differ between re-executions); (2) rank locally
+    within each bucket (hash exchange on the bucket id + per-bucket
+    sort); (3) shift each bucket's local ranks by the row count of the
+    buckets before it — the offset table is one row per bucket, so its
+    prefix-sum window and broadcast join are O(num_buckets), not
+    O(rows).
+
+    Requires ``order_cols`` to form a unique key and the leading key to
+    be numeric. Uniform splits assume a roughly uniform leading key
+    (true for packed cell ids and Morton keys); for heavily skewed keys
+    substitute approxQuantile boundaries — the rest is unchanged.
+    """
+    from pyspark.sql import Window
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    k0 = order_cols[0]
+    mm = df.agg(F.min(k0).alias("_lo"), F.max(k0).alias("_hi"))
+    width = F.greatest(
+        ((F.col("_hi") - F.col("_lo") + 1) / parts).cast("long") + 1, F.lit(1)
+    )
+    bkt = ((F.col(k0) - F.col("_lo")) / width).cast("long").alias("_bkt")
+    b = df.crossJoin(F.broadcast(mm)).select(*df.columns, bkt)
+    local = F.row_number().over(Window.partitionBy("_bkt").orderBy(*order_cols))
+    ranked = b.select(*df.columns, "_bkt", local.alias("_lrank"))
+    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    # prefix sum over num_buckets rows — the ONLY single-partition
+    # step, structurally bounded by the bucket count, not the data
+    off = counts.select(
+        "_bkt",
+        (F.sum("_n").over(Window.orderBy("_bkt")) - F.col("_n")).alias("_off"),
+    )
+    return ranked.join(F.broadcast(off), "_bkt").select(
+        *df.columns, (F.col("_lrank") + F.col("_off")).alias(out_col)
+    )
+
+
 def salted_cell_aggregate(
     df: DataFrame,
     cell_col: str,

@@ -103,6 +103,43 @@ def test_kring_expansion_has_no_shuffle_before_join(spark):
     assert "Exchange" not in plan  # pure Generate + Project, map-side only
 
 
+def test_locality_metric_has_no_global_window(spark):
+    """O3 must not sort the full cell table in ONE partition: every
+    Window in the plan operates on the deterministic ``_bkt`` bucket
+    (per-bucket ranking, or the O(num_buckets) offset prefix sum) —
+    never a bare global ordering over cell/zkey rows."""
+    from cuda_gis_smoothing_spark.operators.stats import locality_metric
+
+    cells = spark.createDataFrame(datagen.gen_cells(side=8))
+    plan = _plan(locality_metric(cells))
+    windows = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert windows, "expected bucket-local windows in the plan"
+    for ln in windows:
+        assert "_bkt" in ln, f"global (single-partition) window found: {ln.strip()}"
+    # and no GLOBAL sort anywhere (per-bucket sorts print `], false`)
+    import re
+
+    global_sorts = [
+        ln for ln in plan.splitlines() if re.search(r"Sort \[.*\], true", ln)
+    ]
+    assert not global_sorts, f"global sorts found: {global_sorts}"
+
+
+def test_exact_dedup_has_no_sort(spark):
+    """groupBy+join dedup must not sort anything: map-side partial agg,
+    hash exchange on the digest, shuffled-hash join back."""
+    from cuda_gis_smoothing_spark.operators.dedup import exact_dedup, tokenset_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(50)], ["doc_id", "text"]
+    )
+    for op in (exact_dedup, tokenset_dedup):
+        plan = _plan(op(docs))
+        assert "Sort " not in plan and "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+        assert "Window" not in plan
+
+
 def test_scatter_smoothing_has_single_aggregation_exchange(spark):
     """Scatter's selling point is structural: Generate → partial agg →
     ONE exchange at cell cardinality → final agg → semi join. The
