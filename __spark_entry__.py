@@ -253,9 +253,10 @@ def _q_stratified_sample(spark, sf_dir):
 
 
 def _q_dedup_components(spark, sf_dir):
-    """Iterative Spark label propagation vs a recursive DuckDB CTE —
-    the one gate where the two engines run genuinely different
-    algorithm families to the same fixpoint."""
+    """Large-star/small-star edge rewiring (O(log n) rounds) vs a
+    recursive DuckDB CTE — the one gate where the two engines run
+    genuinely different algorithm families to the same fixpoint; the
+    O(diameter) label-propagation twin is cross-checked in pytest."""
     from cuda_gis_smoothing_spark.operators.dedup import neardup_components
 
     return neardup_components(load(spark, sf_dir, "documents"), max_hamming=1)

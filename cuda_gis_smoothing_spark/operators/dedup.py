@@ -148,6 +148,57 @@ def minhash_lsh_pairs(
     )
 
 
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str, block_col: str | None):
+    """Distinct lowercase whitespace tokens per doc (plus block col)."""
+    return df.select(
+        id_col,
+        *([block_col] if block_col else []),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("t"),
+    ).where(F.col("t") != "")
+
+
+def prefix_postings(
+    toks: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """AllPairs/PPJoin prefix postings: the provably sufficient subset
+    of the token-posting index for Jaccard >= ``threshold``.
+
+    Tokens within each doc are ordered by ascending document frequency
+    (tie-break: token text) — any total order is CORRECT, this one is
+    FAST because hot tokens sort last and drop out of prefixes. The
+    prefix keeps the first ``n - ceil(t*n) + 1`` tokens: a pair with
+    Jaccard >= t has intersection >= ceil(t*n) on each side, and its
+    smallest common token (in the global order) provably lands in BOTH
+    prefixes (Bayardo et al. "Scaling Up All Pairs", Xiao et al.
+    PPJoin) — so joining prefixes only loses NOTHING. This is what
+    bounds a hot token: one token in 1M docs contributes join rows only
+    from the few docs short enough to carry it in their prefix, instead
+    of 10^12 posting-pair rows.
+    """
+    from pyspark.sql import Window
+
+    keys = [id_col] + ([block_col] if block_col else [])
+    dfreq = toks.groupBy(*(([block_col] if block_col else []) + ["t"])).agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    with_df = toks.join(dfreq, ([block_col] if block_col else []) + ["t"])
+    w = Window.partitionBy(id_col).orderBy("_df", "t")
+    sized = with_df.select(
+        *keys,
+        "t",
+        F.row_number().over(w).alias("_pos"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("_n"),
+    )
+    # epsilon before ceil: fp noise may push an exact t*n UP a notch,
+    # which would SHORTEN the prefix and silently lose recall; pushing
+    # it down only lengthens the prefix (more candidates, still exact)
+    alpha = F.ceil(F.col("_n") * threshold - 1e-9)
+    return sized.where(F.col("_pos") <= F.col("_n") - alpha + 1).select(*keys, "t")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -155,28 +206,40 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = "lang",
 ) -> DataFrame:
-    """Token-set Jaccard near-dup pairs above ``threshold``.
+    """Token-set Jaccard near-dup pairs above ``threshold`` — EXACT
+    (gated against the all-pairs DuckDB oracle) but candidate-bounded.
 
-    Blocked on ``block_col`` to bound the pair space (at 100 TB use the
-    MinHash-LSH path for candidate generation; this is the exact
-    verifier). Implemented as token explode + equi self-join + count —
-    a pure shuffle-join, no UDFs, no cartesian product.
+    Candidates come from a self-join of :func:`prefix_postings` (see
+    there for the zero-recall-loss argument), so the join input is a
+    provably sufficient subset of the posting lists and a hot token no
+    longer makes the plan quadratic in its document frequency
+    (tests/test_partitioning_dedup.py has the synthetic-hot-token
+    bound). Verification then counts the exact intersection by joining
+    each candidate pair against the full token lists — linear in
+    (candidates x doc length), shuffle-keyed equi-joins throughout.
     """
-    toks = df.select(
-        id_col,
-        *( [block_col] if block_col else [] ),
-        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("t"),
-    ).where(F.col("t") != "")
+    toks = _doc_tokens(df, text_col, id_col, block_col)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    pp = prefix_postings(toks, threshold, id_col, block_col)
     join_keys = ["t"] + ([block_col] if block_col else [])
-    a = toks.alias("a")
-    b = toks.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    a = pp.alias("a")
+    b = pp.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for kcol in join_keys:
         cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
-    inter = (
+    cand = (
         a.join(b, cond)
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("doc_a"), F.col("t"))
+    tb = toks.select(F.col(id_col).alias("doc_b"), F.col("t"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "t"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
@@ -328,7 +391,116 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     )
 
 
+def _canonical_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge list as (a, b) with a > b, no self-loops, deduped."""
+    return (
+        e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood. One groupBy +
+    one equi-join on the node id — the same shuffle shape every round.
+    """
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("_mv"))
+    m = F.least(F.col("_mv"), F.col("a"))
+    return (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), m.alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node connects itself and its smaller
+    neighbors to its minimum smaller neighbor. Input/output canonical
+    (a > b)."""
+    mins = e.groupBy("a").agg(F.min("b").alias("_m"))
+    to_root = mins.select("a", F.col("_m").alias("b"))
+    siblings = (
+        e.join(mins, "a")
+        .where(F.col("b") != F.col("_m"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+    )
+    return to_root.union(siblings).distinct()
+
+
 def neardup_components(
+    df: DataFrame,
+    max_hamming: int = 1,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rounds: int = 16,
+    check_every: int = 4,
+) -> DataFrame:
+    """Connected components over the simhash near-dup graph: every doc
+    labeled with the SMALLEST doc_id transitively reachable through
+    pairs within ``max_hamming`` — the canonicalization step of a dedup
+    pipeline (keep one representative per component).
+
+    Large-star/small-star alternation (Kiveris et al.): each round
+    rewires edges toward local minima, converging to per-component
+    stars in O(log n) rounds INDEPENDENT of component diameter — a
+    length-L chain needs ~log L rounds here vs L rounds of plain label
+    propagation (:func:`neardup_components_propagation`, retained as
+    the differential twin). Per round: two groupBy+join passes over the
+    edge list, lineage truncated with ``localCheckpoint`` (swap for
+    reliable ``checkpoint`` on a preemptible cluster). Convergence is
+    checked only every ``check_every`` rounds (one cheap
+    symmetric-difference probe) instead of a driver action per round;
+    if the budget runs out unconverged the loop RAISES rather than
+    returning wrong labels silently.
+
+    Not SQL-expressible in one pass — the DuckDB oracle uses a
+    recursive CTE (transitive closure + min per node), so the gate
+    cross-validates an ITERATIVE Spark algorithm against a recursive
+    SQL one.
+    """
+    pairs = simhash_pairs_banded(
+        df, max_hamming=max_hamming, bits=bits, text_col=text_col, id_col=id_col
+    )
+    edges = _canonical_edges(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    ).localCheckpoint()
+    converged = False
+    for r in range(1, max_rounds + 1):
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        if r % check_every == 0 or r == max_rounds:
+            diff = (
+                nxt.exceptAll(edges).union(edges.exceptAll(nxt)).limit(1).count()
+            )
+            if diff == 0:
+                converged = True
+                edges = nxt
+                break
+        edges = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
+    # at the star fixpoint every non-root node has exactly one edge to
+    # its component root (= component min)
+    roots = edges.groupBy("a").agg(F.min("b").alias("component"))
+    return (
+        df.select(F.col(id_col).alias("a"))
+        .join(roots, "a", "left")
+        .select(
+            F.col("a").alias(id_col),
+            F.coalesce("component", F.col("a")).alias("component"),
+        )
+    )
+
+
+def neardup_components_propagation(
     df: DataFrame,
     max_hamming: int = 1,
     bits: int = 16,
@@ -336,24 +508,15 @@ def neardup_components(
     id_col: str = "doc_id",
     max_iter: int = 50,
 ) -> DataFrame:
-    """Connected components over the simhash near-dup graph: every doc
-    labeled with the SMALLEST doc_id transitively reachable through
-    pairs within ``max_hamming`` — the canonicalization step of a dedup
-    pipeline (keep one representative per component).
-
-    Iterative min-label propagation to fixpoint: each round, a node's
-    label becomes the min of its own and its neighbors' labels; the
-    loop stops when no label changes (O(component diameter) rounds).
-    Lineage is truncated per round with ``localCheckpoint`` so the plan
-    does not grow with iterations — at 100 TB switch to reliable
-    checkpoints and the large-star/small-star edge rewiring (Kiveris et
-    al., "Connected Components in MapReduce"), which cuts rounds to
-    O(log n) with the same per-round shape (join + min-aggregate).
-
-    Not SQL-expressible in one pass — the DuckDB oracle uses a
-    recursive CTE (transitive closure + min per node), so the gate
-    cross-validates an ITERATIVE Spark algorithm against a recursive
-    SQL one.
+    """Differential twin of :func:`neardup_components`: plain iterative
+    min-label propagation (a node's label becomes the min of its own
+    and its neighbors' labels, O(component diameter) rounds with a
+    driver-side convergence count per round). Kept because two
+    genuinely different algorithm families agreeing on the same labels
+    is the cross-validation the reference's case-study script models
+    (/root/reference/scripts/case-study.sh:107-137). Raises if the
+    round budget is exhausted before the fixpoint (never returns
+    unconverged labels silently).
     """
     pairs = simhash_pairs_banded(
         df, max_hamming=max_hamming, bits=bits, text_col=text_col, id_col=id_col
@@ -390,4 +553,8 @@ def neardup_components(
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

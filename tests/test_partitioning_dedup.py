@@ -188,3 +188,85 @@ def test_deterministic_sample_stable_rate_and_no_shuffle(spark, docs_df):
     assert "Exchange" not in plan  # one filter, map-side only
     langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
     assert langs == {"en"}
+
+
+def test_prefix_filter_bounds_hot_token_and_loses_nothing(spark):
+    """A token present in EVERY doc must not appear in (most) prefixes:
+    the prefix-posting join input stays near-linear under a synthetic
+    hot token, and the filtered pair output is IDENTICAL to the
+    unfiltered all-pairs jaccard (zero recall loss)."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        _doc_tokens,
+        ngram_jaccard_pairs,
+        prefix_postings,
+    )
+
+    n_docs, toks_per_doc, thr = 120, 10, 0.5
+    rows = []
+    for i in range(n_docs):
+        base = [f"w{i}_{j}" for j in range(toks_per_doc - 1)]
+        if i % 2 == 0:  # even docs: near-dup pairs (i, i+1) by overlap
+            base = [f"shared{i}_{j}" for j in range(toks_per_doc - 1)]
+        elif i % 2 == 1:
+            base = [f"shared{i - 1}_{j}" for j in range(toks_per_doc - 2)] + [f"w{i}"]
+        rows.append((i, " ".join(base + ["hot"])))  # 'hot' in EVERY doc
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    toks = _doc_tokens(docs, "text", "doc_id", None)
+    pp = prefix_postings(toks, thr, "doc_id", None)
+    hot_postings = pp.where(F.col("t") == "hot").count()
+    assert hot_postings == 0, "max-df token must sort out of every prefix"
+    # prefix join input is a strict subset of the full posting lists
+    assert pp.count() < toks.count()
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=thr, block_col=None
+        ).collect()
+    }
+    # brute-force truth over token sets
+    import itertools
+
+    sets = {i: set(t.split()) for i, t in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        j = i / (len(sets[a]) + len(sets[b]) - i)
+        if round(j + 1e-9, 6) >= thr:
+            want.add((a, b, round(j + 1e-9, 6)))
+    assert got == want and len(want) >= n_docs // 2 - 1
+
+
+def test_star_components_match_propagation_twin(spark, docs_df):
+    """Two genuinely different CC algorithm families — O(log n)
+    large-star/small-star rewiring vs O(diameter) min-label
+    propagation — must produce identical component labels, including
+    on a long chain (where the star algorithm's round advantage is
+    largest and an off-by-one in the rewiring would split the chain)."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        _canonical_edges,
+        _large_star,
+        _small_star,
+        neardup_components,
+        neardup_components_propagation,
+    )
+
+    a = neardup_components(docs_df, max_hamming=1)
+    b = neardup_components_propagation(docs_df, max_hamming=1)
+    assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+
+    # star rounds on a raw 60-node chain: diameter 59, must converge
+    # in far fewer than 59 rounds and label everything with node 0
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(59)], ["a", "b"]
+    )
+    e = _canonical_edges(chain).localCheckpoint()
+    for r in range(1, 11):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        if nxt.exceptAll(e).union(e.exceptAll(nxt)).count() == 0:
+            break
+        e = nxt
+    assert r < 10, "star alternation should converge in O(log n) rounds"
+    roots = {row.b for row in e.select("b").distinct().collect()}
+    assert roots == {0}
