@@ -361,9 +361,26 @@ def _q_top_event_types(spark, sf_dir):
 
 
 def _q_dedup_embedding(spark, sf_dir):
+    """Exact all-pairs cosine near-dup through the blocked triangle
+    equi-join (no Cartesian/NestedLoop node — plan-asserted)."""
     from cuda_gis_smoothing_spark.operators.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_EMB_BANDED_THRESHOLD = 0.2
+
+
+def _q_dedup_embedding_banded(spark, sf_dir):
+    """Bucketed near-dup path: banded hyperplane sign-bit candidates +
+    exact cosine verify — gated against a DuckDB twin of the SAME
+    banded semantics (the knn_lsh precedent: the gate proves the Spark
+    bucketed plan implements the declared arithmetic exactly)."""
+    from cuda_gis_smoothing_spark.operators.dedup import embedding_neardup_pairs_banded
+
+    return embedding_neardup_pairs_banded(
+        load(spark, sf_dir, "embeddings"), threshold=_EMB_BANDED_THRESHOLD
+    )
 
 
 def _q_smooth_strict_k2(spark, sf_dir):
@@ -414,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_followups": _q_range_join,
         "top_event_types": _q_top_event_types,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_banded": _q_dedup_embedding_banded,
         "tile_pyramid": _q_tile_pyramid,
         "pip_regions": _q_pip_regions,
         "knn_cells": _q_knn_cells,
@@ -741,6 +759,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
 """.strip(),
+        "dedup_embedding_banded": _emb_banded_sql(),
     }
     # the banded pair join must return EXACTLY the quadratic verifier's
     # rows (pigeonhole guarantee) — sharing the oracle proves it
@@ -849,6 +868,43 @@ def _top_event_types_sql() -> str:
     from cuda_gis_smoothing_spark.operators.events import top_event_types_sql
 
     return top_event_types_sql(3)
+
+
+def _emb_banded_sql() -> str:
+    """DuckDB twin of operators/dedup.embedding_neardup_pairs_banded:
+    same hyperplane family, same band packing, same exact-cosine verify
+    (sign margins checked: min |projection| on the fixture is 1.3e-5,
+    orders of magnitude above either engine's dot-product fp error, so
+    the band values are engine-independent)."""
+    from cuda_gis_smoothing_spark.operators.dedup import EMB_BANDS, EMB_PLANES
+
+    width = EMB_PLANES // EMB_BANDS
+    band_selects = []
+    for b in range(EMB_BANDS):
+        bits = " + ".join(
+            f"CASE WHEN list_dot_product(emb, {_lsh_plane_weights(b * width + k)!r}::DOUBLE[]) > 0 "
+            f"THEN {1 << k} ELSE 0 END"
+            for k in range(width)
+        )
+        band_selects.append(f"SELECT vec_id, {b} AS band, ({bits}) AS bv FROM n")
+    bands_union = "\n  UNION ALL ".join(band_selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
+k AS (
+  {bands_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM k a JOIN k b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) + 1e-09, 6) AS cosine
+FROM cand c
+JOIN n x ON x.vec_id = c.vec_a
+JOIN n y ON y.vec_id = c.vec_b
+WHERE ROUND(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) + 1e-09, 6) >= {_EMB_BANDED_THRESHOLD}
+""".strip()
 
 
 def _lsh_plane_weights(p: int, dim: int = _EMB_DIM) -> list[float]:

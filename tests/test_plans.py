@@ -140,6 +140,35 @@ def test_exact_dedup_has_no_sort(spark):
         assert "Window" not in plan
 
 
+def test_embedding_neardup_has_no_nested_loop(spark):
+    """Both embedding near-dup paths must plan as hash-partitioned
+    equi-joins: the exact verifier through the blocked triangle join,
+    the banded path through (band, bv) buckets — never a
+    BroadcastNestedLoop or CartesianProduct node."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_banded,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for op in (embedding_neardup_pairs, embedding_neardup_pairs_banded):
+        plan = _plan(op(emb))
+        assert "BroadcastNestedLoop" not in plan, op.__name__
+        assert "CartesianProduct" not in plan, op.__name__
+    # with broadcast off (the 100 TB regime) the same plans become
+    # shuffle equi-joins on hash-partitioned exchanges
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for op in (embedding_neardup_pairs, embedding_neardup_pairs_banded):
+            plan = _plan(op(emb))
+            assert "BroadcastNestedLoop" not in plan, op.__name__
+            assert "CartesianProduct" not in plan, op.__name__
+            assert "Exchange hashpartitioning" in plan, op.__name__
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_scatter_smoothing_has_single_aggregation_exchange(spark):
     """Scatter's selling point is structural: Generate → partial agg →
     ONE exchange at cell cardinality → final agg → semi join. The
