@@ -93,7 +93,13 @@ from cuda_gis_smoothing_spark.operators.smoothing import (
 from cuda_gis_smoothing_spark.operators.spatial import tile_assignment, tile_sql
 from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
 from cuda_gis_smoothing_spark.plans.partitioning import morton_sql
-from cuda_gis_smoothing_spark.sources.tables import GRID_CELLS_SQL, grid_from_lineitem, load
+from cuda_gis_smoothing_spark.sources.tables import (
+    GRID_CELLS_SQL,
+    GRID_QTY_SQL,
+    grid_from_lineitem,
+    grid_qty_from_lineitem,
+    load,
+)
 
 _R1 = [dq * ENC + dr for dq, dr in RING1_OFFSETS]
 _R2 = [dq * ENC + dr for dq, dr in RING2_OFFSETS]
@@ -383,6 +389,22 @@ def _q_dedup_embedding_banded(spark, sf_dir):
     )
 
 
+#: gaussian_k2 ring weights x 10^4, exact integers (0.6065 / 0.1353
+#: are 4-decimal constants — reference kernel literals)
+_SCALED_W_K2 = {0: 10_000, 1: 6_065, 2: 1_353}
+
+
+def _q_smooth_scatter_k2(spark, sf_dir):
+    """The SCATTER physical strategy, value-gated: integer fixed-point
+    sums make the reassociated shuffle partials bit-exact against the
+    oracle's fold (see smooth_scatter_int)."""
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth_scatter_int
+
+    cells = grid_qty_from_lineitem(spark, sf_dir)
+    out = smooth_scatter_int(cells, "qty", _SCALED_W_K2, k=2, out_col="smoothed_qty")
+    return out.select("cell", round6("smoothed_qty").alias("smoothed_qty"))
+
+
 def _q_smooth_strict_k2(spark, sf_dir):
     cells = grid_from_lineitem(spark, sf_dir)
     out = smooth(
@@ -426,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "smooth_strict_k2": _q_smooth_strict_k2,
+        "smooth_scatter_k2": _q_smooth_scatter_k2,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
         "range_join_followups": _q_range_join,
@@ -744,6 +767,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
 WHERE rank <= 5
 """.strip(),
         "smooth_strict_k2": _smooth_strict_sql(),
+        "smooth_scatter_k2": _smooth_scatter_sql(),
         "sessionize": _sessionize_sql(),
         "asof_attribution": _asof_sql(),
         "range_join_followups": _range_join_sql(),
@@ -938,6 +962,28 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
   FROM p
 )
 WHERE rank <= 5
+""".strip()
+
+
+def _smooth_scatter_sql() -> str:
+    """Fixed-point twin of _q_smooth_scatter_k2: the scatter and gather
+    forms are algebraically identical under symmetric offsets, and the
+    integer numerator/denominator are exact in any association — so the
+    relational gather SQL hash-matches Spark's scatter plan exactly."""
+    offs = [
+        (0, _SCALED_W_K2[0]),
+        *[(d, _SCALED_W_K2[1]) for d in _R1],
+        *[(d, _SCALED_W_K2[2]) for d in _R2],
+    ]
+    vals = ", ".join(f"({d}, {w})" for d, w in offs)
+    return f"""
+WITH {GRID_QTY_SQL},
+offsets (delta, w) AS (VALUES {vals})
+SELECT c.cell AS cell,
+       ROUND(SUM(n.qty * o.w) * 1.0 / SUM(o.w) + 1e-09, 6) AS smoothed_qty
+FROM cellsq c CROSS JOIN offsets o
+JOIN cellsq n ON n.cell = c.cell + o.delta
+GROUP BY c.cell
 """.strip()
 
 

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "simhash",
     "knn_cosine",
+    "smooth_scatter_k2",
+    "dedup_embedding_banded",
 ]
 
 
@@ -153,6 +155,64 @@ def d2_smoothing_bench(spark, n_cells: int) -> tuple[int, float, float]:
     return n, secs["gather"], secs["scatter"]
 
 
+def d2_bucketed_bench(spark, n_cells: int) -> dict:
+    """Bucketed-layout payoff for the SAME gather smoothing pass: the
+    write-once ``bucketBy(cell)`` layout (the cluster analog of the
+    reference's one-off spatial reordering, createSpatialReordering,
+    hex_smooth_cuda_v4.cu:264-297) hands the value side of the neighbor
+    join to Catalyst pre-hash-partitioned, deleting that Exchange from
+    every subsequent epoch. Timed from cold parquet scans on BOTH
+    layouts with auto-broadcast off (the 100 TB regime where the join
+    actually shuffles); the exchange counts are read off the plans so
+    the delta is attributable, not inferred."""
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth
+    from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
+    from cuda_gis_smoothing_spark.sources.sink import read_bucketed, write_bucketed
+
+    grid, n = synth_grid(spark, n_cells)
+    plain_path = f"/tmp/spark_graft_bench_plain_{n}"
+    bucketed_path = f"/tmp/spark_graft_bench_bucketed_{n}"
+    if not os.path.exists(plain_path):
+        grid.write.mode("overwrite").parquet(plain_path)
+    try:
+        bucketed = read_bucketed(spark, "bench_cells_bucketed")
+        if bucketed.count() != n:
+            raise ValueError("stale bucketed table")
+    except Exception:
+        write_bucketed(
+            grid, "bench_cells_bucketed", n_buckets=CPUS, path=bucketed_path
+        )
+        bucketed = read_bucketed(spark, "bench_cells_bucketed")
+    plain = spark.read.parquet(plain_path)
+
+    plan = SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    out = {"n_cells": n}
+    layouts = (("plain", plain), ("bucketed", bucketed))
+    try:
+        for label, src in layouts:
+            out[f"{label}_exchanges"] = (
+                smooth(src, plan)._jdf.queryExecution().executedPlan().toString()
+            ).count("Exchange hashpartitioning")
+            _run_noop(smooth(src, plan))  # warm (codegen + page cache)
+        # interleaved min-of-3 per layout: shared-host noise between
+        # epochs otherwise lands entirely on whichever ran first
+        for label, src in layouts * 3:
+            t0 = time.perf_counter()
+            _run_noop(smooth(src, plan))
+            sec = time.perf_counter() - t0
+            out[f"{label}_sec"] = round(min(out.get(f"{label}_sec", sec), sec), 3)
+        for label, _ in layouts:
+            log(
+                f"D2 gather [{label} layout]: {out[f'{label}_sec']}s, "
+                f"{out[f'{label}_exchanges']} hash exchanges"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return out
+
+
 def scaling_child(cores: int, n_images: int) -> None:
     """Entry for the subprocess: run the pipeline at local[cores]."""
     from cuda_gis_smoothing_spark.session import get_spark
@@ -234,6 +294,20 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 3)
         log(f"{name}: {per_query[name]}s")
 
+    # trained-IVF ANN (k-means|| centroids + bucket probes), all-vs-all
+    # self-ANN over the sf embeddings — the dedup-shaped ANN workload
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.operators.similarity import ivf_knn_trained
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    ivf_queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    t0 = time.perf_counter()
+    _run_noop(ivf_knn_trained(emb, ivf_queries, k=5, n_centroids=8, n_probe=2))
+    ivf_trained_sec = round(time.perf_counter() - t0, 3)
+    emb.unpersist()
+    log(f"knn_ivf_trained (all-vs-all): {ivf_trained_sec}s")
+
     # smoothing throughput: fused two-ring pass over the testdata grid
     from cuda_gis_smoothing_spark.operators.smoothing import smooth
     from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
@@ -253,6 +327,7 @@ def main() -> None:
     # synthesized as a hex patch with pure column math, fused 4-var
     # two-ring Gaussian pass (the reference v5 flagship config)
     d2_cells, d2_sec, d2_scatter_sec = d2_smoothing_bench(spark, N_CELLS)
+    d2_bucketed = d2_bucketed_bench(spark, N_CELLS)
 
     # image pipeline headline
     images_path = ensure_images(spark, N_IMAGES)
@@ -281,6 +356,8 @@ def main() -> None:
         "d2_cells_per_sec": round(d2_cells / d2_sec, 1),
         "d2_scatter_pass_sec": round(d2_scatter_sec, 3),
         "d2_scatter_cells_per_sec": round(d2_cells / d2_scatter_sec, 1),
+        "d2_bucketed": d2_bucketed,
+        "knn_ivf_trained_sec": ivf_trained_sec,
         "scaling": scaling,
     }
     print(json.dumps(result))

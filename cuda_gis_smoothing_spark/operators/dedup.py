@@ -472,26 +472,46 @@ def embedding_neardup_pairs_banded(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
-    """SimHash fingerprint (``bits`` wide) over distinct tokens.
+    """SimHash fingerprint (``bits`` wide, up to 64) over distinct
+    tokens.
 
     Bit b of the fingerprint = majority vote of bit b across token
     hashes. Expressed as explode(tokens) x explode(bits) → groupBy —
     all JVM-side arithmetic on the shared portable token hash.
+
+    The base token hash carries 31 usable bits (mod MH_PRIME < 2^31);
+    wider fingerprints read bits from independent affine transforms of
+    it (the MinHash transform family): bit b votes on bit ``b % 31`` of
+    ``h_(b//31)`` where h_0 = h (so fingerprints up to 31 bits — and
+    the 16-bit driver gate — are unchanged) and h_k = (h*A_k + B_k) %
+    MH_PRIME. The fingerprint itself aggregates with ``bit_or`` (not a
+    sum), so bit 63 is sign-safe in one BIGINT.
     """
+    if bits > 64:
+        raise ValueError("simhash supports at most 64 bits")
     toks = df.select(
         id_col, F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("t")
     ).where(F.col("t") != "")
     h = toks.select(id_col, token_hash_col("t").alias("h"))
+    tiers = ["h"]
+    for k in range((bits + 30) // 31 - 1):
+        tiers.append(f"((h * {MH_A[k]} + {MH_B[k]}) % {MH_PRIME})")
+    vote_src = (
+        "CASE " + " ".join(
+            f"WHEN b DIV 31 = {k} THEN {t}" for k, t in enumerate(tiers)
+        ) + " END"
+    )
     bit = F.explode(F.array(*[F.lit(b) for b in range(bits)])).alias("b")
     votes = h.select(id_col, "h", bit).select(
         id_col,
         "b",
-        F.expr("(shiftright(h, b) & 1) * 2 - 1").alias("v"),
+        F.expr(f"(shiftright({vote_src}, b % 31) & 1) * 2 - 1").alias("v"),
     )
     bitvals = votes.groupBy(id_col, "b").agg(F.sum("v").alias("s"))
     return bitvals.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
+        F.expr(
+            "bit_or(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+            "ELSE CAST(0 AS BIGINT) END)"
         ).alias("simhash")
     )
 

@@ -61,6 +61,106 @@ def cosine_knn(
     return ranked.where(F.col("rank") <= k).select(query_id_col, "neighbor_id", "rank")
 
 
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    oversample: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """k-means‖-style centroid training, fully deterministic (no RNG
+    state) and bounded on the driver.
+
+    1. Oversample ``oversample * n_centroids`` candidates by HASH RANK
+       (distributed orderBy+limit — the deterministic stand-in for
+       k-means‖'s random oversampling pass; collect is bounded at L
+       rows, never the corpus).
+    2. Reduce to ``n_centroids`` seeds with greedy farthest-point
+       selection on the driver (the deterministic analog of k-means++'s
+       cost-weighted draw, and exactly k-means‖'s "recluster the
+       oversampled set" step).
+    3. ``iters`` distributed Lloyd rounds: vectorized pandas-UDF
+       assignment (one numpy matmul per Arrow batch), centroid update
+       as a JVM-side posexplode + groupBy(bucket, dim) mean — collects
+       n_centroids*dim aggregate rows per round, never data rows.
+
+    Returns a numpy (n_centroids, dim) array of UNIT-norm centroids.
+    Lloyd means aggregate distributed doubles, so centroids can differ
+    across runs by fp-association noise — callers gate on recall, not
+    on bit-exact centroid values (the seeded variant in :func:`ivf_knn`
+    keeps the SQL-exact driver gate).
+    """
+    import numpy as np
+
+    L = oversample * n_centroids
+    pool_rows = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(emb_col).cast("array<double>").alias("_e"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(1_000_003)).alias("_r"),
+        )
+        .orderBy("_r", id_col)
+        .limit(L)
+        .collect()
+    )
+    pool = np.asarray([r["_e"] for r in pool_rows], dtype=np.float64)
+    pool /= np.linalg.norm(pool, axis=1, keepdims=True) + 1e-12
+    chosen = [0]
+    for _ in range(n_centroids - 1):
+        d = np.min(1.0 - pool @ pool[chosen].T, axis=1)
+        d[chosen] = -1.0
+        chosen.append(int(np.argmax(d)))
+    cents = pool[chosen].copy()
+
+    norm = with_norm(embeddings, emb_col).select(
+        (F.col("_emb")).alias("_emb"), "_nrm"
+    )
+    for _ in range(iters):
+        assign = _nearest_bucket_udf(embeddings.sparkSession, cents)
+        assigned = norm.select(
+            assign(F.col("_emb")).alias("_b"),
+            F.transform(
+                "_emb", lambda x: x / (F.col("_nrm") + F.lit(1e-12))
+            ).alias("_u"),
+        )
+        sums = (
+            assigned.select("_b", F.posexplode("_u").alias("_d", "_x"))
+            .groupBy("_b", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["_b"], np.zeros(cents.shape[1]))[r["_d"]] = r["_s"]
+            cnt[r["_b"]] = r["_n"]
+        for b, v in acc.items():
+            if cnt[b] > 0:
+                new[b] = v / cnt[b]
+        new /= np.linalg.norm(new, axis=1, keepdims=True) + 1e-12
+        cents = new
+    return cents
+
+
+def _nearest_bucket_udf(spark, cents):
+    """Vectorized nearest-centroid assignment (broadcast + matmul)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+
+    def _nearest(emb):
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
+
+    _nearest.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_nearest, T.IntegerType())
+
+
 def ivf_knn(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -69,29 +169,36 @@ def ivf_knn(
     n_probe: int = 2,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    centroids=None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into centroid buckets,
     probe the ``n_probe`` nearest buckets per query, exact-rerank local.
 
-    Centroid "training" is deterministic (no RNG state): the corpus
-    vectors with the ``n_centroids`` smallest ids act as seeds — at
-    scale replace with a k-means|| pass; the bucketing/probing plumbing
-    is identical. Assignment is one numpy matmul per Arrow batch
-    (vectorized pandas UDF); the probe join shuffles on bucket id only.
+    Default centroid "training" is deterministic (no RNG state): the
+    corpus vectors with the ``n_centroids`` smallest ids act as seeds —
+    SQL-expressible, so the driver gate checks the whole bucket/probe
+    plumbing exactly. Pass ``centroids`` (e.g. from
+    :func:`train_centroids`, the k-means‖ path) for real recall at
+    scale; the plumbing is identical. Assignment is one numpy matmul
+    per Arrow batch (vectorized pandas UDF); the probe join shuffles on
+    bucket id only.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = embeddings.sparkSession
-    seeds = (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col("embedding").cast("array<double>"))
-        .collect()
-    )
-    cents = np.asarray([r[0] for r in seeds], dtype=np.float64)  # (C, d)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+    if centroids is None:
+        seeds = (
+            embeddings.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col("embedding").cast("array<double>"))
+            .collect()
+        )
+        cents = np.asarray([r[0] for r in seeds], dtype=np.float64)  # (C, d)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
     bc = spark.sparkContext.broadcast(cents)
 
     # NOTE: annotations set as live objects — postponed (string)
@@ -143,6 +250,34 @@ def ivf_knn(
         ),
     )
     return ranked.where(F.col("rank") <= k).select(query_id_col, "neighbor_id", "rank")
+
+
+def ivf_knn_trained(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN over k-means‖-trained centroids (:func:`train_centroids`)
+    — the recall-at-scale path; pytest gates its recall@k against the
+    seeded variant and exact brute force on the fixture corpus."""
+    cents = train_centroids(
+        embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col
+    )
+    return ivf_knn(
+        embeddings,
+        queries,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        centroids=cents,
+    )
 
 
 def lsh_bucketed_knn(

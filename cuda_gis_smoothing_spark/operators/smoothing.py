@@ -176,6 +176,59 @@ def smooth_scatter(cells: DataFrame, plan: SmoothingPlan) -> DataFrame:
     return agg.join(cells.select("cell"), "cell", "left_semi")
 
 
+def smooth_scatter_int(
+    cells: DataFrame,
+    value_col: str,
+    scaled_weights: dict[int, int],
+    k: int = 2,
+    out_col: str = "smoothed",
+) -> DataFrame:
+    """Value-gated scatter smoothing with a reassociation-safe oracle
+    story: integer-scaled fixed-point sums.
+
+    Scatter reassociates the weighted sum (partials merge in shuffle
+    order), so a float gate could in principle land on the other side
+    of a rounding boundary than the oracle's fold. With an INTEGER
+    value column and integer-scaled weights the numerator and
+    denominator are exact BIGINTs in ANY association (the int-sum mean
+    trick from operators/multimodal.py:47-49), and the single final
+    division is deterministic — the driver hash gate holds bit-for-bit
+    through the scatter plan (Generate → partial agg → ONE exchange at
+    cell cardinality → final agg → semi join, same shape as
+    :func:`smooth_scatter`). Keep products under 2^62: value_col *
+    max(weight) * ring_size bounded — raises if weights are not ints.
+    """
+    for w in scaled_weights.values():
+        if not isinstance(w, int):
+            raise TypeError("scaled_weights must be integers (fixed-point)")
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(neighbor_delta(dq, dr)).alias("delta"),
+                F.lit(scaled_weights[ring]).alias("w"),
+            )
+            for dq, dr, ring in kring_offsets(k, include_center=True)
+        ]
+    )
+    contrib = cells.select(
+        F.col("cell"),
+        F.explode(offs).alias("o"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).select(
+        (F.col("cell") + F.col("o.delta")).alias("cell"),
+        F.col("o.w").cast("long").alias("w"),
+        "_v",
+    )
+    agg = contrib.groupBy("cell").agg(
+        F.sum(F.col("_v") * F.col("w")).alias("_num"),
+        F.sum("w").alias("_den"),
+    )
+    smoothed = (F.col("_num").cast("double") / F.col("_den").cast("double")).alias(
+        out_col
+    )
+    return agg.join(cells.select("cell"), "cell", "left_semi").select("cell", smoothed)
+
+
 def smooth_with_stats(cells: DataFrame, plan: SmoothingPlan) -> DataFrame:
     """Like :func:`smooth` but also emits the valid-neighbor count and
     weight mass per cell (useful for validation / lineage)."""

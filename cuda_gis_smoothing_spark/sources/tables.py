@@ -75,3 +75,30 @@ cells4 AS (
   FROM cells
 )
 """.strip()
+
+
+def grid_qty_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cells(cell, qty) with an INTEGER value column: qty = per-cell
+    SUM(l_quantity) as BIGINT (l_quantity is integer-valued, so the
+    double sum is exact in any order and the cast is lossless in both
+    engines). The input for fixed-point value-gated scatter smoothing
+    (operators/smoothing.py::smooth_scatter_int)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey", "l_quantity")
+    q = F.col("l_partkey") % GRID
+    r = F.col("l_orderkey") % GRID
+    cell = ((q + OFFSET) * ENC + (r + OFFSET)).alias("cell")
+    return (
+        li.select(cell, "l_quantity")
+        .groupBy("cell")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+
+
+GRID_QTY_SQL = f"""
+cellsq AS (
+  SELECT ((l_partkey % {GRID}) + {OFFSET}) * {ENC} + ((l_orderkey % {GRID}) + {OFFSET}) AS cell,
+         CAST(SUM(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+  GROUP BY 1
+)
+""".strip()
