@@ -258,6 +258,15 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """The composed training-data pipeline (lang filter -> quality
+    filter -> exact dedup -> LSH-verified near-dup drop -> deterministic
+    sample), driver-gated end-to-end as ONE query."""
+    from cuda_gis_smoothing_spark.operators.curate import curate_corpus
+
+    return curate_corpus(load(spark, sf_dir, "documents"))
+
+
 def _q_dedup_components(spark, sf_dir):
     """Large-star/small-star edge rewiring (O(log n) rounds) vs a
     recursive DuckDB CTE — the one gate where the two engines run
@@ -442,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "simhash_pairs_banded": _q_simhash_pairs_banded,
         "dedup_components": _q_dedup_components,
+        "curate_corpus": _q_curate_corpus,
         "stratified_sample": _q_stratified_sample,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
@@ -788,6 +798,64 @@ WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
     # the banded pair join must return EXACTLY the quadratic verifier's
     # rows (pigeonhole guarantee) — sharing the oracle proves it
     out["simhash_pairs_banded"] = out["simhash_pairs"]
+    # composed curation pipeline: one twin for the whole chain
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+    from cuda_gis_smoothing_spark.operators.curate import (
+        CURATE_LANG,
+        CURATE_MIN_QUALITY,
+        CURATE_NEARDUP_J,
+        CURATE_SAMPLE_F,
+    )
+    from cuda_gis_smoothing_spark.operators.sampling import _DENOM, sample_hash_sql
+
+    band_union2 = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (mh_{2 * b} * 8191 + mh_{2 * b + 1}) % {MH_PRIME} AS bh FROM sig2"
+        for b in range(3)
+    )
+    out["curate_corpus"] = f"""
+WITH q AS ({out["doc_quality"]}),
+l AS ({out["doc_language_id"]}),
+base AS (
+  SELECT d.doc_id, d.text, q.n_tokens, q.quality_score
+  FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+  WHERE l.pred_lang = '{CURATE_LANG}' AND q.quality_score >= {flit(CURATE_MIN_QUALITY)}
+),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+kept2 AS (SELECT b.* FROM base b JOIN canon USING (doc_id)),
+tok2 AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+    FROM kept2
+  ) WHERE t <> ''
+),
+h2 AS (SELECT doc_id, {th} AS h FROM tok2),
+sig2 AS (SELECT doc_id, {mh_aggs} FROM h2 GROUP BY doc_id),
+banded2 AS (
+  {band_union2}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded2 a JOIN banded2 b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok2 GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN tok2 a ON a.doc_id = c.doc_a
+  JOIN tok2 b ON b.doc_id = c.doc_b AND b.t = a.t
+  GROUP BY 1, 2
+),
+dropd AS (
+  SELECT DISTINCT doc_b AS doc_id FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE ROUND(i * 1.0 / (sa.n + sb.n - i) + 1e-09, 6) >= {flit(CURATE_NEARDUP_J)}
+)
+SELECT doc_id, n_tokens, quality_score
+FROM kept2
+WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
+  AND {sample_hash_sql("doc_id")} < {int(CURATE_SAMPLE_F * _DENOM)}
+""".strip()
     from cuda_gis_smoothing_spark.operators.sampling import stratified_sample_sql
 
     out["stratified_sample"] = stratified_sample_sql(

@@ -213,6 +213,39 @@ def d2_bucketed_bench(spark, n_cells: int) -> dict:
     return out
 
 
+def reorder_sweep(spark, n_cells: int) -> dict:
+    """Multi-level spatial-reordering sweep — the analog of the
+    reference's ``--levels N`` bisection sweep
+    (hex_smooth_cuda_v5.cu:906-941): time the fused gather pass with no
+    reorder vs ``spatial_repartition`` (range partition + sort on the
+    Morton key) at several partition counts. The reference found
+    reordering LOST to no-reorder on its hardware (BASELINE.md:44);
+    this quantifies the same trade under Spark, where a hash shuffle is
+    already key-clustered and the reorder adds a range exchange."""
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth
+    from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
+    from cuda_gis_smoothing_spark.plans.partitioning import spatial_repartition
+
+    grid, n = synth_grid(spark, n_cells)
+    grid = grid.cache()
+    grid.count()
+    plan = SmoothingPlan(variant="gaussian_k2", variables=ALL_VARIABLES)
+    variants: dict[str, object] = {"none": grid}
+    for p in (8, 32, 128):
+        variants[f"morton_{p}"] = spatial_repartition(grid, p)
+    out: dict[str, float] = {}
+    for name, src in variants.items():
+        _run_noop(smooth(src, plan))  # warm
+    for name, src in list(variants.items()) * 2:  # interleaved min-of-2
+        t0 = time.perf_counter()
+        _run_noop(smooth(src, plan))
+        sec = time.perf_counter() - t0
+        out[name] = round(min(out.get(name, sec), sec), 3)
+    grid.unpersist()
+    log(f"reorder sweep ({n} cells): {out}")
+    return out
+
+
 def scaling_child(cores: int, n_images: int) -> None:
     """Entry for the subprocess: run the pipeline at local[cores]."""
     from cuda_gis_smoothing_spark.session import get_spark
@@ -328,6 +361,7 @@ def main() -> None:
     # two-ring Gaussian pass (the reference v5 flagship config)
     d2_cells, d2_sec, d2_scatter_sec = d2_smoothing_bench(spark, N_CELLS)
     d2_bucketed = d2_bucketed_bench(spark, N_CELLS)
+    reorder = reorder_sweep(spark, N_CELLS)
 
     # image pipeline headline
     images_path = ensure_images(spark, N_IMAGES)
@@ -358,6 +392,7 @@ def main() -> None:
         "d2_scatter_cells_per_sec": round(d2_cells / d2_scatter_sec, 1),
         "d2_bucketed": d2_bucketed,
         "knn_ivf_trained_sec": ivf_trained_sec,
+        "reorder_sweep": reorder,
         "scaling": scaling,
     }
     print(json.dumps(result))

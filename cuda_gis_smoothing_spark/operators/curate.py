@@ -1,0 +1,94 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+One operator chaining the steps every LLM-corpus build runs — language
+ID -> quality filter -> exact dedup -> LSH-candidate near-dup drop ->
+deterministic sample — each stage the repo's gated primitive, composed
+so the WHOLE pipeline is driver-gated against a single DuckDB twin
+(__spark_entry__.oracle_sql()["curate_corpus"]).
+
+Scale shape (100 TB): stages 1-2 are pure Catalyst projections +
+filters (pushdown-friendly, no shuffle); exact dedup is one groupBy on
+md5 + a semi-join; near-dup candidates come from the MinHash-LSH band
+equi-join (never all-pairs) and are verified with an exact
+token-intersection join bounded by the candidate set; the final sample
+is a single hash filter. Every shuffle key is either a digest, a band
+bucket, or a doc id — uniformly distributed, no skew levers needed.
+
+Near-dup semantics (documented, deliberately simple): drop any doc
+that VERIFIES jaccard >= threshold against a SMALLER surviving doc,
+whether or not that smaller doc is itself dropped — monotone and
+SQL-expressible (transitive canonicalization is neardup_components'
+job, not curation's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cuda_gis_smoothing_spark.functions.numeric import round6
+from cuda_gis_smoothing_spark.functions.text import language_id, quality_features
+from cuda_gis_smoothing_spark.operators.dedup import _doc_tokens, minhash_lsh_pairs
+from cuda_gis_smoothing_spark.operators.sampling import deterministic_sample
+
+CURATE_LANG = "en"
+CURATE_MIN_QUALITY = 0.5
+CURATE_NEARDUP_J = 0.9
+CURATE_SAMPLE_F = 0.8
+
+
+def curate_corpus(
+    docs: DataFrame,
+    lang: str = CURATE_LANG,
+    min_quality: float = CURATE_MIN_QUALITY,
+    neardup_jaccard: float = CURATE_NEARDUP_J,
+    sample_fraction: float = CURATE_SAMPLE_F,
+    n_hashes: int = 6,
+    bands: int = 3,
+) -> DataFrame:
+    """Returns the curated corpus as (doc_id, n_tokens, quality_score)."""
+    q = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
+    lid = language_id(docs).select("doc_id", "pred_lang")
+    base = (
+        docs.select("doc_id", "text")
+        .join(q, "doc_id")
+        .join(lid, "doc_id")
+        .where(
+            (F.col("pred_lang") == lang)
+            & (F.col("quality_score") >= min_quality)
+        )
+    )
+    # exact dedup: keep only each md5 group's canonical (smallest) id
+    canon = base.groupBy(F.md5("text").alias("_k")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = base.join(canon.select("doc_id"), "doc_id", "left_semi")
+
+    # near-dup drop: LSH band candidates, exact-jaccard verified
+    cand = minhash_lsh_pairs(kept, n_hashes=n_hashes, bands=bands).select(
+        "doc_a", "doc_b"
+    )
+    toks = _doc_tokens(kept, "text", "doc_id", None)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "t")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "t")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "t"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = round6(
+        F.col("i")
+        / (F.col("na") + F.col("nb") - F.col("i"))
+    )
+    dropped = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(jac >= neardup_jaccard)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = kept.join(dropped, "doc_id", "left_anti")
+    return deterministic_sample(survivors, sample_fraction).select(
+        "doc_id", "n_tokens", "quality_score"
+    )

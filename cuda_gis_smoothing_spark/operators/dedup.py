@@ -437,6 +437,9 @@ def embedding_neardup_pairs_banded(
         raise ValueError("n_planes must divide evenly into bands")
     width = n_planes // bands
     n = with_norm(df, emb_col).select(F.col(id_col), F.col("_emb"), F.col("_nrm"))
+    # consumed by 3 branches (band keys + both verify sides): compute
+    # the norms once instead of re-scanning per branch
+    n = n.localCheckpoint()
     band_vals = []
     for b in range(bands):
         bv = F.lit(0)

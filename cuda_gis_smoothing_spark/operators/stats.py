@@ -66,6 +66,13 @@ def locality_metric(cells: DataFrame) -> DataFrame:
     the entire cell table into one partition; the "lag" is a self-join
     on the dense Morton-order position (zpos == zpos - 1), shuffled on
     a unique integer key. Plan-asserted in tests/test_plans.py.
+
+    Measured crossover vs the single-partition window (32 cores): the
+    window's one-core sort wins below ~10M cells (4.6 s vs 12.4 s at
+    5M — stage overhead dominates), the bucketed plan wins above
+    (34.5 s vs 51.5 s at 30M) and keeps scaling, while the window's
+    single task holds the whole table (OOM, not slowdown, at 10^9
+    rows). Gate-scale numbers are overhead-bound; see BENCH/BASELINE.md.
     """
     from cuda_gis_smoothing_spark.functions.numeric import round6
     from cuda_gis_smoothing_spark.plans.partitioning import global_ranks

@@ -1,0 +1,103 @@
+"""Streaming dedup (first-seen semantics) must agree with a batch
+recomputation over everything the stream has seen — across multiple
+micro-batches and duplicate arrivals in later batches."""
+
+import pandas as pd
+
+from cuda_gis_smoothing_spark.streaming.dedup import (
+    DOCS_SCHEMA,
+    drop_exact_dups_stream,
+    flag_exact_dups_stream,
+    read_docs_stream,
+)
+
+
+def _docs(start, n, dup_every=3):
+    rows = []
+    for i in range(start, start + n):
+        # every dup_every-th doc repeats an earlier text
+        text = f"text {i % dup_every if i % dup_every == 0 else i}"
+        if i % dup_every == 0:
+            text = "repeated payload"
+        rows.append((i, text, "en", "synth", len(text)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def _write(spark, src, start, n):
+    spark.createDataFrame(_docs(start, n), schema=DOCS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+
+def _run_stream(spark, src, ckpt, transform, sink_table, mode):
+    q = (
+        transform(read_docs_stream(spark, src, max_files=1))
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink_table)
+
+
+def test_drop_exact_dups_stream_first_seen(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write(spark, src, 0, 30)
+    _write(spark, src, 30, 30)
+    got = _run_stream(
+        spark, src, ckpt, drop_exact_dups_stream, "dedup_drop_sink", "append"
+    ).toPandas()
+    # one row per distinct text over BOTH batches
+    all_docs = pd.concat([_docs(0, 30), _docs(30, 30)])
+    assert len(got) == all_docs["text"].nunique()
+    assert got["doc_id"].is_unique
+    # the repeated payload survives exactly once
+    assert (got["text"] == "repeated payload").sum() == 1
+
+
+def _run_stream_foreach(spark, src, ckpt, transform):
+    """Memory sink cannot recover from a checkpoint; foreachBatch can —
+    this is the restart-safe harness (same pattern as IncrementalSmoother)."""
+    rows = []
+
+    def sink(df, _bid):
+        rows.extend(df.collect())
+
+    q = (
+        transform(read_docs_stream(spark, src, max_files=1))
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return pd.DataFrame([r.asDict() for r in rows])
+
+
+def test_flag_exact_dups_stream_attributes_canonicals(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write(spark, src, 0, 30)
+    got1 = _run_stream_foreach(spark, src, ckpt, flag_exact_dups_stream)
+    assert len(got1) == 30
+    dups1 = got1[got1["is_duplicate"] == 1]
+    # every duplicate points at the first-seen (smallest) id of its text
+    assert (dups1["canonical_id"] == 0).all()  # "repeated payload" canon
+    assert dups1["canonical_id"].lt(dups1["doc_id"]).all()
+
+    # batch 2 arrives: stream restarts from checkpoint, state persists —
+    # new repeats of old payloads attribute to the ORIGINAL canonical
+    _write(spark, src, 30, 30)
+    got2 = _run_stream_foreach(spark, src, ckpt, flag_exact_dups_stream)
+    new = got2[got2["doc_id"] >= 30]
+    assert len(new) == 30
+    repeats = new[new["doc_id"] % 3 == 0]
+    assert (repeats["canonical_id"] == 0).all()
+    assert (repeats["is_duplicate"] == 1).all()
+    # dup_seq keeps counting across batches for the shared digest
+    assert repeats["dup_seq"].max() > 10
