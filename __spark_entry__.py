@@ -258,6 +258,43 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+_TOP_TOKENS_K = 50
+_LEN_BUCKET = 200
+
+
+def _q_vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary stats: global top-k tokens by document
+    frequency (deterministic tie-break on the token) — the classic
+    first look at a training corpus. Plan: explode -> hash agg ->
+    bounded top-k (rank window over the aggregated table only)."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.operators.dedup import _doc_tokens
+
+    toks = _doc_tokens(load(spark, sf_dir, "documents"), "text", "doc_id", None)
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # orderBy().limit(k) plans as TakeOrderedAndProject — distributed
+    # per-partition top-k + merge, NO global sort even at vocab scale;
+    # the rank window then runs over k rows only
+    top = counts.orderBy(F.col("df").desc(), F.col("t").asc()).limit(_TOP_TOKENS_K)
+    w = Window.orderBy(F.col("df").desc(), F.col("t").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("t").alias("token"), "df", "rank"
+    )
+
+
+def _q_doc_length_histogram(spark, sf_dir):
+    """Character-length histogram at fixed bucket width — the standard
+    corpus length profile. Pure Catalyst: integer floor-div bucket +
+    one hash aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / _LEN_BUCKET) * _LEN_BUCKET).cast("long")
+    return docs.groupBy(bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round6(F.avg("n_chars")).alias("avg_chars"),
+    )
+
+
 def _q_curate_corpus(spark, sf_dir):
     """The composed training-data pipeline (lang filter -> quality
     filter -> exact dedup -> LSH-verified near-dup drop -> deterministic
@@ -452,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_banded": _q_simhash_pairs_banded,
         "dedup_components": _q_dedup_components,
         "curate_corpus": _q_curate_corpus,
+        "vocab_top_tokens": _q_vocab_top_tokens,
+        "doc_length_histogram": _q_doc_length_histogram,
         "stratified_sample": _q_stratified_sample,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
@@ -794,6 +833,21 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
 """.strip(),
         "dedup_embedding_banded": _emb_banded_sql(),
+        "vocab_top_tokens": f"""
+WITH {tok_cte},
+counts AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t)
+SELECT t AS token, df, CAST(rank AS INT) AS rank FROM (
+  SELECT t, df, ROW_NUMBER() OVER (ORDER BY df DESC, t ASC) AS rank FROM counts
+)
+WHERE rank <= {_TOP_TOKENS_K}
+""".strip(),
+        "doc_length_histogram": f"""
+SELECT CAST((n_chars // {_LEN_BUCKET}) * {_LEN_BUCKET} AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars) + 1e-09, 6) AS avg_chars
+FROM documents
+GROUP BY 1
+""".strip(),
     }
     # the banded pair join must return EXACTLY the quadratic verifier's
     # rows (pigeonhole guarantee) — sharing the oracle proves it

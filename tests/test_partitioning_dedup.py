@@ -371,3 +371,24 @@ def test_ivf_trained_recall_at_least_seeded(spark):
     # rounds) / 0.54 (10 rounds) — fail if training ever stops paying
     assert r_trained > r_seeded, (r_trained, r_seeded)
     emb.unpersist()
+
+
+def test_banded_embedding_multiprobe_grows_recall(spark):
+    """probe_bits=1 must yield a SUPERSET of the exact-band candidates
+    (strictly more on this fixture) while both stay subsets of the
+    exact quadratic result at the same threshold."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_banded,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def pairs(df):
+        return {(r.vec_a, r.vec_b) for r in df.collect()}
+
+    exact = pairs(embedding_neardup_pairs(emb, threshold=0.2))
+    p0 = pairs(embedding_neardup_pairs_banded(emb, threshold=0.2, probe_bits=0))
+    p1 = pairs(embedding_neardup_pairs_banded(emb, threshold=0.2, probe_bits=1))
+    assert p0 <= p1 <= exact
+    assert len(p1) > len(p0), (len(p0), len(p1))
