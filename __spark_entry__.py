@@ -295,6 +295,26 @@ def _q_doc_length_histogram(spark, sf_dir):
     )
 
 
+_CONTAM_K = 4
+_CONTAM_BENCH = "src0"
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination: k-gram shingle overlap between the
+    held-out benchmark source and the training sources."""
+    from cuda_gis_smoothing_spark.operators.curate import contamination_report
+
+    return contamination_report(
+        load(spark, sf_dir, "documents"), bench_source=_CONTAM_BENCH, k=_CONTAM_K
+    )
+
+
+def _q_source_stats(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.curate import source_stats
+
+    return source_stats(load(spark, sf_dir, "documents"))
+
+
 def _q_curate_corpus(spark, sf_dir):
     """The composed training-data pipeline (lang filter -> quality
     filter -> exact dedup -> LSH-verified near-dup drop -> deterministic
@@ -491,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "doc_length_histogram": _q_doc_length_histogram,
+        "contamination_report": _q_contamination,
+        "source_stats": _q_source_stats,
         "stratified_sample": _q_stratified_sample,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
@@ -848,7 +870,32 @@ SELECT CAST((n_chars // {_LEN_BUCKET}) * {_LEN_BUCKET} AS BIGINT) AS len_bucket,
 FROM documents
 GROUP BY 1
 """.strip(),
+        "contamination_report": f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(lower(text), ' ')) - {_CONTAM_K - 1}, 0)),
+           i -> array_to_string((string_split(lower(text), ' '))[i:i+{_CONTAM_K - 1}], ' '))) AS shingle
+  FROM documents
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{_CONTAM_BENCH}'),
+train AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE source <> '{_CONTAM_BENCH}')
+SELECT t.doc_id, COUNT(*) AS n_contaminated_shingles
+FROM train t JOIN bench b USING (shingle)
+GROUP BY t.doc_id
+""".strip(),
     }
+    out["source_stats"] = f"""
+WITH q AS ({out["doc_quality"]}),
+l AS ({out["doc_language_id"]})
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(q.quality_score) + 1e-09, 6) AS avg_quality,
+       CAST(SUM(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english
+FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+GROUP BY d.source
+""".strip()
     # the banded pair join must return EXACTLY the quadratic verifier's
     # rows (pigeonhole guarantee) — sharing the oracle proves it
     out["simhash_pairs_banded"] = out["simhash_pairs"]

@@ -36,6 +36,69 @@ CURATE_NEARDUP_J = 0.9
 CURATE_SAMPLE_F = 0.8
 
 
+def contamination_report(
+    docs: DataFrame,
+    bench_source: str = "src0",
+    k: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile k-gram method): flag
+    every training doc sharing at least one k-token shingle with the
+    held-out benchmark partition, with the overlap count.
+
+    Output: (doc_id, n_contaminated_shingles) for contaminated docs.
+    Plan: shingle explode (pure Catalyst transform/slice — no UDF) →
+    distinct → one equi-join on the shingle. At 100 TB hash the shingle
+    to a 64-bit key for the shuffle (kept as the raw string here so the
+    DuckDB twin is byte-identical); the benchmark side is tiny and
+    broadcasts. Real pipelines use k=8..13; the fixture's ~40-word
+    vocabulary needs k=4 for a non-vacuous gate (documented, not
+    hidden).
+
+    Engine note: Spark's ``sequence(1, 0)`` DESCENDS ([1, 0]) while
+    DuckDB's ``generate_series(1, 0)`` is empty — docs shorter than k
+    are filtered explicitly on the Spark side to keep the twins equal.
+    """
+    toks = F.split(F.lower(F.col("text")), " ")
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
+        f"i -> array_join(slice(_toks, i, {k}), ' '))"
+    )
+    sh = (
+        docs.select(id_col, "source", toks.alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .select(id_col, "source", F.explode(shingles).alias("shingle"))
+    )
+    bench = (
+        sh.where(F.col("source") == bench_source).select("shingle").distinct()
+    )
+    train = (
+        sh.where(F.col("source") != bench_source)
+        .select(id_col, "shingle")
+        .distinct()
+    )
+    return (
+        train.join(bench, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+
+
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus report: doc count, token mass, mean quality,
+    english share — the table a dataset card is built from. One hash
+    aggregation keyed on the (low-cardinality) source."""
+    q = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
+    lid = language_id(docs).select("doc_id", "pred_lang")
+    joined = docs.select("doc_id", "source").join(q, "doc_id").join(lid, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        round6(F.avg("quality_score")).alias("avg_quality"),
+        F.sum((F.col("pred_lang") == "en").cast("long")).alias("n_english"),
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     lang: str = CURATE_LANG,
