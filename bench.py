@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "knn_cosine",
     "smooth_scatter_k2",
     "dedup_embedding_banded",
+    "contamination_report",
 ]
 
 

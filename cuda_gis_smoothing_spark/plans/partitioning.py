@@ -73,6 +73,7 @@ def global_ranks(
     order_cols: list[str],
     out_col: str = "rank",
     num_partitions: int | None = None,
+    boundaries: str = "uniform",
 ) -> DataFrame:
     """Exact global 1-based ranks over ``order_cols`` WITHOUT a global
     sort — partition-parallel at any scale.
@@ -92,20 +93,35 @@ def global_ranks(
     O(rows).
 
     Requires ``order_cols`` to form a unique key and the leading key to
-    be numeric. Uniform splits assume a roughly uniform leading key
-    (true for packed cell ids and Morton keys); for heavily skewed keys
-    substitute approxQuantile boundaries — the rest is unchanged.
+    be numeric. ``boundaries="uniform"`` (default) splits the key RANGE
+    evenly — right for roughly uniform leading keys (packed cell ids,
+    Morton keys). ``boundaries="quantile"`` splits at approxQuantile
+    cut points instead, so heavily skewed keys still give balanced
+    buckets (one extra aggregation pass over the leading key; the cut
+    points are data-derived and deterministic for a fixed input, so the
+    consumers stay consistent — tested under a pathological 99%-heavy
+    key distribution).
     """
     from pyspark.sql import Window
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     k0 = order_cols[0]
-    mm = df.agg(F.min(k0).alias("_lo"), F.max(k0).alias("_hi"))
-    width = F.greatest(
-        ((F.col("_hi") - F.col("_lo") + 1) / parts).cast("long") + 1, F.lit(1)
-    )
-    bkt = ((F.col(k0) - F.col("_lo")) / width).cast("long").alias("_bkt")
-    b = df.crossJoin(F.broadcast(mm)).select(*df.columns, bkt)
+    if boundaries == "quantile":
+        qs = [i / parts for i in range(1, parts)]
+        cuts = sorted(set(df.approxQuantile(k0, qs, 0.001)))
+        bkt_expr = F.lit(0)
+        for c in cuts:
+            bkt_expr = bkt_expr + (F.col(k0) > F.lit(c)).cast("long")
+        b = df.select(*df.columns, bkt_expr.alias("_bkt"))
+    elif boundaries == "uniform":
+        mm = df.agg(F.min(k0).alias("_lo"), F.max(k0).alias("_hi"))
+        width = F.greatest(
+            ((F.col("_hi") - F.col("_lo") + 1) / parts).cast("long") + 1, F.lit(1)
+        )
+        bkt = ((F.col(k0) - F.col("_lo")) / width).cast("long").alias("_bkt")
+        b = df.crossJoin(F.broadcast(mm)).select(*df.columns, bkt)
+    else:
+        raise ValueError("boundaries must be 'uniform' or 'quantile'")
     local = F.row_number().over(Window.partitionBy("_bkt").orderBy(*order_cols))
     ranked = b.select(*df.columns, "_bkt", local.alias("_lrank"))
     counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
