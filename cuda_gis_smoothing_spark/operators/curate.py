@@ -125,6 +125,12 @@ def curate_corpus(
         F.min("doc_id").alias("doc_id")
     )
     kept = base.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # `kept` feeds the minhash signatures, the token lists (twice), the
+    # sizes and the final projection — ~40 scans of the docs table in
+    # the unmaterialized plan. Materialize the filtered survivors ONCE
+    # (measured 25 s -> single-scan at sf0.1; on a real cluster stage
+    # this to a table / reliable checkpoint instead)
+    kept = kept.localCheckpoint()
 
     # near-dup drop: LSH band candidates, exact-jaccard verified
     cand = minhash_lsh_pairs(kept, n_hashes=n_hashes, bands=bands).select(

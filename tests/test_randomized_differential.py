@@ -1,0 +1,137 @@
+"""Seeded randomized differential tests for the round-2 operators:
+each Spark implementation vs an independent pure-Python oracle on
+random instances (fixed seeds — deterministic CI, no per-example Spark
+jobs like hypothesis would generate)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_star_components_vs_union_find(spark, seed):
+    """Large-star/small-star on a random graph == Python union-find."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        _canonical_edges,
+        _large_star,
+        _small_star,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, m = 200, 160
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2)) if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    e = _canonical_edges(
+        spark.createDataFrame(edges, ["a", "b"])
+    ).localCheckpoint()
+    for _ in range(12):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        if nxt.exceptAll(e).union(e.exceptAll(nxt)).limit(1).count() == 0:
+            e = nxt
+            break
+        e = nxt
+    roots = {r["a"]: r["b"] for r in e.groupBy("a").agg(F.min("b").alias("b")).collect()}
+    got = {i: roots.get(i, i) for i in range(n)}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_prefix_jaccard_vs_bruteforce_random_docs(spark, seed):
+    """Prefix-filtered jaccard == brute force on random small-vocab
+    docs (dense overlap regime — the worst case for candidate bugs)."""
+    from cuda_gis_smoothing_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(15)]
+    docs = []
+    for i in range(60):
+        k = int(rng.integers(3, 12))
+        toks = rng.choice(vocab, size=k, replace=True)
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    thr = 0.5
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, threshold=thr, block_col=None).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    want = set()
+    for a in range(60):
+        for b in range(a + 1, 60):
+            i = len(sets[a] & sets[b])
+            j = i / (len(sets[a]) + len(sets[b]) - i)
+            if round(j + 1e-9, 6) >= thr:
+                want.add((a, b, round(j + 1e-9, 6)))
+    assert got == want
+
+
+@pytest.mark.parametrize("boundaries", ["uniform", "quantile"])
+def test_global_ranks_vs_enumerate_random_keys(spark, boundaries):
+    """global_ranks == sorted enumerate under negative keys, duplicate
+    leading keys, and a non-trivial partition count, for both boundary
+    modes."""
+    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(rng.integers(-500, 500)), i) for i in range(1200)
+    ]  # leading key repeats; (k, uid) unique
+    df = spark.createDataFrame(rows, ["k", "uid"]).repartition(9)
+    got = {
+        r["uid"]: r["rnk"]
+        for r in global_ranks(
+            df, ["k", "uid"], "rnk", num_partitions=7, boundaries=boundaries
+        ).collect()
+    }
+    want = {
+        uid: pos + 1
+        for pos, (_, uid) in enumerate(sorted(rows))
+    }
+    assert got == want
+
+
+def test_scatter_int_vs_python_gather(spark):
+    """Fixed-point scatter smoothing == a Python integer gather over
+    the same ragged random grid (holes included)."""
+    from cuda_gis_smoothing_spark.hexgrid import ENC, OFFSET, kring_offsets
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth_scatter_int
+
+    rng = np.random.default_rng(11)
+    cells = {}
+    for q in range(12):
+        for r in range(12):
+            if rng.random() < 0.8:
+                cells[(q + OFFSET) * ENC + (r + OFFSET)] = int(rng.integers(0, 5000))
+    df = spark.createDataFrame(list(cells.items()), ["cell", "qty"])
+    w = {0: 10_000, 1: 6_065, 2: 1_353}
+    got = {
+        r["cell"]: r["s"]
+        for r in smooth_scatter_int(df, "qty", w, k=2, out_col="s").collect()
+    }
+    offs = [(dq * ENC + dr, ring) for dq, dr, ring in kring_offsets(2, True)]
+    want = {}
+    for c, _ in cells.items():
+        num = den = 0
+        for delta, ring in offs:
+            v = cells.get(c + delta)
+            if v is not None:
+                num += v * w[ring]
+                den += w[ring]
+        want[c] = num / den
+    assert set(got) == set(want)
+    for c in got:
+        assert got[c] == want[c], c  # exact float equality (int division)
