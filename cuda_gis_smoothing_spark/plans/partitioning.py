@@ -136,6 +136,37 @@ def global_ranks(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: spread each (possibly hot) key over
+    ``n_salts`` reducers by salting the left side and replicating the
+    right side once per salt value.
+
+    AQE's runtime skew-join split handles most cases; this is the
+    EXPLICIT lever for when it can't (skew invisible to size stats,
+    e.g. a cheap-to-ship but expensive-to-process key, or a build side
+    AQE refuses to split). Left salt is a deterministic hash of the
+    left row's other columns (uniform, retry-stable); right replication
+    is an explode of 0..n_salts-1 — factor n_salts regardless of data.
+    Exact for inner/left joins on equi keys (each left row matches its
+    right partner under exactly one salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left equi joins")
+    others = [c for c in left.columns if c != key] or [key]
+    lsalt = F.pmod(F.hash(*[F.col(c) for c in others]), F.lit(n_salts))
+    l2 = left.withColumn("_salt", lsalt)
+    r2 = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l2.join(r2, [key, "_salt"], how).drop("_salt")
+
+
 def salted_cell_aggregate(
     df: DataFrame,
     cell_col: str,

@@ -47,6 +47,97 @@ def drop_exact_dups_stream(docs: DataFrame) -> DataFrame:
     return docs.withColumn("_k", F.md5("text")).dropDuplicates(["_k"]).drop("_k")
 
 
+def minhash_neardup_stream(
+    docs: DataFrame, n_hashes: int = 6, bands: int = 3, max_bucket: int = 256
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection — the stateful twin of
+    the gated batch ``minhash_lsh_pairs``.
+
+    Each arriving doc's band keys (same signatures/banding as the batch
+    operator, all JVM-side before the stateful step) update per-bucket
+    state = the doc ids seen in that (band, band_hash) bucket; the doc
+    emits one candidate-pair row against every PRIOR member of the
+    bucket. The union of emitted pairs over a time-ordered stream
+    equals the batch operator's candidate pairs (deduped across bands —
+    a pair sharing 2 bands is emitted by both buckets; distinct
+    downstream, exactly like the batch groupBy counts shared bands).
+
+    State at 100 TB: one id-list per DISTINCT bucket, capped at
+    ``max_bucket`` members (a bucket that hot is a degenerate band —
+    further members emit against the cap's worth of representatives and
+    are NOT appended; log-scale corpora keep buckets tiny). Shuffle key
+    is (band, bh) — the same key the batch join shuffles on.
+    """
+    from cuda_gis_smoothing_spark.operators.dedup import minhash_lsh_pairs  # noqa: F401 (semantics twin)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        members = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            for doc_id in pdf["doc_id"].sort_values():
+                d = int(doc_id)
+                for m in members:
+                    a, b = (m, d) if m < d else (d, m)
+                    if a != b:
+                        out.append((a, b, key[0], key[1]))
+                if len(members) < max_bucket and d not in members:
+                    members.append(d)
+        state.update((members,))
+        yield pd.DataFrame(out, columns=["doc_a", "doc_b", "band", "bh"])
+
+    banded = _banded_keys(docs, n_hashes=n_hashes, bands=bands)
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        fn,
+        outputStructType="doc_a long, doc_b long, band int, bh long",
+        stateStructType="members array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _banded_keys(docs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bh) band keys with the EXACT batch arithmetic
+    (operators/dedup.py::minhash_lsh_pairs banding over
+    minhash_signatures) — but computed as a PURE PROJECTION: the batch
+    operator's explode → groupBy(min) is a streaming AGGREGATION, and
+    Spark forbids an aggregation upstream of applyInPandasWithState in
+    one query. A doc's signature is a pure function of its text, so the
+    same arithmetic runs as nested higher-order expressions
+    (filter/transform/aggregate/array_min) in the row — no shuffle, no
+    second stateful operator; equality with the batch signatures is
+    asserted in tests."""
+    from cuda_gis_smoothing_spark.operators.dedup import MH_A, MH_B, MH_PRIME
+
+    toks = "filter(array_distinct(split(lower(text), ' ')), t -> t <> '')"
+    hashes = (
+        f"transform({toks}, t -> aggregate(split(t, ''), CAST(7 AS BIGINT), "
+        f"(acc, c) -> (acc * 131 + ascii(c)) % {MH_PRIME}))"
+    )
+    d = docs.select("doc_id", F.expr(hashes).alias("_hs"))
+    mh = [
+        F.expr(
+            f"array_min(transform(_hs, h -> (h * {MH_A[i]} + {MH_B[i]}) % {MH_PRIME}))"
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    sig = d.select("doc_id", *mh).where(F.col("mh_0").isNotNull())
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = (expr * 8191 + p) % MH_PRIME
+        band_cols.append(F.struct(F.lit(b).alias("band"), expr.alias("bh")))
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def flag_exact_dups_stream(docs: DataFrame) -> DataFrame:
     """First-seen exact dedup that KEEPS the duplicates, attributed:
     emits (doc_id, canonical_id, is_duplicate, dup_seq) for every doc,

@@ -426,3 +426,35 @@ def test_global_ranks_quantile_boundaries_balance_skew(spark):
     kvals = pd.Series([k for _, k in rows])
     bkt = sum((kvals > c).astype(int) for c in cuts)
     assert bkt.value_counts().max() < 0.6 * n
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    """Salted equi-join == plain join on a 90%-hot-key dataset, for
+    inner and left joins, and the salt spreads the hot key across
+    multiple reducers (distinct (key, salt) pairs > 1 for the hot key)."""
+    from cuda_gis_smoothing_spark.plans.partitioning import salted_join
+
+    rng = np.random.default_rng(13)
+    left = spark.createDataFrame(
+        [(int(k), i) for i, k in enumerate(
+            [7] * 900 + list(rng.integers(0, 50, 100)))],
+        ["k", "uid"],
+    )
+    right = spark.createDataFrame(
+        [(int(k), f"v{k}") for k in range(0, 50, 2)], ["k", "val"]
+    )
+
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        salted = salted_join(left, right, "k", n_salts=8, how=how)
+        diff = salted.exceptAll(plain).union(plain.exceptAll(salted))
+        assert diff.count() == 0, how
+
+    # the hot key's rows really do carry >1 distinct salt
+    from pyspark.sql import functions as FF
+    others = [c for c in left.columns if c != "k"]
+    lsalt = FF.pmod(FF.hash(*[FF.col(c) for c in others]), FF.lit(8))
+    n_salts_hot = (
+        left.where(FF.col("k") == 7).select(lsalt.alias("s")).distinct().count()
+    )
+    assert n_salts_hot > 1
