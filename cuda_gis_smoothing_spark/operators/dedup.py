@@ -351,8 +351,12 @@ def embedding_neardup_pairs(
     pairs (g, j>=g), the right to (i<=g, g), and the join is EQUI on
     the (i, j) pair — hash-partitioned into n_blocks*(n_blocks+1)/2
     balanced tasks with no driver-side or nested-loop node
-    (plan-asserted in tests/test_plans.py). n_blocks trades shuffle
-    replication (~n_blocks/2 copies per side) against parallelism
+    (plan-asserted in tests/test_plans.py). Replication is balanced by
+    construction: block g ships (n_blocks - g) left copies and (g + 1)
+    right copies — n_blocks + 1 total for EVERY block, so no
+    tournament re-pairing is needed, and per-task work is |Ni| x |Nj|
+    (uniform under hash blocking). n_blocks trades total shuffle
+    volume (~n_blocks/2 effective copies per side) against parallelism
     (~n_blocks^2/2 tasks); the same blocked kernel is what runs
     per-bucket when candidates come from
     :func:`embedding_neardup_pairs_banded` — the scale path for real

@@ -138,18 +138,27 @@ def _banded_keys(docs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
-def flag_exact_dups_stream(docs: DataFrame) -> DataFrame:
+def flag_exact_dups_stream(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """First-seen exact dedup that KEEPS the duplicates, attributed:
     emits (doc_id, canonical_id, is_duplicate, dup_seq) for every doc,
     where canonical_id is the first-seen doc of the digest and dup_seq
     counts arrivals so far (1 = the canonical itself). Per-digest state
-    is a (canonical_id, count) pair in GroupState."""
+    is a (canonical_id, count) pair in GroupState.
+
+    ``ttl_ms`` bounds state for unbounded streams: a digest idle longer
+    than the TTL is evicted (processing-time timeout), so a later
+    identical doc starts a fresh group — the dedup horizon becomes the
+    TTL instead of stream lifetime, and state size becomes "digests
+    seen within a TTL window" instead of all digests ever."""
 
     def fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             canonical, seen = state.get
         else:
@@ -164,6 +173,8 @@ def flag_exact_dups_stream(docs: DataFrame) -> DataFrame:
                     canonical = int(doc_id)
                 out.append((int(doc_id), canonical, int(doc_id != canonical), seen))
         state.update((canonical, seen))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             out, columns=["doc_id", "canonical_id", "is_duplicate", "dup_seq"]
         )
@@ -178,6 +189,10 @@ def flag_exact_dups_stream(docs: DataFrame) -> DataFrame:
             ),
             stateStructType="canonical long, seen long",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

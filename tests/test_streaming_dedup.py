@@ -101,3 +101,54 @@ def test_flag_exact_dups_stream_attributes_canonicals(spark, tmp_path):
     assert (repeats["is_duplicate"] == 1).all()
     # dup_seq keeps counting across batches for the shared digest
     assert repeats["dup_seq"].max() > 10
+
+
+def test_flag_exact_dups_ttl_evicts_idle_digests(spark, tmp_path):
+    """With a short processing-time TTL, a digest idle across batches
+    is evicted: the same text arriving later starts a FRESH group
+    (new canonical, dup_seq resets) instead of attributing to the
+    long-gone original."""
+    import time as _time
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def run():
+        rows = []
+
+        def sink(df, _bid):
+            rows.extend(df.collect())
+
+        q = (
+            flag_exact_dups_stream(
+                read_docs_stream(spark, src, max_files=1), ttl_ms=1
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # with ProcessingTimeTimeout the query keeps scheduling
+        # timeout-service batches, so availableNow never self-terminates
+        # — wait for the data batches, then stop explicitly
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline and not rows:
+            _t.sleep(0.5)
+        _t.sleep(3)  # drain any second data batch
+        q.stop()
+        q.awaitTermination(30)
+        return pd.DataFrame([r.asDict() for r in rows])
+
+    _write(spark, src, 0, 9)  # doc 0,3,6 share "repeated payload"
+    got1 = run()
+    assert got1[got1["doc_id"] == 6]["canonical_id"].iloc[0] == 0
+
+    _time.sleep(2)  # let the 1 ms TTL lapse in processing time
+    _write(spark, src, 30, 9)  # docs 30,33,36 repeat the same payload
+    got2 = run()
+    r36 = got2[got2["doc_id"] == 36].iloc[0]
+    # state evicted between runs: 30 becomes the new canonical
+    assert r36["canonical_id"] == 30
+    assert got2[got2["doc_id"] == 30].iloc[0]["dup_seq"] == 1
