@@ -99,6 +99,61 @@ def source_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def filtered_base(docs: DataFrame, lang: str, min_quality: float) -> DataFrame:
+    """Stage 1-2 of curation: (doc_id, text, n_tokens, quality_score)
+    for docs passing the language and quality filters."""
+    q = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
+    lid = language_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "text")
+        .join(q, "doc_id")
+        .join(lid, "doc_id")
+        .where(
+            (F.col("pred_lang") == lang)
+            & (F.col("quality_score") >= min_quality)
+        )
+        .select("doc_id", "text", "n_tokens", "quality_score")
+    )
+
+
+def exact_canonical(df: DataFrame) -> DataFrame:
+    """Keep only each md5(text) group's canonical (smallest doc_id) row."""
+    canon = df.groupBy(F.md5("text").alias("_k")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return df.join(canon.select("doc_id"), "doc_id", "left_semi")
+
+
+def verified_pairs(
+    cand: DataFrame,
+    a_docs: DataFrame,
+    b_docs: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-jaccard verification of candidate (doc_a, doc_b) pairs:
+    doc_a resolved against ``a_docs``'s texts, doc_b against
+    ``b_docs``'s — the sides may be different tables (cross-batch
+    verification in the incremental curator). Returns the verified
+    pairs (doc_a, doc_b, jaccard >= threshold)."""
+    ta = _doc_tokens(a_docs, "text", "doc_id", None)
+    tb = _doc_tokens(b_docs, "text", "doc_id", None)
+    sa = ta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    sb = tb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        cand.join(ta.select(F.col("doc_id").alias("doc_a"), "t"), "doc_a")
+        .join(tb.select(F.col("doc_id").alias("doc_b"), "t"), ["doc_b", "t"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = round6(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+    return (
+        inter.join(sa.select(F.col("doc_id").alias("doc_a"), "na"), "doc_a")
+        .join(sb.select(F.col("doc_id").alias("doc_b"), "nb"), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     lang: str = CURATE_LANG,
@@ -109,22 +164,8 @@ def curate_corpus(
     bands: int = 3,
 ) -> DataFrame:
     """Returns the curated corpus as (doc_id, n_tokens, quality_score)."""
-    q = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
-    lid = language_id(docs).select("doc_id", "pred_lang")
-    base = (
-        docs.select("doc_id", "text")
-        .join(q, "doc_id")
-        .join(lid, "doc_id")
-        .where(
-            (F.col("pred_lang") == lang)
-            & (F.col("quality_score") >= min_quality)
-        )
-    )
-    # exact dedup: keep only each md5 group's canonical (smallest) id
-    canon = base.groupBy(F.md5("text").alias("_k")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    kept = base.join(canon.select("doc_id"), "doc_id", "left_semi")
+    base = filtered_base(docs, lang, min_quality)
+    kept = exact_canonical(base)
     # `kept` feeds the minhash signatures, the token lists (twice), the
     # sizes and the final projection — ~40 scans of the docs table in
     # the unmaterialized plan. Materialize the filtered survivors ONCE
@@ -136,24 +177,8 @@ def curate_corpus(
     cand = minhash_lsh_pairs(kept, n_hashes=n_hashes, bands=bands).select(
         "doc_a", "doc_b"
     )
-    toks = _doc_tokens(kept, "text", "doc_id", None)
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "t")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "t")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "t"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = round6(
-        F.col("i")
-        / (F.col("na") + F.col("nb") - F.col("i"))
-    )
     dropped = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .where(jac >= neardup_jaccard)
+        verified_pairs(cand, kept, kept, neardup_jaccard)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -1,0 +1,156 @@
+"""Incremental (streaming) corpus curation — the foreachBatch twin of
+operators/curate.py::curate_corpus.
+
+Chaining the needed stateful operators (digest dedup state + band
+bucket state) inside ONE streaming query is illegal in Spark, so the
+incremental curator follows the repo's IncrementalSmoother pattern:
+each micro-batch is processed with ordinary BATCH operators against a
+persisted kept-docs state log (streaming/incremental.py::SnapshotLog —
+base+delta parquet, idempotent per batch id, compaction+GC).
+
+Semantics (streaming-greedy, batch-monotone — documented, tested
+against an independent Python oracle):
+  per batch B (after language+quality filters):
+    1. exact dedup: drop digests already kept in prior batches; keep
+       the smallest doc_id per digest within the batch.
+    2. near-dup drop: drop b in B if a VERIFIED jaccard >= t partner
+       exists among prior kept docs (cross-batch candidates from the
+       shared MinHash band keys) or among smaller same-batch survivors
+       (the same monotone rule curate_corpus uses corpus-wide).
+    3. survivors enter the kept state; the deterministic sample of the
+       survivors is appended to the curated output log.
+  A single batch containing the whole corpus therefore reproduces
+  curate_corpus EXACTLY (tested).
+
+Scale shape: per batch, every step is a hash shuffle keyed on digest,
+band bucket, or doc id; state grows with KEPT docs only. Cross-batch
+candidate generation recomputes the kept side's band keys from the
+state log on each batch — O(kept) projection work; persist the band
+keys as their own log when kept cardinality dwarfs batch size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cuda_gis_smoothing_spark.operators.curate import (
+    CURATE_LANG,
+    CURATE_MIN_QUALITY,
+    CURATE_NEARDUP_J,
+    CURATE_SAMPLE_F,
+    exact_canonical,
+    filtered_base,
+    verified_pairs,
+)
+from cuda_gis_smoothing_spark.operators.dedup import minhash_lsh_pairs
+from cuda_gis_smoothing_spark.operators.sampling import deterministic_sample
+from cuda_gis_smoothing_spark.streaming.dedup import DOCS_SCHEMA, _banded_keys
+from cuda_gis_smoothing_spark.streaming.incremental import SnapshotLog
+
+
+class IncrementalCurator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_root: str,
+        lang: str = CURATE_LANG,
+        min_quality: float = CURATE_MIN_QUALITY,
+        neardup_jaccard: float = CURATE_NEARDUP_J,
+        sample_fraction: float = CURATE_SAMPLE_F,
+        n_hashes: int = 6,
+        bands: int = 3,
+        compact_every: int = 4,
+    ):
+        self.spark = spark
+        self.lang = lang
+        self.min_quality = min_quality
+        self.neardup_jaccard = neardup_jaccard
+        self.sample_fraction = sample_fraction
+        self.n_hashes = n_hashes
+        self.bands = bands
+        self.compact_every = compact_every
+        self.kept_log = SnapshotLog(
+            spark, os.path.join(state_root, "kept_docs"), key="doc_id"
+        )
+        self.curated_log = SnapshotLog(
+            spark, os.path.join(state_root, "curated"), key="doc_id"
+        )
+
+    def current_kept(self) -> DataFrame | None:
+        return self.kept_log.read()
+
+    def current_curated(self) -> DataFrame | None:
+        return self.curated_log.read()
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        if self.kept_log.has(batch_id):
+            return  # crash replay of an already-applied batch: no-op
+        b = exact_canonical(
+            filtered_base(docs, self.lang, self.min_quality)
+        ).localCheckpoint()
+        prior = self.kept_log.read()
+        if prior is not None:
+            prior = prior.localCheckpoint()
+            # cross-batch exact dedup on the digest
+            seen = prior.select(F.md5("text").alias("_k")).distinct()
+            b = (
+                b.withColumn("_k", F.md5("text"))
+                .join(seen, "_k", "left_anti")
+                .drop("_k")
+            )
+            # cross-batch near-dup: batch band keys vs kept band keys
+            nb = _banded_keys(b, self.n_hashes, self.bands)
+            np_ = _banded_keys(prior, self.n_hashes, self.bands)
+            cand = (
+                nb.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+                .join(
+                    np_.select(F.col("doc_id").alias("doc_b"), "band", "bh"),
+                    ["band", "bh"],
+                )
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+            dropped = (
+                verified_pairs(cand, b, prior, self.neardup_jaccard)
+                .select(F.col("doc_a").alias("doc_id"))
+                .distinct()
+            )
+            b = b.join(dropped, "doc_id", "left_anti").localCheckpoint()
+        # intra-batch near-dup (monotone: drop vs any smaller batch doc)
+        intra = minhash_lsh_pairs(
+            b, n_hashes=self.n_hashes, bands=self.bands
+        ).select("doc_a", "doc_b")
+        dropped_intra = (
+            verified_pairs(intra, b, b, self.neardup_jaccard)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = b.join(dropped_intra, "doc_id", "left_anti").localCheckpoint()
+        self.kept_log.write_delta(survivors, batch_id)
+        self.curated_log.write_delta(
+            deterministic_sample(survivors, self.sample_fraction).select(
+                "doc_id", "n_tokens", "quality_score"
+            ),
+            batch_id,
+        )
+        if self.kept_log.delta_count() >= self.compact_every:
+            self.kept_log.compact(batch_id)
+            self.curated_log.compact(batch_id)
+
+    def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
+        stream = (
+            self.spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,148 @@
+"""Incremental curation: (a) one batch holding the whole corpus must
+reproduce batch curate_corpus EXACTLY; (b) a multi-batch stream must
+match an independent pure-Python implementation of the documented
+streaming-greedy semantics; (c) crash replay of an applied batch id is
+a no-op."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_gis_smoothing_spark.operators.curate import curate_corpus, filtered_base
+from cuda_gis_smoothing_spark.operators.dedup import MH_A, MH_B, MH_PRIME
+from cuda_gis_smoothing_spark.operators.sampling import S_A, S_B, _DENOM
+from cuda_gis_smoothing_spark.streaming.curate import IncrementalCurator
+
+SF_DIR = "/root/testdata/sf0.001"
+THR = 0.9
+SAMPLE_F = 0.8
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_single_batch_equals_batch_curate(spark, tmp_path):
+    cur = IncrementalCurator(spark, str(tmp_path / "state"))
+    cur.process_batch(_docs(spark), 0)
+    got = {
+        (r.doc_id, r.n_tokens, r.quality_score)
+        for r in cur.current_curated().collect()
+    }
+    want = {
+        (r.doc_id, r.n_tokens, r.quality_score)
+        for r in curate_corpus(_docs(spark)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+# ---- independent Python oracle for the stateful stages ----------------
+def _tok_hash(t):
+    acc = 7
+    for c in t:
+        acc = (acc * 131 + ord(c)) % MH_PRIME
+    return acc
+
+
+def _bands(text, n_hashes=6, bands=3):
+    toks = {t for t in text.lower().split(" ") if t}
+    hs = [_tok_hash(t) for t in toks]
+    if not hs:
+        return []
+    mh = [min((h * MH_A[i] + MH_B[i]) % MH_PRIME for h in hs) for i in range(n_hashes)]
+    return [
+        (b, (mh[2 * b] * 8191 + mh[2 * b + 1]) % MH_PRIME) for b in range(bands)
+    ]
+
+
+def _jac(a, b):
+    sa = {t for t in a.lower().split(" ") if t}
+    sb = {t for t in b.lower().split(" ") if t}
+    i = len(sa & sb)
+    return round(i / (len(sa) + len(sb) - i) + 1e-9, 6)
+
+
+def _oracle(batches):
+    """batches: list of [(doc_id, text)] — returns curated doc_id set."""
+    kept = []  # [(doc_id, text, bands)]
+    digests = set()
+    curated = set()
+    for batch in batches:
+        # first-seen exact dedup: min doc_id per digest within batch,
+        # digest not already kept
+        by_digest = {}
+        for doc_id, text in sorted(batch):
+            by_digest.setdefault(text, doc_id)
+        b1 = [
+            (doc_id, text)
+            for text, doc_id in by_digest.items()
+            if text not in digests
+        ]
+        # cross-batch near-dup (band candidates, verified)
+        b2 = []
+        for doc_id, text in sorted(b1):
+            bb = set(_bands(text))
+            hit = any(
+                bb & set(kb) and _jac(text, kt) >= THR for _, kt, kb in kept
+            )
+            if not hit:
+                b2.append((doc_id, text))
+        # intra-batch monotone rule: drop vs any SMALLER batch survivor
+        survivors = []
+        for doc_id, text in sorted(b2):
+            bb = set(_bands(text))
+            hit = any(
+                a < doc_id and bb & set(_bands(at)) and _jac(text, at) >= THR
+                for a, at in b2
+            )
+            if not hit:
+                survivors.append((doc_id, text))
+        for doc_id, text in survivors:
+            kept.append((doc_id, text, _bands(text)))
+            digests.add(text)
+            if ((doc_id * S_A + S_B) % MH_PRIME) % _DENOM < int(SAMPLE_F * _DENOM):
+                curated.add(doc_id)
+    return curated
+
+
+def test_multi_batch_matches_python_oracle(spark, tmp_path):
+    docs = _docs(spark)
+    # the stateless filter stages are gate-tested elsewhere; feed the
+    # SAME filtered base to both sides so the oracle stays independent
+    # on everything stateful
+    base = filtered_base(docs, "en", 0.5).orderBy("doc_id").toPandas()
+    cuts = [0, len(base) // 3, 2 * len(base) // 3, len(base)]
+    batches_pd = [base.iloc[cuts[i]:cuts[i + 1]] for i in range(3)]
+
+    cur = IncrementalCurator(spark, str(tmp_path / "state"), compact_every=2)
+    for bid, bpd in enumerate(batches_pd):
+        bdf = spark.createDataFrame(
+            bpd[["doc_id", "text"]].assign(
+                lang="en", source="s", n_chars=bpd["text"].str.len()
+            ),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        cur.process_batch(bdf, bid)
+
+    got = set(_ids(cur.current_curated()))
+    want = _oracle(
+        [list(zip(b["doc_id"], b["text"])) for b in batches_pd]
+    )
+    assert got == want and len(want) > 0
+
+    # crash replay of the last applied batch id: a no-op
+    n_before = cur.current_kept().count()
+    cur.process_batch(
+        spark.createDataFrame(
+            batches_pd[2][["doc_id", "text"]].assign(
+                lang="en", source="s", n_chars=1
+            ),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        2,
+    )
+    assert cur.current_kept().count() == n_before
