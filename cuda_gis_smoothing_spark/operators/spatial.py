@@ -22,7 +22,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from cuda_gis_smoothing_spark.hexgrid import ENC, OFFSET, GridSpec
-from cuda_gis_smoothing_spark.oracle import point_in_polygon as _pip_scalar
 
 _G = GridSpec()
 _SQRT3 = 1.7320508075688772

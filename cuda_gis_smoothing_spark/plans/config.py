@@ -13,7 +13,7 @@ space-filling-curve key; the CUDA grid/block geometry has no analog
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from cuda_gis_smoothing_spark.oracle import VARIANTS
 

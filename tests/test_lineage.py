@@ -3,7 +3,6 @@ job restarts mid-pipeline and skips completed stages)."""
 
 import numpy as np
 
-from cuda_gis_smoothing_spark.plans.config import SmoothingPlan
 from cuda_gis_smoothing_spark.plans.lineage import ResumableRun, lineage_rows, stage_exists
 from cuda_gis_smoothing_spark.plans.pipeline import PipelineConfig, ingest_cells
 from cuda_gis_smoothing_spark.operators.smoothing import smooth

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from cuda_gis_smoothing_spark import datagen
-from cuda_gis_smoothing_spark.operators.smoothing import derive_variables, smooth
+from cuda_gis_smoothing_spark.operators.smoothing import smooth
 from cuda_gis_smoothing_spark.plans.config import SmoothingPlan
 from cuda_gis_smoothing_spark.plans.pipeline import PipelineConfig, ingest_cells
 from cuda_gis_smoothing_spark.sources.images import IMAGES_SCHEMA

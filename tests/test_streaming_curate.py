@@ -5,8 +5,6 @@ streaming-greedy semantics; (c) crash replay of an applied batch id is
 a no-op."""
 
 import pandas as pd
-import pytest
-from pyspark.sql import functions as F
 
 from cuda_gis_smoothing_spark.operators.curate import curate_corpus, filtered_base
 from cuda_gis_smoothing_spark.operators.dedup import MH_A, MH_B, MH_PRIME
