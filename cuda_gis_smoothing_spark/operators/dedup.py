@@ -277,6 +277,60 @@ def simhash_pairs(
     return pairs.select("doc_a", "doc_b", ham).where(F.col("hamming") <= max_hamming)
 
 
+def banded_hamming_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    id_col: str,
+    max_hamming: int,
+    bits: int,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """EXACT Hamming-distance pair join over ANY integer fingerprint
+    column (simhash, image phash, ...) without the quadratic self-join.
+
+    Pigeonhole banding: split the fingerprint into ``max_hamming + 1``
+    bands; a pair within Hamming distance ``max_hamming`` has at most
+    ``max_hamming`` differing bits across ``max_hamming + 1`` bands, so
+    at least one band matches EXACTLY. Candidates therefore come from
+    equi-joins keyed on (band_id, band_value) — shuffle on band
+    buckets, never all-pairs — then one bit_count verifies. Arithmetic
+    shift + mask makes band extraction sign-safe for bit-63
+    fingerprints. Output: (out_a, out_b, hamming).
+    """
+    bands = max_hamming + 1
+    if bits % bands:
+        raise ValueError("bits must divide evenly into max_hamming+1 bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(fp_col, b * width).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fp.select(
+        F.col(id_col), F.col(fp_col).alias("_fp"), F.explode(band_structs).alias("bb")
+    ).select(id_col, "_fp", "bb.band", "bb.bv")
+    a = banded.select(
+        F.col(id_col).alias(out_a), F.col("_fp").alias("ha"), "band", "bv"
+    )
+    b = banded.select(
+        F.col(id_col).alias(out_b), F.col("_fp").alias("hb"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b, "ha", "hb")
+        .distinct()  # a pair may match in several bands
+    )
+    ham = F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming")
+    return cand.select(out_a, out_b, ham).where(F.col("hamming") <= max_hamming)
+
+
 def simhash_pairs_banded(
     df: DataFrame,
     max_hamming: int = 3,
@@ -285,49 +339,12 @@ def simhash_pairs_banded(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """EXACT simhash near-dup pairs without the quadratic self-join —
-    the 100 TB path :func:`simhash_pairs`'s docstring promises.
-
-    Pigeonhole banding: split the fingerprint into ``max_hamming + 1``
-    bands; a pair within Hamming distance ``max_hamming`` has at most
-    ``max_hamming`` differing bits across ``max_hamming + 1`` bands, so
-    at least one band matches EXACTLY. Candidates therefore come from
-    equi-joins keyed on (band_id, band_value) — shuffle on band
-    buckets, never all-pairs — then one bit_count verifies. Returns the
-    same rows as the quadratic verifier (gated against the same DuckDB
-    oracle to prove zero recall loss).
-    """
-    bands = max_hamming + 1
-    if bits % bands:
-        raise ValueError("bits must divide evenly into max_hamming+1 bands")
-    width = bits // bands
-    mask = (1 << width) - 1
+    the 100 TB path :func:`simhash_pairs`'s docstring promises; the
+    banding itself is the generic :func:`banded_hamming_pairs`.
+    Returns the same rows as the quadratic verifier (gated against the
+    same DuckDB oracle to prove zero recall loss)."""
     sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("bv"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sh.select(
-        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bb")
-    ).select(id_col, "simhash", "bb.band", "bb.bv")
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"), "band", "bv"
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"), "band", "bv"
-    )
-    cand = (
-        a.join(b, ["band", "bv"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()  # a pair may match in several bands
-    )
-    ham = F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming")
-    return cand.select("doc_a", "doc_b", ham).where(F.col("hamming") <= max_hamming)
+    return banded_hamming_pairs(sh, "simhash", id_col, max_hamming, bits)
 
 
 def embedding_neardup_pairs(

@@ -300,3 +300,23 @@ def caption_audit(images: DataFrame) -> DataFrame:
     return images.select(
         "image_id", F.md5(F.col("caption").cast("binary")).alias("caption_md5")
     )
+
+
+def image_neardup_pairs(
+    images, max_hamming: int = 3, bits: int = 64, id_col: str = "image_id"
+):
+    """Perceptual-hash image near-duplicate pairs: EXACT banded Hamming
+    join over the images table's ``phash`` column (the generic
+    pigeonhole machinery from operators/dedup.py::banded_hamming_pairs
+    — one equi-join on (band, band_value), never all-pairs, one
+    bit_count verify). The payload ``bytes`` column is never scanned
+    (plan-asserted): near-dup detection over a 100 TB image corpus
+    reads only the 8-byte fingerprint column. ``max_hamming`` must be
+    one of 0/1/3/7/15 for a 64-bit hash (bands must divide bits).
+    Output: (image_a, image_b, hamming)."""
+    from cuda_gis_smoothing_spark.operators.dedup import banded_hamming_pairs
+
+    fp = images.select(id_col, "phash")
+    return banded_hamming_pairs(
+        fp, "phash", id_col, max_hamming, bits, out_a="image_a", out_b="image_b"
+    )

@@ -161,3 +161,44 @@ def test_iceberg_style_write_read(spark, tmp_path):
     assert df.count() == 50
     man = read_manifest(p)
     assert man["row_count"] == 50 and man["format"] == "parquet"
+
+
+def test_image_neardup_pairs_exact_and_prunes_bytes(spark):
+    """Banded phash Hamming join == quadratic python truth on a corpus
+    with engineered near-dup groups, and the plan never reads the
+    payload bytes column."""
+    import itertools
+    import re
+
+    from cuda_gis_smoothing_spark.operators.multimodal import image_neardup_pairs
+
+    rng = np.random.default_rng(17)
+    rows = []
+    ph = []
+    for g in range(12):
+        seed = int(rng.integers(0, 2**63 - 1))
+        for v in range(3):  # three variants, up to 2 bits flipped
+            h = seed
+            for _ in range(v):
+                h ^= 1 << int(rng.integers(0, 64))
+            rows.append((f"img_{g}_{v}", h, b"\x00"))
+            ph.append((f"img_{g}_{v}", h))
+    images = spark.createDataFrame(rows, "image_id string, phash long, bytes binary")
+
+    got = {
+        (r.image_a, r.image_b, r.hamming)
+        for r in image_neardup_pairs(images, max_hamming=3).collect()
+    }
+    want = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(ph, 2):
+        a, b = sorted((ia, ib))
+        d = bin((ha ^ hb) & (2**64 - 1)).count("1")
+        if d <= 3:
+            want.add((a, b, d))
+    assert got == want and len(want) >= 12
+
+    plan = images.sparkSession._jvm.PythonSQLUtils.explainString(
+        image_neardup_pairs(images)._jdf.queryExecution(), "formatted"
+    )
+    for m in re.findall(r"ReadSchema: (\S+)", plan):
+        assert "bytes" not in m
