@@ -604,7 +604,7 @@ def neardup_components(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_rounds: int = 16,
-    check_every: int = 4,
+    check_every: int = 2,
 ) -> DataFrame:
     """Connected components over the simhash near-dup graph: every doc
     labeled with the SMALLEST doc_id transitively reachable through
@@ -620,7 +620,9 @@ def neardup_components(
     edge list, lineage truncated with ``localCheckpoint`` (swap for
     reliable ``checkpoint`` on a preemptible cluster). Convergence is
     checked only every ``check_every`` rounds (one cheap
-    symmetric-difference probe) instead of a driver action per round;
+    symmetric-difference probe) instead of a driver action per round
+    (the sf0.01 fixture converges at round 5, so probing every 2 stops
+    at round 6 instead of 8);
     if the budget runs out unconverged the loop RAISES rather than
     returning wrong labels silently.
 
