@@ -128,13 +128,19 @@ class IncrementalCurator:
             .distinct()
         )
         survivors = b.join(dropped_intra, "doc_id", "left_anti").localCheckpoint()
-        self.kept_log.write_delta(survivors, batch_id)
+        # write order is the crash-safety contract: the replay guard is
+        # has(batch_id) on the KEPT log, so the kept delta must land
+        # LAST — a crash after the curated write but before the kept
+        # write replays the whole batch (curated delta dir is
+        # overwritten idempotently); the reverse order would skip the
+        # replay and silently lose the batch's curated rows
         self.curated_log.write_delta(
             deterministic_sample(survivors, self.sample_fraction).select(
                 "doc_id", "n_tokens", "quality_score"
             ),
             batch_id,
         )
+        self.kept_log.write_delta(survivors, batch_id)
         if self.kept_log.delta_count() >= self.compact_every:
             self.kept_log.compact(batch_id)
             self.curated_log.compact(batch_id)

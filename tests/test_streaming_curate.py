@@ -144,3 +144,25 @@ def test_multi_batch_matches_python_oracle(spark, tmp_path):
         2,
     )
     assert cur.current_kept().count() == n_before
+
+
+def test_crash_between_curated_and_kept_writes_replays_cleanly(spark, tmp_path):
+    """Simulate the crash window: curated delta written, kept delta not
+    (the kept log is the replay guard, written LAST) — reprocessing the
+    batch must converge to the same state as a clean run, not lose or
+    double rows."""
+    import shutil
+
+    docs = _docs(spark)
+    state = tmp_path / "state"
+    cur = IncrementalCurator(spark, str(state))
+    cur.process_batch(docs, 0)
+    clean_curated = set(_ids(cur.current_curated()))
+    clean_kept = cur.current_kept().count()
+
+    # forge the crash: drop the kept delta, keep the curated delta
+    shutil.rmtree(str(state / "kept_docs" / "delta-b00000000"))
+    assert not cur.kept_log.has(0)
+    cur.process_batch(docs, 0)  # replay
+    assert set(_ids(cur.current_curated())) == clean_curated
+    assert cur.current_kept().count() == clean_kept
