@@ -426,6 +426,18 @@ def _q_range_join(spark, sf_dir):
     return range_join_followups(load(spark, sf_dir, "events"))
 
 
+def _q_funnel(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.events import funnel_conversion
+
+    return funnel_conversion(load(spark, sf_dir, "events"))
+
+
+def _q_cohort_retention(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.events import cohort_retention
+
+    return cohort_retention(load(spark, sf_dir, "events"))
+
+
 def _q_top_event_types(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import top_event_types_per_user
 
@@ -524,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _q_asof_attribution,
         "range_join_followups": _q_range_join,
         "top_event_types": _q_top_event_types,
+        "funnel_conversion": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_banded": _q_dedup_embedding_banded,
         "tile_pyramid": _q_tile_pyramid,
@@ -843,6 +857,8 @@ WHERE rank <= 5
         "asof_attribution": _asof_sql(),
         "range_join_followups": _range_join_sql(),
         "top_event_types": _top_event_types_sql(),
+        "funnel_conversion": _funnel_sql_oracle(),
+        "cohort_retention": _cohort_sql_oracle(),
         "tile_pyramid": _tile_pyramid_sql(),
         "pip_regions": _pip_sql(),
         "knn_cells": _knn_cells_sql(),
@@ -1061,6 +1077,18 @@ def _top_event_types_sql() -> str:
     from cuda_gis_smoothing_spark.operators.events import top_event_types_sql
 
     return top_event_types_sql(3)
+
+
+def _funnel_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.events import funnel_sql
+
+    return funnel_sql()
+
+
+def _cohort_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.events import cohort_retention_sql
+
+    return cohort_retention_sql()
 
 
 def _emb_banded_sql() -> str:

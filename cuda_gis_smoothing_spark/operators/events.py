@@ -132,6 +132,117 @@ WHERE rank <= {k}
 """.strip()
 
 
+def funnel_conversion(
+    events: DataFrame, steps: tuple[str, ...] = ("signup", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel: per step i, the users who performed step i at or
+    after their step i-1 completion time (earliest-completion
+    semantics — t_i = MIN time of step i among events >= t_{i-1}).
+    Output: (step, event_type, n_users), one row per funnel stage.
+
+    Plan shape: one filtered aggregation per step, each shuffled on
+    user_id (the key every event operator shares), chained by an
+    equi-join on user_id — no window over the event stream, no
+    per-user sort; at 100 TB each stage is a hash aggregate over the
+    step's OWN events only (filter pushed to the scan).
+    """
+    us = event_micros("ts")
+    ev = events.select("user_id", "event_type", us.alias("us"))
+    cur: DataFrame | None = None
+    out: DataFrame | None = None
+    for i, s in enumerate(steps):
+        e = ev.where(F.col("event_type") == s)
+        if cur is None:
+            cur = e.groupBy("user_id").agg(F.min("us").alias("t"))
+        else:
+            cur = (
+                e.join(cur.select("user_id", F.col("t").alias("_prev")), "user_id")
+                .where(F.col("us") >= F.col("_prev"))
+                .groupBy("user_id")
+                .agg(F.min("us").alias("t"))
+            )
+        row = cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"), F.lit(s).alias("event_type"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def funnel_sql(steps: tuple[str, ...] = ("signup", "click", "purchase")) -> str:
+    ctes, selects = [], []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events "
+                f"WHERE event_type = '{s}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i + 1} AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t "
+                f"FROM events e JOIN s{i} p ON p.user_id = e.user_id "
+                f"WHERE e.event_type = '{s}' AND epoch_us(e.ts) >= p.t GROUP BY 1)"
+            )
+        selects.append(
+            f"SELECT {i + 1} AS step, '{s}' AS event_type, COUNT(*) AS n_users FROM s{i + 1}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(
+    events: DataFrame, cohort_type: str = "signup"
+) -> DataFrame:
+    """Weekly cohort retention: users bucketed by their first
+    ``cohort_type`` week (absolute weeks since epoch — no global-min
+    aggregation, so the bucket id is a pure per-row function), counted
+    in every later week they show ANY activity.
+    Output: (cohort_week, week_offset, n_users).
+    """
+    us = event_micros("ts")
+    wk = floordiv(us, WEEK_US)
+    signup = (
+        events.where(F.col("event_type") == cohort_type)
+        .select("user_id", wk.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    activity = events.select("user_id", wk.alias("aw")).distinct()
+    return (
+        activity.join(signup, "user_id")
+        .where(F.col("aw") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("aw") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def cohort_retention_sql(cohort_type: str = "signup") -> str:
+    # post-epoch timestamps: integer // IS floor here (DuckDB has no
+    # pmod; the Spark side uses floordiv for the general case)
+    wk = f"(epoch_us(ts) // {WEEK_US})"
+    return f"""
+WITH signup AS (
+  SELECT user_id, MIN({wk}) AS cohort_week
+  FROM events WHERE event_type = '{cohort_type}' GROUP BY 1
+),
+activity AS (SELECT DISTINCT user_id, {wk} AS aw FROM events)
+SELECT cohort_week, (aw - cohort_week) AS week_offset, COUNT(*) AS n_users
+FROM (
+  SELECT DISTINCT a.user_id, s.cohort_week, a.aw
+  FROM activity a JOIN signup s ON s.user_id = a.user_id
+  WHERE a.aw >= s.cohort_week
+)
+GROUP BY 1, 2
+""".strip()
+
+
 def asof_attribute(
     events: DataFrame, left_type: str = "purchase", right_type: str = "click"
 ) -> DataFrame:
