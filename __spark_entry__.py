@@ -426,6 +426,24 @@ def _q_range_join(spark, sf_dir):
     return range_join_followups(load(spark, sf_dir, "events"))
 
 
+def _q_events_rollup(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.events import events_rollup
+
+    return events_rollup(load(spark, sf_dir, "events"))
+
+
+def _q_user_moving_avg(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.events import user_moving_avg
+
+    return user_moving_avg(load(spark, sf_dir, "events"))
+
+
+def _q_value_percentiles(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.events import value_percentiles
+
+    return value_percentiles(load(spark, sf_dir, "events"))
+
+
 def _q_funnel(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import funnel_conversion
 
@@ -538,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_types": _q_top_event_types,
         "funnel_conversion": _q_funnel,
         "cohort_retention": _q_cohort_retention,
+        "events_rollup": _q_events_rollup,
+        "user_moving_avg": _q_user_moving_avg,
+        "value_percentiles": _q_value_percentiles,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_banded": _q_dedup_embedding_banded,
         "tile_pyramid": _q_tile_pyramid,
@@ -859,6 +880,9 @@ WHERE rank <= 5
         "top_event_types": _top_event_types_sql(),
         "funnel_conversion": _funnel_sql_oracle(),
         "cohort_retention": _cohort_sql_oracle(),
+        "events_rollup": _rollup_sql_oracle(),
+        "user_moving_avg": _moving_avg_sql_oracle(),
+        "value_percentiles": _percentiles_sql_oracle(),
         "tile_pyramid": _tile_pyramid_sql(),
         "pip_regions": _pip_sql(),
         "knn_cells": _knn_cells_sql(),
@@ -1089,6 +1113,24 @@ def _cohort_sql_oracle() -> str:
     from cuda_gis_smoothing_spark.operators.events import cohort_retention_sql
 
     return cohort_retention_sql()
+
+
+def _rollup_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.events import ROLLUP_SQL
+
+    return ROLLUP_SQL
+
+
+def _moving_avg_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.events import user_moving_avg_sql
+
+    return user_moving_avg_sql()
+
+
+def _percentiles_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.events import value_percentiles_sql
+
+    return value_percentiles_sql()
 
 
 def _emb_banded_sql() -> str:

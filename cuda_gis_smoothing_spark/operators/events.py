@@ -243,6 +243,99 @@ GROUP BY 1, 2
 """.strip()
 
 
+def events_rollup(events: DataFrame) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP(event_type, day) — per-type-day,
+    per-type, and grand-total rows in ONE pass (Catalyst expands the
+    grouping sets into a single shuffle with a grouping id; null
+    grouping columns mark the subtotal levels, same as ANSI ROLLUP)."""
+    day = F.col("ts").cast("date").cast("string")
+    return (
+        events.select(F.col("event_type"), day.alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round6(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value) + 1e-09, 6) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+""".strip()
+
+
+def user_moving_avg(events: DataFrame, frame_rows: int = 3) -> DataFrame:
+    """Bounded-frame window aggregate: per user, the moving average of
+    ``value`` over the last ``frame_rows`` events in time order —
+    partitioned by user_id (per-user local sorts after ONE shuffle,
+    never a global window)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(frame_rows - 1), 0)
+    )
+    base = events.select(
+        "user_id", "event_id", "value", event_micros("ts").alias("us")
+    )
+    return base.select(
+        "user_id", "event_id", round6(F.avg("value").over(w)).alias("moving_avg")
+    )
+
+
+def user_moving_avg_sql(frame_rows: int = 3) -> str:
+    return f"""
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN {frame_rows - 1} PRECEDING AND CURRENT ROW) + 1e-09, 6)
+       AS moving_avg
+FROM events
+""".strip()
+
+
+PCT_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """EXACT per-type percentiles of ``value`` (Spark ``percentile``
+    and DuckDB ``quantile_cont`` share linear-interpolation semantics,
+    verified bit-identical on the fixture). Exact percentiles sort each
+    group — fine for bounded group counts; the 100 TB path for
+    high-cardinality groups is ``approx_percentile`` (not cross-engine
+    gate-able, its sketch is engine-private)."""
+    qs = ", ".join(str(q) for q in PCT_QS)
+    p = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({qs}))").alias("_p")
+    )
+    pos = F.posexplode("_p")
+    return p.select("event_type", pos).select(
+        "event_type",
+        F.element_at(F.array(*[F.lit(q) for q in PCT_QS]), F.col("pos") + 1).alias("q"),
+        round6("col").alias("value"),
+    )
+
+
+def value_percentiles_sql() -> str:
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
+    qs = ", ".join(str(q) for q in PCT_QS)
+    qs_d = ", ".join(flit(q) for q in PCT_QS)
+    return f"""
+WITH g AS (
+  SELECT event_type, quantile_cont(value, [{qs}]) AS p
+  FROM events GROUP BY event_type
+)
+SELECT event_type, u.q, ROUND(u.v + 1e-09, 6) AS value
+FROM g, LATERAL (
+  SELECT unnest([{qs_d}]) AS q, unnest(p) AS v
+) u
+""".strip()
+
+
 def asof_attribute(
     events: DataFrame, left_type: str = "purchase", right_type: str = "click"
 ) -> DataFrame:
