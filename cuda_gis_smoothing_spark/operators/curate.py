@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from cuda_gis_smoothing_spark.functions.numeric import round6
 from cuda_gis_smoothing_spark.functions.text import language_id, quality_features
-from cuda_gis_smoothing_spark.operators.dedup import _doc_tokens, minhash_lsh_pairs
+from cuda_gis_smoothing_spark.operators.dedup import (
+    TOKEN_ARRAY_SQL,
+    lsh_blocked_neardup_drops,
+)
 from cuda_gis_smoothing_spark.operators.sampling import deterministic_sample
 
 CURATE_LANG = "en"
@@ -134,21 +137,21 @@ def verified_pairs(
     doc_a resolved against ``a_docs``'s texts, doc_b against
     ``b_docs``'s — the sides may be different tables (cross-batch
     verification in the incremental curator). Returns the verified
-    pairs (doc_a, doc_b, jaccard >= threshold)."""
-    ta = _doc_tokens(a_docs, "text", "doc_id", None)
-    tb = _doc_tokens(b_docs, "text", "doc_id", None)
-    sa = ta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-    sb = tb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
-    inter = (
-        cand.join(ta.select(F.col("doc_id").alias("doc_a"), "t"), "doc_a")
-        .join(tb.select(F.col("doc_id").alias("doc_b"), "t"), ["doc_b", "t"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = round6(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+    pairs (doc_a, doc_b, jaccard >= threshold).
+
+    The token arrays are pure projections (no explode → groupBy), the
+    intersection is one ``array_intersect`` per candidate row — two
+    equi-joins total, no candidate x token intermediate. Distinct
+    tokens per doc, so the intersect size is the exact set
+    intersection."""
+    tok = TOKEN_ARRAY_SQL.format(text_col="text")
+    ta = a_docs.select(F.col("doc_id").alias("doc_a"), F.expr(tok).alias("_ta"))
+    tb = b_docs.select(F.col("doc_id").alias("doc_b"), F.expr(tok).alias("_tb"))
+    i = F.size(F.array_intersect("_ta", "_tb"))
+    jac = round6(i / (F.size("_ta") + F.size("_tb") - i))
     return (
-        inter.join(sa.select(F.col("doc_id").alias("doc_a"), "na"), "doc_a")
-        .join(sb.select(F.col("doc_id").alias("doc_b"), "nb"), "doc_b")
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -162,25 +165,28 @@ def curate_corpus(
     sample_fraction: float = CURATE_SAMPLE_F,
     n_hashes: int = 6,
     bands: int = 3,
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Returns the curated corpus as (doc_id, n_tokens, quality_score)."""
     base = filtered_base(docs, lang, min_quality)
     kept = exact_canonical(base)
-    # `kept` feeds the minhash signatures, the token lists (twice), the
-    # sizes and the final projection — ~40 scans of the docs table in
-    # the unmaterialized plan. Materialize the filtered survivors ONCE
-    # (measured 25 s -> single-scan at sf0.1; on a real cluster stage
-    # this to a table / reliable checkpoint instead)
+    # `kept` feeds the band keys, the verify arrays and the final
+    # projection — many scans of the docs table in the unmaterialized
+    # plan. Materialize the filtered survivors ONCE (measured 25 s ->
+    # single-scan at sf0.1; on a real cluster stage this to a table /
+    # reliable checkpoint instead)
     kept = kept.localCheckpoint()
 
-    # near-dup drop: LSH band candidates, exact-jaccard verified
-    cand = minhash_lsh_pairs(kept, n_hashes=n_hashes, bands=bands).select(
-        "doc_a", "doc_b"
-    )
-    dropped = (
-        verified_pairs(cand, kept, kept, neardup_jaccard)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+    # near-dup drop: LSH band candidates + exact-jaccard verify, FUSED
+    # per band bucket through the blocked-triangle equi-join so a
+    # pathological self-similar bucket bounds per-task work at
+    # ~(K/n_blocks)^2 pairs (see lsh_blocked_neardup_drops)
+    dropped = lsh_blocked_neardup_drops(
+        kept,
+        neardup_jaccard,
+        n_hashes=n_hashes,
+        bands=bands,
+        n_blocks=n_blocks,
     )
     survivors = kept.join(dropped, "doc_id", "left_anti")
     return deterministic_sample(survivors, sample_fraction).select(

@@ -148,6 +148,189 @@ def minhash_lsh_pairs(
     )
 
 
+def banded_keys_projection(
+    docs: DataFrame,
+    n_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra: dict | None = None,
+    with_band_values: bool = False,
+) -> DataFrame:
+    """(id, band, bh) LSH band keys with the EXACT
+    :func:`minhash_lsh_pairs` arithmetic — computed as a PURE PROJECTION
+    (nested higher-order expressions: filter/transform/aggregate/
+    array_min) instead of the batch explode → groupBy(min).
+
+    Two callers need the projection form: streaming (an aggregation
+    upstream of ``applyInPandasWithState`` is illegal in one query) and
+    the blocked bucket verify (the token-array payload must ride along
+    the same row, which a groupBy would separate). A doc's signature is
+    a pure function of its text, so the arithmetic is identical;
+    equality with the batch signatures is asserted in tests. Docs with
+    no tokens get no keys (exactly like the batch operator, where they
+    have no signature row). ``extra`` maps output column names to
+    Columns carried through the projection (evaluated once per doc,
+    BEFORE the band explode); ``with_band_values`` additionally carries
+    ``_bvs`` = the full array of the doc's band values on every
+    exploded row (bands are few — the first-shared-band dedup in
+    :func:`lsh_blocked_neardup_drops` needs both sides' earlier
+    bands)."""
+    d = docs.select(
+        id_col,
+        F.expr(_TOKEN_HASHES_SQL.format(text_col=text_col)).alias("_hs"),
+        *[c.alias(name) for name, c in (extra or {}).items()],
+    )
+    mh = [
+        F.expr(
+            f"array_min(transform(_hs, h -> (h * {MH_A[i]} + {MH_B[i]}) % {MH_PRIME}))"
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    sig = d.select(id_col, *mh, *(extra or {})).where(F.col("mh_0").isNotNull())
+    rows_per_band = n_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = (expr * 8191 + p) % MH_PRIME
+        band_exprs.append(expr)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), e.alias("bh"))
+        for b, e in enumerate(band_exprs)
+    ]
+    bvs = [F.array(*band_exprs).alias("_bvs")] if with_band_values else []
+    return sig.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bb"), *(extra or {}), *bvs
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+        *(extra or {}),
+        *(["_bvs"] if with_band_values else []),
+    )
+
+
+#: distinct non-empty lowercase whitespace tokens of {text_col}, hashed
+#: with the shared portable polynomial hash — as one nested expression
+_TOKEN_HASHES_SQL = (
+    "transform(filter(array_distinct(split(lower({text_col}), ' ')), t -> t <> ''), "
+    "t -> aggregate(split(t, ''), CAST(7 AS BIGINT), "
+    f"(acc, c) -> (acc * 131 + ascii(c)) % {MH_PRIME}))"
+)
+
+#: distinct non-empty lowercase whitespace tokens as an array column
+TOKEN_ARRAY_SQL = "filter(array_distinct(split(lower({text_col}), ' ')), t -> t <> '')"
+
+
+def lsh_blocked_neardup_drops(
+    docs: DataFrame,
+    threshold: float,
+    n_hashes: int = 6,
+    bands: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc ids with a VERIFIED jaccard >= ``threshold`` partner of
+    smaller id — LSH band candidates and exact-jaccard verification
+    FUSED into one blocked-triangle equi-join per band bucket.
+
+    The separate candidates-then-verify pipeline has two unbounded
+    tasks under a pathological self-similar corpus (a band bucket with
+    K members): the bucket self-join emits its K^2/2 candidate rows
+    from ONE join key, and the verify join on doc_a concentrates a hot
+    doc's K-1 candidate x token rows likewise. Here each bucket member
+    gets a hash block g in [0, n_blocks); the left side replicates to
+    block pairs (g, j>=g), the right to (i<=g, g), and the join is EQUI
+    on (band, bh, block_i, block_j) — per-task work is |B_i| x |B_j|
+    pairs (~(K/n_blocks)^2, asserted under a 90%-self-similar corpus in
+    tests/test_partitioning_dedup.py), the same balanced-triangle
+    construction as :func:`embedding_neardup_pairs`. Verification runs
+    IN the join row: both sides carry their distinct-token arrays, the
+    exact intersection is one ``array_intersect`` — no candidate x
+    token explode, no re-join against the corpus, no aggregation.
+
+    Cost shape: each doc ships n_blocks+1 copies of its token array per
+    band (bands * (n_blocks+1) total) — the price of the structural
+    per-task bound; n_blocks=1 degenerates to the plain bucket
+    equi-join (2 copies per band) when skew is no concern.
+
+    Two exact pre-intersect reductions (both matter on self-similar
+    corpora, where most pairs share EVERY band — measured 86% of all
+    pairs are candidates on the sf0.1 fixture):
+      * first-shared-band dedup: a pair verifies ONLY in its lowest
+        shared band (each side carries its full band-value array —
+        ``bands`` ints — and the match is skipped when any earlier
+        band also matches), so a 3-band match costs one intersect, not
+        three.
+      * size-ratio prefilter: jaccard >= t forces
+        min(n_a, n_b) / max(n_a, n_b) >= t, checked on the array sizes
+        (with epsilon slack covering the round-to-6 on the verify) —
+        provably a candidate superset, no string work.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    keyed = banded_keys_projection(
+        docs,
+        n_hashes,
+        bands,
+        id_col=id_col,
+        text_col=text_col,
+        extra={"_tok": F.expr(TOKEN_ARRAY_SQL.format(text_col=text_col))},
+        with_band_values=True,
+    ).withColumn("_g", F.pmod(F.hash(id_col), F.lit(n_blocks)))
+    left = keyed.select(
+        F.col(id_col).alias("ida"),
+        F.col("_tok").alias("ta"),
+        F.col("_bvs").alias("bva"),
+        "band",
+        "bh",
+        F.col("_g").alias("bi"),
+        F.explode(F.sequence(F.col("_g"), F.lit(n_blocks - 1))).alias("bj"),
+    )
+    right = keyed.select(
+        F.col(id_col).alias("idb"),
+        F.col("_tok").alias("tb"),
+        F.col("_bvs").alias("bvb"),
+        "band",
+        "bh",
+        F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("bi"),
+        F.col("_g").alias("bj"),
+    )
+    # unrolled over the constant band count (a Spark `sequence(1,
+    # band)` DESCENDS to [1, 0] at band 0 and element_at(_, 0) throws)
+    earlier_match = F.lit(False)
+    for b2 in range(bands - 1):
+        earlier_match = earlier_match | (
+            (F.col("band") > b2)
+            & (F.element_at("bva", b2 + 1) == F.element_at("bvb", b2 + 1))
+        )
+    first_band = ~earlier_match
+    na, nb = F.size("ta"), F.size("tb")
+    size_ok = (
+        F.least(na, nb).cast("double")
+        >= (threshold - 1e-6) * (F.greatest(na, nb).cast("double"))
+    )
+    pairs = (
+        left.join(right, ["band", "bh", "bi", "bj"])
+        .where((F.col("bi") != F.col("bj")) | (F.col("ida") < F.col("idb")))
+        .where(first_band)
+        .where(size_ok)
+    )
+    i = F.size(F.array_intersect("ta", "tb"))
+    jac = round6(i / (na + nb - i))
+    return (
+        pairs.select(
+            F.greatest("ida", "idb").alias(id_col), jac.alias("_jaccard")
+        )
+        .where(F.col("_jaccard") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+
+
 def _doc_tokens(df: DataFrame, text_col: str, id_col: str, block_col: str | None):
     """Distinct lowercase whitespace tokens per doc (plus block col)."""
     return df.select(

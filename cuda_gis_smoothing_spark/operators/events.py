@@ -145,6 +145,13 @@ def funnel_conversion(
     equi-join on user_id — no window over the event stream, no
     per-user sort; at 100 TB each stage is a hash aggregate over the
     step's OWN events only (filter pushed to the scan).
+
+    The running per-user completion table is materialized per step
+    (``localCheckpoint`` — swap for a staged table on a preemptible
+    cluster): without it step i's plan embeds step i-1's aggregation
+    and each per-step count re-executes the whole chain — O(S^2)
+    passes over the (filtered) events for an S-step funnel. With it,
+    events are scanned exactly once per step.
     """
     us = event_micros("ts")
     ev = events.select("user_id", "event_type", us.alias("us"))
@@ -161,6 +168,7 @@ def funnel_conversion(
                 .groupBy("user_id")
                 .agg(F.min("us").alias("t"))
             )
+        cur = cur.localCheckpoint()
         row = cur.agg(F.count(F.lit(1)).alias("n_users")).select(
             F.lit(i + 1).alias("step"), F.lit(s).alias("event_type"), "n_users"
         )
@@ -224,9 +232,11 @@ def cohort_retention(
 
 
 def cohort_retention_sql(cohort_type: str = "signup") -> str:
-    # post-epoch timestamps: integer // IS floor here (DuckDB has no
-    # pmod; the Spark side uses floordiv for the general case)
-    wk = f"(epoch_us(ts) // {WEEK_US})"
+    # DuckDB's integer // truncates toward zero while the Spark side
+    # floordivs (true floor) — they diverge on PRE-EPOCH timestamps, so
+    # bucket via float floor (exact: |epoch_us| < 2^53 until year 2255,
+    # and the quotient is nowhere near a representability boundary)
+    wk = f"CAST(floor(epoch_us(ts) / {WEEK_US}) AS BIGINT)"
     return f"""
 WITH signup AS (
   SELECT user_id, MIN({wk}) AS cohort_week

@@ -155,10 +155,26 @@ def salted_join(
     is an explode of 0..n_salts-1 — factor n_salts regardless of data.
     Exact for inner/left joins on equi keys (each left row matches its
     right partner under exactly one salt).
+
+    Degenerate case: if the left side has ONLY the key column, the salt
+    falls back to hash(key) — every row of a hot key then gets the SAME
+    salt and the join provides zero skew relief (results stay correct).
+    A warning is emitted because that is the one scenario this operator
+    exists for; dedupe the key-only side or add a discriminating column.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left equi joins")
-    others = [c for c in left.columns if c != key] or [key]
+    others = [c for c in left.columns if c != key]
+    if not others:
+        import warnings
+
+        warnings.warn(
+            "salted_join: left side has only the join key; salting by "
+            "hash(key) gives every row of a hot key the same salt — no "
+            "skew relief (results remain correct)",
+            stacklevel=2,
+        )
+        others = [key]
     lsalt = F.pmod(F.hash(*[F.col(c) for c in others]), F.lit(n_salts))
     l2 = left.withColumn("_salt", lsalt)
     r2 = right.withColumn(

@@ -105,37 +105,12 @@ def _banded_keys(docs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     minhash_signatures) — but computed as a PURE PROJECTION: the batch
     operator's explode → groupBy(min) is a streaming AGGREGATION, and
     Spark forbids an aggregation upstream of applyInPandasWithState in
-    one query. A doc's signature is a pure function of its text, so the
-    same arithmetic runs as nested higher-order expressions
-    (filter/transform/aggregate/array_min) in the row — no shuffle, no
-    second stateful operator; equality with the batch signatures is
-    asserted in tests."""
-    from cuda_gis_smoothing_spark.operators.dedup import MH_A, MH_B, MH_PRIME
+    one query. Shared with the batch blocked bucket verify as
+    operators/dedup.py::banded_keys_projection; equality with the batch
+    signatures is asserted in tests."""
+    from cuda_gis_smoothing_spark.operators.dedup import banded_keys_projection
 
-    toks = "filter(array_distinct(split(lower(text), ' ')), t -> t <> '')"
-    hashes = (
-        f"transform({toks}, t -> aggregate(split(t, ''), CAST(7 AS BIGINT), "
-        f"(acc, c) -> (acc * 131 + ascii(c)) % {MH_PRIME}))"
-    )
-    d = docs.select("doc_id", F.expr(hashes).alias("_hs"))
-    mh = [
-        F.expr(
-            f"array_min(transform(_hs, h -> (h * {MH_A[i]} + {MH_B[i]}) % {MH_PRIME}))"
-        ).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    sig = d.select("doc_id", *mh).where(F.col("mh_0").isNotNull())
-    rows_per_band = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
-        expr = parts[0]
-        for p in parts[1:]:
-            expr = (expr * 8191 + p) % MH_PRIME
-        band_cols.append(F.struct(F.lit(b).alias("band"), expr.alias("bh")))
-    return sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    return banded_keys_projection(docs, n_hashes, bands)
 
 
 def flag_exact_dups_stream(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:

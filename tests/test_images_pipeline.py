@@ -181,6 +181,10 @@ def test_image_neardup_pairs_exact_and_prunes_bytes(spark):
             h = seed
             for _ in range(v):
                 h ^= 1 << int(rng.integers(0, 64))
+            # two's complement: a flip of bit 63 yields h >= 2^63, which
+            # overflows LongType in createDataFrame (python xor/mask
+            # below are sign-agnostic, so the truth set is unchanged)
+            h = h - 2**64 if h >= 2**63 else h
             rows.append((f"img_{g}_{v}", h, b"\x00"))
             ph.append((f"img_{g}_{v}", h))
     images = spark.createDataFrame(rows, "image_id string, phash long, bytes binary")

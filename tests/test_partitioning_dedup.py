@@ -458,3 +458,60 @@ def test_salted_join_equals_plain_join_under_skew(spark):
         left.where(FF.col("k") == 7).select(lsalt.alias("s")).distinct().count()
     )
     assert n_salts_hot > 1
+
+
+def test_blocked_bucket_verify_matches_unfused_and_bounds_tasks(spark):
+    """90%-self-similar corpus (one LSH bucket holds ~all docs): the
+    fused blocked-triangle candidates+verify kernel returns EXACTLY the
+    unfused pipeline's drop set, and its per-task verify input is
+    bounded at ~(K/n_blocks)^2 pairs instead of the hot bucket's K^2/2
+    — the structural bound a pathological near-dup cluster needs."""
+    from cuda_gis_smoothing_spark.operators.curate import verified_pairs
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        banded_keys_projection,
+        lsh_blocked_neardup_drops,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(19))
+    rows = [(i, f"{shared} u{i}") for i in range(180)]  # pairwise j=19/21
+    rows += [
+        (1000 + i, " ".join(f"z{i}x{j}" for j in range(10))) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_blocks = 4
+
+    got = {
+        r.doc_id
+        for r in lsh_blocked_neardup_drops(
+            docs, 0.9, n_blocks=n_blocks
+        ).collect()
+    }
+    cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    want = {
+        r.doc_b for r in verified_pairs(cand, docs, docs, 0.9).collect()
+    }
+    assert got == want
+    assert len(want) >= 150  # the cluster really is near-dup-dense
+
+    # structural bound: per (band, bh, block_i, block_j) task pairs
+    keys = banded_keys_projection(docs, 6, 3).withColumn(
+        "_g", F.pmod(F.hash("doc_id"), F.lit(n_blocks))
+    )
+    sizes = keys.groupBy("band", "bh", "_g").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    buckets: dict[tuple, dict[int, int]] = {}
+    for r in sizes:
+        buckets.setdefault((r["band"], r["bh"]), {})[r["_g"]] = r["n"]
+    K = max(sum(d.values()) for d in buckets.values())
+    assert K >= 150  # one bucket concentrates the hot cluster
+    max_task = max(
+        d.get(i, 0) * d.get(j, 0)
+        if i != j
+        else d.get(i, 0) * max(d.get(i, 0) - 1, 0) // 2
+        for d in buckets.values()
+        for i in range(n_blocks)
+        for j in range(i, n_blocks)
+    )
+    assert max_task <= (K * (K - 1) // 2) / 3  # vs the unblocked task
+    assert max_task <= int(2.5 * (K / n_blocks) ** 2)  # tracks the target
