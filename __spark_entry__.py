@@ -485,6 +485,21 @@ def _q_dedup_embedding_banded(spark, sf_dir):
     )
 
 
+def _q_dedup_embedding_probed(spark, sf_dir):
+    """Multi-probe banded near-dup (probe_bits=1): one join side also
+    emits every band value with a single bit flipped, so pairs whose
+    best band differs in exactly one sign bit become candidates too —
+    the recall dial for sub-sign-stable thresholds, gated against a
+    DuckDB twin of the same one-bit-flip key expansion."""
+    from cuda_gis_smoothing_spark.operators.dedup import embedding_neardup_pairs_banded
+
+    return embedding_neardup_pairs_banded(
+        load(spark, sf_dir, "embeddings"),
+        threshold=_EMB_BANDED_THRESHOLD,
+        probe_bits=1,
+    )
+
+
 #: gaussian_k2 ring weights x 10^4, exact integers (0.6065 / 0.1353
 #: are 4-decimal constants — reference kernel literals)
 _SCALED_W_K2 = {0: 10_000, 1: 6_065, 2: 1_353}
@@ -561,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _q_value_percentiles,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_banded": _q_dedup_embedding_banded,
+        "dedup_embedding_probed": _q_dedup_embedding_probed,
         "tile_pyramid": _q_tile_pyramid,
         "pip_regions": _q_pip_regions,
         "knn_cells": _q_knn_cells,
@@ -895,6 +911,7 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
 """.strip(),
         "dedup_embedding_banded": _emb_banded_sql(),
+        "dedup_embedding_probed": _emb_banded_sql(probe_bits=1),
         "vocab_top_tokens": f"""
 WITH {tok_cte},
 counts AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t)
@@ -1133,12 +1150,15 @@ def _percentiles_sql_oracle() -> str:
     return value_percentiles_sql()
 
 
-def _emb_banded_sql() -> str:
+def _emb_banded_sql(probe_bits: int = 0) -> str:
     """DuckDB twin of operators/dedup.embedding_neardup_pairs_banded:
     same hyperplane family, same band packing, same exact-cosine verify
     (sign margins checked: min |projection| on the fixture is 1.3e-5,
     orders of magnitude above either engine's dot-product fp error, so
-    the band values are engine-independent)."""
+    the band values are engine-independent). ``probe_bits=1`` mirrors
+    the multi-probe dial: the right join side also carries every band
+    value with one bit flipped (the same xor-key expansion the Spark
+    operator explodes)."""
     from cuda_gis_smoothing_spark.operators.dedup import EMB_BANDS, EMB_PLANES
 
     width = EMB_PLANES // EMB_BANDS
@@ -1151,15 +1171,26 @@ def _emb_banded_sql() -> str:
         )
         band_selects.append(f"SELECT vec_id, {b} AS band, ({bits}) AS bv FROM n")
     bands_union = "\n  UNION ALL ".join(band_selects)
+    if probe_bits == 0:
+        probe_cte = "kb AS (SELECT * FROM k)"
+    else:
+        flips = ", ".join(f"({1 << k})" for k in range(width))
+        probe_cte = f"""flips (f) AS (VALUES {flips}),
+kb AS (
+  SELECT vec_id, band, bv FROM k
+  UNION ALL
+  SELECT vec_id, band, xor(bv, f) AS bv FROM k CROSS JOIN flips
+)"""
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
 k AS (
   {bands_union}
 ),
+{probe_cte},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM k a JOIN k b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+  FROM k a JOIN kb b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
 )
 SELECT c.vec_a, c.vec_b,
        ROUND(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) + 1e-09, 6) AS cosine

@@ -148,34 +148,26 @@ def minhash_lsh_pairs(
     )
 
 
-def banded_keys_projection(
+def band_values_projection(
     docs: DataFrame,
     n_hashes: int,
     bands: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     extra: dict | None = None,
-    with_band_values: bool = False,
 ) -> DataFrame:
-    """(id, band, bh) LSH band keys with the EXACT
-    :func:`minhash_lsh_pairs` arithmetic — computed as a PURE PROJECTION
-    (nested higher-order expressions: filter/transform/aggregate/
-    array_min) instead of the batch explode → groupBy(min).
+    """(id, _bvs) — one row per doc, ``_bvs`` = array of the doc's LSH
+    band values in band order, with the EXACT :func:`minhash_lsh_pairs`
+    arithmetic — computed as a PURE PROJECTION (nested higher-order
+    expressions: filter/transform/aggregate/array_min) instead of the
+    batch explode → groupBy(min).
 
-    Two callers need the projection form: streaming (an aggregation
-    upstream of ``applyInPandasWithState`` is illegal in one query) and
-    the blocked bucket verify (the token-array payload must ride along
-    the same row, which a groupBy would separate). A doc's signature is
-    a pure function of its text, so the arithmetic is identical;
-    equality with the batch signatures is asserted in tests. Docs with
-    no tokens get no keys (exactly like the batch operator, where they
-    have no signature row). ``extra`` maps output column names to
-    Columns carried through the projection (evaluated once per doc,
-    BEFORE the band explode); ``with_band_values`` additionally carries
-    ``_bvs`` = the full array of the doc's band values on every
-    exploded row (bands are few — the first-shared-band dedup in
-    :func:`lsh_blocked_neardup_drops` needs both sides' earlier
-    bands)."""
+    This is the STORABLE form: one row per doc keyed on the id, which
+    is what the incremental curator persists in its band-key
+    SnapshotLog (latest-wins logs need one row per key). Docs with no
+    tokens get no row (exactly like the batch operator, where they have
+    no signature row). ``extra`` maps output column names to Columns
+    carried through (evaluated once per doc)."""
     d = docs.select(
         id_col,
         F.expr(_TOKEN_HASHES_SQL.format(text_col=text_col)).alias("_hs"),
@@ -196,20 +188,53 @@ def banded_keys_projection(
         for p in parts[1:]:
             expr = (expr * 8191 + p) % MH_PRIME
         band_exprs.append(expr)
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), e.alias("bh"))
-        for b, e in enumerate(band_exprs)
-    ]
-    bvs = [F.array(*band_exprs).alias("_bvs")] if with_band_values else []
     return sig.select(
-        id_col, F.explode(F.array(*band_cols)).alias("bb"), *(extra or {}), *bvs
-    ).select(
+        id_col, F.array(*band_exprs).alias("_bvs"), *(extra or {})
+    )
+
+
+def explode_band_values(bvs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, _bvs, extras...) → (id, band, bh, extras...) join keys."""
+    others = [c for c in bvs.columns if c not in (id_col, "_bvs")]
+    return bvs.select(
+        id_col, F.posexplode("_bvs").alias("band", "bh"), *others
+    )
+
+
+def banded_keys_projection(
+    docs: DataFrame,
+    n_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra: dict | None = None,
+    with_band_values: bool = False,
+) -> DataFrame:
+    """(id, band, bh) LSH band keys — :func:`band_values_projection`
+    exploded to join-key rows.
+
+    Two callers need the projection form: streaming (an aggregation
+    upstream of ``applyInPandasWithState`` is illegal in one query) and
+    the blocked bucket verify (the token-array payload must ride along
+    the same row, which a groupBy would separate). A doc's signature is
+    a pure function of its text, so the arithmetic is identical;
+    equality with the batch signatures is asserted in tests. ``extra``
+    maps output column names to Columns carried through (evaluated once
+    per doc, BEFORE the band explode); ``with_band_values``
+    additionally keeps ``_bvs`` = the full array of the doc's band
+    values on every exploded row (bands are few — the
+    first-shared-band dedup in :func:`lsh_blocked_neardup_drops` needs
+    both sides' earlier bands)."""
+    vals = band_values_projection(
+        docs, n_hashes, bands, id_col=id_col, text_col=text_col, extra=extra
+    )
+    out = vals.select(
         id_col,
-        F.col("bb.band").alias("band"),
-        F.col("bb.bh").alias("bh"),
+        F.posexplode("_bvs").alias("band", "bh"),
         *(extra or {}),
         *(["_bvs"] if with_band_values else []),
     )
+    return out
 
 
 #: distinct non-empty lowercase whitespace tokens of {text_col}, hashed

@@ -68,6 +68,7 @@ def train_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_train_rows: int = 65536,
 ):
     """k-means‖-style centroid training, fully deterministic (no RNG
     state) and bounded on the driver.
@@ -80,10 +81,17 @@ def train_centroids(
        selection on the driver (the deterministic analog of k-means++'s
        cost-weighted draw, and exactly k-means‖'s "recluster the
        oversampled set" step).
-    3. ``iters`` distributed Lloyd rounds: vectorized pandas-UDF
-       assignment (one numpy matmul per Arrow batch), centroid update
-       as a JVM-side posexplode + groupBy(bucket, dim) mean — collects
-       n_centroids*dim aggregate rows per round, never data rows.
+    3. ``iters`` distributed Lloyd rounds over a DETERMINISTIC HASH
+       SAMPLE of at most ~``max_train_rows`` vectors (the standard IVF
+       recipe: quantizer quality needs a bounded representative sample,
+       not the corpus — the full corpus is assigned exactly once, by
+       the caller). The sample is unit-normalized ONCE and
+       materialized (``localCheckpoint``; a staged table on a real
+       cluster), so each round is one vectorized pandas-UDF assignment
+       (a numpy matmul per Arrow batch) + a JVM-side posexplode +
+       groupBy(bucket, dim) mean — collecting n_centroids*dim
+       aggregate rows per round, never data rows, and never
+       re-scanning the corpus.
 
     Returns a numpy (n_centroids, dim) array of UNIT-norm centroids.
     Lloyd means aggregate distributed doubles, so centroids can differ
@@ -92,6 +100,8 @@ def train_centroids(
     keeps the SQL-exact driver gate).
     """
     import numpy as np
+
+    from cuda_gis_smoothing_spark.operators.sampling import deterministic_sample
 
     L = oversample * n_centroids
     pool_rows = (
@@ -113,17 +123,24 @@ def train_centroids(
         chosen.append(int(np.argmax(d)))
     cents = pool[chosen].copy()
 
-    norm = with_norm(embeddings, emb_col).select(
-        (F.col("_emb")).alias("_emb"), "_nrm"
+    src = embeddings
+    n_rows = embeddings.count()
+    if n_rows > max_train_rows:
+        src = deterministic_sample(
+            embeddings, max_train_rows / n_rows, id_col=id_col
+        )
+    unit = (
+        with_norm(src, emb_col)
+        .select(
+            F.transform(
+                "_emb", lambda x: x / (F.col("_nrm") + F.lit(1e-12))
+            ).alias("_u")
+        )
+        .localCheckpoint()
     )
     for _ in range(iters):
         assign = _nearest_bucket_udf(embeddings.sparkSession, cents)
-        assigned = norm.select(
-            assign(F.col("_emb")).alias("_b"),
-            F.transform(
-                "_emb", lambda x: x / (F.col("_nrm") + F.lit(1e-12))
-            ).alias("_u"),
-        )
+        assigned = unit.select(assign(F.col("_u")).alias("_b"), "_u")
         sums = (
             assigned.select("_b", F.posexplode("_u").alias("_d", "_x"))
             .groupBy("_b", "_d")

@@ -51,7 +51,11 @@ def neighbor_stats(cells: DataFrame, k: int = 1) -> DataFrame:
     )
 
 
-def locality_metric(cells: DataFrame) -> DataFrame:
+#: measured window-vs-bucketed crossover (32 cores, see docstring)
+LOCALITY_WINDOW_MAX_ROWS = 10_000_000
+
+
+def locality_metric(cells: DataFrame, strategy: str = "auto") -> DataFrame:
     """O3: avg |original-position distance| between consecutive cells in
     Morton order — the reference's post-reorder locality report (66.37,
     results/benchmarks/extended_neighborhoods_study_5393971.out:10).
@@ -60,24 +64,46 @@ def locality_metric(cells: DataFrame) -> DataFrame:
     index); the metric is how far apart Morton-consecutive cells sit in
     the original layout.
 
-    Partition-parallel: both global orderings go through
-    ``plans.partitioning.global_ranks`` (range partition + local sort +
-    partition offsets) instead of a ``Window.orderBy`` that would pull
-    the entire cell table into one partition; the "lag" is a self-join
-    on the dense Morton-order position (zpos == zpos - 1), shuffled on
-    a unique integer key. Plan-asserted in tests/test_plans.py.
+    Two physical strategies, identical results (parametrized pytest):
 
-    Measured crossover vs the single-partition window (32 cores): the
-    window's one-core sort wins below ~10M cells (4.6 s vs 12.4 s at
-    5M — stage overhead dominates), the bucketed plan wins above
-    (34.5 s vs 51.5 s at 30M) and keeps scaling, while the window's
-    single task holds the whole table (OOM, not slowdown, at 10^9
-    rows). Gate-scale numbers are overhead-bound; see BENCH/BASELINE.md.
+    * ``window`` — plain ``Window.orderBy`` ranks + lag. One-partition
+      sort: fastest below the crossover (stage overhead dominates
+      there) but holds the whole table in a single task — OOM, not
+      slowdown, at 10^9 rows.
+    * ``bucketed`` — both global orderings through
+      ``plans.partitioning.global_ranks`` (deterministic range buckets
+      + local sort + O(num_buckets) offset prefix sum); the "lag" is a
+      self-join on the dense Morton-order position (zpos == zpos - 1).
+      Partition-parallel at any scale; plan-asserted in
+      tests/test_plans.py.
+
+    ``auto`` (default) picks by row count at the measured ~10M-cell
+    crossover (32 cores: window 4.6 s vs bucketed 12.4 s at 5M;
+    bucketed 34.5 s vs window 51.5 s at 30M, and the window's single
+    task OOMs at 10^9) — one extra count() pass, which is metadata-cheap
+    on a materialized table and one aggregate execution on a computed
+    input.
     """
     from cuda_gis_smoothing_spark.functions.numeric import round6
     from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
 
+    if strategy not in ("auto", "window", "bucketed"):
+        raise ValueError("strategy must be auto, window, or bucketed")
     z = cells.select("cell").select(F.col("cell"), morton_col("cell").alias("zkey"))
+    if strategy == "auto":
+        strategy = (
+            "window" if z.count() <= LOCALITY_WINDOW_MAX_ROWS else "bucketed"
+        )
+    if strategy == "window":
+        from pyspark.sql import Window
+
+        zi = z.withColumn("idx", F.row_number().over(Window.orderBy("cell")))
+        d = F.abs(
+            F.col("idx") - F.lag("idx").over(Window.orderBy("zkey", "cell"))
+        )
+        return zi.select(d.alias("d")).agg(
+            round6(F.avg("d")).alias("avg_index_distance")
+        )
     with_idx = global_ranks(z, ["cell"], "idx")
     with_zpos = global_ranks(with_idx, ["zkey", "cell"], "zpos")
     prev = with_zpos.select(

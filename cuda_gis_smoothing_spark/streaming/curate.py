@@ -23,10 +23,14 @@ against an independent Python oracle):
   curate_corpus EXACTLY (tested).
 
 Scale shape: per batch, every step is a hash shuffle keyed on digest,
-band bucket, or doc id; state grows with KEPT docs only. Cross-batch
-candidate generation recomputes the kept side's band keys from the
-state log on each batch — O(kept) projection work; persist the band
-keys as their own log when kept cardinality dwarfs batch size.
+band bucket, or doc id; state grows with KEPT docs only. The kept
+side's band keys are PERSISTED as their own SnapshotLog (one row per
+kept doc: its band-value array), written with each batch's survivors —
+cross-batch candidate generation reads stored keys instead of
+re-deriving minhash signatures from the full kept corpus text every
+batch (O(kept) token hashing, which dominates once kept >> batch).
+The kept-docs text log is still read per batch, but only for the
+digest anti-join and the verify join — no signature recomputation.
 """
 
 from __future__ import annotations
@@ -44,7 +48,11 @@ from cuda_gis_smoothing_spark.operators.curate import (
     filtered_base,
     verified_pairs,
 )
-from cuda_gis_smoothing_spark.operators.dedup import minhash_lsh_pairs
+from cuda_gis_smoothing_spark.operators.dedup import (
+    band_values_projection,
+    explode_band_values,
+    minhash_lsh_pairs,
+)
 from cuda_gis_smoothing_spark.operators.sampling import deterministic_sample
 from cuda_gis_smoothing_spark.streaming.dedup import DOCS_SCHEMA, _banded_keys
 from cuda_gis_smoothing_spark.streaming.incremental import SnapshotLog
@@ -77,6 +85,12 @@ class IncrementalCurator:
         self.curated_log = SnapshotLog(
             spark, os.path.join(state_root, "curated"), key="doc_id"
         )
+        # kept docs' LSH band-value arrays, one row per doc — read per
+        # batch for cross-batch candidates instead of re-deriving
+        # signatures from the kept corpus text (O(kept) token hashing)
+        self.band_log = SnapshotLog(
+            spark, os.path.join(state_root, "band_keys"), key="doc_id"
+        )
 
     def current_kept(self) -> DataFrame | None:
         return self.kept_log.read()
@@ -100,9 +114,20 @@ class IncrementalCurator:
                 .join(seen, "_k", "left_anti")
                 .drop("_k")
             )
-            # cross-batch near-dup: batch band keys vs kept band keys
+            # cross-batch near-dup: batch band keys vs the PERSISTED
+            # kept band keys (falling back to recomputation only for a
+            # state dir written before the band log existed). A crash
+            # between the band-log write and the kept-log write leaves
+            # phantom band rows for this batch's docs — harmless on
+            # replay: their candidate pairs cannot resolve a text in
+            # the kept log's verify join, so no spurious drop occurs
+            # and the band delta is rewritten idempotently.
             nb = _banded_keys(b, self.n_hashes, self.bands)
-            np_ = _banded_keys(prior, self.n_hashes, self.bands)
+            prior_bvs = self.band_log.read()
+            if prior_bvs is not None:
+                np_ = explode_band_values(prior_bvs)
+            else:
+                np_ = _banded_keys(prior, self.n_hashes, self.bands)
             cand = (
                 nb.select(F.col("doc_id").alias("doc_a"), "band", "bh")
                 .join(
@@ -130,8 +155,8 @@ class IncrementalCurator:
         survivors = b.join(dropped_intra, "doc_id", "left_anti").localCheckpoint()
         # write order is the crash-safety contract: the replay guard is
         # has(batch_id) on the KEPT log, so the kept delta must land
-        # LAST — a crash after the curated write but before the kept
-        # write replays the whole batch (curated delta dir is
+        # LAST — a crash after the curated/band writes but before the
+        # kept write replays the whole batch (earlier delta dirs are
         # overwritten idempotently); the reverse order would skip the
         # replay and silently lose the batch's curated rows
         self.curated_log.write_delta(
@@ -140,10 +165,15 @@ class IncrementalCurator:
             ),
             batch_id,
         )
+        self.band_log.write_delta(
+            band_values_projection(survivors, self.n_hashes, self.bands),
+            batch_id,
+        )
         self.kept_log.write_delta(survivors, batch_id)
         if self.kept_log.delta_count() >= self.compact_every:
             self.kept_log.compact(batch_id)
             self.curated_log.compact(batch_id)
+            self.band_log.compact(batch_id)
 
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         stream = (

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+#: the event-time variant reads streams carrying an event timestamp
+DOCS_TS_SCHEMA = DOCS_SCHEMA + ", ts timestamp"
 
 
 def read_docs_stream(spark, source_dir: str, max_files: int = 1) -> DataFrame:
@@ -169,5 +171,79 @@ def flag_exact_dups_stream(docs: DataFrame, ttl_ms: int | None = None) -> DataFr
                 if ttl_ms is not None
                 else GroupStateTimeout.NoTimeout
             ),
+        )
+    )
+
+
+def flag_exact_dups_stream_eventtime(
+    docs: DataFrame,
+    ttl_ms: int,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """EVENT-TIME TTL twin of :func:`flag_exact_dups_stream`: the dedup
+    horizon is measured against the stream's WATERMARK, not wall-clock
+    — a digest whose newest event time is more than ``ttl_ms`` behind
+    the watermark is evicted, and a later identical doc starts a fresh
+    group. Replays and backfills therefore evict IDENTICALLY to the
+    live run (the processing-time variant's lifetime depends on batch
+    spacing: a fast replay of a slow day keeps state a slow day would
+    have dropped, and vice versa) — batch-equality across a restart is
+    pytest-gated.
+
+    Semantics detail (inherent to Spark's state timeouts): a timeout
+    only fires for a group with NO data in the triggering batch, so a
+    duplicate arriving in the very batch whose watermark first passes
+    the group's deadline still attributes to the old canonical — the
+    horizon is "evicted once the watermark passes last_event + ttl
+    BEFORE the next arrival", exactly the watermark contract streaming
+    aggregations give late data. Attribution order within a batch is
+    (event time, doc_id) — deterministic under replay. Late rows whose
+    deadline would precede the current watermark keep the group alive
+    one extra tick (the timeout timestamp is clamped above the
+    watermark, which Spark requires).
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            canonical, seen, last_ms = state.get
+        else:
+            canonical, seen, last_ms = None, 0, 0
+        out = []
+        for pdf in pdfs:
+            for r in pdf.sort_values([ts_col, "doc_id"]).itertuples(index=False):
+                seen += 1
+                if canonical is None:
+                    canonical = int(r.doc_id)
+                out.append(
+                    (int(r.doc_id), canonical, int(r.doc_id != canonical), seen)
+                )
+                last_ms = max(last_ms, int(getattr(r, ts_col).value // 1_000_000))
+        state.update((canonical, seen, last_ms))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm + 1))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "canonical_id", "is_duplicate", "dup_seq"]
+        )
+
+    return (
+        docs.withWatermark(ts_col, watermark_delay)
+        .select(F.md5("text").alias("_k"), "doc_id", ts_col)
+        .groupBy("_k")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "doc_id long, canonical_id long, is_duplicate int, dup_seq long"
+            ),
+            stateStructType="canonical long, seen long, last_ms long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

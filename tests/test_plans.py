@@ -104,14 +104,16 @@ def test_kring_expansion_has_no_shuffle_before_join(spark):
 
 
 def test_locality_metric_has_no_global_window(spark):
-    """O3 must not sort the full cell table in ONE partition: every
-    Window in the plan operates on the deterministic ``_bkt`` bucket
-    (per-bucket ranking, or the O(num_buckets) offset prefix sum) —
-    never a bare global ordering over cell/zkey rows."""
+    """O3's SCALE branch must not sort the full cell table in ONE
+    partition: every Window in the plan operates on the deterministic
+    ``_bkt`` bucket (per-bucket ranking, or the O(num_buckets) offset
+    prefix sum) — never a bare global ordering over cell/zkey rows.
+    (``auto`` picks this branch above the ~10M-row crossover; forced
+    here because the fixture is tiny.)"""
     from cuda_gis_smoothing_spark.operators.stats import locality_metric
 
     cells = spark.createDataFrame(datagen.gen_cells(side=8))
-    plan = _plan(locality_metric(cells))
+    plan = _plan(locality_metric(cells, strategy="bucketed"))
     windows = [ln for ln in plan.splitlines() if "Window " in ln]
     assert windows, "expected bucket-local windows in the plan"
     for ln in windows:
@@ -195,3 +197,17 @@ def test_scatter_smoothing_has_single_aggregation_exchange(spark):
         if "HashAggregate" in ln and "smoothed_ndvi" in ln and "smoothed_ndwi" in ln
     ]
     assert finals
+
+
+def test_locality_metric_strategies_agree(spark):
+    """window / bucketed / auto branches return the identical metric
+    (absolute correctness is the driver gate's DuckDB twin; this pins
+    branch equivalence so `auto` can never change the answer)."""
+    from cuda_gis_smoothing_spark.operators.stats import locality_metric
+
+    cells = spark.createDataFrame(datagen.gen_cells(side=12, n_isolated=3))
+    vals = {
+        s: locality_metric(cells, strategy=s).collect()[0]["avg_index_distance"]
+        for s in ("window", "bucketed", "auto")
+    }
+    assert vals["window"] == vals["bucketed"] == vals["auto"]

@@ -166,3 +166,72 @@ def test_crash_between_curated_and_kept_writes_replays_cleanly(spark, tmp_path):
     cur.process_batch(docs, 0)  # replay
     assert set(_ids(cur.current_curated())) == clean_curated
     assert cur.current_kept().count() == clean_kept
+
+
+def test_band_log_is_the_cross_batch_candidate_source(spark, tmp_path):
+    """(1) the persisted band-value log equals the signatures derived
+    from the kept docs' text; (2) a crafted near-dup of a kept doc is
+    dropped cross-batch; (3) with a POISONED band log the same doc
+    survives — proving candidate generation reads the log and the
+    per-batch plan no longer re-derives kept signatures from text."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.operators.dedup import band_values_projection
+
+    docs = _docs(spark)
+    cur = IncrementalCurator(spark, str(tmp_path / "state_a"))
+    cur.process_batch(docs, 0)
+    kept = cur.current_kept()
+
+    stored = {
+        (r["doc_id"], tuple(r["_bvs"])) for r in cur.band_log.read().collect()
+    }
+    derived = {
+        (r["doc_id"], tuple(r["_bvs"]))
+        for r in band_values_projection(kept, 6, 3).collect()
+    }
+    assert stored == derived and stored
+
+    # craft near-dups: source text + one new token (jaccard n/(n+1))
+    rows = kept.orderBy("doc_id").collect()
+    cand_rows = [
+        (100000 + r["doc_id"], r["text"] + " zzqx", "en", "s", len(r["text"]) + 5)
+        for r in rows
+        if len({t for t in r["text"].lower().split(" ") if t}) >= 15
+    ]
+    cand_df = spark.createDataFrame(
+        cand_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base_bv = {r["doc_id"]: list(r["_bvs"]) for r in cur.band_log.read().collect()}
+    cand_bv = {
+        r["doc_id"]: list(r["_bvs"])
+        for r in band_values_projection(cand_df, 6, 3).collect()
+    }
+    ok_ids = {r["doc_id"] for r in filtered_base(cand_df, "en", 0.5).collect()}
+    probe_id = next(
+        cid
+        for cid, bv in sorted(cand_bv.items())
+        if cid in ok_ids
+        and any(a == b for a, b in zip(bv, base_bv[cid - 100000]))
+    )
+    batch1 = cand_df.where(F.col("doc_id") == probe_id)
+
+    n_kept = kept.count()
+    cur.process_batch(batch1, 1)
+    assert cur.current_kept().count() == n_kept  # dropped via the log
+
+    cur2 = IncrementalCurator(spark, str(tmp_path / "state_b"))
+    cur2.process_batch(docs, 0)
+    band_dir = str(tmp_path / "state_b" / "band_keys" / "delta-b00000000")
+    poisoned = cur2.band_log.read().select(
+        "doc_id", F.expr("transform(_bvs, x -> CAST(-1 AS BIGINT))").alias("_bvs")
+    )
+    poisoned.write.mode("overwrite").parquet(band_dir + ".tmp")
+    shutil.rmtree(band_dir)
+    os.rename(band_dir + ".tmp", band_dir)
+    cur2.process_batch(batch1, 1)
+    assert cur2.current_kept().count() == n_kept + 1  # log IS the source

@@ -152,3 +152,83 @@ def test_flag_exact_dups_ttl_evicts_idle_digests(spark, tmp_path):
     # state evicted between runs: 30 becomes the new canonical
     assert r36["canonical_id"] == 30
     assert got2[got2["doc_id"] == 30].iloc[0]["dup_seq"] == 1
+
+
+def test_flag_exact_dups_eventtime_ttl_evicts_by_watermark(spark, tmp_path):
+    """Event-time TTL: eviction is driven by DATA timestamps crossing
+    the watermark — no sleeps anywhere. File k = micro-batch k:
+      f1 (T0):      docs 0,3,6 share a payload  -> canonical 0
+      f2 (T0+10m):  unrelated doc (advances the watermark past
+                    T0 + ttl after the batch)
+      f3 (T0+11m):  unrelated doc — the payload digest times out here
+      f4 (T0+12m):  docs 30,33,36 repeat the payload -> FRESH group,
+                    canonical 30, dup_seq restarts
+    And batch-equality across a restart: stop after f2, restart from
+    the checkpoint for f3+f4 — the combined output equals a fresh
+    single run over all four files (replay evicts identically)."""
+    import datetime as _dt
+
+    from cuda_gis_smoothing_spark.streaming.dedup import (
+        DOCS_TS_SCHEMA,
+        flag_exact_dups_stream_eventtime,
+    )
+
+    T0 = _dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def _write_ts(src, start, texts, minutes):
+        ts = T0 + _dt.timedelta(minutes=minutes)
+        rows = [
+            (start + i, t, "en", "synth", len(t), ts)
+            for i, t in enumerate(texts)
+        ]
+        spark.createDataFrame(rows, schema=DOCS_TS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def _run(src, ckpt):
+        rows = []
+
+        def sink(df, _bid):
+            rows.extend(df.collect())
+
+        stream = (
+            spark.readStream.schema(DOCS_TS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            flag_exact_dups_stream_eventtime(stream, ttl_ms=60_000)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return pd.DataFrame([r.asDict() for r in rows])
+
+    payload = ["repeated payload" if i % 3 == 0 else f"text {i}" for i in range(9)]
+    src1, ckpt1 = str(tmp_path / "src1"), str(tmp_path / "ckpt1")
+    _write_ts(src1, 0, payload, 0)
+    _write_ts(src1, 20, ["solo a"], 10)
+    got_a = _run(src1, ckpt1)  # restart point
+    assert got_a[got_a["doc_id"] == 6]["canonical_id"].iloc[0] == 0
+    _write_ts(src1, 21, ["solo b"], 11)
+    _write_ts(src1, 30, payload, 12)
+    got_b = _run(src1, ckpt1)  # resumes from checkpoint
+
+    r36 = got_b[got_b["doc_id"] == 36].iloc[0]
+    assert r36["canonical_id"] == 30  # evicted by watermark, fresh group
+    assert got_b[got_b["doc_id"] == 30].iloc[0]["dup_seq"] == 1
+
+    # fresh single run over the same four files: identical output
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    _write_ts(src2, 0, payload, 0)
+    _write_ts(src2, 20, ["solo a"], 10)
+    _write_ts(src2, 21, ["solo b"], 11)
+    _write_ts(src2, 30, payload, 12)
+    got_f = _run(src2, ckpt2)
+    key = ["doc_id", "canonical_id", "is_duplicate", "dup_seq"]
+    combined = pd.concat([got_a, got_b])[key].sort_values(key).reset_index(drop=True)
+    fresh = got_f[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(combined, fresh)
