@@ -485,6 +485,25 @@ def _q_dedup_embedding_banded(spark, sf_dir):
     )
 
 
+def _q_salted_aggregate(spark, sf_dir):
+    """The explicit skew lever, oracle-gated: two-stage salted
+    aggregation over event_type (a handful of hot keys — every key is
+    a skew key) must equal the plain GROUP BY exactly: stage-1 partial
+    (sum, count) pairs per (key, salt) compose exactly into the global
+    mean."""
+    from cuda_gis_smoothing_spark.plans.partitioning import salted_cell_aggregate
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_cell_aggregate(
+        ev, "event_type", ["value"], salt_buckets=16, salt_source="user_id"
+    )
+    return out.select(
+        F.col("cell").alias("event_type"),
+        round6("avg_value").alias("avg_value"),
+        "n_rows",
+    )
+
+
 def _q_dedup_embedding_probed(spark, sf_dir):
     """Multi-probe banded near-dup (probe_bits=1): one join side also
     emits every band value with a single bit flipped, so pairs whose
@@ -577,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_banded": _q_dedup_embedding_banded,
         "dedup_embedding_probed": _q_dedup_embedding_probed,
+        "salted_aggregate": _q_salted_aggregate,
         "tile_pyramid": _q_tile_pyramid,
         "pip_regions": _q_pip_regions,
         "knn_cells": _q_knn_cells,
@@ -912,6 +932,13 @@ WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
 """.strip(),
         "dedup_embedding_banded": _emb_banded_sql(),
         "dedup_embedding_probed": _emb_banded_sql(probe_bits=1),
+        "salted_aggregate": """
+SELECT event_type,
+       ROUND(SUM(value) / COUNT(*) + 1e-09, 6) AS avg_value,
+       COUNT(*) AS n_rows
+FROM events
+GROUP BY event_type
+""".strip(),
         "vocab_top_tokens": f"""
 WITH {tok_cte},
 counts AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t)

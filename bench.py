@@ -67,7 +67,9 @@ BENCH_QUERIES = [
     "knn_cosine",
     "smooth_scatter_k2",
     "dedup_embedding_banded",
+    "dedup_embedding_probed",
     "contamination_report",
+    "curate_corpus",
 ]
 
 
