@@ -306,6 +306,10 @@ def lsh_blocked_neardup_drops(
         extra={"_tok": F.expr(TOKEN_ARRAY_SQL.format(text_col=text_col))},
         with_band_values=True,
     ).withColumn("_g", F.pmod(F.hash(id_col), F.lit(n_blocks)))
+    # both join sides read `keyed`: materialize it once so the per-char
+    # token-hash fold over the corpus runs ONCE, not twice (swap for a
+    # staged table / reliable checkpoint on a preemptible cluster)
+    keyed = keyed.localCheckpoint()
     left = keyed.select(
         F.col(id_col).alias("ida"),
         F.col("_tok").alias("ta"),

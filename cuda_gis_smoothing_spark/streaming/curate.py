@@ -51,7 +51,7 @@ from cuda_gis_smoothing_spark.operators.curate import (
 from cuda_gis_smoothing_spark.operators.dedup import (
     band_values_projection,
     explode_band_values,
-    minhash_lsh_pairs,
+    lsh_blocked_neardup_drops,
 )
 from cuda_gis_smoothing_spark.operators.sampling import deterministic_sample
 from cuda_gis_smoothing_spark.streaming.dedup import DOCS_SCHEMA, _banded_keys
@@ -144,13 +144,10 @@ class IncrementalCurator:
             )
             b = b.join(dropped, "doc_id", "left_anti").localCheckpoint()
         # intra-batch near-dup (monotone: drop vs any smaller batch doc)
-        intra = minhash_lsh_pairs(
-            b, n_hashes=self.n_hashes, bands=self.bands
-        ).select("doc_a", "doc_b")
-        dropped_intra = (
-            verified_pairs(intra, b, b, self.neardup_jaccard)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
+        # — the same fused blocked bucket kernel curate_corpus uses, so
+        # a self-similar BATCH is per-task bounded too
+        dropped_intra = lsh_blocked_neardup_drops(
+            b, self.neardup_jaccard, n_hashes=self.n_hashes, bands=self.bands
         )
         survivors = b.join(dropped_intra, "doc_id", "left_anti").localCheckpoint()
         # write order is the crash-safety contract: the replay guard is

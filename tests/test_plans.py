@@ -211,3 +211,23 @@ def test_locality_metric_strategies_agree(spark):
         for s in ("window", "bucketed", "auto")
     }
     assert vals["window"] == vals["bucketed"] == vals["auto"]
+
+
+def test_blocked_bucket_verify_plans_as_hash_equi_join(spark):
+    """The fused curate verify kernel must plan as a hash-partitioned
+    EQUI-join on (band, bh, block_i, block_j) — no BroadcastNestedLoop
+    or CartesianProduct node, with broadcast on or off (the 100 TB
+    regime)."""
+    from cuda_gis_smoothing_spark.operators.dedup import lsh_blocked_neardup_drops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for thresh in (old, "-1"):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+            plan = _plan(lsh_blocked_neardup_drops(docs, 0.9))
+            assert "BroadcastNestedLoop" not in plan
+            assert "CartesianProduct" not in plan
+        assert "Exchange hashpartitioning" in plan  # broadcast-off form
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
