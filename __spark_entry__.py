@@ -485,6 +485,15 @@ def _q_dedup_embedding_banded(spark, sf_dir):
     )
 
 
+def _q_cumulative_users(spark, sf_dir):
+    """Cumulative distinct users via first-touch attribution + a
+    day-cardinality prefix sum — never a cumulative COUNT(DISTINCT)
+    window over event rows."""
+    from cuda_gis_smoothing_spark.operators.events import cumulative_users
+
+    return cumulative_users(load(spark, sf_dir, "events"))
+
+
 def _q_salted_aggregate(spark, sf_dir):
     """The explicit skew lever, oracle-gated: two-stage salted
     aggregation over event_type (a handful of hot keys — every key is
@@ -597,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_banded": _q_dedup_embedding_banded,
         "dedup_embedding_probed": _q_dedup_embedding_probed,
         "salted_aggregate": _q_salted_aggregate,
+        "cumulative_users": _q_cumulative_users,
         "tile_pyramid": _q_tile_pyramid,
         "pip_regions": _q_pip_regions,
         "knn_cells": _q_knn_cells,
@@ -917,6 +927,7 @@ WHERE rank <= 5
         "funnel_conversion": _funnel_sql_oracle(),
         "cohort_retention": _cohort_sql_oracle(),
         "events_rollup": _rollup_sql_oracle(),
+        "cumulative_users": _cumulative_users_sql_oracle(),
         "user_moving_avg": _moving_avg_sql_oracle(),
         "value_percentiles": _percentiles_sql_oracle(),
         "tile_pyramid": _tile_pyramid_sql(),
@@ -1163,6 +1174,12 @@ def _rollup_sql_oracle() -> str:
     from cuda_gis_smoothing_spark.operators.events import ROLLUP_SQL
 
     return ROLLUP_SQL
+
+
+def _cumulative_users_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.events import CUMULATIVE_USERS_SQL
+
+    return CUMULATIVE_USERS_SQL
 
 
 def _moving_avg_sql_oracle() -> str:

@@ -278,6 +278,46 @@ GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
 """.strip()
 
 
+def cumulative_users(events: DataFrame) -> DataFrame:
+    """Cumulative distinct users by day ("users ever seen, to date") —
+    the scale-safe formulation of a cumulative COUNT(DISTINCT).
+
+    The naive window (`COUNT(DISTINCT user_id) OVER (ORDER BY day)`)
+    re-scans every user's whole history per day and needs a global
+    ordering over EVENT rows. Instead: each user contributes exactly
+    once, at their FIRST-SEEN day (one hash aggregate on user_id);
+    first-touch counts collapse to one row per day; the running total
+    is a prefix-sum window over DAY-cardinality rows — the only
+    ordered window in the plan is bounded by #days, never user or
+    event rows. Output: (day, new_users, cum_users).
+    """
+    day = F.col("ts").cast("date").cast("string")
+    first = (
+        events.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))  # ISO date text: lexicographic == chronological
+    )
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+CUMULATIVE_USERS_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(CAST(ts AS DATE) AS VARCHAR)) AS day
+  FROM events GROUP BY 1
+),
+d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+""".strip()
+
+
 def user_moving_avg(events: DataFrame, frame_rows: int = 3) -> DataFrame:
     """Bounded-frame window aggregate: per user, the moving average of
     ``value`` over the last ``frame_rows`` events in time order —

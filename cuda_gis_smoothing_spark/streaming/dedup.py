@@ -115,6 +115,86 @@ def _banded_keys(docs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     return banded_keys_projection(docs, n_hashes, bands)
 
 
+def minhash_neardup_stream_eventtime(
+    docs: DataFrame,
+    ttl_ms: int,
+    n_hashes: int = 6,
+    bands: int = 3,
+    max_bucket: int = 256,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """:func:`minhash_neardup_stream` with an EVENT-TIME dedup horizon:
+    a bucket member whose last-seen event time has fallen more than
+    ``ttl_ms`` behind the watermark stops generating candidate pairs
+    (it is pruned from the bucket state before pairing), and a bucket
+    idle past the horizon is removed entirely via EventTimeTimeout.
+    State per bucket becomes "members seen within a TTL window"
+    instead of all members ever — bounded for unbounded streams, and
+    replay/backfill prune identically to the live run (the horizon is
+    data-driven, not wall-clock). Arrival order within a batch is
+    (event time, doc_id) — deterministic under replay."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            members, last = list(state.get[0]), list(state.get[1])
+        else:
+            members, last = [], []
+        wm = state.getCurrentWatermarkMs()
+        keep = [i for i in range(len(members)) if last[i] + ttl_ms > wm]
+        members = [members[i] for i in keep]
+        last = [last[i] for i in keep]
+        out = []
+        for pdf in pdfs:
+            for r in pdf.sort_values([ts_col, "doc_id"]).itertuples(index=False):
+                d = int(r.doc_id)
+                ms = int(getattr(r, ts_col).value // 1_000_000)
+                for m in members:
+                    a, b = (m, d) if m < d else (d, m)
+                    if a != b:
+                        out.append((a, b, key[0], key[1]))
+                if d in members:
+                    last[members.index(d)] = max(last[members.index(d)], ms)
+                elif len(members) < max_bucket:
+                    members.append(d)
+                    last.append(ms)
+        state.update((members, last))
+        state.setTimeoutTimestamp(max(max(last, default=0) + ttl_ms, wm + 1))
+        yield pd.DataFrame(out, columns=["doc_a", "doc_b", "band", "bh"])
+
+    # the watermark column must survive the projection down to the
+    # stateful operator: _banded_keys_with carries ts alongside the keys
+    banded = _banded_keys_with(
+        docs.withWatermark(ts_col, watermark_delay), n_hashes, bands, ts_col
+    )
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        fn,
+        outputStructType="doc_a long, doc_b long, band int, bh long",
+        stateStructType="members array<long>, last_ms array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _banded_keys_with(
+    docs: DataFrame, n_hashes: int, bands: int, ts_col: str
+) -> DataFrame:
+    """(doc_id, band, bh, ts) band keys carrying the event-time column
+    (the watermark column must reach the stateful operator)."""
+    from cuda_gis_smoothing_spark.operators.dedup import banded_keys_projection
+
+    return banded_keys_projection(
+        docs, n_hashes, bands, extra={ts_col: F.col(ts_col)}
+    )
+
+
 def flag_exact_dups_stream(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """First-seen exact dedup that KEEPS the duplicates, attributed:
     emits (doc_id, canonical_id, is_duplicate, dup_seq) for every doc,
