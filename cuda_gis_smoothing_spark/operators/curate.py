@@ -44,6 +44,7 @@ def contamination_report(
     bench_source: str = "src0",
     k: int = 4,
     id_col: str = "doc_id",
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3/Pile k-gram method): flag
     every training doc sharing at least one k-token shingle with the
@@ -51,12 +52,15 @@ def contamination_report(
 
     Output: (doc_id, n_contaminated_shingles) for contaminated docs.
     Plan: shingle explode (pure Catalyst transform/slice — no UDF) →
-    distinct → one equi-join on the shingle. At 100 TB hash the shingle
-    to a 64-bit key for the shuffle (kept as the raw string here so the
-    DuckDB twin is byte-identical); the benchmark side is tiny and
-    broadcasts. Real pipelines use k=8..13; the fixture's ~40-word
-    vocabulary needs k=4 for a non-vacuous gate (documented, not
-    hidden).
+    distinct → one equi-join on the shingle. ``hash_shingles=True`` is
+    the 100 TB path: the distinct/join shuffle keys become
+    ``xxhash64(shingle)`` (8 bytes instead of a k-token string —
+    engine-private hash, fine because it never leaves the plan); the
+    driver gate runs the raw-string form so the DuckDB twin is
+    byte-identical, and a pytest asserts both paths agree. The
+    benchmark side is tiny and broadcasts. Real pipelines use k=8..13;
+    the fixture's ~40-word vocabulary needs k=4 for a non-vacuous gate
+    (documented, not hidden).
 
     Engine note: Spark's ``sequence(1, 0)`` DESCENDS ([1, 0]) while
     DuckDB's ``generate_series(1, 0)`` is empty — docs shorter than k
@@ -67,10 +71,14 @@ def contamination_report(
         f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
         f"i -> array_join(slice(_toks, i, {k}), ' '))"
     )
+    shingle_key = (
+        F.xxhash64(F.col("_shingle")) if hash_shingles else F.col("_shingle")
+    )
     sh = (
         docs.select(id_col, "source", toks.alias("_toks"))
         .where(F.size("_toks") >= k)
-        .select(id_col, "source", F.explode(shingles).alias("shingle"))
+        .select(id_col, "source", F.explode(shingles).alias("_shingle"))
+        .select(id_col, "source", shingle_key.alias("shingle"))
     )
     bench = (
         sh.where(F.col("source") == bench_source).select("shingle").distinct()

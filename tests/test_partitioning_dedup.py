@@ -515,3 +515,19 @@ def test_blocked_bucket_verify_matches_unfused_and_bounds_tasks(spark):
     )
     assert max_task <= (K * (K - 1) // 2) / 3  # vs the unblocked task
     assert max_task <= int(2.5 * (K / n_blocks) ** 2)  # tracks the target
+
+
+def test_contamination_hashed_shingles_equal_string_path(spark, docs_df):
+    """The 100 TB shuffle-key path (xxhash64 shingles) must return the
+    same report as the gate's raw-string path on the fixture corpus."""
+    from cuda_gis_smoothing_spark.operators.curate import contamination_report
+
+    plain = {
+        (r.doc_id, r.n_contaminated_shingles)
+        for r in contamination_report(docs_df).collect()
+    }
+    hashed = {
+        (r.doc_id, r.n_contaminated_shingles)
+        for r in contamination_report(docs_df, hash_shingles=True).collect()
+    }
+    assert plain == hashed and plain

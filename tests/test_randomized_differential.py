@@ -135,3 +135,67 @@ def test_scatter_int_vs_python_gather(spark):
     assert set(got) == set(want)
     for c in got:
         assert got[c] == want[c], c  # exact float equality (int division)
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_blocked_bucket_drops_vs_python_lsh_oracle(spark, seed):
+    """lsh_blocked_neardup_drops == an independent pure-Python
+    recomputation of the declared semantics (minhash band candidates →
+    exact jaccard → drop the larger id) on random small-vocab docs —
+    covering candidate generation, first-shared-band dedup, the size
+    prefilter, and the blocked join in one differential."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        MH_A,
+        MH_B,
+        MH_PRIME,
+        lsh_blocked_neardup_drops,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(70):
+        k = int(rng.integers(2, 10))
+        toks = rng.choice(vocab, size=k, replace=True)
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    thr = 0.6
+
+    def tok_hash(t):
+        acc = 7
+        for c in t:
+            acc = (acc * 131 + ord(c)) % MH_PRIME
+        return acc
+
+    def bands_of(text, n_hashes=6, bands=3):
+        toks = {t for t in text.lower().split(" ") if t}
+        hs = [tok_hash(t) for t in toks]
+        if not hs:
+            return set()
+        mh = [
+            min((h * MH_A[i] + MH_B[i]) % MH_PRIME for h in hs)
+            for i in range(n_hashes)
+        ]
+        return {
+            (b, (mh[2 * b] * 8191 + mh[2 * b + 1]) % MH_PRIME)
+            for b in range(bands)
+        }
+
+    sets = {i: {t for t in t_.split(" ") if t} for i, t_ in docs}
+    bands = {i: bands_of(t_) for i, t_ in docs}
+    want = set()
+    for a in range(70):
+        for b in range(a + 1, 70):
+            if not (bands[a] & bands[b]):
+                continue
+            i = len(sets[a] & sets[b])
+            if round(i / (len(sets[a]) + len(sets[b]) - i) + 1e-9, 6) >= thr:
+                want.add(b)
+    for n_blocks in (1, 4):
+        got = {
+            r.doc_id
+            for r in lsh_blocked_neardup_drops(
+                df, thr, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == want, n_blocks
