@@ -297,6 +297,146 @@ def ivf_knn_trained(
     )
 
 
+class IVFIndex:
+    """Persisted IVF index: build once, probe many — the amortized form
+    of :func:`ivf_knn` for a corpus that outlives its queries.
+
+    Layout under ``path``:
+      * ``centroids/`` — (bucket, centroid array<double>), C tiny rows
+      * ``corpus/``    — (vec_id, c_emb, c_nrm) parquet PARTITIONED BY
+        bucket: Spark's partition directories ARE the IVF inverted
+        lists, so a probe reads only the probed buckets' files
+        (PartitionFilters prune the rest — at 100 TB, a 2-of-64-bucket
+        probe scans ~3% of the corpus; plan-asserted in tests)
+
+    Query: probe buckets per query vector (numpy matmul over the
+    broadcast centroids), collect the probed bucket SET (bounded by
+    n_probe * #queries — queries are the broadcast-small side by
+    assumption), STATIC-prune the corpus scan with it, then the same
+    bucket equi-join + exact rerank as :func:`ivf_knn` — results are
+    identical to ivf_knn over the same centroids (tested)."""
+
+    def __init__(self, spark, path: str, centroids):
+        import numpy as np
+
+        self.spark = spark
+        self.path = path
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        path: str,
+        n_centroids: int = 8,
+        iters: int = 3,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        max_train_rows: int = 65536,
+    ) -> "IVFIndex":
+        import os
+
+        spark = embeddings.sparkSession
+        cents = train_centroids(
+            embeddings,
+            n_centroids=n_centroids,
+            iters=iters,
+            id_col=id_col,
+            emb_col=emb_col,
+            max_train_rows=max_train_rows,
+        )
+        assign = _nearest_bucket_udf(spark, cents)
+        corpus = with_norm(embeddings, emb_col).select(
+            F.col(id_col).alias("vec_id"),
+            F.col("_emb").alias("c_emb"),
+            F.col("_nrm").alias("c_nrm"),
+            assign(F.col("_emb")).alias("bucket"),
+        )
+        corpus.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "corpus")
+        )
+        spark.createDataFrame(
+            [(b, [float(x) for x in c]) for b, c in enumerate(cents)],
+            "bucket int, centroid array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        return cls(spark, path, cents)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        import os
+
+        import numpy as np
+
+        rows = (
+            spark.read.parquet(os.path.join(path, "centroids"))
+            .orderBy("bucket")
+            .collect()
+        )
+        cents = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+        return cls(spark, path, cents)
+
+    def probe_buckets(self, queries: DataFrame, n_probe: int,
+                      query_id_col: str = "query_id") -> DataFrame:
+        """(query_id, q_emb, q_nrm, bucket) — one row per probed bucket."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        bc = self.spark.sparkContext.broadcast(self.centroids)
+
+        def _probe(emb):
+            m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+            m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+            sims = m @ bc.value.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            return pd.Series(list(order.astype(np.int32)))
+
+        _probe.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+        probe = F.pandas_udf(_probe, T.ArrayType(T.IntegerType()))
+        return with_norm(queries, "embedding").select(
+            F.col(query_id_col),
+            F.col("_emb").alias("q_emb"),
+            F.col("_nrm").alias("q_nrm"),
+            F.explode(probe("embedding")).alias("bucket"),
+        )
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 2,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        import os
+
+        q = self.probe_buckets(queries, n_probe, query_id_col)
+        q = q.localCheckpoint()  # consumed twice: bucket set + join
+        probed = sorted(r["bucket"] for r in q.select("bucket").distinct().collect())
+        corpus = (
+            self.spark.read.parquet(os.path.join(self.path, "corpus"))
+            .where(F.col("bucket").isin(probed))  # static partition pruning
+        )
+        pairs = corpus.join(F.broadcast(q), "bucket").where(
+            F.col("vec_id") != F.col(query_id_col)
+        )
+        sim = (
+            dot_col("c_emb", "q_emb") / (F.col("c_nrm") * F.col("q_nrm"))
+        ).alias("sim")
+        ranked = pairs.select(
+            query_id_col, F.col("vec_id").alias("neighbor_id"), sim
+        ).withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("sim").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        return ranked.where(F.col("rank") <= k).select(
+            query_id_col, "neighbor_id", "rank"
+        )
+
+
 def lsh_bucketed_knn(
     embeddings: DataFrame,
     queries: DataFrame,
