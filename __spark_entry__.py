@@ -485,6 +485,21 @@ def _q_dedup_embedding_banded(spark, sf_dir):
     )
 
 
+def _q_user_sliding_avg(spark, sf_dir):
+    """ANSI RANGE (time-based) window frame — per-user trailing-hour
+    average; ties at an instant share a frame, so the result is
+    order-independent and cross-engine exact."""
+    from cuda_gis_smoothing_spark.operators.events import user_sliding_avg
+
+    return user_sliding_avg(load(spark, sf_dir, "events"))
+
+
+def _q_events_cube(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.events import events_cube
+
+    return events_cube(load(spark, sf_dir, "events"))
+
+
 def _q_cumulative_users(spark, sf_dir):
     """Cumulative distinct users via first-touch attribution + a
     day-cardinality prefix sum — never a cumulative COUNT(DISTINCT)
@@ -607,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_probed": _q_dedup_embedding_probed,
         "salted_aggregate": _q_salted_aggregate,
         "cumulative_users": _q_cumulative_users,
+        "user_sliding_avg": _q_user_sliding_avg,
+        "events_cube": _q_events_cube,
         "tile_pyramid": _q_tile_pyramid,
         "pip_regions": _q_pip_regions,
         "knn_cells": _q_knn_cells,
@@ -928,6 +945,8 @@ WHERE rank <= 5
         "cohort_retention": _cohort_sql_oracle(),
         "events_rollup": _rollup_sql_oracle(),
         "cumulative_users": _cumulative_users_sql_oracle(),
+        "user_sliding_avg": _sliding_avg_sql_oracle(),
+        "events_cube": _cube_sql_oracle(),
         "user_moving_avg": _moving_avg_sql_oracle(),
         "value_percentiles": _percentiles_sql_oracle(),
         "tile_pyramid": _tile_pyramid_sql(),
@@ -1174,6 +1193,18 @@ def _rollup_sql_oracle() -> str:
     from cuda_gis_smoothing_spark.operators.events import ROLLUP_SQL
 
     return ROLLUP_SQL
+
+
+def _sliding_avg_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.events import user_sliding_avg_sql
+
+    return user_sliding_avg_sql()
+
+
+def _cube_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.events import CUBE_SQL
+
+    return CUBE_SQL
 
 
 def _cumulative_users_sql_oracle() -> str:

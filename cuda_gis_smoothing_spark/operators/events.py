@@ -347,6 +347,67 @@ FROM events
 """.strip()
 
 
+def user_sliding_avg(events: DataFrame, window_s: int = 3600) -> DataFrame:
+    """TIME-based sliding window aggregate (ANSI RANGE frame): per
+    user, the average of ``value`` over the trailing ``window_s``
+    seconds INCLUDING the current event — the other half of the
+    bounded-frame family (:func:`user_moving_avg` is the ROWS form).
+    Same scale shape: one shuffle on user_id, per-user local sorts,
+    never a global window. Ties at the same instant share a frame
+    (RANGE semantics), so the output is order-independent and
+    cross-engine gate-able.
+    Output: (user_id, event_id, sliding_avg)."""
+    span = window_s * 1_000_000  # microseconds
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-span, 0)
+    )
+    base = events.select(
+        "user_id", "event_id", "value", event_micros("ts").alias("us")
+    )
+    return base.select(
+        "user_id", "event_id", round6(F.avg("value").over(w)).alias("sliding_avg")
+    )
+
+
+def user_sliding_avg_sql(window_s: int = 3600) -> str:
+    span = window_s * 1_000_000
+    return f"""
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN {span} PRECEDING AND CURRENT ROW) + 1e-09, 6)
+       AS sliding_avg
+FROM events
+""".strip()
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """CUBE(event_type, day): all four grouping sets — (type, day),
+    (type), (day), () — in ONE shuffle with a grouping id. The ANSI
+    CUBE companion to :func:`events_rollup`, whose ROLLUP lacks the
+    day-only subtotal level."""
+    day = F.col("ts").cast("date").cast("string")
+    return (
+        events.select("event_type", day.alias("day"), "value")
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round6(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value) + 1e-09, 6) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+""".strip()
+
+
 PCT_QS = (0.25, 0.5, 0.75, 0.9)
 
 
