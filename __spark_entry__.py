@@ -485,6 +485,32 @@ def _q_dedup_embedding_banded(spark, sf_dir):
     )
 
 
+def _q_region_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped star join: broadcast dims, shuffle facts, exact
+    fixed-point revenue (association-free integer sums)."""
+    from cuda_gis_smoothing_spark.operators.analytics import region_revenue
+
+    return region_revenue(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    """TPC-H Q10-shaped top-k by revenue — TakeOrderedAndProject, no
+    global sort."""
+    from cuda_gis_smoothing_spark.operators.analytics import top_customers
+
+    return top_customers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_user_sliding_avg(spark, sf_dir):
     """ANSI RANGE (time-based) window frame — per-user trailing-hour
     average; ties at an instant share a frame, so the result is
@@ -624,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users": _q_cumulative_users,
         "user_sliding_avg": _q_user_sliding_avg,
         "events_cube": _q_events_cube,
+        "region_revenue": _q_region_revenue,
+        "top_customers": _q_top_customers,
         "tile_pyramid": _q_tile_pyramid,
         "pip_regions": _q_pip_regions,
         "knn_cells": _q_knn_cells,
@@ -947,6 +975,8 @@ WHERE rank <= 5
         "cumulative_users": _cumulative_users_sql_oracle(),
         "user_sliding_avg": _sliding_avg_sql_oracle(),
         "events_cube": _cube_sql_oracle(),
+        "region_revenue": _region_revenue_sql_oracle(),
+        "top_customers": _top_customers_sql_oracle(),
         "user_moving_avg": _moving_avg_sql_oracle(),
         "value_percentiles": _percentiles_sql_oracle(),
         "tile_pyramid": _tile_pyramid_sql(),
@@ -1193,6 +1223,18 @@ def _rollup_sql_oracle() -> str:
     from cuda_gis_smoothing_spark.operators.events import ROLLUP_SQL
 
     return ROLLUP_SQL
+
+
+def _region_revenue_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.analytics import REGION_REVENUE_SQL
+
+    return REGION_REVENUE_SQL
+
+
+def _top_customers_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.analytics import top_customers_sql
+
+    return top_customers_sql()
 
 
 def _sliding_avg_sql_oracle() -> str:

@@ -1,0 +1,134 @@
+"""Star-schema analytics over the TPC-H-ish tables: the canonical
+dimension-broadcast join chains an analytics engine must plan well.
+
+Join shape (100 TB): region (5 rows) and nation (25) are explicit
+``broadcast()`` sides — no shuffle for the dimension hops; customer ⋈
+orders ⋈ lineitem are hash-shuffle equi-joins on their keys (uniform,
+no skew levers needed) with AQE picking build sides at runtime. The
+revenue measure is EXACT fixed-point: prices and discounts are 2-dp
+decimals stored as doubles, so ``round(x*100)`` recovers exact integer
+cents and the sum is association-free (the smooth_scatter_int
+precedent) — cross-engine hash-identical regardless of partitioning.
+Integer bound: cents x percent sums stay < 2^62 up to ~4e9 lineitems
+at max price; beyond that use decimal(38,4) sums (DuckDB's HUGEINT
+already is one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cuda_gis_smoothing_spark.functions.numeric import round6
+
+#: revenue scaled by 10^4 (cents x remaining-percent), exact integer
+_REV_SCALED = (
+    F.round(F.col("l_extendedprice") * 100).cast("long")
+    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+)
+
+_REV_SCALED_SQL = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+
+def region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-shaped rollup: lineitem revenue by (region, nation)
+    through the full dimension chain. Output: (r_name, n_name,
+    n_orders, revenue)."""
+    dims = (
+        F.broadcast(region.select("r_regionkey", "r_name"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "r_name", "n_name")
+    )
+    cust = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    ords = orders.select("o_orderkey", "o_custkey").join(
+        cust.select("c_custkey", "r_name", "n_name"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    li = lineitem.select("l_orderkey", _REV_SCALED.alias("_rev")).join(
+        ords.select("o_orderkey", "r_name", "n_name"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return li.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        round6(F.sum("_rev") / F.lit(10_000.0)).alias("revenue"),
+    )
+
+
+REGION_REVENUE_SQL = f"""
+SELECT r.r_name, n.n_name,
+       COUNT(*) AS n_lineitems,
+       ROUND(SUM({_REV_SCALED_SQL}) / 10000.0 + 1e-09, 6) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name, n.n_name
+""".strip()
+
+
+def top_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped top-k: the ``k`` customers by total lineitem
+    revenue (exact integer ties broken by c_custkey). orderBy + limit
+    plans as TakeOrderedAndProject — distributed per-partition top-k,
+    no global sort. Output: (c_custkey, c_name, revenue, rank)."""
+    rev = (
+        lineitem.select("l_orderkey", _REV_SCALED.alias("_rev"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("_rev").alias("_rev_total"))
+    )
+    top = (
+        rev.orderBy(F.col("_rev_total").desc(), F.col("o_custkey").asc())
+        .limit(k)
+        .join(
+            customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.orderBy(F.col("_rev_total").desc(), F.col("c_custkey").asc())
+    return top.select(
+        "c_custkey",
+        "c_name",
+        round6(F.col("_rev_total") / F.lit(10_000.0)).alias("revenue"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def top_customers_sql(k: int = 20) -> str:
+    return f"""
+WITH rev AS (
+  SELECT o.o_custkey, SUM({_REV_SCALED_SQL}) AS rev_total
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey
+),
+top AS (
+  SELECT o_custkey, rev_total FROM rev
+  ORDER BY rev_total DESC, o_custkey ASC LIMIT {k}
+)
+SELECT c.c_custkey, c.c_name,
+       ROUND(t.rev_total / 10000.0 + 1e-09, 6) AS revenue,
+       CAST(ROW_NUMBER() OVER (ORDER BY t.rev_total DESC, c.c_custkey ASC) AS INT) AS rank
+FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+""".strip()

@@ -231,3 +231,21 @@ def test_blocked_bucket_verify_plans_as_hash_equi_join(spark):
         assert "Exchange hashpartitioning" in plan  # broadcast-off form
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_star_join_broadcasts_dims_and_topk_avoids_global_sort(spark):
+    """Q5-shaped chain: the dimension hops must be broadcast joins (no
+    shuffle for region/nation); Q10-shaped top-k must plan as
+    TakeOrderedAndProject, never a global Sort."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    plan5 = _plan(entry.queries()["region_revenue"](spark, sf))
+    assert "BroadcastHashJoin" in plan5
+    plan10 = _plan(entry.queries()["top_customers"](spark, sf))
+    assert "TakeOrderedAndProject" in plan10
+    # the only sort is the k-row rank window AFTER the limit (local,
+    # prints "], false"); no GLOBAL sort anywhere
+    import re
+
+    assert not re.search(r"Sort \[.*\], true", plan10)
