@@ -334,6 +334,14 @@ def _q_dedup_components(spark, sf_dir):
     return neardup_components(load(spark, sf_dir, "documents"), max_hamming=1)
 
 
+def _q_dedup_canonicals(spark, sf_dir):
+    """Quality-argmax canonical per near-dup component (the keep-the-
+    best-copy step after component labeling); ties to the smallest id."""
+    from cuda_gis_smoothing_spark.operators.dedup import component_canonicals
+
+    return component_canonicals(load(spark, sf_dir, "documents"), max_hamming=1)
+
+
 def _q_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD, block_col="lang"
@@ -483,6 +491,14 @@ def _q_dedup_embedding_banded(spark, sf_dir):
     return embedding_neardup_pairs_banded(
         load(spark, sf_dir, "embeddings"), threshold=_EMB_BANDED_THRESHOLD
     )
+
+
+def _q_doc_logprob(spark, sf_dir):
+    """Unigram LM self-scoring (CCNet/Gopher perplexity-filter shape)
+    — MLE token frequencies, per-doc mean -log p over occurrences."""
+    from cuda_gis_smoothing_spark.functions.text import doc_unigram_logprob
+
+    return doc_unigram_logprob(load(spark, sf_dir, "documents"))
 
 
 def _q_region_revenue(spark, sf_dir):
@@ -652,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _q_events_cube,
         "region_revenue": _q_region_revenue,
         "top_customers": _q_top_customers,
+        "doc_logprob": _q_doc_logprob,
+        "dedup_canonicals": _q_dedup_canonicals,
         "tile_pyramid": _q_tile_pyramid,
         "pip_regions": _q_pip_regions,
         "knn_cells": _q_knn_cells,
@@ -977,6 +995,7 @@ WHERE rank <= 5
         "events_cube": _cube_sql_oracle(),
         "region_revenue": _region_revenue_sql_oracle(),
         "top_customers": _top_customers_sql_oracle(),
+        "doc_logprob": _doc_logprob_sql_oracle(),
         "user_moving_avg": _moving_avg_sql_oracle(),
         "value_percentiles": _percentiles_sql_oracle(),
         "tile_pyramid": _tile_pyramid_sql(),
@@ -1122,6 +1141,23 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) r ON r.a = d.doc_id
 """.strip()
+    # quality-argmax canonical per component: the components CTE is the
+    # full recursive query above, nested as a derived table
+    out["dedup_canonicals"] = f"""
+WITH comp AS (
+{out["dedup_components"]}
+),
+q AS ({out["doc_quality"]})
+SELECT component, n_members, canonical_id, best_quality FROM (
+  SELECT c.component,
+         COUNT(*) OVER (PARTITION BY c.component) AS n_members,
+         c.doc_id AS canonical_id,
+         ROUND(MAX(q.quality_score) OVER (PARTITION BY c.component) + 1e-09, 6) AS best_quality,
+         ROW_NUMBER() OVER (PARTITION BY c.component ORDER BY q.quality_score DESC, c.doc_id ASC) AS rk
+  FROM comp c JOIN q USING (doc_id)
+)
+WHERE rk = 1
+""".strip()
     return out
 
 
@@ -1223,6 +1259,12 @@ def _rollup_sql_oracle() -> str:
     from cuda_gis_smoothing_spark.operators.events import ROLLUP_SQL
 
     return ROLLUP_SQL
+
+
+def _doc_logprob_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.functions.text import UNIGRAM_LOGPROB_SQL
+
+    return UNIGRAM_LOGPROB_SQL
 
 
 def _region_revenue_sql_oracle() -> str:

@@ -103,3 +103,53 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         f"(acc, c) -> (acc * 131 + ascii(c)) % {MH_PRIME})"
     )
     return df.select(id_col, fp.alias("fingerprint"))
+
+
+def doc_unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram LM self-scoring — the CCNet/Gopher perplexity-filter
+    shape: token probabilities are MLE corpus frequencies, each doc is
+    scored by the mean negative log-probability over its TOKEN
+    OCCURRENCES (not distinct tokens — repetition is signal). Low
+    scores = templated/common text, high = rare-token noise; real
+    pipelines threshold both tails.
+
+    Plan (100 TB): one token explode → count groupBy (shuffle keyed on
+    the token), the corpus total as a 1-row broadcast, one equi-join of
+    occurrences against the vocab-sized count table (broadcast when the
+    vocab fits, AQE decides), one per-doc hash aggregate. Entirely
+    JVM-side; docs with no tokens get no row (same contract as the
+    signature operators). Output: (doc_id, n_token_occurrences,
+    avg_neg_logprob).
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    occ = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t")
+    ).where(F.col("t") != "")
+    counts = occ.groupBy("t").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_s"))
+    scored = (
+        occ.join(counts, "t")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, (-F.log(F.col("_c") / F.col("_s"))).alias("_nlp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_token_occurrences"),
+        round6(F.avg("_nlp")).alias("avg_neg_logprob"),
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH occ AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+c AS (SELECT t, COUNT(*) AS c FROM occ GROUP BY t),
+tot AS (SELECT SUM(c) AS s FROM c)
+SELECT occ.doc_id,
+       COUNT(*) AS n_token_occurrences,
+       ROUND(AVG(-ln(c.c * 1.0 / tot.s)) + 1e-09, 6) AS avg_neg_logprob
+FROM occ JOIN c USING (t) CROSS JOIN tot
+GROUP BY occ.doc_id
+""".strip()

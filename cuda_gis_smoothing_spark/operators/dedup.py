@@ -878,6 +878,42 @@ def neardup_components(
     )
 
 
+def component_canonicals(
+    df: DataFrame,
+    max_hamming: int = 1,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-based canonical selection per near-dup component: the
+    step after :func:`neardup_components` in a real dedup pipeline —
+    keep the HIGHEST-QUALITY member of each duplicate cluster (min-id
+    canonicalization throws away the best copy whenever it isn't the
+    oldest). Ties break to the smallest id; quality_score is already
+    rounded to 6 dp, so the argmax is cross-engine deterministic.
+    Output: (component, n_members, canonical_id, best_quality) — one
+    hash aggregate on the component id over the labeled corpus.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.functions.text import quality_features
+
+    comps = neardup_components(
+        df, max_hamming=max_hamming, bits=bits, text_col=text_col, id_col=id_col
+    )
+    q = quality_features(df, text_col=text_col, id_col=id_col).select(
+        id_col, "quality_score"
+    )
+    j = comps.join(q, id_col)
+    pick = F.max_by(
+        id_col, F.struct(F.col("quality_score"), (-F.col(id_col)).alias("_nd"))
+    )
+    return j.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        pick.alias("canonical_id"),
+        round6(F.max("quality_score")).alias("best_quality"),
+    )
+
+
 def neardup_components_propagation(
     df: DataFrame,
     max_hamming: int = 1,
