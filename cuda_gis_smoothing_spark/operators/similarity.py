@@ -314,7 +314,14 @@ class IVFIndex:
     n_probe * #queries — queries are the broadcast-small side by
     assumption), STATIC-prune the corpus scan with it, then the same
     bucket equi-join + exact rerank as :func:`ivf_knn` — results are
-    identical to ivf_knn over the same centroids (tested)."""
+    identical to ivf_knn over the same centroids (tested).
+
+    A query set too large to broadcast probes ~every bucket, so
+    pruning buys nothing there: skip the collect and shuffle-join
+    :meth:`probe_buckets` output against the corpus on the bucket key
+    directly (both sides hash-partitioned on a C-cardinality key —
+    salt with plans.partitioning.salted_join if C is small relative to
+    the cluster)."""
 
     def __init__(self, spark, path: str, centroids):
         import numpy as np
