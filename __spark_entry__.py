@@ -493,6 +493,17 @@ def _q_dedup_embedding_banded(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_table_profile(spark, sf_dir):
+    """Numeric dataset-card profile of lineitem: one aggregate pass +
+    stack unpivot vs the oracle's per-column UNION."""
+    from cuda_gis_smoothing_spark.operators.analytics import profile_numeric
+
+    return profile_numeric(load(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
 def _q_doc_logprob(spark, sf_dir):
     """Unigram LM self-scoring (CCNet/Gopher perplexity-filter shape)
     — MLE token frequencies, per-doc mean -log p over occurrences."""
@@ -525,6 +536,12 @@ def _q_top_customers(spark, sf_dir):
         load(spark, sf_dir, "orders"),
         load(spark, sf_dir, "lineitem"),
     )
+
+
+def _q_events_pivot(spark, sf_dir):
+    from cuda_gis_smoothing_spark.operators.events import events_pivot
+
+    return events_pivot(load(spark, sf_dir, "events"))
 
 
 def _q_user_sliding_avg(spark, sf_dir):
@@ -670,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "doc_logprob": _q_doc_logprob,
         "dedup_canonicals": _q_dedup_canonicals,
+        "table_profile": _q_table_profile,
+        "events_pivot": _q_events_pivot,
         "tile_pyramid": _q_tile_pyramid,
         "pip_regions": _q_pip_regions,
         "knn_cells": _q_knn_cells,
@@ -996,6 +1015,8 @@ WHERE rank <= 5
         "region_revenue": _region_revenue_sql_oracle(),
         "top_customers": _top_customers_sql_oracle(),
         "doc_logprob": _doc_logprob_sql_oracle(),
+        "table_profile": _table_profile_sql_oracle(),
+        "events_pivot": _pivot_sql_oracle(),
         "user_moving_avg": _moving_avg_sql_oracle(),
         "value_percentiles": _percentiles_sql_oracle(),
         "tile_pyramid": _tile_pyramid_sql(),
@@ -1259,6 +1280,18 @@ def _rollup_sql_oracle() -> str:
     from cuda_gis_smoothing_spark.operators.events import ROLLUP_SQL
 
     return ROLLUP_SQL
+
+
+def _pivot_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.events import PIVOT_SQL
+
+    return PIVOT_SQL
+
+
+def _table_profile_sql_oracle() -> str:
+    from cuda_gis_smoothing_spark.operators.analytics import profile_numeric_sql
+
+    return profile_numeric_sql("lineitem", _PROFILE_COLS)
 
 
 def _doc_logprob_sql_oracle() -> str:

@@ -116,6 +116,53 @@ def top_customers(
     )
 
 
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format numeric profile (the dataset-card / data-quality
+    report): per column — row count, nulls, exact distinct count, min,
+    max, mean. ONE aggregate pass over the table (Catalyst plans the
+    multiple DISTINCT aggregates with a single expand), then a stack
+    unpivot of the 1-row result — vs the oracle's per-column UNION.
+    At 100 TB swap exact n_distinct for ``approx_count_distinct``
+    (engine-private sketch, so the exact form is what the gate checks).
+    Output: (column, n, n_null, n_distinct, min_value, max_value,
+    avg_value)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(c).cast("double").alias(f"_mn_{c}"),
+            F.max(c).cast("double").alias(f"_mx_{c}"),
+            round6(F.avg(c)).alias(f"_av_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _n_{c}, _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}, _av_{c}"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column, n, n_null, n_distinct, min_value, max_value, avg_value)"
+        )
+    )
+
+
+def profile_numeric_sql(table: str, cols: list[str]) -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", COUNT({c}) AS n,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_value,
+       CAST(MAX({c}) AS DOUBLE) AS max_value,
+       ROUND(AVG({c}) + 1e-09, 6) AS avg_value
+FROM {table}"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def top_customers_sql(k: int = 20) -> str:
     return f"""
 WITH rev AS (

@@ -408,6 +408,41 @@ GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
 """.strip()
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(events: DataFrame) -> DataFrame:
+    """Day × event-type crosstab via ``pivot`` with an EXPLICIT value
+    list (an unlisted pivot would scan once just to enumerate values
+    and produce non-deterministic output schemas — never do that at
+    scale). One hash aggregate; missing combinations are 0.
+    Output: (day, n_<type>...)."""
+    day = F.col("ts").cast("date").cast("string")
+    p = (
+        events.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .count()
+    )
+    return p.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in PIVOT_TYPES
+        ],
+    )
+
+
+PIVOT_SQL = (
+    "SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    + " FROM events GROUP BY 1"
+)
+
+
 PCT_QS = (0.25, 0.5, 0.75, 0.9)
 
 

@@ -72,3 +72,35 @@ def test_range_join_semantics_and_plan(spark, events):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "hashpartitioning(user_id" in plan or "SortMergeJoin" in plan or "HashJoin" in plan
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The documented 100 TB path for high-cardinality percentile
+    groups: approx_percentile (t-digest-style sketch, engine-private so
+    never oracle-gated) must land within 1% accuracy of the exact
+    per-group percentiles on the fixture."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {
+        (r["event_type"], i): v
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.25, 0.5, 0.9))").alias("p"))
+        .collect()
+        for i, v in enumerate(r["p"])
+    }
+    approx = {
+        (r["event_type"], i): v
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "approx_percentile(value, array(0.25, 0.5, 0.9), 10000)"
+            ).alias("p")
+        )
+        .collect()
+        for i, v in enumerate(r["p"])
+    }
+    assert approx.keys() == exact.keys()
+    spread = max(exact.values()) - min(exact.values())
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= 0.01 * spread + 1e-9, (k, v, approx[k])
