@@ -113,20 +113,24 @@ def doc_unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "do
     scores = templated/common text, high = rare-token noise; real
     pipelines threshold both tails.
 
-    Plan (100 TB): one token explode → count groupBy (shuffle keyed on
-    the token), the corpus total as a 1-row broadcast, one equi-join of
-    occurrences against the vocab-sized count table (broadcast when the
-    vocab fits, AQE decides), one per-doc hash aggregate. Entirely
-    JVM-side; docs with no tokens get no row (same contract as the
-    signature operators). Output: (doc_id, n_token_occurrences,
-    avg_neg_logprob).
+    Plan (100 TB): TWO passes over the corpus tokens — the count-build
+    aggregate and the scoring join (LM training and scoring are
+    different dataflows; materializing the occurrence table to skip
+    the second scan would stage more bytes than it saves). The
+    vocab-sized count table is materialized ONCE (localCheckpoint —
+    its total and the scoring join both read it; a staged table on a
+    real cluster), the corpus total is a 1-row broadcast derived from
+    it, and the count join broadcasts when the vocab fits (AQE
+    decides). Entirely JVM-side; docs with no tokens get no row (same
+    contract as the signature operators). Output: (doc_id,
+    n_token_occurrences, avg_neg_logprob).
     """
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
     occ = df.select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t")
     ).where(F.col("t") != "")
-    counts = occ.groupBy("t").agg(F.count(F.lit(1)).alias("_c"))
+    counts = occ.groupBy("t").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint()
     total = counts.agg(F.sum("_c").alias("_s"))
     scored = (
         occ.join(counts, "t")

@@ -20,11 +20,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from cuda_gis_smoothing_spark.functions.numeric import round6
 
-#: revenue scaled by 10^4 (cents x remaining-percent), exact integer
-_REV_SCALED = (
-    F.round(F.col("l_extendedprice") * 100).cast("long")
-    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
-)
+def _rev_scaled():
+    """Revenue scaled by 10^4 (cents x remaining-percent), exact
+    integer — built lazily: Column construction needs an active
+    SparkContext, and oracle_sql() (the DuckDB-only half of the driver
+    contract) must stay importable without one."""
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
 
 _REV_SCALED_SQL = (
     "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
@@ -41,7 +44,7 @@ def region_revenue(
 ) -> DataFrame:
     """TPC-H Q5-shaped rollup: lineitem revenue by (region, nation)
     through the full dimension chain. Output: (r_name, n_name,
-    n_orders, revenue)."""
+    n_lineitems, revenue)."""
     dims = (
         F.broadcast(region.select("r_regionkey", "r_name"))
         .join(
@@ -57,7 +60,7 @@ def region_revenue(
         cust.select("c_custkey", "r_name", "n_name"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
-    li = lineitem.select("l_orderkey", _REV_SCALED.alias("_rev")).join(
+    li = lineitem.select("l_orderkey", _rev_scaled().alias("_rev")).join(
         ords.select("o_orderkey", "r_name", "n_name"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
@@ -91,7 +94,7 @@ def top_customers(
     plans as TakeOrderedAndProject — distributed per-partition top-k,
     no global sort. Output: (c_custkey, c_name, revenue, rank)."""
     rev = (
-        lineitem.select("l_orderkey", _REV_SCALED.alias("_rev"))
+        lineitem.select("l_orderkey", _rev_scaled().alias("_rev"))
         .join(
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),

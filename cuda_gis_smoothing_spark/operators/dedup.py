@@ -193,11 +193,18 @@ def band_values_projection(
     )
 
 
-def explode_band_values(bvs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, _bvs, extras...) → (id, band, bh, extras...) join keys."""
+def explode_band_values(
+    bvs: DataFrame, id_col: str = "doc_id", keep_values: bool = False
+) -> DataFrame:
+    """(id, _bvs, extras...) → (id, band, bh, extras...) join keys;
+    ``keep_values`` retains the full ``_bvs`` array on every exploded
+    row (first-shared-band dedup needs both sides' earlier bands)."""
     others = [c for c in bvs.columns if c not in (id_col, "_bvs")]
     return bvs.select(
-        id_col, F.posexplode("_bvs").alias("band", "bh"), *others
+        id_col,
+        F.posexplode("_bvs").alias("band", "bh"),
+        *others,
+        *(["_bvs"] if keep_values else []),
     )
 
 
@@ -228,13 +235,7 @@ def banded_keys_projection(
     vals = band_values_projection(
         docs, n_hashes, bands, id_col=id_col, text_col=text_col, extra=extra
     )
-    out = vals.select(
-        id_col,
-        F.posexplode("_bvs").alias("band", "bh"),
-        *(extra or {}),
-        *(["_bvs"] if with_band_values else []),
-    )
-    return out
+    return explode_band_values(vals, id_col=id_col, keep_values=with_band_values)
 
 
 #: distinct non-empty lowercase whitespace tokens of {text_col}, hashed
@@ -668,8 +669,9 @@ def embedding_neardup_pairs_banded(
     emits every band value with a single bit flipped, so pairs whose
     best band differs in exactly one sign bit become candidates too —
     +width keys per band per vector (linear), recall strictly grows
-    (tested); the driver gate runs probe_bits=0 (the SQL twin mirrors
-    the exact-key semantics).
+    (tested). BOTH settings are driver-gated: ``dedup_embedding_banded``
+    runs probe_bits=0, ``dedup_embedding_probed`` runs probe_bits=1
+    against a DuckDB twin of the same one-bit-flip key expansion.
     """
     if probe_bits not in (0, 1):
         raise ValueError("probe_bits supports 0 (exact bands) or 1")

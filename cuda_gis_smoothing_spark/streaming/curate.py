@@ -105,6 +105,7 @@ class IncrementalCurator:
             filtered_base(docs, self.lang, self.min_quality)
         ).localCheckpoint()
         prior = self.kept_log.read()
+        backfill_prior = False
         if prior is not None:
             prior = prior.localCheckpoint()
             # cross-batch exact dedup on the digest
@@ -124,7 +125,8 @@ class IncrementalCurator:
             # and the band delta is rewritten idempotently.
             nb = _banded_keys(b, self.n_hashes, self.bands)
             prior_bvs = self.band_log.read()
-            if prior_bvs is not None:
+            backfill_prior = prior_bvs is None
+            if not backfill_prior:
                 np_ = explode_band_values(prior_bvs)
             else:
                 np_ = _banded_keys(prior, self.n_hashes, self.bands)
@@ -162,8 +164,16 @@ class IncrementalCurator:
             ),
             batch_id,
         )
+        bv_src = survivors.select("doc_id", "text")
+        if backfill_prior:
+            # one-time upgrade cost for a state dir written before the
+            # band log existed: persist the PRIOR kept docs' band keys
+            # too, or every later batch would treat the incomplete log
+            # as the full candidate source and admit near-dups of
+            # pre-upgrade kept docs
+            bv_src = prior.select("doc_id", "text").unionByName(bv_src)
         self.band_log.write_delta(
-            band_values_projection(survivors, self.n_hashes, self.bands),
+            band_values_projection(bv_src, self.n_hashes, self.bands),
             batch_id,
         )
         self.kept_log.write_delta(survivors, batch_id)

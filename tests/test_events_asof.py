@@ -104,3 +104,38 @@ def test_approx_percentile_tracks_exact(spark):
     spread = max(exact.values()) - min(exact.values())
     for k, v in exact.items():
         assert abs(approx[k] - v) <= 0.01 * spread + 1e-9, (k, v, approx[k])
+
+
+def test_cumulative_users_multiday_prefix_sum(spark):
+    """The parity fixture spans too few days to exercise the running
+    total (1-2 rows) — pin the prefix-sum window on a synthetic
+    multi-day corpus vs a pure-Python recomputation."""
+    import datetime as dt
+
+    from cuda_gis_smoothing_spark.operators.events import cumulative_users
+
+    T0 = dt.datetime(2026, 3, 1)
+    rows = []
+    eid = 0
+    first_day = {}
+    for u in range(40):
+        for d in sorted({u % 7, (u * 3) % 11, 5 + u % 4}):
+            eid += 1
+            rows.append((eid, T0 + dt.timedelta(days=d, hours=u % 24), u, "click", 1.0))
+            first_day.setdefault(u, d)
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        (r["day"], r["new_users"], r["cum_users"])
+        for r in cumulative_users(ev).collect()
+    }
+    per_day = {}
+    for u, d in first_day.items():
+        per_day[d] = per_day.get(d, 0) + 1
+    cum, want = 0, set()
+    for d in sorted(per_day):
+        cum += per_day[d]
+        day = (T0 + dt.timedelta(days=d)).strftime("%Y-%m-%d")
+        want.add((day, per_day[d], cum))
+    assert got == want and len(want) >= 5

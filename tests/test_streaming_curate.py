@@ -235,3 +235,37 @@ def test_band_log_is_the_cross_batch_candidate_source(spark, tmp_path):
     os.rename(band_dir + ".tmp", band_dir)
     cur2.process_batch(batch1, 1)
     assert cur2.current_kept().count() == n_kept + 1  # log IS the source
+
+
+def test_band_log_backfilled_for_pre_upgrade_state(spark, tmp_path):
+    """A state dir written before the band log existed (no band_keys
+    dir): the first post-upgrade batch must BACKFILL the log with the
+    prior kept docs' band values — otherwise every later batch treats
+    the incomplete log as the full candidate source and admits
+    near-dups of pre-upgrade kept docs."""
+    import shutil
+
+    from cuda_gis_smoothing_spark.operators.dedup import band_values_projection
+
+    docs = _docs(spark)
+    state = tmp_path / "state"
+    cur = IncrementalCurator(spark, str(state))
+    cur.process_batch(docs, 0)
+    shutil.rmtree(str(state / "band_keys"))  # forge the pre-upgrade dir
+    assert cur.band_log.read() is None
+
+    # an all-filtered batch (German stopword text -> lang != en) still
+    # triggers the fallback path and the backfill write
+    junk = spark.createDataFrame(
+        [(90000, "der die das und der die", "de", "s", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cur.process_batch(junk, 1)
+    stored = {
+        (r["doc_id"], tuple(r["_bvs"])) for r in cur.band_log.read().collect()
+    }
+    derived = {
+        (r["doc_id"], tuple(r["_bvs"]))
+        for r in band_values_projection(cur.current_kept(), 6, 3).collect()
+    }
+    assert stored == derived and stored
