@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "dedup_embedding_probed",
     "contamination_report",
     "curate_corpus",
+    "doc_logprob",
+    "region_revenue",
 ]
 
 
