@@ -45,15 +45,29 @@ def stopword_hits_col(text_col: str, lang: str) -> Column:
     return F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{pat}', 0)"))
 
 
-def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc quality features: lengths, token stats, punct/stopword
-    ratios, and a composite quality score in [0, 1]."""
+def quality_score_col() -> Column:
+    """Composite quality score in [0, 1] over the NAMED feature columns
+    (`n_tokens`, `punct_ratio`, `stopword_ratio` — the round6'd forms
+    :func:`quality_features` projects) — shared by the gate operator
+    and the fused single-projection curation path so the formula cannot
+    drift."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    score = (
+        F.least(F.col("n_tokens") / 64.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.25
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.25
+    )
+    return round6(score)
+
+
+def quality_feature_cols(text_col: str = "text") -> list[Column]:
+    """The per-row quality feature columns (pure projections)."""
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
     nt = n_tokens_col(text_col)
     # counts cast to long: DuckDB LEN/LENGTH are BIGINT, Spark's are int
-    out = df.select(
-        id_col,
+    return [
         F.length(text_col).cast("long").alias("n_chars"),
         nt.cast("long").alias("n_tokens"),
         bpe_token_count_col(text_col).cast("long").alias("n_bpe_tokens"),
@@ -62,13 +76,32 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         ),
         round6(punct_ratio_col(text_col)).alias("punct_ratio"),
         round6(stopword_hits_col(text_col, "en") / nt).alias("stopword_ratio"),
-    )
-    score = (
-        F.least(F.col("n_tokens") / 64.0, F.lit(1.0)) * 0.5
-        + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.25
-        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.25
-    )
-    return out.withColumn("quality_score", round6(score))
+    ]
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: lengths, token stats, punct/stopword
+    ratios, and a composite quality score in [0, 1]."""
+    out = df.select(id_col, *quality_feature_cols(text_col))
+    return out.withColumn("quality_score", quality_score_col())
+
+
+def pred_lang_col(text_col: str = "text") -> Column:
+    """Predicted-language Column (pure projection): argmax of
+    per-language stopword hits, deterministic tie-break by language
+    code, 'und' when all zero. Shared by the gate operator and the
+    fused single-projection curation path."""
+    langs = sorted(STOPWORDS)
+    # left-to-right scan: first language with a strictly higher hit
+    # count wins, so exact ties resolve to the alphabetically first
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:
+        h = stopword_hits_col(text_col, lang).cast("long")
+        cond = h > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, h).otherwise(best_hits)
+    return best
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -78,18 +111,9 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         stopword_hits_col(text_col, lang).cast("long").alias(f"hits_{lang}")
         for lang in sorted(STOPWORDS)
     ]
-    d = df.select(id_col, *hits)
-    langs = sorted(STOPWORDS)
-    # left-to-right scan: first language with a strictly higher hit
-    # count wins, so exact ties resolve to the alphabetically first
-    best = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in langs:
-        cond = F.col(f"hits_{lang}") > best_hits
-        new_best = F.when(cond, F.lit(lang)).otherwise(best)
-        new_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
-        best, best_hits = new_best, new_hits
-    return d.select(id_col, *[f"hits_{lang}" for lang in langs], best.alias("pred_lang"))
+    return df.select(
+        id_col, *hits, pred_lang_col(text_col).alias("pred_lang")
+    )
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

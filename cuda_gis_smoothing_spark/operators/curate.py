@@ -26,7 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from cuda_gis_smoothing_spark.functions.numeric import round6
-from cuda_gis_smoothing_spark.functions.text import language_id, quality_features
 from cuda_gis_smoothing_spark.operators.dedup import (
     TOKEN_ARRAY_SQL,
     lsh_blocked_neardup_drops,
@@ -95,13 +94,32 @@ def contamination_report(
     )
 
 
+def _with_quality_and_lang(docs: DataFrame, *keep: str) -> DataFrame:
+    """(keep..., n_tokens, quality_score, pred_lang) in ONE projection
+    — quality features and language id are pure per-row functions, so
+    deriving them through separate operator calls re-scans the text
+    column once per feature set and shuffles twice to re-join on
+    doc_id (the plan the gate operators keep for their own outputs).
+    Join-free; plan-asserted in tests/test_plans.py."""
+    from cuda_gis_smoothing_spark.functions.text import (
+        pred_lang_col,
+        quality_feature_cols,
+        quality_score_col,
+    )
+
+    return docs.select(
+        *keep,
+        *quality_feature_cols("text"),
+        pred_lang_col("text").alias("pred_lang"),
+    ).withColumn("quality_score", quality_score_col())
+
+
 def source_stats(docs: DataFrame) -> DataFrame:
     """Per-source corpus report: doc count, token mass, mean quality,
-    english share — the table a dataset card is built from. One hash
-    aggregation keyed on the (low-cardinality) source."""
-    q = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
-    lid = language_id(docs).select("doc_id", "pred_lang")
-    joined = docs.select("doc_id", "source").join(q, "doc_id").join(lid, "doc_id")
+    english share — the table a dataset card is built from. One
+    projection + one hash aggregation keyed on the (low-cardinality)
+    source; no joins."""
+    joined = _with_quality_and_lang(docs, "doc_id", "source")
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -112,13 +130,10 @@ def source_stats(docs: DataFrame) -> DataFrame:
 
 def filtered_base(docs: DataFrame, lang: str, min_quality: float) -> DataFrame:
     """Stage 1-2 of curation: (doc_id, text, n_tokens, quality_score)
-    for docs passing the language and quality filters."""
-    q = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
-    lid = language_id(docs).select("doc_id", "pred_lang")
+    for docs passing the language and quality filters — one scan, one
+    projection, zero joins."""
     return (
-        docs.select("doc_id", "text")
-        .join(q, "doc_id")
-        .join(lid, "doc_id")
+        _with_quality_and_lang(docs, "doc_id", "text")
         .where(
             (F.col("pred_lang") == lang)
             & (F.col("quality_score") >= min_quality)

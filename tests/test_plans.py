@@ -249,3 +249,15 @@ def test_star_join_broadcasts_dims_and_topk_avoids_global_sort(spark):
     import re
 
     assert not re.search(r"Sort \[.*\], true", plan10)
+
+
+def test_filtered_base_is_join_free_single_scan(spark):
+    """Curation stages 1-2 derive quality + language as pure
+    projections: the plan must contain no join and no exchange — one
+    scan, one filter, one projection."""
+    from cuda_gis_smoothing_spark.operators.curate import filtered_base
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(filtered_base(docs, "en", 0.5))
+    assert "Join" not in plan and "Exchange" not in plan
+    assert plan.count("FileScan") == 1
