@@ -95,22 +95,39 @@ def contamination_report(
 
 
 def _with_quality_and_lang(docs: DataFrame, *keep: str) -> DataFrame:
-    """(keep..., n_tokens, quality_score, pred_lang) in ONE projection
-    — quality features and language id are pure per-row functions, so
-    deriving them through separate operator calls re-scans the text
-    column once per feature set and shuffles twice to re-join on
-    doc_id (the plan the gate operators keep for their own outputs).
-    Join-free; plan-asserted in tests/test_plans.py."""
+    """(keep..., n_tokens, quality_score, pred_lang) in one scan with
+    ZERO joins — quality features and language id are pure per-row
+    functions, so deriving them through separate operator calls
+    re-scans the text column once per feature set and shuffles twice to
+    re-join on doc_id (the plan the gate operators keep for their own
+    outputs). Two chained projections, not one: the expensive regexp
+    hit counts land in named columns first and the language argmax
+    folds over the COLUMN REFS (see pred_lang_from_hits — inlining the
+    regexps into the fold re-evaluates them per fold level, measured
+    2.5x slower). Join-free; plan-asserted in tests/test_plans.py."""
     from cuda_gis_smoothing_spark.functions.text import (
-        pred_lang_col,
+        STOPWORDS,
+        pred_lang_from_hits,
         quality_feature_cols,
         quality_score_col,
+        stopword_hits_col,
     )
 
-    return docs.select(
+    langs = sorted(STOPWORDS)
+    hits = [
+        stopword_hits_col("text", lang).cast("long").alias(f"_hits_{lang}")
+        for lang in langs
+    ]
+    staged = docs.select(*keep, *quality_feature_cols("text"), *hits)
+    feature_names = [
+        c for c in staged.columns if c not in keep and not c.startswith("_hits_")
+    ]
+    return staged.select(
         *keep,
-        *quality_feature_cols("text"),
-        pred_lang_col("text").alias("pred_lang"),
+        *feature_names,
+        pred_lang_from_hits(lambda lang: F.col(f"_hits_{lang}")).alias(
+            "pred_lang"
+        ),
     ).withColumn("quality_score", quality_score_col())
 
 

@@ -298,6 +298,16 @@ def lsh_blocked_neardup_drops(
     """
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
+    # cheap-to-ship, expensive-to-process: the pre-join rows are tiny
+    # by bytes (band keys + token arrays), so AQE coalesces the shuffle
+    # to ONE partition and the entire pair×intersect work runs on one
+    # core (measured 13 s -> 39 s at sf0.1 when an upstream plan change
+    # shrank the stats). Pin the parallelism explicitly: spread the
+    # projection input and hash-partition both join sides on the join
+    # keys with a USER-SPECIFIED count, which AQE does not coalesce.
+    parts = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parts:
+        docs = docs.repartition(parts, id_col)
     keyed = banded_keys_projection(
         docs,
         n_hashes,
@@ -343,8 +353,10 @@ def lsh_blocked_neardup_drops(
         F.least(na, nb).cast("double")
         >= (threshold - 1e-6) * (F.greatest(na, nb).cast("double"))
     )
+    jk = ["band", "bh", "bi", "bj"]
     pairs = (
-        left.join(right, ["band", "bh", "bi", "bj"])
+        left.repartition(parts, *jk)
+        .join(right.repartition(parts, *jk), jk)
         .where((F.col("bi") != F.col("bj")) | (F.col("ida") < F.col("idb")))
         .where(first_band)
         .where(size_ok)
@@ -613,8 +625,14 @@ def embedding_neardup_pairs(
         F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("bi"),
         F.col("_g").alias("bj"),
     )
-    pairs = left.join(right, ["bi", "bj"]).where(
-        (F.col("bi") != F.col("bj")) | (F.col("ida") < F.col("idb"))
+    # pin the pair-stage parallelism: the block keys are tiny by bytes,
+    # so AQE would coalesce the shuffle and run the O(N^2/2) dot
+    # products on one core (user-specified repartition is not coalesced)
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        left.repartition(parts, "bi", "bj")
+        .join(right.repartition(parts, "bi", "bj"), ["bi", "bj"])
+        .where((F.col("bi") != F.col("bj")) | (F.col("ida") < F.col("idb")))
     )
     sim = dot_col("ea", "eb") / (F.col("na") * F.col("nb"))
     return pairs.select(
@@ -703,8 +721,10 @@ def embedding_neardup_pairs_banded(
         probed = keys.select(F.col(id_col), "band", F.explode(flips).alias("bv"))
         b_keys = keys.unionByName(probed)
     b2 = b_keys.select(F.col(id_col).alias("vec_b"), "band", "bv")
+    parts = df.sparkSession.sparkContext.defaultParallelism
     cand = (
-        a.join(b2, ["band", "bv"])
+        a.repartition(parts, "band", "bv")
+        .join(b2.repartition(parts, "band", "bv"), ["band", "bv"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
