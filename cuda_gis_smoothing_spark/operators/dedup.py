@@ -132,6 +132,11 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # pinned parallelism: band-key rows are tiny by bytes but the pair
+    # output is superlinear — AQE would coalesce the shuffle to one
+    # partition and emit every candidate from one core
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(parts, "band", "bh")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -439,16 +444,20 @@ def ngram_jaccard_pairs(
     provably sufficient subset of the posting lists and a hot token no
     longer makes the plan quadratic in its document frequency
     (tests/test_partitioning_dedup.py has the synthetic-hot-token
-    bound). Verification then counts the exact intersection by joining
-    each candidate pair against the full token lists — linear in
-    (candidates x doc length), shuffle-keyed equi-joins throughout.
+    bound). Verification is one ``array_intersect`` per distinct
+    candidate over projected token arrays (no candidate x token
+    explode/groupBy — measured 28 → ~8 s at sf0.1), with the posting
+    self-join's parallelism pinned (tiny posting rows, superlinear
+    pair output — the AQE coalesce blind spot).
     """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
     toks = _doc_tokens(df, text_col, id_col, block_col)
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     pp = prefix_postings(toks, threshold, id_col, block_col)
     join_keys = ["t"] + ([block_col] if block_col else [])
-    a = pp.alias("a")
-    b = pp.alias("b")
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    a = pp.repartition(parts, *join_keys).alias("a")
+    b = pp.repartition(parts, *join_keys).alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for kcol in join_keys:
         cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
@@ -459,23 +468,15 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    ta = toks.select(F.col(id_col).alias("doc_a"), F.col("t"))
-    tb = toks.select(F.col(id_col).alias("doc_b"), F.col("t"))
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "t"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
-    from cuda_gis_smoothing_spark.functions.numeric import round6
-
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    arr = F.expr(TOKEN_ARRAY_SQL.format(text_col=text_col))
+    ta = df.select(F.col(id_col).alias("doc_a"), arr.alias("_ta"))
+    tb = df.select(F.col(id_col).alias("doc_b"), arr.alias("_tb"))
+    i = F.size(F.array_intersect("_ta", "_tb"))
+    jac = round6(i / (F.size("_ta") + F.size("_tb") - i))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", round6(jac).alias("jaccard"))
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -540,6 +541,10 @@ def banded_hamming_pairs(
     banded = fp.select(
         F.col(id_col), F.col(fp_col).alias("_fp"), F.explode(band_structs).alias("bb")
     ).select(id_col, "_fp", "bb.band", "bb.bv")
+    # pinned parallelism: fingerprint band rows are ~16 bytes but the
+    # pair output is superlinear (the AQE coalesce blind spot)
+    parts = fp.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(parts, "band", "bv")
     a = banded.select(
         F.col(id_col).alias(out_a), F.col("_fp").alias("ha"), "band", "bv"
     )
