@@ -135,8 +135,12 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
             F.count(c).alias(f"_n_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
             F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
-            F.min(c).cast("double").alias(f"_mn_{c}"),
-            F.max(c).cast("double").alias(f"_mx_{c}"),
+            # min/max are arithmetic-free passthroughs, but EVERY float
+            # column in a gated output goes through round6 (the repo's
+            # cross-engine tie rule) so a future decimal-typed or
+            # derived column can't silently diverge
+            round6(F.min(c).cast("double")).alias(f"_mn_{c}"),
+            round6(F.max(c).cast("double")).alias(f"_mx_{c}"),
             round6(F.avg(c)).alias(f"_av_{c}"),
         ]
     wide = df.agg(*aggs)
@@ -157,8 +161,8 @@ def profile_numeric_sql(table: str, cols: list[str]) -> str:
         f"""SELECT '{c}' AS "column", COUNT({c}) AS n,
        CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        COUNT(DISTINCT {c}) AS n_distinct,
-       CAST(MIN({c}) AS DOUBLE) AS min_value,
-       CAST(MAX({c}) AS DOUBLE) AS max_value,
+       ROUND(CAST(MIN({c}) AS DOUBLE) + 1e-09, 6) AS min_value,
+       ROUND(CAST(MAX({c}) AS DOUBLE) + 1e-09, 6) AS max_value,
        ROUND(AVG({c}) + 1e-09, 6) AS avg_value
 FROM {table}"""
         for c in cols

@@ -27,8 +27,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from cuda_gis_smoothing_spark.functions.numeric import round6
 from cuda_gis_smoothing_spark.operators.dedup import (
-    TOKEN_ARRAY_SQL,
     lsh_blocked_neardup_drops,
+    verified_jaccard_pairs,
 )
 from cuda_gis_smoothing_spark.operators.sampling import deterministic_sample
 
@@ -173,28 +173,11 @@ def verified_pairs(
     b_docs: DataFrame,
     threshold: float,
 ) -> DataFrame:
-    """Exact-jaccard verification of candidate (doc_a, doc_b) pairs:
-    doc_a resolved against ``a_docs``'s texts, doc_b against
-    ``b_docs``'s — the sides may be different tables (cross-batch
-    verification in the incremental curator). Returns the verified
-    pairs (doc_a, doc_b, jaccard >= threshold).
-
-    The token arrays are pure projections (no explode → groupBy), the
-    intersection is one ``array_intersect`` per candidate row — two
-    equi-joins total, no candidate x token intermediate. Distinct
-    tokens per doc, so the intersect size is the exact set
-    intersection."""
-    tok = TOKEN_ARRAY_SQL.format(text_col="text")
-    ta = a_docs.select(F.col("doc_id").alias("doc_a"), F.expr(tok).alias("_ta"))
-    tb = b_docs.select(F.col("doc_id").alias("doc_b"), F.expr(tok).alias("_tb"))
-    i = F.size(F.array_intersect("_ta", "_tb"))
-    jac = round6(i / (F.size("_ta") + F.size("_tb") - i))
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    """Exact-jaccard verification of candidate (doc_a, doc_b) pairs —
+    the curation-facing name for the single shared verify kernel
+    (``operators.dedup.verified_jaccard_pairs``; one arithmetic, no
+    drift between the ngram gate and the curation pipelines)."""
+    return verified_jaccard_pairs(cand, a_docs, b_docs, threshold)
 
 
 def curate_corpus(

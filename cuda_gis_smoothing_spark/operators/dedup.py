@@ -378,6 +378,37 @@ def lsh_blocked_neardup_drops(
     )
 
 
+def verified_jaccard_pairs(
+    cand: DataFrame,
+    a_docs: DataFrame,
+    b_docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-jaccard verification of candidate (doc_a, doc_b) pairs:
+    doc_a resolved against ``a_docs``, doc_b against ``b_docs`` (the
+    sides may be different tables — cross-batch verification in the
+    incremental curator). ONE ``array_intersect`` per candidate over
+    projected distinct-token arrays — no candidate x token explode, no
+    aggregation; the single copy of the verify arithmetic shared by
+    ``ngram_jaccard_pairs`` and the curation pipelines. Returns
+    (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    arr = F.expr(TOKEN_ARRAY_SQL.format(text_col=text_col))
+    ta = a_docs.select(F.col(id_col).alias("doc_a"), arr.alias("_ta"))
+    tb = b_docs.select(F.col(id_col).alias("doc_b"), arr.alias("_tb"))
+    i = F.size(F.array_intersect("_ta", "_tb"))
+    jac = round6(i / (F.size("_ta") + F.size("_tb") - i))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def _doc_tokens(df: DataFrame, text_col: str, id_col: str, block_col: str | None):
     """Distinct lowercase whitespace tokens per doc (plus block col)."""
     return df.select(
@@ -450,8 +481,6 @@ def ngram_jaccard_pairs(
     self-join's parallelism pinned (tiny posting rows, superlinear
     pair output — the AQE coalesce blind spot).
     """
-    from cuda_gis_smoothing_spark.functions.numeric import round6
-
     toks = _doc_tokens(df, text_col, id_col, block_col)
     pp = prefix_postings(toks, threshold, id_col, block_col)
     join_keys = ["t"] + ([block_col] if block_col else [])
@@ -468,16 +497,8 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    arr = F.expr(TOKEN_ARRAY_SQL.format(text_col=text_col))
-    ta = df.select(F.col(id_col).alias("doc_a"), arr.alias("_ta"))
-    tb = df.select(F.col(id_col).alias("doc_b"), arr.alias("_tb"))
-    i = F.size(F.array_intersect("_ta", "_tb"))
-    jac = round6(i / (F.size("_ta") + F.size("_tb") - i))
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    return verified_jaccard_pairs(
+        cand, df, df, threshold, id_col=id_col, text_col=text_col
     )
 
 

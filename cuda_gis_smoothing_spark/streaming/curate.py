@@ -124,10 +124,20 @@ class IncrementalCurator:
             # the kept log's verify join, so no spurious drop occurs
             # and the band delta is rewritten idempotently.
             nb = _banded_keys(b, self.n_hashes, self.bands)
-            prior_bvs = self.band_log.read()
-            backfill_prior = prior_bvs is None
+            # backfill decision must be REPLAY-STABLE: "no band snapshot
+            # OLDER than this batch" — a crash after the backfill delta
+            # write but before the kept write leaves only delta-b{N},
+            # and `read() is None` would then skip the backfill on
+            # replay and overwrite it with survivors-only keys, losing
+            # the pre-upgrade docs' band values forever. Any state dir
+            # that legitimately covered earlier batches has a band
+            # snapshot with an older id (deltas per batch; compaction
+            # bases carry the compacting batch's id).
+            backfill_prior = all(
+                bid >= batch_id for bid, _, _ in self.band_log._snapshots()
+            )
             if not backfill_prior:
-                np_ = explode_band_values(prior_bvs)
+                np_ = explode_band_values(self.band_log.read())
             else:
                 np_ = _banded_keys(prior, self.n_hashes, self.bands)
             cand = (

@@ -79,8 +79,13 @@ def minhash_neardup_stream(
     ) -> Iterator[pd.DataFrame]:
         members = list(state.get[0]) if state.exists else []
         out = []
-        for pdf in pdfs:
-            for doc_id in pdf["doc_id"].sort_values():
+        # concat before sorting: a group split across Arrow chunks
+        # arrives in shuffle order, and per-chunk sorting would make
+        # the cap admission order replay-dependent
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if not batch.empty:
+            for doc_id in batch["doc_id"].sort_values():
                 d = int(doc_id)
                 for m in members:
                     a, b = (m, d) if m < d else (d, m)
@@ -152,8 +157,10 @@ def minhash_neardup_stream_eventtime(
         members = [members[i] for i in keep]
         last = [last[i] for i in keep]
         out = []
-        for pdf in pdfs:
-            for r in pdf.sort_values([ts_col, "doc_id"]).itertuples(index=False):
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if not batch.empty:
+            for r in batch.sort_values([ts_col, "doc_id"]).itertuples(index=False):
                 d = int(r.doc_id)
                 ms = int(getattr(r, ts_col).value // 1_000_000)
                 for m in members:
@@ -221,10 +228,13 @@ def flag_exact_dups_stream(docs: DataFrame, ttl_ms: int | None = None) -> DataFr
         else:
             canonical, seen = None, 0
         out = []
-        for pdf in pdfs:
-            # arrival order within a batch is made deterministic by
-            # doc_id so replays attribute identically
-            for doc_id in pdf["doc_id"].sort_values():
+        # arrival order within a batch is made deterministic by doc_id
+        # ACROSS chunks (a group split over Arrow batches arrives in
+        # shuffle order) so replays attribute identically
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if not batch.empty:
+            for doc_id in batch["doc_id"].sort_values():
                 seen += 1
                 if canonical is None:
                     canonical = int(doc_id)
@@ -297,8 +307,10 @@ def flag_exact_dups_stream_eventtime(
         else:
             canonical, seen, last_ms = None, 0, 0
         out = []
-        for pdf in pdfs:
-            for r in pdf.sort_values([ts_col, "doc_id"]).itertuples(index=False):
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if not batch.empty:
+            for r in batch.sort_values([ts_col, "doc_id"]).itertuples(index=False):
                 seen += 1
                 if canonical is None:
                     canonical = int(r.doc_id)

@@ -69,14 +69,26 @@ def sessionize_stream(
                 ],
             )
             return
-        for pdf in pdfs:
-            for r in pdf.sort_values([ts_col, "event_id"]).itertuples(index=False):
+        # concat BEFORE sorting: a group larger than the Arrow batch
+        # size arrives as several chunks in shuffle order — per-chunk
+        # sorting would evaluate gaps out of order
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if not batch.empty:
+            for r in batch.sort_values([ts_col, "event_id"]).itertuples(
+                index=False
+            ):
                 us = int(getattr(r, ts_col).value // 1_000)  # ns -> us
                 if not is_open:
-                    seq, start, n, sv, is_open = seq + 1, us, 0, 0.0, 1
+                    # reset `last` too: a session reopened after a
+                    # timeout close must not inherit the closed
+                    # session's clock for its gap checks and deadline
+                    seq, start, last, n, sv, is_open = (
+                        seq + 1, us, us, 0, 0.0, 1,
+                    )
                 elif us - last > gap_us:
                     out.append((user, seq, start, n, sv))
-                    seq, start, n, sv = seq + 1, us, 0, 0.0
+                    seq, start, last, n, sv = seq + 1, us, us, 0, 0.0
                 n += 1
                 sv += float(r.value)
                 last = max(last, us)

@@ -516,36 +516,24 @@ def test_blocked_bucket_verify_matches_unfused_and_bounds_tasks(spark):
     assert max_task <= (K * (K - 1) // 2) / 3  # vs the unblocked task
     assert max_task <= int(2.5 * (K / n_blocks) ** 2)  # tracks the target
 
-    # and the pair stage really EXECUTES multi-partition: the key-level
-    # decomposition above is worthless if AQE coalesces the tiny-bytes
-    # shuffle to one partition and runs every intersect on one core
-    # (the kernel pins a user-specified repartition for this)
-    from cuda_gis_smoothing_spark.operators.dedup import (
-        TOKEN_ARRAY_SQL,
-        lsh_blocked_neardup_drops as _k,  # noqa: F401 (kernel under test)
+    # and the KERNEL's pair stage is pinned against AQE coalescing: the
+    # key-level decomposition above is worthless if the tiny-bytes
+    # shuffle collapses to one partition and every intersect runs on
+    # one core. The kernel's own executed plan must carry the
+    # user-specified repartition (REPARTITION_BY_NUM — the one exchange
+    # kind AQE never coalesces) on the blocked join keys.
+    plan = (
+        lsh_blocked_neardup_drops(docs, 0.9, n_blocks=n_blocks)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
-
-    g = F.pmod(F.hash("doc_id"), F.lit(n_blocks))
-    left = keys.withColumn("_g2", g).select(
-        F.col("doc_id").alias("ida"), "band", "bh",
-        F.col("_g2").alias("bi"),
-        F.explode(F.sequence(F.col("_g2"), F.lit(n_blocks - 1))).alias("bj"),
-    )
-    right = keys.withColumn("_g2", g).select(
-        F.col("doc_id").alias("idb"), "band", "bh",
-        F.explode(F.sequence(F.lit(0), F.col("_g2"))).alias("bi"),
-        F.col("_g2").alias("bj"),
-    )
-    parts = spark.sparkContext.defaultParallelism
-    jk = ["band", "bh", "bi", "bj"]
-    exec_parts = (
-        left.repartition(parts, *jk)
-        .join(right.repartition(parts, *jk), jk)
-        .select(F.spark_partition_id().alias("p"))
-        .distinct()
-        .count()
-    )
-    assert exec_parts >= min(8, parts), exec_parts
+    pinned = [
+        ln
+        for ln in plan.splitlines()
+        if "REPARTITION_BY_NUM" in ln and "bi" in ln and "bj" in ln
+    ]
+    assert pinned, f"kernel pair join is not pinned:\n{plan}"
 
 
 def test_contamination_hashed_shingles_equal_string_path(spark, docs_df):

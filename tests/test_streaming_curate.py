@@ -269,3 +269,40 @@ def test_band_log_backfilled_for_pre_upgrade_state(spark, tmp_path):
         for r in band_values_projection(cur.current_kept(), 6, 3).collect()
     }
     assert stored == derived and stored
+
+
+def test_band_log_backfill_survives_crash_replay(spark, tmp_path):
+    """Crash window DURING the backfill batch: the band delta landed,
+    the kept delta did not. The replay must backfill AGAIN (the
+    decision is 'no band snapshot older than this batch', which a
+    crashed backfill delta does not satisfy) — `read() is None` would
+    skip it and overwrite the delta with survivors-only keys, silently
+    losing the pre-upgrade docs' band values."""
+    import shutil
+
+    from cuda_gis_smoothing_spark.operators.dedup import band_values_projection
+
+    docs = _docs(spark)
+    state = tmp_path / "state"
+    cur = IncrementalCurator(spark, str(state))
+    cur.process_batch(docs, 0)
+    shutil.rmtree(str(state / "band_keys"))  # forge the pre-upgrade dir
+
+    junk = spark.createDataFrame(
+        [(90000, "der die das und der die", "de", "s", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cur.process_batch(junk, 1)  # the backfill batch
+    # forge the crash: band delta for batch 1 exists, kept delta removed
+    shutil.rmtree(str(state / "kept_docs" / "delta-b00000001"))
+    assert not cur.kept_log.has(1)
+    cur.process_batch(junk, 1)  # replay
+
+    stored = {
+        (r["doc_id"], tuple(r["_bvs"])) for r in cur.band_log.read().collect()
+    }
+    derived = {
+        (r["doc_id"], tuple(r["_bvs"]))
+        for r in band_values_projection(cur.current_kept(), 6, 3).collect()
+    }
+    assert stored == derived and stored
