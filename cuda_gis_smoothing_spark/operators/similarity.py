@@ -413,17 +413,28 @@ class IVFIndex:
         k: int = 5,
         n_probe: int = 2,
         query_id_col: str = "query_id",
+        prune: bool = True,
     ) -> DataFrame:
+        """``prune=True`` (default) is the broadcast-small-queries path:
+        collect the probed bucket set and static-prune the corpus scan.
+        ``prune=False`` is the LARGE-query-set path: no driver-side
+        collect at all — the probe output shuffle-joins the full corpus
+        on the bucket key (a big query set probes ~every bucket anyway,
+        so pruning buys nothing there). Results identical (tested)."""
         import os
 
         q = self.probe_buckets(queries, n_probe, query_id_col)
-        q = q.localCheckpoint()  # consumed twice: bucket set + join
-        probed = sorted(r["bucket"] for r in q.select("bucket").distinct().collect())
-        corpus = (
-            self.spark.read.parquet(os.path.join(self.path, "corpus"))
-            .where(F.col("bucket").isin(probed))  # static partition pruning
-        )
-        pairs = corpus.join(F.broadcast(q), "bucket").where(
+        corpus = self.spark.read.parquet(os.path.join(self.path, "corpus"))
+        if prune:
+            q = q.localCheckpoint()  # consumed twice: bucket set + join
+            probed = sorted(
+                r["bucket"] for r in q.select("bucket").distinct().collect()
+            )
+            corpus = corpus.where(
+                F.col("bucket").isin(probed)  # static partition pruning
+            )
+        q_side = F.broadcast(q) if prune else q  # large sets: shuffle join
+        pairs = corpus.join(q_side, "bucket").where(
             F.col("vec_id") != F.col(query_id_col)
         )
         sim = (

@@ -39,11 +39,20 @@ def sessionize_stream(
     gap_us: int = SESSION_GAP_US,
     ts_col: str = "ts",
     watermark_delay: str = "0 seconds",
+    marker_ttl_us: int | None = None,
 ) -> DataFrame:
     """Emit (user_id, session_seq, start_us, n_events, sum_value) rows
     as sessions CLOSE (watermark > last event + gap). Apply
     ``functions.numeric.round6`` on sum_value downstream when comparing
-    cross-engine."""
+    cross-engine.
+
+    ``marker_ttl_us`` bounds state for unbounded user populations: a
+    CLOSED user's marker is garbage-collected once the watermark passes
+    its last event plus the TTL — state becomes "users active within a
+    TTL window" instead of every user ever, at the documented cost that
+    a user returning after the TTL restarts session_seq at 1 (the same
+    horizon trade the dedup TTL makes). Default None keeps markers
+    forever (seq never resets)."""
 
     def fn(
         key: tuple,
@@ -59,9 +68,17 @@ def sessionize_stream(
         if state.hasTimedOut:
             if is_open:
                 out.append((user, seq, start, n, sv))
-            # closed marker lingers so session_seq keeps counting; no
-            # further timeout is scheduled for a closed user
-            state.update((seq, start, last, n, sv, 0))
+                # closed marker lingers so session_seq keeps counting;
+                # with a marker TTL it is GC'd after idling past it
+                state.update((seq, start, last, n, sv, 0))
+                if marker_ttl_us is not None:
+                    wm = state.getCurrentWatermarkMs()
+                    state.setTimeoutTimestamp(
+                        max((last + marker_ttl_us) // 1000, wm + 1)
+                    )
+            else:
+                # marker-TTL expiry for an already-closed user
+                state.remove()
             yield pd.DataFrame(
                 out,
                 columns=[

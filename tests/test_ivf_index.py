@@ -29,6 +29,10 @@ def test_ivf_index_build_query_matches_ivf_knn_and_prunes(spark, tmp_path):
     assert (idx2.centroids == idx.centroids).all()
     assert _pairs(idx2.query(queries, k=5, n_probe=2)) == want
 
+    # the large-query-set path (no driver collect, shuffle join, no
+    # pruning) returns the identical result
+    assert _pairs(idx.query(queries, k=5, n_probe=2, prune=False)) == want
+
     # the probe reads a strict subset of bucket partitions, and the
     # scan's PartitionFilters carry the bucket predicate
     q = idx.probe_buckets(queries, n_probe=2)

@@ -106,3 +106,59 @@ def test_stream_sessions_equal_batch_once_closed(spark, tmp_path):
     assert got == want and len(want) >= 12
     # the 35-min gap really did split: some user has session_seq 2
     assert any(s[1] == 2 for s in want)
+
+
+def test_session_marker_ttl_resets_seq_after_gc(spark, tmp_path):
+    """marker_ttl_us GC: a closed user's seq marker is removed once the
+    watermark passes last_event + TTL, so a user returning later starts
+    at session_seq 1 again; without the TTL the marker lingers and the
+    seq keeps counting. Both driven purely by data timestamps."""
+    from cuda_gis_smoothing_spark.streaming.sessions import sessionize_stream
+
+    def run(ttl_us):
+        src = str(tmp_path / f"src_{ttl_us}")
+        ckpt = str(tmp_path / f"ckpt_{ttl_us}")
+        # a timeout fires only in a batch where the group has NO data
+        # (the watermark contract): batch 3 closes the session and arms
+        # the marker TTL; batch 4 is the GC tick (wm past the marker
+        # deadline, no u7 data); u7 returns in batch 5
+        rows = [
+            [(1, T0, 7, "click", 1.0)],                                    # u7 session 1
+            [(2, T0 + dt.timedelta(minutes=40), 50, "x", 0.0)],            # advances wm
+            [(3, T0 + dt.timedelta(minutes=80), 51, "x", 0.0)],            # closes u7, arms TTL
+            [(4, T0 + dt.timedelta(minutes=100), 53, "x", 0.0)],           # marker GC tick
+            [(5, T0 + dt.timedelta(minutes=120), 7, "click", 1.0)],        # u7 returns
+            [(6, T0 + dt.timedelta(minutes=200), 52, "x", 0.0)],           # closes it
+        ]
+        for batch in rows:
+            spark.createDataFrame(batch, schema=EVENTS_TS_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        emitted = []
+
+        def sink(df, _bid):
+            emitted.extend(df.collect())
+
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(EVENTS_TS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                marker_ttl_us=ttl_us,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r["session_seq"]) for r in emitted if r["user_id"] == 7
+        )
+
+    # TTL 60 min: marker (deadline T0+60m) GC'd by the T0+80m batch ->
+    # the T0+120m return restarts at seq 1
+    assert run(60 * 60 * 1_000_000) == [1, 1]
+    # no TTL: marker lingers, seq keeps counting
+    assert run(None) == [1, 2]
