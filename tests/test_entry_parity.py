@@ -1,16 +1,22 @@
 """In-repo replica of the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB
 over the same parquet tables, compare row counts + order-insensitive
-values. Runs at sf0.001 for speed (the driver uses sf0.01)."""
+values. Runs at sf0.001 for speed (the driver uses sf0.01); set
+SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.01 to replicate the
+driver scale exactly (done at least once per round — fp-accumulation
+or tie divergences can be scale-dependent)."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001"
+)
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
