@@ -39,6 +39,15 @@ def floordiv(col: Column, divisor: int) -> Column:
     return ((col - F.pmod(col, F.lit(divisor))) / divisor).cast("long")
 
 
+def day_str(ts_col: str = "ts"):
+    """Calendar-day bucket as DATE TEXT ('YYYY-MM-DD') — the ONLY
+    day normalization gated operators may use: Spark's date_trunc
+    stringifies WITH a time part and silently breaks the DuckDB twins
+    (paid-for round-2 lesson); cast-to-date-to-string matches DuckDB's
+    CAST(CAST(ts AS DATE) AS VARCHAR) byte-for-byte."""
+    return F.col(ts_col).cast("date").cast("string")
+
+
 def sessionize(events: DataFrame) -> DataFrame:
     """Assign session ids per user (new session when the gap from the
     previous event exceeds 30 min) and aggregate per session.
@@ -258,7 +267,7 @@ def events_rollup(events: DataFrame) -> DataFrame:
     per-type, and grand-total rows in ONE pass (Catalyst expands the
     grouping sets into a single shuffle with a grouping id; null
     grouping columns mark the subtotal levels, same as ANSI ROLLUP)."""
-    day = F.col("ts").cast("date").cast("string")
+    day = day_str("ts")
     return (
         events.select(F.col("event_type"), day.alias("day"), "value")
         .rollup("event_type", "day")
@@ -291,7 +300,7 @@ def cumulative_users(events: DataFrame) -> DataFrame:
     ordered window in the plan is bounded by #days, never user or
     event rows. Output: (day, new_users, cum_users).
     """
-    day = F.col("ts").cast("date").cast("string")
+    day = day_str("ts")
     first = (
         events.select("user_id", day.alias("day"))
         .groupBy("user_id")
@@ -388,7 +397,7 @@ def events_cube(events: DataFrame) -> DataFrame:
     (type), (day), () — in ONE shuffle with a grouping id. The ANSI
     CUBE companion to :func:`events_rollup`, whose ROLLUP lacks the
     day-only subtotal level."""
-    day = F.col("ts").cast("date").cast("string")
+    day = day_str("ts")
     return (
         events.select("event_type", day.alias("day"), "value")
         .cube("event_type", "day")
@@ -417,7 +426,7 @@ def events_pivot(events: DataFrame) -> DataFrame:
     and produce non-deterministic output schemas — never do that at
     scale). One hash aggregate; missing combinations are 0.
     Output: (day, n_<type>...)."""
-    day = F.col("ts").cast("date").cast("string")
+    day = day_str("ts")
     p = (
         events.select(day.alias("day"), "event_type")
         .groupBy("day")

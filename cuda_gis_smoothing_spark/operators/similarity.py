@@ -329,6 +329,9 @@ class IVFIndex:
         self.spark = spark
         self.path = path
         self.centroids = np.asarray(centroids, dtype=np.float64)
+        # broadcast ONCE — "build once, probe many" must not leak one
+        # driver+executor broadcast per query() call
+        self._bc = spark.sparkContext.broadcast(self.centroids)
 
     @classmethod
     def build(
@@ -389,7 +392,7 @@ class IVFIndex:
         import pandas as pd
         from pyspark.sql import types as T
 
-        bc = self.spark.sparkContext.broadcast(self.centroids)
+        bc = self._bc
 
         def _probe(emb):
             m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])

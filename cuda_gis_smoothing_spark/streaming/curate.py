@@ -104,6 +104,14 @@ class IncrementalCurator:
         b = exact_canonical(
             filtered_base(docs, self.lang, self.min_quality)
         ).localCheckpoint()
+        # the batch's band values are token-hashed ONCE here and reused
+        # three ways: cross-batch candidate keys (exploded), the
+        # band-log delta (filtered to survivors), and — indirectly —
+        # nothing else recomputes signatures except the intra-batch
+        # blocked kernel, which carries token arrays anyway
+        bvs_b = band_values_projection(
+            b, self.n_hashes, self.bands
+        ).localCheckpoint()
         prior = self.kept_log.read()
         backfill_prior = False
         if prior is not None:
@@ -123,7 +131,11 @@ class IncrementalCurator:
             # replay: their candidate pairs cannot resolve a text in
             # the kept log's verify join, so no spurious drop occurs
             # and the band delta is rewritten idempotently.
-            nb = _banded_keys(b, self.n_hashes, self.bands)
+            # candidate keys from the precomputed batch band values;
+            # digest-dropped docs may leak extra candidate rows, but
+            # their doc_a cannot resolve a text in the verify join
+            # against post-dedup b, so the drop set is identical
+            nb = explode_band_values(bvs_b)
             # backfill decision must be REPLAY-STABLE: "no band snapshot
             # OLDER than this batch" — a crash after the backfill delta
             # write but before the kept write leaves only delta-b{N},
@@ -133,9 +145,8 @@ class IncrementalCurator:
             # that legitimately covered earlier batches has a band
             # snapshot with an older id (deltas per batch; compaction
             # bases carry the compacting batch's id).
-            backfill_prior = all(
-                bid >= batch_id for bid, _, _ in self.band_log._snapshots()
-            )
+            oldest = self.band_log.oldest_batch_id()
+            backfill_prior = oldest is None or oldest >= batch_id
             if not backfill_prior:
                 np_ = explode_band_values(self.band_log.read())
             else:
@@ -174,18 +185,19 @@ class IncrementalCurator:
             ),
             batch_id,
         )
-        bv_src = survivors.select("doc_id", "text")
+        bv_delta = bvs_b.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
         if backfill_prior:
             # one-time upgrade cost for a state dir written before the
             # band log existed: persist the PRIOR kept docs' band keys
             # too, or every later batch would treat the incomplete log
             # as the full candidate source and admit near-dups of
             # pre-upgrade kept docs
-            bv_src = prior.select("doc_id", "text").unionByName(bv_src)
-        self.band_log.write_delta(
-            band_values_projection(bv_src, self.n_hashes, self.bands),
-            batch_id,
-        )
+            bv_delta = band_values_projection(
+                prior.select("doc_id", "text"), self.n_hashes, self.bands
+            ).unionByName(bv_delta)
+        self.band_log.write_delta(bv_delta, batch_id)
         self.kept_log.write_delta(survivors, batch_id)
         if self.kept_log.delta_count() >= self.compact_every:
             self.kept_log.compact(batch_id)

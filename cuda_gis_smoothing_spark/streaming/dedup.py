@@ -35,6 +35,21 @@ DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars lon
 DOCS_TS_SCHEMA = DOCS_SCHEMA + ", ts timestamp"
 
 
+def require_utc_session(df: DataFrame, op: str) -> None:
+    """The event-time TTL math compares pandas epoch values (Arrow
+    localizes TimestampType to the SESSION timezone, then strips tz)
+    against ``getCurrentWatermarkMs`` (true UTC epoch). Under any
+    non-UTC session zone the two are offset and state evicts hours
+    early/late — refuse loudly instead (session.py pins UTC)."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"{op} requires spark.sql.session.timeZone=UTC (got {tz!r}): "
+            "its event-time deadlines mix session-localized pandas "
+            "timestamps with the UTC watermark"
+        )
+
+
 def read_docs_stream(spark, source_dir: str, max_files: int = 1) -> DataFrame:
     return (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -139,6 +154,7 @@ def minhash_neardup_stream_eventtime(
     replay/backfill prune identically to the live run (the horizon is
     data-driven, not wall-clock). Arrival order within a batch is
     (event time, doc_id) — deterministic under replay."""
+    require_utc_session(docs, "minhash_neardup_stream_eventtime")
 
     def fn(
         key: tuple,
@@ -293,6 +309,7 @@ def flag_exact_dups_stream_eventtime(
     one extra tick (the timeout timestamp is clamped above the
     watermark, which Spark requires).
     """
+    require_utc_session(docs, "flag_exact_dups_stream_eventtime")
 
     def fn(
         key: tuple,

@@ -88,6 +88,14 @@ class SnapshotLog:
     def has(self, batch_id: int) -> bool:
         return any(b == batch_id for b, _, _ in self._snapshots())
 
+    def oldest_batch_id(self) -> int | None:
+        """Smallest batch id with any snapshot (base or delta), or
+        None for an empty log — the PUBLIC form of the replay-stability
+        question 'does this log predate batch N?' (crash-recovery
+        decisions must not depend on the private snapshot layout)."""
+        snaps = self._snapshots()
+        return snaps[0][0] if snaps else None
+
     def delta_count(self) -> int:
         return sum(1 for _, kind, _ in self._live() if kind == "delta")
 

@@ -53,6 +53,9 @@ def sessionize_stream(
     a user returning after the TTL restarts session_seq at 1 (the same
     horizon trade the dedup TTL makes). Default None keeps markers
     forever (seq never resets)."""
+    from cuda_gis_smoothing_spark.streaming.dedup import require_utc_session
+
+    require_utc_session(events, "sessionize_stream")
 
     def fn(
         key: tuple,
@@ -107,7 +110,11 @@ def sessionize_stream(
                     out.append((user, seq, start, n, sv))
                     seq, start, last, n, sv = seq + 1, us, us, 0, 0.0
                 n += 1
-                sv += float(r.value)
+                # NULL values arrive as NaN: batch sessionize's
+                # F.sum("value") skips them (counting the row), so the
+                # stream must too or one NULL poisons the session sum
+                if pd.notna(r.value):
+                    sv += float(r.value)
                 last = max(last, us)
         state.update((seq, start, last, n, sv, is_open))
         wm = state.getCurrentWatermarkMs()
