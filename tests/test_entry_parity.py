@@ -52,8 +52,7 @@ def _norm(rows, cols):
 ALL_QUERIES = sorted(entry_mod.queries())
 
 
-@pytest.mark.parametrize("name", ALL_QUERIES)
-def test_query_matches_duckdb_oracle(spark, ddb, name):
+def _assert_gate(spark, ddb, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql().get(name)
     assert sql is not None, f"{name} has no oracle"
@@ -73,6 +72,50 @@ def test_query_matches_duckdb_oracle(spark, ddb, name):
         (a, b) for a, b in zip(spark_rows, duck_rows) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_matches_duckdb_oracle(spark, ddb, name):
+    _assert_gate(spark, ddb, name)
+
+
+#: representative slice across operator families: joins/aggs, windows,
+#: iterative CC, blocked kernels, sampling, star joins, percentiles
+_HOSTILE_SAMPLE = [
+    "smooth_fused_k2",
+    "curate_corpus",
+    "dedup_embedding_banded",
+    "locality_metric",
+    "sessionize",
+    "region_revenue",
+    "table_profile",
+    "ngram_jaccard",
+    "dedup_components",
+    "value_percentiles",
+    "stratified_sample",
+    "cumulative_users",
+]
+
+
+@pytest.mark.parametrize("name", _HOSTILE_SAMPLE)
+def test_gate_invariant_under_hostile_session_config(spark, ddb, name):
+    """Results must not depend on session tuning: re-run a family-
+    representative gate slice with 3 shuffle partitions and broadcast
+    joins DISABLED — any accidental reliance on partition counts,
+    partitioning-dependent ordering, or broadcast-only plan shapes
+    shows up as a hash mismatch."""
+    hostile = {
+        "spark.sql.shuffle.partitions": "3",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in hostile}
+    try:
+        for k, v in hostile.items():
+            spark.conf.set(k, v)
+        _assert_gate(spark, ddb, name)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def test_every_query_has_oracle_or_is_flagged():
