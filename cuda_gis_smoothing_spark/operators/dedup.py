@@ -378,6 +378,41 @@ def lsh_blocked_neardup_drops(
     )
 
 
+def verified_jaccard_pairs_prepared(
+    cand: DataFrame,
+    ta: DataFrame,
+    tb: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-jaccard verification over PREPARED token-array sides:
+    ``ta`` = (doc_a, _ta array<string>), ``tb`` = (doc_b, _tb) — the
+    incremental curator feeds STORED arrays from its aux state log so
+    kept text is never re-tokenized per batch. ONE ``array_intersect``
+    per candidate, no candidate x token explode, no aggregation; the
+    single copy of the verify arithmetic."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    i = F.size(F.array_intersect("_ta", "_tb"))
+    jac = round6(i / (F.size("_ta") + F.size("_tb") - i))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def token_array_side(
+    docs: DataFrame, out_id: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(out_id, _ta/_tb) distinct-token-array side for the prepared
+    verify (column name follows the out_id: doc_a -> _ta, doc_b -> _tb)."""
+    arr = F.expr(TOKEN_ARRAY_SQL.format(text_col=text_col))
+    return docs.select(
+        F.col(id_col).alias(out_id), arr.alias("_ta" if out_id == "doc_a" else "_tb")
+    )
+
+
 def verified_jaccard_pairs(
     cand: DataFrame,
     a_docs: DataFrame,
@@ -388,24 +423,14 @@ def verified_jaccard_pairs(
 ) -> DataFrame:
     """Exact-jaccard verification of candidate (doc_a, doc_b) pairs:
     doc_a resolved against ``a_docs``, doc_b against ``b_docs`` (the
-    sides may be different tables — cross-batch verification in the
-    incremental curator). ONE ``array_intersect`` per candidate over
-    projected distinct-token arrays — no candidate x token explode, no
-    aggregation; the single copy of the verify arithmetic shared by
-    ``ngram_jaccard_pairs`` and the curation pipelines. Returns
-    (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold."""
-    from cuda_gis_smoothing_spark.functions.numeric import round6
-
-    arr = F.expr(TOKEN_ARRAY_SQL.format(text_col=text_col))
-    ta = a_docs.select(F.col(id_col).alias("doc_a"), arr.alias("_ta"))
-    tb = b_docs.select(F.col(id_col).alias("doc_b"), arr.alias("_tb"))
-    i = F.size(F.array_intersect("_ta", "_tb"))
-    jac = round6(i / (F.size("_ta") + F.size("_tb") - i))
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    sides may be different tables). Text-input convenience wrapper of
+    :func:`verified_jaccard_pairs_prepared`. Returns (doc_a, doc_b,
+    jaccard) for pairs with jaccard >= threshold."""
+    return verified_jaccard_pairs_prepared(
+        cand,
+        token_array_side(a_docs, "doc_a", id_col, text_col),
+        token_array_side(b_docs, "doc_b", id_col, text_col),
+        threshold,
     )
 
 

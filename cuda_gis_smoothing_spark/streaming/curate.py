@@ -23,14 +23,17 @@ against an independent Python oracle):
   curate_corpus EXACTLY (tested).
 
 Scale shape: per batch, every step is a hash shuffle keyed on digest,
-band bucket, or doc id; state grows with KEPT docs only. The kept
-side's band keys are PERSISTED as their own SnapshotLog (one row per
-kept doc: its band-value array), written with each batch's survivors —
-cross-batch candidate generation reads stored keys instead of
-re-deriving minhash signatures from the full kept corpus text every
-batch (O(kept) token hashing, which dominates once kept >> batch).
-The kept-docs text log is still read per batch, but only for the
-digest anti-join and the verify join — no signature recomputation.
+band bucket, or doc id; state grows with KEPT docs only. Everything
+the per-batch plan needs from the kept side is PERSISTED in an
+auxiliary SnapshotLog — one row per kept doc with its md5 digest,
+LSH band-value array, and distinct-token array — so a batch reads
+STORED state for the digest anti-join, the candidate keys, AND the
+verify arrays: kept TEXT is never re-scanned, re-hashed, or
+re-tokenized per batch (O(kept) recomputation was the cost the log
+family was introduced to remove; byte volume is ~the same as the
+text, the win is the per-batch CPU). The invariant making the aux log
+complete: filtered_base keeps only docs with at least one stopword
+hit, so every kept doc has tokens and therefore an aux row.
 """
 
 from __future__ import annotations
@@ -46,15 +49,16 @@ from cuda_gis_smoothing_spark.operators.curate import (
     CURATE_SAMPLE_F,
     exact_canonical,
     filtered_base,
-    verified_pairs,
 )
 from cuda_gis_smoothing_spark.operators.dedup import (
+    TOKEN_ARRAY_SQL,
     band_values_projection,
     explode_band_values,
     lsh_blocked_neardup_drops,
+    verified_jaccard_pairs_prepared,
 )
 from cuda_gis_smoothing_spark.operators.sampling import deterministic_sample
-from cuda_gis_smoothing_spark.streaming.dedup import DOCS_SCHEMA, _banded_keys
+from cuda_gis_smoothing_spark.streaming.dedup import DOCS_SCHEMA
 from cuda_gis_smoothing_spark.streaming.incremental import SnapshotLog
 
 
@@ -85,11 +89,11 @@ class IncrementalCurator:
         self.curated_log = SnapshotLog(
             spark, os.path.join(state_root, "curated"), key="doc_id"
         )
-        # kept docs' LSH band-value arrays, one row per doc — read per
-        # batch for cross-batch candidates instead of re-deriving
-        # signatures from the kept corpus text (O(kept) token hashing)
-        self.band_log = SnapshotLog(
-            spark, os.path.join(state_root, "band_keys"), key="doc_id"
+        # kept docs' derived state, one row per doc: md5 digest (_k),
+        # LSH band-value array (_bvs), distinct-token array (_tok) —
+        # everything cross-batch processing needs without touching text
+        self.aux_log = SnapshotLog(
+            spark, os.path.join(state_root, "kept_aux"), key="doc_id"
         )
 
     def current_kept(self) -> DataFrame | None:
@@ -98,59 +102,66 @@ class IncrementalCurator:
     def current_curated(self) -> DataFrame | None:
         return self.curated_log.read()
 
+    def _aux(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, _bvs, _k, _tok) — the stored per-doc derivations,
+        token-hashed/tokenized/digested in ONE projection."""
+        return band_values_projection(
+            docs,
+            self.n_hashes,
+            self.bands,
+            extra={
+                "_k": F.md5("text"),
+                "_tok": F.expr(TOKEN_ARRAY_SQL.format(text_col="text")),
+            },
+        )
+
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         if self.kept_log.has(batch_id):
             return  # crash replay of an already-applied batch: no-op
         b = exact_canonical(
             filtered_base(docs, self.lang, self.min_quality)
         ).localCheckpoint()
-        # the batch's band values are token-hashed ONCE here and reused
-        # three ways: cross-batch candidate keys (exploded), the
-        # band-log delta (filtered to survivors), and — indirectly —
-        # nothing else recomputes signatures except the intra-batch
-        # blocked kernel, which carries token arrays anyway
-        bvs_b = band_values_projection(
-            b, self.n_hashes, self.bands
-        ).localCheckpoint()
+        # the batch's digests/band values/token arrays are derived ONCE
+        # and reused: digest anti-join, candidate keys, verify side a,
+        # and the aux-log delta
+        aux_b = self._aux(b).localCheckpoint()
         prior = self.kept_log.read()
         backfill_prior = False
         if prior is not None:
             prior = prior.localCheckpoint()
-            # cross-batch exact dedup on the digest
-            seen = prior.select(F.md5("text").alias("_k")).distinct()
+            # backfill decision must be REPLAY-STABLE: "no aux snapshot
+            # OLDER than this batch" — a crash after the backfill delta
+            # write but before the kept write leaves only delta-b{N},
+            # and `read() is None` would then skip the backfill on
+            # replay and overwrite it with survivors-only rows, losing
+            # the pre-upgrade docs' derived state forever. Any state
+            # dir that legitimately covered earlier batches has an aux
+            # snapshot with an older id (deltas per batch; compaction
+            # bases carry the compacting batch's id).
+            oldest = self.aux_log.oldest_batch_id()
+            backfill_prior = oldest is None or oldest >= batch_id
+            if not backfill_prior:
+                prior_aux = self.aux_log.read().localCheckpoint()
+            else:
+                # one-time upgrade cost for a state dir written before
+                # the aux log existed (or a crashed backfill replay)
+                prior_aux = self._aux(prior).localCheckpoint()
+            # cross-batch exact dedup on the STORED digests
+            seen = prior_aux.select("_k").distinct()
             b = (
                 b.withColumn("_k", F.md5("text"))
                 .join(seen, "_k", "left_anti")
                 .drop("_k")
             )
-            # cross-batch near-dup: batch band keys vs the PERSISTED
-            # kept band keys (falling back to recomputation only for a
-            # state dir written before the band log existed). A crash
-            # between the band-log write and the kept-log write leaves
-            # phantom band rows for this batch's docs — harmless on
-            # replay: their candidate pairs cannot resolve a text in
-            # the kept log's verify join, so no spurious drop occurs
-            # and the band delta is rewritten idempotently.
-            # candidate keys from the precomputed batch band values;
-            # digest-dropped docs may leak extra candidate rows, but
-            # their doc_a cannot resolve a text in the verify join
-            # against post-dedup b, so the drop set is identical
-            nb = explode_band_values(bvs_b)
-            # backfill decision must be REPLAY-STABLE: "no band snapshot
-            # OLDER than this batch" — a crash after the backfill delta
-            # write but before the kept write leaves only delta-b{N},
-            # and `read() is None` would then skip the backfill on
-            # replay and overwrite it with survivors-only keys, losing
-            # the pre-upgrade docs' band values forever. Any state dir
-            # that legitimately covered earlier batches has a band
-            # snapshot with an older id (deltas per batch; compaction
-            # bases carry the compacting batch's id).
-            oldest = self.band_log.oldest_batch_id()
-            backfill_prior = oldest is None or oldest >= batch_id
-            if not backfill_prior:
-                np_ = explode_band_values(self.band_log.read())
-            else:
-                np_ = _banded_keys(prior, self.n_hashes, self.bands)
+            # cross-batch near-dup: batch band keys vs STORED kept band
+            # keys. Digest-dropped batch docs may leak extra candidate
+            # rows (aux_b predates the anti-join), but their doc_a
+            # cannot resolve an array in the post-dedup verify side, so
+            # the drop set is identical. A crash between the aux write
+            # and the kept write leaves phantom rows for this batch's
+            # docs — harmless on replay for the same reason.
+            nb = explode_band_values(aux_b.select("doc_id", "_bvs"))
+            np_ = explode_band_values(prior_aux.select("doc_id", "_bvs"))
             cand = (
                 nb.select(F.col("doc_id").alias("doc_a"), "band", "bh")
                 .join(
@@ -160,8 +171,17 @@ class IncrementalCurator:
                 .select("doc_a", "doc_b")
                 .distinct()
             )
+            # verify over STORED token arrays on both sides — the batch
+            # side restricted to post-dedup b so phantom doc_a vanish
+            ta = (
+                aux_b.join(b.select("doc_id"), "doc_id", "left_semi")
+                .select(F.col("doc_id").alias("doc_a"), F.col("_tok").alias("_ta"))
+            )
+            tb = prior_aux.select(
+                F.col("doc_id").alias("doc_b"), F.col("_tok").alias("_tb")
+            )
             dropped = (
-                verified_pairs(cand, b, prior, self.neardup_jaccard)
+                verified_jaccard_pairs_prepared(cand, ta, tb, self.neardup_jaccard)
                 .select(F.col("doc_a").alias("doc_id"))
                 .distinct()
             )
@@ -175,7 +195,7 @@ class IncrementalCurator:
         survivors = b.join(dropped_intra, "doc_id", "left_anti").localCheckpoint()
         # write order is the crash-safety contract: the replay guard is
         # has(batch_id) on the KEPT log, so the kept delta must land
-        # LAST — a crash after the curated/band writes but before the
+        # LAST — a crash after the curated/aux writes but before the
         # kept write replays the whole batch (earlier delta dirs are
         # overwritten idempotently); the reverse order would skip the
         # replay and silently lose the batch's curated rows
@@ -185,24 +205,15 @@ class IncrementalCurator:
             ),
             batch_id,
         )
-        bv_delta = bvs_b.join(
-            survivors.select("doc_id"), "doc_id", "left_semi"
-        )
-        if backfill_prior:
-            # one-time upgrade cost for a state dir written before the
-            # band log existed: persist the PRIOR kept docs' band keys
-            # too, or every later batch would treat the incomplete log
-            # as the full candidate source and admit near-dups of
-            # pre-upgrade kept docs
-            bv_delta = band_values_projection(
-                prior.select("doc_id", "text"), self.n_hashes, self.bands
-            ).unionByName(bv_delta)
-        self.band_log.write_delta(bv_delta, batch_id)
+        aux_delta = aux_b.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        if backfill_prior and prior is not None:
+            aux_delta = self._aux(prior).unionByName(aux_delta)
+        self.aux_log.write_delta(aux_delta, batch_id)
         self.kept_log.write_delta(survivors, batch_id)
         if self.kept_log.delta_count() >= self.compact_every:
             self.kept_log.compact(batch_id)
             self.curated_log.compact(batch_id)
-            self.band_log.compact(batch_id)
+            self.aux_log.compact(batch_id)
 
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         stream = (

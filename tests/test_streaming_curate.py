@@ -187,7 +187,7 @@ def test_band_log_is_the_cross_batch_candidate_source(spark, tmp_path):
     kept = cur.current_kept()
 
     stored = {
-        (r["doc_id"], tuple(r["_bvs"])) for r in cur.band_log.read().collect()
+        (r["doc_id"], tuple(r["_bvs"])) for r in cur.aux_log.read().collect()
     }
     derived = {
         (r["doc_id"], tuple(r["_bvs"]))
@@ -206,7 +206,7 @@ def test_band_log_is_the_cross_batch_candidate_source(spark, tmp_path):
         cand_rows,
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    base_bv = {r["doc_id"]: list(r["_bvs"]) for r in cur.band_log.read().collect()}
+    base_bv = {r["doc_id"]: list(r["_bvs"]) for r in cur.aux_log.read().collect()}
     cand_bv = {
         r["doc_id"]: list(r["_bvs"])
         for r in band_values_projection(cand_df, 6, 3).collect()
@@ -226,9 +226,12 @@ def test_band_log_is_the_cross_batch_candidate_source(spark, tmp_path):
 
     cur2 = IncrementalCurator(spark, str(tmp_path / "state_b"))
     cur2.process_batch(docs, 0)
-    band_dir = str(tmp_path / "state_b" / "band_keys" / "delta-b00000000")
-    poisoned = cur2.band_log.read().select(
-        "doc_id", F.expr("transform(_bvs, x -> CAST(-1 AS BIGINT))").alias("_bvs")
+    band_dir = str(tmp_path / "state_b" / "kept_aux" / "delta-b00000000")
+    poisoned = cur2.aux_log.read().select(
+        "doc_id",
+        F.expr("transform(_bvs, x -> CAST(-1 AS BIGINT))").alias("_bvs"),
+        "_k",
+        "_tok",
     )
     poisoned.write.mode("overwrite").parquet(band_dir + ".tmp")
     shutil.rmtree(band_dir)
@@ -238,7 +241,7 @@ def test_band_log_is_the_cross_batch_candidate_source(spark, tmp_path):
 
 
 def test_band_log_backfilled_for_pre_upgrade_state(spark, tmp_path):
-    """A state dir written before the band log existed (no band_keys
+    """A state dir written before the aux log existed (no kept_aux
     dir): the first post-upgrade batch must BACKFILL the log with the
     prior kept docs' band values — otherwise every later batch treats
     the incomplete log as the full candidate source and admits
@@ -251,8 +254,8 @@ def test_band_log_backfilled_for_pre_upgrade_state(spark, tmp_path):
     state = tmp_path / "state"
     cur = IncrementalCurator(spark, str(state))
     cur.process_batch(docs, 0)
-    shutil.rmtree(str(state / "band_keys"))  # forge the pre-upgrade dir
-    assert cur.band_log.read() is None
+    shutil.rmtree(str(state / "kept_aux"))  # forge the pre-upgrade dir
+    assert cur.aux_log.read() is None
 
     # an all-filtered batch (German stopword text -> lang != en) still
     # triggers the fallback path and the backfill write
@@ -262,7 +265,7 @@ def test_band_log_backfilled_for_pre_upgrade_state(spark, tmp_path):
     )
     cur.process_batch(junk, 1)
     stored = {
-        (r["doc_id"], tuple(r["_bvs"])) for r in cur.band_log.read().collect()
+        (r["doc_id"], tuple(r["_bvs"])) for r in cur.aux_log.read().collect()
     }
     derived = {
         (r["doc_id"], tuple(r["_bvs"]))
@@ -286,7 +289,7 @@ def test_band_log_backfill_survives_crash_replay(spark, tmp_path):
     state = tmp_path / "state"
     cur = IncrementalCurator(spark, str(state))
     cur.process_batch(docs, 0)
-    shutil.rmtree(str(state / "band_keys"))  # forge the pre-upgrade dir
+    shutil.rmtree(str(state / "kept_aux"))  # forge the pre-upgrade dir
 
     junk = spark.createDataFrame(
         [(90000, "der die das und der die", "de", "s", 23)],
@@ -299,7 +302,7 @@ def test_band_log_backfill_survives_crash_replay(spark, tmp_path):
     cur.process_batch(junk, 1)  # replay
 
     stored = {
-        (r["doc_id"], tuple(r["_bvs"])) for r in cur.band_log.read().collect()
+        (r["doc_id"], tuple(r["_bvs"])) for r in cur.aux_log.read().collect()
     }
     derived = {
         (r["doc_id"], tuple(r["_bvs"]))
