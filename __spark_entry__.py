@@ -315,6 +315,30 @@ def _q_source_stats(spark, sf_dir):
     return source_stats(load(spark, sf_dir, "documents"))
 
 
+_OVERLAP_K = 5
+
+
+def _q_doc_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition quality signals."""
+    from cuda_gis_smoothing_spark.operators.curate import repetition_signals
+
+    return repetition_signals(load(spark, sf_dir, "documents"))
+
+
+def _q_source_overlap(spark, sf_dir):
+    """Pairwise cross-source k-gram overlap matrix (dataset audit)."""
+    from cuda_gis_smoothing_spark.operators.curate import source_overlap
+
+    return source_overlap(load(spark, sf_dir, "documents"), k=_OVERLAP_K)
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-k retrieval over fixed query terms."""
+    from cuda_gis_smoothing_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"))
+
+
 def _q_curate_corpus(spark, sf_dir):
     """The composed training-data pipeline (lang filter -> quality
     filter -> exact dedup -> LSH-verified near-dup drop -> deterministic
@@ -660,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_histogram": _q_doc_length_histogram,
         "contamination_report": _q_contamination,
         "source_stats": _q_source_stats,
+        "doc_repetition": _q_doc_repetition,
+        "source_overlap": _q_source_overlap,
+        "bm25_topk": _q_bm25_topk,
         "stratified_sample": _q_stratified_sample,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
@@ -1179,7 +1206,92 @@ SELECT component, n_members, canonical_id, best_quality FROM (
 )
 WHERE rk = 1
 """.strip()
+    out["doc_repetition"] = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+g AS (
+  SELECT doc_id, 'tok' AS kind, unnest(ts) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 'big' AS kind, ts[i] || ' ' || ts[i+1] AS g
+  FROM toks, UNNEST(CASE WHEN len(ts) >= 2 THEN generate_series(1, len(ts)-1) ELSE [] END) AS u(i)
+),
+c AS (SELECT doc_id, kind, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+k AS (SELECT doc_id, kind, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS top FROM c GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN kind = 'tok' THEN n END) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN kind = 'tok' THEN d END) AS BIGINT) AS distinct_tokens,
+  ROUND(1e0 - SUM(CASE WHEN kind = 'tok' THEN d END) * 1e0
+        / SUM(CASE WHEN kind = 'tok' THEN n END) + 1e-09, 6) AS dup_token_ratio,
+  ROUND(SUM(CASE WHEN kind = 'tok' THEN top END) * 1e0
+        / SUM(CASE WHEN kind = 'tok' THEN n END) + 1e-09, 6) AS top_token_frac,
+  CAST(COALESCE(SUM(CASE WHEN kind = 'big' THEN n END), 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(SUM(CASE WHEN kind = 'big' THEN d END), 0) AS BIGINT) AS distinct_bigrams,
+  ROUND(SUM(CASE WHEN kind = 'big' THEN top END) * 1e0
+        / SUM(CASE WHEN kind = 'big' THEN n END) + 1e-09, 6) AS top_bigram_frac
+FROM k GROUP BY doc_id
+""".strip()
+    out["source_overlap"] = f"""
+WITH sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(lower(text), ' ')) - {_OVERLAP_K - 1}, 0)),
+           i -> array_to_string((string_split(lower(text), ' '))[i:i+{_OVERLAP_K - 1}], ' '))) AS shingle
+  FROM documents
+),
+sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_shingles
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.shared_shingles,
+       ROUND(p.shared_shingles * 1e0 / (sa.n + sb.n - p.shared_shingles) + 1e-09, 6) AS overlap_jaccard
+FROM p JOIN sz sa ON sa.source = p.source_a JOIN sz sb ON sb.source = p.source_b
+""".strip()
+    out["bm25_topk"] = _bm25_sql()
     return out
+
+
+def _bm25_sql() -> str:
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+    from cuda_gis_smoothing_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    k1, b = flit(BM25_K1), flit(BM25_B)
+    half = flit(0.5)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(string_split(lower(text), ' '), x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) * {flit(1.0)} AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    contrib = " + ".join(
+        f"ln({flit(1.0)} + (st.N - st.df_{i} + {half}) / (st.df_{i} + {half}))"
+        f" * (per.tf_{i} * ({k1} + {flit(1.0)}))"
+        f" / (per.tf_{i} + {k1} * ({flit(1.0)} - {b} + {b} * per.n_tokens / st.avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH per AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         {tf_cols}
+  FROM documents
+),
+st AS (SELECT COUNT(*) * {flit(1.0)} AS N,
+              AVG(n_tokens * {flit(1.0)}) AS avgdl,
+              {df_cols}
+       FROM per)
+SELECT per.doc_id, CAST(per.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(({contrib}) + 1e-09, 6) AS bm25
+FROM per, st
+ORDER BY bm25 DESC, per.doc_id
+LIMIT 20
+""".strip()
 
 
 def _pip_sql() -> str:

@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "curate_corpus",
     "doc_logprob",
     "region_revenue",
+    "doc_repetition",
+    "bm25_topk",
+    "source_overlap",
 ]
 
 

@@ -94,6 +94,141 @@ def contamination_report(
     )
 
 
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021's repetition filters, the token/bigram subset): per doc, the
+    duplicate-token mass, the most-frequent-token share and the
+    most-frequent-bigram share — the quality features that catch
+    boilerplate and degenerate generations that length/punct ratios
+    miss.
+
+    Output: ``(doc_id, n_tokens, distinct_tokens, dup_token_ratio,
+    top_token_frac, n_bigrams, distinct_bigrams, top_bigram_frac)``;
+    ``top_bigram_frac`` is NULL for docs with < 2 tokens.
+
+    Plan (one corpus scan, two hash aggregations, no joins): tokens and
+    bigrams are built as ONE array of (kind, gram) structs per doc —
+    bigrams via ``try_element_at`` over a 1-based index sequence,
+    slice-guarded so single-token docs yield an empty array (Spark's
+    ``sequence(1, 0)`` DESCENDS, and ANSI ``element_at`` raises
+    out-of-bounds; both traps documented in CLAUDE.md) — then a single
+    explode → groupBy(doc, kind, gram) → groupBy(doc, kind) →
+    conditional-agg pivot. Both aggregations partial-combine map-side;
+    the only shuffle key is (doc_id, kind, gram): uniformly
+    distributed, per-group size bounded by document length. At 100 TB
+    this is embarrassingly parallel per document.
+    """
+    toks = F.split(F.lower(F.col("text")), " ")
+    tok_structs = F.expr(
+        "transform(_toks, t -> named_struct('kind', 'tok', 'g', t))"
+    )
+    bigram_structs = F.expr(
+        "slice(transform(sequence(1, greatest(size(_toks) - 1, 1)), "
+        "i -> named_struct('kind', 'big', 'g', "
+        "concat(try_element_at(_toks, i), ' ', try_element_at(_toks, i + 1)))), "
+        "1, greatest(size(_toks) - 1, 0))"
+    )
+    grams = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(id_col, F.explode(F.concat(tok_structs, bigram_structs)).alias("_s"))
+        .select(id_col, F.col("_s.kind").alias("_kind"), F.col("_s.g").alias("_g"))
+    )
+    counts = grams.groupBy(id_col, "_kind", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_kind = counts.groupBy(id_col, "_kind").agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_d"),
+        F.max("_c").alias("_top"),
+    )
+
+    def _k(kind: str, col: str):
+        return F.sum(F.when(F.col("_kind") == kind, F.col(col)))
+
+    return per_kind.groupBy(id_col).agg(
+        _k("tok", "_n").cast("long").alias("n_tokens"),
+        _k("tok", "_d").cast("long").alias("distinct_tokens"),
+        round6(1.0 - _k("tok", "_d") / _k("tok", "_n")).alias("dup_token_ratio"),
+        round6(_k("tok", "_top") / _k("tok", "_n")).alias("top_token_frac"),
+        F.coalesce(_k("big", "_n"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(_k("big", "_d"), F.lit(0)).cast("long").alias("distinct_bigrams"),
+        round6(_k("big", "_top") / _k("big", "_n")).alias("top_bigram_frac"),
+    )
+
+
+def source_overlap(
+    docs: DataFrame, k: int = 5, hash_shingles: bool = False
+) -> DataFrame:
+    """Pairwise cross-source k-gram overlap matrix — the dataset-audit
+    report that quantifies how much two ingestion sources share
+    (mirrored crawls, cross-posted content) BEFORE committing to a
+    training mix. Same k-gram machinery as :func:`contamination_report`
+    but symmetric over all source pairs, with the overlap normalised to
+    a Jaccard.
+
+    Output: ``(source_a, source_b, shared_shingles, overlap_jaccard)``
+    for pairs sharing >= 1 distinct k-token shingle, with
+    ``source_a < source_b``.
+
+    Plan: distinct (source, shingle) → self equi-join on the shingle
+    (Catalyst plans the ``<`` as a post-join filter on a hash join) →
+    one aggregation keyed on the source pair; per-source shingle
+    vocabularies join back via broadcast (#sources rows). Per-shingle
+    join fan-out is bounded by #sources² regardless of corpus size —
+    no hot-key hazard. ``hash_shingles=True`` is the 100 TB path
+    (8-byte xxhash64 shuffle keys, engine-private; gate runs the
+    raw-string form so the DuckDB twin is byte-identical).
+    """
+    toks = F.split(F.lower(F.col("text")), " ")
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
+        f"i -> array_join(slice(_toks, i, {k}), ' '))"
+    )
+    shingle_key = (
+        F.xxhash64(F.col("_shingle")) if hash_shingles else F.col("_shingle")
+    )
+    sh = (
+        docs.select("source", toks.alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .select("source", F.explode(shingles).alias("_shingle"))
+        .select("source", shingle_key.alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    sizes_a = sizes.select(
+        F.col("source").alias("source_a"), F.col("_n").alias("_na")
+    )
+    sizes_b = sizes.select(
+        F.col("source").alias("source_b"), F.col("_n").alias("_nb")
+    )
+    return (
+        pairs.join(F.broadcast(sizes_a), "source_a")
+        .join(F.broadcast(sizes_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            round6(
+                F.col("shared_shingles")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_shingles"))
+            ).alias("overlap_jaccard"),
+        )
+    )
+
+
 def _with_quality_and_lang(docs: DataFrame, *keep: str) -> DataFrame:
     """(keep..., n_tokens, quality_score, pred_lang) in one scan with
     ZERO joins — quality features and language id are pure per-row

@@ -1,0 +1,100 @@
+"""Full-text relevance retrieval over the document corpus: BM25 top-k.
+
+The standard lexical-retrieval scorer (Robertson/Sparck Jones BM25,
+the Okapi formulation with the +1 idf smoothing Lucene uses) as one
+declarative Spark plan:
+
+1. per-doc projection: ``dl`` (token count) and one ``tf_t`` per query
+   term via ``size(filter(tokens, x -> x = t))`` — pure Catalyst
+   higher-order functions, no explode, no UDF, one corpus scan;
+2. corpus statistics: ``N``, ``avgdl`` and per-term document
+   frequencies in ONE hash aggregation producing a single row;
+3. the stats row is broadcast back (1-row crossJoin — the same pattern
+   ``operators/stats.py`` uses for global counts) and the score folds
+   per-term contributions JVM-side;
+4. top-k by (rounded score desc, doc_id) through ``orderBy + limit``,
+   which Spark executes as TakeOrderedAndProject — per-partition heaps
+   plus a k-row driver merge, never a global sort.
+
+Scale shape (100 TB): two corpus scans (stats + score — Catalyst
+cannot reuse one scan across an aggregation barrier), one 1-row
+broadcast, zero shuffles of doc-sized data beyond the partial
+aggregation; the result is k rows. Query terms are a literal list, so
+a large term set should switch to an inverted-index join (explode →
+postings) — this operator targets the interactive few-term probe.
+
+Ordering ties break on the ROUNDED score (functions/numeric.round6)
+then doc_id, so the DuckDB twin (__spark_entry__.oracle_sql()
+["bm25_topk"]) selects the identical k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cuda_gis_smoothing_spark.functions.numeric import round6
+
+#: Okapi BM25 constants (the universal defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: gate-fixed query terms (present in the synthetic corpus vocabulary)
+BM25_TERMS: tuple[str, ...] = ("spark", "join", "filter")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = 20,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` docs by BM25 over ``terms``; output
+    ``(doc_id, n_tokens, bm25)`` with the score round6'd.
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` (always positive,
+    the Lucene smoothing) and the usual saturated-tf length-normalised
+    term weight. A term with ``tf = 0`` contributes exactly 0, so no
+    per-term filtering is needed.
+    """
+    toks = F.split(F.lower(F.col("text")), " ")
+    tf_cols = [
+        F.expr(f"size(filter(_toks, x -> x = '{t}'))")
+        .cast("double")
+        .alias(f"_tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        *tf_cols,
+    )
+
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("_N"),
+        F.avg(F.col("n_tokens").cast("double")).alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    dl = F.col("n_tokens").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf, df = F.col(f"_tf_{i}"), F.col(f"_df_{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("_N") - df + 0.5) / (df + 0.5)
+        )
+        norm = tf + k1 * (1.0 - b + b * dl / F.col("_avgdl"))
+        score = score + idf * (tf * (k1 + 1.0)) / norm
+
+    return (
+        scored.select(id_col, "n_tokens", round6(score).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

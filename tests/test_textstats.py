@@ -1,0 +1,148 @@
+"""Randomized differentials + plan shape for the round-3 corpus
+analytics additions: repetition_signals (Gopher repetition filters),
+source_overlap (cross-source k-gram audit) and bm25_topk (lexical
+retrieval). Each operator is checked against an independent pure-Python
+oracle on seeded random corpora, including the short-doc edge cases
+(single-token and sub-k docs) that trip ANSI element_at / descending
+sequence(1, 0)."""
+
+import math
+import random
+from collections import Counter
+
+import pytest
+
+from cuda_gis_smoothing_spark.operators.curate import (
+    repetition_signals,
+    source_overlap,
+)
+from cuda_gis_smoothing_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_topk,
+)
+
+VOCAB = ["spark", "join", "filter", "scan", "agg", "row", "the", "a"]
+
+
+def _rand_docs(seed, n=40):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        ln = rng.choice([1, 1, 2, 3, rng.randint(4, 30)])
+        text = " ".join(rng.choice(VOCAB) for _ in range(ln))
+        rows.append((i, text, f"src{rng.randint(0, 3)}"))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_repetition_signals_matches_python(spark, seed):
+    rows = _rand_docs(seed)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    assert len(got) == len(rows)
+    for doc_id, text, _ in rows:
+        toks = text.lower().split(" ")
+        bigs = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        tc, bc = Counter(toks), Counter(bigs)
+        g = got[doc_id]
+        assert g["n_tokens"] == len(toks)
+        assert g["distinct_tokens"] == len(tc)
+        assert math.isclose(
+            g["dup_token_ratio"], 1 - len(tc) / len(toks), abs_tol=2e-6
+        )
+        assert math.isclose(
+            g["top_token_frac"], max(tc.values()) / len(toks), abs_tol=2e-6
+        )
+        assert g["n_bigrams"] == len(bigs)
+        assert g["distinct_bigrams"] == len(bc)
+        if bigs:
+            assert math.isclose(
+                g["top_bigram_frac"], max(bc.values()) / len(bigs), abs_tol=2e-6
+            )
+        else:
+            assert g["top_bigram_frac"] is None
+
+
+@pytest.mark.parametrize("hash_shingles", [False, True])
+def test_source_overlap_matches_python(spark, hash_shingles):
+    k = 3
+    rows = _rand_docs(11, n=60)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(df, k=k, hash_shingles=hash_shingles).collect()
+    }
+
+    per_src = {}
+    for _, text, src in rows:
+        toks = text.lower().split(" ")
+        per_src.setdefault(src, set()).update(
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        )
+    expected = {}
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(per_src[a] & per_src[b])
+            if shared:
+                expected[(a, b)] = (
+                    shared,
+                    shared / len(per_src[a] | per_src[b]),
+                )
+    assert set(got) == set(expected)
+    for key, (shared, jac) in expected.items():
+        assert got[key]["shared_shingles"] == shared
+        assert math.isclose(got[key]["overlap_jaccard"], jac, abs_tol=2e-6)
+
+
+def test_bm25_matches_python(spark):
+    terms = ("spark", "join")
+    rows = _rand_docs(5, n=30)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = bm25_topk(df, terms=terms, k=30).collect()
+    assert len(got) == 30  # k >= corpus: every doc scored
+
+    docs = {i: t.lower().split(" ") for i, t, _ in rows}
+    N = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / N
+    df_t = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in terms
+    }
+    def score(toks):
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            idf = math.log(1 + (N - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * tf * (BM25_K1 + 1) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(toks) / avgdl)
+            )
+        return s
+
+    for r in got:
+        assert math.isclose(r["bm25"], score(docs[r["doc_id"]]), abs_tol=2e-6)
+    # descending by rounded score, doc_id tiebreak — the gate's ordering
+    keys = [(-r["bm25"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_bm25_plan_topk_and_broadcast(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition heaps), the
+    1-row stats join a broadcast — never a global Sort or a shuffled
+    join against a single-row side."""
+    rows = _rand_docs(3, n=50)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = bm25_topk(df)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_plan_is_equijoin(spark):
+    """The source-pair self-join must hash-join on the shingle (the
+    source inequality is a post-join filter), never a cartesian."""
+    rows = _rand_docs(9, n=50)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = source_overlap(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
