@@ -316,6 +316,14 @@ def _q_source_stats(spark, sf_dir):
 
 
 _OVERLAP_K = 5
+_SPAN_GRAM = 4
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    """Span-level duplicate detection: maximal shared token runs."""
+    from cuda_gis_smoothing_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(load(spark, sf_dir, "documents"), gram_len=_SPAN_GRAM)
 
 
 def _q_doc_repetition(spark, sf_dir):
@@ -687,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "source_overlap": _q_source_overlap,
         "bm25_topk": _q_bm25_topk,
+        "duplicate_spans": _q_duplicate_spans,
         "stratified_sample": _q_stratified_sample,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
@@ -1248,6 +1257,26 @@ SELECT p.source_a, p.source_b, p.shared_shingles,
 FROM p JOIN sz sa ON sa.source = p.source_a JOIN sz sb ON sb.source = p.source_b
 """.strip()
     out["bm25_topk"] = _bm25_sql()
+    out["duplicate_spans"] = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i:i+{_SPAN_GRAM - 1}], ' ') AS g
+  FROM toks, UNNEST(CASE WHEN len(ts) >= {_SPAN_GRAM}
+                    THEN generate_series(1, len(ts) - {_SPAN_GRAM - 1}) ELSE [] END) AS u(i)
+),
+seed AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM pos a JOIN pos b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+  FROM seed
+)
+SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+       COUNT(*) + {_SPAN_GRAM - 1} AS span_tokens
+FROM runs GROUP BY doc_a, doc_b, diag, grp
+""".strip()
     return out
 
 

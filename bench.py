@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "bm25_topk",
     "source_overlap",
+    "duplicate_spans",
 ]
 
 

@@ -1045,3 +1045,96 @@ def neardup_components_propagation(
             f"label propagation did not converge in {max_iter} rounds"
         )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    gram_len: int = 4,
+    min_span: int | None = None,
+    max_gram_positions: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level (substring) duplicate detection: the maximal common
+    token runs between every document pair — the Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better")
+    semantics, re-expressed as joins instead of a suffix array.
+
+    Output: ``(doc_a, doc_b, start_a, start_b, span_tokens)`` with
+    ``doc_a < doc_b``, 1-based token starts, one row per MAXIMAL run of
+    >= ``gram_len`` shared consecutive tokens (>= ``min_span`` if set).
+    Doc-level dedup (exact/minhash/simhash families above) misses
+    partially-copied text — a quote, a boilerplate header, a paragraph
+    lifted between crawls; this operator finds the copied span itself.
+
+    Plan: positions → ``gram_len``-gram seeds (pure Catalyst
+    transform/posexplode, one corpus scan) → self equi-join on the gram
+    → maximal-run merge per (pair, diagonal): two seeds lie on one run
+    iff ``pos_a - pos_b`` matches and ``pos_a`` is consecutive, so
+    ``pos_a - row_number() OVER (pair, diagonal ORDER BY pos_a)`` is
+    constant per run (islands-and-gaps) and one aggregation emits the
+    maximal spans. Every shuffle key is a gram or a (pair, diagonal) —
+    no global sort; window partitions are bounded by a single pair's
+    seed count.
+
+    Scale: the suffix-array method is inherently sequential; the join
+    form is embarrassingly parallel but quadratic in per-gram position
+    count — a boilerplate gram appearing P times globally seeds P²
+    pairs. ``max_gram_positions`` caps that: grams above the cap are
+    dropped from SEEDING (spans they'd seed are found anyway when any
+    rarer gram overlaps the run; a run consisting ONLY of ultra-common
+    grams is boilerplate by definition — the exact mass a real corpus
+    run wants excluded). The cap changes semantics, so the driver gate
+    runs uncapped; the cap path is pytest-gated.
+    """
+    from pyspark.sql import Window
+
+    k = gram_len
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
+        f"i -> array_join(slice(_toks, i, {k}), ' '))"
+    )
+    pos = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .select(id_col, F.posexplode(grams).alias("_p", "_g"))
+        .select(
+            id_col,
+            (F.col("_p") + 1).cast("long").alias("_pos"),
+            F.col("_g").alias("_g"),
+        )
+    )
+    if max_gram_positions is not None:
+        hot = (
+            pos.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_gram_positions)
+            .select("_g")
+        )
+        pos = pos.join(hot, "_g", "left_anti")
+
+    a = pos.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_pos").alias("pos_a"),
+        F.col("_g"),
+    )
+    b = pos.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_pos").alias("pos_b"),
+        F.col("_g"),
+    )
+    seeds = a.join(b, "_g").where(F.col("doc_a") < F.col("doc_b"))
+
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("_diag")
+    w = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("pos_a")
+    runs = seeds.select("doc_a", "doc_b", "pos_a", "pos_b", diag).withColumn(
+        "_grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "_diag", "_grp").agg(
+        F.min("pos_a").alias("start_a"),
+        F.min("pos_b").alias("start_b"),
+        (F.count(F.lit(1)) + (k - 1)).alias("span_tokens"),
+    )
+    if min_span is not None:
+        spans = spans.where(F.col("span_tokens") >= min_span)
+    return spans.select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")

@@ -146,3 +146,86 @@ def test_source_overlap_plan_is_equijoin(spark):
     plan = source_overlap(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------- spans
+
+from cuda_gis_smoothing_spark.operators.dedup import duplicate_spans
+
+
+def _python_spans(rows, k):
+    """Brute-force maximal common runs >= k tokens between doc pairs."""
+    docs = {i: t.lower().split(" ") for i, t, *_ in rows}
+    out = set()
+    ids = sorted(docs)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            ta, tb = docs[a], docs[b]
+            # match matrix diagonal scan: maximal equal runs
+            for diag in range(-(len(tb) - 1), len(ta)):
+                i = max(0, diag)
+                j = i - diag
+                run = 0
+                while i < len(ta) and j < len(tb):
+                    if ta[i] == tb[j]:
+                        run += 1
+                    else:
+                        if run >= k:
+                            out.add((a, b, i - run + 1, j - run + 1, run))
+                        run = 0
+                    i += 1
+                    j += 1
+                if run >= k:
+                    out.add((a, b, i - run + 1, j - run + 1, run))
+    return out
+
+
+@pytest.mark.parametrize("seed", [2, 31])
+def test_duplicate_spans_matches_python(spark, seed):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(24):
+        ln = rng.choice([2, 3, rng.randint(8, 40)])
+        rows.append((i, " ".join(rng.choice(VOCAB) for _ in range(ln))))
+    # plant a long shared span across three docs
+    span = " ".join(rng.choice(VOCAB) for _ in range(12))
+    rows[3] = (3, rows[3][1] + " " + span)
+    rows[7] = (7, span + " " + rows[7][1])
+    rows[11] = (11, span)
+    k = 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+        for r in duplicate_spans(df, gram_len=k).collect()
+    }
+    assert got == _python_spans(rows, k)
+    # the planted 12-token span must surface for all three pairs
+    planted = {(a, b) for a, b, *_ in got}
+    assert {(3, 7), (3, 11), (7, 11)} <= planted
+
+
+def test_duplicate_spans_hot_gram_cap(spark):
+    # one boilerplate gram in EVERY doc + one rare long span
+    rows = [(i, "the same old header " + f"u{i} v{i}") for i in range(10)]
+    rows.append((90, "x y z w q r s t"))
+    rows.append((91, "x y z w q r s t"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = duplicate_spans(df, gram_len=4, max_gram_positions=5).collect()
+    # boilerplate header (10 positions for its gram) is dropped from
+    # seeding; the rare 8-token span survives
+    pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert pairs == {(90, 91)}
+    assert {r.span_tokens for r in capped} == {8}
+    # uncapped finds the header pairs too
+    full = {(r.doc_a, r.doc_b) for r in duplicate_spans(df, gram_len=4).collect()}
+    assert (0, 1) in full and (90, 91) in full
+
+
+def test_duplicate_spans_plan_is_equijoin(spark):
+    rows = [(i, "a b c d e f g h") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = (
+        duplicate_spans(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
