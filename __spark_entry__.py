@@ -326,6 +326,13 @@ def _q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(load(spark, sf_dir, "documents"), gram_len=_SPAN_GRAM)
 
 
+def _q_span_coverage(spark, sf_dir):
+    """Per-doc duplicated-span token coverage (substring-dedup signal)."""
+    from cuda_gis_smoothing_spark.operators.dedup import span_coverage
+
+    return span_coverage(load(spark, sf_dir, "documents"), gram_len=_SPAN_GRAM)
+
+
 def _q_doc_repetition(spark, sf_dir):
     """Gopher-style within-doc repetition quality signals."""
     from cuda_gis_smoothing_spark.operators.curate import repetition_signals
@@ -696,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "bm25_topk": _q_bm25_topk,
         "duplicate_spans": _q_duplicate_spans,
+        "span_coverage": _q_span_coverage,
         "stratified_sample": _q_stratified_sample,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
@@ -1276,6 +1284,40 @@ runs AS (
 SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
        COUNT(*) + {_SPAN_GRAM - 1} AS span_tokens
 FROM runs GROUP BY doc_a, doc_b, diag, grp
+""".strip()
+    out["span_coverage"] = f"""
+WITH spans AS ({out["duplicate_spans"]}),
+iv AS (
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens - 1 AS e FROM spans
+    UNION ALL
+    SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens - 1 AS e FROM spans
+  )
+),
+mark AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM mark
+),
+cov AS (
+  SELECT doc_id, SUM(mx - mn + 1) AS covered
+  FROM (SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx FROM isl GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+       ROUND(COALESCE(c.covered, 0) * 1e0
+             / len(string_split(lower(d.text), ' ')) + 1e-09, 6) AS coverage
+FROM documents d LEFT JOIN cov c USING (doc_id)
 """.strip()
     return out
 

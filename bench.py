@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "source_overlap",
     "duplicate_spans",
+    "span_coverage",
 ]
 
 

@@ -1138,3 +1138,89 @@ def duplicate_spans(
     if min_span is not None:
         spans = spans.where(F.col("span_tokens") >= min_span)
     return spans.select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+
+
+def span_coverage(
+    docs: DataFrame,
+    gram_len: int = 4,
+    id_col: str = "doc_id",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of each
+    doc's tokens lying inside SOME maximal cross-doc shared run (from
+    :func:`duplicate_spans`) — the quantity substring-dedup pipelines
+    threshold on to drop or trim documents.
+
+    Output: ``(doc_id, n_tokens, covered_tokens, coverage)`` for every
+    doc (0 / 0.0 when nothing is shared).
+
+    Plan: spans → per-doc [start, end] intervals (both sides of each
+    pair) → classic interval-union sweep per doc with two bounded
+    windows (new-island flag via running MAX(end) over preceding rows,
+    island id via running SUM of the flag) → per-island extents →
+    per-doc covered mass → LEFT JOIN back to the corpus. Window
+    partitions are per-doc (bounded by a doc's span count).
+
+    Determinism note: intervals are DISTINCT'd before the sweep — not
+    for the union semantics (which are insensitive to duplicates) but
+    to make the window ORDER BY (s, e) a TOTAL order. With exact
+    duplicate rows the order has ties, and an engine that sorts the
+    flag window and the running-sum window in different passes (DuckDB
+    does; Spark fuses both into one WindowExec) can permute tied rows
+    BETWEEN the passes, attaching a duplicate to the wrong island and
+    silently over-merging (observed: a ~10%-of-runs parity flake
+    before the distinct).
+    """
+    from pyspark.sql import Window
+
+    if spans is None:
+        spans = duplicate_spans(docs, gram_len=gram_len, id_col=id_col)
+    iv = spans.select(
+        F.col("doc_a").alias(id_col),
+        F.col("start_a").alias("_s"),
+        (F.col("start_a") + F.col("span_tokens") - 1).alias("_e"),
+    ).unionAll(
+        spans.select(
+            F.col("doc_b").alias(id_col),
+            F.col("start_b").alias("_s"),
+            (F.col("start_b") + F.col("span_tokens") - 1).alias("_e"),
+        )
+    ).distinct()
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn(
+        "_new",
+        (F.col("_s") > F.coalesce(F.max("_e").over(w_prev), F.lit(-1)))
+        .cast("long"),
+    ).withColumn("_island", F.sum("_new").over(w_run))
+    covered = (
+        marked.groupBy(id_col, "_island")
+        .agg(F.min("_s").alias("_mn"), F.max("_e").alias("_mx"))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_mx") - F.col("_mn") + 1).alias("_covered"))
+    )
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    n_tokens = F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
+    return (
+        docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("_covered"), F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            round6(
+                F.coalesce(F.col("_covered"), F.lit(0)) / F.col("n_tokens")
+            ).alias("coverage"),
+        )
+    )

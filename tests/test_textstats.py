@@ -229,3 +229,35 @@ def test_duplicate_spans_plan_is_equijoin(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+from cuda_gis_smoothing_spark.operators.dedup import span_coverage
+
+
+@pytest.mark.parametrize("seed", [13, 47])
+def test_span_coverage_matches_python(spark, seed):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(20):
+        ln = rng.choice([2, rng.randint(8, 40)])
+        rows.append((i, " ".join(rng.choice(VOCAB) for _ in range(ln))))
+    span = " ".join(rng.choice(VOCAB) for _ in range(10))
+    rows[2] = (2, rows[2][1] + " " + span)
+    rows[5] = (5, span + " " + rows[5][1] + " " + span)
+    k = 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.covered_tokens, r.coverage)
+           for r in span_coverage(df, gram_len=k).collect()}
+    assert set(got) == {i for i, _ in rows}
+
+    # python oracle: union of interval sets from the brute-force spans
+    spans = _python_spans(rows, k)
+    covered = {i: set() for i, _ in rows}
+    for a, b, sa, sb, ln in spans:
+        covered[a].update(range(sa, sa + ln))
+        covered[b].update(range(sb, sb + ln))
+    for i, text in rows:
+        n = len(text.split(" "))
+        assert got[i][0] == n
+        assert got[i][1] == len(covered[i]), f"doc {i}"
+        assert math.isclose(got[i][2], len(covered[i]) / n, abs_tol=2e-6)
