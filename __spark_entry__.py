@@ -347,6 +347,15 @@ def _q_source_overlap(spark, sf_dir):
     return source_overlap(load(spark, sf_dir, "documents"), k=_OVERLAP_K)
 
 
+def _q_quality_weighted_sample(spark, sf_dir):
+    """Importance sampling: per-doc keep probability = quality score."""
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    return quality_weighted_sample(load(spark, sf_dir, "documents"))
+
+
 def _q_bm25_topk(spark, sf_dir):
     """BM25 lexical top-k retrieval over fixed query terms."""
     from cuda_gis_smoothing_spark.operators.retrieval import bm25_topk
@@ -704,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "duplicate_spans": _q_duplicate_spans,
         "span_coverage": _q_span_coverage,
+        "quality_weighted_sample": _q_quality_weighted_sample,
         "stratified_sample": _q_stratified_sample,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
@@ -1318,6 +1328,17 @@ SELECT d.doc_id,
        ROUND(COALESCE(c.covered, 0) * 1e0
              / len(string_split(lower(d.text), ' ')) + 1e-09, 6) AS coverage
 FROM documents d LEFT JOIN cov c USING (doc_id)
+""".strip()
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        _DENOM as _SAMPLE_DENOM,
+        sample_hash_sql,
+    )
+
+    out["quality_weighted_sample"] = f"""
+WITH q AS ({out["doc_quality"]})
+SELECT doc_id, n_tokens, quality_score
+FROM q
+WHERE {sample_hash_sql("doc_id")} < FLOOR(quality_score * {_SAMPLE_DENOM} + 1e-09)
 """.strip()
     return out
 

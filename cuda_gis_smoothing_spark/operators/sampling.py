@@ -76,3 +76,31 @@ def stratified_sample_sql(
     )
     case = f"CASE {branches} ELSE {int(default_fraction * _DENOM)} END"
     return f"SELECT * FROM {source} WHERE {sample_hash_sql(id_col)} < {case}"
+
+
+def quality_weighted_sample(docs: DataFrame) -> DataFrame:
+    """Importance sampling by quality: keep each doc with probability
+    equal to its quality score — the soft alternative to a hard
+    quality cutoff (a DSIR/CCNet-shaped reweighting: high-quality docs
+    are kept almost surely, low-quality docs survive at their score's
+    rate instead of being zeroed).
+
+    Output: ``(doc_id, n_tokens, quality_score)`` for kept docs. The
+    decision is ``portable_hash(doc_id) < floor(score * 1e6)`` — same
+    hash family as :func:`deterministic_sample`, so the per-row draw is
+    reproducible across runs/retries/engines and the DuckDB twin keeps
+    the IDENTICAL set (floor via functions.numeric.floor_stable: the
+    score is a round6'd double, so score*1e6 sits ~1e-11 from an
+    integer and both engines must nudge the same way). One scan, one
+    Catalyst filter, no shuffle, pushdown-friendly.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import floor_stable
+    from cuda_gis_smoothing_spark.operators.curate import (
+        _with_quality_and_lang,
+    )
+
+    q = _with_quality_and_lang(docs, "doc_id")
+    return q.where(
+        sample_hash_col("doc_id")
+        < floor_stable(F.col("quality_score") * _DENOM)
+    ).select("doc_id", "n_tokens", "quality_score")

@@ -261,3 +261,43 @@ def test_span_coverage_matches_python(spark, seed):
         assert got[i][0] == n
         assert got[i][1] == len(covered[i]), f"doc {i}"
         assert math.isclose(got[i][2], len(covered[i]) / n, abs_tol=2e-6)
+
+
+from cuda_gis_smoothing_spark.operators.sampling import (
+    MH_PRIME,
+    S_A,
+    S_B,
+    _DENOM,
+    quality_weighted_sample,
+)
+
+
+def test_quality_weighted_sample_exact_per_row(spark):
+    """The kept set is EXACTLY the rows whose portable hash clears the
+    floor'd score threshold — recomputed independently in python — and
+    is identical across runs."""
+    rng = random.Random(3)
+    rows = [
+        (i, " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 80))), "s")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = {(r.doc_id, r.quality_score) for r in quality_weighted_sample(df).collect()}
+    kept2 = {(r.doc_id, r.quality_score) for r in quality_weighted_sample(df).collect()}
+    assert kept == kept2
+
+    # full score table (threshold 0 keeps nothing; grab scores via the
+    # same operator pipeline with the filter removed)
+    from cuda_gis_smoothing_spark.operators.curate import _with_quality_and_lang
+
+    scores = {
+        r.doc_id: r.quality_score
+        for r in _with_quality_and_lang(df, "doc_id").collect()
+    }
+    expected = {
+        (i, s)
+        for i, s in scores.items()
+        if (i * S_A + S_B) % MH_PRIME % _DENOM < int(s * _DENOM + 1e-9)
+    }
+    assert kept == expected
+    assert 0 < len(kept) < len(rows)
