@@ -363,6 +363,27 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(load(spark, sf_dir, "documents"))
 
 
+#: (query_id, term) rows for the inverted-index BM25 gate
+_BM25_QUERIES = (
+    (1, "spark"),
+    (1, "join"),
+    (2, "filter"),
+    (2, "scan"),
+    (2, "the"),
+    (3, "vector"),
+)
+
+
+def _q_bm25_search(spark, sf_dir):
+    """Inverted-index BM25 over a query table (the large-query path)."""
+    from cuda_gis_smoothing_spark.operators.retrieval import bm25_search
+
+    qdf = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, term string"
+    )
+    return bm25_search(load(spark, sf_dir, "documents"), qdf, k=10)
+
+
 def _q_curate_corpus(spark, sf_dir):
     """The composed training-data pipeline (lang filter -> quality
     filter -> exact dedup -> LSH-verified near-dup drop -> deterministic
@@ -714,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "span_coverage": _q_span_coverage,
         "quality_weighted_sample": _q_quality_weighted_sample,
+        "bm25_search": _q_bm25_search,
         "stratified_sample": _q_stratified_sample,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
@@ -1275,6 +1297,7 @@ SELECT p.source_a, p.source_b, p.shared_shingles,
 FROM p JOIN sz sa ON sa.source = p.source_a JOIN sz sb ON sb.source = p.source_b
 """.strip()
     out["bm25_topk"] = _bm25_sql()
+    out["bm25_search"] = _bm25_search_sql()
     out["duplicate_spans"] = f"""
 WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
 pos AS (
@@ -1383,6 +1406,44 @@ SELECT per.doc_id, CAST(per.n_tokens AS BIGINT) AS n_tokens,
 FROM per, st
 ORDER BY bm25 DESC, per.doc_id
 LIMIT 20
+""".strip()
+
+
+def _bm25_search_sql() -> str:
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+    from cuda_gis_smoothing_spark.operators.retrieval import BM25_B, BM25_K1
+
+    k1, b, half, one = flit(BM25_K1), flit(BM25_B), flit(0.5), flit(1.0)
+    vals = ", ".join(
+        f"(CAST({q} AS BIGINT), '{t}')" for q, t in _BM25_QUERIES
+    )
+    return f"""
+WITH qt (query_id, term) AS (VALUES {vals}),
+toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+post AS (SELECT doc_id, term, COUNT(*) * {one} AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) * {one} AS dl FROM documents),
+st AS (SELECT COUNT(*) * {one} AS N, AVG(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, COUNT(*) * {one} AS df FROM post GROUP BY 1),
+contrib AS (
+  SELECT qt.query_id, post.doc_id,
+         ln({one} + (st.N - dfreq.df + {half}) / (dfreq.df + {half}))
+         * (post.tf * ({k1} + {one}))
+         / (post.tf + {k1} * ({one} - {b} + {b} * dl.dl / st.avgdl)) AS c
+  FROM qt
+  JOIN post USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = post.doc_id, st
+),
+scored AS (
+  SELECT query_id, doc_id, ROUND(SUM(c) + 1e-09, 6) AS bm25
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, bm25 FROM (
+  SELECT query_id, doc_id, bm25,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
+  FROM scored
+)
+WHERE rk <= 10
 """.strip()
 
 

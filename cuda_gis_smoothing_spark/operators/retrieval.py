@@ -98,3 +98,79 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Inverted-index BM25 over a TABLE of queries — the scale path
+    :func:`bm25_topk` points at for large query sets.
+
+    ``queries`` is ``(query_id, term)`` (a query = its bag of terms).
+    Output: ``(query_id, doc_id, bm25)`` — top-``k`` docs per query,
+    score round6'd, ties broken by doc_id.
+
+    Plan: one corpus scan builds the postings list (explode →
+    groupBy(doc, term) with map-side combine); document frequencies
+    and the 1-row (N, avgdl) statistics derive from it; the query
+    table equi-joins the postings on the term, contributions aggregate
+    per (query, doc), and a per-query ROW_NUMBER window takes the
+    top-k. Every shuffle key is a term, a doc, or a (query, doc) pair.
+
+    Scale note: a stop-term ('the') has a posting for nearly every
+    doc — at 100 TB either drop terms above a df cap from queries
+    (standard stop-listing; they carry ~zero idf weight anyway) or
+    salt the term join. The skew levers exist in plans/partitioning.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    dl = base.select(
+        id_col, F.size("_toks").cast("double").alias("_dl")
+    )
+    post = (
+        base.select(id_col, F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_N"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+
+    idf = F.log(
+        F.lit(1.0) + (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    norm = F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    contrib = (
+        queries.join(post, "term")
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            id_col,
+            (idf * (F.col("_tf") * (k1 + 1.0)) / norm).alias("_c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", id_col).agg(
+        round6(F.sum("_c")).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", id_col, "bm25")
+    )

@@ -301,3 +301,62 @@ def test_quality_weighted_sample_exact_per_row(spark):
     }
     assert kept == expected
     assert 0 < len(kept) < len(rows)
+
+
+from cuda_gis_smoothing_spark.operators.retrieval import bm25_search
+
+
+def test_bm25_search_matches_topk_for_single_terms(spark):
+    """For a one-term query, the inverted-index path must score every
+    matching doc exactly like the literal-terms path (same idf, same
+    length normalisation, single contribution so no sum-order slack)."""
+    rows = _rand_docs(19, n=40)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    term = "spark"
+    qdf = spark.createDataFrame([(1, term)], "query_id long, term string")
+    via_search = {
+        r.doc_id: r.bm25 for r in bm25_search(df, qdf, k=1000).collect()
+    }
+    via_topk = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(df, terms=(term,), k=1000).collect()
+        if r.bm25 != 0.0
+    }
+    assert via_search == via_topk
+
+
+def test_bm25_search_multi_term_python_oracle(spark):
+    rows = _rand_docs(29, n=30)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    terms = [(7, "join"), (7, "scan"), (8, "the")]
+    qdf = spark.createDataFrame(terms, "query_id long, term string")
+    got = {(r.query_id, r.doc_id): r.bm25 for r in bm25_search(df, qdf, k=1000).collect()}
+
+    docs = {i: t.lower().split(" ") for i, t, _ in rows}
+    N = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / N
+    from collections import defaultdict
+    qterms = defaultdict(list)
+    for q, t in terms:
+        qterms[q].append(t)
+    dfreq = {t: sum(1 for d in docs.values() if t in d) for _, t in terms}
+    for (q, d), score in got.items():
+        exp = 0.0
+        for t in qterms[q]:
+            tf = docs[d].count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            exp += idf * tf * (BM25_K1 + 1) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(docs[d]) / avgdl)
+            )
+        assert exp > 0  # only matching docs appear
+        assert math.isclose(score, exp, abs_tol=2e-6)
+    # every doc containing a query term appears
+    expected_pairs = {
+        (q, d)
+        for q, ts in qterms.items()
+        for d, toks in docs.items()
+        if any(t in toks for t in ts)
+    }
+    assert set(got) == expected_pairs
