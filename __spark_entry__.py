@@ -347,6 +347,14 @@ def _q_source_overlap(spark, sf_dir):
     return source_overlap(load(spark, sf_dir, "documents"), k=_OVERLAP_K)
 
 
+def _q_curate_corpus_strict(spark, sf_dir):
+    """Strict composed curation: lang -> quality -> repetition filter
+    -> exact dedup -> span-coverage drop -> deterministic sample."""
+    from cuda_gis_smoothing_spark.operators.curate import curate_corpus_strict
+
+    return curate_corpus_strict(load(spark, sf_dir, "documents"))
+
+
 def _q_quality_weighted_sample(spark, sf_dir):
     """Importance sampling: per-doc keep probability = quality score."""
     from cuda_gis_smoothing_spark.operators.sampling import (
@@ -736,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_coverage": _q_span_coverage,
         "quality_weighted_sample": _q_quality_weighted_sample,
         "bm25_search": _q_bm25_search,
+        "curate_corpus_strict": _q_curate_corpus_strict,
         "stratified_sample": _q_stratified_sample,
         "ngram_jaccard": _q_jaccard,
         "knn_cosine": _q_knn_cosine,
@@ -1363,7 +1372,91 @@ SELECT doc_id, n_tokens, quality_score
 FROM q
 WHERE {sample_hash_sql("doc_id")} < FLOOR(quality_score * {_SAMPLE_DENOM} + 1e-09)
 """.strip()
+    out["curate_corpus_strict"] = _curate_strict_sql(
+        out["doc_quality"], out["doc_language_id"], out["doc_repetition"]
+    )
     return out
+
+
+def _curate_strict_sql(q_sql: str, l_sql: str, rep_sql: str) -> str:
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+    from cuda_gis_smoothing_spark.operators.curate import (
+        CURATE_LANG,
+        CURATE_MAX_DUP_RATIO,
+        CURATE_MAX_SPAN_COV,
+        CURATE_MIN_QUALITY,
+        CURATE_SAMPLE_F,
+        CURATE_SPAN_GRAM,
+    )
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        _DENOM,
+        sample_hash_sql,
+    )
+
+    g = CURATE_SPAN_GRAM
+    return f"""
+WITH q AS ({q_sql}),
+l AS ({l_sql}),
+rep AS ({rep_sql}),
+base AS (
+  SELECT d.doc_id, d.text, q.n_tokens, q.quality_score
+  FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN rep USING (doc_id)
+  WHERE l.pred_lang = '{CURATE_LANG}'
+    AND q.quality_score >= {flit(CURATE_MIN_QUALITY)}
+    AND rep.dup_token_ratio <= {flit(CURATE_MAX_DUP_RATIO)}
+),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+kept AS (SELECT b.* FROM base b JOIN canon USING (doc_id)),
+toksk AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM kept),
+posk AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i:i+{g - 1}], ' ') AS gr
+  FROM toksk, UNNEST(CASE WHEN len(ts) >= {g}
+                     THEN generate_series(1, len(ts) - {g - 1}) ELSE [] END) AS u(i)
+),
+seedk AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM posk a JOIN posk b ON a.gr = b.gr AND a.doc_id < b.doc_id
+),
+runsk AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+  FROM seedk
+),
+spansk AS (
+  SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+         COUNT(*) + {g - 1} AS span_tokens
+  FROM runsk GROUP BY doc_a, doc_b, diag, grp
+),
+ivk AS (
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens - 1 AS e FROM spansk
+    UNION ALL
+    SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens - 1 AS e FROM spansk
+  )
+),
+markk AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM ivk
+),
+islk AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM markk
+),
+covk AS (
+  SELECT doc_id, SUM(mx - mn + 1) AS covered
+  FROM (SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx FROM islk GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT k.doc_id, k.n_tokens, k.quality_score
+FROM kept k LEFT JOIN covk c USING (doc_id)
+WHERE ROUND(COALESCE(c.covered, 0) * 1e0 / k.n_tokens + 1e-09, 6) <= {flit(CURATE_MAX_SPAN_COV)}
+  AND {sample_hash_sql("k.doc_id")} < {int(CURATE_SAMPLE_F * _DENOM)}
+""".strip()
 
 
 def _bm25_sql() -> str:

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "duplicate_spans",
     "span_coverage",
+    "curate_corpus_strict",
 ]
 
 

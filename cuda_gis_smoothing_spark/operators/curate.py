@@ -37,6 +37,12 @@ CURATE_MIN_QUALITY = 0.5
 CURATE_NEARDUP_J = 0.9
 CURATE_SAMPLE_F = 0.8
 
+# strict-pipeline thresholds (chosen non-vacuous on the fixture:
+# dup_token_ratio p80 ~= 0.66, survivor span coverage p90 ~= 0.30)
+CURATE_MAX_DUP_RATIO = 0.65
+CURATE_MAX_SPAN_COV = 0.25
+CURATE_SPAN_GRAM = 4
+
 
 def contamination_report(
     docs: DataFrame,
@@ -347,6 +353,57 @@ def curate_corpus(
         n_blocks=n_blocks,
     )
     survivors = kept.join(dropped, "doc_id", "left_anti")
+    return deterministic_sample(survivors, sample_fraction).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+
+
+def curate_corpus_strict(
+    docs: DataFrame,
+    lang: str = CURATE_LANG,
+    min_quality: float = CURATE_MIN_QUALITY,
+    max_dup_ratio: float = CURATE_MAX_DUP_RATIO,
+    max_span_coverage: float = CURATE_MAX_SPAN_COV,
+    gram_len: int = CURATE_SPAN_GRAM,
+    sample_fraction: float = CURATE_SAMPLE_F,
+) -> DataFrame:
+    """The strict curation pipeline: :func:`curate_corpus`'s chain with
+    the round-3 signals swapped in — language -> quality ->
+    WITHIN-doc repetition filter (Gopher) -> exact dedup ->
+    CROSS-doc span-coverage drop (substring-dedup semantics) ->
+    deterministic sample. Returns (doc_id, n_tokens, quality_score).
+
+    Differences from curate_corpus, deliberately: repetition replaces
+    nothing (it is a new per-doc filter: boilerplate/degenerate text
+    the length/punct features miss), and the near-dup drop criterion is
+    span COVERAGE (fraction of tokens inside maximal shared runs
+    against any other survivor) instead of whole-doc jaccard — the
+    policy that also catches partial copies. Stage order note: the
+    repetition filter commutes with exact dedup (identical text =>
+    identical signals), so running it first only shrinks the dedup
+    input.
+
+    Scale shape: stages 1-3 are per-doc projections/aggregations (the
+    repetition signals shuffle on (doc, gram) only); survivors are
+    localCheckpoint'ed ONCE before the pair stage (the curate_corpus
+    lesson — the span join otherwise re-derives the whole filter chain
+    per branch); the span stage inherits duplicate_spans' bounded
+    equi-join shape; the sample is one hash filter.
+    """
+    from cuda_gis_smoothing_spark.operators.dedup import span_coverage
+
+    base = filtered_base(docs, lang, min_quality)
+    good = (
+        repetition_signals(base)
+        .where(F.col("dup_token_ratio") <= max_dup_ratio)
+        .select("doc_id")
+    )
+    kept = exact_canonical(base.join(good, "doc_id", "left_semi"))
+    kept = kept.localCheckpoint()
+
+    cov = span_coverage(kept, gram_len=gram_len)
+    drops = cov.where(F.col("coverage") > max_span_coverage).select("doc_id")
+    survivors = kept.join(drops, "doc_id", "left_anti")
     return deterministic_sample(survivors, sample_fraction).select(
         "doc_id", "n_tokens", "quality_score"
     )

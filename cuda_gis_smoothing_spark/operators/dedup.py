@@ -1113,22 +1113,33 @@ def duplicate_spans(
         )
         pos = pos.join(hot, "_g", "left_anti")
 
+    # pinned parallelism, twice (the CLAUDE.md AQE blind spot): gram
+    # keys and seed rows are tiny by bytes but the pair output is
+    # superlinear — AQE coalesces both the seed join and the
+    # per-diagonal window shuffle to ONE partition (measured at sf0.1:
+    # the whole merge ran on one core). User-specified repartitions on
+    # the join/window keys are never coalesced; the window repartition
+    # also satisfies the window's required distribution AND the
+    # downstream groupBy's (subset clustering), so no extra exchange.
+    parts = docs.sparkSession.sparkContext.defaultParallelism
     a = pos.select(
         F.col(id_col).alias("doc_a"),
         F.col("_pos").alias("pos_a"),
         F.col("_g"),
-    )
+    ).repartition(parts, "_g")
     b = pos.select(
         F.col(id_col).alias("doc_b"),
         F.col("_pos").alias("pos_b"),
         F.col("_g"),
-    )
+    ).repartition(parts, "_g")
     seeds = a.join(b, "_g").where(F.col("doc_a") < F.col("doc_b"))
 
     diag = (F.col("pos_a") - F.col("pos_b")).alias("_diag")
     w = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("pos_a")
-    runs = seeds.select("doc_a", "doc_b", "pos_a", "pos_b", diag).withColumn(
-        "_grp", F.col("pos_a") - F.row_number().over(w)
+    runs = (
+        seeds.select("doc_a", "doc_b", "pos_a", "pos_b", diag)
+        .repartition(parts, "doc_a", "doc_b", "_diag")
+        .withColumn("_grp", F.col("pos_a") - F.row_number().over(w))
     )
     spans = runs.groupBy("doc_a", "doc_b", "_diag", "_grp").agg(
         F.min("pos_a").alias("start_a"),

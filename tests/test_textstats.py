@@ -360,3 +360,53 @@ def test_bm25_search_multi_term_python_oracle(spark):
         if any(t in toks for t in ts)
     }
     assert set(got) == expected_pairs
+
+
+from cuda_gis_smoothing_spark.operators.curate import curate_corpus_strict
+
+
+def test_curate_strict_each_stage_fires(spark):
+    """One synthetic doc per drop reason; the survivor survives."""
+    def admits(i):  # deterministic-sample acceptance at 0.8
+        return (i * S_A + S_B) % MH_PRIME % _DENOM < 800_000
+
+    ids = [i for i in range(100) if admits(i)]
+    keep_id, dup_id, de_id, rep_id, spanA, spanB = ids[:6]
+    # a sampled-out id for the final stage
+    out_id = next(i for i in range(100) if not admits(i))
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    good = "the quick cat is of house to bird in tree and pond stone leaf"
+    rows = [
+        (keep_id, good),                                 # survives
+        (dup_id, good),                                  # exact dup (larger id)
+        (de_id, "der hund ist nicht und das der und ist nicht das und"),  # lang
+        (rep_id, "the the the the the the the the"),     # repetition
+        (spanA, span + " the red fox is of to in barn one two"),   # span cov
+        (spanB, span + " the old owl is of to in nest six ten"),   # span cov
+        # sampled out — text shares NO 4-gram with `good`, else the
+        # span stage would drop both before sampling ever ran
+        (out_id, "the slow worm is in mud of to deep dark damp hole"),
+    ]
+    assert dup_id > keep_id
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in curate_corpus_strict(df).collect()}
+    assert kept == {keep_id}
+
+
+def test_duplicate_spans_pair_stage_parallelism(spark):
+    """The per-diagonal merge must EXECUTE on multiple partitions —
+    AQE coalesces the tiny-bytes seed shuffle to one partition unless
+    the repartition is user-specified (the CLAUDE.md blind spot).
+    Asserted on the result partitioning, which inherits the pinned
+    window shuffle (the groupBy reuses its clustering)."""
+    rng = random.Random(41)
+    rows = [
+        (i, " ".join(rng.choice(VOCAB) for _ in range(30))) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import pyspark.sql.functions as F
+
+    spans = duplicate_spans(df, gram_len=3)
+    npart = spans.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert npart > 1, "span merge coalesced to a single partition"
