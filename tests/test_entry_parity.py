@@ -94,6 +94,13 @@ _HOSTILE_SAMPLE = [
     "value_percentiles",
     "stratified_sample",
     "cumulative_users",
+    # round-3 late additions: chained-window sweep (the tie-order flake
+    # class), window top-k over joins, self-join + broadcast sizes, and
+    # the second composed pipeline
+    "span_coverage",
+    "bm25_search",
+    "source_overlap",
+    "curate_corpus_strict",
 ]
 
 
