@@ -1308,11 +1308,47 @@ FROM p JOIN sz sa ON sa.source = p.source_a JOIN sz sb ON sb.source = p.source_b
     out["bm25_topk"] = _bm25_sql()
     out["bm25_search"] = _bm25_search_sql()
     out["duplicate_spans"] = f"""
-WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+WITH {_span_ctes("documents", _SPAN_GRAM)}
+SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans
+""".strip()
+    out["span_coverage"] = f"""
+WITH {_span_ctes("documents", _SPAN_GRAM)},
+{_coverage_ctes()}
+SELECT d.doc_id,
+       CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+       ROUND(COALESCE(c.covered, 0) * 1e0
+             / len(string_split(lower(d.text), ' ')) + 1e-09, 6) AS coverage
+FROM documents d LEFT JOIN cov c USING (doc_id)
+""".strip()
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        _DENOM as _SAMPLE_DENOM,
+        sample_hash_sql,
+    )
+
+    out["quality_weighted_sample"] = f"""
+WITH q AS ({out["doc_quality"]})
+SELECT doc_id, n_tokens, quality_score
+FROM q
+WHERE {sample_hash_sql("doc_id")} < FLOOR(quality_score * {_SAMPLE_DENOM} + 1e-09)
+""".strip()
+    out["curate_corpus_strict"] = _curate_strict_sql(
+        out["doc_quality"], out["doc_language_id"], out["doc_repetition"]
+    )
+    return out
+
+
+def _span_ctes(source: str, g: int) -> str:
+    """CTE chain ``toks → pos → seed → runs → spans`` implementing
+    duplicate_spans' gram-seed + per-diagonal islands-and-gaps merge
+    over relation ``source`` — ONE builder shared by the
+    duplicate_spans, span_coverage and curate_corpus_strict twins so a
+    fix to the sweep can never silently diverge between gates."""
+    return f"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM {source}),
 pos AS (
-  SELECT doc_id, i AS pos, array_to_string(ts[i:i+{_SPAN_GRAM - 1}], ' ') AS g
-  FROM toks, UNNEST(CASE WHEN len(ts) >= {_SPAN_GRAM}
-                    THEN generate_series(1, len(ts) - {_SPAN_GRAM - 1}) ELSE [] END) AS u(i)
+  SELECT doc_id, i AS pos, array_to_string(ts[i:i+{g - 1}], ' ') AS g
+  FROM toks, UNNEST(CASE WHEN len(ts) >= {g}
+                    THEN generate_series(1, len(ts) - {g - 1}) ELSE [] END) AS u(i)
 ),
 seed AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
@@ -1322,14 +1358,21 @@ runs AS (
   SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
          pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
   FROM seed
-)
-SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
-       COUNT(*) + {_SPAN_GRAM - 1} AS span_tokens
-FROM runs GROUP BY doc_a, doc_b, diag, grp
-""".strip()
-    out["span_coverage"] = f"""
-WITH spans AS ({out["duplicate_spans"]}),
-iv AS (
+),
+spans AS (
+  SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+         COUNT(*) + {g - 1} AS span_tokens
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
+)"""
+
+
+def _coverage_ctes() -> str:
+    """CTE chain ``iv → mark → isl → cov`` reducing ``spans`` to
+    per-doc covered-token mass (interval union). The DISTINCT in
+    ``iv`` makes the window ORDER BY total — without it DuckDB's two
+    window passes can permute tied duplicate rows between sorts and
+    over-merge islands (see operators/dedup.py::span_coverage)."""
+    return """iv AS (
   SELECT DISTINCT doc_id, s, e FROM (
     SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens - 1 AS e FROM spans
     UNION ALL
@@ -1353,29 +1396,7 @@ cov AS (
   SELECT doc_id, SUM(mx - mn + 1) AS covered
   FROM (SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx FROM isl GROUP BY 1, 2)
   GROUP BY 1
-)
-SELECT d.doc_id,
-       CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
-       ROUND(COALESCE(c.covered, 0) * 1e0
-             / len(string_split(lower(d.text), ' ')) + 1e-09, 6) AS coverage
-FROM documents d LEFT JOIN cov c USING (doc_id)
-""".strip()
-    from cuda_gis_smoothing_spark.operators.sampling import (
-        _DENOM as _SAMPLE_DENOM,
-        sample_hash_sql,
-    )
-
-    out["quality_weighted_sample"] = f"""
-WITH q AS ({out["doc_quality"]})
-SELECT doc_id, n_tokens, quality_score
-FROM q
-WHERE {sample_hash_sql("doc_id")} < FLOOR(quality_score * {_SAMPLE_DENOM} + 1e-09)
-""".strip()
-    out["curate_corpus_strict"] = _curate_strict_sql(
-        out["doc_quality"], out["doc_language_id"], out["doc_repetition"]
-    )
-    return out
+)"""
 
 
 def _curate_strict_sql(q_sql: str, l_sql: str, rep_sql: str) -> str:
@@ -1407,53 +1428,10 @@ base AS (
 ),
 canon AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)),
 kept AS (SELECT b.* FROM base b JOIN canon USING (doc_id)),
-toksk AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM kept),
-posk AS (
-  SELECT doc_id, i AS pos, array_to_string(ts[i:i+{g - 1}], ' ') AS gr
-  FROM toksk, UNNEST(CASE WHEN len(ts) >= {g}
-                     THEN generate_series(1, len(ts) - {g - 1}) ELSE [] END) AS u(i)
-),
-seedk AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
-  FROM posk a JOIN posk b ON a.gr = b.gr AND a.doc_id < b.doc_id
-),
-runsk AS (
-  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
-         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
-  FROM seedk
-),
-spansk AS (
-  SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
-         COUNT(*) + {g - 1} AS span_tokens
-  FROM runsk GROUP BY doc_a, doc_b, diag, grp
-),
-ivk AS (
-  SELECT DISTINCT doc_id, s, e FROM (
-    SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens - 1 AS e FROM spansk
-    UNION ALL
-    SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens - 1 AS e FROM spansk
-  )
-),
-markk AS (
-  SELECT doc_id, s, e,
-         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS new_island
-  FROM ivk
-),
-islk AS (
-  SELECT doc_id, s, e,
-         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM markk
-),
-covk AS (
-  SELECT doc_id, SUM(mx - mn + 1) AS covered
-  FROM (SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx FROM islk GROUP BY 1, 2)
-  GROUP BY 1
-)
+{_span_ctes("kept", g)},
+{_coverage_ctes()}
 SELECT k.doc_id, k.n_tokens, k.quality_score
-FROM kept k LEFT JOIN covk c USING (doc_id)
+FROM kept k LEFT JOIN cov c USING (doc_id)
 WHERE ROUND(COALESCE(c.covered, 0) * 1e0 / k.n_tokens + 1e-09, 6) <= {flit(CURATE_MAX_SPAN_COV)}
   AND {sample_hash_sql("k.doc_id")} < {int(CURATE_SAMPLE_F * _DENOM)}
 """.strip()
@@ -1465,8 +1443,11 @@ def _bm25_sql() -> str:
         BM25_B,
         BM25_K1,
         BM25_TERMS,
+        BM25_TOPK_K,
+        check_terms,
     )
 
+    check_terms(BM25_TERMS)  # terms are interpolated below
     k1, b = flit(BM25_K1), flit(BM25_B)
     half = flit(0.5)
     tf_cols = ",\n         ".join(
@@ -1498,14 +1479,19 @@ SELECT per.doc_id, CAST(per.n_tokens AS BIGINT) AS n_tokens,
        ROUND(({contrib}) + 1e-09, 6) AS bm25
 FROM per, st
 ORDER BY bm25 DESC, per.doc_id
-LIMIT 20
+LIMIT {BM25_TOPK_K}
 """.strip()
 
 
 def _bm25_search_sql() -> str:
     from cuda_gis_smoothing_spark.functions.numeric import flit
-    from cuda_gis_smoothing_spark.operators.retrieval import BM25_B, BM25_K1
+    from cuda_gis_smoothing_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        check_terms,
+    )
 
+    check_terms(t for _, t in _BM25_QUERIES)  # interpolated into VALUES
     k1, b, half, one = flit(BM25_K1), flit(BM25_B), flit(0.5), flit(1.0)
     vals = ", ".join(
         f"(CAST({q} AS BIGINT), '{t}')" for q, t in _BM25_QUERIES

@@ -1080,11 +1080,16 @@ def duplicate_spans(
     form is embarrassingly parallel but quadratic in per-gram position
     count — a boilerplate gram appearing P times globally seeds P²
     pairs. ``max_gram_positions`` caps that: grams above the cap are
-    dropped from SEEDING (spans they'd seed are found anyway when any
-    rarer gram overlaps the run; a run consisting ONLY of ultra-common
-    grams is boilerplate by definition — the exact mass a real corpus
-    run wants excluded). The cap changes semantics, so the driver gate
-    runs uncapped; the cap path is pytest-gated.
+    dropped from SEEDING. Capped semantics, precisely: a run consisting
+    ONLY of ultra-common grams disappears entirely (boilerplate by
+    definition — the mass a real corpus run wants excluded), and a long
+    run whose INTERIOR grams are hot FRAGMENTS at the dropped seed
+    positions into shorter overlapping spans (the flanks still surface,
+    but a ``min_span`` filter can then drop fragments of a genuinely
+    long duplication — apply ``min_span`` with that caveat, or repair
+    adjacent same-diagonal spans downstream). The cap changes
+    semantics, so the driver gate runs uncapped; both capped behaviors
+    (whole-run drop and interior fragmentation) are pytest-pinned.
     """
     from pyspark.sql import Window
 

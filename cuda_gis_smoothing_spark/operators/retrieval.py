@@ -30,6 +30,8 @@ then doc_id, so the DuckDB twin (__spark_entry__.oracle_sql()
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 from cuda_gis_smoothing_spark.functions.numeric import round6
@@ -41,11 +43,35 @@ BM25_B = 0.75
 #: gate-fixed query terms (present in the synthetic corpus vocabulary)
 BM25_TERMS: tuple[str, ...] = ("spark", "join", "filter")
 
+#: gate-fixed top-k (ONE constant shared by the operator default and
+#: the DuckDB twin's LIMIT — two independent literals would let the
+#: twins drift)
+BM25_TOPK_K = 20
+
+_TERM_RE = re.compile(r"^[a-z0-9]+$")
+
+
+def check_terms(terms) -> tuple[str, ...]:
+    """Terms are interpolated into expression/SQL strings (Spark
+    ``F.expr`` lambdas and the DuckDB twin), so restrict them to the
+    tokenizer's own alphabet instead of attempting two dialects of
+    string escaping. A quote or operator in a term would otherwise
+    break the expression — or rewrite it."""
+    terms = tuple(terms)
+    bad = [t for t in terms if not _TERM_RE.match(t)]
+    if bad:
+        raise ValueError(
+            f"query terms must match [a-z0-9]+ (got {bad!r}); "
+            "use bm25_search with a (query_id, term) DataFrame for "
+            "arbitrary term strings"
+        )
+    return terms
+
 
 def bm25_topk(
     docs: DataFrame,
     terms: tuple[str, ...] = BM25_TERMS,
-    k: int = 20,
+    k: int = BM25_TOPK_K,
     id_col: str = "doc_id",
     k1: float = BM25_K1,
     b: float = BM25_B,
@@ -58,6 +84,7 @@ def bm25_topk(
     term weight. A term with ``tf = 0`` contributes exactly 0, so no
     per-term filtering is needed.
     """
+    terms = check_terms(terms)
     toks = F.split(F.lower(F.col("text")), " ")
     tf_cols = [
         F.expr(f"size(filter(_toks, x -> x = '{t}'))")
@@ -131,15 +158,16 @@ def bm25_search(
     from pyspark.sql import Window
 
     toks = F.split(F.lower(F.col("text")), " ")
-    base = docs.select(F.col(id_col), toks.alias("_toks"))
-    dl = base.select(
-        id_col, F.size("_toks").cast("double").alias("_dl")
-    )
     post = (
-        base.select(id_col, F.explode("_toks").alias("term"))
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
     )
+    # doc length and corpus stats derive from the postings themselves —
+    # every token (empties included) lands in post, so SUM(tf) per doc
+    # is exactly size(tokens) (small-integer sums in double are exact);
+    # no extra corpus scans, and dl arrives pre-clustered on the doc id
+    dl = post.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
     dfreq = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
     )

@@ -221,6 +221,39 @@ def test_duplicate_spans_hot_gram_cap(spark):
     assert (0, 1) in full and (90, 91) in full
 
 
+def test_duplicate_spans_cap_fragments_interior_hot_gram(spark):
+    """Documented capped semantics: a long run whose INTERIOR gram is
+    hot fragments at the dropped seed position — the flanks surface as
+    shorter overlapping spans, and a min_span above the fragment
+    length then loses the duplication entirely."""
+    run = "r1 r2 r3 hot1 hot2 hot3 r4 r5 r6"  # 9 tokens, gram_len=3
+    rows = [(90, run), (91, run)]
+    # make ONLY the interior gram hot (10 extra positions)
+    rows += [(i, f"u{i} hot1 hot2 hot3 v{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.start_a, r.span_tokens)
+        for r in duplicate_spans(df, gram_len=3).collect()
+        if (r.doc_a, r.doc_b) == (90, 91)
+    }
+    assert uncapped == {(1, 9)}
+    capped = {
+        (r.start_a, r.span_tokens)
+        for r in duplicate_spans(df, gram_len=3, max_gram_positions=5).collect()
+        if (r.doc_a, r.doc_b) == (90, 91)
+    }
+    assert capped == {(1, 5), (5, 5)}  # fragmented at the hot seed
+    gone = [
+        r
+        for r in duplicate_spans(
+            df, gram_len=3, max_gram_positions=5, min_span=6
+        ).collect()
+        if (r.doc_a, r.doc_b) == (90, 91)
+    ]
+    assert gone == []  # the caveat min_span users must know about
+
+
 def test_duplicate_spans_plan_is_equijoin(spark):
     rows = [(i, "a b c d e f g h") for i in range(6)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -410,3 +443,10 @@ def test_duplicate_spans_pair_stage_parallelism(spark):
     spans = duplicate_spans(df, gram_len=3)
     npart = spans.select(F.spark_partition_id().alias("p")).distinct().count()
     assert npart > 1, "span merge coalesced to a single partition"
+
+
+def test_bm25_rejects_unsafe_terms(spark):
+    rows = _rand_docs(1, n=5)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="a-z0-9"):
+        bm25_topk(df, terms=("don't",))
