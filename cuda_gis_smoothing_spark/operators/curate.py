@@ -100,6 +100,56 @@ def contamination_report(
     )
 
 
+def repetition_signals_expr(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pure-expression variant of :func:`repetition_signals`: identical
+    output columns, computed per row with array higher-order functions
+    — ZERO shuffles and streaming-legal (a stateless projection, usable
+    upstream of ``applyInPandasWithState`` where an aggregation is
+    illegal — the streaming/minhash lesson).
+
+    Trade (documented, measured by construction): the top-gram counts
+    are O(distinct × n) per row vs the agg variant's shuffled
+    O(n); right for bounded-length docs (web pages), wrong for a
+    single 10⁹-token document — the agg variant distributes WITHIN a
+    doc, this one does not. Equality with the agg variant is
+    pytest-gated.
+    """
+    toks = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.expr(
+        "slice(transform(sequence(1, greatest(size(_toks) - 1, 1)), "
+        "i -> concat(try_element_at(_toks, i), ' ', try_element_at(_toks, i + 1))), "
+        "1, greatest(size(_toks) - 1, 0))"
+    )
+
+    def top_count(arr: str) -> F.Column:
+        return F.expr(
+            f"array_max(transform(array_distinct({arr}), "
+            f"t -> size(filter({arr}, x -> x = t))))"
+        )
+
+    staged = docs.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_bigs", bigrams
+    )
+    n = F.size("_toks").cast("long")
+    d = F.size(F.array_distinct("_toks")).cast("long")
+    nb = F.size("_bigs").cast("long")
+    db = F.size(F.array_distinct("_bigs")).cast("long")
+    return staged.select(
+        id_col,
+        n.alias("n_tokens"),
+        d.alias("distinct_tokens"),
+        round6(1.0 - d / n).alias("dup_token_ratio"),
+        round6(top_count("_toks") / n).alias("top_token_frac"),
+        nb.alias("n_bigrams"),
+        db.alias("distinct_bigrams"),
+        F.when(nb > 0, round6(top_count("_bigs") / nb)).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 def repetition_signals(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al.
     2021's repetition filters, the token/bigram subset): per doc, the

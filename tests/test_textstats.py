@@ -450,3 +450,48 @@ def test_bm25_rejects_unsafe_terms(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     with pytest.raises(ValueError, match="a-z0-9"):
         bm25_topk(df, terms=("don't",))
+
+
+from cuda_gis_smoothing_spark.operators.curate import repetition_signals_expr
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_repetition_expr_variant_equals_agg(spark, seed):
+    """The shuffle-free expression variant must emit EXACTLY the agg
+    variant's rows (same round6'd doubles, same NULL for sub-2-token
+    docs) — it is the streaming-legal stateless projection form."""
+    rows = _rand_docs(seed)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    agg = {tuple(r) for r in repetition_signals(df).collect()}
+    expr = {tuple(r) for r in repetition_signals_expr(df).collect()}
+    assert agg == expr
+
+
+def test_repetition_expr_variant_is_shuffle_free(spark):
+    rows = _rand_docs(3, n=20)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = (
+        repetition_signals_expr(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_repetition_expr_variant_streams(spark, tmp_path):
+    """Stateless projection => legal on a streaming DataFrame."""
+    rows = _rand_docs(9, n=15)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = repetition_signals_expr(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rep_expr_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM rep_expr_stream").collect()}
+    expected = {tuple(r) for r in repetition_signals(df).collect()}
+    assert got == expected
