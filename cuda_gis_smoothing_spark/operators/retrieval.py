@@ -163,10 +163,15 @@ def bm25_search(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
     )
+    # the postings feed FOUR consumers (contrib join, dl, dfreq, stats)
+    # whose pruned subplans differ, so Catalyst cannot ReuseExchange
+    # them — unmaterialized this plan scans the corpus 8 times
+    # (measured). Materialize once; on a real cluster THIS is the
+    # persisted inverted index a retrieval service maintains anyway.
+    post = post.localCheckpoint()
     # doc length and corpus stats derive from the postings themselves —
     # every token (empties included) lands in post, so SUM(tf) per doc
-    # is exactly size(tokens) (small-integer sums in double are exact);
-    # no extra corpus scans, and dl arrives pre-clustered on the doc id
+    # is exactly size(tokens) (small-integer sums in double are exact)
     dl = post.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
     dfreq = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
