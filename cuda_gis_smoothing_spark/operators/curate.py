@@ -443,12 +443,15 @@ def curate_corpus_strict(
     from cuda_gis_smoothing_spark.operators.dedup import span_coverage
 
     base = filtered_base(docs, lang, min_quality)
-    good = (
-        repetition_signals(base)
-        .where(F.col("dup_token_ratio") <= max_dup_ratio)
-        .select("doc_id")
+    # repetition filter as an INLINE expression — the exact-equal
+    # pure-expression form of dup_token_ratio (repetition_signals_expr;
+    # equality pytest-gated), so stages 1-3 stay join- and shuffle-free
+    # instead of paying the agg variant's two shuffles plus a semi-join
+    toks = F.split(F.lower(F.col("text")), " ")
+    dup_ratio = round6(
+        1.0 - F.size(F.array_distinct(toks)) / F.size(toks)
     )
-    kept = exact_canonical(base.join(good, "doc_id", "left_semi"))
+    kept = exact_canonical(base.where(dup_ratio <= max_dup_ratio))
     kept = kept.localCheckpoint()
 
     cov = span_coverage(kept, gram_len=gram_len)
