@@ -364,6 +364,18 @@ def _q_quality_weighted_sample(spark, sf_dir):
     return quality_weighted_sample(load(spark, sf_dir, "documents"))
 
 
+_OVERLAP_MH_N = 32
+
+
+def _q_source_overlap_minhash(spark, sf_dir):
+    """MinHash-estimated cross-source overlap (aggregation-only path)."""
+    from cuda_gis_smoothing_spark.operators.curate import source_overlap_minhash
+
+    return source_overlap_minhash(
+        load(spark, sf_dir, "documents"), k=_OVERLAP_K, n_hashes=_OVERLAP_MH_N
+    )
+
+
 def _q_bm25_topk(spark, sf_dir):
     """BM25 lexical top-k retrieval over fixed query terms."""
     from cuda_gis_smoothing_spark.operators.retrieval import bm25_topk
@@ -739,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": _q_source_stats,
         "doc_repetition": _q_doc_repetition,
         "source_overlap": _q_source_overlap,
+        "source_overlap_minhash": _q_source_overlap_minhash,
         "bm25_topk": _q_bm25_topk,
         "duplicate_spans": _q_duplicate_spans,
         "span_coverage": _q_span_coverage,
@@ -1335,7 +1348,45 @@ WHERE {sample_hash_sql("doc_id")} < FLOOR(quality_score * {_SAMPLE_DENOM} + 1e-0
     out["curate_corpus_strict"] = _curate_strict_sql(
         out["doc_quality"], out["doc_language_id"], out["doc_repetition"]
     )
+    out["source_overlap_minhash"] = _source_overlap_minhash_sql()
     return out
+
+
+def _source_overlap_minhash_sql() -> str:
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+    from cuda_gis_smoothing_spark.operators.curate import _overlap_affine_pairs
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        MH_PRIME,
+        token_hash_sql_duckdb,
+    )
+
+    n = _OVERLAP_MH_N
+    pairs = _overlap_affine_pairs(n)
+    th = token_hash_sql_duckdb("shingle")
+    mins = ",\n       ".join(
+        f"MIN((h * {a} + {b}) % {MH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    match = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(n)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(lower(text), ' ')) - {_OVERLAP_K - 1}, 0)),
+           i -> array_to_string((string_split(lower(text), ' '))[i:i+{_OVERLAP_K - 1}], ' '))) AS shingle
+  FROM documents
+),
+h AS (SELECT source, {th} AS h FROM sh),
+sig AS (SELECT source,
+       {mins}
+       FROM h GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(({match}) AS BIGINT) AS n_matching_hashes,
+       ROUND(({match}) * {flit(1.0)} / {flit(float(n))} + 1e-09, 6) AS est_jaccard
+FROM sig a JOIN sig b ON a.source < b.source
+""".strip()
 
 
 def _span_ctes(source: str, g: int) -> str:

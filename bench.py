@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "duplicate_spans",
     "span_coverage",
     "curate_corpus_strict",
+    "source_overlap_minhash",
 ]
 
 

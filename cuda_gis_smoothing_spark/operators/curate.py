@@ -460,3 +460,81 @@ def curate_corpus_strict(
     return deterministic_sample(survivors, sample_fraction).select(
         "doc_id", "n_tokens", "quality_score"
     )
+
+
+def _overlap_affine_pairs(n: int) -> list[tuple[int, int]]:
+    """Deterministic affine family ((a, b) with a odd, both < MH_PRIME)
+    extending the 6 fixed MinHash pairs to arbitrary n — generated by
+    fixed LCG steps so the Spark plan and the DuckDB twin interpolate
+    the IDENTICAL literals. h < MH_PRIME < 2^31 keeps a*h < 2^62 (no
+    overflow divergence between engines)."""
+    from cuda_gis_smoothing_spark.operators.dedup import MH_PRIME
+
+    a, b, out = 1_222_334_441, 876_543_211, []
+    for _ in range(n):
+        a = (a * 1_103_515_245 + 12_345) % MH_PRIME
+        b = (b * 69_069 + 1) % MH_PRIME
+        out.append((a | 1, b))
+    return out
+
+
+def source_overlap_minhash(
+    docs: DataFrame, k: int = 5, n_hashes: int = 32
+) -> DataFrame:
+    """MinHash-estimated cross-source overlap — the 100 TB form of
+    :func:`source_overlap`: instead of self-joining the distinct
+    (source, shingle) table (shuffle of every shingle string), each
+    source's shingle SET is reduced to an ``n_hashes``-component
+    MinHash signature in ONE aggregation pass, and the pairwise
+    estimate is componentwise agreement between signatures —
+    ``E[n_matching / n] = exact jaccard`` (the classic MinHash
+    property), with standard error ``sqrt(J(1-J)/n)``.
+
+    Output: ``(source_a, source_b, n_matching_hashes, est_jaccard)``
+    for ALL source pairs (source_a < source_b), estimate round6'd.
+
+    Plan: shingles → portable Karp-Rabin hash → one groupBy(source)
+    with n partial-combining MIN aggregates; the pair stage joins the
+    #sources-row signature table against itself with an inequality —
+    a broadcast nested loop over the AUDIT DIMENSION (tens of rows),
+    which is exactly where a non-equi join is fine. Corpus-sized data
+    is touched once and never shuffled on a string key.
+    """
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        MH_PRIME,
+        token_hash_col,
+    )
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
+        f"i -> array_join(slice(_toks, i, {k}), ' '))"
+    )
+    sh = (
+        docs.select("source", toks.alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .select("source", F.explode(shingles).alias("_shingle"))
+        .distinct()
+    )
+    h = sh.select("source", token_hash_col("_shingle").alias("_h"))
+    pairs = _overlap_affine_pairs(n_hashes)
+    sig = h.groupBy("source").agg(
+        *[
+            F.min((F.col("_h") * a + b) % MH_PRIME).alias(f"_mh_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    a_side, b_side = sig.alias("a"), sig.alias("b")
+    matches = sum(
+        (F.col(f"a._mh_{i}") == F.col(f"b._mh_{i}")).cast("long")
+        for i in range(n_hashes)
+    )
+    return (
+        a_side.join(b_side, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            matches.alias("n_matching_hashes"),
+            round6(matches / float(n_hashes)).alias("est_jaccard"),
+        )
+    )

@@ -495,3 +495,44 @@ def test_repetition_expr_variant_streams(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM rep_expr_stream").collect()}
     expected = {tuple(r) for r in repetition_signals(df).collect()}
     assert got == expected
+
+
+from cuda_gis_smoothing_spark.operators.curate import source_overlap_minhash
+
+
+def test_source_overlap_minhash_estimates_exact_jaccard(spark):
+    """Componentwise-match MinHash estimate vs the exact operator on a
+    corpus with engineered overlap levels; n=128 gives se <= 0.045, so
+    |est - exact| < 0.2 is ~4.4 sigma per pair — deterministic given
+    the fixed hash family, but not tuned to it."""
+    k = 3
+    rows, rid = [], 0
+    # srcA/srcB share most shingles; srcC is disjoint
+    for i in range(12):
+        t = f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}"
+        rows.append((rid, t, "srcA")); rid += 1
+        rows.append((rid, t, "srcB")); rid += 1
+    for i in range(12):
+        rows.append((rid, f"z{i} z{i+1} z{i+2} z{i+3}", "srcC")); rid += 1
+    rows.append((rid, "w0 w1 w2 only a here", "srcB"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    exact = {
+        (r.source_a, r.source_b): r.overlap_jaccard
+        for r in source_overlap(df, k=k).collect()
+    }
+    est = {
+        (r.source_a, r.source_b): r.est_jaccard
+        for r in source_overlap_minhash(df, k=k, n_hashes=128).collect()
+    }
+    assert set(est) == {("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")}
+    for pair, e in est.items():
+        assert abs(e - exact.get(pair, 0.0)) < 0.2, (pair, e, exact.get(pair))
+    # ordering preserved: the high-overlap pair dominates
+    assert est[("srcA", "srcB")] > max(est[("srcA", "srcC")], est[("srcB", "srcC")])
+    # determinism
+    est2 = {
+        (r.source_a, r.source_b): r.est_jaccard
+        for r in source_overlap_minhash(df, k=k, n_hashes=128).collect()
+    }
+    assert est == est2
