@@ -1191,17 +1191,30 @@ def span_coverage(
 
     if spans is None:
         spans = duplicate_spans(docs, gram_len=gram_len, id_col=id_col)
-    iv = spans.select(
-        F.col("doc_a").alias(id_col),
-        F.col("start_a").alias("_s"),
-        (F.col("start_a") + F.col("span_tokens") - 1).alias("_e"),
-    ).unionAll(
+    # both interval sides from ONE pass over spans: a unionAll of two
+    # differently-pruned selects re-executes the whole span subplan
+    # per branch (pruning defeats ReuseExchange — the bm25_search
+    # lesson); exploding an inline 2-struct array reads it once
+    iv = (
         spans.select(
-            F.col("doc_b").alias(id_col),
-            F.col("start_b").alias("_s"),
-            (F.col("start_b") + F.col("span_tokens") - 1).alias("_e"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias(id_col),
+                        F.col("start_a").alias("_s"),
+                        (F.col("start_a") + F.col("span_tokens") - 1).alias("_e"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias(id_col),
+                        F.col("start_b").alias("_s"),
+                        (F.col("start_b") + F.col("span_tokens") - 1).alias("_e"),
+                    ),
+                )
+            ).alias("_iv")
         )
-    ).distinct()
+        .select(f"_iv.{id_col}", "_iv._s", "_iv._e")
+        .distinct()
+    )
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("_s", "_e")
