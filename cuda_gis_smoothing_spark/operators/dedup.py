@@ -1008,8 +1008,18 @@ def neardup_components_propagation(
     pairs = simhash_pairs_banded(
         df, max_hamming=max_hamming, bits=bits, text_col=text_col, id_col=id_col
     )
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # both edge directions from ONE pass over the (expensive) banded
+    # pair plan — a union of two selects would execute it twice even
+    # though the result is checkpointed right after (pruned branches
+    # defeat ReuseExchange; the span_coverage lesson)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
     sym = sym.localCheckpoint()  # pairs plan is reused every round
     labels = df.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
