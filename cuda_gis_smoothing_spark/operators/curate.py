@@ -250,6 +250,11 @@ def source_overlap(
         .select("source", shingle_key.alias("shingle"))
         .distinct()
     )
+    # the distinct shingle table feeds FOUR pruned consumers (both
+    # self-join sides + both per-source size joins) — unmaterialized
+    # that is 8 corpus scans (measured; ReuseExchange can't dedup
+    # them). Materialize once: this IS the table the audit stages.
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
     pairs = (
         sh.alias("a")
