@@ -507,7 +507,11 @@ def ngram_jaccard_pairs(
     pair output — the AQE coalesce blind spot).
     """
     toks = _doc_tokens(df, text_col, id_col, block_col)
-    pp = prefix_postings(toks, threshold, id_col, block_col)
+    # both self-join sides consume the postings; unmaterialized, each
+    # pruned branch re-runs tokenize + posting construction from the
+    # corpus (ReuseExchange can't dedup them — the span_coverage
+    # lesson). The postings are prefix-filtered (small); stage once.
+    pp = prefix_postings(toks, threshold, id_col, block_col).localCheckpoint()
     join_keys = ["t"] + ([block_col] if block_col else [])
     parts = df.sparkSession.sparkContext.defaultParallelism
     a = pp.repartition(parts, *join_keys).alias("a")
