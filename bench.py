@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "span_coverage",
     "curate_corpus_strict",
     "source_overlap_minhash",
+    "bm25_search",
 ]
 
 
