@@ -1,0 +1,156 @@
+"""Adversarial-corpus parity fuzz: run every document-family gate and
+its DuckDB twin over a SYNTHETIC corpus engineered to hit the edge
+cases the fixed testdata cannot — exact dups (within and across
+sources), one-token near-dups, degenerate single/two-token docs,
+pathological repetition, long shared spans, skewed sources, and
+non-contiguous doc ids — and require the same rows/values/hashes as
+the driver's gate. This is how the span_coverage tie-order flake
+class would have surfaced before the driver did.
+
+Content model stays inside the engine's target domain (ascii words,
+single-space separators, ids < 2^31 so the portable affine hash
+arithmetic stays < 2^62 in both engines — the CLAUDE.md overflow
+bound)."""
+
+import random
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from test_entry_parity import _norm
+
+WORDS = (
+    "the fast key order sort table scan merge part window small hash "
+    "join spark group query row data slow filter customer line batch "
+    "value stream vector agg column and of to is in der die das und "
+    "ist nicht le la les et est dans el los y es"
+).split()
+
+#: gates that read ONLY the documents table
+DOC_GATES = [
+    "doc_quality",
+    "doc_language_id",
+    "dedup_exact",
+    "dedup_tokenset",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "minhash_lsh",
+    "simhash",
+    "simhash_pairs",
+    "simhash_pairs_banded",
+    "dedup_components",
+    "dedup_canonicals",
+    "vocab_top_tokens",
+    "doc_length_histogram",
+    "contamination_report",
+    "source_stats",
+    "stratified_sample",
+    "ngram_jaccard",
+    "doc_logprob",
+    "doc_repetition",
+    "source_overlap",
+    "source_overlap_minhash",
+    "bm25_topk",
+    "bm25_search",
+    "duplicate_spans",
+    "span_coverage",
+    "quality_weighted_sample",
+    "curate_corpus",
+    "curate_corpus_strict",
+]
+
+
+def _fuzz_corpus(seed: int = 20260816, n: int = 160):
+    rng = random.Random(seed)
+    langs = ["en", "de", "fr", "es"]
+    rows = []
+    used_ids = set()
+
+    def next_id():
+        # non-contiguous, bounded < 2^31
+        while True:
+            i = rng.randrange(1, 2_000_000_000)
+            if i not in used_ids:
+                used_ids.add(i)
+                return i
+
+    def rand_text(lo, hi):
+        return " ".join(rng.choice(WORDS) for _ in range(rng.randint(lo, hi)))
+
+    def add(text, source=None):
+        i = next_id()
+        rows.append(
+            (i, text, rng.choice(langs), source or f"src{rng.randint(0, 5)}",
+             len(text))
+        )
+        return text
+
+    # bulk random docs
+    for _ in range(n):
+        add(rand_text(4, 60))
+    # degenerate lengths
+    for _ in range(8):
+        add(rand_text(1, 1))
+        add(rand_text(2, 3))
+    # pathological repetition
+    for w in ("the", "agg", "und"):
+        add(" ".join([w] * rng.randint(6, 20)))
+    # exact dup families (within + across sources, incl. the bench src0)
+    for _ in range(5):
+        t = rand_text(8, 30)
+        add(t, "src0")
+        add(t, "src1")
+        add(t, "src1")
+    # one-token near-dups
+    for _ in range(5):
+        t = rand_text(12, 25).split(" ")
+        add(" ".join(t))
+        t[rng.randrange(len(t))] = rng.choice(WORDS)
+        add(" ".join(t))
+    # long shared spans with distinct flanks
+    for _ in range(4):
+        span = rand_text(10, 16)
+        add(rand_text(3, 6) + " " + span)
+        add(span + " " + rand_text(3, 6))
+    rng.shuffle(rows)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_sf")
+    df = spark.createDataFrame(
+        _fuzz_corpus(),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fuzz_ddb(fuzz_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{fuzz_dir}/documents.parquet/*.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_GATES)
+def test_doc_gate_matches_oracle_on_fuzz_corpus(spark, fuzz_dir, fuzz_ddb, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    sdf = q(spark, fuzz_dir)
+    cols = sorted(sdf.columns)
+    spark_rows = _norm([r.asDict() for r in sdf.collect()], cols)
+    rel = fuzz_ddb.sql(sql)
+    duck_cols = list(rel.columns)
+    assert sorted(duck_cols) == cols
+    duck_rows = _norm([dict(zip(duck_cols, row)) for row in rel.fetchall()], cols)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    mismatches = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
