@@ -1,0 +1,127 @@
+"""Tied-timestamp parity fuzz for the events-family gates.
+
+The driver fixture has ZERO (user_id, ts) ties, so every window's
+tie behavior — the class that produced the span_coverage cross-engine
+flake — is untested by the driver gate. This corpus is built around
+ties: bursts of events at the SAME instant per user, duplicate
+(user, ts, type) rows, single-event users, sub-second gaps straddling
+the session threshold, and value extremes. Every events-only gate
+must still hash-match its DuckDB twin."""
+
+import datetime
+import random
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from test_entry_parity import _norm
+
+EVENT_TYPES = ["signup", "click", "error", "view", "purchase"]
+
+EVENTS_GATES = [
+    "events_hourly",
+    "sessionize",
+    "asof_attribution",
+    "range_join_followups",
+    "events_rollup",
+    "user_moving_avg",
+    "value_percentiles",
+    "funnel_conversion",
+    "cohort_retention",
+    "top_event_types",
+    "events_pivot",
+    "events_cube",
+    "cumulative_users",
+    "user_sliding_avg",
+]
+
+
+def _fuzz_events(seed: int = 42, n_users: int = 40):
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def add(user, ts, etype=None, value=None):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (
+                eid,
+                ts,
+                user,
+                etype or rng.choice(EVENT_TYPES),
+                value if value is not None else round(rng.uniform(0.01, 300), 2),
+                '{"k": %d}' % rng.randint(0, 99),
+            )
+        )
+
+    for u in range(1, n_users + 1):
+        t = base + datetime.timedelta(
+            seconds=rng.randint(0, 20 * 86400), microseconds=rng.randint(0, 999999)
+        )
+        n_ev = rng.choice([1, 1, 2, rng.randint(3, 25)])
+        for _ in range(n_ev):
+            add(u, t)
+            # burst of TIED instants (the untested class)
+            for _ in range(rng.randint(0, 3)):
+                add(u, t)
+            # occasionally a tied DUPLICATE (same user, ts, type)
+            if rng.random() < 0.3:
+                add(u, t, etype=rng.choice(EVENT_TYPES))
+            gap = rng.choice(
+                [0, 1, 1_799_999_999, 1_800_000_000, 1_800_000_001,
+                 rng.randint(1, 4 * 3600 * 1_000_000)]
+            )
+            t = t + datetime.timedelta(microseconds=gap)
+        # guarantee funnel-relevant sequences for some users
+        if u % 5 == 0:
+            t2 = t + datetime.timedelta(seconds=1)
+            for step in ("view", "click", "purchase"):
+                add(u, t2, etype=step)
+                if rng.random() < 0.5:  # tied duplicate of the step
+                    add(u, t2, etype=step)
+    rng.shuffle(rows)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_events_sf")
+    df = spark.createDataFrame(
+        _fuzz_events(),
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_ddb(fuzz_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{fuzz_events_dir}/events.parquet/*.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENTS_GATES)
+def test_events_gate_matches_oracle_on_tied_corpus(
+    spark, fuzz_events_dir, fuzz_events_ddb, name
+):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    sdf = q(spark, fuzz_events_dir)
+    cols = sorted(sdf.columns)
+    spark_rows = _norm([r.asDict() for r in sdf.collect()], cols)
+    rel = fuzz_events_ddb.sql(sql)
+    duck_cols = list(rel.columns)
+    assert sorted(duck_cols) == cols
+    duck_rows = _norm([dict(zip(duck_cols, row)) for row in rel.fetchall()], cols)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    mismatches = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
