@@ -1,0 +1,134 @@
+"""Star-join parity fuzz: region_revenue and top_customers over a
+synthetic TPC-H-shaped micro-warehouse engineered for the shapes the
+fixture can't guarantee — EXACT revenue ties at the top-k boundary
+(identical lineitem sets for different customers), a hot customer,
+customers without orders, orders without lineitems, nations without
+customers, and an empty region. Money stays integer-exact (prices and
+discounts on the cent grid), so unlike the float-aggregate families
+this fuzz cannot flake on round6 boundaries."""
+
+import datetime
+import random
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from test_entry_parity import _norm
+
+GATES = ["region_revenue", "top_customers"]
+
+
+def _warehouse(seed: int = 7):
+    rng = random.Random(seed)
+    region = [(i, f"R{i}") for i in range(3)]  # R2 left empty of nations
+    nation = [(i, f"N{i}", [0, 0, 1, 1, 1, 0][i % 6]) for i in range(8)]
+    # nations 6,7 get no customers
+    customer = [
+        (100 + c, f"Customer#{c}", nation[c % 6][0], round(rng.uniform(-500, 5000), 2), "BUILDING")
+        for c in range(30)
+    ]
+    orders, lineitem = [], []
+    okey = 1000
+    base = datetime.datetime(2024, 3, 1)
+
+    def add_order(cust, lines):
+        nonlocal okey
+        okey += 1
+        orders.append(
+            (okey, cust, "O", round(rng.uniform(10, 9000), 2),
+             base + datetime.timedelta(days=rng.randint(0, 60)), "1-URGENT")
+        )
+        for i, (qty, price, disc) in enumerate(lines):
+            lineitem.append(
+                (okey, rng.randint(1, 50), rng.randint(1, 10), i + 1,
+                 float(qty), price, disc, 0.04, "N", "O",
+                 base + datetime.timedelta(days=rng.randint(0, 90)))
+            )
+
+    def rand_lines(n):
+        return [
+            (rng.randint(1, 40),
+             round(rng.choice([10.25, 99.99, 5.00, 250.50, 33.33]) * rng.randint(1, 4), 2),
+             rng.choice([0.0, 0.01, 0.05, 0.10]))
+            for _ in range(n)
+        ]
+
+    # 22 customers with orders (k=20 boundary inside); ties engineered:
+    tie_lines = rand_lines(3)
+    for c in range(22):
+        cust = 100 + c
+        if c in (4, 5, 6):          # THREE customers with identical revenue
+            add_order(cust, tie_lines)
+        elif c == 7:                # hot customer: many orders
+            for _ in range(12):
+                add_order(cust, rand_lines(rng.randint(1, 4)))
+        elif c == 8:                # order with NO lineitems
+            add_order(cust, [])
+        else:
+            add_order(cust, rand_lines(rng.randint(1, 5)))
+    # duplicate the tie revenue far down so the boundary also ties
+    return {
+        "region": region,
+        "nation": nation,
+        "customer": customer,
+        "orders": orders,
+        "lineitem": lineitem,
+    }
+
+
+SCHEMAS = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    "orders": "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    "lineitem": (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def star_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_star_sf")
+    wh = _warehouse()
+    for t, rows in wh.items():
+        spark.createDataFrame(rows, SCHEMAS[t]).coalesce(1).write.parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def star_ddb(star_dir):
+    con = duckdb.connect()
+    for t in SCHEMAS:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{star_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", GATES)
+def test_star_gate_matches_oracle_on_tie_corpus(spark, star_dir, star_ddb, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    sdf = q(spark, star_dir)
+    cols = sorted(sdf.columns)
+    spark_rows = _norm([r.asDict() for r in sdf.collect()], cols)
+    rel = star_ddb.sql(sql)
+    duck_cols = list(rel.columns)
+    assert sorted(duck_cols) == cols
+    duck_rows = _norm([dict(zip(duck_cols, row)) for row in rel.fetchall()], cols)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    mismatches = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    if name == "top_customers":
+        # the engineered three-way revenue tie must appear, broken by key
+        revs = [r["revenue"] for r in [dict(zip(cols, row)) for row in spark_rows]]
+        assert len(revs) != len(set(revs)), "tie corpus lost its ties"
