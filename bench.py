@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "simhash",
     "knn_cosine",
     "smooth_scatter_k2",
+    "smooth_strict_k2",
     "dedup_embedding_banded",
     "dedup_embedding_probed",
     "contamination_report",
