@@ -1372,7 +1372,7 @@ def _source_overlap_minhash_sql() -> str:
     )
     return f"""
 WITH sh AS (
-  SELECT DISTINCT source,
+  SELECT source,
          unnest(list_transform(
            generate_series(1, greatest(len(string_split(lower(text), ' ')) - {_OVERLAP_K - 1}, 0)),
            i -> array_to_string((string_split(lower(text), ' '))[i:i+{_OVERLAP_K - 1}], ' '))) AS shingle

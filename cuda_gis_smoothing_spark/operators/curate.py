@@ -114,8 +114,13 @@ def repetition_signals_expr(
     O(n); right for bounded-length docs (web pages), wrong for a
     single 10⁹-token document — the agg variant distributes WITHIN a
     doc, this one does not. Equality with the agg variant is
-    pytest-gated.
+    pytest-gated (including NULL-text rows, which BOTH variants drop —
+    the agg's explode drops them implicitly, this one filters
+    explicitly). Duplicate ``id_col`` values are outside the contract:
+    the agg variant would merge them into one group, this one emits
+    one row per input row.
     """
+    docs = docs.where(F.col("text").isNotNull())
     toks = F.split(F.lower(F.col("text")), " ")
     bigrams = F.expr(
         "slice(transform(sequence(1, greatest(size(_toks) - 1, 1)), "
@@ -515,11 +520,13 @@ def source_overlap_minhash(
         f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
         f"i -> array_join(slice(_toks, i, {k}), ' '))"
     )
+    # NO distinct before the aggregation: MIN over a multiset equals
+    # MIN over its set, so deduping the raw shingle strings would only
+    # add the full string-keyed shuffle this operator exists to avoid
     sh = (
         docs.select("source", toks.alias("_toks"))
         .where(F.size("_toks") >= k)
         .select("source", F.explode(shingles).alias("_shingle"))
-        .distinct()
     )
     h = sh.select("source", token_hash_col("_shingle").alias("_h"))
     pairs = _overlap_affine_pairs(n_hashes)

@@ -37,8 +37,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 #: per-session cache of the derived cell table — keyed by Spark
-#: applicationId (unique per live session) + sf_dir
+#: applicationId (unique per live session) + sf_dir. The sf_dir is
+#: treated as IMMUTABLE (true for the read-only testdata this repo
+#: targets); rewriting its parquet in-session requires
+#: clear_cells_cache(). Entries for stopped sessions are tiny
+#: (DataFrame handles) and die with the process.
 _CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_cells_cache() -> None:
+    """Drop all cached cell tables (needed after rewriting an sf_dir
+    in-session, and by tests that must re-exercise the derivation —
+    e.g. the hostile-session-config invariance suite, which would
+    otherwise verify smoothing gates against cells checkpointed under
+    default config)."""
+    _CELLS_CACHE.clear()
 
 
 def grid_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,11 +52,14 @@ def _norm(rows, cols):
 ALL_QUERIES = sorted(entry_mod.queries())
 
 
-def _assert_gate(spark, ddb, name):
+def assert_gate_on(spark, ddb, name, sf_dir):
+    """Driver-gate replica over an arbitrary table dir + DuckDB
+    connection — the ONE comparison body shared by this module and the
+    fuzz suites (test_fuzz_*.py), so the compare can never drift."""
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql().get(name)
     assert sql is not None, f"{name} has no oracle"
-    sdf = q(spark, SF_DIR)
+    sdf = q(spark, sf_dir)
     cols = sorted(sdf.columns)
     spark_rows = _norm([r.asDict() for r in sdf.collect()], cols)
     rel = ddb.sql(sql)
@@ -72,6 +75,10 @@ def _assert_gate(spark, ddb, name):
         (a, b) for a, b in zip(spark_rows, duck_rows) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def _assert_gate(spark, ddb, name):
+    assert_gate_on(spark, ddb, name, SF_DIR)
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
@@ -115,14 +122,21 @@ def test_gate_invariant_under_hostile_session_config(spark, ddb, name):
         "spark.sql.shuffle.partitions": "3",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
+    from cuda_gis_smoothing_spark.sources.tables import clear_cells_cache
+
     old = {k: spark.conf.get(k) for k in hostile}
     try:
         for k, v in hostile.items():
             spark.conf.set(k, v)
+        # the per-session cell-table cache would otherwise serve a
+        # checkpoint derived under DEFAULT config, exempting the
+        # derivation itself from the hostile run
+        clear_cells_cache()
         _assert_gate(spark, ddb, name)
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+        clear_cells_cache()
 
 
 def test_every_query_has_oracle_or_is_flagged():

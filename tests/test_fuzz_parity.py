@@ -17,8 +17,7 @@ import random
 import duckdb
 import pytest
 
-import __spark_entry__ as entry_mod
-from test_entry_parity import _norm
+from test_entry_parity import assert_gate_on
 
 WORDS = (
     "the fast key order sort table scan merge part window small hash "
@@ -140,17 +139,4 @@ def fuzz_ddb(fuzz_dir):
 
 @pytest.mark.parametrize("name", DOC_GATES)
 def test_doc_gate_matches_oracle_on_fuzz_corpus(spark, fuzz_dir, fuzz_ddb, name):
-    q = entry_mod.queries()[name]
-    sql = entry_mod.oracle_sql()[name]
-    sdf = q(spark, fuzz_dir)
-    cols = sorted(sdf.columns)
-    spark_rows = _norm([r.asDict() for r in sdf.collect()], cols)
-    rel = fuzz_ddb.sql(sql)
-    duck_cols = list(rel.columns)
-    assert sorted(duck_cols) == cols
-    duck_rows = _norm([dict(zip(duck_cols, row)) for row in rel.fetchall()], cols)
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}"
-    )
-    mismatches = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+    assert_gate_on(spark, fuzz_ddb, name, fuzz_dir)

@@ -13,8 +13,7 @@ import random
 import duckdb
 import pytest
 
-import __spark_entry__ as entry_mod
-from test_entry_parity import _norm
+from test_entry_parity import assert_gate_on
 
 GATES = ["region_revenue", "top_customers"]
 
@@ -54,20 +53,23 @@ def _warehouse(seed: int = 7):
             for _ in range(n)
         ]
 
-    # 22 customers with orders (k=20 boundary inside); ties engineered:
+    # 22 customers with orders; c=8's order has no lineitems, so 21
+    # customers carry revenue and k=20 cuts between ranks 20 and 21
     tie_lines = rand_lines(3)
+    boundary_lines = [(1, 0.25, 0.0)]  # 0.25 — strictly below all others
     for c in range(22):
         cust = 100 + c
-        if c in (4, 5, 6):          # THREE customers with identical revenue
+        if c in (4, 5, 6):          # THREE customers tied mid-ranking
             add_order(cust, tie_lines)
         elif c == 7:                # hot customer: many orders
             for _ in range(12):
                 add_order(cust, rand_lines(rng.randint(1, 4)))
         elif c == 8:                # order with NO lineitems
             add_order(cust, [])
+        elif c in (20, 21):         # identical LOWEST revenue: the tie
+            add_order(cust, boundary_lines)  # STRADDLES the k=20 cut
         else:
             add_order(cust, rand_lines(rng.randint(1, 5)))
-    # duplicate the tie revenue far down so the boundary also ties
     return {
         "region": region,
         "nation": nation,
@@ -114,21 +116,21 @@ def star_ddb(star_dir):
 
 @pytest.mark.parametrize("name", GATES)
 def test_star_gate_matches_oracle_on_tie_corpus(spark, star_dir, star_ddb, name):
-    q = entry_mod.queries()[name]
-    sql = entry_mod.oracle_sql()[name]
-    sdf = q(spark, star_dir)
-    cols = sorted(sdf.columns)
-    spark_rows = _norm([r.asDict() for r in sdf.collect()], cols)
-    rel = star_ddb.sql(sql)
-    duck_cols = list(rel.columns)
-    assert sorted(duck_cols) == cols
-    duck_rows = _norm([dict(zip(duck_cols, row)) for row in rel.fetchall()], cols)
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}"
-    )
-    mismatches = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
-    if name == "top_customers":
-        # the engineered three-way revenue tie must appear, broken by key
-        revs = [r["revenue"] for r in [dict(zip(cols, row)) for row in spark_rows]]
-        assert len(revs) != len(set(revs)), "tie corpus lost its ties"
+    assert_gate_on(spark, star_ddb, name, star_dir)
+
+
+def test_top_customers_boundary_tie_is_real(spark, star_dir):
+    """Prove the corpus actually exercises the two tie classes: the
+    mid-ranking three-way tie appears in the output, and the cut at
+    k=20 falls BETWEEN the two identically-lowest customers — the one
+    with the smaller key is selected, the other excluded (the
+    deterministic tiebreak both engines must share)."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["top_customers"](spark, star_dir).collect()
+    assert len(rows) == 20
+    keys = {r.c_custkey for r in rows}
+    assert 120 in keys and 121 not in keys, "k cut is not on the tie"
+    revs = [r.revenue for r in rows]
+    assert len(revs) != len(set(revs)), "mid-ranking tie lost"
+    assert min(revs) == 0.25  # the boundary pair's engineered revenue

@@ -460,11 +460,12 @@ def test_repetition_expr_variant_equals_agg(spark, seed):
     """The shuffle-free expression variant must emit EXACTLY the agg
     variant's rows (same round6'd doubles, same NULL for sub-2-token
     docs) — it is the streaming-legal stateless projection form."""
-    rows = _rand_docs(seed)
+    rows = _rand_docs(seed) + [(999, None, "s")]  # NULL text: both drop it
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     agg = {tuple(r) for r in repetition_signals(df).collect()}
     expr = {tuple(r) for r in repetition_signals_expr(df).collect()}
     assert agg == expr
+    assert 999 not in {t[0] for t in agg}
 
 
 def test_repetition_expr_variant_is_shuffle_free(spark):
@@ -491,7 +492,7 @@ def test_repetition_expr_variant_streams(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow query did not finish"
     got = {tuple(r) for r in spark.sql("SELECT * FROM rep_expr_stream").collect()}
     expected = {tuple(r) for r in repetition_signals(df).collect()}
     assert got == expected
