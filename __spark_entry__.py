@@ -367,6 +367,13 @@ def _q_quality_weighted_sample(spark, sf_dir):
 _OVERLAP_MH_N = 32
 
 
+def _q_language_confusion(spark, sf_dir):
+    """Language-ID evaluation: confusion matrix vs the stored truth."""
+    from cuda_gis_smoothing_spark.operators.curate import language_confusion
+
+    return language_confusion(load(spark, sf_dir, "documents"))
+
+
 def _q_source_overlap_minhash(spark, sf_dir):
     """MinHash-estimated cross-source overlap (aggregation-only path)."""
     from cuda_gis_smoothing_spark.operators.curate import source_overlap_minhash
@@ -752,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "source_overlap": _q_source_overlap,
         "source_overlap_minhash": _q_source_overlap_minhash,
+        "language_confusion": _q_language_confusion,
         "bm25_topk": _q_bm25_topk,
         "duplicate_spans": _q_duplicate_spans,
         "span_coverage": _q_span_coverage,
@@ -1349,6 +1357,18 @@ WHERE {sample_hash_sql("doc_id")} < FLOOR(quality_score * {_SAMPLE_DENOM} + 1e-0
         out["doc_quality"], out["doc_language_id"], out["doc_repetition"]
     )
     out["source_overlap_minhash"] = _source_overlap_minhash_sql()
+    out["language_confusion"] = f"""
+WITH l AS ({out["doc_language_id"]}),
+cm AS (
+  SELECT d.lang, l.pred_lang, COUNT(*) AS n_docs
+  FROM documents d JOIN l USING (doc_id)
+  GROUP BY 1, 2
+),
+t AS (SELECT lang, SUM(n_docs) AS tt FROM cm GROUP BY lang)
+SELECT cm.lang, cm.pred_lang, cm.n_docs,
+       ROUND(cm.n_docs * 1e0 / t.tt + 1e-09, 6) AS truth_share
+FROM cm JOIN t USING (lang)
+""".strip()
     return out
 
 

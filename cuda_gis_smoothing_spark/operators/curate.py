@@ -550,3 +550,33 @@ def source_overlap_minhash(
             round6(matches / float(n_hashes)).alias("est_jaccard"),
         )
     )
+
+
+def language_confusion(docs: DataFrame) -> DataFrame:
+    """Evaluation report for the heuristic language ID: the confusion
+    matrix of stored ground-truth ``lang`` vs ``pred_lang``, with the
+    per-cell share of the truth class — how a pipeline owner decides
+    whether the stopword heuristic is good enough before filtering a
+    corpus on it.
+
+    Output: ``(lang, pred_lang, n_docs, truth_share)``. One projection
+    chain + one hash aggregation on a (|langs|²)-cardinality key + a
+    per-truth-class share via a broadcast-sized self-aggregate — no
+    corpus-sized shuffle beyond the count itself.
+    """
+    base = _with_quality_and_lang(docs, "doc_id", "lang").select(
+        "lang", "pred_lang"
+    )
+    cm = base.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = cm.groupBy("lang").agg(F.sum("n_docs").alias("_t"))
+    return (
+        cm.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            round6(F.col("n_docs") / F.col("_t")).alias("truth_share"),
+        )
+    )

@@ -30,6 +30,7 @@ WORDS = (
 DOC_GATES = [
     "doc_quality",
     "doc_language_id",
+    "language_confusion",
     "dedup_exact",
     "dedup_tokenset",
     "doc_fingerprint",
