@@ -667,9 +667,11 @@ def _q_cumulative_users(spark, sf_dir):
 def _q_salted_aggregate(spark, sf_dir):
     """The explicit skew lever, oracle-gated: two-stage salted
     aggregation over event_type (a handful of hot keys — every key is
-    a skew key) must equal the plain GROUP BY exactly: stage-1 partial
-    (sum, count) pairs per (key, salt) compose exactly into the global
-    mean."""
+    a skew key) must equal the plain GROUP BY under the round6 policy:
+    stage-1 partial counts compose exactly; the double value sums are
+    subject to the repo's round6 tolerance (fp addition is
+    non-associative across the forced two-stage grouping — see
+    plans/partitioning.salted_cell_aggregate)."""
     from cuda_gis_smoothing_spark.plans.partitioning import salted_cell_aggregate
 
     ev = load(spark, sf_dir, "events")
@@ -1571,7 +1573,8 @@ def _bm25_search_sql() -> str:
 WITH qt (query_id, term) AS (VALUES {vals}),
 toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
 post AS (SELECT doc_id, term, COUNT(*) * {one} AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) * {one} AS dl FROM documents),
+dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) * {one} AS dl
+       FROM documents WHERE text IS NOT NULL),
 st AS (SELECT COUNT(*) * {one} AS N, AVG(dl) AS avgdl FROM dl),
 dfreq AS (SELECT term, COUNT(*) * {one} AS df FROM post GROUP BY 1),
 contrib AS (

@@ -171,7 +171,10 @@ def bm25_search(
     post = post.localCheckpoint()
     # doc length and corpus stats derive from the postings themselves —
     # every token (empties included) lands in post, so SUM(tf) per doc
-    # is exactly size(tokens) (small-integer sums in double are exact)
+    # is exactly size(tokens) (small-integer sums in double are exact).
+    # N therefore counts docs WITH text: a NULL-text doc explodes to
+    # zero posting rows and is absent from dl — the DuckDB twin's dl
+    # CTE filters text IS NOT NULL to match (ADVICE r3)
     dl = post.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
     dfreq = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("_df")

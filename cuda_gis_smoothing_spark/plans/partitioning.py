@@ -194,9 +194,14 @@ def salted_cell_aggregate(
 
     Stage 1 groups by (cell, salt) — the hot cell's millions of rows
     split across ``salt_buckets`` reducers; stage 2 merges the partial
-    (sum, count) pairs. Sum/count compose exactly, so the result is
-    identical to the unsalted aggregate. This is the lever the
-    north_rule mandates beyond AQE's runtime skew splitting.
+    (sum, count) pairs. Integer/count composition is exact; DOUBLE
+    value sums are subject to the repo's round6 tolerance policy —
+    fp addition is non-associative, so the two-stage sum can differ in
+    the last ulps from a single-pass sum (same accepted risk class as
+    every float gate; if a flake ever appears at larger scales, gate
+    on an integer-scaled value per the region_revenue fixed-point
+    precedent). This is the lever the north_rule mandates beyond AQE's
+    runtime skew splitting.
     """
     salt = (F.abs(F.hash(F.col(salt_source))) % salt_buckets).alias("_salt")
     partial = (

@@ -141,7 +141,15 @@ class IncrementalCurator:
             oldest = self.aux_log.oldest_batch_id()
             backfill_prior = oldest is None or oldest >= batch_id
             if not backfill_prior:
-                prior_aux = self.aux_log.read().localCheckpoint()
+                # before_batch_id is load-bearing: a crash between the
+                # aux write and the kept write leaves delta-b{batch_id}
+                # holding THIS batch's survivors' digests — an
+                # unfiltered read would route them into the `seen`
+                # anti-join below and the replay would drop every
+                # batch survivor as an exact dup (permanent data loss)
+                prior_aux = self.aux_log.read(
+                    before_batch_id=batch_id
+                ).localCheckpoint()
             else:
                 # one-time upgrade cost for a state dir written before
                 # the aux log existed (or a crashed backfill replay)
@@ -157,9 +165,10 @@ class IncrementalCurator:
             # keys. Digest-dropped batch docs may leak extra candidate
             # rows (aux_b predates the anti-join), but their doc_a
             # cannot resolve an array in the post-dedup verify side, so
-            # the drop set is identical. A crash between the aux write
-            # and the kept write leaves phantom rows for this batch's
-            # docs — harmless on replay for the same reason.
+            # the drop set is identical. (A crashed delta for THIS
+            # batch is excluded at the read above, so neither the
+            # digest anti-join nor this candidate join ever sees the
+            # batch's own in-flight rows as prior state.)
             nb = explode_band_values(aux_b.select("doc_id", "_bvs"))
             np_ = explode_band_values(prior_aux.select("doc_id", "_bvs"))
             cand = (

@@ -75,10 +75,15 @@ class SnapshotLog:
                 out.append((int(m.group(2)), m.group(1), os.path.join(self.path, name)))
         return sorted(out)
 
-    def _live(self) -> list[tuple[int, str, str]]:
+    def _live(self, before_batch_id: int | None = None) -> list[tuple[int, str, str]]:
         """Newest base plus every later delta (earlier dirs are
-        subsumed — present only if a GC died midway; harmless)."""
+        subsumed — present only if a GC died midway; harmless).
+        ``before_batch_id`` restricts the view to snapshots with a
+        strictly smaller batch id — the crash-replay read: a batch
+        re-reading prior state must NOT see its own crashed delta."""
         snaps = self._snapshots()
+        if before_batch_id is not None:
+            snaps = [s for s in snaps if s[0] < before_batch_id]
         bases = [s for s in snaps if s[1] == "base"]
         floor = bases[-1][0] if bases else -1
         return ([bases[-1]] if bases else []) + [
@@ -99,8 +104,13 @@ class SnapshotLog:
     def delta_count(self) -> int:
         return sum(1 for _, kind, _ in self._live() if kind == "delta")
 
-    def read(self) -> DataFrame | None:
-        live = self._live()
+    def read(self, before_batch_id: int | None = None) -> DataFrame | None:
+        """Latest-wins view. Pass ``before_batch_id`` when reading PRIOR
+        state while (re)processing that batch id: a crash between this
+        log's delta write and the replay-guard log's write leaves a
+        delta for the in-flight batch, and an unfiltered read would
+        feed the batch its own partial output as 'prior' state."""
+        live = self._live(before_batch_id)
         if not live:
             return None
         parts = [

@@ -168,6 +168,41 @@ def test_crash_between_curated_and_kept_writes_replays_cleanly(spark, tmp_path):
     assert cur.current_kept().count() == clean_kept
 
 
+def test_crash_between_aux_and_kept_writes_does_not_lose_batch(spark, tmp_path):
+    """The ADVICE-r3 high: crash AFTER aux_log.write_delta(batch N) but
+    BEFORE kept_log.write_delta(batch N), with real prior state. The
+    crashed aux delta holds batch N's own survivors' digests; if the
+    replay reads it as 'prior' state, the digest anti-join drops every
+    batch-N survivor as an exact dup and the batch is permanently lost.
+    The replay must read aux state BEFORE batch N and reproduce the
+    original kept/curated sets exactly."""
+    import shutil
+
+    docs = _docs(spark).orderBy("doc_id").toPandas()
+    half = len(docs) // 2
+    mk = lambda pdf: spark.createDataFrame(
+        pdf[["doc_id", "text", "lang", "source", "n_chars"]],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    state = tmp_path / "state"
+    cur = IncrementalCurator(spark, str(state))
+    cur.process_batch(mk(docs.iloc[:half]), 0)
+    kept_b0 = cur.current_kept().count()
+    cur.process_batch(mk(docs.iloc[half:]), 1)
+    clean_kept = set(_ids(cur.current_kept()))
+    clean_curated = set(_ids(cur.current_curated()))
+    assert len(clean_kept) > kept_b0  # batch 1 has real survivors
+
+    # forge the crash: curated + aux deltas for batch 1 landed, the
+    # kept delta (the replay guard, written LAST) did not
+    shutil.rmtree(str(state / "kept_docs" / "delta-b00000001"))
+    assert not cur.kept_log.has(1)
+    assert cur.aux_log.has(1)  # the poisonous in-flight delta is there
+    cur.process_batch(mk(docs.iloc[half:]), 1)  # replay
+    assert set(_ids(cur.current_kept())) == clean_kept
+    assert set(_ids(cur.current_curated())) == clean_curated
+
+
 def test_band_log_is_the_cross_batch_candidate_source(spark, tmp_path):
     """(1) the persisted band-value log equals the signatures derived
     from the kept docs' text; (2) a crafted near-dup of a kept doc is
