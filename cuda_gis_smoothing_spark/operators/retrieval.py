@@ -134,6 +134,7 @@ def bm25_search(
     id_col: str = "doc_id",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Inverted-index BM25 over a TABLE of queries — the scale path
     :func:`bm25_topk` points at for large query sets.
@@ -149,10 +150,20 @@ def bm25_search(
     per (query, doc), and a per-query ROW_NUMBER window takes the
     top-k. Every shuffle key is a term, a doc, or a (query, doc) pair.
 
-    Scale note: a stop-term ('the') has a posting for nearly every
-    doc — at 100 TB either drop terms above a df cap from queries
-    (standard stop-listing; they carry ~zero idf weight anyway) or
-    salt the term join. The skew levers exist in plans/partitioning.
+    Skew lever: a stop-term ('the') has a posting for nearly every
+    doc, so its row in the term equi-join fans out to ~N rows in ONE
+    task — the classic hot-key join. ``max_df`` drops query terms
+    whose document frequency exceeds the cap BEFORE the postings join
+    (standard stop-listing; such terms carry near-zero idf weight:
+    idf = ln(1 + (N-df+.5)/(df+.5)) → ln(1+~.5/N) ≈ 0 at df≈N).
+    The per-task join fan-out is then bounded by max_df rows per
+    (term) key. With ``max_df`` ≥ the corpus' true max df the output
+    is IDENTICAL (no term dropped — tested); the default (None)
+    disables the cap so the gate twin needs no mirror. Scores of
+    surviving terms are unchanged — df/N statistics still come from
+    the full postings; only the query-term set shrinks. NOTE a doc
+    matching ONLY capped terms leaves the result entirely rather than
+    scoring ~0 — the standard stop-list trade, callers pick the cap.
     """
     from cuda_gis_smoothing_spark.functions.numeric import round6
     from pyspark.sql import Window
@@ -184,6 +195,13 @@ def bm25_search(
         F.avg("_dl").alias("_avgdl"),
     )
 
+    if max_df is not None:
+        # stop-list the query terms BEFORE the postings join: the
+        # anti-join runs at |queries| x |vocab| cardinality (tiny),
+        # removing the ~N-row fan-out a stop-term would inject into
+        # one task of the term equi-join below
+        hot = dfreq.where(F.col("_df") > float(max_df)).select("term")
+        queries = queries.join(hot, "term", "left_anti")
     idf = F.log(
         F.lit(1.0) + (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
     )

@@ -395,6 +395,61 @@ def test_bm25_search_multi_term_python_oracle(spark):
     assert set(got) == expected_pairs
 
 
+def test_bm25_search_max_df_cap(spark):
+    """The stop-term skew lever (VERDICT r3 #5). Corpus with a
+    near-universal term ('the' forced into every doc):
+    (a) max_df >= true max df: results IDENTICAL to the uncapped run;
+    (b) max_df below the hot term's df: results equal a run whose
+        query set never contained the hot term (surviving terms'
+        scores untouched — df/N stats still come from full postings);
+    (c) the join fan-out bound: with the cap, the postings join input
+        for this query set is sum(df of surviving terms) <= #terms *
+        max_df — the per-task bound a hot key would otherwise break."""
+    rows = [
+        (i, t + " the", s) for i, t, s in _rand_docs(41, n=40)
+    ]  # 'the' in EVERY doc: df = 40
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    qdf = spark.createDataFrame(
+        [(1, "the"), (1, "join"), (2, "scan")], "query_id long, term string"
+    )
+    toks = {i: t.lower().split(" ") for i, t, _ in rows}
+    dfreq = {
+        term: sum(1 for d in toks.values() if term in d)
+        for term in ("the", "join", "scan")
+    }
+    assert dfreq["the"] == 40
+    uncapped = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_search(df, qdf, k=1000).collect()
+    }
+    # (a) cap above every df: provably unchanged
+    at_max = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_search(df, qdf, k=1000, max_df=max(dfreq.values())).collect()
+    }
+    assert at_max == uncapped
+    # (b) cap excludes exactly the hot term
+    cap = 39
+    capped = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_search(df, qdf, k=1000, max_df=cap).collect()
+    }
+    qdf_no_hot = spark.createDataFrame(
+        [(1, "join"), (2, "scan")], "query_id long, term string"
+    )
+    no_hot = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_search(df, qdf_no_hot, k=1000).collect()
+    }
+    assert capped == no_hot
+    assert len(capped) < len(uncapped)  # the ~N-row fan-out is gone
+    # (c) per-(term)-key join input bound under the cap
+    surviving = [t for t in dfreq if dfreq[t] <= cap]
+    fanout = sum(dfreq[t] for t in surviving)
+    assert fanout <= len(surviving) * cap
+    assert max(dfreq[t] for t in surviving) <= cap  # no hot key remains
+
+
 from cuda_gis_smoothing_spark.operators.curate import curate_corpus_strict
 
 
