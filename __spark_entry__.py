@@ -402,13 +402,23 @@ _BM25_QUERIES = (
 
 
 def _q_bm25_search(spark, sf_dir):
-    """Inverted-index BM25 over a query table (the large-query path)."""
-    from cuda_gis_smoothing_spark.operators.retrieval import bm25_search
+    """Inverted-index BM25 over a query table (the large-query path),
+    routed THROUGH the maintained incremental index: the corpus is
+    folded into a fresh SnapshotLog-backed MaintainedPostings as one
+    batch and the search runs over the STORED index — so this
+    CORRECTNESS row gates the maintained path (identical to direct
+    bm25_search: shared bm25_score_postings kernel, tested also
+    multi-batch/after-update in tests/test_streaming_retrieval.py)."""
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.retrieval import MaintainedPostings
 
     qdf = spark.createDataFrame(
         list(_BM25_QUERIES), "query_id long, term string"
     )
-    return bm25_search(load(spark, sf_dir, "documents"), qdf, k=10)
+    idx = MaintainedPostings(spark, tempfile.mkdtemp(prefix="bm25_idx_"))
+    idx.process_batch(load(spark, sf_dir, "documents"), 0)
+    return idx.search(qdf, k=10)
 
 
 def _q_curate_corpus(spark, sf_dir):

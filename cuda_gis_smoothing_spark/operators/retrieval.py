@@ -165,28 +165,58 @@ def bm25_search(
     matching ONLY capped terms leaves the result entirely rather than
     scoring ~0 — the standard stop-list trade, callers pick the cap.
     """
-    from cuda_gis_smoothing_spark.functions.numeric import round6
-    from pyspark.sql import Window
-
-    toks = F.split(F.lower(F.col("text")), " ")
-    post = (
-        docs.select(F.col(id_col), F.explode(toks).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
-    )
     # the postings feed FOUR consumers (contrib join, dl, dfreq, stats)
     # whose pruned subplans differ, so Catalyst cannot ReuseExchange
     # them — unmaterialized this plan scans the corpus 8 times
     # (measured). Materialize once; on a real cluster THIS is the
-    # persisted inverted index a retrieval service maintains anyway.
-    post = post.localCheckpoint()
-    # doc length and corpus stats derive from the postings themselves —
-    # every token (empties included) lands in post, so SUM(tf) per doc
-    # is exactly size(tokens) (small-integer sums in double are exact).
-    # N therefore counts docs WITH text: a NULL-text doc explodes to
-    # zero posting rows and is absent from dl — the DuckDB twin's dl
-    # CTE filters text IS NOT NULL to match (ADVICE r3)
-    dl = post.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
+    # persisted inverted index a retrieval service maintains anyway —
+    # streaming/retrieval.MaintainedPostings is that maintained form,
+    # and scores through the same bm25_score_postings kernel.
+    post = doc_postings(docs, id_col).localCheckpoint()
+    return bm25_score_postings(
+        post, queries, k=k, id_col=id_col, k1=k1, b=b, max_df=max_df
+    )
+
+
+def doc_postings(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One corpus scan → the inverted-index rows ``(id, term, _tf)``
+    (explode → groupBy with map-side combine). Every token — empties
+    included — lands in a row, so ``SUM(_tf)`` per doc is exactly
+    ``size(tokens)`` (small-integer sums in double are exact). A
+    NULL-text doc explodes to zero rows and is absent entirely, so the
+    corpus count N derived from postings counts docs WITH text — the
+    DuckDB twin's dl CTE filters ``text IS NOT NULL`` to match
+    (ADVICE r3)."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    return (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+
+
+def bm25_score_postings(
+    post: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_df: int | None = None,
+    dl: DataFrame | None = None,
+) -> DataFrame:
+    """Score a ``(query_id, term)`` table against a POSTINGS table
+    ``(id, term, _tf)`` — the scoring kernel :func:`bm25_search` and
+    the maintained index (streaming/retrieval.MaintainedPostings)
+    share, so the two paths cannot drift. ``dl`` optionally supplies
+    the per-doc length table ``(id, _dl)`` (the maintained index
+    stores it doc-keyed, saving one postings aggregation); derived
+    from ``post`` when None."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from pyspark.sql import Window
+
+    if dl is None:
+        dl = post.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
     dfreq = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
     )
