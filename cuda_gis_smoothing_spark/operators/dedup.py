@@ -1105,24 +1105,8 @@ def duplicate_spans(
     semantics, so the driver gate runs uncapped; both capped behaviors
     (whole-run drop and interior fragmentation) are pytest-pinned.
     """
-    from pyspark.sql import Window
-
     k = gram_len
-    toks = F.split(F.lower(F.col("text")), " ")
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
-        f"i -> array_join(slice(_toks, i, {k}), ' '))"
-    )
-    pos = (
-        docs.select(F.col(id_col), toks.alias("_toks"))
-        .where(F.size("_toks") >= k)
-        .select(id_col, F.posexplode(grams).alias("_p", "_g"))
-        .select(
-            id_col,
-            (F.col("_p") + 1).cast("long").alias("_pos"),
-            F.col("_g").alias("_g"),
-        )
-    )
+    pos = gram_positions(docs, k, id_col=id_col)
     if max_gram_positions is not None:
         hot = (
             pos.groupBy("_g")
@@ -1152,6 +1136,53 @@ def duplicate_spans(
         F.col("_g"),
     ).repartition(parts, "_g")
     seeds = a.join(b, "_g").where(F.col("doc_a") < F.col("doc_b"))
+    spans = merge_gram_runs(seeds, k, parts)
+    if min_span is not None:
+        spans = spans.where(F.col("span_tokens") >= min_span)
+    return spans
+
+
+def gram_positions(
+    docs: DataFrame,
+    gram_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """``(id, _pos, _g)``: each doc's ``gram_len``-gram at each 1-based
+    token position — the seed table of the span-dedup family. With
+    ``tokens_col`` the grams derive from a STORED ordered-token array
+    column instead of tokenizing ``text`` (the incremental curator's
+    aux-log path: kept text is never re-scanned per batch)."""
+    k = gram_len
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.split(F.lower(F.col("text")), " ")
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
+        f"i -> array_join(slice(_toks, i, {k}), ' '))"
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .select(id_col, F.posexplode(grams).alias("_p", "_g"))
+        .select(
+            id_col,
+            (F.col("_p") + 1).cast("long").alias("_pos"),
+            F.col("_g").alias("_g"),
+        )
+    )
+
+
+def merge_gram_runs(seeds: DataFrame, k: int, parts: int) -> DataFrame:
+    """Maximal-run merge of gram seeds ``(doc_a, doc_b, pos_a, pos_b)``
+    per (pair, diagonal) — the islands-and-gaps kernel
+    :func:`duplicate_spans` and :func:`bipartite_spans` share. The
+    window repartition is PINNED (user-specified repartitions are
+    never AQE-coalesced — the CLAUDE.md blind spot) and satisfies both
+    the window's and the downstream groupBy's required distribution."""
+    from pyspark.sql import Window
 
     diag = (F.col("pos_a") - F.col("pos_b")).alias("_diag")
     w = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("pos_a")
@@ -1160,14 +1191,39 @@ def duplicate_spans(
         .repartition(parts, "doc_a", "doc_b", "_diag")
         .withColumn("_grp", F.col("pos_a") - F.row_number().over(w))
     )
-    spans = runs.groupBy("doc_a", "doc_b", "_diag", "_grp").agg(
-        F.min("pos_a").alias("start_a"),
-        F.min("pos_b").alias("start_b"),
-        (F.count(F.lit(1)) + (k - 1)).alias("span_tokens"),
+    return (
+        runs.groupBy("doc_a", "doc_b", "_diag", "_grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + (k - 1)).alias("span_tokens"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
-    if min_span is not None:
-        spans = spans.where(F.col("span_tokens") >= min_span)
-    return spans.select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+
+
+def bipartite_spans(
+    pos_a: DataFrame, pos_b: DataFrame, gram_len: int
+) -> DataFrame:
+    """Maximal shared token runs BETWEEN two position tables (each
+    ``(id, _pos, _g)`` from :func:`gram_positions`) — the cross-batch
+    form of :func:`duplicate_spans` for the incremental strict curator:
+    side a is the incoming batch, side b the stored kept state, and no
+    ``doc_a < doc_b`` ordering applies (the id sets are disjoint by
+    the caller's contract). Same pinned-parallelism discipline as the
+    self-join form."""
+    parts = pos_a.sparkSession.sparkContext.defaultParallelism
+    a = pos_a.select(
+        F.col(pos_a.columns[0]).alias("doc_a"),
+        F.col("_pos").alias("pos_a"),
+        "_g",
+    ).repartition(parts, "_g")
+    b = pos_b.select(
+        F.col(pos_b.columns[0]).alias("doc_b"),
+        F.col("_pos").alias("pos_b"),
+        "_g",
+    ).repartition(parts, "_g")
+    return merge_gram_runs(a.join(b, "_g"), gram_len, parts)
 
 
 def span_coverage(
@@ -1227,8 +1283,27 @@ def span_coverage(
             ).alias("_iv")
         )
         .select(f"_iv.{id_col}", "_iv._s", "_iv._e")
-        .distinct()
     )
+    n_tokens = F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
+    return interval_coverage(
+        iv, docs.select(F.col(id_col), n_tokens.alias("n_tokens")), id_col
+    )
+
+
+def interval_coverage(
+    iv: DataFrame, doc_tokens: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc interval-union mass: ``iv`` is ``(id, _s, _e)`` interval
+    rows (duplicates fine — DISTINCT'd here, which also makes the
+    window ORDER BY a total order, see :func:`span_coverage`'s
+    determinism note), ``doc_tokens`` is ``(id, n_tokens)`` for every
+    doc that should appear in the output (coverage 0.0 when no
+    intervals). The sweep kernel shared by :func:`span_coverage` and
+    the incremental strict curator (whose interval set unions
+    cross-batch and intra-batch spans before ONE sweep)."""
+    from pyspark.sql import Window
+
+    iv = iv.distinct()
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("_s", "_e")
@@ -1252,10 +1327,8 @@ def span_coverage(
     )
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
-    n_tokens = F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
     return (
-        docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
-        .join(covered, id_col, "left")
+        doc_tokens.join(covered, id_col, "left")
         .select(
             id_col,
             "n_tokens",

@@ -203,6 +203,192 @@ def test_crash_between_aux_and_kept_writes_does_not_lose_batch(spark, tmp_path):
     assert set(_ids(cur.current_curated())) == clean_curated
 
 
+# ===== strict-policy incremental curator (span-coverage drops) =========
+from cuda_gis_smoothing_spark.operators.curate import (
+    CURATE_MAX_DUP_RATIO,
+    CURATE_MAX_SPAN_COV,
+    CURATE_SPAN_GRAM,
+    curate_corpus_strict,
+)
+from cuda_gis_smoothing_spark.streaming.curate import IncrementalStrictCurator
+
+
+def test_strict_single_batch_equals_batch_strict(spark, tmp_path):
+    cur = IncrementalStrictCurator(spark, str(tmp_path / "state"))
+    cur.process_batch(_docs(spark), 0)
+    got = {
+        (r.doc_id, r.n_tokens, r.quality_score)
+        for r in cur.current_curated().collect()
+    }
+    want = {
+        (r.doc_id, r.n_tokens, r.quality_score)
+        for r in curate_corpus_strict(_docs(spark)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def _runs(ta, tb, k):
+    """Maximal equal-token runs of length >= k between two token
+    lists; [(start_a, length)] 0-based — the independent form of the
+    gram-seed diagonal merge."""
+    out = []
+    for d in range(-(len(tb) - 1), len(ta)):
+        i, j, run = max(0, d), max(0, d) - d, 0
+        while i < len(ta) and j < len(tb):
+            if ta[i] == tb[j]:
+                run += 1
+            else:
+                if run >= k:
+                    out.append((i - run, run))
+                run = 0
+            i += 1
+            j += 1
+        if run >= k:
+            out.append((i - run, run))
+    return out
+
+
+def _union_len(ivs):
+    total, cur_s, cur_e = 0, None, None
+    for s, e in sorted(ivs):
+        if cur_s is None or s > cur_e + 1:
+            if cur_s is not None:
+                total += cur_e - cur_s + 1
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    return total + (cur_e - cur_s + 1 if cur_s is not None else 0)
+
+
+def _strict_oracle(batches, k=CURATE_SPAN_GRAM, max_cov=CURATE_MAX_SPAN_COV):
+    """batches: list of [(doc_id, text)] AFTER lang/quality filtering —
+    independent Python implementation of the documented streaming
+    semantics: repetition filter, first-seen exact dedup, joint
+    (prior-kept + batch-peer) interval-union coverage drop, sample."""
+    kept = []  # (doc_id, tokens)
+    digests = set()
+    curated = set()
+    for batch in batches:
+        reps = []
+        for doc_id, text in sorted(batch):
+            toks = text.lower().split(" ")
+            dup = round(1.0 - len(set(toks)) / len(toks) + 1e-9, 6)
+            if dup <= CURATE_MAX_DUP_RATIO:
+                reps.append((doc_id, text))
+        by_digest = {}
+        for doc_id, text in reps:
+            by_digest.setdefault(text, doc_id)
+        b1 = sorted(
+            (doc_id, text)
+            for text, doc_id in by_digest.items()
+            if text not in digests
+        )
+        toks = {doc_id: text.lower().split(" ") for doc_id, text in b1}
+        survivors = []
+        for doc_id, text in b1:
+            td = toks[doc_id]
+            ivs = []
+            for other_id, ot in toks.items():
+                if other_id != doc_id:
+                    ivs += [(s, s + L - 1) for s, L in _runs(td, ot, k)]
+            for _, ktoks in kept:
+                ivs += [(s, s + L - 1) for s, L in _runs(td, ktoks, k)]
+            cov = round(_union_len(ivs) / len(td) + 1e-9, 6)
+            if cov <= max_cov:
+                survivors.append((doc_id, text))
+        for doc_id, text in survivors:
+            kept.append((doc_id, toks[doc_id]))
+            digests.add(text)
+            if ((doc_id * S_A + S_B) % MH_PRIME) % _DENOM < int(
+                SAMPLE_F * _DENOM
+            ):
+                curated.add(doc_id)
+    return curated
+
+
+def test_strict_multi_batch_matches_python_oracle(spark, tmp_path):
+    docs = _docs(spark)
+    base = filtered_base(docs, "en", 0.5).orderBy("doc_id").toPandas()
+    cuts = [0, len(base) // 3, 2 * len(base) // 3, len(base)]
+    batches_pd = [base.iloc[cuts[i]:cuts[i + 1]] for i in range(3)]
+
+    cur = IncrementalStrictCurator(
+        spark, str(tmp_path / "state"), compact_every=2
+    )
+    for bid, bpd in enumerate(batches_pd):
+        bdf = spark.createDataFrame(
+            bpd[["doc_id", "text"]].assign(
+                lang="en", source="s", n_chars=bpd["text"].str.len()
+            ),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        cur.process_batch(bdf, bid)
+
+    got = set(_ids(cur.current_curated()))
+    want = _strict_oracle(
+        [list(zip(b["doc_id"], b["text"])) for b in batches_pd]
+    )
+    assert got == want and len(want) > 0
+
+
+def test_strict_crash_between_aux_and_kept_writes(spark, tmp_path):
+    """The inherited crash contract must hold for the strict subclass
+    too: crashed aux delta for batch N excluded on replay, original
+    kept/curated sets reproduced."""
+    import shutil
+
+    docs = _docs(spark).orderBy("doc_id").toPandas()
+    half = len(docs) // 2
+    mk = lambda pdf: spark.createDataFrame(
+        pdf[["doc_id", "text", "lang", "source", "n_chars"]],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    state = tmp_path / "state"
+    cur = IncrementalStrictCurator(spark, str(state))
+    cur.process_batch(mk(docs.iloc[:half]), 0)
+    kept_b0 = cur.current_kept().count()
+    cur.process_batch(mk(docs.iloc[half:]), 1)
+    clean_kept = set(_ids(cur.current_kept()))
+    clean_curated = set(_ids(cur.current_curated()))
+    assert len(clean_kept) > kept_b0
+
+    shutil.rmtree(str(state / "kept_docs" / "delta-b00000001"))
+    assert not cur.kept_log.has(1) and cur.aux_log.has(1)
+    cur.process_batch(mk(docs.iloc[half:]), 1)  # replay
+    assert set(_ids(cur.current_kept())) == clean_kept
+    assert set(_ids(cur.current_curated())) == clean_curated
+
+
+def test_strict_cross_batch_drop_is_monotone(spark, tmp_path):
+    """A later doc heavily covered by PRIOR kept text is dropped; the
+    prior kept doc is NOT retroactively dropped (the documented
+    monotone direction of the symmetric batch rule)."""
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # quality/lang-passing base text (needs stopwords for lang=en)
+    t0 = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "far away to find some quiet water near a shady tree"
+    )
+    cur = IncrementalStrictCurator(spark, str(tmp_path / "state"))
+    cur.process_batch(mk([(1, t0, "en", "s", len(t0))]), 0)
+    assert set(_ids(cur.current_kept())) == {1}
+    # batch 2: one near-copy (prefix lifted from t0 -> high coverage),
+    # one fresh doc
+    copy = t0.split(" ")
+    lifted = " ".join(copy[:18]) + " with totally different closing words here"
+    fresh = (
+        "a completely different story was written this morning about "
+        "bright mountains and the cold wind that blows in winter there"
+    )
+    cur.process_batch(
+        mk([(2, lifted, "en", "s", len(lifted)), (3, fresh, "en", "s", len(fresh))]),
+        1,
+    )
+    assert set(_ids(cur.current_kept())) == {1, 3}  # 2 dropped, 1 stays
+
+
 def test_band_log_is_the_cross_batch_candidate_source(spark, tmp_path):
     """(1) the persisted band-value log equals the signatures derived
     from the kept docs' text; (2) a crafted near-dup of a kept doc is
