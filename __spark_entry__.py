@@ -522,6 +522,71 @@ def _q_tile_pyramid(spark, sf_dir):
     return tile_pyramid(grid_from_lineitem(spark, sf_dir), zooms=(10, 11, 12))
 
 
+def _q_dedup_normalized(spark, sf_dir):
+    """Normalization-aware exact dedup (case/punct/whitespace-variant
+    groups) — the 'soft exact' first pass of web-corpus pipelines."""
+    from cuda_gis_smoothing_spark.operators.dedup import normalized_dedup
+
+    return normalized_dedup(load(spark, sf_dir, "documents"))
+
+
+_CONTAINMENT_T = 0.8
+
+
+def _q_dedup_containment(spark, sf_dir):
+    """Token-set containment pairs (doc-inside-doc duplication) via
+    the asymmetric AllPairs prefix join."""
+    from cuda_gis_smoothing_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load(spark, sf_dir, "documents"), threshold=_CONTAINMENT_T
+    )
+
+
+def _q_cross_source_dups(spark, sf_dir):
+    """Cross-source exact-duplication audit (digest-keyed provenance
+    overlap)."""
+    from cuda_gis_smoothing_spark.operators.curate import cross_source_dups
+
+    return cross_source_dups(load(spark, sf_dir, "documents"))
+
+
+def _q_decontaminated_corpus(spark, sf_dir):
+    """Decontamination as a pipeline stage: the training corpus minus
+    benchmark-shingle-sharing docs."""
+    from cuda_gis_smoothing_spark.operators.curate import decontaminated_corpus
+
+    return decontaminated_corpus(
+        load(spark, sf_dir, "documents"), bench_source=_CONTAM_BENCH, k=_CONTAM_K
+    )
+
+
+_VOCAB_MIN_DF = 2
+
+
+def _q_vocab_df_idf(spark, sf_dir):
+    """The corpus vocabulary table (token, df, idf) above a df floor —
+    the materialized statistics BM25/stop-listing read. One distinct
+    (doc, token) aggregation + a 1-row broadcast N; idf is the repo's
+    BM25 convention ln(1 + (N - df + .5)/(df + .5))."""
+    from cuda_gis_smoothing_spark.operators.dedup import _doc_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs, "text", "doc_id", None)
+    df_tab = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.where(F.col("text").isNotNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("_N")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    return (
+        df_tab.where(F.col("df") >= _VOCAB_MIN_DF)
+        .crossJoin(F.broadcast(n))
+        .select(F.col("t").alias("token"), "df", round6(idf).alias("idf"))
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import sessionize
 
@@ -810,6 +875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": _q_tile_pyramid,
         "pip_regions": _q_pip_regions,
         "knn_cells": _q_knn_cells,
+        "dedup_normalized": _q_dedup_normalized,
+        "dedup_containment": _q_dedup_containment,
+        "cross_source_dups": _q_cross_source_dups,
+        "decontaminated_corpus": _q_decontaminated_corpus,
+        "vocab_df_idf": _q_vocab_df_idf,
     }
     return qs
 
@@ -1380,6 +1450,54 @@ t AS (SELECT lang, SUM(n_docs) AS tt FROM cm GROUP BY lang)
 SELECT cm.lang, cm.pred_lang, cm.n_docs,
        ROUND(cm.n_docs * 1e0 / t.tt + 1e-09, 6) AS truth_share
 FROM cm JOIN t USING (lang)
+""".strip()
+    # normalization-aware exact dedup: DuckDB regexp_replace needs the
+    # 'g' flag (first-match default; Spark replaces all)
+    out["dedup_normalized"] = _dedup_sql(
+        "md5(trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+    )
+    out["dedup_containment"] = f"""
+WITH {tok_lang_cte},
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.t = b.t AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(i * 1.0 / LEAST(sa.n, sb.n) + 1e-09, 6) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE ROUND(i * 1.0 / LEAST(sa.n, sb.n) + 1e-09, 6) >= {_CONTAINMENT_T}
+""".strip()
+    out["cross_source_dups"] = """
+WITH sd AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS k
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_texts
+FROM sd a JOIN sd b ON a.k = b.k AND a.source < b.source
+GROUP BY 1, 2
+""".strip()
+    out["decontaminated_corpus"] = f"""
+WITH contam AS ({out["contamination_report"]})
+SELECT d.doc_id, d.source,
+       CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens
+FROM documents d
+WHERE d.source <> '{_CONTAM_BENCH}'
+  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+""".strip()
+    out["vocab_df_idf"] = f"""
+WITH {tok_cte},
+dfr AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
+n AS (SELECT COUNT(*) * 1.0 AS N FROM documents WHERE text IS NOT NULL)
+SELECT t AS token, CAST(df AS BIGINT) AS df,
+       ROUND(ln(1.0 + (n.N - df + 0.5) / (df + 0.5)) + 1e-09, 6) AS idf
+FROM dfr, n
+WHERE df >= {_VOCAB_MIN_DF}
 """.strip()
     return out
 

@@ -472,6 +472,75 @@ def curate_corpus_strict(
     )
 
 
+def cross_source_dups(docs: DataFrame, key: str = "tokenset") -> DataFrame:
+    """Cross-source duplication audit: for every source pair, how many
+    DISTINCT duplicate keys appear in both —
+    ``(source_a, source_b, n_shared_texts)`` with
+    ``source_a < source_b`` — the provenance-overlap table a dedup or
+    licensing review reads before deciding drop priority between
+    sources (:func:`source_overlap` is the fuzzy k-gram form; this is
+    the digest form, far cheaper: one hash per doc, not shingles).
+
+    ``key``: "tokenset" (default) digests the sorted distinct token
+    set (the :func:`operators.dedup.tokenset_dedup` normalization —
+    catches word-order shuffles, which is how near-copies actually
+    cross crawls/sources; on the gate fixture raw-text dups never
+    span sources, measured, so the exact key would gate a vacuous
+    empty table); "exact" digests the raw text.
+
+    Plan: one distinct (source, digest) projection, self-joined on the
+    digest — per-digest fan-out bounded by the #sources carrying it
+    (≤ #sources², never doc-cardinality), then a tiny pair-keyed agg.
+    """
+    if key == "tokenset":
+        kexpr = F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.split(F.lower(F.col("text")), " "))
+                ),
+                " ",
+            )
+        )
+    elif key == "exact":
+        kexpr = F.md5("text")
+    else:
+        raise ValueError(f"unknown key mode {key!r}")
+    sd = (
+        docs.where(F.col("text").isNotNull())
+        .select("source", kexpr.alias("_k"))
+        .distinct()
+    )
+    a = sd.select(F.col("source").alias("source_a"), "_k")
+    b = sd.select(F.col("source").alias("source_b"), "_k")
+    return (
+        a.join(b, "_k")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )
+
+
+def decontaminated_corpus(
+    docs: DataFrame, bench_source: str = "src0", k: int = 4
+) -> DataFrame:
+    """Benchmark decontamination as a PIPELINE stage (the filter form
+    of :func:`contamination_report`, which is the audit form): every
+    training doc sharing ≥ 1 k-token shingle with the held-out
+    benchmark partition is DROPPED; output is the surviving training
+    corpus ``(doc_id, source, n_tokens)``. The GPT-3/Pile k-gram
+    method applied the way a corpus build actually consumes it — one
+    anti-join over the same shingle equi-join the report uses."""
+    contam = contamination_report(docs, bench_source=bench_source, k=k).select(
+        "doc_id"
+    )
+    n_tokens = F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
+    return (
+        docs.where(F.col("source") != bench_source)
+        .join(contam, "doc_id", "left_anti")
+        .select("doc_id", "source", n_tokens.alias("n_tokens"))
+    )
+
+
 def _overlap_affine_pairs(n: int) -> list[tuple[int, int]]:
     """Deterministic affine family ((a, b) with a odd, both < MH_PRIME)
     extending the 6 fixed MinHash pairs to arbitrary n — generated by

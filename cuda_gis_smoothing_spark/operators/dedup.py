@@ -66,6 +66,27 @@ def tokenset_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return _group_dedup(df, F.md5(norm), id_col)
 
 
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalization-aware exact dedup: lowercase → strip
+    non-alphanumerics → collapse runs of spaces → trim, then md5-keyed
+    duplicate groups — the standard "soft exact" first pass of
+    web-corpus pipelines, catching the case/punctuation/spacing
+    variants raw :func:`exact_dedup` misses while staying a pure
+    digest groupBy (same SHUFFLE_HASH shape, no pair join). The
+    DuckDB twin needs the 'g' flag on regexp_replace (DuckDB replaces
+    the first match by default; Spark replaces all)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return _group_dedup(df, F.md5(norm), id_col)
+
+
 def token_hash_col(token_col: str = "t"):
     """Polynomial rolling hash of a token, mod MH_PRIME, as a Column.
 
@@ -528,6 +549,101 @@ def ngram_jaccard_pairs(
     )
     return verified_jaccard_pairs(
         cand, df, df, threshold, id_col=id_col, text_col=text_col
+    )
+
+
+def verified_containment_pairs_prepared(
+    cand: DataFrame,
+    ta: DataFrame,
+    tb: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-containment verification over prepared token-array sides
+    (shape of :func:`verified_jaccard_pairs_prepared`): containment =
+    round6(|A∩B| / min(|A|, |B|)) — the max-direction containment,
+    i.e. how much of the SMALLER doc is inside the larger."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    i = F.size(F.array_intersect("_ta", "_tb"))
+    c = round6(i / F.least(F.size("_ta"), F.size("_tb")))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", c.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Token-set CONTAINMENT near-dup pairs:
+    ``round6(|A∩B| / min(|A|,|B|)) >= threshold``, output
+    ``(doc_a, doc_b, containment)`` with ``doc_a < doc_b``, pairs
+    within the same ``block_col`` value.
+
+    Jaccard misses doc-inside-doc duplication — a short doc quoted
+    wholesale inside a long one has tiny jaccard but containment 1.0.
+    This is the token-set-granularity form of that check
+    (:func:`duplicate_spans` is the position-granularity form), the
+    standard second dedup axis of corpus pipelines.
+
+    Candidates: ASYMMETRIC AllPairs. A qualifying pair has
+    ``|∩| >= ceil(t * n_small)``, so the smallest common token in the
+    global df order provably lands in the SMALLER doc's
+    :func:`prefix_postings` prefix (same bound as the jaccard case,
+    applied to the small side only); the larger side must be probed
+    with its FULL postings — its intersection bound is relative to the
+    OTHER doc's size, so no prefix is sufficient for it. The
+    ``(n, id)``-lexicographic join condition assigns the roles. Zero
+    recall loss; one ``array_intersect`` per distinct candidate; the
+    posting join's parallelism pinned (the AQE blind spot).
+
+    Skew caveat (inherent to containment, documented): the full-side
+    postings keep hot tokens, so a stop-token contributes (its
+    prefix-side docs) × (its full df) candidate rows — unlike the
+    two-sided-prefix jaccard join. At scale either drop stop-tokens
+    from the token sets upstream or cap df (the bm25_search ``max_df``
+    precedent); the gate corpus needs neither.
+    """
+    toks = _doc_tokens(df, text_col, id_col, block_col)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    # both candidate sides re-derive tokens+sizes; stage them once
+    # (prefix side is small; the full side is the token table itself)
+    pp = (
+        prefix_postings(toks, threshold, id_col, block_col)
+        .join(sizes, id_col)
+        .localCheckpoint()
+    )
+    full = toks.join(sizes, id_col).localCheckpoint()
+    join_keys = ["t"] + ([block_col] if block_col else [])
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    a = pp.repartition(parts, *join_keys).alias("a")
+    b = full.repartition(parts, *join_keys).alias("b")
+    smaller = (F.col("a._n") < F.col("b._n")) | (
+        (F.col("a._n") == F.col("b._n"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    cond = smaller
+    for kcol in join_keys:
+        cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return verified_containment_pairs_prepared(
+        cand,
+        token_array_side(df, "doc_a", id_col, text_col),
+        token_array_side(df, "doc_b", id_col, text_col),
+        threshold,
     )
 
 

@@ -58,6 +58,11 @@ DOC_GATES = [
     "quality_weighted_sample",
     "curate_corpus",
     "curate_corpus_strict",
+    "dedup_normalized",
+    "dedup_containment",
+    "cross_source_dups",
+    "decontaminated_corpus",
+    "vocab_df_idf",
 ]
 
 

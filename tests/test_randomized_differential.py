@@ -79,6 +79,46 @@ def test_prefix_jaccard_vs_bruteforce_random_docs(spark, seed):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [5, 47])
+def test_prefix_containment_vs_bruteforce_random_docs(spark, seed):
+    """Asymmetric-prefix containment == brute force on random
+    small-vocab docs, plus an explicit doc-inside-doc pair (the case
+    jaccard misses and containment exists for). The asymmetric
+    candidate join (smaller side prefix x larger side full postings)
+    must lose NOTHING."""
+    from cuda_gis_smoothing_spark.operators.dedup import containment_pairs
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(18)]
+    docs = []
+    for i in range(50):
+        k = int(rng.integers(2, 14))
+        toks = rng.choice(vocab, size=k, replace=True)
+        docs.append((i, " ".join(toks)))
+    # doc 100 = a strict token-subset of doc 101 (containment 1.0,
+    # jaccard ~0.3)
+    docs.append((100, "w0 w1 w2 w3"))
+    docs.append((101, "w0 w1 w2 w3 w5 w6 w7 w8 w9 w10 w11 w12 w13"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    thr = 0.7
+    got = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_pairs(df, threshold=thr, block_col=None).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    ids = sorted(sets)
+    want = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            i = len(sets[a] & sets[b])
+            c = round(i / min(len(sets[a]), len(sets[b])) + 1e-9, 6)
+            if c >= thr:
+                want.add((a, b, c))
+    assert (100, 101, 1.0) in want  # the doc-inside-doc pair is live
+    assert got == want
+
+
 @pytest.mark.parametrize("boundaries", ["uniform", "quantile"])
 def test_global_ranks_vs_enumerate_random_keys(spark, boundaries):
     """global_ranks == sorted enumerate under negative keys, duplicate
