@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "curate_corpus_strict",
     "source_overlap_minhash",
     "bm25_search",
+    "dedup_normalized",
+    "dedup_containment",
+    "cross_source_dups",
+    "decontaminated_corpus",
+    "vocab_df_idf",
 ]
 
 
@@ -372,6 +377,42 @@ def main() -> None:
         f"{ivf_query_gate_sec}s, all-vs-all sweep {ivf_sweep_sec}s"
     )
 
+    # maintained BM25 postings: the bm25_search GATE routes through a
+    # fresh single-batch MaintainedPostings build each run (that is the
+    # point — the CORRECTNESS row gates the maintained path), so its
+    # per-query line above conflates index build+persist with search.
+    # Report the split (the VERDICT r3 #7 lesson applied to r4's own
+    # addition) plus the O(delta) update cost
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.retrieval import MaintainedPostings
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_bm25_idx_")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = MaintainedPostings(spark, idx_dir)
+    t0 = time.perf_counter()
+    idx.process_batch(docs, 0)
+    bm25_build_sec = round(time.perf_counter() - t0, 3)
+    delta_docs = docs.orderBy("doc_id").limit(50).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    t0 = time.perf_counter()
+    idx.process_batch(delta_docs, 1)
+    bm25_delta_sec = round(time.perf_counter() - t0, 3)
+    qdf = spark.createDataFrame(
+        [(1, "spark"), (1, "join"), (2, "filter"), (2, "scan")],
+        "query_id long, term string",
+    )
+    t0 = time.perf_counter()
+    _run_noop(idx.search(qdf, k=10))
+    bm25_query_sec = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    log(
+        f"bm25 maintained postings: build {bm25_build_sec}s, 50-doc delta "
+        f"{bm25_delta_sec}s, search {bm25_query_sec}s"
+    )
+
     # smoothing throughput: fused two-ring pass over the testdata grid
     from cuda_gis_smoothing_spark.operators.smoothing import smooth
     from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
@@ -427,6 +468,11 @@ def main() -> None:
             "build_sec": ivf_build_sec,
             "query_gate_sec": ivf_query_gate_sec,
             "query_allpairs_sweep_sec": ivf_sweep_sec,
+        },
+        "bm25_maintained_split": {
+            "build_sec": bm25_build_sec,
+            "delta50_sec": bm25_delta_sec,
+            "query_sec": bm25_query_sec,
         },
         "reorder_sweep": reorder,
         "scaling": scaling,
