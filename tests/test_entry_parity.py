@@ -108,6 +108,12 @@ _HOSTILE_SAMPLE = [
     "bm25_search",
     "source_overlap",
     "curate_corpus_strict",
+    # round-4 additions: the asymmetric prefix join (partition-count-
+    # sensitive candidate dedup), the anti-join composition, and the
+    # digest self-join audit
+    "dedup_containment",
+    "decontaminated_corpus",
+    "cross_source_dups",
 ]
 
 

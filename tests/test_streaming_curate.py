@@ -389,6 +389,79 @@ def test_strict_cross_batch_drop_is_monotone(spark, tmp_path):
     assert set(_ids(cur.current_kept())) == {1, 3}  # 2 dropped, 1 stays
 
 
+def test_strict_aux_log_is_the_cross_batch_span_source(spark, tmp_path):
+    """(1) the stored ordered-token arrays equal split(lower(text));
+    (2) a crafted span-copier of a kept doc is dropped cross-batch;
+    (3) with a POISONED aux log the same doc survives — proving the
+    cross-batch span seeds read the log, not re-derived kept text."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    t0 = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "far away to find some quiet water near a shady tree"
+    )
+    lifted = " ".join(t0.split(" ")[:18]) + " with totally different closing words here"
+    copier = mk([(2, lifted, "en", "s", len(lifted))])
+
+    cur = IncrementalStrictCurator(spark, str(tmp_path / "state_a"))
+    cur.process_batch(mk([(1, t0, "en", "s", len(t0))]), 0)
+    stored = {
+        (r["doc_id"], tuple(r["_otok"])) for r in cur.aux_log.read().collect()
+    }
+    derived = {
+        (r["doc_id"], tuple(r["text"].lower().split(" ")))
+        for r in cur.current_kept().collect()
+    }
+    assert stored == derived and stored
+    cur.process_batch(copier, 1)
+    assert set(_ids(cur.current_kept())) == {1}  # dropped via the log
+
+    cur2 = IncrementalStrictCurator(spark, str(tmp_path / "state_b"))
+    cur2.process_batch(mk([(1, t0, "en", "s", len(t0))]), 0)
+    aux_dir = str(tmp_path / "state_b" / "kept_aux" / "delta-b00000000")
+    poisoned = cur2.aux_log.read().select(
+        "doc_id", "_k", F.expr("transform(_otok, x -> 'zzz')").alias("_otok")
+    )
+    poisoned.write.mode("overwrite").parquet(aux_dir + ".tmp")
+    shutil.rmtree(aux_dir)
+    os.rename(aux_dir + ".tmp", aux_dir)
+    cur2.process_batch(copier, 1)
+    assert set(_ids(cur2.current_kept())) == {1, 2}  # log IS the source
+
+
+def test_strict_stream_wiring_equals_sequential_batches(spark, tmp_path):
+    """The inherited start() wiring must drive the strict curator to
+    the same state as direct sequential process_batch calls."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    halves = ((0, 250), (250, 10**9))
+    for i, (lo, hi) in enumerate(halves):
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.parquet(f"{src}/part{i}")
+    streamed = IncrementalStrictCurator(spark, str(tmp_path / "state_s"))
+    q = streamed.start(f"{src}/part*", str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300), "availableNow query did not finish"
+
+    direct = IncrementalStrictCurator(spark, str(tmp_path / "state_d"))
+    for bid, (lo, hi) in enumerate(halves):
+        direct.process_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), bid
+        )
+    assert set(_ids(streamed.current_curated())) == set(
+        _ids(direct.current_curated())
+    )
+    assert set(_ids(streamed.current_kept())) == set(_ids(direct.current_kept()))
+
+
 def test_band_log_is_the_cross_batch_candidate_source(spark, tmp_path):
     """(1) the persisted band-value log equals the signatures derived
     from the kept docs' text; (2) a crafted near-dup of a kept doc is
