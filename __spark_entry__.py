@@ -587,6 +587,16 @@ def _q_vocab_df_idf(spark, sf_dir):
     )
 
 
+def _q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing: each doc's (start_seq,
+    seq_offset) in the fixed-length packed token stream, via the
+    partition-parallel exclusive prefix sum (never a global-sort
+    window)."""
+    from cuda_gis_smoothing_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"))
+
+
 def _q_sessionize(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import sessionize
 
@@ -880,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": _q_cross_source_dups,
         "decontaminated_corpus": _q_decontaminated_corpus,
         "vocab_df_idf": _q_vocab_df_idf,
+        "sequence_packing": _q_sequence_packing,
     }
     return qs
 
@@ -1498,6 +1509,25 @@ SELECT t AS token, CAST(df AS BIGINT) AS df,
        ROUND(ln(1.0 + (n.N - df + 0.5) / (df + 0.5)) + 1e-09, 6) AS idf
 FROM dfr, n
 WHERE df >= {_VOCAB_MIN_DF}
+""".strip()
+    from cuda_gis_smoothing_spark.operators.packing import PACK_SEQ_LEN
+
+    out["sequence_packing"] = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM d
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prefix // {PACK_SEQ_LEN} AS BIGINT) AS start_seq,
+       CAST(prefix % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+FROM p
 """.strip()
     return out
 

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "cross_source_dups",
     "decontaminated_corpus",
     "vocab_df_idf",
+    "sequence_packing",
 ]
 
 

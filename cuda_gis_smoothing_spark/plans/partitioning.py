@@ -68,6 +68,32 @@ def spatial_repartition(df: DataFrame, num_partitions: int | None = None) -> Dat
     )
 
 
+def _deterministic_buckets(
+    df: DataFrame, k0: str, parts: int, boundaries: str
+) -> DataFrame:
+    """Attach the deterministic ``_bkt`` range-bucket column the
+    partition-parallel order-statistics family (:func:`global_ranks`,
+    :func:`global_prefix_sums`) shares — a pure function of the DATA
+    (broadcast min/max or quantile cut points), never of physical
+    partitioning, so every consumer of the plan sees identical buckets
+    even when exchanges are not reused (see global_ranks' rationale)."""
+    if boundaries == "quantile":
+        qs = [i / parts for i in range(1, parts)]
+        cuts = sorted(set(df.approxQuantile(k0, qs, 0.001)))
+        bkt_expr = F.lit(0)
+        for c in cuts:
+            bkt_expr = bkt_expr + (F.col(k0) > F.lit(c)).cast("long")
+        return df.select(*df.columns, bkt_expr.alias("_bkt"))
+    elif boundaries == "uniform":
+        mm = df.agg(F.min(k0).alias("_lo"), F.max(k0).alias("_hi"))
+        width = F.greatest(
+            ((F.col("_hi") - F.col("_lo") + 1) / parts).cast("long") + 1, F.lit(1)
+        )
+        bkt = ((F.col(k0) - F.col("_lo")) / width).cast("long").alias("_bkt")
+        return df.crossJoin(F.broadcast(mm)).select(*df.columns, bkt)
+    raise ValueError("boundaries must be 'uniform' or 'quantile'")
+
+
 def global_ranks(
     df: DataFrame,
     order_cols: list[str],
@@ -105,23 +131,7 @@ def global_ranks(
     from pyspark.sql import Window
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    k0 = order_cols[0]
-    if boundaries == "quantile":
-        qs = [i / parts for i in range(1, parts)]
-        cuts = sorted(set(df.approxQuantile(k0, qs, 0.001)))
-        bkt_expr = F.lit(0)
-        for c in cuts:
-            bkt_expr = bkt_expr + (F.col(k0) > F.lit(c)).cast("long")
-        b = df.select(*df.columns, bkt_expr.alias("_bkt"))
-    elif boundaries == "uniform":
-        mm = df.agg(F.min(k0).alias("_lo"), F.max(k0).alias("_hi"))
-        width = F.greatest(
-            ((F.col("_hi") - F.col("_lo") + 1) / parts).cast("long") + 1, F.lit(1)
-        )
-        bkt = ((F.col(k0) - F.col("_lo")) / width).cast("long").alias("_bkt")
-        b = df.crossJoin(F.broadcast(mm)).select(*df.columns, bkt)
-    else:
-        raise ValueError("boundaries must be 'uniform' or 'quantile'")
+    b = _deterministic_buckets(df, order_cols[0], parts, boundaries)
     local = F.row_number().over(Window.partitionBy("_bkt").orderBy(*order_cols))
     ranked = b.select(*df.columns, "_bkt", local.alias("_lrank"))
     counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
@@ -133,6 +143,46 @@ def global_ranks(
     )
     return ranked.join(F.broadcast(off), "_bkt").select(
         *df.columns, (F.col("_lrank") + F.col("_off")).alias(out_col)
+    )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix",
+    num_partitions: int | None = None,
+    boundaries: str = "uniform",
+) -> DataFrame:
+    """EXCLUSIVE global running sum of ``value_col`` in ``order_cols``
+    order WITHOUT a global sort — the prefix-SUM sibling of
+    :func:`global_ranks` (same deterministic range buckets, same
+    O(num_buckets)-bounded single-partition step; shared rationale
+    there). Row i's output is the sum of all strictly-earlier rows'
+    values (0 for the first row) — the quantity sequence packing,
+    offset assignment and cumulative layouts need. Requires
+    ``order_cols`` to form a unique key with a numeric leading key;
+    integer values compose exactly across the two stages."""
+    from pyspark.sql import Window
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    b = _deterministic_buckets(df, order_cols[0], parts, boundaries)
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    summed = b.select(*df.columns, "_bkt", local.alias("_lsum"))
+    totals = b.groupBy("_bkt").agg(F.sum(value_col).alias("_n"))
+    # prefix sum over num_buckets rows — the ONLY single-partition
+    # step, structurally bounded by the bucket count, not the data
+    off = totals.select(
+        "_bkt",
+        (F.sum("_n").over(Window.orderBy("_bkt")) - F.col("_n")).alias("_off"),
+    )
+    return summed.join(F.broadcast(off), "_bkt").select(
+        *df.columns, (F.col("_lsum") + F.col("_off")).cast("long").alias(out_col)
     )
 
 

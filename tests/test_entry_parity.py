@@ -114,6 +114,8 @@ _HOSTILE_SAMPLE = [
     "dedup_containment",
     "decontaminated_corpus",
     "cross_source_dups",
+    # the bucketed prefix sum must not depend on partition counts
+    "sequence_packing",
 ]
 
 

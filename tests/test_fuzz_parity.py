@@ -63,6 +63,7 @@ DOC_GATES = [
     "cross_source_dups",
     "decontaminated_corpus",
     "vocab_df_idf",
+    "sequence_packing",
 ]
 
 

@@ -144,6 +144,59 @@ def test_global_ranks_vs_enumerate_random_keys(spark, boundaries):
     assert got == want
 
 
+@pytest.mark.parametrize("boundaries", ["uniform", "quantile"])
+def test_global_prefix_sums_vs_enumerate(spark, boundaries):
+    """global_prefix_sums == a Python running sum over the sorted rows
+    (exclusive), under negative keys, duplicate leading keys, zero
+    values, and a partition count that matches neither the data's nor
+    the bucket count — both boundary modes."""
+    from cuda_gis_smoothing_spark.plans.partitioning import global_prefix_sums
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(rng.integers(-300, 300)), i, int(rng.integers(0, 40)))
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, ["k", "uid", "v"]).repartition(9)
+    got = {
+        r["uid"]: r["pfx"]
+        for r in global_prefix_sums(
+            df, ["k", "uid"], "v", "pfx", num_partitions=7, boundaries=boundaries
+        ).collect()
+    }
+    want, acc = {}, 0
+    for _, uid, v in sorted(rows):
+        want[uid] = acc
+        acc += v
+    assert got == want
+
+
+def test_pack_sequences_vs_python(spark):
+    """pack_sequences == a Python concat-and-chunk walk in doc_id
+    order, including a doc that straddles a sequence boundary."""
+    from cuda_gis_smoothing_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (i, " ".join("w" for _ in range(int(rng.integers(1, 40)))))
+        for i in range(0, 400, 3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    L = 64
+    got = {
+        r.doc_id: (r.n_tokens, r.start_seq, r.seq_offset)
+        for r in pack_sequences(df, seq_len=L).collect()
+    }
+    acc, want, straddles = 0, {}, 0
+    for doc_id, text in sorted(rows):
+        n = len(text.split(" "))
+        want[doc_id] = (n, acc // L, acc % L)
+        straddles += (acc % L) + n > L
+        acc += n
+    assert got == want
+    assert straddles > 0  # boundary-straddling docs are exercised
+
+
 def test_scatter_int_vs_python_gather(spark):
     """Fixed-point scatter smoothing == a Python integer gather over
     the same ragged random grid (holes included)."""
