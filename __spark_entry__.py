@@ -597,6 +597,26 @@ def _q_sequence_packing(spark, sf_dir):
     return pack_sequences(load(spark, sf_dir, "documents"))
 
 
+def _q_packing_manifest(spark, sf_dir):
+    """The loader-facing fragment manifest: one row per (sequence, doc
+    fragment), straddling docs expanded via a bounded sequence
+    explode."""
+    from cuda_gis_smoothing_spark.operators.packing import packing_manifest
+
+    return packing_manifest(load(spark, sf_dir, "documents"))
+
+
+def _q_curate_packed(spark, sf_dir):
+    """Composition: the curated corpus (lang -> quality -> dedup ->
+    near-dup -> sample) laid out as fixed-length training sequences —
+    the end-to-end corpus-build-to-dataloader story as ONE gate."""
+    from cuda_gis_smoothing_spark.operators.curate import curate_corpus
+    from cuda_gis_smoothing_spark.operators.packing import pack_from_counts
+
+    curated = curate_corpus(load(spark, sf_dir, "documents"))
+    return pack_from_counts(curated.select("doc_id", "n_tokens"))
+
+
 def _q_sessionize(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import sessionize
 
@@ -891,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_corpus": _q_decontaminated_corpus,
         "vocab_df_idf": _q_vocab_df_idf,
         "sequence_packing": _q_sequence_packing,
+        "packing_manifest": _q_packing_manifest,
+        "curate_packed": _q_curate_packed,
     }
     return qs
 
@@ -1527,6 +1549,47 @@ p AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(prefix // {PACK_SEQ_LEN} AS BIGINT) AS start_seq,
        CAST(prefix % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+FROM p
+""".strip()
+    _L = PACK_SEQ_LEN
+    out["packing_manifest"] = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+p AS (
+  -- CAST: DuckDB's windowed SUM(int) is HUGEINT, which
+  -- generate_series rejects (the CLAUDE.md SUM->HUGEINT quirk)
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS prefix
+  FROM d
+),
+f AS (
+  SELECT doc_id, n_tokens, prefix,
+         unnest(generate_series(prefix // {_L}, (prefix + n_tokens - 1) // {_L})) AS seq_id
+  FROM p
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(GREATEST(seq_id * {_L}, prefix) - prefix AS BIGINT) AS doc_token_start,
+       CAST(GREATEST(seq_id * {_L}, prefix) - seq_id * {_L} AS BIGINT) AS seq_token_start,
+       CAST(LEAST((seq_id + 1) * {_L}, prefix + n_tokens)
+            - GREATEST(seq_id * {_L}, prefix) AS BIGINT) AS n_frag
+FROM f
+""".strip()
+    out["curate_packed"] = f"""
+WITH curated AS ({out["curate_corpus"]}),
+p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM curated
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prefix // {_L} AS BIGINT) AS start_seq,
+       CAST(prefix % {_L} AS BIGINT) AS seq_offset
 FROM p
 """.strip()
     return out

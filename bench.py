@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "decontaminated_corpus",
     "vocab_df_idf",
     "sequence_packing",
+    "packing_manifest",
+    "curate_packed",
 ]
 
 

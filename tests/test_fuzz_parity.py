@@ -64,6 +64,8 @@ DOC_GATES = [
     "decontaminated_corpus",
     "vocab_df_idf",
     "sequence_packing",
+    "packing_manifest",
+    "curate_packed",
 ]
 
 

@@ -197,6 +197,54 @@ def test_pack_sequences_vs_python(spark):
     assert straddles > 0  # boundary-straddling docs are exercised
 
 
+def test_packing_manifest_invariants(spark):
+    """Manifest fragments reassemble the packed stream exactly: every
+    FULL sequence's fragments sum to seq_len with contiguous
+    seq_token ranges, every doc's fragments cover 0..n_tokens in
+    order, and fragment placement matches pack_sequences."""
+    from cuda_gis_smoothing_spark.operators.packing import (
+        pack_sequences,
+        packing_manifest,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (i, " ".join("w" for _ in range(int(rng.integers(1, 90)))))
+        for i in range(0, 300, 2)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    L = 64
+    man = packing_manifest(df, seq_len=L).collect()
+    placed = {
+        r.doc_id: (r.n_tokens, r.start_seq, r.seq_offset)
+        for r in pack_sequences(df, seq_len=L).collect()
+    }
+    total = sum(n for n, _, _ in placed.values())
+    by_seq, by_doc = {}, {}
+    for r in man:
+        by_seq.setdefault(r.seq_id, []).append(r)
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_full = total // L
+    for s in range(n_full):
+        frs = sorted(by_seq[s], key=lambda r: r.seq_token_start)
+        assert sum(f.n_frag for f in frs) == L
+        pos = 0
+        for f in frs:
+            assert f.seq_token_start == pos  # no gaps, no overlaps
+            pos += f.n_frag
+    for doc_id, frs in by_doc.items():
+        frs = sorted(frs, key=lambda r: r.doc_token_start)
+        n, start_seq, seq_offset = placed[doc_id]
+        assert frs[0].doc_token_start == 0
+        assert frs[0].seq_id == start_seq
+        assert frs[0].seq_token_start == seq_offset
+        pos = 0
+        for f in frs:
+            assert f.doc_token_start == pos
+            pos += f.n_frag
+        assert pos == n  # full doc covered
+
+
 def test_scatter_int_vs_python_gather(spark):
     """Fixed-point scatter smoothing == a Python integer gather over
     the same ragged random grid (holes included)."""
