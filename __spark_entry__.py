@@ -409,6 +409,7 @@ def _q_bm25_search(spark, sf_dir):
     CORRECTNESS row gates the maintained path (identical to direct
     bm25_search: shared bm25_score_postings kernel, tested also
     multi-batch/after-update in tests/test_streaming_retrieval.py)."""
+    import shutil
     import tempfile
 
     from cuda_gis_smoothing_spark.streaming.retrieval import MaintainedPostings
@@ -416,9 +417,15 @@ def _q_bm25_search(spark, sf_dir):
     qdf = spark.createDataFrame(
         list(_BM25_QUERIES), "query_id long, term string"
     )
-    idx = MaintainedPostings(spark, tempfile.mkdtemp(prefix="bm25_idx_"))
+    state = tempfile.mkdtemp(prefix="bm25_idx_")
+    idx = MaintainedPostings(spark, state)
     idx.process_batch(load(spark, sf_dir, "documents"), 0)
-    return idx.search(qdf, k=10)
+    out = idx.search(qdf, k=10)
+    # search() reads the state through an EAGER localCheckpoint, so the
+    # returned plan no longer references the parquet dir — safe to GC
+    # now instead of leaking one postings copy per gate invocation
+    shutil.rmtree(state, ignore_errors=True)
+    return out
 
 
 def _q_curate_corpus(spark, sf_dir):
@@ -1088,7 +1095,8 @@ WITH h AS (
   FROM documents
 )
 SELECT doc_id, {", ".join(f"hits_{lg}" for lg in langs)},
-       {lang_case} AS pred_lang
+       CASE WHEN {" AND ".join(f"hits_{lg} IS NULL" for lg in langs)}
+            THEN 'und' ELSE {lang_case} END AS pred_lang
 FROM h
 """.strip(),
         "dedup_exact": _dedup_sql("md5(text)"),
@@ -1097,9 +1105,11 @@ FROM h
         ),
         "doc_fingerprint": f"""
 SELECT doc_id,
-       list_reduce(list_prepend(CAST(7 AS BIGINT),
-         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-         (acc, c) -> (acc * 131 + c) % {MH_PRIME}) AS fingerprint
+       CASE WHEN text IS NULL THEN NULL ELSE
+         list_reduce(list_prepend(CAST(7 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 131 + c) % {MH_PRIME})
+       END AS fingerprint
 FROM documents
 """.strip(),
         "minhash_signatures": f"""

@@ -30,7 +30,17 @@ def _group_dedup(df: DataFrame, key, id_col: str) -> DataFrame:
     same key (no sort on either side — plan-asserted in
     tests/test_plans.py). At 100 TB the group table is also exactly the
     "keep one canonical doc" output a dedup pipeline materializes.
+
+    NULL keys (NULL text → NULL digest): the join back is an equi-join,
+    which REJECTS NULL matches — without the sentinel coalesce below,
+    NULL-text rows would silently vanish from the Spark output while
+    the DuckDB window twin keeps them as one all-NULL partition (SQL
+    window PARTITION BY groups NULLs together). The non-hex sentinel
+    reproduces exactly that one-group semantic and cannot collide with
+    a real md5 (md5('') is a valid digest of empty text, a DIFFERENT
+    group in both engines).
     """
+    key = F.coalesce(key, F.lit("__null__"))
     keyed = df.select(F.col(id_col), key.alias("_k"))
     groups = keyed.groupBy("_k").agg(
         F.count(F.lit(1)).alias("dup_group_size"),
@@ -600,8 +610,16 @@ def containment_pairs(
     with its FULL postings — its intersection bound is relative to the
     OTHER doc's size, so no prefix is sufficient for it. The
     ``(n, id)``-lexicographic join condition assigns the roles. Zero
-    recall loss; one ``array_intersect`` per distinct candidate; the
-    posting join's parallelism pinned (the AQE blind spot).
+    recall loss w.r.t. the EXACT threshold; one ``array_intersect``
+    per distinct candidate; the posting join's parallelism pinned
+    (the AQE blind spot). Round6-boundary caveat (same class as the
+    jaccard prefix path, but systematic rather than noise): the
+    verify/twin threshold on the ROUNDED ratio admits a pair whose
+    exact ratio is up to ~5e-7 BELOW t (i = ceil(t·n)-1 rounding up
+    to t, possible only for n ≳ 4·10⁵ distinct tokens per doc); the
+    prefix bound is derived from the exact t, so such a pair could
+    lack a candidate. Out of range for bounded-length web documents;
+    derive the prefix from t - 1e-6 if docs that large ever appear.
 
     Skew caveat (inherent to containment, documented): the full-side
     postings keep hot tokens, so a stop-token contributes (its

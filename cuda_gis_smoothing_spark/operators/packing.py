@@ -35,6 +35,13 @@ def pack_from_counts(
     n_tokens, without re-reading text): ``(id, n_tokens, start_seq,
     seq_offset)``, all integer arithmetic."""
     L = int(seq_len)
+    # global_prefix_sums consumes its input through THREE differently-
+    # pruned subplans (min/max agg, windowed pass, per-bucket totals) —
+    # an expensive derived input (a curated corpus, a tokenize) would
+    # re-execute per consumer (the CLAUDE.md multi-consumer class;
+    # plan-verified: curate_packed ran the LSH drop stage ~3x before
+    # this). The counts table is 2 ints/doc — materialize it once.
+    d = d.select(F.col(id_col), F.col("n_tokens")).localCheckpoint()
     p = global_prefix_sums(d, [id_col], "n_tokens", out_col="_p")
     return p.select(
         id_col,
@@ -80,7 +87,9 @@ def packing_manifest(
     sequence's fragments sum to exactly ``seq_len`` tokens with no
     gaps. Pure integer arithmetic end to end."""
     L = int(seq_len)
-    p = global_prefix_sums(_counts(docs, id_col), [id_col], "n_tokens", out_col="_p")
+    # same multi-consumer materialization as pack_from_counts
+    counts = _counts(docs, id_col).localCheckpoint()
+    p = global_prefix_sums(counts, [id_col], "n_tokens", out_col="_p")
     first = F.expr(f"_p div {L}")
     last = F.expr(f"(_p + n_tokens - 1) div {L}")
     frags = p.select(

@@ -162,7 +162,13 @@ def global_prefix_sums(
     values (0 for the first row) — the quantity sequence packing,
     offset assignment and cumulative layouts need. Requires
     ``order_cols`` to form a unique key with a numeric leading key;
-    integer values compose exactly across the two stages."""
+    integer values compose exactly across the two stages.
+
+    Consumer note: the input feeds THREE differently-pruned subplans
+    (bucket min/max, the windowed pass, per-bucket totals) that
+    ReuseExchange cannot dedup — materialize an expensive DERIVED
+    input first (operators/packing does; the CLAUDE.md multi-consumer
+    re-execution class)."""
     from pyspark.sql import Window
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism

@@ -121,6 +121,11 @@ def _fuzz_corpus(seed: int = 20260816, n: int = 160):
         span = rand_text(10, 16)
         add(rand_text(3, 6) + " " + span)
         add(span + " " + rand_text(3, 6))
+    # NULL text: the class the ADVICE-r3 bm25 finding and the
+    # _group_dedup sentinel exist for — every doc gate must either
+    # handle it identically to its twin or filter it identically
+    rows.append((next_id(), None, "en", "src2", 0))
+    rows.append((next_id(), None, "de", "src0", 0))
     rng.shuffle(rows)
     return rows
 
