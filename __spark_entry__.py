@@ -624,6 +624,14 @@ def _q_curate_packed(spark, sf_dir):
     return pack_from_counts(curated.select("doc_id", "n_tokens"))
 
 
+def _q_events_daily_anomaly(spark, sf_dir):
+    """Per-(type, day) volume z-score vs the type's own daily
+    mean/stddev — aggregation-only, no windows (tie-proof)."""
+    from cuda_gis_smoothing_spark.operators.events import daily_anomaly
+
+    return daily_anomaly(load(spark, sf_dir, "events"))
+
+
 def _q_sessionize(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import sessionize
 
@@ -920,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "packing_manifest": _q_packing_manifest,
         "curate_packed": _q_curate_packed,
+        "events_daily_anomaly": _q_events_daily_anomaly,
     }
     return qs
 
@@ -1542,7 +1551,10 @@ SELECT t AS token, CAST(df AS BIGINT) AS df,
 FROM dfr, n
 WHERE df >= {_VOCAB_MIN_DF}
 """.strip()
+    from cuda_gis_smoothing_spark.operators.events import DAILY_ANOMALY_SQL
     from cuda_gis_smoothing_spark.operators.packing import PACK_SEQ_LEN
+
+    out["events_daily_anomaly"] = DAILY_ANOMALY_SQL
 
     out["sequence_packing"] = f"""
 WITH d AS (

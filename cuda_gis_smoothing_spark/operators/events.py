@@ -287,6 +287,50 @@ GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
 """.strip()
 
 
+def daily_anomaly(events: DataFrame) -> DataFrame:
+    """Per-(event_type, day) volume anomaly: the z-score of each day's
+    event count against that TYPE's own daily mean/stddev — the
+    routine ops check on an ingest pipeline ("did clicks crater on
+    Tuesday?").
+
+    Plan: one (type, day) hash aggregate (map-side combining), one
+    type-keyed aggregate over DAY-cardinality rows joined back
+    (broadcast — #types rows), then pure arithmetic; no windows, no
+    ordering, so tied timestamps cannot flake it. Sample stddev in
+    both engines; a single-day type (stddev NULL) or a constant type
+    (stddev 0) emits NULL z via NULLIF — identically cross-engine."""
+    day = day_str("ts")
+    daily = (
+        events.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n_events").alias("_mu"),
+        F.stddev("n_events").alias("_sd"),
+    )
+    z = (F.col("n_events") - F.col("_mu")) / F.expr("nullif(_sd, 0.0d)")
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type", "day", "n_events", round6(z).alias("z_score")
+    )
+
+
+DAILY_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, AVG(n_events) AS mu, STDDEV(n_events) AS sd
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, CAST(d.n_events AS BIGINT) AS n_events,
+       ROUND((d.n_events - st.mu) / NULLIF(st.sd, 0) + 1e-09, 6) AS z_score
+FROM daily d JOIN st USING (event_type)
+""".strip()
+
+
 def cumulative_users(events: DataFrame) -> DataFrame:
     """Cumulative distinct users by day ("users ever seen, to date") —
     the scale-safe formulation of a cumulative COUNT(DISTINCT).

@@ -33,6 +33,7 @@ EVENTS_GATES = [
     "events_cube",
     "cumulative_users",
     "user_sliding_avg",
+    "events_daily_anomaly",
 ]
 
 
