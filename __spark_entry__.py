@@ -167,6 +167,24 @@ def _q_ring2_cardinality(spark, sf_dir):
     )
 
 
+_SOURCE_QUOTA_CAP = 10
+
+
+def _q_source_quota(spark, sf_dir):
+    """Source balancing: keep each source's top-N docs by quality
+    (deterministic total order: round6 quality desc, doc_id)."""
+    from cuda_gis_smoothing_spark.operators.sampling import source_quota
+
+    return source_quota(
+        load(spark, sf_dir, "documents"), per_source_cap=_SOURCE_QUOTA_CAP
+    )
+
+
+def _q_hotspot_cells(spark, sf_dir):
+    """Getis-Ord-style neighborhood-sum z-score (hotspot detection)."""
+    return stats_ops.hotspot_zscore(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_locality(spark, sf_dir):
     return stats_ops.locality_metric(grid_from_lineitem(spark, sf_dir))
 
@@ -929,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_manifest": _q_packing_manifest,
         "curate_packed": _q_curate_packed,
         "events_daily_anomaly": _q_events_daily_anomaly,
+        "hotspot_cells": _q_hotspot_cells,
+        "source_quota": _q_source_quota,
     }
     return qs
 
@@ -1554,7 +1574,36 @@ WHERE df >= {_VOCAB_MIN_DF}
     from cuda_gis_smoothing_spark.operators.events import DAILY_ANOMALY_SQL
     from cuda_gis_smoothing_spark.operators.packing import PACK_SEQ_LEN
 
+    out["source_quota"] = f"""
+WITH q AS ({out["doc_quality"]})
+SELECT doc_id, source, quality_score, rank FROM (
+  SELECT q.doc_id, d.source, q.quality_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY q.quality_score DESC, q.doc_id
+         ) AS rank
+  FROM q JOIN documents d USING (doc_id)
+)
+WHERE rank <= {_SOURCE_QUOTA_CAP}
+""".strip()
     out["events_daily_anomaly"] = DAILY_ANOMALY_SQL
+    out["hotspot_cells"] = f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)}),
+loc AS (
+  SELECT c.cell,
+         COUNT(n.cell) + 1 AS n_local,
+         COALESCE(SUM(n.ndvi), 0) + ANY_VALUE(c.ndvi) AS local_sum
+  FROM cells4 c CROSS JOIN offsets o
+  LEFT JOIN cells4 n ON n.cell = c.cell + o.delta
+  GROUP BY c.cell
+),
+st AS (SELECT AVG(ndvi) AS mu, STDDEV(ndvi) AS sd FROM cells4)
+SELECT cell, CAST(n_local AS BIGINT) AS n_local,
+       ROUND(local_sum + 1e-09, 6) AS local_sum,
+       ROUND((local_sum - n_local * mu) / NULLIF(sd * sqrt(n_local), 0) + 1e-09, 6) AS z_score
+FROM loc, st
+""".strip()
 
     out["sequence_packing"] = f"""
 WITH d AS (

@@ -104,3 +104,36 @@ def quality_weighted_sample(docs: DataFrame) -> DataFrame:
         sample_hash_col("doc_id")
         < floor_stable(F.col("quality_score") * _DENOM)
     ).select("doc_id", "n_tokens", "quality_score")
+
+
+def source_quota(docs: DataFrame, per_source_cap: int = 50) -> DataFrame:
+    """Source balancing by quota: keep each source's top
+    ``per_source_cap`` docs by quality — the data-mixing step that
+    stops one crawl from dominating the blend (the hard-cap
+    counterpart of :func:`stratified_sample`'s rate-based form).
+
+    Output: ``(doc_id, source, quality_score, rank)``. Ordering is
+    (quality DESC, doc_id ASC) — quality is a round6'd double that
+    hash-matches across engines (the doc_quality gate), and doc_id
+    breaks ties, so the cut is a deterministic TOTAL order in both
+    engines (the cross-engine window rule).
+
+    Plan: one scan derives quality, one window per source partition.
+    Partition size = a source's doc count — at 100 TB with a
+    billion-doc source, pre-filter with an approximate per-source
+    quality threshold (approx quantile at 1 - cap/n) so the exact
+    window only ranks the near-threshold band; the gate corpus needs
+    no such band-pass."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.operators.curate import _with_quality_and_lang
+
+    q = _with_quality_and_lang(docs, "doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        q.select("doc_id", "source", "quality_score")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= per_source_cap)
+    )

@@ -51,6 +51,52 @@ def neighbor_stats(cells: DataFrame, k: int = 1) -> DataFrame:
     )
 
 
+def hotspot_zscore(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Getis-Ord-inspired hotspot score (simplified Gi*): per cell,
+    the z-score of its NEIGHBORHOOD SUM ({cell} ∪ valid ring-1
+    neighbors) against the global value distribution —
+    ``(S - n·μ) / (σ·√n)`` with corpus mean μ and sample stddev σ.
+    The classic local spatial-clustering detector ("where do high
+    values cluster?") re-expressed Spark-first: one k-ring equi-join
+    plus a 1-row broadcast of global stats, no windows. The full Gi*
+    denominator's finite-population correction ``√((N-n)/(N-1))`` is
+    deliberately omitted (documented simplification: it → 1 for
+    n ≪ N, and the statistic stays monotone in the same local sum, so
+    hotspot RANKING is unchanged).
+
+    Output: ``(cell, n_local, local_sum, z_score)``; isolated cells
+    (n_local = 1) score their own deviation. A zero-variance grid
+    yields NULL z via NULLIF — identically cross-engine."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    vals = cells.select(F.col("cell").alias("nbr"), F.col(value_col).alias("_v"))
+    nbrhood = (
+        valid_edges(cells, 1)
+        .select("cell", "nbr")
+        .unionByName(cells.select("cell", F.col("cell").alias("nbr")))
+    )
+    local = (
+        nbrhood.join(vals, "nbr")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_local"),
+            F.sum("_v").alias("_s"),
+        )
+    )
+    stats = cells.agg(
+        F.avg(value_col).alias("_mu"), F.stddev(value_col).alias("_sd")
+    )
+    z = (F.col("_s") - F.col("n_local") * F.col("_mu")) / F.expr(
+        "nullif(_sd * sqrt(n_local), 0.0d)"
+    )
+    return local.crossJoin(F.broadcast(stats)).select(
+        "cell",
+        "n_local",
+        round6(F.col("_s")).alias("local_sum"),
+        round6(z).alias("z_score"),
+    )
+
+
 #: measured window-vs-bucketed crossover (32 cores, see docstring)
 LOCALITY_WINDOW_MAX_ROWS = 10_000_000
 

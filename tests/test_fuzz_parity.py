@@ -66,6 +66,7 @@ DOC_GATES = [
     "sequence_packing",
     "packing_manifest",
     "curate_packed",
+    "source_quota",
 ]
 
 
