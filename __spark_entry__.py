@@ -465,6 +465,16 @@ def _q_dedup_components(spark, sf_dir):
     return neardup_components(load(spark, sf_dir, "documents"), max_hamming=1)
 
 
+def _q_embedding_components(spark, sf_dir):
+    """Semantic-dedup clusters: star CC over the banded embedding
+    near-dup graph, vs a recursive closure over the SAME banded SQL."""
+    from cuda_gis_smoothing_spark.operators.dedup import embedding_components
+
+    return embedding_components(
+        load(spark, sf_dir, "embeddings"), threshold=_EMB_BANDED_THRESHOLD
+    )
+
+
 def _q_dedup_canonicals(spark, sf_dir):
     """Quality-argmax canonical per near-dup component (the keep-the-
     best-copy step after component labeling); ties to the smallest id."""
@@ -949,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_anomaly": _q_events_daily_anomaly,
         "hotspot_cells": _q_hotspot_cells,
         "source_quota": _q_source_quota,
+        "embedding_components": _q_embedding_components,
     }
     return qs
 
@@ -1585,6 +1596,20 @@ SELECT doc_id, source, quality_score, rank FROM (
   FROM q JOIN documents d USING (doc_id)
 )
 WHERE rank <= {_SOURCE_QUOTA_CAP}
+""".strip()
+    out["embedding_components"] = f"""
+WITH RECURSIVE pairs AS ({_emb_banded_sql()}),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+)
+SELECT e.vec_id,
+       LEAST(e.vec_id, COALESCE(r.mn, e.vec_id)) AS component
+FROM embeddings e
+LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) r ON r.a = e.vec_id
 """.strip()
     out["events_daily_anomaly"] = DAILY_ANOMALY_SQL
     out["hotspot_cells"] = f"""

@@ -1057,9 +1057,29 @@ def neardup_components(
     pairs = simhash_pairs_banded(
         df, max_hamming=max_hamming, bits=bits, text_col=text_col, id_col=id_col
     )
-    edges = _canonical_edges(
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    ).localCheckpoint()
+    return star_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+        df.select(F.col(id_col)),
+        id_col=id_col,
+        max_rounds=max_rounds,
+        check_every=check_every,
+    )
+
+
+def star_components(
+    edge_pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_rounds: int = 16,
+    check_every: int = 2,
+) -> DataFrame:
+    """The large-star/small-star iteration over an ARBITRARY edge list
+    ``(a, b)`` — the generic core :func:`neardup_components` (simhash
+    graph) and :func:`embedding_components` (ANN graph) share. Every
+    node in ``nodes`` (single column ``id_col``) is labeled with the
+    smallest transitively-reachable id; isolated nodes label
+    themselves. Raises on non-convergence (see neardup_components)."""
+    edges = _canonical_edges(edge_pairs).localCheckpoint()
     converged = False
     for r in range(1, max_rounds + 1):
         nxt = _small_star(_large_star(edges)).localCheckpoint()
@@ -1080,12 +1100,32 @@ def neardup_components(
     # its component root (= component min)
     roots = edges.groupBy("a").agg(F.min("b").alias("component"))
     return (
-        df.select(F.col(id_col).alias("a"))
+        nodes.select(F.col(id_col).alias("a"))
         .join(roots, "a", "left")
         .select(
             F.col("a").alias(id_col),
             F.coalesce("component", F.col("a")).alias("component"),
         )
+    )
+
+
+def embedding_components(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Semantic-dedup clusters: connected components over the BANDED
+    embedding near-dup graph (:func:`embedding_neardup_pairs_banded`
+    edges at cosine ≥ ``threshold``) — the embedding-space analog of
+    :func:`neardup_components`, labeling every vector with its
+    cluster's smallest vec_id. The candidate graph is the banded one
+    (recall limits at low thresholds documented there); the DuckDB
+    twin composes the SAME banded pair SQL under a recursive closure,
+    so the gate checks the iterative star algorithm against recursive
+    SQL over an identical edge set."""
+    pairs = embedding_neardup_pairs_banded(emb, threshold=threshold)
+    return star_components(
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")),
+        emb.select(F.col(id_col)),
+        id_col=id_col,
     )
 
 
