@@ -185,6 +185,12 @@ def _q_hotspot_cells(spark, sf_dir):
     return stats_ops.hotspot_zscore(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_morans_i(spark, sf_dir):
+    """Global Moran's I over ring-1 contiguity (spatial
+    autocorrelation)."""
+    return stats_ops.morans_i(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_locality(spark, sf_dir):
     return stats_ops.locality_metric(grid_from_lineitem(spark, sf_dir))
 
@@ -960,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_cells": _q_hotspot_cells,
         "source_quota": _q_source_quota,
         "embedding_components": _q_embedding_components,
+        "morans_i": _q_morans_i,
     }
     return qs
 
@@ -1610,6 +1617,24 @@ SELECT e.vec_id,
        LEAST(e.vec_id, COALESCE(r.mn, e.vec_id)) AS component
 FROM embeddings e
 LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) r ON r.a = e.vec_id
+""".strip()
+    out["morans_i"] = f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)}),
+mu AS (SELECT AVG(ndvi) AS mu FROM cells4),
+dev AS (SELECT cell, ndvi - mu.mu AS d FROM cells4, mu),
+cr AS (
+  SELECT COUNT(*) AS W, SUM(a.d * b.d) AS num
+  FROM cells4 c CROSS JOIN offsets o
+  JOIN cells4 n ON n.cell = c.cell + o.delta
+  JOIN dev a ON a.cell = c.cell
+  JOIN dev b ON b.cell = n.cell
+),
+dn AS (SELECT COUNT(*) AS n, SUM(d * d) AS den FROM dev)
+SELECT CAST(dn.n AS BIGINT) AS n_cells,
+       CAST(cr.W AS BIGINT) AS total_edges,
+       ROUND((dn.n * 1.0 / cr.W) * cr.num / dn.den + 1e-09, 6) AS morans_i
+FROM cr, dn
 """.strip()
     out["events_daily_anomaly"] = DAILY_ANOMALY_SQL
     out["hotspot_cells"] = f"""

@@ -97,6 +97,54 @@ def hotspot_zscore(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def morans_i(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Global Moran's I — THE spatial-autocorrelation statistic ("is
+    the surface clustered, random, or dispersed?"), binary ring-1
+    contiguity weights:
+
+        I = (n / W) · Σ_ij (x_i − μ)(x_j − μ) / Σ_i (x_i − μ)²
+
+    with W = total directed valid edges. One row out:
+    ``(n_cells, total_edges, morans_i)``.
+
+    Spark shape: the cross-product term needs each edge's BOTH
+    endpoint deviations — one k-ring equi-join at edge cardinality
+    (the smoothing join's shape), then everything collapses to 1-row
+    aggregates; μ is a 1-row broadcast. No windows, no iteration.
+    The expected value under the null, −1/(n−1), is a trivial
+    derivation for the caller; the z-score's variance formula (E[I²])
+    needs only the same aggregates plus edge-degree counts — left out
+    to keep the gate arithmetic minimal."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    mu = cells.agg(F.avg(value_col).alias("_mu"))
+    dev = cells.crossJoin(F.broadcast(mu)).select(
+        "cell", (F.col(value_col) - F.col("_mu")).alias("_d")
+    )
+    e = valid_edges(cells, 1).select("cell", "nbr")
+    cross = (
+        e.join(dev, "cell")
+        .join(
+            dev.select(F.col("cell").alias("nbr"), F.col("_d").alias("_dn")),
+            "nbr",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_W"),
+            F.sum(F.col("_d") * F.col("_dn")).alias("_num"),
+        )
+    )
+    den = dev.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(F.col("_d") * F.col("_d")).alias("_den")
+    )
+    return cross.crossJoin(F.broadcast(den)).select(
+        F.col("_n").cast("long").alias("n_cells"),
+        F.col("_W").cast("long").alias("total_edges"),
+        round6(
+            (F.col("_n") / F.col("_W")) * F.col("_num") / F.col("_den")
+        ).alias("morans_i"),
+    )
+
+
 #: measured window-vs-bucketed crossover (32 cores, see docstring)
 LOCALITY_WINDOW_MAX_ROWS = 10_000_000
 

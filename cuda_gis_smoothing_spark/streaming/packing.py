@@ -67,7 +67,14 @@ class IncrementalPacker:
         if self.totals_log.has(batch_id):
             return  # crash replay of an applied batch: no-op
         L = self.seq_len
-        counts = _counts(docs, self.id_col).localCheckpoint()
+        # accept either raw docs (tokenize) or pre-counted rows — the
+        # incremental curator's curated output carries n_tokens but no
+        # text, so a curate→pack streaming chain feeds counts directly
+        if "n_tokens" in docs.columns and "text" not in docs.columns:
+            counts = docs.select(F.col(self.id_col), F.col("n_tokens").cast("long").alias("n_tokens"))
+        else:
+            counts = _counts(docs, self.id_col)
+        counts = counts.localCheckpoint()
         base = self._base()
         p = global_prefix_sums(counts, [self.id_col], "n_tokens", out_col="_p")
         placed = p.select(
