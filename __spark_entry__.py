@@ -666,6 +666,23 @@ def _q_events_daily_anomaly(spark, sf_dir):
     return daily_anomaly(load(spark, sf_dir, "events"))
 
 
+def _q_doc_tfidf(spark, sf_dir):
+    """Sparse TF-IDF document vectors (coordinate form)."""
+    from cuda_gis_smoothing_spark.functions.text import doc_tfidf
+
+    return doc_tfidf(load(spark, sf_dir, "documents"))
+
+
+_FEATURE_DIM = 64
+
+
+def _q_feature_hashing(spark, sf_dir):
+    """Hashing-trick sparse doc vectors, L2-normalized per doc."""
+    from cuda_gis_smoothing_spark.functions.text import feature_hashed_vectors
+
+    return feature_hashed_vectors(load(spark, sf_dir, "documents"), dim=_FEATURE_DIM)
+
+
 def _q_sessionize(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import sessionize
 
@@ -967,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "embedding_components": _q_embedding_components,
         "morans_i": _q_morans_i,
+        "doc_tfidf": _q_doc_tfidf,
+        "feature_hashing": _q_feature_hashing,
     }
     return qs
 
@@ -1635,6 +1654,32 @@ SELECT CAST(dn.n AS BIGINT) AS n_cells,
        CAST(cr.W AS BIGINT) AS total_edges,
        ROUND((dn.n * 1.0 / cr.W) * cr.num / dn.den + 1e-09, 6) AS morans_i
 FROM cr, dn
+""".strip()
+    out["doc_tfidf"] = """
+WITH occ AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+tf AS (SELECT doc_id, t AS token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+dfr AS (SELECT token, COUNT(*) * 1.0 AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) * 1.0 AS N FROM documents WHERE text IS NOT NULL)
+SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+       ROUND(tf.tf * ln(1.0 + (n.N - dfr.df + 0.5) / (dfr.df + 0.5)) + 1e-09, 6) AS tfidf
+FROM tf JOIN dfr USING (token), n
+""".strip()
+    out["feature_hashing"] = f"""
+WITH occ AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+b AS (SELECT doc_id, {token_hash_sql_duckdb("t")} % {_FEATURE_DIM} AS dim_index FROM occ),
+c AS (SELECT doc_id, dim_index, COUNT(*) * 1.0 AS c FROM b GROUP BY 1, 2),
+nm AS (SELECT doc_id, SQRT(SUM(c * c)) AS nrm FROM c GROUP BY doc_id)
+SELECT c.doc_id, CAST(c.dim_index AS BIGINT) AS dim_index,
+       ROUND(c.c / nm.nrm + 1e-09, 6) AS weight
+FROM c JOIN nm USING (doc_id)
 """.strip()
     out["events_daily_anomaly"] = DAILY_ANOMALY_SQL
     out["hotspot_cells"] = f"""

@@ -89,6 +89,13 @@ BENCH_QUERIES = [
     "sequence_packing",
     "packing_manifest",
     "curate_packed",
+    "source_quota",
+    "events_daily_anomaly",
+    "hotspot_cells",
+    "morans_i",
+    "embedding_components",
+    "doc_tfidf",
+    "feature_hashing",
 ]
 
 

@@ -188,3 +188,81 @@ SELECT occ.doc_id,
 FROM occ JOIN c USING (t) CROSS JOIN tot
 GROUP BY occ.doc_id
 """.strip()
+
+
+def doc_tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sparse TF-IDF document vectors: one row per (doc, distinct
+    token) with ``tfidf = tf · idf``, tf the doc's occurrence count
+    and idf the repo's BM25-style smoothing
+    ``ln(1 + (N − df + .5)/(df + .5))`` over N = docs with text —
+    the vectorization step feeding classic similarity/classification.
+    Sparse (coordinate) output is deliberate: a dense array column in
+    SQL would need per-element correlated derivation in the twin,
+    while the sparse form is the SAME explode→agg→join dataflow in
+    both engines — and at 100 TB the sparse postings ARE the storage
+    format (the dense form is a downstream reshape).
+
+    Plan: one token explode, a (doc, token) tf aggregate, a token df
+    aggregate (vocab-sized, materialized once), a 1-row broadcast N.
+    Output: (doc_id, token, tf, tfidf)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    occ = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = occ.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("_df"))
+        .localCheckpoint()
+    )
+    n = df.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("_N")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(id_col, "token", "tf", round6(F.col("tf") * idf).alias("tfidf"))
+    )
+
+
+def feature_hashed_vectors(
+    df: DataFrame, dim: int = 64, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hashing-trick (feature-hashing) document vectors in sparse
+    coordinate form: token occurrences are bucketed by
+    ``portable_token_hash % dim``; each (doc, dim_index) weight is the
+    bucket's occurrence count L2-normalized per doc — the fixed-width,
+    vocabulary-free featurization (Weinberger et al.) used when a
+    learned embedding is unavailable or the vocab is unbounded. The
+    hash is the repo's polynomial token hash (engine-portable), NEVER
+    an engine-private hash, so the twin buckets identically.
+
+    Output: (doc_id, dim_index, weight) — sparse; at most ``dim`` rows
+    per doc. Plan: explode → (doc, bucket) count → per-doc norm via a
+    second doc-keyed aggregate joined back (no windows)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.dedup import token_hash_col
+
+    occ = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t")
+    ).where(F.col("t") != "")
+    bucketed = occ.select(
+        id_col, F.pmod(token_hash_col("t"), F.lit(dim)).alias("dim_index")
+    )
+    counts = bucketed.groupBy(id_col, "dim_index").agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    )
+    norms = counts.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("_c") * F.col("_c"))).alias("_nrm")
+    )
+    return counts.join(norms, id_col).select(
+        id_col,
+        F.col("dim_index").cast("long").alias("dim_index"),
+        round6(F.col("_c") / F.col("_nrm")).alias("weight"),
+    )

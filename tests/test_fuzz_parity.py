@@ -67,6 +67,8 @@ DOC_GATES = [
     "packing_manifest",
     "curate_packed",
     "source_quota",
+    "doc_tfidf",
+    "feature_hashing",
 ]
 
 
