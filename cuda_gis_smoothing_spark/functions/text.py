@@ -159,7 +159,7 @@ def doc_unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "do
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
     occ = df.select(
-        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t")
+        id_col, F.explode(tokens_col(text_col)).alias("t")
     ).where(F.col("t") != "")
     counts = occ.groupBy("t").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint()
     total = counts.agg(F.sum("_c").alias("_s"))
@@ -208,7 +208,7 @@ def doc_tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
     occ = df.select(
-        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+        id_col, F.explode(tokens_col(text_col)).alias("token")
     ).where(F.col("token") != "")
     tf = occ.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -250,14 +250,17 @@ def feature_hashed_vectors(
     from cuda_gis_smoothing_spark.operators.dedup import token_hash_col
 
     occ = df.select(
-        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t")
+        id_col, F.explode(tokens_col(text_col)).alias("t")
     ).where(F.col("t") != "")
     bucketed = occ.select(
         id_col, F.pmod(token_hash_col("t"), F.lit(dim)).alias("dim_index")
     )
+    # counts feeds BOTH the norm aggregate and the final join — the
+    # multi-consumer class again; at ≤ dim rows per doc the checkpoint
+    # stages almost nothing and halves the corpus token passes
     counts = bucketed.groupBy(id_col, "dim_index").agg(
         F.count(F.lit(1)).cast("double").alias("_c")
-    )
+    ).localCheckpoint()
     norms = counts.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("_c") * F.col("_c"))).alias("_nrm")
     )

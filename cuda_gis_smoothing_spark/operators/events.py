@@ -304,6 +304,12 @@ def daily_anomaly(events: DataFrame) -> DataFrame:
         events.select("event_type", day.alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        # daily feeds BOTH the stats aggregate and the final join —
+        # differently pruned, so unmaterialized the events table is
+        # scanned+aggregated twice (the CLAUDE.md multi-consumer
+        # class; measured 2 FileScans). The table is #types × #days
+        # rows — materialize it.
+        .localCheckpoint()
     )
     stats = daily.groupBy("event_type").agg(
         F.avg("n_events").alias("_mu"),

@@ -45,11 +45,13 @@ class IncrementalPacker:
         seq_len: int = PACK_SEQ_LEN,
         id_col: str = "doc_id",
         compact_every: int = 8,
+        strict_unique: bool = True,
     ):
         self.spark = spark
         self.seq_len = int(seq_len)
         self.id_col = id_col
         self.compact_every = compact_every
+        self.strict_unique = strict_unique
         self.placed_log = SnapshotLog(
             spark, os.path.join(state_root, "placed"), key=id_col
         )
@@ -75,6 +77,33 @@ class IncrementalPacker:
         else:
             counts = _counts(docs, self.id_col)
         counts = counts.localCheckpoint()
+        # unique-doc_id contract ENFORCED, not assumed (review-pass r4):
+        # a re-ingested id would be latest-wins-overwritten in the
+        # placed log while totals still advanced by its tokens — an
+        # orphaned hole in already-written shards, silent layout
+        # corruption. The probe is an id-keyed semi-join against the
+        # doc-keyed state (ids only, columnar scan), bounded by state
+        # size; disable via strict_unique=False when the caller proves
+        # uniqueness upstream (the curator chain does) and the state
+        # scan matters.
+        if self.strict_unique:
+            # before_batch_id: a crash replay re-processes a batch
+            # whose placed delta already landed — those ids are the
+            # batch's OWN rows, not a re-ingest
+            prior = self.placed_log.read(before_batch_id=batch_id)
+            if prior is not None and (
+                counts.join(
+                    prior.select(self.id_col), self.id_col, "left_semi"
+                )
+                .limit(1)
+                .count()
+                > 0
+            ):
+                raise ValueError(
+                    "IncrementalPacker: doc_id re-ingest detected — packed "
+                    "placements are immutable (shards are already written); "
+                    "dedup upstream or use fresh ids"
+                )
         base = self._base()
         p = global_prefix_sums(counts, [self.id_col], "n_tokens", out_col="_p")
         placed = p.select(

@@ -55,6 +55,27 @@ def test_delta_is_o_batch_and_earlier_placement_immutable(spark, tmp_path):
     assert before <= after and len(after) == len(before) + 3
 
 
+def test_reingested_doc_id_raises(spark, tmp_path):
+    """Packed placements are immutable (shards already written): a
+    doc_id reappearing in a later batch would be latest-wins-
+    overwritten while totals advanced by its tokens — an orphaned
+    hole. The strict_unique guard must refuse the batch; with the
+    guard off the caller owns the contract."""
+    import pytest
+
+    docs = _docs(spark)
+    pk = IncrementalPacker(spark, str(tmp_path / "state"))
+    first = docs.orderBy("doc_id").limit(5)
+    pk.process_batch(first, 0)
+    with pytest.raises(ValueError, match="re-ingest"):
+        pk.process_batch(first.limit(1), 1)
+    # the refused batch left no state: replaying with fresh ids works
+    assert not pk.totals_log.has(1)
+    fresh = first.limit(1).withColumn("doc_id", F.col("doc_id") + 900000)
+    pk.process_batch(fresh, 1)
+    assert pk.totals_log.has(1)
+
+
 def test_crash_between_placed_and_totals_writes(spark, tmp_path):
     import shutil
 
