@@ -503,6 +503,13 @@ def _q_knn_cosine(spark, sf_dir):
     return cosine_knn(emb, queries, k=5)
 
 
+def _q_knn_graph(spark, sf_dir):
+    """Exact corpus-wide k-NN graph via the blocked triangle join."""
+    from cuda_gis_smoothing_spark.operators.similarity import knn_graph
+
+    return knn_graph(load(spark, sf_dir, "embeddings"), k=5)
+
+
 def _q_knn_lsh(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.similarity import lsh_bucketed_knn
 
@@ -986,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": _q_morans_i,
         "doc_tfidf": _q_doc_tfidf,
         "feature_hashing": _q_feature_hashing,
+        "knn_graph": _q_knn_graph,
     }
     return qs
 
@@ -1680,6 +1688,21 @@ nm AS (SELECT doc_id, SQRT(SUM(c * c)) AS nrm FROM c GROUP BY doc_id)
 SELECT c.doc_id, CAST(c.dim_index AS BIGINT) AS dim_index,
        ROUND(c.c / nm.nrm + 1e-09, 6) AS weight
 FROM c JOIN nm USING (doc_id)
+""".strip()
+    out["knn_graph"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM p
+)
+WHERE rank <= 5
 """.strip()
     out["events_daily_anomaly"] = DAILY_ANOMALY_SQL
     out["hotspot_cells"] = f"""

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "embedding_components",
     "doc_tfidf",
     "feature_hashing",
+    "knn_graph",
 ]
 
 

@@ -269,6 +269,62 @@ def ivf_knn(
     return ranked.where(F.col("rank") <= k).select(query_id_col, "neighbor_id", "rank")
 
 
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact k-NN GRAPH over the whole corpus — every vector's top-k
+    cosine neighbors, the similarity-graph builder semantic
+    clustering/dedup pipelines materialize. Output:
+    ``(vec_id, neighbor_id, cosine, rank)``.
+
+    Unlike :func:`cosine_knn` (which broadcasts a SMALL query side),
+    the self-graph has no small side — so the pairwise cosines come
+    from the BLOCKED triangle equi-join
+    (operators/dedup.embedding_neardup_pairs with the threshold open:
+    balanced ~B²/2 hash tasks, parallelism pinned, no
+    broadcast-of-corpus, no nested-loop node), each unordered pair
+    computed once and exploded into both directions for the per-vector
+    top-k window. Ranking is on the ROUND6'd cosine with neighbor_id
+    tie-break — a cross-engine total order (raw-double ordering can
+    legally differ in the last ulp between engines). The N²/2 work is
+    inherent to the exact graph; the recall-traded scale paths are
+    :func:`ivf_knn` / :func:`lsh_bucketed_knn` per query batch."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.operators.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        embeddings, threshold=-2.0, id_col=id_col, n_blocks=n_blocks
+    )
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias(id_col),
+                    F.col("vec_b").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias(id_col),
+                    F.col("vec_a").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("_e")
+    ).select(f"_e.{id_col}", "_e.neighbor_id", "_e.cosine")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def ivf_knn_trained(
     embeddings: DataFrame,
     queries: DataFrame,
