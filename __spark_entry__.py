@@ -180,6 +180,34 @@ def _q_source_quota(spark, sf_dir):
     )
 
 
+def _q_source_dedup_stats(spark, sf_dir):
+    """Per-source duplication report (dataset-card marginal)."""
+    from cuda_gis_smoothing_spark.operators.curate import source_dedup_stats
+
+    return source_dedup_stats(load(spark, sf_dir, "documents"))
+
+
+_DECILES = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def _q_quality_deciles(spark, sf_dir):
+    """Exact corpus quality-score deciles (the threshold-picking
+    table) — Spark percentile == DuckDB quantile_cont bit-for-bit
+    (the value_percentiles precedent)."""
+    from cuda_gis_smoothing_spark.operators.curate import _with_quality_and_lang
+
+    q = _with_quality_and_lang(load(spark, sf_dir, "documents"), "doc_id")
+    qs = ", ".join(str(x) for x in _DECILES)
+    p = q.agg(F.expr(f"percentile(quality_score, array({qs}))").alias("_p"))
+    pos = F.posexplode("_p")
+    return p.select(pos).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in _DECILES]), F.col("pos") + 1
+        ).alias("q"),
+        round6("col").alias("quality"),
+    )
+
+
 def _q_hotspot_cells(spark, sf_dir):
     """Getis-Ord-style neighborhood-sum z-score (hotspot detection)."""
     return stats_ops.hotspot_zscore(grid_from_lineitem(spark, sf_dir))
@@ -994,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": _q_doc_tfidf,
         "feature_hashing": _q_feature_hashing,
         "knn_graph": _q_knn_graph,
+        "source_dedup_stats": _q_source_dedup_stats,
+        "quality_deciles": _q_quality_deciles,
     }
     return qs
 
@@ -1703,6 +1733,24 @@ SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
   FROM p
 )
 WHERE rank <= 5
+""".strip()
+    out["source_dedup_stats"] = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*) + 1e-09, 6) AS dup_rate
+FROM documents WHERE text IS NOT NULL
+GROUP BY source
+""".strip()
+    _dec = ", ".join(str(x) for x in _DECILES)
+    _dec_d = ", ".join(flit(x) for x in _DECILES)
+    out["quality_deciles"] = f"""
+WITH q AS ({out["doc_quality"]}),
+g AS (SELECT quantile_cont(quality_score, [{_dec}]) AS p FROM q)
+SELECT u.q, ROUND(u.v + 1e-09, 6) AS quality
+FROM g, LATERAL (
+  SELECT unnest([{_dec_d}]) AS q, unnest(p) AS v
+) u
 """.strip()
     out["events_daily_anomaly"] = DAILY_ANOMALY_SQL
     out["hotspot_cells"] = f"""

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "doc_tfidf",
     "feature_hashing",
     "knn_graph",
+    "source_dedup_stats",
+    "quality_deciles",
 ]
 
 

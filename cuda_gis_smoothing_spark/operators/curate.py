@@ -541,6 +541,23 @@ def decontaminated_corpus(
     )
 
 
+def source_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-source duplication report: doc count, distinct-text count
+    and duplicate rate — the dataset-card number a source-priority
+    decision starts from (:func:`cross_source_dups` is the pairwise
+    cross-source view; this is the within-source marginal). One hash
+    aggregate on (source, digest) semantics via COUNT(DISTINCT);
+    NULL-text rows are excluded symmetrically in both engines."""
+    d = docs.where(F.col("text").isNotNull())
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        round6(
+            1.0 - F.countDistinct(F.md5("text")) / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )
+
+
 def _overlap_affine_pairs(n: int) -> list[tuple[int, int]]:
     """Deterministic affine family ((a, b) with a odd, both < MH_PRIME)
     extending the 6 fixed MinHash pairs to arbitrary n — generated by

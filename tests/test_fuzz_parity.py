@@ -69,6 +69,8 @@ DOC_GATES = [
     "source_quota",
     "doc_tfidf",
     "feature_hashing",
+    "source_dedup_stats",
+    "quality_deciles",
 ]
 
 
