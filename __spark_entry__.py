@@ -208,6 +208,14 @@ def _q_quality_deciles(spark, sf_dir):
     )
 
 
+def _q_cell_edges(spark, sf_dir):
+    """The materialized valid adjacency (cell, nbr, ring) — the
+    reference's CSR neighbor structure as a first-class table (k=2:
+    both rings, border-clipped by the semi-join)."""
+    cells = grid_from_lineitem(spark, sf_dir)
+    return stats_ops.valid_edges(cells, 2).select("cell", "nbr", "ring")
+
+
 def _q_hotspot_cells(spark, sf_dir):
     """Getis-Ord-style neighborhood-sum z-score (hotspot detection)."""
     return stats_ops.hotspot_zscore(grid_from_lineitem(spark, sf_dir))
@@ -1024,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _q_knn_graph,
         "source_dedup_stats": _q_source_dedup_stats,
         "quality_deciles": _q_quality_deciles,
+        "cell_edges": _q_cell_edges,
     }
     return qs
 
@@ -1751,6 +1760,19 @@ SELECT u.q, ROUND(u.v + 1e-09, 6) AS quality
 FROM g, LATERAL (
   SELECT unnest([{_dec_d}]) AS q, unnest(p) AS v
 ) u
+""".strip()
+    out["cell_edges"] = f"""
+WITH {GRID_CELLS_SQL},
+o1 (delta) AS (VALUES {_vals(_R1)}),
+o2 (delta) AS (VALUES {_vals(_R2)}),
+offs AS (
+  SELECT delta, 1 AS ring FROM o1
+  UNION ALL
+  SELECT delta, 2 AS ring FROM o2
+)
+SELECT c.cell, n.cell AS nbr, CAST(o.ring AS INT) AS ring
+FROM cells4 c CROSS JOIN offs o
+JOIN cells4 n ON n.cell = c.cell + o.delta
 """.strip()
     out["events_daily_anomaly"] = DAILY_ANOMALY_SQL
     out["hotspot_cells"] = f"""

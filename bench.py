@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "knn_graph",
     "source_dedup_stats",
     "quality_deciles",
+    "cell_edges",
 ]
 
 
