@@ -142,6 +142,35 @@ def test_exact_dedup_has_no_sort(spark):
         assert "Window" not in plan
 
 
+def test_knn_graph_and_containment_have_no_nested_loop(spark):
+    """The two newest pair-join operators must keep the equi-join
+    discipline with broadcast disabled (the 100 TB regime): knn_graph
+    routes through the blocked triangle join, containment_pairs
+    through the asymmetric prefix/full posting join — never a
+    BroadcastNestedLoop or CartesianProduct node."""
+    from cuda_gis_smoothing_spark.operators.dedup import containment_pairs
+    from cuda_gis_smoothing_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j) % 9}" for j in range(6))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df in (
+            ("knn_graph", knn_graph(emb, k=3)),
+            ("containment_pairs", containment_pairs(docs, threshold=0.8, block_col=None)),
+        ):
+            plan = _plan(df)
+            assert "BroadcastNestedLoop" not in plan, name
+            assert "CartesianProduct" not in plan, name
+            assert "Exchange hashpartitioning" in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_embedding_neardup_has_no_nested_loop(spark):
     """Both embedding near-dup paths must plan as hash-partitioned
     equi-joins: the exact verifier through the blocked triangle join,
