@@ -192,20 +192,12 @@ _DECILES = tuple(round(0.1 * i, 1) for i in range(1, 10))
 
 def _q_quality_deciles(spark, sf_dir):
     """Exact corpus quality-score deciles (the threshold-picking
-    table) — Spark percentile == DuckDB quantile_cont bit-for-bit
-    (the value_percentiles precedent)."""
+    table) — the shared percentile kernel, ungrouped."""
     from cuda_gis_smoothing_spark.operators.curate import _with_quality_and_lang
+    from cuda_gis_smoothing_spark.operators.events import percentile_explode
 
     q = _with_quality_and_lang(load(spark, sf_dir, "documents"), "doc_id")
-    qs = ", ".join(str(x) for x in _DECILES)
-    p = q.agg(F.expr(f"percentile(quality_score, array({qs}))").alias("_p"))
-    pos = F.posexplode("_p")
-    return p.select(pos).select(
-        F.element_at(
-            F.array(*[F.lit(x) for x in _DECILES]), F.col("pos") + 1
-        ).alias("q"),
-        round6("col").alias("quality"),
-    )
+    return percentile_explode(q, "quality_score", _DECILES, out_value="quality")
 
 
 def _q_cell_edges(spark, sf_dir):
@@ -1751,16 +1743,11 @@ SELECT source,
 FROM documents WHERE text IS NOT NULL
 GROUP BY source
 """.strip()
-    _dec = ", ".join(str(x) for x in _DECILES)
-    _dec_d = ", ".join(flit(x) for x in _DECILES)
-    out["quality_deciles"] = f"""
-WITH q AS ({out["doc_quality"]}),
-g AS (SELECT quantile_cont(quality_score, [{_dec}]) AS p FROM q)
-SELECT u.q, ROUND(u.v + 1e-09, 6) AS quality
-FROM g, LATERAL (
-  SELECT unnest([{_dec_d}]) AS q, unnest(p) AS v
-) u
-""".strip()
+    from cuda_gis_smoothing_spark.operators.events import percentile_sql
+
+    out["quality_deciles"] = percentile_sql(
+        out["doc_quality"], "quality_score", _DECILES, out_value="quality"
+    )
     out["cell_edges"] = f"""
 WITH {GRID_CELLS_SQL},
 o1 (delta) AS (VALUES {_vals(_R1)}),

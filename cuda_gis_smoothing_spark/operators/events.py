@@ -505,40 +505,85 @@ PIVOT_SQL = (
 PCT_QS = (0.25, 0.5, 0.75, 0.9)
 
 
-def value_percentiles(events: DataFrame) -> DataFrame:
-    """EXACT per-type percentiles of ``value`` (Spark ``percentile``
-    and DuckDB ``quantile_cont`` share linear-interpolation semantics,
-    verified bit-identical on the fixture). Exact percentiles sort each
-    group — fine for bounded group counts; the 100 TB path for
-    high-cardinality groups is ``approx_percentile`` (not cross-engine
-    gate-able, its sketch is engine-private)."""
-    qs = ", ".join(str(q) for q in PCT_QS)
-    p = events.groupBy("event_type").agg(
-        F.expr(f"percentile(value, array({qs}))").alias("_p")
-    )
+def percentile_explode(
+    df: DataFrame,
+    value_col: str,
+    fractions: tuple[float, ...],
+    group_cols: tuple[str, ...] = (),
+    out_value: str = "value",
+) -> DataFrame:
+    """EXACT percentile table ``(*group_cols, q, <out_value>)`` —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    linear-interpolation semantics (verified bit-identical on the
+    fixture), so this is the ONE cross-engine-sensitive percentile
+    kernel (:func:`value_percentiles` and the quality_deciles gate
+    both route through it — two copies could drift independently).
+    Exact percentiles sort each group — fine for bounded group counts;
+    the 100 TB path for high-cardinality groups is
+    ``approx_percentile`` (not cross-engine gate-able, its sketch is
+    engine-private). A group whose values are all NULL (or an empty
+    ungrouped input) yields NO rows — percentile returns NULL and
+    posexplode(NULL) emits nothing; :func:`percentile_sql` guards the
+    twin to match."""
+    qs = ", ".join(str(q) for q in fractions)
+    agg = F.expr(f"percentile({value_col}, array({qs}))").alias("_p")
+    p = df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
     pos = F.posexplode("_p")
-    return p.select("event_type", pos).select(
-        "event_type",
-        F.element_at(F.array(*[F.lit(q) for q in PCT_QS]), F.col("pos") + 1).alias("q"),
-        round6("col").alias("value"),
+    return p.select(*group_cols, pos).select(
+        *group_cols,
+        F.element_at(
+            F.array(*[F.lit(q) for q in fractions]), F.col("pos") + 1
+        ).alias("q"),
+        round6("col").alias(out_value),
+    )
+
+
+def percentile_sql(
+    source_sql: str,
+    value_col: str,
+    fractions: tuple[float, ...],
+    group_cols: tuple[str, ...] = (),
+    out_value: str = "value",
+) -> str:
+    """DuckDB twin builder for :func:`percentile_explode`. The
+    ``u.v IS NOT NULL`` guard is load-bearing: with an empty (or
+    all-NULL) input the aggregate still produces one row with p =
+    NULL, and the LATERAL zip pads the fraction list against it —
+    emitting len(fractions) NULL rows where Spark emits zero (found
+    by the r4 review pass on the first UNGROUPED use, where the
+    divergence is actually reachable)."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
+    qs = ", ".join(str(q) for q in fractions)
+    qs_d = ", ".join(flit(q) for q in fractions)
+    gsel = "".join(f"{g}, " for g in group_cols)
+    gby = f" GROUP BY {', '.join(group_cols)}" if group_cols else ""
+    return f"""
+WITH src AS ({source_sql}),
+g AS (
+  SELECT {gsel}quantile_cont({value_col}, [{qs}]) AS p
+  FROM src{gby}
+)
+SELECT {gsel}u.q, ROUND(u.v + 1e-09, 6) AS {out_value}
+FROM g, LATERAL (
+  SELECT unnest([{qs_d}]) AS q, unnest(p) AS v
+) u
+WHERE u.v IS NOT NULL
+""".strip()
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Per-type exact percentiles of ``value`` — see
+    :func:`percentile_explode` for the cross-engine contract."""
+    return percentile_explode(
+        events, "value", PCT_QS, group_cols=("event_type",)
     )
 
 
 def value_percentiles_sql() -> str:
-    from cuda_gis_smoothing_spark.functions.numeric import flit
-
-    qs = ", ".join(str(q) for q in PCT_QS)
-    qs_d = ", ".join(flit(q) for q in PCT_QS)
-    return f"""
-WITH g AS (
-  SELECT event_type, quantile_cont(value, [{qs}]) AS p
-  FROM events GROUP BY event_type
-)
-SELECT event_type, u.q, ROUND(u.v + 1e-09, 6) AS value
-FROM g, LATERAL (
-  SELECT unnest([{qs_d}]) AS q, unnest(p) AS v
-) u
-""".strip()
+    return percentile_sql(
+        "SELECT * FROM events", "value", PCT_QS, group_cols=("event_type",)
+    )
 
 
 def asof_attribute(
