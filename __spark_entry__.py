@@ -934,7 +934,53 @@ def _q_smooth_strict_k2(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER matters: the driver gates only the FIRST 50 entries, so
+    # never-driver-checked gates (all r4 additions + the r3 overflow) and any
+    # new round's gates go at the FRONT (VERDICT r4 item 1).  The r1-r3 gates
+    # that already have driver CORRECTNESS rows sit at the back; the in-repo
+    # sf0.01 replica (tests/test_entry_parity.py) still covers all of them.
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "funnel_conversion": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "events_rollup": _q_events_rollup,
+        "user_moving_avg": _q_user_moving_avg,
+        "value_percentiles": _q_value_percentiles,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_banded": _q_dedup_embedding_banded,
+        "dedup_embedding_probed": _q_dedup_embedding_probed,
+        "salted_aggregate": _q_salted_aggregate,
+        "cumulative_users": _q_cumulative_users,
+        "user_sliding_avg": _q_user_sliding_avg,
+        "events_cube": _q_events_cube,
+        "region_revenue": _q_region_revenue,
+        "top_customers": _q_top_customers,
+        "doc_logprob": _q_doc_logprob,
+        "dedup_canonicals": _q_dedup_canonicals,
+        "table_profile": _q_table_profile,
+        "events_pivot": _q_events_pivot,
+        "tile_pyramid": _q_tile_pyramid,
+        "pip_regions": _q_pip_regions,
+        "knn_cells": _q_knn_cells,
+        "dedup_normalized": _q_dedup_normalized,
+        "dedup_containment": _q_dedup_containment,
+        "cross_source_dups": _q_cross_source_dups,
+        "decontaminated_corpus": _q_decontaminated_corpus,
+        "vocab_df_idf": _q_vocab_df_idf,
+        "sequence_packing": _q_sequence_packing,
+        "packing_manifest": _q_packing_manifest,
+        "curate_packed": _q_curate_packed,
+        "events_daily_anomaly": _q_events_daily_anomaly,
+        "hotspot_cells": _q_hotspot_cells,
+        "source_quota": _q_source_quota,
+        "embedding_components": _q_embedding_components,
+        "morans_i": _q_morans_i,
+        "doc_tfidf": _q_doc_tfidf,
+        "feature_hashing": _q_feature_hashing,
+        "knn_graph": _q_knn_graph,
+        "source_dedup_stats": _q_source_dedup_stats,
+        "quality_deciles": _q_quality_deciles,
+        "cell_edges": _q_cell_edges,
+        # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
         "smooth_gaussian_k2": _rounded_smooth("gaussian_k2", ("ndvi",)),
@@ -985,46 +1031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _q_asof_attribution,
         "range_join_followups": _q_range_join,
         "top_event_types": _q_top_event_types,
-        "funnel_conversion": _q_funnel,
-        "cohort_retention": _q_cohort_retention,
-        "events_rollup": _q_events_rollup,
-        "user_moving_avg": _q_user_moving_avg,
-        "value_percentiles": _q_value_percentiles,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_banded": _q_dedup_embedding_banded,
-        "dedup_embedding_probed": _q_dedup_embedding_probed,
-        "salted_aggregate": _q_salted_aggregate,
-        "cumulative_users": _q_cumulative_users,
-        "user_sliding_avg": _q_user_sliding_avg,
-        "events_cube": _q_events_cube,
-        "region_revenue": _q_region_revenue,
-        "top_customers": _q_top_customers,
-        "doc_logprob": _q_doc_logprob,
-        "dedup_canonicals": _q_dedup_canonicals,
-        "table_profile": _q_table_profile,
-        "events_pivot": _q_events_pivot,
-        "tile_pyramid": _q_tile_pyramid,
-        "pip_regions": _q_pip_regions,
-        "knn_cells": _q_knn_cells,
-        "dedup_normalized": _q_dedup_normalized,
-        "dedup_containment": _q_dedup_containment,
-        "cross_source_dups": _q_cross_source_dups,
-        "decontaminated_corpus": _q_decontaminated_corpus,
-        "vocab_df_idf": _q_vocab_df_idf,
-        "sequence_packing": _q_sequence_packing,
-        "packing_manifest": _q_packing_manifest,
-        "curate_packed": _q_curate_packed,
-        "events_daily_anomaly": _q_events_daily_anomaly,
-        "hotspot_cells": _q_hotspot_cells,
-        "source_quota": _q_source_quota,
-        "embedding_components": _q_embedding_components,
-        "morans_i": _q_morans_i,
-        "doc_tfidf": _q_doc_tfidf,
-        "feature_hashing": _q_feature_hashing,
-        "knn_graph": _q_knn_graph,
-        "source_dedup_stats": _q_source_dedup_stats,
-        "quality_deciles": _q_quality_deciles,
-        "cell_edges": _q_cell_edges,
     }
     return qs
 
