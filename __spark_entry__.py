@@ -473,9 +473,11 @@ def _q_bm25_search(spark, sf_dir):
     idx = MaintainedPostings(spark, state)
     idx.process_batch(load(spark, sf_dir, "documents"), 0)
     out = idx.search(qdf, k=10)
-    # search() reads the state through an EAGER localCheckpoint, so the
-    # returned plan no longer references the parquet dir — safe to GC
-    # now instead of leaking one postings copy per gate invocation
+    # search() reads the state through an EAGER localCheckpoint (pinned
+    # explicitly there — localCheckpoint(eager=True) — as a contract for
+    # exactly this pattern), so the returned plan no longer references
+    # the parquet dir — safe to GC now instead of leaking one postings
+    # copy per gate invocation
     shutil.rmtree(state, ignore_errors=True)
     return out
 

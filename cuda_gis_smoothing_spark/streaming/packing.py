@@ -87,6 +87,24 @@ class IncrementalPacker:
         # uniqueness upstream (the curator chain does) and the state
         # scan matters.
         if self.strict_unique:
+            # the batch itself must be id-unique too: two rows sharing an
+            # id would both receive placements and advance totals by both
+            # token counts, yet latest-wins collapses them to one row in
+            # the placed log — the same orphaned-hole corruption via the
+            # intra-batch path (ADVICE r4)
+            if (
+                counts.groupBy(self.id_col)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+                > 0
+            ):
+                raise ValueError(
+                    "IncrementalPacker: duplicate doc_id within the batch — "
+                    "placements must be per unique id; dedup upstream or "
+                    "use fresh ids"
+                )
             # before_batch_id: a crash replay re-processes a batch
             # whose placed delta already landed — those ids are the
             # batch's OWN rows, not a re-ingest

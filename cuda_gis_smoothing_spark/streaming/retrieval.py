@@ -17,7 +17,12 @@ entire posting slice plus its length, derived by the SAME
 * a re-ingested doc_id REPLACES its old postings via latest-wins —
   document update is one delta row, no read-modify-write of term
   state (a term-keyed layout would need df decrements for the old
-  text; doc-keyed gets updates for free);
+  text; doc-keyed gets updates for free). A NULL-text re-ingest gets
+  an explicit TOMBSTONE row (empty ``_post``, ``_dl = 0``) — zero
+  emitted rows would leave the stale postings alive under latest-wins
+  (ADVICE r4); ``search`` filters tombstones so the doc vanishes from
+  postings AND the (N, avgdl) statistics, matching ``bm25_search``
+  over the equivalently updated corpus;
 * crash replay is the standard SnapshotLog contract: ``has(batch_id)``
   short-circuits, delta writes are idempotent per batch id. One log,
   one write per batch — no multi-log write-order window to defend
@@ -83,7 +88,23 @@ class MaintainedPostings:
                 F.sum("_tf").alias("_dl"),
             )
         )
-        self.log.write_delta(per_doc, batch_id)
+        # NULL-text docs explode to ZERO postings rows (doc_postings
+        # contract) — without an explicit row, latest-wins would keep a
+        # previously-ingested version's postings alive. Emit a tombstone
+        # (empty _post, _dl=0) per such id so the update removes the doc.
+        tombstones = (
+            docs.select(self.id_col)
+            .distinct()
+            .join(per_doc.select(self.id_col), self.id_col, "left_anti")
+            .select(
+                self.id_col,
+                F.expr(
+                    "CAST(array() AS array<struct<term:string,_tf:double>>)"
+                ).alias("_post"),
+                F.lit(0.0).alias("_dl"),
+            )
+        )
+        self.log.write_delta(per_doc.unionByName(tombstones), batch_id)
         if self.log.delta_count() >= self.compact_every:
             self.log.compact(batch_id)
 
@@ -114,7 +135,14 @@ class MaintainedPostings:
         t = self.doc_table()
         if t is None:
             raise ValueError("MaintainedPostings: empty index (no batches applied)")
-        t = t.localCheckpoint()  # one state read feeds post + dl + stats
+        # tombstoned docs (NULL-text update) leave postings AND the
+        # (N, avgdl) statistics — size() > 0 also handles a NULL array
+        t = t.where(F.size("_post") > 0)
+        # eager=True is a CONTRACT, not a default: callers (the
+        # bm25_search gate) may delete the state directory as soon as
+        # this plan is built, relying on the checkpoint having already
+        # materialized the one state read that feeds post + dl + stats.
+        t = t.localCheckpoint(eager=True)
         post = t.select(self.id_col, F.explode("_post").alias("_p")).select(
             self.id_col, "_p.term", F.col("_p._tf").alias("_tf")
         )

@@ -76,6 +76,26 @@ def test_reingested_doc_id_raises(spark, tmp_path):
     assert pk.totals_log.has(1)
 
 
+def test_intra_batch_duplicate_doc_id_raises(spark, tmp_path):
+    """Duplicate ids WITHIN a batch bypass the prior-state probe but
+    corrupt the layout the same way (both rows get placements and
+    advance totals, latest-wins keeps one placed row — an orphaned
+    hole). The strict_unique guard must refuse the batch before any
+    state is written (ADVICE r4)."""
+    import pytest
+
+    docs = _docs(spark)
+    pk = IncrementalPacker(spark, str(tmp_path / "state"))
+    one = docs.orderBy("doc_id").limit(1)
+    dup_batch = one.unionByName(one)
+    with pytest.raises(ValueError, match="within the batch"):
+        pk.process_batch(dup_batch, 0)
+    # the refused batch left no state on EITHER log
+    assert not pk.totals_log.has(0) and not pk.placed_log.has(0)
+    pk.process_batch(one, 0)  # the deduped batch proceeds normally
+    assert pk.totals_log.has(0)
+
+
 def test_crash_between_placed_and_totals_writes(spark, tmp_path):
     import shutil
 

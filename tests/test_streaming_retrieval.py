@@ -91,6 +91,33 @@ def test_doc_update_replaces_postings(spark, tmp_path):
     assert [(r.term, r._tf) for r in row] == [("join", 1.0), ("spark", 3.0)]
 
 
+def test_null_text_update_tombstones_doc(spark, tmp_path):
+    """A re-ingest that NULLs a doc's text must REMOVE it from the
+    index (ADVICE r4): zero emitted postings rows would leave the old
+    slice alive under latest-wins, so process_batch writes an explicit
+    tombstone and search() excludes it from postings AND (N, avgdl)."""
+    docs = _docs(spark)
+    idx = MaintainedPostings(spark, str(tmp_path / "state"))
+    idx.process_batch(docs, 0)
+    victim = (
+        docs.where(F.col("text").isNotNull()).orderBy("doc_id").limit(1).collect()[0]
+    )
+    update = spark.createDataFrame(
+        [(victim.doc_id, None, victim.lang, victim.source, 0)], DOCS_SCHEMA
+    )
+    idx.process_batch(update, 1)
+    # the stored postings no longer contain the doc
+    assert (
+        idx.postings().where(F.col("doc_id") == victim.doc_id).count() == 0
+    )
+    # search equals batch bm25_search over the corpus with the doc's
+    # text nulled (which bm25_search drops from the index entirely)
+    updated_corpus = docs.where(F.col("doc_id") != victim.doc_id).unionByName(update)
+    got = _search_set(idx.search(_queries(spark), k=25))
+    want = _search_set(bm25_search(updated_corpus, _queries(spark), k=25))
+    assert got == want and len(want) > 0
+
+
 def test_replay_of_applied_batch_is_noop(spark, tmp_path):
     docs = _docs(spark)
     idx = MaintainedPostings(spark, str(tmp_path / "state"))
