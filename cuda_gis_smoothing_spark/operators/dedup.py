@@ -590,6 +590,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     block_col: str | None = "lang",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Token-set CONTAINMENT near-dup pairs:
     ``round6(|A∩B| / min(|A|,|B|)) >= threshold``, output
@@ -621,12 +622,20 @@ def containment_pairs(
     lack a candidate. Out of range for bounded-length web documents;
     derive the prefix from t - 1e-6 if docs that large ever appear.
 
-    Skew caveat (inherent to containment, documented): the full-side
-    postings keep hot tokens, so a stop-token contributes (its
-    prefix-side docs) × (its full df) candidate rows — unlike the
-    two-sided-prefix jaccard join. At scale either drop stop-tokens
-    from the token sets upstream or cap df (the bm25_search ``max_df``
-    precedent); the gate corpus needs neither.
+    Skew lever (``max_df``, the bm25_search precedent): the full-side
+    postings keep hot tokens — unlike the two-sided-prefix jaccard
+    join — so a stop-token contributes (its prefix-side docs) × (its
+    full df) candidate rows into ONE join task. ``max_df`` drops
+    tokens whose per-block document frequency exceeds the cap from the
+    FULL postings side before the join, bounding every join key's
+    fan-out by (prefix df) × ``max_df``. Candidate generation only:
+    verification still intersects FULL token arrays, so every
+    surviving pair's containment value is exact and unchanged. With
+    ``max_df`` ≥ the corpus' true max df the output is IDENTICAL (no
+    token dropped — tested); below it, a pair whose every shared
+    prefix-qualifying token is capped leaves the result — the standard
+    stop-list recall trade, callers pick the cap. The default (None)
+    disables the cap so the gate twin needs no mirror.
     """
     toks = _doc_tokens(df, text_col, id_col, block_col)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
@@ -637,7 +646,19 @@ def containment_pairs(
         .join(sizes, id_col)
         .localCheckpoint()
     )
-    full = toks.join(sizes, id_col).localCheckpoint()
+    full = toks.join(sizes, id_col)
+    if max_df is not None:
+        # per-(block, token) df, matching the join keys below — the
+        # anti-join input is the vocab table (tiny next to postings)
+        gkeys = ([block_col] if block_col else []) + ["t"]
+        hot = (
+            toks.groupBy(*gkeys)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > float(max_df))
+            .select(*gkeys)
+        )
+        full = full.join(hot, gkeys, "left_anti")
+    full = full.localCheckpoint()
     join_keys = ["t"] + ([block_col] if block_col else [])
     parts = df.sparkSession.sparkContext.defaultParallelism
     a = pp.repartition(parts, *join_keys).alias("a")

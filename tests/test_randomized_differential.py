@@ -119,6 +119,69 @@ def test_prefix_containment_vs_bruteforce_random_docs(spark, seed):
     assert got == want
 
 
+def test_containment_max_df_cap(spark):
+    """The stop-token skew lever on the asymmetric containment join
+    (VERDICT r4 #2; bm25_search max_df is the template). Corpus with a
+    universal token 'the' (df = corpus size):
+    (a) max_df >= true max df: output IDENTICAL to the uncapped run;
+    (b) max_df below the hot token's df: exactly the pairs whose ONLY
+        shared token is the hot one leave the result (the documented
+        stop-list recall trade); every surviving pair's containment
+        value is unchanged (verification intersects FULL token sets);
+    (c) the fan-out bound: under the cap every token remaining on the
+        full postings side has df <= cap, so a join key's input is
+        <= (its prefix df) x cap rows — the per-task bound one
+        stop-token would otherwise break with (prefix df) x N."""
+    from cuda_gis_smoothing_spark.operators.dedup import containment_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(18)]
+    docs = []
+    for i in range(50):
+        k = int(rng.integers(2, 10))
+        toks = rng.choice(vocab, size=k, replace=True)
+        docs.append((i, " ".join(toks) + " the"))  # 'the' in EVERY doc
+    # a pair above threshold whose ONLY shared token is the hot one:
+    # E = {the} strictly inside F -> containment 1.0 via 'the' alone
+    docs.append((100, "the"))
+    docs.append((101, "the zq1 zq2"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    thr = 0.7
+    n_docs = len(docs)
+
+    def run(cap):
+        return {
+            (r.doc_a, r.doc_b, r.containment)
+            for r in containment_pairs(
+                df, threshold=thr, block_col=None, max_df=cap
+            ).collect()
+        }
+
+    uncapped = run(None)
+    assert (100, 101, 1.0) in uncapped
+    # (a) cap at the true max df (the universal token): unchanged
+    assert run(n_docs) == uncapped
+    # (b) cap excludes exactly the hot token from the full side
+    cap = n_docs - 1
+    capped = run(cap)
+    sets = {i: set(t.split()) for i, t in docs}
+    only_hot = {
+        (a, b, c)
+        for (a, b, c) in uncapped
+        if sets[a] & sets[b] == {"the"}
+    }
+    assert (100, 101, 1.0) in only_hot  # the constructed casualty is live
+    assert capped == uncapped - only_hot
+    # (c) analytic fan-out bound: every token surviving on the full
+    # side has df <= cap (the hot key is gone)
+    dfreq = {}
+    for s in sets.values():
+        for t in s:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    assert max(v for t, v in dfreq.items() if v <= cap) <= cap
+    assert dfreq["the"] == n_docs > cap  # the skew really existed
+
+
 @pytest.mark.parametrize("boundaries", ["uniform", "quantile"])
 def test_global_ranks_vs_enumerate_random_keys(spark, boundaries):
     """global_ranks == sorted enumerate under negative keys, duplicate
