@@ -540,6 +540,20 @@ def _q_knn_graph(spark, sf_dir):
     return knn_graph(load(spark, sf_dir, "embeddings"), k=5)
 
 
+def _q_knn_graph_ivf(spark, sf_dir):
+    """Approximate (IVF-blocked) corpus k-NN graph — the scale path of
+    knn_graph (candidates from each vector's probed buckets, never
+    N^2/2). Seeded centroids keep the whole bucket/probe/rank plumbing
+    SQL-expressible for the twin; recall vs the exact graph is
+    pytest-gated."""
+    from cuda_gis_smoothing_spark.operators.similarity import knn_graph_ivf
+
+    _ensure_shipped(spark)  # pandas UDFs run in py workers
+    return knn_graph_ivf(
+        load(spark, sf_dir, "embeddings"), k=5, n_centroids=8, n_probe=2
+    )
+
+
 def _q_knn_lsh(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.similarity import lsh_bucketed_knn
 
@@ -982,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dedup_stats": _q_source_dedup_stats,
         "quality_deciles": _q_quality_deciles,
         "cell_edges": _q_cell_edges,
+        # --- new in r5 (keep inside the driver's 50-entry window) ---------
+        "knn_graph_ivf": _q_knn_graph_ivf,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -1735,6 +1751,39 @@ p AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) AS cosine
   FROM n a JOIN n b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM p
+)
+WHERE rank <= 5
+""".strip()
+    out["knn_graph_ivf"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         emb AS cemb, SQRT(list_dot_product(emb, emb)) AS cnrm
+  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT n.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm) DESC, c.cid
+         ) AS rk
+  FROM n CROSS JOIN cent c
+),
+bucket AS (SELECT vec_id, cid AS bucket FROM assign WHERE rk = 1),
+probe AS (SELECT vec_id, cid AS bucket FROM assign WHERE rk <= 2),
+p AS (
+  SELECT pr.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.emb, x.emb) / (q.nrm * x.nrm) + 1e-09, 6) AS cosine
+  FROM probe pr
+  JOIN bucket b ON b.bucket = pr.bucket AND b.vec_id <> pr.vec_id
+  JOIN n q ON q.vec_id = pr.vec_id
+  JOIN n x ON x.vec_id = b.vec_id
 )
 SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
   SELECT vec_id, neighbor_id, cosine,

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "doc_tfidf",
     "feature_hashing",
     "knn_graph",
+    "knn_graph_ivf",
     "source_dedup_stats",
     "quality_deciles",
     "cell_edges",

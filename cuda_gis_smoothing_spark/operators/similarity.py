@@ -325,6 +325,139 @@ def knn_graph(
     )
 
 
+def _probe_buckets_udf(spark, cents, n_probe: int):
+    """Vectorized ``n_probe``-nearest-centroid assignment (broadcast +
+    numpy matmul per Arrow batch; STABLE argsort so exact
+    centroid-similarity ties take the lowest cid, matching the SQL
+    twins' ``ORDER BY sim DESC, cid``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+
+    def _probe(emb):
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        sims = m @ bc.value.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    _probe.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_probe, T.ArrayType(T.IntegerType()))
+
+
+def knn_graph_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+    centroids=None,
+) -> DataFrame:
+    """Approximate (IVF-blocked) k-NN GRAPH — the operator a 100 TB
+    semantic-dedup pipeline actually runs (the exact
+    :func:`knn_graph` is its recall oracle): per-vector top-k cosine
+    restricted to IVF candidates, i.e. :func:`ivf_knn` semantics with
+    the WHOLE corpus as the query side, built WITHOUT broadcasting the
+    corpus. Output ``(vec_id, neighbor_id, cosine, rank)`` — the exact
+    graph's schema; recall@k vs it is pytest-gated at two scales.
+
+    Semantics (SQL-expressible so the driver twin checks the full
+    bucket/probe/rank plumbing): centroids default to the
+    ``n_centroids`` smallest-id vectors (the seeded quantizer the
+    ``knn_ivf`` gate already proves cross-engine; pass ``centroids``
+    from :func:`train_centroids` for trained recall — plumbing
+    identical); every vector RESIDES in its nearest bucket and PROBES
+    its ``n_probe`` nearest; vector v's candidates are the residents
+    of v's probed buckets; cosine is exact over candidates, ranked on
+    the ROUND6'd value with neighbor_id tie-break (a cross-engine
+    total order).
+
+    Scale shape: ONE corpus scan computes the probe list per vector
+    (vectorized matmul; the resident bucket is its first element),
+    localCheckpoint'ed because the resident and probe sides project it
+    differently (two consumers would re-run the scan + UDF — the
+    multi-consumer re-execution class). The candidate join is EQUI on
+    ``(bucket, block)``: residents hash-block into ``n_blocks``, each
+    probe row replicates across blocks — a hot bucket's pair work
+    spreads over ``n_blocks`` tasks (per-task ~|bucket|²·n_probe/
+    n_blocks) instead of one, at n_blocks× probe-row shuffle
+    replication (probe rows are (id, emb, nrm) — corpus-linear, the
+    same trade :func:`embedding_neardup_pairs` makes). Parallelism is
+    PINNED with user repartition on both sides: the block keys are
+    byte-tiny, so AQE would coalesce the shuffle and run every dot
+    product on one core. No broadcast-of-corpus, no nested-loop node
+    (plan-asserted); candidate work is Σ_buckets |bucket|·(probes into
+    it) ≈ N·avg_bucket·n_probe vs the exact graph's N²/2.
+    """
+    import numpy as np
+
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    spark = embeddings.sparkSession
+    if centroids is None:
+        seeds = (
+            embeddings.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col("embedding").cast("array<double>"))
+            .collect()
+        )
+        cents = np.asarray([r[0] for r in seeds], dtype=np.float64)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+    probe_udf = _probe_buckets_udf(spark, cents, n_probe)
+    base = (
+        with_norm(embeddings, "embedding")
+        .select(
+            F.col(id_col),
+            "_emb",
+            "_nrm",
+            probe_udf(F.col("_emb")).alias("_probes"),
+        )
+        .localCheckpoint()
+    )
+    resident = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_emb").alias("c_emb"),
+        F.col("_nrm").alias("c_nrm"),
+        F.element_at("_probes", 1).alias("bucket"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    probe = base.select(
+        F.col(id_col),
+        F.col("_emb").alias("q_emb"),
+        F.col("_nrm").alias("q_nrm"),
+        F.explode("_probes").alias("bucket"),
+    ).select(
+        id_col,
+        "q_emb",
+        "q_nrm",
+        "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_blk"),
+    )
+    parts = spark.sparkContext.defaultParallelism
+    pairs = (
+        probe.repartition(parts, "bucket", "_blk")
+        .join(resident.repartition(parts, "bucket", "_blk"), ["bucket", "_blk"])
+        .where(F.col("neighbor_id") != F.col(id_col))
+    )
+    cos = round6(dot_col("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(id_col, "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col, "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def ivf_knn_trained(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -149,7 +149,7 @@ def test_knn_graph_and_containment_have_no_nested_loop(spark):
     through the asymmetric prefix/full posting join — never a
     BroadcastNestedLoop or CartesianProduct node."""
     from cuda_gis_smoothing_spark.operators.dedup import containment_pairs
-    from cuda_gis_smoothing_spark.operators.similarity import knn_graph
+    from cuda_gis_smoothing_spark.operators.similarity import knn_graph, knn_graph_ivf
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     docs = spark.createDataFrame(
@@ -161,6 +161,7 @@ def test_knn_graph_and_containment_have_no_nested_loop(spark):
     try:
         for name, df in (
             ("knn_graph", knn_graph(emb, k=3)),
+            ("knn_graph_ivf", knn_graph_ivf(emb, k=3)),
             ("containment_pairs", containment_pairs(docs, threshold=0.8, block_col=None)),
         ):
             plan = _plan(df)
