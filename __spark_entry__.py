@@ -658,25 +658,28 @@ _VOCAB_MIN_DF = 2
 
 def _q_vocab_df_idf(spark, sf_dir):
     """The corpus vocabulary table (token, df, idf) above a df floor —
-    the materialized statistics BM25/stop-listing read. One distinct
-    (doc, token) aggregation + a 1-row broadcast N; idf is the repo's
-    BM25 convention ln(1 + (N - df + .5)/(df + .5))."""
-    from cuda_gis_smoothing_spark.operators.dedup import _doc_tokens
+    the materialized statistics BM25/stop-listing read, served from the
+    MAINTAINED dfreq + stats logs: the corpus folds into a fresh
+    single-batch MaintainedPostings and the vocabulary is read from its
+    term-keyed df log (zero postings aggregation at read time), so this
+    CORRECTNESS row gates the maintained-statistics path every round
+    (multi-batch/after-update equality vs the batch rebuild is in
+    tests/test_streaming_retrieval.py). idf is the repo's BM25
+    convention ln(1 + (N - df + .5)/(df + .5))."""
+    import shutil
+    import tempfile
 
-    docs = load(spark, sf_dir, "documents")
-    toks = _doc_tokens(docs, "text", "doc_id", None)
-    df_tab = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    n = docs.where(F.col("text").isNotNull()).agg(
-        F.count(F.lit(1)).cast("double").alias("_N")
-    )
-    idf = F.log(
-        F.lit(1.0) + (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    return (
-        df_tab.where(F.col("df") >= _VOCAB_MIN_DF)
-        .crossJoin(F.broadcast(n))
-        .select(F.col("t").alias("token"), "df", round6(idf).alias("idf"))
-    )
+    from cuda_gis_smoothing_spark.streaming.retrieval import MaintainedPostings
+
+    _ensure_shipped(spark)
+    state = tempfile.mkdtemp(prefix="vocab_idx_")
+    idx = MaintainedPostings(spark, state)
+    idx.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = idx.vocab_df_idf(min_df=_VOCAB_MIN_DF)
+    # vocab_df_idf reads state through an EAGER localCheckpoint (its
+    # documented contract) — safe to GC the state dir now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
 
 
 def _q_sequence_packing(spark, sf_dir):

@@ -204,26 +204,32 @@ def bm25_score_postings(
     b: float = BM25_B,
     max_df: int | None = None,
     dl: DataFrame | None = None,
+    dfreq: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Score a ``(query_id, term)`` table against a POSTINGS table
     ``(id, term, _tf)`` — the scoring kernel :func:`bm25_search` and
     the maintained index (streaming/retrieval.MaintainedPostings)
     share, so the two paths cannot drift. ``dl`` optionally supplies
-    the per-doc length table ``(id, _dl)`` (the maintained index
-    stores it doc-keyed, saving one postings aggregation); derived
-    from ``post`` when None."""
+    the per-doc length table ``(id, _dl)``, ``dfreq`` the per-term
+    ``(term, _df)`` document frequencies, and ``stats`` the 1-row
+    ``(_N, _avgdl)`` summary (the maintained index stores all three,
+    so its search aggregates NOTHING over postings); each derives
+    from ``post``/``dl`` when None."""
     from cuda_gis_smoothing_spark.functions.numeric import round6
     from pyspark.sql import Window
 
     if dl is None:
         dl = post.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
-    dfreq = post.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("_df")
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("_N"),
-        F.avg("_dl").alias("_avgdl"),
-    )
+    if dfreq is None:
+        dfreq = post.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("_df")
+        )
+    if stats is None:
+        stats = dl.agg(
+            F.count(F.lit(1)).cast("double").alias("_N"),
+            F.avg("_dl").alias("_avgdl"),
+        )
 
     if max_df is not None:
         # stop-list the query terms BEFORE the postings join: the

@@ -38,11 +38,27 @@ CORRECTNESS row gates this path every round). The stored per-doc
 ``_dl`` feeds the stats directly — the maintained path derives doc
 lengths and (N, avgdl) WITHOUT re-aggregating postings.
 
-Scale notes: the per-search dfreq derivation is one aggregation over
-the stored postings (no text re-tokenization — that is the cost the
-log removes); a service with a hot query stream would maintain dfreq
-as a second log, which needs old-row lookups on update and is left to
-callers. The stop-term ``max_df`` lever passes through to the kernel.
+Maintained statistics (VERDICT r4 #4): beside the doc-keyed postings
+log the index maintains
+  * ``dfreq`` — term-keyed (term, df) document frequencies, and
+  * ``stats`` — a 1-row (N, sum_dl) corpus summary,
+so a search/vocab read aggregates NOTHING over postings. The update
+problem the doc-keyed log dodges (latest-wins) is real here: a doc
+UPDATE must DECREMENT the old row's df contributions. Solution: a
+batch reads its doc ids' PRIOR postings rows (a key semi-join against
+state — O(batch ∩ state), and the read uses ``before_batch_id`` so a
+crash replay never sees its own partial delta), diffs old vs new term
+sets into net per-term deltas, joins the touched terms against the
+current df table, and writes ABSOLUTE (term, df) rows — latest-wins
+semantics preserved, delta size O(batch vocabulary), never O(corpus
+vocabulary) (tested). ``sum_dl``/``N`` decrement+increment the same
+way from the prior rows' ``_dl`` (token counts are integers in double
+— sums are exact, so the maintained avgdl is bit-identical to a batch
+rebuild). Crash contract (three logs, packer precedent): the replay
+guard is ``has(batch_id)`` on the STATS log, written LAST; postings
+and dfreq deltas overwrite idempotently on replay.
+
+The stop-term ``max_df`` lever passes through to the kernel.
 """
 
 from __future__ import annotations
@@ -74,11 +90,18 @@ class MaintainedPostings:
         self.log = SnapshotLog(
             spark, os.path.join(state_root, "doc_postings"), key=id_col
         )
+        self.df_log = SnapshotLog(
+            spark, os.path.join(state_root, "dfreq"), key="term"
+        )
+        self.stats_log = SnapshotLog(
+            spark, os.path.join(state_root, "stats"), key="k"
+        )
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         """Fold a batch of (re)ingested docs into the index: one
-        doc-keyed delta of O(batch) rows."""
-        if self.log.has(batch_id):
+        doc-keyed postings delta of O(batch) rows, one term-keyed df
+        delta of O(batch vocabulary) rows, one 1-row stats delta."""
+        if self.stats_log.has(batch_id):
             return  # crash replay of an applied batch: no-op
         per_doc = (
             doc_postings(docs, self.id_col)
@@ -104,14 +127,135 @@ class MaintainedPostings:
                 F.lit(0.0).alias("_dl"),
             )
         )
-        self.log.write_delta(per_doc.unionByName(tombstones), batch_id)
+        # one computation feeds the postings delta AND the old-vs-new
+        # diff below (two differently-projected consumers otherwise
+        # re-tokenize the batch)
+        delta = per_doc.unionByName(tombstones).localCheckpoint()
+        # --- dfreq + stats maintenance: diff old vs new rows ----------
+        # prior state for exactly this batch's ids; before_batch_id so
+        # a crash replay never reads its own half-written delta
+        prior = self.log.read(before_batch_id=batch_id)
+        old_rows = (
+            None
+            if prior is None
+            else prior.join(
+                delta.select(self.id_col), self.id_col, "left_semi"
+            ).localCheckpoint()  # feeds term decrements AND stats decrements
+        )
+
+        def _term_contrib(rows: DataFrame, sign: int) -> DataFrame:
+            return rows.select(F.explode("_post").alias("_p")).select(
+                F.col("_p.term").alias("term"), F.lit(sign).alias("_d")
+            )
+
+        contrib = _term_contrib(delta, 1)
+        if old_rows is not None:
+            contrib = contrib.unionByName(_term_contrib(old_rows, -1))
+        net = (
+            contrib.groupBy("term")
+            .agg(F.sum("_d").alias("_net"))
+            .where(F.col("_net") != 0)
+        )
+        cur_df = self.df_log.read(before_batch_id=batch_id)
+        if cur_df is None:
+            new_df = net.select(
+                "term", F.col("_net").cast("long").alias("df")
+            )
+        else:
+            new_df = (
+                net.join(cur_df, "term", "left")
+                .select(
+                    "term",
+                    (F.coalesce(F.col("df"), F.lit(0)) + F.col("_net"))
+                    .cast("long")
+                    .alias("df"),
+                )
+            )
+        # --- 1-row corpus stats (N docs with text, exact sum of dl) ---
+        def _stat_row(rows: DataFrame):
+            r = rows.where(F.size("_post") > 0).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("_dl").alias("s")
+            ).collect()[0]
+            return int(r["n"]), float(r["s"] or 0.0)
+
+        add_n, add_s = _stat_row(delta)
+        rm_n, rm_s = (0, 0.0) if old_rows is None else _stat_row(old_rows)
+        old_stats = self.stats_log.read(before_batch_id=batch_id)
+        if old_stats is None:
+            base_n, base_s = 0, 0.0
+        else:
+            row = old_stats.collect()[0]
+            base_n, base_s = int(row["n_docs"]), float(row["sum_dl"])
+        # write order is the crash contract: postings, dfreq, then the
+        # stats row LAST as the replay guard
+        self.log.write_delta(delta, batch_id)
+        self.df_log.write_delta(new_df, batch_id)
+        self.stats_log.write_delta(
+            self.spark.createDataFrame(
+                [("total", base_n - rm_n + add_n, base_s - rm_s + add_s)],
+                "k string, n_docs long, sum_dl double",
+            ),
+            batch_id,
+        )
         if self.log.delta_count() >= self.compact_every:
             self.log.compact(batch_id)
+            self.df_log.compact(batch_id)
+            self.stats_log.compact(batch_id)
 
     def doc_table(self) -> DataFrame | None:
         """Latest (doc_id, _post, _dl) per doc — N and avgdl derive
         from this without touching the exploded postings."""
         return self.log.read()
+
+    def dfreq_table(self) -> DataFrame | None:
+        """The MAINTAINED (term, df) document frequencies — df = 0
+        rows (a term whose last doc left the corpus) filtered out."""
+        t = self.df_log.read()
+        if t is None:
+            return None
+        return t.where(F.col("df") > 0)
+
+    def stats_row(self) -> tuple[int, float] | None:
+        """(N, sum_dl) from the 1-row maintained stats log."""
+        t = self.stats_log.read()
+        if t is None:
+            return None
+        r = t.collect()[0]
+        return int(r["n_docs"]), float(r["sum_dl"])
+
+    def vocab_df_idf(self, min_df: int = 1) -> DataFrame:
+        """The corpus vocabulary table ``(token, df, idf)`` — the
+        operator the ``vocab_df_idf`` gate runs, served ENTIRELY from
+        the maintained dfreq + stats logs (no postings aggregation,
+        no text re-tokenization). idf is the repo's BM25 convention
+        ``ln(1 + (N - df + .5)/(df + .5))``, round6'd. The empty-string
+        term (postings keep it so SUM(_tf) == size(tokens)) is not
+        vocabulary and is filtered, matching the batch operator's
+        tokenizer. Reads state through an EAGER localCheckpoint —
+        same contract as :meth:`search`: callers may delete the state
+        directory once the plan is built."""
+        from cuda_gis_smoothing_spark.functions.numeric import round6
+
+        t = self.dfreq_table()
+        st = self.stats_row()
+        if t is None or st is None:
+            raise ValueError(
+                "MaintainedPostings: empty index (no batches applied)"
+            )
+        n_docs = float(st[0])
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        return (
+            t.where((F.col("term") != "") & (F.col("df") >= min_df))
+            .localCheckpoint(eager=True)
+            .select(
+                F.col("term").alias("token"),
+                F.col("df"),
+                round6(idf).alias("idf"),
+            )
+        )
 
     def postings(self) -> DataFrame | None:
         """The maintained inverted index as (id, term, _tf) rows."""
@@ -131,25 +275,38 @@ class MaintainedPostings:
         max_df: int | None = None,
     ) -> DataFrame:
         """Top-k BM25 per query over the CURRENT index state — the
-        shared scoring kernel, fed the stored doc lengths."""
+        shared scoring kernel, fed the stored doc lengths, MAINTAINED
+        document frequencies, and the maintained 1-row (N, avgdl)
+        stats: the search aggregates nothing over postings."""
         t = self.doc_table()
-        if t is None:
+        st = self.stats_row()
+        if t is None or st is None or st[0] == 0:
             raise ValueError("MaintainedPostings: empty index (no batches applied)")
         # tombstoned docs (NULL-text update) leave postings AND the
         # (N, avgdl) statistics — size() > 0 also handles a NULL array
         t = t.where(F.size("_post") > 0)
         # eager=True is a CONTRACT, not a default: callers (the
         # bm25_search gate) may delete the state directory as soon as
-        # this plan is built, relying on the checkpoint having already
-        # materialized the one state read that feeds post + dl + stats.
+        # this plan is built, relying on the checkpoints having already
+        # materialized every state read (postings AND dfreq).
         t = t.localCheckpoint(eager=True)
         post = t.select(self.id_col, F.explode("_post").alias("_p")).select(
             self.id_col, "_p.term", F.col("_p._tf").alias("_tf")
         )
         dl = t.select(self.id_col, "_dl")
+        dfreq = (
+            self.dfreq_table()
+            .localCheckpoint(eager=True)
+            .select("term", F.col("df").cast("double").alias("_df"))
+        )
+        # token counts are integers in double, so sum_dl/N here equals
+        # a batch rebuild's F.avg bit-for-bit (exact integer sums)
+        stats = self.spark.createDataFrame(
+            [(float(st[0]), st[1] / st[0])], "_N double, _avgdl double"
+        )
         return bm25_score_postings(
             post, queries, k=k, id_col=self.id_col, k1=k1, b=b,
-            max_df=max_df, dl=dl,
+            max_df=max_df, dl=dl, dfreq=dfreq, stats=stats,
         )
 
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):

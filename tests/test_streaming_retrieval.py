@@ -128,6 +128,120 @@ def test_replay_of_applied_batch_is_noop(spark, tmp_path):
     assert _search_set(idx.search(_queries(spark))) == before
 
 
+def _batch_vocab(spark, docs, min_df=1):
+    """The batch rebuild the maintained dfreq/stats logs must equal:
+    distinct (doc, token) df + text-IS-NOT-NULL N (the vocab_df_idf
+    gate's original one-shot form)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.dedup import _doc_tokens
+
+    toks = _doc_tokens(docs, "text", "doc_id", None)
+    df_tab = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.where(F.col("text").isNotNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("_N")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    return (
+        df_tab.where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n))
+        .select(F.col("t").alias("token"), "df", round6(idf).alias("idf"))
+    )
+
+
+def _vocab_set(df):
+    return {(r.token, r.df, r.idf) for r in df.collect()}
+
+
+def test_maintained_vocab_multibatch_and_update_equals_batch(spark, tmp_path):
+    """The maintained dfreq/stats logs (VERDICT r4 #4): a multi-batch
+    build, a doc UPDATE (old-row df decrements + new increments), and a
+    NULL-text tombstone update must each leave vocab_df_idf equal to
+    the batch rebuild over the corpus the log currently represents."""
+    docs = _docs(spark)
+    idx = MaintainedPostings(spark, str(tmp_path / "state"), compact_every=2)
+    for bid, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 10**9))):
+        idx.process_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), bid
+        )
+    got = _vocab_set(idx.vocab_df_idf())
+    want = _vocab_set(_batch_vocab(spark, docs))
+    assert got == want and len(want) > 0
+
+    # doc UPDATE: the victim's old tokens must DECREMENT df
+    victim = docs.where(F.col("text").isNotNull()).orderBy("doc_id").limit(1).collect()[0]
+    new_text = "zzznew zzznew spark"
+    update = spark.createDataFrame(
+        [(victim.doc_id, new_text, victim.lang, victim.source, len(new_text))],
+        DOCS_SCHEMA,
+    )
+    idx.process_batch(update, 3)
+    corpus = docs.where(F.col("doc_id") != victim.doc_id).unionByName(update)
+    assert _vocab_set(idx.vocab_df_idf()) == _vocab_set(_batch_vocab(spark, corpus))
+
+    # NULL-text tombstone update: df decrements AND N shrinks by one
+    kill = spark.createDataFrame(
+        [(victim.doc_id, None, victim.lang, victim.source, 0)], DOCS_SCHEMA
+    )
+    idx.process_batch(kill, 4)
+    corpus2 = docs.where(F.col("doc_id") != victim.doc_id).unionByName(kill)
+    assert _vocab_set(idx.vocab_df_idf()) == _vocab_set(_batch_vocab(spark, corpus2))
+    n_docs, _ = idx.stats_row()
+    assert n_docs == corpus2.where(F.col("text").isNotNull()).count()
+
+
+def test_vocab_delta_is_o_batch_vocabulary(spark, tmp_path):
+    """A small batch's dfreq delta holds only the terms TOUCHED by the
+    batch (old union new term sets), never the corpus vocabulary."""
+    docs = _docs(spark)
+    idx = MaintainedPostings(spark, str(tmp_path / "state"))
+    idx.process_batch(docs, 0)
+    corpus_vocab = spark.read.parquet(
+        str(tmp_path / "state" / "dfreq" / "delta-b00000000")
+    ).count()
+    victim = docs.where(F.col("text").isNotNull()).orderBy("doc_id").limit(1).collect()[0]
+    update = spark.createDataFrame(
+        [(victim.doc_id, "alpha beta alpha", victim.lang, victim.source, 16)],
+        DOCS_SCHEMA,
+    )
+    idx.process_batch(update, 1)
+    delta = spark.read.parquet(str(tmp_path / "state" / "dfreq" / "delta-b00000001"))
+    touched = len(set(victim.text.lower().split(" ")) | {"alpha", "beta"})
+    assert delta.count() <= touched < corpus_vocab
+    # and the stats delta is exactly one row
+    sdelta = spark.read.parquet(str(tmp_path / "state" / "stats" / "delta-b00000001"))
+    assert sdelta.count() == 1
+
+
+def test_crash_between_dfreq_and_stats_writes(spark, tmp_path):
+    """Forged crash in the three-log write window: postings + dfreq
+    deltas landed for a batch, the stats guard row did not. The replay
+    must read PRIOR state only (before_batch_id — never its own
+    half-applied deltas) and converge to the clean-run state."""
+    import shutil
+
+    docs = _docs(spark)
+    half = docs.where(F.col("doc_id") < 250)
+    rest = docs.where(F.col("doc_id") >= 250)
+    idx = MaintainedPostings(spark, str(tmp_path / "state"))
+    idx.process_batch(half, 0)
+    idx.process_batch(rest, 1)
+    clean_vocab = _vocab_set(idx.vocab_df_idf())
+    clean_search = _search_set(idx.search(_queries(spark), k=25))
+
+    # forge the crash: batch 1's guard (stats) never landed
+    shutil.rmtree(str(tmp_path / "state" / "stats" / "delta-b00000001"))
+    assert not idx.stats_log.has(1) and idx.log.has(1) and idx.df_log.has(1)
+    idx.process_batch(rest, 1)  # replay
+    assert _vocab_set(idx.vocab_df_idf()) == clean_vocab
+    assert _search_set(idx.search(_queries(spark), k=25)) == clean_search
+
+    # replay of a fully applied batch: no-op even with changed input
+    idx.process_batch(rest.withColumn("text", F.lit("junk junk")), 1)
+    assert _vocab_set(idx.vocab_df_idf()) == clean_vocab
+
+
 def test_stream_wiring_builds_same_index(spark, tmp_path):
     docs = _docs(spark)
     src = str(tmp_path / "src")
