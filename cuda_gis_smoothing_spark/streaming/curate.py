@@ -60,7 +60,6 @@ from cuda_gis_smoothing_spark.operators.dedup import (
     band_values_projection,
     bipartite_spans,
     explode_band_values,
-    gram_positions,
     interval_coverage,
     lsh_blocked_neardup_drops,
     merge_gram_runs,
@@ -319,17 +318,20 @@ class IncrementalStrictCurator(_IncrementalCuratorBase):
 
     * **Aux payload.** Span seeds need ORDERED tokens with positions —
       the jaccard curator's distinct-token arrays cannot express them.
-      The aux row stores ``_otok`` = the full ordered token array
-      (``split(lower(text), ' ')``; positions are array indices), plus
-      the ``_k`` digest. Byte volume ~= the kept text itself — that is
-      inherent to substring-level state, and the point of the log is
-      per-batch CPU (no re-scan/re-tokenization), not compression. Per
-      batch, the kept side's gram seeds are re-derived from the STORED
-      arrays (one O(kept tokens) expression pass + the pinned gram
-      equi-join); a service at true scale would additionally maintain
-      the gram POSTINGS as their own doc-keyed log (the
-      streaming/retrieval.MaintainedPostings pattern) — left to
-      callers, documented here.
+      The aux row stores the doc's GRAM POSTINGS ``_gp`` =
+      ``array<struct<_pos, _g>>`` (the fully materialized
+      :func:`gram_positions` output, nested per doc so the log stays
+      one-row-per-key), its token count ``_n``, and the ``_k`` digest
+      (VERDICT r4 #5 — previously the raw token array, which every
+      batch re-built grams from: an O(kept tokens) string-assembly
+      pass per batch). Byte volume ~k× the kept text — inherent to
+      substring-level state; the log buys per-batch CPU: the
+      cross-batch side is now explode(stored structs), zero
+      tokenization or gram assembly (plan-asserted: no array_join on
+      the prior side), and the stored postings are SEMI-JOINED down to
+      the batch's own gram set before the span join's shuffle, so the
+      per-batch join ships O(batch grams ∩ stored grams) stored rows,
+      not O(stored grams).
 
     * **Drop direction.** Batch span coverage is SYMMETRIC (both
       members of a copied pair can exceed the threshold and drop); an
@@ -377,21 +379,45 @@ class IncrementalStrictCurator(_IncrementalCuratorBase):
         return exact_canonical(base.where(dup_ratio <= self.max_dup_ratio))
 
     def _aux(self, docs: DataFrame) -> DataFrame:
-        """(doc_id, _k, _otok) — digest + ORDERED token array."""
+        """(doc_id, _k, _gp, _n) — digest, MATERIALIZED gram postings
+        (1-based positions, identical to :func:`gram_positions`; empty
+        array for docs shorter than the gram), and token count. Grams
+        are built exactly ONCE per doc lifetime, here."""
+        k = self.gram_len
+        grams = F.expr(
+            f"CASE WHEN size(_t) >= {k} THEN "
+            f"transform(sequence(1, size(_t) - {k - 1}), "
+            f"i -> struct(CAST(i AS BIGINT) AS _pos, "
+            f"array_join(slice(_t, i, {k}), ' ') AS _g)) "
+            f"ELSE CAST(array() AS array<struct<_pos: bigint, _g: string>>) END"
+        )
         return docs.select(
             "doc_id",
             F.md5("text").alias("_k"),
-            F.split(F.lower(F.col("text")), " ").alias("_otok"),
+            F.split(F.lower(F.col("text")), " ").alias("_t"),
+        ).select(
+            "doc_id",
+            "_k",
+            grams.alias("_gp"),
+            F.size("_t").cast("long").alias("_n"),
+        )
+
+    @staticmethod
+    def _gram_pos(aux: DataFrame) -> DataFrame:
+        """(doc_id, _pos, _g) from the stored nested postings — the
+        read-side twin of :func:`gram_positions`, with no string work."""
+        return aux.select("doc_id", F.explode("_gp").alias("_e")).select(
+            "doc_id", F.col("_e._pos").alias("_pos"), F.col("_e._g").alias("_g")
         )
 
     def _drops(
         self, b: DataFrame, aux_b: DataFrame, prior_aux: DataFrame | None
     ) -> DataFrame:
         k = self.gram_len
-        # batch docs' gram positions, from the stored arrays (aux_b
+        # batch docs' gram positions, from the stored postings (aux_b
         # predates the digest anti-join — restrict to surviving b)
         aux_bb = aux_b.join(b.select("doc_id"), "doc_id", "left_semi")
-        pos_b = gram_positions(aux_bb, k, tokens_col="_otok")
+        pos_b = self._gram_pos(aux_bb)
         # intra-batch spans: the duplicate_spans self-join shape over
         # stored arrays (same pinned parallelism)
         parts = b.sparkSession.sparkContext.defaultParallelism
@@ -426,11 +452,19 @@ class IncrementalStrictCurator(_IncrementalCuratorBase):
             .select("_iv.doc_id", "_iv._s", "_iv._e")
         )
         if prior_aux is not None:
-            # cross-batch spans: batch side vs STORED kept arrays —
+            # cross-batch spans: batch side vs STORED kept gram
+            # postings — no tokenization or gram assembly here — and
             # only the batch side's intervals matter (kept docs are
             # never retroactively dropped; their coverage froze at
-            # admission)
-            pos_k = gram_positions(prior_aux, k, tokens_col="_otok")
+            # admission). The stored side semi-joins down to the
+            # batch's own gram set BEFORE the span join's shuffle:
+            # ships O(batch grams ∩ stored grams) rows, not O(stored
+            # grams) — the broadcast is bounded by the micro-batch's
+            # distinct grams.
+            batch_grams = pos_b.select("_g").distinct()
+            pos_k = self._gram_pos(prior_aux).join(
+                F.broadcast(batch_grams), "_g", "left_semi"
+            )
             cross = bipartite_spans(pos_b, pos_k, k)
             iv = iv.unionByName(
                 cross.select(
@@ -439,9 +473,7 @@ class IncrementalStrictCurator(_IncrementalCuratorBase):
                     (F.col("start_a") + F.col("span_tokens") - 1).alias("_e"),
                 )
             )
-        doc_tokens = aux_bb.select(
-            "doc_id", F.size("_otok").cast("long").alias("n_tokens")
-        )
+        doc_tokens = aux_bb.select("doc_id", F.col("_n").alias("n_tokens"))
         cov = interval_coverage(iv, doc_tokens)
         return cov.where(F.col("coverage") > self.max_span_coverage).select(
             "doc_id"

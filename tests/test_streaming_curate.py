@@ -390,10 +390,11 @@ def test_strict_cross_batch_drop_is_monotone(spark, tmp_path):
 
 
 def test_strict_aux_log_is_the_cross_batch_span_source(spark, tmp_path):
-    """(1) the stored ordered-token arrays equal split(lower(text));
-    (2) a crafted span-copier of a kept doc is dropped cross-batch;
-    (3) with a POISONED aux log the same doc survives — proving the
-    cross-batch span seeds read the log, not re-derived kept text."""
+    """(1) the stored gram postings equal gram_positions over the kept
+    text; (2) a crafted span-copier of a kept doc is dropped
+    cross-batch; (3) with a POISONED aux log the same doc survives —
+    proving the cross-batch span seeds read the log, not re-derived
+    kept text."""
     import os
     import shutil
 
@@ -409,14 +410,18 @@ def test_strict_aux_log_is_the_cross_batch_span_source(spark, tmp_path):
     lifted = " ".join(t0.split(" ")[:18]) + " with totally different closing words here"
     copier = mk([(2, lifted, "en", "s", len(lifted))])
 
+    from cuda_gis_smoothing_spark.operators.dedup import gram_positions
+
     cur = IncrementalStrictCurator(spark, str(tmp_path / "state_a"))
     cur.process_batch(mk([(1, t0, "en", "s", len(t0))]), 0)
     stored = {
-        (r["doc_id"], tuple(r["_otok"])) for r in cur.aux_log.read().collect()
+        (r["doc_id"], p["_pos"], p["_g"])
+        for r in cur.aux_log.read().collect()
+        for p in r["_gp"]
     }
     derived = {
-        (r["doc_id"], tuple(r["text"].lower().split(" ")))
-        for r in cur.current_kept().collect()
+        (r["doc_id"], r["_pos"], r["_g"])
+        for r in gram_positions(cur.current_kept(), cur.gram_len).collect()
     }
     assert stored == derived and stored
     cur.process_batch(copier, 1)
@@ -426,13 +431,44 @@ def test_strict_aux_log_is_the_cross_batch_span_source(spark, tmp_path):
     cur2.process_batch(mk([(1, t0, "en", "s", len(t0))]), 0)
     aux_dir = str(tmp_path / "state_b" / "kept_aux" / "delta-b00000000")
     poisoned = cur2.aux_log.read().select(
-        "doc_id", "_k", F.expr("transform(_otok, x -> 'zzz')").alias("_otok")
+        "doc_id",
+        "_k",
+        F.expr(
+            "transform(_gp, p -> struct(p._pos AS _pos, 'zzz' AS _g))"
+        ).alias("_gp"),
+        "_n",
     )
     poisoned.write.mode("overwrite").parquet(aux_dir + ".tmp")
     shutil.rmtree(aux_dir)
     os.rename(aux_dir + ".tmp", aux_dir)
     cur2.process_batch(copier, 1)
     assert set(_ids(cur2.current_kept())) == {1, 2}  # log IS the source
+
+
+def test_strict_cross_batch_join_never_rebuilds_stored_grams(spark, tmp_path):
+    """The per-batch cross-batch span job must consume STORED gram
+    postings (VERDICT r4 #5): the analyzed _drops plan for a follow-up
+    batch contains ZERO gram-assembly expressions (array_join/slice) —
+    both sides explode materialized postings — and the stored side is
+    semi-joined to the batch's gram set before the span join."""
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    t0 = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "far away to find some quiet water near a shady tree"
+    )
+    cur = IncrementalStrictCurator(spark, str(tmp_path / "state"))
+    cur.process_batch(mk([(1, t0, "en", "s", len(t0))]), 0)
+    nxt = mk([(2, t0 + " extra tail words", "en", "s", len(t0) + 17)])
+    # mimic process_batch's staging for batch 1 (checkpoints cut the
+    # batch side's own gram-build lineage, as in the real path)
+    b = cur._batch_base(nxt).localCheckpoint()
+    aux_b = cur._aux(b).localCheckpoint()
+    prior_aux = cur.aux_log.read(before_batch_id=1).localCheckpoint()
+    plan = cur._drops(b, aux_b, prior_aux)._jdf.queryExecution().analyzed().toString()
+    assert "array_join" not in plan and "slice" not in plan
+    assert "LeftSemi" in plan  # the batch-gram prefilter on the stored side
 
 
 def test_strict_stream_wiring_equals_sequential_batches(spark, tmp_path):
