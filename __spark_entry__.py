@@ -727,6 +727,27 @@ def _q_doc_tfidf(spark, sf_dir):
     return doc_tfidf(load(spark, sf_dir, "documents"))
 
 
+def _q_doc_tfidf_maintained(spark, sf_dir):
+    """The SAME sparse TF-IDF vectors served from the maintained index
+    logs (stored postings for tf, the dfreq log for df, the 1-row
+    stats log for N — zero corpus re-tokenization/re-aggregation at
+    read time): the corpus folds into a fresh single-batch
+    MaintainedPostings, so this CORRECTNESS row gates the maintained
+    vectorization path against the identical SQL twin every round."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.retrieval import MaintainedPostings
+
+    _ensure_shipped(spark)
+    state = tempfile.mkdtemp(prefix="tfidf_idx_")
+    idx = MaintainedPostings(spark, state)
+    idx.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = idx.doc_tfidf()  # eager-checkpoint contract: safe to GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 _FEATURE_DIM = 64
 
 
@@ -1001,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_edges": _q_cell_edges,
         # --- new in r5 (keep inside the driver's 50-entry window) ---------
         "knn_graph_ivf": _q_knn_graph_ivf,
+        "doc_tfidf_maintained": _q_doc_tfidf_maintained,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -1734,6 +1756,8 @@ SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
        ROUND(tf.tf * ln(1.0 + (n.N - dfr.df + 0.5) / (dfr.df + 0.5)) + 1e-09, 6) AS tfidf
 FROM tf JOIN dfr USING (token), n
 """.strip()
+    # identical semantics, different Spark path (maintained index logs)
+    out["doc_tfidf_maintained"] = out["doc_tfidf"]
     out["feature_hashing"] = f"""
 WITH occ AS (
   SELECT doc_id, t FROM (

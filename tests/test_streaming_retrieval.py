@@ -214,6 +214,41 @@ def test_vocab_delta_is_o_batch_vocabulary(spark, tmp_path):
     assert sdelta.count() == 1
 
 
+def test_maintained_doc_tfidf_equals_batch(spark, tmp_path):
+    """The maintained TF-IDF vectorization (VERDICT r4 Missing #5):
+    multi-batch build, a doc update, and a NULL-text tombstone must
+    each leave doc_tfidf() equal to the batch operator over the corpus
+    the log currently represents."""
+    from cuda_gis_smoothing_spark.functions.text import doc_tfidf
+
+    def vecs(df):
+        return {(r.doc_id, r.token, r.tf, r.tfidf) for r in df.collect()}
+
+    docs = _docs(spark)
+    idx = MaintainedPostings(spark, str(tmp_path / "state"), compact_every=2)
+    for bid, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 10**9))):
+        idx.process_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), bid
+        )
+    assert vecs(idx.doc_tfidf()) == vecs(doc_tfidf(docs)) != set()
+
+    victim = docs.where(F.col("text").isNotNull()).orderBy("doc_id").limit(1).collect()[0]
+    update = spark.createDataFrame(
+        [(victim.doc_id, "spark spark tfidf", victim.lang, victim.source, 17)],
+        DOCS_SCHEMA,
+    )
+    idx.process_batch(update, 3)
+    corpus = docs.where(F.col("doc_id") != victim.doc_id).unionByName(update)
+    assert vecs(idx.doc_tfidf()) == vecs(doc_tfidf(corpus))
+
+    kill = spark.createDataFrame(
+        [(victim.doc_id, None, victim.lang, victim.source, 0)], DOCS_SCHEMA
+    )
+    idx.process_batch(kill, 4)
+    corpus2 = docs.where(F.col("doc_id") != victim.doc_id).unionByName(kill)
+    assert vecs(idx.doc_tfidf()) == vecs(doc_tfidf(corpus2))
+
+
 def test_crash_between_dfreq_and_stats_writes(spark, tmp_path):
     """Forged crash in the three-log write window: postings + dfreq
     deltas landed for a batch, the stats guard row did not. The replay
