@@ -579,6 +579,44 @@ def _q_knn_ivf(spark, sf_dir):
     return ivf_knn(emb, queries, k=5, n_centroids=8, n_probe=2)
 
 
+def _q_knn_ivf_maintained(spark, sf_dir):
+    """The SAME seeded-centroid IVF ANN served from the MAINTAINED
+    vector log (streaming/similarity.MaintainedIVF): the corpus folds
+    into a fresh single-batch index and the query runs the shared
+    probe/join/rank kernel over STORED (vec_id, bucket, emb, nrm) rows
+    — this CORRECTNESS row gates the incremental-ingest path against
+    the identical SQL twin (multi-batch/after-update equality is in
+    tests/test_streaming_similarity.py)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from cuda_gis_smoothing_spark.streaming.similarity import MaintainedIVF
+
+    _ensure_shipped(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    # the knn_ivf gate's deterministic seeds: the 8 smallest vec_ids
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = np.asarray([r[0] for r in seeds], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+    state = tempfile.mkdtemp(prefix="ivf_idx_")
+    idx = MaintainedIVF(spark, state, cents)
+    idx.process_batch(emb, 0)
+    queries = emb.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = idx.query(queries, k=5, n_probe=2)
+    # query() reads state through an EAGER localCheckpoint — safe to GC
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_pip_regions(spark, sf_dir):
     """Point-in-polygon through the REAL broadcast+numpy-raycast
     operator, gated against an unrolled literal-polygon SQL oracle."""
@@ -1023,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 (keep inside the driver's 50-entry window) ---------
         "knn_graph_ivf": _q_knn_graph_ivf,
         "doc_tfidf_maintained": _q_doc_tfidf_maintained,
+        "knn_ivf_maintained": _q_knn_ivf_maintained,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -1758,6 +1797,7 @@ FROM tf JOIN dfr USING (token), n
 """.strip()
     # identical semantics, different Spark path (maintained index logs)
     out["doc_tfidf_maintained"] = out["doc_tfidf"]
+    out["knn_ivf_maintained"] = out["knn_ivf"]
     out["feature_hashing"] = f"""
 WITH occ AS (
   SELECT doc_id, t FROM (

@@ -577,27 +577,7 @@ class IVFIndex:
     def probe_buckets(self, queries: DataFrame, n_probe: int,
                       query_id_col: str = "query_id") -> DataFrame:
         """(query_id, q_emb, q_nrm, bucket) — one row per probed bucket."""
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql import types as T
-
-        bc = self._bc
-
-        def _probe(emb):
-            m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
-            m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
-            sims = m @ bc.value.T
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-            return pd.Series(list(order.astype(np.int32)))
-
-        _probe.__annotations__ = {"emb": pd.Series, "return": pd.Series}
-        probe = F.pandas_udf(_probe, T.ArrayType(T.IntegerType()))
-        return with_norm(queries, "embedding").select(
-            F.col(query_id_col),
-            F.col("_emb").alias("q_emb"),
-            F.col("_nrm").alias("q_nrm"),
-            F.explode(probe("embedding")).alias("bucket"),
-        )
+        return probe_rows(queries, self._bc, n_probe, query_id_col)
 
     def query(
         self,
@@ -617,34 +597,77 @@ class IVFIndex:
 
         q = self.probe_buckets(queries, n_probe, query_id_col)
         corpus = self.spark.read.parquet(os.path.join(self.path, "corpus"))
-        if prune:
-            q = q.localCheckpoint()  # consumed twice: bucket set + join
-            probed = sorted(
-                r["bucket"] for r in q.select("bucket").distinct().collect()
+        return probe_join_rank(corpus, q, k, query_id_col, prune)
+
+
+def probe_rows(
+    queries: DataFrame, bc, n_probe: int, query_id_col: str = "query_id"
+) -> DataFrame:
+    """(query_id, q_emb, q_nrm, bucket) probe rows against an ALREADY
+    BROADCAST centroid matrix ``bc`` — shared by the persisted and the
+    maintained IVF indexes, which both broadcast ONCE at construction
+    ('build once, probe many' must not leak one broadcast per query)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _probe(emb):
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        sims = m @ bc.value.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    _probe.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    probe = F.pandas_udf(_probe, T.ArrayType(T.IntegerType()))
+    return with_norm(queries, "embedding").select(
+        F.col(query_id_col),
+        F.col("_emb").alias("q_emb"),
+        F.col("_nrm").alias("q_nrm"),
+        F.explode(probe("embedding")).alias("bucket"),
+    )
+
+
+def probe_join_rank(
+    corpus: DataFrame,
+    q: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    prune: bool = True,
+) -> DataFrame:
+    """The IVF probe/join/rank tail shared by :class:`IVFIndex` and the
+    maintained index: ``corpus`` is (vec_id, c_emb, c_nrm, bucket) rows,
+    ``q`` the probe rows from :func:`probe_rows`. ``prune`` collects
+    the (query-bounded) probed bucket set and static-filters the corpus
+    — partition pruning when the corpus is bucket-partitioned parquet."""
+    if prune:
+        q = q.localCheckpoint()  # consumed twice: bucket set + join
+        probed = sorted(
+            r["bucket"] for r in q.select("bucket").distinct().collect()
+        )
+        corpus = corpus.where(
+            F.col("bucket").isin(probed)  # static partition pruning
+        )
+    q_side = F.broadcast(q) if prune else q  # large sets: shuffle join
+    pairs = corpus.join(q_side, "bucket").where(
+        F.col("vec_id") != F.col(query_id_col)
+    )
+    sim = (
+        dot_col("c_emb", "q_emb") / (F.col("c_nrm") * F.col("q_nrm"))
+    ).alias("sim")
+    ranked = pairs.select(
+        query_id_col, F.col("vec_id").alias("neighbor_id"), sim
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.col("sim").desc(), F.col("neighbor_id").asc()
             )
-            corpus = corpus.where(
-                F.col("bucket").isin(probed)  # static partition pruning
-            )
-        q_side = F.broadcast(q) if prune else q  # large sets: shuffle join
-        pairs = corpus.join(q_side, "bucket").where(
-            F.col("vec_id") != F.col(query_id_col)
-        )
-        sim = (
-            dot_col("c_emb", "q_emb") / (F.col("c_nrm") * F.col("q_nrm"))
-        ).alias("sim")
-        ranked = pairs.select(
-            query_id_col, F.col("vec_id").alias("neighbor_id"), sim
-        ).withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(
-                    F.col("sim").desc(), F.col("neighbor_id").asc()
-                )
-            ),
-        )
-        return ranked.where(F.col("rank") <= k).select(
-            query_id_col, "neighbor_id", "rank"
-        )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        query_id_col, "neighbor_id", "rank"
+    )
 
 
 def lsh_bucketed_knn(

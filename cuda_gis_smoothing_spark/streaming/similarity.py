@@ -1,0 +1,134 @@
+"""Maintained incremental IVF embedding index — the similarity twin of
+streaming/retrieval.MaintainedPostings: embeddings arrive continuously
+(a training pipeline embeds new documents forever), and the ANN index
+must extend per batch without rebuilding the corpus assignment.
+
+State shape: ONE vec-keyed SnapshotLog row per vector —
+``(vec_id, bucket, c_emb, c_nrm)``, the same corpus row the persisted
+``operators/similarity.IVFIndex`` stores — derived by the SAME
+nearest-centroid assignment, against centroids FROZEN at construction
+(the standard IVF contract: the coarse quantizer is trained once;
+re-training is a rebuild, not an update):
+
+* a batch writes O(batch vectors) rows, never O(corpus) (tested);
+* a re-ingested vec_id REPLACES its old row via latest-wins — vector
+  update is one delta row (tested: the query tracks the updated
+  corpus exactly);
+* crash replay is the standard SnapshotLog contract: one log, one
+  write per batch, ``has(batch_id)`` short-circuits.
+
+Query path: the SHARED probe/join/rank kernel
+(``operators/similarity.probe_rows`` + ``probe_join_rank``) over the
+log's latest-wins view — results are identical to ``ivf_knn`` over the
+vectors the log currently represents (tested multi-batch and through a
+vector update), so the maintained and batch paths cannot drift. The
+centroid matrix is broadcast ONCE at construction ('build once, probe
+many' must not leak one broadcast per query call).
+
+Scale note: ``prune=True`` static-filters the log view on the probed
+bucket set — row-group pruning at best here, since SnapshotLog deltas
+are not bucket-partitioned (they are keyed by vec_id for latest-wins).
+A real deployment periodically EXPORTS the compacted view into a
+bucket-partitioned ``IVFIndex`` layout (one ``write.partitionBy``
+pass) to recover true partition pruning; the log is the ingest tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cuda_gis_smoothing_spark.operators.similarity import (
+    probe_join_rank,
+    probe_rows,
+)
+from cuda_gis_smoothing_spark.streaming.incremental import SnapshotLog
+
+
+class MaintainedIVF:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_root: str,
+        centroids,
+        id_col: str = "vec_id",
+        compact_every: int = 4,
+    ):
+        import numpy as np
+
+        self.spark = spark
+        self.id_col = id_col
+        self.compact_every = compact_every
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self._bc = spark.sparkContext.broadcast(self.centroids)
+        self.log = SnapshotLog(
+            spark, os.path.join(state_root, "vectors"), key=id_col
+        )
+
+    def process_batch(self, embeddings: DataFrame, batch_id: int) -> None:
+        """Assign a batch of (re)ingested vectors to their buckets and
+        fold them in: one vec-keyed delta of O(batch) rows."""
+        if self.log.has(batch_id):
+            return  # crash replay of an applied batch: no-op
+        # nearest bucket == first probe (probe_rows is stable-sorted,
+        # so exact ties take the lowest cid — the SQL twins' order)
+        rows = probe_rows(
+            embeddings, self._bc, n_probe=1, query_id_col=self.id_col
+        ).select(
+            self.id_col,
+            F.col("bucket"),
+            F.col("q_emb").alias("c_emb"),
+            F.col("q_nrm").alias("c_nrm"),
+        )
+        self.log.write_delta(rows, batch_id)
+        if self.log.delta_count() >= self.compact_every:
+            self.log.compact(batch_id)
+
+    def corpus(self) -> DataFrame | None:
+        """Latest (vec_id, bucket, c_emb, c_nrm) per vector."""
+        return self.log.read()
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 2,
+        query_id_col: str = "query_id",
+        prune: bool = True,
+    ) -> DataFrame:
+        """Top-k ANN per query over the CURRENT index state — the
+        shared probe/join/rank kernel. Reads state through an EAGER
+        localCheckpoint (same contract as MaintainedPostings.search:
+        callers may delete the state directory once the plan is
+        built)."""
+        c = self.corpus()
+        if c is None:
+            raise ValueError("MaintainedIVF: empty index (no batches applied)")
+        c = c.localCheckpoint(eager=True)
+        q = probe_rows(queries, self._bc, n_probe, query_id_col)
+        return probe_join_rank(c, q, k, query_id_col, prune)
+
+    def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField(self.id_col, T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
