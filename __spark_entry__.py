@@ -219,6 +219,18 @@ def _q_morans_i(spark, sf_dir):
     return stats_ops.morans_i(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_geary_c(spark, sf_dir):
+    """Global Geary's C over ring-1 contiguity — the squared-difference
+    complement of Moran's I (the standard autocorrelation pair)."""
+    return stats_ops.geary_c(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram over ring-1/ring-2 lags (the kriging
+    input: spatial continuity per lag)."""
+    return stats_ops.semivariogram(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_locality(spark, sf_dir):
     return stats_ops.locality_metric(grid_from_lineitem(spark, sf_dir))
 
@@ -692,6 +704,7 @@ def _q_decontaminated_corpus(spark, sf_dir):
 
 
 _VOCAB_MIN_DF = 2
+_BIGRAM_K = 30
 
 
 def _q_vocab_df_idf(spark, sf_dir):
@@ -756,6 +769,24 @@ def _q_events_daily_anomaly(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import daily_anomaly
 
     return daily_anomaly(load(spark, sf_dir, "events"))
+
+
+def _q_bigram_pmi(spark, sf_dir):
+    """Top-k adjacent-token bigrams with pointwise mutual information —
+    the collocation/co-occurrence statistic embedding pipelines
+    precompute."""
+    from cuda_gis_smoothing_spark.functions.text import bigram_pmi
+
+    return bigram_pmi(load(spark, sf_dir, "documents"), k=_BIGRAM_K)
+
+
+def _q_ivf_bucket_stats(spark, sf_dir):
+    """IVF quantizer occupancy (bucket, n_vectors, share), dead buckets
+    included — the ANN index-health report."""
+    from cuda_gis_smoothing_spark.operators.similarity import ivf_bucket_stats
+
+    _ensure_shipped(spark)
+    return ivf_bucket_stats(load(spark, sf_dir, "embeddings"), n_centroids=8)
 
 
 def _q_doc_tfidf(spark, sf_dir):
@@ -1062,6 +1093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_ivf": _q_knn_graph_ivf,
         "doc_tfidf_maintained": _q_doc_tfidf_maintained,
         "knn_ivf_maintained": _q_knn_ivf_maintained,
+        "geary_c": _q_geary_c,
+        "semivariogram": _q_semivariogram,
+        "bigram_pmi": _q_bigram_pmi,
+        "ivf_bucket_stats": _q_ivf_bucket_stats,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -1782,6 +1817,39 @@ SELECT CAST(dn.n AS BIGINT) AS n_cells,
        ROUND((dn.n * 1.0 / cr.W) * cr.num / dn.den + 1e-09, 6) AS morans_i
 FROM cr, dn
 """.strip()
+    out["geary_c"] = f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)}),
+cr AS (
+  SELECT COUNT(*) AS W, SUM((c.ndvi - n.ndvi) * (c.ndvi - n.ndvi)) AS num
+  FROM cells4 c CROSS JOIN offsets o
+  JOIN cells4 n ON n.cell = c.cell + o.delta
+),
+dn AS (
+  SELECT COUNT(*) AS n, SUM((ndvi - m.mu) * (ndvi - m.mu)) AS den
+  FROM cells4, (SELECT AVG(ndvi) AS mu FROM cells4) m
+)
+SELECT CAST(dn.n AS BIGINT) AS n_cells,
+       CAST(cr.W AS BIGINT) AS total_edges,
+       ROUND((dn.n - 1) * cr.num / (2.0 * cr.W * dn.den) + 1e-09, 6) AS geary_c
+FROM cr, dn
+""".strip()
+    out["semivariogram"] = f"""
+WITH {GRID_CELLS_SQL},
+o1 (delta) AS (VALUES {_vals(_R1)}),
+o2 (delta) AS (VALUES {_vals(_R2)}),
+offs AS (
+  SELECT delta, 1 AS ring FROM o1
+  UNION ALL
+  SELECT delta, 2 AS ring FROM o2
+)
+SELECT CAST(o.ring AS INT) AS ring,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM((c.ndvi - n.ndvi) * (c.ndvi - n.ndvi)) / (2.0 * COUNT(*)) + 1e-09, 6) AS gamma
+FROM cells4 c CROSS JOIN offs o
+JOIN cells4 n ON n.cell = c.cell + o.delta
+GROUP BY o.ring
+""".strip()
     out["doc_tfidf"] = """
 WITH occ AS (
   SELECT doc_id, t FROM (
@@ -1798,6 +1866,55 @@ FROM tf JOIN dfr USING (token), n
     # identical semantics, different Spark path (maintained index logs)
     out["doc_tfidf_maintained"] = out["doc_tfidf"]
     out["knn_ivf_maintained"] = out["knn_ivf"]
+    out["bigram_pmi"] = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+uni AS (
+  SELECT t, COUNT(*) AS c FROM (SELECT unnest(ts) AS t FROM toks)
+  WHERE t <> '' GROUP BY t
+),
+tot AS (SELECT SUM(c) * 1.0 AS T FROM uni),
+bg AS (
+  SELECT ts[i] AS t1, ts[i + 1] AS t2
+  FROM toks, UNNEST(CASE WHEN len(ts) >= 2
+                    THEN generate_series(1, len(ts) - 1) ELSE [] END) AS u(i)
+  WHERE ts[i] <> '' AND ts[i + 1] <> ''
+),
+bc AS (SELECT t1, t2, COUNT(*) AS c FROM bg GROUP BY t1, t2),
+btot AS (SELECT SUM(c) * 1.0 AS B FROM bc),
+ranked AS (
+  SELECT t1, t2, c, ROW_NUMBER() OVER (ORDER BY c DESC, t1, t2) AS rank FROM bc
+)
+SELECT r.t1, r.t2, CAST(r.c AS BIGINT) AS n_pairs,
+       ROUND(ln((r.c / btot.B) / ((u1.c / tot.T) * (u2.c / tot.T))) + 1e-09, 6) AS pmi,
+       CAST(r.rank AS INT) AS rank
+FROM ranked r
+JOIN uni u1 ON u1.t = r.t1
+JOIN uni u2 ON u2.t = r.t2, tot, btot
+WHERE r.rank <= {_BIGRAM_K}
+""".strip()
+    out["ivf_bucket_stats"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         emb AS cemb, SQRT(list_dot_product(emb, emb)) AS cnrm
+  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT n.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm) DESC, c.cid
+         ) AS rk
+  FROM n CROSS JOIN cent c
+),
+bcnt AS (SELECT cid, COUNT(*) AS n_vectors FROM assign WHERE rk = 1 GROUP BY cid),
+tot AS (SELECT SUM(n_vectors) * 1.0 AS T FROM bcnt)
+SELECT CAST(cent.cid AS INT) AS bucket,
+       CAST(COALESCE(bcnt.n_vectors, 0) AS BIGINT) AS n_vectors,
+       ROUND(COALESCE(bcnt.n_vectors, 0) / tot.T + 1e-09, 6) AS share
+FROM cent LEFT JOIN bcnt ON bcnt.cid = cent.cid, tot
+""".strip()
     out["feature_hashing"] = f"""
 WITH occ AS (
   SELECT doc_id, t FROM (

@@ -99,9 +99,14 @@ BENCH_QUERIES = [
     "feature_hashing",
     "knn_graph",
     "knn_graph_ivf",
+    "knn_ivf_maintained",
     "source_dedup_stats",
     "quality_deciles",
     "cell_edges",
+    "geary_c",
+    "semivariogram",
+    "bigram_pmi",
+    "ivf_bucket_stats",
 ]
 
 

@@ -231,6 +231,83 @@ def doc_tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def bigram_pmi(
+    df: DataFrame, k: int = 30, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` adjacent-token bigrams by count, with pointwise mutual
+    information — the co-occurrence statistic embedding/phrase-mining
+    pipelines precompute (word2vec-style collocation detection):
+
+        pmi(a,b) = ln( (c_ab / B) / ((c_a / T) · (c_b / T)) )
+
+    over corpus-wide counts (c_ab bigram occurrences, B total bigrams,
+    c_x unigram occurrences, T total tokens; empty tokens excluded on
+    both levels). Output ``(t1, t2, n_pairs, pmi, rank)``, ranked by
+    (count desc, t1, t2) — a deterministic cross-engine total order.
+
+    Plan: one scan explodes bigram structs (pure higher-order
+    expression, no self-join on positions), one scan for unigrams; two
+    hash aggregates, two 1-row broadcasts, orderBy+limit =
+    TakeOrderedAndProject (per-partition heaps, no global sort) with
+    the rank window over k rows only."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    d = df.select(F.col(id_col), toks.alias("_t"))
+    big = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_t) >= 2 THEN "
+                    "transform(sequence(1, size(_t) - 1), "
+                    "i -> struct(element_at(_t, i) AS t1, element_at(_t, i + 1) AS t2)) "
+                    "ELSE CAST(array() AS array<struct<t1: string, t2: string>>) END"
+                )
+            ).alias("_b")
+        )
+        .select("_b.t1", "_b.t2")
+        .where((F.col("t1") != "") & (F.col("t2") != ""))
+    )
+    # the bigram-count table feeds the B total AND the top-k — two
+    # differently-pruned consumers would re-run the corpus explode
+    bc = (
+        big.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
+    )
+    uni = (
+        d.select(F.explode("_t").alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_u"))
+        .localCheckpoint()  # two join consumers (t1, t2 resolution)
+    )
+    tot = uni.agg(F.sum("_u").cast("double").alias("_T"))
+    btot = bc.agg(F.sum("_c").cast("double").alias("_B"))
+    top = bc.orderBy(F.col("_c").desc(), "t1", "t2").limit(k)
+    w = Window.orderBy(F.col("_c").desc(), "t1", "t2")
+    pmi = F.log(
+        (F.col("_c") / F.col("_B"))
+        / ((F.col("_u1") / F.col("_T")) * (F.col("_u2") / F.col("_T")))
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .join(uni.select(F.col("t").alias("t1"), F.col("_u").alias("_u1")), "t1")
+        .join(uni.select(F.col("t").alias("t2"), F.col("_u").alias("_u2")), "t2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "t1",
+            "t2",
+            F.col("_c").cast("long").alias("n_pairs"),
+            round6(pmi).alias("pmi"),
+            "rank",
+        )
+    )
+
+
 def feature_hashed_vectors(
     df: DataFrame, dim: int = 64, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -458,6 +458,60 @@ def knn_graph_ivf(
     )
 
 
+def ivf_bucket_stats(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    centroids=None,
+) -> DataFrame:
+    """IVF coarse-quantizer occupancy report ``(bucket, n_vectors,
+    share)`` — the index-health table an ANN operator watches: probe
+    cost bounds assume roughly balanced inverted lists, and a hot
+    bucket (dead centroid, skewed corpus) silently degrades every
+    probe to a scan of that bucket. Buckets with ZERO vectors are
+    included (a dead centroid is exactly what the report must show).
+    Seeded centroids by default (the SQL-exact quantizer the knn_ivf
+    gate proves); pass trained ``centroids`` for the production form.
+
+    Plan: one corpus scan through the vectorized assignment UDF, one
+    C-cardinality hash aggregate, a 1-row total broadcast."""
+    import numpy as np
+
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    spark = embeddings.sparkSession
+    if centroids is None:
+        seeds = (
+            embeddings.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col("embedding").cast("array<double>"))
+            .collect()
+        )
+        cents = np.asarray([r[0] for r in seeds], dtype=np.float64)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+    probe = _probe_buckets_udf(spark, cents, 1)
+    counts = (
+        embeddings.select(
+            F.element_at(probe(F.col("embedding")), 1).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    allb = spark.range(len(cents)).select(F.col("id").cast("int").alias("bucket"))
+    tot = counts.agg(F.sum("_n").cast("double").alias("_T"))
+    return (
+        allb.join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_vectors"),
+            round6(F.coalesce(F.col("_n"), F.lit(0)) / F.col("_T")).alias("share"),
+        )
+    )
+
+
 def ivf_knn_trained(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -145,6 +145,99 @@ def morans_i(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def geary_c(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Global Geary's C — the squared-difference complement of
+    :func:`morans_i` (sensitive to LOCAL dissimilarity where Moran's I
+    measures global covariance; the pair is the standard spatial-
+    autocorrelation report), binary ring-1 contiguity weights:
+
+        C = (n − 1) · Σ_ij (x_i − x_j)² / (2W · Σ_i (x_i − μ)²)
+
+    with W = total directed valid edges (each unordered pair counted
+    twice in both Σ_ij and W, so the statistic equals the unordered
+    form). C < 1 ⇒ positive autocorrelation, ≈1 random, >1 dispersed.
+    One row out: ``(n_cells, total_edges, geary_c)``.
+
+    Spark shape: identical to Moran's I — one edge-cardinality k-ring
+    equi-join for the pair term, 1-row aggregates and a 1-row μ
+    broadcast for the denominator; no windows, no iteration."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    vals = cells.select("cell", F.col(value_col).alias("_x"))
+    e = valid_edges(cells, 1).select("cell", "nbr")
+    cross = (
+        e.join(vals, "cell")
+        .join(
+            vals.select(F.col("cell").alias("nbr"), F.col("_x").alias("_xn")),
+            "nbr",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_W"),
+            F.sum(
+                (F.col("_x") - F.col("_xn")) * (F.col("_x") - F.col("_xn"))
+            ).alias("_num"),
+        )
+    )
+    mu = cells.agg(F.avg(value_col).alias("_mu"))
+    den = (
+        cells.crossJoin(F.broadcast(mu))
+        .select((F.col(value_col) - F.col("_mu")).alias("_d"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_d") * F.col("_d")).alias("_den"),
+        )
+    )
+    return cross.crossJoin(F.broadcast(den)).select(
+        F.col("_n").cast("long").alias("n_cells"),
+        F.col("_W").cast("long").alias("total_edges"),
+        round6(
+            (F.col("_n") - 1) * F.col("_num") / (2.0 * F.col("_W") * F.col("_den"))
+        ).alias("geary_c"),
+    )
+
+
+def semivariogram(
+    cells: DataFrame, value_col: str = "ndvi", k: int = 2
+) -> DataFrame:
+    """Empirical semivariogram over the grid's ring lags — the
+    geostatistician's spatial-continuity report (what kriging fits its
+    model to): per lag h (= ring number),
+
+        γ(h) = Σ_{(i,j) at lag h} (x_i − x_j)² / (2 · N_h)
+
+    over DIRECTED valid edges (each unordered pair twice in both the
+    sum and N_h, so γ equals the classic unordered form). Output one
+    row per ring: ``(ring, n_pairs, gamma)`` — rising γ(1) → γ(2) is
+    spatial continuity; flat is nugget-dominated noise.
+
+    Spark shape: ONE k-ring equi-join at edge cardinality carrying the
+    ring label (the cell_edges adjacency), then a ring-keyed hash
+    aggregate — k rows out."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    vals = cells.select("cell", F.col(value_col).alias("_x"))
+    e = valid_edges(cells, k).select("cell", "nbr", "ring")
+    return (
+        e.join(vals, "cell")
+        .join(
+            vals.select(F.col("cell").alias("nbr"), F.col("_x").alias("_xn")),
+            "nbr",
+        )
+        .groupBy("ring")
+        .agg(
+            F.count(F.lit(1)).alias("_np"),
+            F.sum(
+                (F.col("_x") - F.col("_xn")) * (F.col("_x") - F.col("_xn"))
+            ).alias("_s"),
+        )
+        .select(
+            F.col("ring").cast("int").alias("ring"),
+            F.col("_np").cast("long").alias("n_pairs"),
+            round6(F.col("_s") / (2.0 * F.col("_np"))).alias("gamma"),
+        )
+    )
+
+
 #: measured window-vs-bucketed crossover (32 cores, see docstring)
 LOCALITY_WINDOW_MAX_ROWS = 10_000_000
 
