@@ -68,9 +68,11 @@ DOC_GATES = [
     "curate_packed",
     "source_quota",
     "doc_tfidf",
+    "doc_tfidf_maintained",
     "feature_hashing",
     "source_dedup_stats",
     "quality_deciles",
+    "bigram_pmi",
 ]
 
 
