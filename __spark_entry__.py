@@ -231,6 +231,12 @@ def _q_semivariogram(spark, sf_dir):
     return stats_ops.semivariogram(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_local_morans_i(spark, sf_dir):
+    """Local Moran's I (Anselin LISA) with HH/LL/HL/LH quadrant labels
+    — the per-cell clustering map."""
+    return stats_ops.local_morans_i(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_locality(spark, sf_dir):
     return stats_ops.locality_metric(grid_from_lineitem(spark, sf_dir))
 
@@ -1097,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram": _q_semivariogram,
         "bigram_pmi": _q_bigram_pmi,
         "ivf_bucket_stats": _q_ivf_bucket_stats,
+        "local_morans_i": _q_local_morans_i,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -1833,6 +1840,29 @@ SELECT CAST(dn.n AS BIGINT) AS n_cells,
        CAST(cr.W AS BIGINT) AS total_edges,
        ROUND((dn.n - 1) * cr.num / (2.0 * cr.W * dn.den) + 1e-09, 6) AS geary_c
 FROM cr, dn
+""".strip()
+    out["local_morans_i"] = f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)}),
+mu AS (SELECT AVG(ndvi) AS mu FROM cells4),
+dev AS (SELECT cell, ndvi - mu.mu AS d FROM cells4, mu),
+m2 AS (SELECT SUM(d * d) / COUNT(*) AS m2 FROM dev),
+ns AS (
+  SELECT c.cell, COUNT(*) AS k, SUM(bd.d) AS sn
+  FROM cells4 c CROSS JOIN offsets o
+  JOIN cells4 n ON n.cell = c.cell + o.delta
+  JOIN dev bd ON bd.cell = n.cell
+  GROUP BY c.cell
+)
+SELECT dev.cell,
+       CAST(COALESCE(ns.k, 0) AS BIGINT) AS n_neighbors,
+       ROUND(dev.d / m2.m2 * COALESCE(ns.sn, 0) + 1e-09, 6) AS local_i,
+       CASE WHEN COALESCE(ns.k, 0) = 0 THEN 'ISO'
+            WHEN dev.d >= 0 AND COALESCE(ns.sn, 0) >= 0 THEN 'HH'
+            WHEN dev.d < 0 AND COALESCE(ns.sn, 0) < 0 THEN 'LL'
+            WHEN dev.d >= 0 THEN 'HL'
+            ELSE 'LH' END AS quadrant
+FROM dev LEFT JOIN ns ON ns.cell = dev.cell, m2
 """.strip()
     out["semivariogram"] = f"""
 WITH {GRID_CELLS_SQL},

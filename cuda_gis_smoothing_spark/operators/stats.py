@@ -196,6 +196,70 @@ def geary_c(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def local_morans_i(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Local Moran's I (Anselin LISA) — the per-cell decomposition of
+    :func:`morans_i` that turns "is the surface clustered?" into
+    "WHERE is it clustered?":
+
+        I_i = (x_i − μ) / m₂ · Σ_j w_ij (x_j − μ),   m₂ = Σ(x−μ)²/n
+
+    binary ring-1 contiguity, plus the cluster-quadrant label the LISA
+    map colors: HH/LL (own and neighbor-mean deviation same-signed),
+    HL/LH (outliers), ISO for cells with no valid neighbors (I_i = 0,
+    the empty sum). Completes the family: global I, global C
+    (:func:`geary_c`), Gi* (:func:`hotspot_zscore`), local I.
+
+    Output ``(cell, n_neighbors, local_i, quadrant)``. Spark shape:
+    the SAME one k-ring edge join + 1-row broadcast aggregates as the
+    global statistic — the per-cell Σ_j is a cell-keyed hash
+    aggregate; a LEFT join keeps isolated cells. Cross-engine note:
+    the quadrant label thresholds raw deviation SIGNS, so a cell whose
+    value sits within fp-association noise of the corpus mean could
+    legally label differently between engines (same class as the
+    round6-boundary near-ties the fuzz suites deliberately don't
+    randomize); the fixture has no such cell at either gated scale."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    mu = cells.agg(F.avg(value_col).alias("_mu"))
+    dev = (
+        cells.crossJoin(F.broadcast(mu))
+        .select("cell", (F.col(value_col) - F.col("_mu")).alias("_d"))
+        .localCheckpoint()  # three consumers: m2, edge join, cell join
+    )
+    m2 = dev.agg((F.sum(F.col("_d") * F.col("_d")) / F.count(F.lit(1))).alias("_m2"))
+    nbr_sum = (
+        valid_edges(cells, 1)
+        .select("cell", "nbr")
+        .join(dev.select(F.col("cell").alias("nbr"), F.col("_d").alias("_dn")), "nbr")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_k"), F.sum("_dn").alias("_sn"))
+    )
+    j = (
+        dev.join(nbr_sum, "cell", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "cell",
+            F.coalesce(F.col("_k"), F.lit(0)).cast("long").alias("n_neighbors"),
+            (F.col("_d") / F.col("_m2") * F.coalesce(F.col("_sn"), F.lit(0.0))).alias(
+                "_i"
+            ),
+            "_d",
+            F.coalesce(F.col("_sn"), F.lit(0.0)).alias("_snz"),
+        )
+    )
+    quadrant = (
+        F.when(F.col("n_neighbors") == 0, F.lit("ISO"))
+        .when((F.col("_d") >= 0) & (F.col("_snz") >= 0), F.lit("HH"))
+        .when((F.col("_d") < 0) & (F.col("_snz") < 0), F.lit("LL"))
+        .when(F.col("_d") >= 0, F.lit("HL"))
+        .otherwise(F.lit("LH"))
+    )
+    return j.select(
+        "cell", "n_neighbors", round6(F.col("_i")).alias("local_i"),
+        quadrant.alias("quadrant"),
+    )
+
+
 def semivariogram(
     cells: DataFrame, value_col: str = "ndvi", k: int = 2
 ) -> DataFrame:
