@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "cell_edges",
     "geary_c",
     "semivariogram",
+    "local_morans_i",
     "bigram_pmi",
     "ivf_bucket_stats",
 ]
