@@ -786,6 +786,23 @@ def _q_bigram_pmi(spark, sf_dir):
     return bigram_pmi(load(spark, sf_dir, "documents"), k=_BIGRAM_K)
 
 
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test holdout assignment per doc (90/5/5
+    over the portable hash space) — retry/re-ingest-stable by
+    construction."""
+    from cuda_gis_smoothing_spark.operators.sampling import dataset_split
+
+    return dataset_split(load(spark, sf_dir, "documents"))
+
+
+def _q_embedding_norms(spark, sf_dir):
+    """One-row embedding-table sanity profile (counts, dims, norm
+    spread, zero vectors) — the pre-indexing dataset card."""
+    from cuda_gis_smoothing_spark.operators.similarity import embedding_norms
+
+    return embedding_norms(load(spark, sf_dir, "embeddings"))
+
+
 def _q_ivf_bucket_stats(spark, sf_dir):
     """IVF quantizer occupancy (bucket, n_vectors, share), dead buckets
     included — the ANN index-health report."""
@@ -1104,6 +1121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": _q_bigram_pmi,
         "ivf_bucket_stats": _q_ivf_bucket_stats,
         "local_morans_i": _q_local_morans_i,
+        "dataset_split": _q_dataset_split,
+        "embedding_norms": _q_embedding_norms,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -1921,6 +1940,33 @@ FROM ranked r
 JOIN uni u1 ON u1.t = r.t1
 JOIN uni u2 ON u2.t = r.t2, tot, btot
 WHERE r.rank <= {_BIGRAM_K}
+""".strip()
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        sample_hash_sql,
+    )
+
+    out["dataset_split"] = f"""
+SELECT doc_id,
+       CASE WHEN h < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN h < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {sample_hash_sql("doc_id")} AS h FROM documents)
+""".strip()
+    out["embedding_norms"] = """
+WITH n AS (
+  SELECT embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MAX(len(emb)) AS INT) AS n_dims,
+       ROUND(MIN(nrm) + 1e-09, 6) AS min_norm,
+       ROUND(MAX(nrm) + 1e-09, 6) AS max_norm,
+       ROUND(AVG(nrm) + 1e-09, 6) AS avg_norm,
+       CAST(SUM(CASE WHEN nrm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM n
 """.strip()
     out["ivf_bucket_stats"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "local_morans_i",
     "bigram_pmi",
     "ivf_bucket_stats",
+    "dataset_split",
+    "embedding_norms",
 ]
 
 

@@ -106,6 +106,32 @@ def quality_weighted_sample(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "n_tokens", "quality_score")
 
 
+#: train/val/test hash boundaries over the 1e-6-resolution hash space
+#: (train 90%, val 5%, test 5%) — ONE constant pair shared by the
+#: operator and the DuckDB twin so the cut cannot drift
+SPLIT_TRAIN_LT = 900_000
+SPLIT_VAL_LT = 950_000
+
+
+def dataset_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment ``(doc_id, split)`` —
+    the holdout cut every training pipeline makes, decided purely by
+    the row's id through the portable hash (NOT rand(): reproducible
+    across runs, engines, partitionings and task retries, and a doc
+    keeps its split when the corpus around it changes — the property
+    that prevents silent test-set leakage on re-ingestion). Boundaries
+    are module constants; the per-row assignment itself is
+    correctness-gated against the DuckDB twin. One scan, one
+    expression, no shuffle."""
+    h = sample_hash_col(id_col)
+    split = (
+        F.when(h < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(h < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(F.col(id_col), split.alias("split"))
+
+
 def source_quota(docs: DataFrame, per_source_cap: int = 50) -> DataFrame:
     """Source balancing by quota: keep each source's top
     ``per_source_cap`` docs by quality — the data-mixing step that

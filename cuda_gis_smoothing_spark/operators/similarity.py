@@ -512,6 +512,28 @@ def ivf_bucket_stats(
     )
 
 
+def embedding_norms(embeddings: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Embedding-table dataset card: ONE row of
+    ``(n_vectors, n_dims, min_norm, max_norm, avg_norm, n_zero)`` —
+    the sanity profile every similarity/ANN pipeline checks before
+    indexing (a zero vector poisons cosine; a norm spread of orders of
+    magnitude means unnormalized embeddings; a dim mismatch means a
+    corrupted batch — n_dims is the MAX so a short vector shows up as
+    a smaller-than-expected avg norm and a caller comparing against
+    the model's dim catches it). One scan, one hash aggregate."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    n = with_norm(embeddings, emb_col)
+    return n.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.max(F.size("_emb")).cast("int").alias("n_dims"),
+        round6(F.min("_nrm")).alias("min_norm"),
+        round6(F.max("_nrm")).alias("max_norm"),
+        round6(F.avg("_nrm")).alias("avg_norm"),
+        F.sum((F.col("_nrm") < 1e-12).cast("long")).cast("long").alias("n_zero"),
+    )
+
+
 def ivf_knn_trained(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -73,6 +73,7 @@ DOC_GATES = [
     "source_dedup_stats",
     "quality_deciles",
     "bigram_pmi",
+    "dataset_split",
 ]
 
 

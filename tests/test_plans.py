@@ -168,6 +168,11 @@ def test_knn_graph_and_containment_have_no_nested_loop(spark):
             assert "BroadcastNestedLoop" not in plan, name
             assert "CartesianProduct" not in plan, name
             assert "Exchange hashpartitioning" in plan, name
+            # the pair-stage shuffles must be USER-SPECIFIED repartitions
+            # (byte-tiny block keys: AQE coalesces anything else to one
+            # task — the CLAUDE.md blind spot), on BOTH join sides;
+            # repartition(N, cols) prints as REPARTITION_BY_NUM
+            assert plan.count("REPARTITION_BY_NUM") >= 2, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
