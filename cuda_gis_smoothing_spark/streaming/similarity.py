@@ -28,9 +28,11 @@ many' must not leak one broadcast per query call).
 Scale note: ``prune=True`` static-filters the log view on the probed
 bucket set — row-group pruning at best here, since SnapshotLog deltas
 are not bucket-partitioned (they are keyed by vec_id for latest-wins).
-A real deployment periodically EXPORTS the compacted view into a
-bucket-partitioned ``IVFIndex`` layout (one ``write.partitionBy``
-pass) to recover true partition pruning; the log is the ingest tier.
+:meth:`MaintainedIVF.export_index` periodically EXPORTS the compacted
+view into the bucket-partitioned ``IVFIndex`` layout (one
+``write.partitionBy`` pass) to recover true partition pruning — the
+log is the ingest tier, the export the serving tier (equality and
+partition pruning tested).
 """
 
 from __future__ import annotations
@@ -108,6 +110,31 @@ class MaintainedIVF:
         c = c.localCheckpoint(eager=True)
         q = probe_rows(queries, self._bc, n_probe, query_id_col)
         return probe_join_rank(c, q, k, query_id_col, prune)
+
+    def export_index(self, path: str):
+        """Write the CURRENT log view into the serving-tier
+        ``operators/similarity.IVFIndex`` layout: corpus parquet
+        PARTITIONED BY bucket (the partition dirs ARE the inverted
+        lists — probes get true partition pruning, which the vec-keyed
+        ingest log cannot give) plus the centroid table. Returns the
+        loaded ``IVFIndex``; its queries equal this index's (tested).
+        The standard two-tier ANN deployment: the log absorbs O(batch)
+        ingest, the export is a periodic one-pass compaction."""
+        import os
+
+        from cuda_gis_smoothing_spark.operators.similarity import IVFIndex
+
+        c = self.corpus()
+        if c is None:
+            raise ValueError("MaintainedIVF: empty index (no batches applied)")
+        c.select("vec_id", "c_emb", "c_nrm", "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(path, "corpus"))
+        self.spark.createDataFrame(
+            [(b, [float(x) for x in row]) for b, row in enumerate(self.centroids)],
+            "bucket int, centroid array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        return IVFIndex(self.spark, path, self.centroids)
 
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         from pyspark.sql import types as T

@@ -101,6 +101,33 @@ def test_replay_of_applied_batch_is_noop(spark, tmp_path):
     assert _res(idx.query(_queries(spark))) == before
 
 
+def test_export_index_equals_maintained(spark, tmp_path):
+    """export_index writes the serving-tier bucket-partitioned layout:
+    the exported IVFIndex answers queries identically to the log view,
+    its probe plan prunes partitions (PartitionFilters carry the probed
+    bucket set), and a vector update BEFORE export is reflected."""
+    emb = _emb(spark)
+    cents = train_centroids(emb, n_centroids=8, iters=2)
+    idx = MaintainedIVF(spark, str(tmp_path / "state"), cents)
+    idx.process_batch(emb, 0)
+    donor = emb.where(F.col("vec_id") == 30).select(
+        F.lit(20).cast("long").alias("vec_id"), F.col("embedding")
+    )
+    idx.process_batch(donor, 1)  # update folded before export
+    served = idx.export_index(str(tmp_path / "ivf"))
+    q = _queries(spark)
+    assert _res(served.query(q, k=5, n_probe=2)) == _res(
+        idx.query(q, k=5, n_probe=2)
+    )
+    plan = (
+        served.query(q, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
 def test_stream_wiring_builds_same_index(spark, tmp_path):
     emb = _emb(spark)
     cents = train_centroids(emb, n_centroids=8, iters=2)
