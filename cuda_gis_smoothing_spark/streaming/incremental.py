@@ -133,6 +133,16 @@ class SnapshotLog:
             os.path.join(self.path, f"delta-b{batch_id:08d}")
         )
 
+    def read_delta(self, batch_id: int) -> DataFrame:
+        """Read back ONE batch's delta — the already-written parquet IS
+        a materialization, so a processor that derives further state
+        from its own delta (MaintainedPostings' dfreq/stats diffs)
+        reads it instead of paying a second checkpoint of the same
+        rows."""
+        return self.spark.read.parquet(
+            os.path.join(self.path, f"delta-b{batch_id:08d}")
+        )
+
     def compact(self, batch_id: int) -> None:
         """Fold the live view into ``base-b{batch_id}`` and GC subsumed
         dirs. Visible only once fully written; idempotent per batch."""

@@ -127,10 +127,14 @@ class MaintainedPostings:
                 F.lit(0.0).alias("_dl"),
             )
         )
-        # one computation feeds the postings delta AND the old-vs-new
-        # diff below (two differently-projected consumers otherwise
-        # re-tokenize the batch)
-        delta = per_doc.unionByName(tombstones).localCheckpoint()
+        # write the postings delta FIRST (the contract's first write),
+        # then read it back: the parquet delta IS the materialization
+        # the dfreq/stats diffs below consume — a localCheckpoint here
+        # would write the same rows twice (measured ~2x the gate's
+        # build cost at sf0.1). Crash-safe: a replay overwrites this
+        # delta idempotently and recomputes identical diffs from it.
+        self.log.write_delta(per_doc.unionByName(tombstones), batch_id)
+        delta = self.log.read_delta(batch_id)
         # --- dfreq + stats maintenance: diff old vs new rows ----------
         # prior state for exactly this batch's ids; before_batch_id so
         # a crash replay never reads its own half-written delta
@@ -186,9 +190,8 @@ class MaintainedPostings:
         else:
             row = old_stats.collect()[0]
             base_n, base_s = int(row["n_docs"]), float(row["sum_dl"])
-        # write order is the crash contract: postings, dfreq, then the
-        # stats row LAST as the replay guard
-        self.log.write_delta(delta, batch_id)
+        # write order is the crash contract: postings (above), dfreq,
+        # then the stats row LAST as the replay guard
         self.df_log.write_delta(new_df, batch_id)
         self.stats_log.write_delta(
             self.spark.createDataFrame(

@@ -116,6 +116,12 @@ _HOSTILE_SAMPLE = [
     "cross_source_dups",
     # the bucketed prefix sum must not depend on partition counts
     "sequence_packing",
+    # round-5 additions: the blocked ANN-graph candidate join (pinned
+    # repartitions must carry the hostile partition count), the
+    # maintained-index read path, and the per-cell LISA left join
+    "knn_graph_ivf",
+    "knn_ivf_maintained",
+    "local_morans_i",
 ]
 
 
