@@ -691,6 +691,18 @@ def _q_dedup_containment(spark, sf_dir):
     )
 
 
+def _q_dedup_containment_banded(spark, sf_dir):
+    """The recall-traded LSH candidate route for containment (banded
+    MinHash + size-bucket gap, exact verify) — the sub-quadratic
+    sibling of dedup_containment; recall vs the exact path is measured
+    in pytest and documented as inherently partial."""
+    from cuda_gis_smoothing_spark.operators.dedup import containment_pairs_banded
+
+    return containment_pairs_banded(
+        load(spark, sf_dir, "documents"), threshold=_CONTAINMENT_T
+    )
+
+
 def _q_cross_source_dups(spark, sf_dir):
     """Cross-source exact-duplication audit (digest-keyed provenance
     overlap)."""
@@ -1123,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_morans_i": _q_local_morans_i,
         "dataset_split": _q_dataset_split,
         "embedding_norms": _q_embedding_norms,
+        "dedup_containment_banded": _q_dedup_containment_banded,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -1967,6 +1980,36 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
        ROUND(AVG(nrm) + 1e-09, 6) AS avg_norm,
        CAST(SUM(CASE WHEN nrm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
 FROM n
+""".strip()
+    out["dedup_containment_banded"] = f"""
+WITH {tok_cte},
+h AS (SELECT doc_id, {th} AS h FROM tok),
+sig AS (SELECT doc_id, {mh_aggs} FROM h GROUP BY doc_id),
+banded AS (
+  {band_union}
+),
+sz AS (SELECT doc_id, COUNT(*) AS n, LENGTH(bin(COUNT(*))) - 1 AS g FROM tok GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  JOIN sz sa ON sa.doc_id = a.doc_id
+  JOIN sz sb ON sb.doc_id = b.doc_id
+  WHERE ABS(sa.g - sb.g) <= 1
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN tok a ON a.doc_id = c.doc_a
+  JOIN tok b ON b.doc_id = c.doc_b AND b.t = a.t
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.i * 1.0 / LEAST(sa.n, sb.n) + 1e-09, 6) AS containment
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE ROUND(i.i * 1.0 / LEAST(sa.n, sb.n) + 1e-09, 6) >= {_CONTAINMENT_T}
 """.strip()
     out["ivf_bucket_stats"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

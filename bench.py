@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "dedup_normalized",
     "dedup_containment",
+    "dedup_containment_banded",
     "cross_source_dups",
     "decontaminated_corpus",
     "vocab_df_idf",

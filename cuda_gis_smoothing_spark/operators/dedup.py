@@ -135,6 +135,30 @@ def minhash_signatures(
     return h.groupBy(id_col).agg(*aggs)
 
 
+def banded_signature_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 6,
+    bands: int = 3,
+) -> DataFrame:
+    """(id, band, bh) LSH band rows — the banding arithmetic shared by
+    :func:`minhash_lsh_pairs` and :func:`containment_pairs_banded`
+    (bh folds the band's signature rows as ``(prev*8191 + mh) % P``)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = (expr * 8191 + p) % MH_PRIME
+        band_cols.append(F.struct(F.lit(b).alias("band"), expr.alias("bh")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -149,20 +173,7 @@ def minhash_lsh_pairs(
     (band_id, band_hash), candidate verification local to the match.
     Output: (doc_a, doc_b, n_shared_bands).
     """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
-        expr = parts[0]
-        for p in parts[1:]:
-            expr = (expr * 8191 + p) % MH_PRIME
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), expr.alias("bh"))
-        )
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = banded_signature_rows(df, text_col, id_col, n_hashes, bands)
     # pinned parallelism: band-key rows are tiny by bytes but the pair
     # output is superlinear — AQE would coalesce the shuffle to one
     # partition and emit every candidate from one core
@@ -675,6 +686,74 @@ def containment_pairs(
         .select(
             F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return verified_containment_pairs_prepared(
+        cand,
+        token_array_side(df, "doc_a", id_col, text_col),
+        token_array_side(df, "doc_b", id_col, text_col),
+        threshold,
+    )
+
+
+def containment_pairs_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = 6,
+    bands: int = 3,
+    max_bucket_gap: int = 1,
+) -> DataFrame:
+    """APPROXIMATE containment pairs — the recall-traded LSH candidate
+    route beside the exact :func:`containment_pairs` (which stays the
+    lossless path; this is its sub-quadratic sibling, the
+    ``dedup_embedding_banded``-vs-exact pattern applied to
+    containment). Output shape identical: ``(doc_a, doc_b,
+    containment)`` with the EXACT round6 containment of every
+    surviving pair (verification intersects full token sets — only
+    candidate RECALL is traded).
+
+    Candidates: a pair must (a) share a MinHash LSH band value and
+    (b) sit within ``max_bucket_gap`` geometric size buckets
+    (g = ⌊log₂ |tokens|⌋, computed as ``length(bin(n)) - 1`` — pure
+    integer arithmetic, no float log to disagree cross-engine).
+
+    Recall contract (documented, measured in pytest, inherent — not a
+    bug): containment t between sizes a ≤ b ≤ r·a implies jaccard ≥
+    t/(1 + r − t); within gap 1 the ratio is < 4, so t = 0.8 pairs can
+    sit at jaccard ≈ 0.19 where 6-hash/3-band LSH fires with modest
+    probability — banding CANNOT be recall-exact for containment, and
+    pairs with size ratio ≥ 2^(gap+1) (a snippet inside a much larger
+    doc — exactly what the asymmetric-prefix exact path exists for)
+    are out of candidate scope BY CONSTRUCTION. What the bucket gap
+    buys at 100 TB: the band join's fan-out never pairs a shard-sized
+    doc with every snippet sharing a hot band value — per-band-bucket
+    work is bounded by the bucket's size-neighborhood, and every
+    shuffle key is (band, bh), never all-pairs.
+    """
+    banded = banded_signature_rows(df, text_col, id_col, n_hashes, bands)
+    toks = _doc_tokens(df, text_col, id_col, None)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    g = (F.length(F.expr("bin(_n)")) - 1).alias("_g")
+    withg = banded.join(sizes, id_col).select(id_col, "band", "bh", g)
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    a = withg.repartition(parts, "band", "bh").alias("a")
+    b = withg.repartition(parts, "band", "bh").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.abs(F.col("a._g") - F.col("b._g")) <= max_bucket_gap
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
         )
         .distinct()
     )

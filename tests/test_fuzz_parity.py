@@ -60,6 +60,7 @@ DOC_GATES = [
     "curate_corpus_strict",
     "dedup_normalized",
     "dedup_containment",
+    "dedup_containment_banded",
     "cross_source_dups",
     "decontaminated_corpus",
     "vocab_df_idf",
