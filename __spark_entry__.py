@@ -798,6 +798,27 @@ def _q_bigram_pmi(spark, sf_dir):
     return bigram_pmi(load(spark, sf_dir, "documents"), k=_BIGRAM_K)
 
 
+def _q_bigram_pmi_maintained(spark, sf_dir):
+    """The SAME top-k PMI table served from maintained co-occurrence
+    logs (bigram/unigram count tables + the 1-row totals log — zero
+    corpus re-tokenization/re-aggregation at read time): the corpus
+    folds into a fresh single-batch MaintainedBigrams, so this
+    CORRECTNESS row gates the maintained collocation path against the
+    identical SQL twin every round (the doc_tfidf_maintained
+    precedent)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.cooccur import MaintainedBigrams
+
+    state = tempfile.mkdtemp(prefix="bigram_state_")
+    mb = MaintainedBigrams(spark, state)
+    mb.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = mb.bigram_pmi(k=_BIGRAM_K)  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test holdout assignment per doc (90/5/5
     over the portable hash space) — retry/re-ingest-stable by
@@ -1136,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "embedding_norms": _q_embedding_norms,
         "dedup_containment_banded": _q_dedup_containment_banded,
+        "bigram_pmi_maintained": _q_bigram_pmi_maintained,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -1954,6 +1976,8 @@ JOIN uni u1 ON u1.t = r.t1
 JOIN uni u2 ON u2.t = r.t2, tot, btot
 WHERE r.rank <= {_BIGRAM_K}
 """.strip()
+    # identical semantics, different Spark path (maintained co-occurrence logs)
+    out["bigram_pmi_maintained"] = out["bigram_pmi"]
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,

@@ -59,10 +59,15 @@ _SNAP_RE = re.compile(r"^(base|delta)-b(\d+)$")
 class SnapshotLog:
     """Base+delta parquet log with latest-wins-per-key reads."""
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "cell"):
+    def __init__(
+        self, spark: SparkSession, path: str, key: str | list[str] = "cell"
+    ):
         self.spark = spark
         self.path = path
-        self.key = key
+        # composite keys (e.g. a bigram's (t1, t2)) are a key LIST —
+        # latest-wins then groups on all parts, no concat-key ambiguity
+        self.keys = [key] if isinstance(key, str) else list(key)
+        self.key = self.keys[0]
 
     def _snapshots(self) -> list[tuple[int, str, str]]:
         """[(batch_id, kind, dir)] sorted by batch_id."""
@@ -121,11 +126,11 @@ class SnapshotLog:
             df = df.unionByName(p)
         if len(parts) == 1:
             return df.drop("_b")
-        vals = [c for c in df.columns if c not in (self.key, "_b")]
+        vals = [c for c in df.columns if c not in (*self.keys, "_b")]
         return (
-            df.groupBy(self.key)
+            df.groupBy(*self.keys)
             .agg(F.max_by(F.struct(*vals), F.col("_b")).alias("_s"))
-            .select(self.key, "_s.*")
+            .select(*self.keys, "_s.*")
         )
 
     def write_delta(self, df: DataFrame, batch_id: int) -> None:
