@@ -225,6 +225,13 @@ def _q_geary_c(spark, sf_dir):
     return stats_ops.geary_c(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_join_counts(spark, sf_dir):
+    """Join-count statistics over ring-1 contiguity — the binary-mark
+    member of the spatial-autocorrelation family (BB/BW/WW joins for
+    the above-mean two-coloring)."""
+    return stats_ops.join_counts(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_semivariogram(spark, sf_dir):
     """Empirical semivariogram over ring-1/ring-2 lags (the kriging
     input: spatial continuity per lag)."""
@@ -572,6 +579,27 @@ def _q_knn_graph_ivf(spark, sf_dir):
     )
 
 
+def _q_knn_graph_ivf_trained(spark, sf_dir):
+    """The ANN graph under TRAINED (k-means||) centroids — the variant
+    a production semantic-dedup pipeline runs (measured recall 0.52 vs
+    0.43 seeded on the fixture). ROWS-ONLY gate BY DESIGN: Lloyd means
+    aggregate distributed doubles, so trained centroids are not
+    SQL-expressible/bit-stable cross-engine (train_centroids docstring)
+    — quality is recall-gated in pytest
+    (tests/test_partitioning_dedup.py::test_knn_graph_ivf_recall_vs_exact)
+    and the bucket/probe/rank plumbing is identical to the seeded
+    knn_graph_ivf gate, which the SQL twin checks every round."""
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        knn_graph_ivf,
+        train_centroids,
+    )
+
+    _ensure_shipped(spark)  # pandas UDFs run in py workers
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_centroids=8, iters=3)
+    return knn_graph_ivf(emb, k=5, n_centroids=8, n_probe=2, centroids=cents)
+
+
 def _q_knn_lsh(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.similarity import lsh_bucketed_knn
 
@@ -817,6 +845,36 @@ def _q_bigram_pmi_maintained(spark, sf_dir):
     out = mb.bigram_pmi(k=_BIGRAM_K)  # eager-checkpoint contract: GC now
     shutil.rmtree(state, ignore_errors=True)
     return out
+
+
+_COOC_WINDOW = 3
+
+
+def _q_doc_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM self-score per doc — the second-order
+    perplexity-filter signal (λ·bigram MLE + (1−λ)·unigram backoff)."""
+    from cuda_gis_smoothing_spark.functions.text import doc_bigram_logprob
+
+    return doc_bigram_logprob(load(spark, sf_dir, "documents"))
+
+
+def _q_source_kl_divergence(spark, sf_dir):
+    """Per-source KL(P_source ‖ P_corpus) over unigram distributions —
+    the dataset-card drift statistic."""
+    from cuda_gis_smoothing_spark.functions.text import source_kl_divergence
+
+    return source_kl_divergence(load(spark, sf_dir, "documents"))
+
+
+def _q_cooccurrence_window(spark, sf_dir):
+    """Top-k windowed (skip-gram) co-occurrence pairs — the
+    co-occurrence-matrix builder for embedding training; all-integer
+    output on a deterministic total order."""
+    from cuda_gis_smoothing_spark.functions.text import cooccurrence_window
+
+    return cooccurrence_window(
+        load(spark, sf_dir, "documents"), window=_COOC_WINDOW, k=_BIGRAM_K
+    )
 
 
 def _q_dataset_split(spark, sf_dir):
@@ -1158,6 +1216,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "dedup_containment_banded": _q_dedup_containment_banded,
         "bigram_pmi_maintained": _q_bigram_pmi_maintained,
+        # rows-only BY DESIGN (trained centroids are not SQL-expressible;
+        # recall is pytest-gated — see the gate docstring)
+        "knn_graph_ivf_trained": _q_knn_graph_ivf_trained,
+        "join_counts": _q_join_counts,
+        "doc_bigram_logprob": _q_doc_bigram_logprob,
+        "source_kl_divergence": _q_source_kl_divergence,
+        "cooccurrence_window": _q_cooccurrence_window,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -1895,6 +1960,29 @@ SELECT CAST(dn.n AS BIGINT) AS n_cells,
        ROUND((dn.n - 1) * cr.num / (2.0 * cr.W * dn.den) + 1e-09, 6) AS geary_c
 FROM cr, dn
 """.strip()
+    out["join_counts"] = f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)}),
+mu AS (SELECT AVG(ndvi) AS mu FROM cells4),
+mark AS (SELECT cell, CAST(ndvi > mu.mu AS INT) AS m FROM cells4, mu),
+jn AS (
+  SELECT COUNT(*) AS W,
+         SUM(a.m * b.m) AS bb,
+         SUM((1 - a.m) * (1 - b.m)) AS ww
+  FROM cells4 c CROSS JOIN offsets o
+  JOIN cells4 n ON n.cell = c.cell + o.delta
+  JOIN mark a ON a.cell = c.cell
+  JOIN mark b ON b.cell = n.cell
+),
+tot AS (SELECT COUNT(*) AS n, SUM(m) AS black FROM mark)
+SELECT CAST(tot.n AS BIGINT) AS n_cells,
+       CAST(tot.black AS BIGINT) AS n_black,
+       CAST(jn.W AS BIGINT) AS total_edges,
+       CAST(jn.bb AS BIGINT) AS bb_edges,
+       CAST(jn.W - jn.bb - jn.ww AS BIGINT) AS bw_edges,
+       CAST(jn.ww AS BIGINT) AS ww_edges
+FROM jn, tot
+""".strip()
     out["local_morans_i"] = f"""
 WITH {GRID_CELLS_SQL},
 offsets (delta) AS (VALUES {_vals(_R1)}),
@@ -1978,6 +2066,68 @@ WHERE r.rank <= {_BIGRAM_K}
 """.strip()
     # identical semantics, different Spark path (maintained co-occurrence logs)
     out["bigram_pmi_maintained"] = out["bigram_pmi"]
+    from cuda_gis_smoothing_spark.functions.numeric import flit as _flit
+    from cuda_gis_smoothing_spark.functions.text import BIGRAM_LM_LAMBDA
+
+    out["doc_bigram_logprob"] = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+bg AS (
+  SELECT doc_id, ts[i] AS t1, ts[i + 1] AS t2
+  FROM toks, UNNEST(CASE WHEN len(ts) >= 2
+                    THEN generate_series(1, len(ts) - 1) ELSE [] END) AS u(i)
+  WHERE ts[i] <> '' AND ts[i + 1] <> ''
+),
+bc AS (SELECT t1, t2, COUNT(*) AS c FROM bg GROUP BY t1, t2),
+ctx AS (SELECT t1, SUM(c) AS s FROM bc GROUP BY t1),
+uni AS (
+  SELECT t, COUNT(*) AS c FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> '' GROUP BY t
+),
+tot AS (SELECT SUM(c) * 1.0 AS T FROM uni)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigram_occurrences,
+       ROUND(AVG(-ln({_flit(BIGRAM_LM_LAMBDA)} * (bc.c * 1.0 / ctx.s)
+                     + {_flit(1.0 - BIGRAM_LM_LAMBDA)} * (u.c / tot.T))) + 1e-09, 6)
+         AS avg_neg_logprob
+FROM bg JOIN bc USING (t1, t2) JOIN ctx USING (t1)
+JOIN uni u ON u.t = bg.t2 CROSS JOIN tot
+GROUP BY bg.doc_id
+""".strip()
+    out["source_kl_divergence"] = """
+WITH stc AS (
+  SELECT source, t, COUNT(*) AS c FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> '' GROUP BY source, t
+),
+ct AS (SELECT t, SUM(c) AS ct FROM stc GROUP BY t),
+ns AS (SELECT source, SUM(c) AS ns FROM stc GROUP BY source),
+tot AS (SELECT SUM(c) * 1.0 AS T FROM stc)
+SELECT stc.source,
+       CAST(MAX(ns.ns) AS BIGINT) AS n_tokens,
+       ROUND(SUM((stc.c * 1.0 / ns.ns)
+                 * ln((stc.c * 1.0 / ns.ns) / (ct.ct / tot.T))) + 1e-09, 6)
+         AS kl_divergence
+FROM stc JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN tot
+GROUP BY stc.source
+""".strip()
+    out["cooccurrence_window"] = f"""
+WITH toks AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+pr AS (
+  SELECT ts[i] AS t1, ts[j] AS t2
+  FROM toks,
+       UNNEST(CASE WHEN len(ts) >= 2
+              THEN generate_series(1, len(ts) - 1) ELSE [] END) AS u(i),
+       UNNEST(generate_series(i + 1, least(i + {_COOC_WINDOW}, len(ts)))) AS v(j)
+  WHERE ts[i] <> '' AND ts[j] <> ''
+),
+pc AS (SELECT t1, t2, COUNT(*) AS c FROM pr GROUP BY t1, t2),
+ranked AS (
+  SELECT t1, t2, c, ROW_NUMBER() OVER (ORDER BY c DESC, t1, t2) AS rank FROM pc
+)
+SELECT t1, t2, CAST(c AS BIGINT) AS n_pairs, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_BIGRAM_K}
+""".strip()
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "feature_hashing",
     "knn_graph",
     "knn_graph_ivf",
+    "knn_graph_ivf_trained",
     "knn_ivf_maintained",
     "source_dedup_stats",
     "quality_deciles",
@@ -108,6 +109,11 @@ BENCH_QUERIES = [
     "semivariogram",
     "local_morans_i",
     "bigram_pmi",
+    "bigram_pmi_maintained",
+    "doc_bigram_logprob",
+    "source_kl_divergence",
+    "cooccurrence_window",
+    "join_counts",
     "ivf_bucket_stats",
     "dataset_split",
     "embedding_norms",
@@ -449,6 +455,30 @@ def main() -> None:
         f"{vocab_read_sec}s, tfidf read {tfidf_read_sec}s"
     )
 
+    # maintained co-occurrence stats: same split story — the
+    # bigram_pmi_maintained GATE builds a fresh single-batch state per
+    # invocation (its CORRECTNESS row gates the maintained path); the
+    # recurring user costs are the O(batch) delta and the read off the
+    # STANDING count tables
+    from cuda_gis_smoothing_spark.streaming.cooccur import MaintainedBigrams
+
+    big_dir = tempfile.mkdtemp(prefix="bench_bigram_state_")
+    mb = MaintainedBigrams(spark, big_dir)
+    t0 = time.perf_counter()
+    mb.process_batch(docs, 0)
+    bigram_build_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    mb.process_batch(delta_docs, 1)
+    bigram_delta_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _run_noop(mb.bigram_pmi(k=30))
+    bigram_read_sec = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(big_dir, ignore_errors=True)
+    log(
+        f"maintained bigrams: build {bigram_build_sec}s, 50-doc delta "
+        f"{bigram_delta_sec}s, pmi read {bigram_read_sec}s"
+    )
+
     # smoothing throughput: fused two-ring pass over the testdata grid
     from cuda_gis_smoothing_spark.operators.smoothing import smooth
     from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
@@ -511,6 +541,11 @@ def main() -> None:
             "query_sec": bm25_query_sec,
             "vocab_read_sec": vocab_read_sec,
             "tfidf_read_sec": tfidf_read_sec,
+        },
+        "bigram_maintained_split": {
+            "build_sec": bigram_build_sec,
+            "delta50_sec": bigram_delta_sec,
+            "pmi_read_sec": bigram_read_sec,
         },
         "reorder_sweep": reorder,
         "scaling": scaling,

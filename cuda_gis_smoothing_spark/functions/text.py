@@ -308,6 +308,201 @@ def bigram_pmi(
     )
 
 
+#: interpolation weight for the bigram LM self-score (λ on the bigram
+#: MLE term, 1−λ on the unigram backoff) — shared with the SQL twin
+BIGRAM_LM_LAMBDA = 0.75
+
+
+def doc_bigram_logprob(
+    df: DataFrame,
+    lam: float = BIGRAM_LM_LAMBDA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram-LM self-scoring — the second-order sibling
+    of :func:`doc_unigram_logprob` (the CCNet/Gopher perplexity-filter
+    shape, one step closer to the KenLM models real pipelines use):
+    each doc is scored by the mean negative log-probability of its
+    BIGRAM OCCURRENCES under
+
+        p(b | a) = λ · c_ab / c_a·   +   (1 − λ) · c_b / T
+
+    where c_ab is the corpus bigram count, c_a· the count of a as a
+    bigram CONTEXT (Σ_x c_ax — derived from the bigram table, NOT the
+    unigram count, so the conditional sums to 1 over the backoff-free
+    part), c_b the unigram count and T the token total (the add-λ
+    interpolation that keeps unseen-in-context bigrams finite).
+    Repetitive/templated text scores low, rare-transition noise high.
+    Bigrams skip positions flanking an empty token — the
+    :func:`bigram_pmi` convention.
+
+    Plan (100 TB): the corpus bigram-count table is materialized ONCE
+    (localCheckpoint — the context-count aggregate derives from it and
+    the scoring join reads it; a staged table on a real cluster), the
+    unigram table likewise (its total + the backoff join), then ONE
+    scoring join stream over the doc bigram occurrences and a doc-keyed
+    aggregate. Entirely JVM-side. Docs with no qualifying bigram get no
+    row (the signature-operator contract). Output: (doc_id,
+    n_bigram_occurrences, avg_neg_logprob)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    toks = tokens_col(text_col)
+    occ = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_t) >= 2 THEN "
+                    "transform(sequence(1, size(_t) - 1), "
+                    "i -> struct(element_at(_t, i) AS t1, element_at(_t, i + 1) AS t2)) "
+                    "ELSE CAST(array() AS array<struct<t1: string, t2: string>>) END"
+                )
+            ).alias("_b"),
+        )
+        .select(id_col, "_b.t1", "_b.t2")
+        .where((F.col("t1") != "") & (F.col("t2") != ""))
+    )
+    bc = (
+        occ.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()  # two consumers: context counts + scoring join
+    )
+    ctx = bc.groupBy("t1").agg(F.sum("_c").alias("_ctx"))
+    uni = (
+        df.select(F.explode(toks).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_u"))
+        .localCheckpoint()  # two consumers: total + backoff join
+    )
+    tot = uni.agg(F.sum("_u").cast("double").alias("_T"))
+    p = F.lit(lam) * (F.col("_c") / F.col("_ctx")) + F.lit(1.0 - lam) * (
+        F.col("_u") / F.col("_T")
+    )
+    return (
+        occ.join(bc, ["t1", "t2"])
+        .join(ctx, "t1")
+        .join(uni.select(F.col("t").alias("t2"), "_u"), "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(id_col, (-F.log(p)).alias("_nlp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigram_occurrences"),
+            round6(F.avg("_nlp")).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def source_kl_divergence(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source token-distribution drift: KL(P_source ‖ P_corpus)
+    over unigram MLE distributions,
+
+        KL = Σ_t p_s(t) · ln(p_s(t) / p(t))
+
+    — the dataset-card statistic that flags a source whose language
+    use diverges from the mix (domain skew, boilerplate, spam) before
+    it trains. Every source term is present in the corpus distribution
+    by construction, so the sum is always finite and no smoothing
+    constant enters the gate arithmetic. Output: one row per source,
+    ``(source, n_tokens, kl_divergence)``, NULL sources excluded (the
+    inner joins drop NULL keys — identically in both engines).
+
+    Plan (100 TB): ONE corpus token pass into a (source, token) count
+    table, materialized once (localCheckpoint — the corpus counts, the
+    source totals, and the KL term all derive from it), then
+    vocabulary-sized joins and a source-keyed 1-row-per-source
+    aggregate; the corpus total is a 1-row broadcast. No windows."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    stc = (
+        df.select(F.col(source_col).alias("source"), F.explode(tokens_col(text_col)).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()  # three consumers: corpus counts, totals, KL term
+    )
+    ct = stc.groupBy("t").agg(F.sum("_c").alias("_ct"))
+    ns = stc.groupBy("source").agg(F.sum("_c").alias("_ns"))
+    tot = stc.agg(F.sum("_c").cast("double").alias("_T"))
+    ps = F.col("_c") / F.col("_ns")
+    pc = F.col("_ct") / F.col("_T")
+    return (
+        stc.join(ct, "t")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "_ns", (ps * F.log(ps / pc)).alias("_kl"))
+        .groupBy("source")
+        .agg(
+            F.max("_ns").cast("long").alias("n_tokens"),
+            round6(F.sum("_kl")).alias("kl_divergence"),
+        )
+    )
+
+
+def cooccurrence_window(
+    df: DataFrame,
+    window: int = 3,
+    k: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` windowed co-occurrence pairs — the skip-gram
+    generalization of :func:`bigram_pmi`'s adjacency (window=1 ≡
+    bigrams): for every position i, the DIRECTED pairs (t_i, t_j) with
+    i < j ≤ i+window are counted corpus-wide — the co-occurrence
+    matrix builder word2vec/GloVe-style embedding pipelines feed.
+    Output ``(t1, t2, n_pairs, rank)`` ranked by (count desc, t1, t2)
+    — all-integer values on a deterministic total order, so the gate
+    is tie-proof. Pairs involving an empty token are excluded (each
+    (i, j) position pair judged independently — the bigram
+    convention, windowed).
+
+    Plan: ONE corpus scan — the window pairs are a pure nested
+    higher-order expression (flatten ∘ transform², no positions
+    self-join, no per-row Python), then a hash count aggregate and
+    orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
+    global sort) with the rank window over k rows only. The inner
+    ``sequence(i+1, least(i+window, n))`` is always ascending and
+    non-empty for i ≤ n−1 — the descending-``sequence`` trap
+    (contamination_report lesson) cannot fire."""
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("cooccurrence_window: window must be >= 1")
+    d = df.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    pairs = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_t) >= 2 THEN "
+                    "flatten(transform(sequence(1, size(_t) - 1), "
+                    f"i -> transform(sequence(i + 1, least(i + {int(window)}, size(_t))), "
+                    "j -> struct(element_at(_t, i) AS t1, element_at(_t, j) AS t2)))) "
+                    "ELSE CAST(array() AS array<struct<t1: string, t2: string>>) END"
+                )
+            ).alias("_p")
+        )
+        .select("_p.t1", "_p.t2")
+        .where((F.col("t1") != "") & (F.col("t2") != ""))
+    )
+    counts = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy(F.col("_c").desc(), "t1", "t2")
+    return (
+        counts.orderBy(F.col("_c").desc(), "t1", "t2")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "t1",
+            "t2",
+            F.col("_c").cast("long").alias("n_pairs"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def feature_hashed_vectors(
     df: DataFrame, dim: int = 64, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -260,6 +260,59 @@ def local_morans_i(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def join_counts(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Join-count statistics (Cliff & Ord) — the BINARY-mark member of
+    the spatial-autocorrelation family (global I/C measure continuous
+    covariance; join counts answer the same question for a two-color
+    map): mark each cell Black iff its value exceeds the corpus mean,
+    then count Black-Black, Black-White, and White-White joins over the
+    ring-1 contiguity edges. Clustering ⇒ BB+WW above their random-
+    labeling expectation, BW below. One row out:
+    ``(n_cells, n_black, total_edges, bb_edges, bw_edges, ww_edges)``
+    — directed edge counts (each unordered join counted twice, the
+    same W convention as :func:`morans_i`), all integers, so the gate
+    is tie-proof EXCEPT at the mark boundary itself: a cell at
+    fp-association-noise distance from the mean could legally flip
+    color cross-engine (the local_morans_i quadrant caveat; the
+    fixture has no such cell at either gated scale).
+
+    Spark shape: the family's standard plan — 1-row μ broadcast, one
+    edge-cardinality k-ring equi-join, everything collapsing to 1-row
+    integer aggregates; no windows, no iteration."""
+    mu = cells.agg(F.avg(value_col).alias("_mu"))
+    mark = (
+        cells.crossJoin(F.broadcast(mu))
+        .select(
+            "cell", (F.col(value_col) > F.col("_mu")).cast("int").alias("_m")
+        )
+        .localCheckpoint()  # three consumers: totals, both edge ends
+    )
+    e = valid_edges(cells, 1).select("cell", "nbr")
+    joins = (
+        e.join(mark, "cell")
+        .join(
+            mark.select(F.col("cell").alias("nbr"), F.col("_m").alias("_mn")),
+            "nbr",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_W"),
+            F.sum(F.col("_m") * F.col("_mn")).alias("_bb"),
+            F.sum((1 - F.col("_m")) * (1 - F.col("_mn"))).alias("_ww"),
+        )
+    )
+    tot = mark.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_m").alias("_black")
+    )
+    return joins.crossJoin(F.broadcast(tot)).select(
+        F.col("_n").cast("long").alias("n_cells"),
+        F.col("_black").cast("long").alias("n_black"),
+        F.col("_W").cast("long").alias("total_edges"),
+        F.col("_bb").cast("long").alias("bb_edges"),
+        (F.col("_W") - F.col("_bb") - F.col("_ww")).cast("long").alias("bw_edges"),
+        F.col("_ww").cast("long").alias("ww_edges"),
+    )
+
+
 def semivariogram(
     cells: DataFrame, value_col: str = "ndvi", k: int = 2
 ) -> DataFrame:

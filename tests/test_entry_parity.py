@@ -49,7 +49,12 @@ def _norm(rows, cols):
     return sorted(out, key=repr)
 
 
-ALL_QUERIES = sorted(entry_mod.queries())
+#: gates with NO DuckDB twin BY DESIGN (non-SQL-expressible): the
+#: driver records a rows-only check for these; quality is pytest-gated
+#: (see each gate's docstring). Everything else must have a twin.
+ROWS_ONLY = {"knn_graph_ivf_trained"}
+
+ALL_QUERIES = sorted(set(entry_mod.queries()) - ROWS_ONLY)
 
 
 def assert_gate_on(spark, ddb, name, sf_dir):
@@ -159,7 +164,20 @@ def test_every_query_has_oracle_or_is_flagged():
     assert oracles <= qs
     missing = qs - oracles
     # non-SQL-expressible ops may be missing, but must be known
-    assert missing <= set(), f"queries without oracle: {missing}"
+    assert missing <= ROWS_ONLY, f"queries without oracle: {missing - ROWS_ONLY}"
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_gate_runs_with_stable_schema(spark, name):
+    """The driver's weaker rows-only check, replicated: the gate must
+    run and return rows with the documented schema. (For the trained
+    ANN graph the SEEDED sibling's twin checks the identical plumbing;
+    recall quality is gated in test_partitioning_dedup.)"""
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    rows = df.limit(20).collect()
+    assert len(rows) > 0
+    if name == "knn_graph_ivf_trained":
+        assert df.columns == ["vec_id", "neighbor_id", "cosine", "rank"]
 
 
 def test_entry_smoke(spark):

@@ -74,6 +74,10 @@ DOC_GATES = [
     "source_dedup_stats",
     "quality_deciles",
     "bigram_pmi",
+    "bigram_pmi_maintained",
+    "doc_bigram_logprob",
+    "source_kl_divergence",
+    "cooccurrence_window",
     "dataset_split",
 ]
 
