@@ -877,6 +877,39 @@ def _q_cooccurrence_window(spark, sf_dir):
     )
 
 
+_PQ_M = 8
+_PQ_KSUB = 16
+
+
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization codes (vec_id, subspace, code) under the
+    SEEDED codebook (sub-centroid (s, j) = subspace s of the j-th
+    smallest-id vector) — the 32x-compressed vector layout IVF-PQ
+    stores at 100 TB; all-integer output, argmin tie-broken on cid."""
+    from cuda_gis_smoothing_spark.operators.quantization import pq_encode
+
+    return pq_encode(load(spark, sf_dir, "embeddings"), m=_PQ_M, ksub=_PQ_KSUB)
+
+
+def _q_pq_search(spark, sf_dir):
+    """ADC top-k over PQ reconstructions: exact query vs quantized
+    corpus (q·q + r·r − 2·q·r, every dot a sequential fold — bit-
+    identical cross-engine). Recall vs exact L2 is pytest-gated."""
+    from cuda_gis_smoothing_spark.operators.quantization import pq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_search(emb, queries, k=5, m=_PQ_M, ksub=_PQ_KSUB)
+
+
+def _q_cell_pagerank(spark, sf_dir):
+    """Fixed-iteration (5) PageRank over ring-1 contiguity — an
+    ITERATIVE algorithm driver-hash-gated via an unrolled 5-CTE twin."""
+    return stats_ops.cell_pagerank(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test holdout assignment per doc (90/5/5
     over the portable hash space) — retry/re-ingest-stable by
@@ -1223,6 +1256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": _q_doc_bigram_logprob,
         "source_kl_divergence": _q_source_kl_divergence,
         "cooccurrence_window": _q_cooccurrence_window,
+        "pq_codes": _q_pq_codes,
+        "pq_search": _q_pq_search,
+        "cell_pagerank": _q_cell_pagerank,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -1296,6 +1332,118 @@ SELECT doc_id,
        MIN(doc_id) OVER (PARTITION BY {key_expr}) AS canonical_id,
        CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY {key_expr}) AS INT) AS is_duplicate
 FROM documents
+""".strip()
+
+
+def _pq_ctes() -> str:
+    """Shared CTE prefix for the PQ twins: seeded codebook, per-
+    subspace candidates, argmin codes — mirroring
+    operators/quantization.py term by term (the cc − 2·cv argmin
+    score; every dot a sequential list_dot_product fold, so the
+    doubles match Spark's aggregate(zip_with(...)) bit-for-bit)."""
+    m, ksub = _PQ_M, _PQ_KSUB
+    dsub = f"(len(emb) // {m})"
+    vdsub = f"(len(v.emb) // {m})"
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seed AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, emb
+  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {ksub})
+),
+sub AS (
+  SELECT cid, u.s AS s,
+         emb[(u.s * {dsub} + 1):((u.s + 1) * {dsub})] AS sub
+  FROM seed, UNNEST(generate_series(0, {m - 1})) AS u(s)
+),
+cand AS (
+  SELECT v.vec_id, sb.s, sb.cid,
+         list_dot_product(sb.sub, sb.sub)
+         - 2.0e0 * list_dot_product(sb.sub,
+             v.emb[(sb.s * {vdsub} + 1):((sb.s + 1) * {vdsub})]) AS score
+  FROM e v CROSS JOIN sub sb
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY score, cid) AS rk
+    FROM cand
+  ) WHERE rk = 1
+)""".strip()
+
+
+def _pq_codes_sql() -> str:
+    return f"""
+WITH {_pq_ctes()}
+SELECT vec_id, CAST(s AS INT) AS subspace, CAST(cid AS INT) AS code
+FROM codes
+""".strip()
+
+
+def _pq_search_sql() -> str:
+    return f"""
+WITH {_pq_ctes()},
+recon AS (
+  SELECT c.vec_id, flatten(list(sb.sub ORDER BY c.s)) AS recon
+  FROM codes c JOIN sub sb ON sb.s = c.s AND sb.cid = c.cid
+  GROUP BY c.vec_id
+),
+rr AS (SELECT vec_id, recon, list_dot_product(recon, recon) AS rr FROM recon),
+q AS (
+  SELECT vec_id AS query_id, emb, list_dot_product(emb, emb) AS qq
+  FROM e WHERE vec_id < {_KNN_QUERIES}
+),
+p AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         q.qq + r.rr - 2.0e0 * list_dot_product(q.emb, r.recon) AS d
+  FROM q JOIN rr r ON r.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(d + 1e-09, 6) AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, d,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM p
+)
+WHERE rank <= 5
+""".strip()
+
+
+def _pagerank_sql(damping: float = 0.85, iters: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank twin of
+    operators/stats.py::cell_pagerank: one CTE per iteration, the
+    teleport and damping literals emitted as flit() of the SAME Python
+    doubles the Spark plan uses (1.0 − 0.85 is computed in Python ONCE
+    so both engines see the identical non-representable constant)."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
+    d, omd = flit(damping), flit(1.0 - damping)
+    ctes = [
+        f"pr0 AS (SELECT cell, {flit(1.0)} / nn.n AS pr FROM cells4 CROSS JOIN nn)"
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""pr{t} AS (
+  SELECT m.cell, {omd} / nn.n + {d} * COALESCE(inb.s, {flit(0.0)}) AS pr
+  FROM cells4 m CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS dst, SUM(p.pr / deg.deg) AS s
+    FROM edges ed JOIN pr{t - 1} p ON p.cell = ed.src JOIN deg ON deg.src = ed.src
+    GROUP BY ed.dst
+  ) inb ON inb.dst = m.cell
+)"""
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)}),
+edges AS (
+  SELECT c.cell AS src, n.cell AS dst
+  FROM cells4 c CROSS JOIN offsets o JOIN cells4 n ON n.cell = c.cell + o.delta
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM cells4),
+{chain}
+SELECT cell, ROUND(pr + 1e-09, 6) AS pagerank FROM pr{iters}
 """.strip()
 
 
@@ -2128,6 +2276,9 @@ ranked AS (
 SELECT t1, t2, CAST(c AS BIGINT) AS n_pairs, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {_BIGRAM_K}
 """.strip()
+    out["pq_codes"] = _pq_codes_sql()
+    out["pq_search"] = _pq_search_sql()
+    out["cell_pagerank"] = _pagerank_sql()
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,

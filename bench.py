@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     "source_kl_divergence",
     "cooccurrence_window",
     "join_counts",
+    "cell_pagerank",
+    "pq_codes",
+    "pq_search",
     "ivf_bucket_stats",
     "dataset_split",
     "embedding_norms",

@@ -1,0 +1,193 @@
+"""Product quantization (PQ) over embedding columns — the missing
+member of the ANN family beside IVF (similarity.py): at 100 TB the
+standard vector-index layout is IVF-PQ, where each vector is stored as
+``m`` small sub-codes instead of ``dim`` floats (here 8 bytes/vector vs
+256 — a 32x memory cut), and search scans CODES with asymmetric
+distance computation (ADC), touching the original floats never.
+
+Reference parity note: the reference engine (CUDA grid smoothing,
+SURVEY.md §1) has no vector layer; this extends the graft's
+similarity-search surface (SURVEY.md §2 additions) the way IVFIndex
+does, and composes with it (the IVF bucket prunes candidates, PQ
+compresses what remains).
+
+Determinism contract (the seeded-IVF precedent, similarity.py:613):
+sub-centroids are SEEDED — sub-centroid (s, j) is subspace ``s`` of the
+``j``-th smallest-id vector, raw (NOT normalized: PQ quantizes raw
+coordinates; L2 on raw vectors is the metric). Every distance is a
+composition of SEQUENTIAL-fold dot products (``aggregate(zip_with(...))``
+in Spark, ``list_dot_product`` in DuckDB — both left-to-right, so the
+doubles are bit-identical cross-engine, the knn_cosine precedent) and
+every argmin/rank breaks ties on the integer id — total orders, gates
+tie-proof. A trained variant would follow the train_centroids pattern
+(recall-gated, rows-only); the seeded form keeps the full
+encode/reconstruct/ADC plumbing SQL-twin-checkable.
+
+Scale notes (100 TB):
+  * Encoding is ONE corpus scan cross-joined with a BROADCAST literal-
+    sized table (m * ksub sub-centroids — 128 rows here), folded by a
+    hash aggregate (struct-min argmin, no window sort). No shuffle of
+    the embedding column beyond the final (vec, subspace, code) rows.
+  * ADC search scans the (vec, code) table + reconstructions; the
+    original float vectors are read ONCE at encode time. Query side is
+    a broadcast; per-query top-k via window at #queries * k output.
+  * Codes are INTs; the (vec_id, subspace, code) table is the 100 TB
+    stored artifact (partitionBy subspace or bucket on a real lake).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from cuda_gis_smoothing_spark.operators.similarity import dot_col
+
+
+def _slice_col(arr: str, s: str, dsub: str) -> Column:
+    """1-based subspace slice: elements [s*dsub+1, (s+1)*dsub]."""
+    return F.expr(f"slice({arr}, {s} * {dsub} + 1, {dsub})")
+
+
+def pq_subcentroids(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The seeded codebook: (cid, s, sub) — subspace ``s`` of the
+    ``cid``-th smallest-id vector (cid in [0, ksub)), raw doubles.
+    m * ksub rows — literal-sized, always broadcast by callers."""
+    w = Window.orderBy(id_col)
+    seeds = (
+        embeddings.select(id_col, F.col(emb_col).cast("array<double>").alias("_e"))
+        .orderBy(id_col)
+        .limit(ksub)
+        .withColumn("cid", F.row_number().over(w) - 1)
+    )
+    return (
+        seeds.select("cid", "_e", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("s"))
+        .select(
+            "cid",
+            "s",
+            _slice_col("_e", "s", f"(size(_e) DIV {m})").alias("sub"),
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` sub-codes: code_s = argmin_j
+    ||v_s − c_{s,j}||², ties to the smallest j. The argmin score is
+    ``c·c − 2·c·v`` (the ``v·v`` term is constant per (vector,
+    subspace), so dropping it preserves the argmin and skips a fold) —
+    the SQL twin orders by the same expression.
+
+    Output: (vec_id, subspace, code) — one row per vector per
+    subspace, all integers. The argmin is a struct-MIN hash aggregate
+    (lexicographic (score, cid) — identical tie-break to a ROW_NUMBER
+    twin), NOT a window: no sort of the N*m*ksub candidate stream."""
+    cents = F.broadcast(pq_subcentroids(embeddings, m, ksub, id_col, emb_col))
+    vecs = embeddings.select(
+        id_col, F.col(emb_col).cast("array<double>").alias("_e")
+    ).withColumn("_dsub", F.expr(f"size(_e) DIV {m}"))
+    cand = vecs.join(cents, F.expr("true")).select(
+        id_col,
+        "s",
+        "cid",
+        (
+            dot_col("sub", "sub")
+            - F.lit(2.0) * dot_col("sub", f"slice(_e, s * _dsub + 1, _dsub)")
+        ).alias("_score"),
+    )
+    return (
+        cand.groupBy(id_col, "s")
+        .agg(F.min(F.struct("_score", "cid")).alias("_best"))
+        .select(
+            id_col,
+            F.col("s").cast("int").alias("subspace"),
+            F.col("_best.cid").cast("int").alias("code"),
+        )
+    )
+
+
+def pq_reconstruct(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, recon array<double>): each vector's quantized
+    reconstruction — chosen sub-centroids concatenated in subspace
+    order (sort_array over distinct-s structs → deterministic)."""
+    codes = pq_encode(embeddings, m, ksub, id_col, emb_col)
+    cents = F.broadcast(
+        pq_subcentroids(embeddings, m, ksub, id_col, emb_col).select(
+            F.col("s").cast("int").alias("subspace"),
+            F.col("cid").cast("int").alias("code"),
+            "sub",
+        )
+    )
+    return (
+        codes.join(cents, ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("subspace", "sub"))).alias("_a"))
+        .select(id_col, F.expr("flatten(transform(_a, x -> x.sub))").alias("recon"))
+    )
+
+
+def pq_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: rank the corpus for each query by
+    ``||q − recon(v)||² = q·q + r·r − 2·q·r`` — the query stays exact,
+    the corpus is its PQ reconstruction (that asymmetry is the A in
+    ADC). Composition identical in the twin, every dot a sequential
+    fold → bit-identical doubles; rank on (dist asc, neighbor_id) is a
+    total order. Self-pairs excluded (the knn convention — ADC
+    self-distance is the quantization error, not 0).
+
+    Output: (query_id, neighbor_id, adc_dist round6, rank). Recall vs
+    exact L2 is pytest-gated (tests/test_quantization.py); at 100 TB
+    this scans codes/reconstructions only — compose with IVFIndex
+    buckets to also prune the candidate set."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    recon = pq_reconstruct(embeddings, m, ksub, id_col, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "recon",
+        dot_col("recon", "recon").alias("_rr"),
+    )
+    q = queries.select(
+        query_id_col, F.col(emb_col).cast("array<double>").alias("_q")
+    ).withColumn("_qq", dot_col("_q", "_q"))
+    pairs = recon.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+    dist = (
+        F.col("_qq") + F.col("_rr") - F.lit(2.0) * dot_col("_q", "recon")
+    ).alias("_d")
+    ranked = pairs.select(query_id_col, "neighbor_id", dist).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.col("_d").asc(), F.col("neighbor_id").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        query_id_col,
+        "neighbor_id",
+        round6(F.col("_d")).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )

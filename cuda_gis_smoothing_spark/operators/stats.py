@@ -313,6 +313,66 @@ def join_counts(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def cell_pagerank(
+    cells: DataFrame, damping: float = 0.85, iters: int = 5
+) -> DataFrame:
+    """Fixed-iteration PageRank over the ring-1 contiguity graph — the
+    graph-centrality member of the grid-analytics family (CC finds
+    components; PageRank ranks cells by how reachable they are through
+    the adjacency — border/hole cells score low, interior cells high):
+
+        pr⁰(c)   = 1 / n
+        prᵗ⁺¹(c) = (1 − d) / n  +  d · Σ_{b→c} prᵗ(b) / deg(b)
+
+    with deg = valid ring-1 out-degree (the adjacency is symmetric).
+    Zero-degree (isolated) cells hold the teleport term only and their
+    mass leaves the system — the standard simple formulation, identical
+    in the twin. ITERS IS FIXED (not run-to-convergence): a fixed
+    unrolling is exactly expressible as ``iters`` chained SQL CTEs, so
+    the driver hash-gates an ITERATIVE algorithm — the star-CC
+    precedent, without its integer-only restriction. Per-iteration
+    neighbor sums aggregate ≤ 6 doubles (fp-association noise ~1e-16,
+    absorbed by round6's 1e-9 nudge — the smoothing-gate class).
+
+    Spark shape: edges+degree materialized ONCE (localCheckpoint —
+    ``iters`` consumers would otherwise re-derive the k-ring join per
+    iteration, the multi-consumer re-execution class), then per
+    iteration one equi-join + one hash aggregate + one left join; n is
+    a 1-row broadcast, never a collect. At 100 TB each iteration is
+    the same shuffle-on-cell the smoothing pass runs.
+
+    Output: (cell, pagerank round6), one row per cell."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    e = valid_edges(cells, 1).select(F.col("cell").alias("src"), F.col("nbr").alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    edges = e.join(deg, "src").localCheckpoint()  # iters consumers
+    base = cells.select("cell").localCheckpoint()  # iters + 2 consumers
+    nn = base.agg(F.count(F.lit(1)).alias("_n"))
+    pr = base.crossJoin(F.broadcast(nn)).select(
+        "cell", (F.lit(1.0) / F.col("_n")).alias("pr")
+    )
+    teleport = F.lit(1.0 - damping) / F.col("_n")
+    for _ in range(iters):
+        inb = (
+            edges.join(pr.withColumnRenamed("cell", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_s"))
+        )
+        pr = (
+            base.join(inb, base["cell"] == inb["dst"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "cell",
+                (
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("cell", round6(F.col("pr")).alias("pagerank"))
+
+
 def semivariogram(
     cells: DataFrame, value_col: str = "ndvi", k: int = 2
 ) -> DataFrame:
