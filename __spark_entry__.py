@@ -904,6 +904,45 @@ def _q_pq_search(spark, sf_dir):
     return pq_search(emb, queries, k=5, m=_PQ_M, ksub=_PQ_KSUB)
 
 
+def _q_ivfpq_search(spark, sf_dir):
+    """IVF-PQ: the FAISS-style two-level ANN layout — IVF buckets prune
+    candidates, ADC over PQ reconstructions ranks them (coarse probe by
+    cosine, fine rank by L2 — the standard mixed-metric recipe). Both
+    quantizers seeded ⇒ fully twin-checkable; all-bucket probe ==
+    pq_search exactly (pytest)."""
+    from cuda_gis_smoothing_spark.operators.quantization import ivfpq_search
+
+    _ensure_shipped(spark)  # pandas UDFs run in py workers
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_search(
+        emb, queries, k=5, m=_PQ_M, ksub=_PQ_KSUB, n_centroids=8, n_probe=2
+    )
+
+
+def _q_pq_codes_maintained(spark, sf_dir):
+    """The SAME seeded PQ codes served from the MAINTAINED vec-keyed
+    codes log (streaming/quantization.MaintainedPQ): the corpus folds
+    into a fresh single-batch state and codes() reads STORED rows —
+    this CORRECTNESS row gates the incremental-ingest path against
+    pq_codes' identical SQL twin (multi-batch/update/tombstone
+    equality is in tests/test_streaming_quantization.py)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.quantization import MaintainedPQ
+
+    emb = load(spark, sf_dir, "embeddings")
+    state = tempfile.mkdtemp(prefix="pq_state_")
+    mpq = MaintainedPQ.seeded(spark, state, emb, m=_PQ_M, ksub=_PQ_KSUB)
+    mpq.process_batch(emb, 0)
+    out = mpq.codes()  # reads state through an EAGER localCheckpoint
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_cell_pagerank(spark, sf_dir):
     """Fixed-iteration (5) PageRank over ring-1 contiguity — an
     ITERATIVE algorithm driver-hash-gated via an unrolled 5-CTE twin."""
@@ -1258,6 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_window": _q_cooccurrence_window,
         "pq_codes": _q_pq_codes,
         "pq_search": _q_pq_search,
+        "pq_codes_maintained": _q_pq_codes_maintained,
+        "ivfpq_search": _q_ivfpq_search,
         "cell_pagerank": _q_cell_pagerank,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
@@ -1396,6 +1437,59 @@ p AS (
   SELECT q.query_id, r.vec_id AS neighbor_id,
          q.qq + r.rr - 2.0e0 * list_dot_product(q.emb, r.recon) AS d
   FROM q JOIN rr r ON r.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(d + 1e-09, 6) AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, d,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM p
+)
+WHERE rank <= 5
+""".strip()
+
+
+def _ivfpq_sql() -> str:
+    """IVF-PQ twin: knn_ivf's seeded cosine assignment CTEs (verbatim
+    convention — ranked cross join, ties to the lowest cid) feeding
+    pq_search's ADC over reconstructions."""
+    return f"""
+WITH {_pq_ctes()},
+recon AS (
+  SELECT c.vec_id, flatten(list(sb.sub ORDER BY c.s)) AS recon
+  FROM codes c JOIN sub sb ON sb.s = c.s AND sb.cid = c.cid
+  GROUP BY c.vec_id
+),
+rr AS (SELECT vec_id, recon, list_dot_product(recon, recon) AS rr FROM recon),
+n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ccid,
+         emb AS cemb, SQRT(list_dot_product(emb, emb)) AS cnrm
+  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT n.vec_id, c.ccid,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm) DESC, c.ccid
+         ) AS rk
+  FROM n CROSS JOIN cent c
+),
+bucket AS (SELECT vec_id, ccid AS bucket FROM assign WHERE rk = 1),
+probe AS (
+  SELECT vec_id, ccid AS bucket FROM assign WHERE rk <= 2 AND vec_id < {_KNN_QUERIES}
+),
+q AS (
+  SELECT vec_id AS query_id, emb, list_dot_product(emb, emb) AS qq
+  FROM e WHERE vec_id < {_KNN_QUERIES}
+),
+p AS (
+  SELECT pr.vec_id AS query_id, b.vec_id AS neighbor_id,
+         q.qq + r.rr - 2.0e0 * list_dot_product(q.emb, r.recon) AS d
+  FROM probe pr
+  JOIN bucket b ON b.bucket = pr.bucket AND b.vec_id <> pr.vec_id
+  JOIN q ON q.query_id = pr.vec_id
+  JOIN rr r ON r.vec_id = b.vec_id
 )
 SELECT query_id, neighbor_id, ROUND(d + 1e-09, 6) AS adc_dist,
        CAST(rank AS INT) AS rank
@@ -2278,6 +2372,9 @@ FROM ranked WHERE rank <= {_BIGRAM_K}
 """.strip()
     out["pq_codes"] = _pq_codes_sql()
     out["pq_search"] = _pq_search_sql()
+    # identical semantics, different Spark path (maintained codes log)
+    out["pq_codes_maintained"] = out["pq_codes"]
+    out["ivfpq_search"] = _ivfpq_sql()
     out["cell_pagerank"] = _pagerank_sql()
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,

@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "cell_pagerank",
     "pq_codes",
     "pq_search",
+    "pq_codes_maintained",
+    "ivfpq_search",
     "ivf_bucket_stats",
     "dataset_split",
     "embedding_norms",
@@ -404,11 +406,40 @@ def main() -> None:
     t0 = time.perf_counter()
     _run_noop(ivf_knn(emb, all_queries, k=5, n_centroids=8, n_probe=2, centroids=cents))
     ivf_sweep_sec = round(time.perf_counter() - t0, 3)
-    emb.unpersist()
     ivf_trained_sec = round(ivf_build_sec + ivf_sweep_sec, 3)
     log(
         f"knn_ivf_trained: build {ivf_build_sec}s, gate-shaped query "
         f"{ivf_query_gate_sec}s, all-vs-all sweep {ivf_sweep_sec}s"
+    )
+
+    # maintained PQ codes: same split story as the other maintained
+    # indexes — the pq_codes_maintained GATE builds a fresh single-batch
+    # state per invocation; the recurring user costs are the O(batch)
+    # encode delta and the ADC search off the STANDING codes log
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.quantization import MaintainedPQ
+
+    pq_dir = tempfile.mkdtemp(prefix="bench_pq_state_")
+    mpq = MaintainedPQ.seeded(spark, pq_dir, emb, m=8, ksub=16)
+    t0 = time.perf_counter()
+    mpq.process_batch(emb, 0)
+    pq_build_sec = round(time.perf_counter() - t0, 3)
+    delta_emb = emb.orderBy("vec_id").limit(50).withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )
+    t0 = time.perf_counter()
+    mpq.process_batch(delta_emb, 1)
+    pq_delta_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _run_noop(mpq.search(gate_queries, k=5))
+    pq_search_sec = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(pq_dir, ignore_errors=True)
+    emb.unpersist()
+    log(
+        f"maintained pq: build {pq_build_sec}s, 50-vec delta "
+        f"{pq_delta_sec}s, ADC search read {pq_search_sec}s"
     )
 
     # maintained BM25 postings: the bm25_search GATE routes through a
@@ -544,6 +575,11 @@ def main() -> None:
             "query_sec": bm25_query_sec,
             "vocab_read_sec": vocab_read_sec,
             "tfidf_read_sec": tfidf_read_sec,
+        },
+        "pq_maintained_split": {
+            "build_sec": pq_build_sec,
+            "delta50_sec": pq_delta_sec,
+            "search_read_sec": pq_search_sec,
         },
         "bigram_maintained_split": {
             "build_sec": bigram_build_sec,

@@ -47,6 +47,20 @@ def _slice_col(arr: str, s: str, dsub: str) -> Column:
     return F.expr(f"slice({arr}, {s} * {dsub} + 1, {dsub})")
 
 
+def codebook_from_seeds(seeds: DataFrame, m: int) -> DataFrame:
+    """Slice full seed vectors ``(cid, _e array<double>)`` into the
+    (cid, s, sub) sub-centroid table. m * ksub rows — literal-sized,
+    always broadcast by callers."""
+    return (
+        seeds.select("cid", "_e", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("s"))
+        .select(
+            "cid",
+            "s",
+            _slice_col("_e", "s", f"(size(_e) DIV {m})").alias("sub"),
+        )
+    )
+
+
 def pq_subcentroids(
     embeddings: DataFrame,
     m: int = 8,
@@ -55,8 +69,7 @@ def pq_subcentroids(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """The seeded codebook: (cid, s, sub) — subspace ``s`` of the
-    ``cid``-th smallest-id vector (cid in [0, ksub)), raw doubles.
-    m * ksub rows — literal-sized, always broadcast by callers."""
+    ``cid``-th smallest-id vector (cid in [0, ksub)), raw doubles."""
     w = Window.orderBy(id_col)
     seeds = (
         embeddings.select(id_col, F.col(emb_col).cast("array<double>").alias("_e"))
@@ -64,12 +77,44 @@ def pq_subcentroids(
         .limit(ksub)
         .withColumn("cid", F.row_number().over(w) - 1)
     )
+    return codebook_from_seeds(seeds, m)
+
+
+def pq_encode_against(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_encode` against an EXPLICIT (cid, s, sub) codebook —
+    the maintained-index path (streaming/quantization.py freezes the
+    codebook at init; encode arithmetic must not depend on where the
+    seeds came from). Rows with a NULL embedding are filtered: they
+    produce NO code rows (callers needing tombstones emit them — the
+    MaintainedPQ contract)."""
+    cents = F.broadcast(codebook)
+    vecs = (
+        embeddings.select(id_col, F.col(emb_col).cast("array<double>").alias("_e"))
+        .where(F.col("_e").isNotNull())
+        .withColumn("_dsub", F.expr(f"size(_e) DIV {m}"))
+    )
+    cand = vecs.join(cents, F.expr("true")).select(
+        id_col,
+        "s",
+        "cid",
+        (
+            dot_col("sub", "sub")
+            - F.lit(2.0) * dot_col("sub", f"slice(_e, s * _dsub + 1, _dsub)")
+        ).alias("_score"),
+    )
     return (
-        seeds.select("cid", "_e", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("s"))
+        cand.groupBy(id_col, "s")
+        .agg(F.min(F.struct("_score", "cid")).alias("_best"))
         .select(
-            "cid",
-            "s",
-            _slice_col("_e", "s", f"(size(_e) DIV {m})").alias("sub"),
+            id_col,
+            F.col("s").cast("int").alias("subspace"),
+            F.col("_best.cid").cast("int").alias("code"),
         )
     )
 
@@ -91,27 +136,35 @@ def pq_encode(
     subspace, all integers. The argmin is a struct-MIN hash aggregate
     (lexicographic (score, cid) — identical tie-break to a ROW_NUMBER
     twin), NOT a window: no sort of the N*m*ksub candidate stream."""
-    cents = F.broadcast(pq_subcentroids(embeddings, m, ksub, id_col, emb_col))
-    vecs = embeddings.select(
-        id_col, F.col(emb_col).cast("array<double>").alias("_e")
-    ).withColumn("_dsub", F.expr(f"size(_e) DIV {m}"))
-    cand = vecs.join(cents, F.expr("true")).select(
+    return pq_encode_against(
+        embeddings,
+        pq_subcentroids(embeddings, m, ksub, id_col, emb_col),
+        m,
         id_col,
-        "s",
-        "cid",
-        (
-            dot_col("sub", "sub")
-            - F.lit(2.0) * dot_col("sub", f"slice(_e, s * _dsub + 1, _dsub)")
-        ).alias("_score"),
+        emb_col,
+    )
+
+
+def pq_reconstruct_against(
+    codes: DataFrame, codebook: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, recon array<double>) from a (id, subspace, code) table and
+    a (cid, s, sub) codebook: chosen sub-centroids concatenated in
+    subspace order (sort_array over distinct-s structs →
+    deterministic). The maintained-index serving path reads STORED
+    codes through this — the original floats never."""
+    cents = F.broadcast(
+        codebook.select(
+            F.col("s").cast("int").alias("subspace"),
+            F.col("cid").cast("int").alias("code"),
+            "sub",
+        )
     )
     return (
-        cand.groupBy(id_col, "s")
-        .agg(F.min(F.struct("_score", "cid")).alias("_best"))
-        .select(
-            id_col,
-            F.col("s").cast("int").alias("subspace"),
-            F.col("_best.cid").cast("int").alias("code"),
-        )
+        codes.join(cents, ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("subspace", "sub"))).alias("_a"))
+        .select(id_col, F.expr("flatten(transform(_a, x -> x.sub))").alias("recon"))
     )
 
 
@@ -123,21 +176,11 @@ def pq_reconstruct(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, recon array<double>): each vector's quantized
-    reconstruction — chosen sub-centroids concatenated in subspace
-    order (sort_array over distinct-s structs → deterministic)."""
-    codes = pq_encode(embeddings, m, ksub, id_col, emb_col)
-    cents = F.broadcast(
-        pq_subcentroids(embeddings, m, ksub, id_col, emb_col).select(
-            F.col("s").cast("int").alias("subspace"),
-            F.col("cid").cast("int").alias("code"),
-            "sub",
-        )
-    )
-    return (
-        codes.join(cents, ["subspace", "code"])
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list(F.struct("subspace", "sub"))).alias("_a"))
-        .select(id_col, F.expr("flatten(transform(_a, x -> x.sub))").alias("recon"))
+    reconstruction under the seeded codebook."""
+    return pq_reconstruct_against(
+        pq_encode(embeddings, m, ksub, id_col, emb_col),
+        pq_subcentroids(embeddings, m, ksub, id_col, emb_col),
+        id_col,
     )
 
 
@@ -174,6 +217,91 @@ def pq_search(
         query_id_col, F.col(emb_col).cast("array<double>").alias("_q")
     ).withColumn("_qq", dot_col("_q", "_q"))
     pairs = recon.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+    dist = (
+        F.col("_qq") + F.col("_rr") - F.lit(2.0) * dot_col("_q", "recon")
+    ).alias("_d")
+    ranked = pairs.select(query_id_col, "neighbor_id", dist).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.col("_d").asc(), F.col("neighbor_id").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        query_id_col,
+        "neighbor_id",
+        round6(F.col("_d")).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def ivfpq_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: THE 100 TB vector-search layout (the FAISS IVFPQ index,
+    re-expressed Spark-first) — the IVF coarse quantizer prunes
+    CANDIDATES (only vectors in the query's ``n_probe`` nearest
+    buckets are scored) while PQ compresses the SCORING (candidates
+    ranked by ADC over reconstructions, the floats never read at query
+    time). Composes the two seeded quantizers verbatim: buckets are
+    ivf_knn's (cosine argmax over the ``n_centroids`` smallest-id
+    vectors, normalized — similarity.py:181), fine ranking is
+    pq_search's ADC L2 (coarse probe by cosine, fine rank by L2 — the
+    standard mixed-metric IVFPQ recipe; documented, tested:
+    probing ALL buckets recovers pq_search exactly).
+
+    Both quantizers seeded ⇒ the full bucket/probe/encode/ADC pipeline
+    has a DuckDB twin; recall is pytest-gated. Plan shape: candidate
+    join shuffles on bucket id only; the query side (probe explode) is
+    a broadcast; per-query top-k via window at #queries × k output.
+
+    Output: (query_id, neighbor_id, adc_dist round6, rank)."""
+    import numpy as np
+
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        _nearest_bucket_udf,
+        _probe_buckets_udf,
+    )
+
+    spark = embeddings.sparkSession
+    seeds = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(emb_col).cast("array<double>"))
+        .collect()
+    )
+    cents = np.asarray([r[0] for r in seeds], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+    nearest = _nearest_bucket_udf(spark, cents)
+    probe = _probe_buckets_udf(spark, cents, n_probe)
+
+    recon = pq_reconstruct(embeddings, m, ksub, id_col, emb_col)
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), nearest(emb_col).alias("bucket")
+        )
+        .join(recon.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        .withColumn("_rr", dot_col("recon", "recon"))
+    )
+    q = queries.select(
+        query_id_col,
+        F.col(emb_col).cast("array<double>").alias("_q"),
+        F.explode(probe(emb_col)).alias("bucket"),
+    ).withColumn("_qq", dot_col("_q", "_q"))
+    pairs = corpus.join(F.broadcast(q), "bucket").where(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
     dist = (
         F.col("_qq") + F.col("_rr") - F.lit(2.0) * dot_col("_q", "recon")
     ).alias("_d")
