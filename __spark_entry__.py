@@ -949,6 +949,20 @@ def _q_cell_pagerank(spark, sf_dir):
     return stats_ops.cell_pagerank(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_kmv_distinct_users(spark, sf_dir):
+    """Per-event-type approximate distinct users via a k-minimum-values
+    sketch over the PORTABLE hash — the cross-engine-gateable
+    cardinality sketch (HLL/approx_count_distinct use engine-private
+    hashes and can't be twinned; KMV over the repo hash can). The
+    fixture's 150 distinct users per type exceed k=64, so the gate
+    exercises the real estimator, not the exact fallback."""
+    from cuda_gis_smoothing_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(
+        load(spark, sf_dir, "events"), ["event_type"], "user_id", k=64
+    )
+
+
 def _q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test holdout assignment per doc (90/5/5
     over the portable hash space) — retry/re-ingest-stable by
@@ -1300,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes_maintained": _q_pq_codes_maintained,
         "ivfpq_search": _q_ivfpq_search,
         "cell_pagerank": _q_cell_pagerank,
+        "kmv_distinct_users": _q_kmv_distinct_users,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2376,6 +2391,11 @@ FROM ranked WHERE rank <= {_BIGRAM_K}
     out["pq_codes_maintained"] = out["pq_codes"]
     out["ivfpq_search"] = _ivfpq_sql()
     out["cell_pagerank"] = _pagerank_sql()
+    from cuda_gis_smoothing_spark.operators.sketches import kmv_distinct_sql
+
+    out["kmv_distinct_users"] = kmv_distinct_sql(
+        "events", ["event_type"], "user_id", k=64
+    )
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,

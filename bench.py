@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "pq_search",
     "pq_codes_maintained",
     "ivfpq_search",
+    "kmv_distinct_users",
     "ivf_bucket_stats",
     "dataset_split",
     "embedding_norms",

@@ -34,6 +34,10 @@ EVENTS_GATES = [
     "cumulative_users",
     "user_sliding_avg",
     "events_daily_anomaly",
+    # integer sketch over the portable hash + round6 estimate — the
+    # randomized corpus exercises the not-full-sketch exact fallback
+    # and the hash tie-break identically in both engines
+    "kmv_distinct_users",
 ]
 
 
