@@ -949,6 +949,28 @@ def _q_cell_pagerank(spark, sf_dir):
     return stats_ops.cell_pagerank(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_sq_codes(spark, sf_dir):
+    """SQ8-style scalar quantization codes (vec_id, dim, code) — the
+    per-dimension compressed vector layout beside PQ; calibration =
+    corpus per-dim min/max (association-order-free aggregates)."""
+    from cuda_gis_smoothing_spark.operators.quantization import sq_encode
+
+    return sq_encode(load(spark, sf_dir, "embeddings"), levels=_SQ_LEVELS)
+
+
+def _q_sq_search(spark, sf_dir):
+    """ADC top-k over SQ midpoint reconstructions — same total order
+    and output shape as pq_search; recall pytest-gated (SQ8 on 64 dims
+    reconstructs far tighter than 8-subspace PQ)."""
+    from cuda_gis_smoothing_spark.operators.quantization import sq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq_search(emb, queries, k=5, levels=_SQ_LEVELS)
+
+
 def _q_kmv_distinct_users(spark, sf_dir):
     """Per-event-type approximate distinct users via a k-minimum-values
     sketch over the PORTABLE hash — the cross-engine-gateable
@@ -1315,6 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_search": _q_ivfpq_search,
         "cell_pagerank": _q_cell_pagerank,
         "kmv_distinct_users": _q_kmv_distinct_users,
+        "sq_codes": _q_sq_codes,
+        "sq_search": _q_sq_search,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -1505,6 +1529,72 @@ p AS (
   JOIN bucket b ON b.bucket = pr.bucket AND b.vec_id <> pr.vec_id
   JOIN q ON q.query_id = pr.vec_id
   JOIN rr r ON r.vec_id = b.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(d + 1e-09, 6) AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, d,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM p
+)
+WHERE rank <= 5
+""".strip()
+
+
+_SQ_LEVELS = 256
+
+
+def _sq_ctes() -> str:
+    """Shared CTE prefix for the scalar-quantization twins: per-dim
+    posexplode, min/max calibration (association-order-free — exact
+    cross-engine with no fold gymnastics), floor_stable bucket codes
+    mirroring operators/quantization.py::sq_encode term by term."""
+    lv = f"{float(_SQ_LEVELS)!r}e0"
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+vals AS (
+  SELECT vec_id, u.i - 1 AS dim, emb[u.i] AS x
+  FROM e, UNNEST(generate_series(1, len(emb))) AS u(i)
+),
+stats AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM vals GROUP BY dim),
+sq AS (
+  SELECT v.vec_id, v.dim,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE LEAST({_SQ_LEVELS - 1},
+                         FLOOR(((v.x - s.lo) / (s.hi - s.lo) * {lv}) + 1e-09))
+         END AS code
+  FROM vals v JOIN stats s ON s.dim = v.dim
+)""".strip()
+
+
+def _sq_codes_sql() -> str:
+    return f"""
+WITH {_sq_ctes()}
+SELECT vec_id, CAST(dim AS INT) AS dim, CAST(code AS INT) AS code FROM sq
+""".strip()
+
+
+def _sq_search_sql() -> str:
+    lv = f"{float(_SQ_LEVELS)!r}e0"
+    return f"""
+WITH {_sq_ctes()},
+recon AS (
+  SELECT c.vec_id,
+         list(CASE WHEN s.hi = s.lo THEN s.lo
+                   ELSE s.lo + (c.code + 0.5e0) * (s.hi - s.lo) / {lv}
+              END ORDER BY c.dim) AS recon
+  FROM sq c JOIN stats s ON s.dim = c.dim
+  GROUP BY c.vec_id
+),
+rr AS (SELECT vec_id, recon, list_dot_product(recon, recon) AS rr FROM recon),
+q AS (
+  SELECT vec_id AS query_id, emb, list_dot_product(emb, emb) AS qq
+  FROM e WHERE vec_id < {_KNN_QUERIES}
+),
+p AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         q.qq + r.rr - 2.0e0 * list_dot_product(q.emb, r.recon) AS d
+  FROM q JOIN rr r ON r.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, ROUND(d + 1e-09, 6) AS adc_dist,
        CAST(rank AS INT) AS rank
@@ -2396,6 +2486,8 @@ FROM ranked WHERE rank <= {_BIGRAM_K}
     out["kmv_distinct_users"] = kmv_distinct_sql(
         "events", ["event_type"], "user_id", k=64
     )
+    out["sq_codes"] = _sq_codes_sql()
+    out["sq_search"] = _sq_search_sql()
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,

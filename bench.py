@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "pq_codes_maintained",
     "ivfpq_search",
     "kmv_distinct_users",
+    "sq_codes",
+    "sq_search",
     "ivf_bucket_stats",
     "dataset_split",
     "embedding_norms",

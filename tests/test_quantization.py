@@ -144,6 +144,45 @@ def test_ivfpq_all_probe_equals_pq_search_and_partial_recall(spark, emb):
     assert len(part & fullpairs) / len(fullpairs) >= 0.4
 
 
+def test_sq_encode_matches_numpy(emb):
+    """Every (vector, dim) code equals numpy's clamp-floor bucket over
+    the per-dim corpus [lo, hi] calibration (the +1e-9 floor_stable
+    nudge applied identically)."""
+    from cuda_gis_smoothing_spark.operators.quantization import sq_encode
+
+    ids, X = _xy(emb)
+    lo, hi = X.min(0), X.max(0)
+    span = hi - lo
+    got = {(r.vec_id, r.dim): r.code for r in sq_encode(emb, levels=256).collect()}
+    assert len(got) == len(ids) * X.shape[1]
+    for d in range(X.shape[1]):
+        if span[d] == 0:
+            want = np.zeros(len(ids), dtype=int)
+        else:
+            want = np.minimum(
+                255, np.floor((X[:, d] - lo[d]) / span[d] * 256.0 + 1e-9)
+            ).astype(int)
+        for i, vid in enumerate(ids):
+            assert got[(vid, d)] == want[i], (vid, d)
+
+
+def test_sq_search_high_recall(emb):
+    """256 levels/dim reconstructs far tighter than 8-subspace PQ —
+    measured recall@5 vs exact L2 is 1.0 on the fixture; floor 0.9."""
+    from cuda_gis_smoothing_spark.operators.quantization import sq_search
+
+    ids, X = _xy(emb)
+    want = {q: set(v) for q, v in _exact_l2_top5(ids, X).items()}
+    queries = emb.where(emb.vec_id < 8).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    got = {}
+    for r in sq_search(emb, queries, k=5).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(got[q] & want[q]) for q in want) / (5 * len(want))
+    assert recall >= 0.9, recall
+
+
 def test_cell_pagerank_matches_python(spark):
     """Differential vs a pure-Python power iteration over the SAME
     edge set and constants (teleport = (1.0 − 0.85) computed once, the
