@@ -949,6 +949,23 @@ def _q_cell_pagerank(spark, sf_dir):
     return stats_ops.cell_pagerank(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_pq_search_trained(spark, sf_dir):
+    """ADC search under a per-subspace k-means-TRAINED codebook — the
+    production PQ path. ROWS-ONLY gate BY DESIGN (numpy Lloyd means
+    are not SQL-expressible — the knn_graph_ivf_trained precedent);
+    encode/reconstruct/rank run the SAME kernels the twin-checked
+    seeded pq_search gate pins, and recall is pytest-gated
+    (tests/test_quantization.py — trained ≈ seeded on the isotropic
+    random fixture, measured and documented in the operator)."""
+    from cuda_gis_smoothing_spark.operators.quantization import pq_search_trained
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_search_trained(emb, queries, k=5, m=_PQ_M, ksub=_PQ_KSUB)
+
+
 def _q_sq_codes(spark, sf_dir):
     """SQ8-style scalar quantization codes (vec_id, dim, code) — the
     per-dimension compressed vector layout beside PQ; calibration =
@@ -1339,6 +1356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": _q_kmv_distinct_users,
         "sq_codes": _q_sq_codes,
         "sq_search": _q_sq_search,
+        # rows-only BY DESIGN (trained sub-codebooks are not
+        # SQL-expressible; recall is pytest-gated — see the docstring)
+        "pq_search_trained": _q_pq_search_trained,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),

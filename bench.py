@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "kmv_distinct_users",
     "sq_codes",
     "sq_search",
+    "pq_search_trained",
     "ivf_bucket_stats",
     "dataset_split",
     "embedding_norms",

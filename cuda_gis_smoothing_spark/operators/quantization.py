@@ -444,3 +444,123 @@ def sq_search(
         round6(F.col("_d")).alias("adc_dist"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def train_pq_codebook(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_train_rows: int = 65536,
+):
+    """Per-subspace k-means PQ codebook training — what production PQ
+    runs (the seeded codebook keeps the gate SQL-exact; THIS one buys
+    recall). Deterministic, no RNG: the training sample is hash-ranked
+    (the train_centroids pool convention — bounded collect, never the
+    corpus), per-subspace init is the first ``ksub`` sample subvectors,
+    Lloyd runs in float64 numpy with argmin ties to the lowest cid and
+    empty clusters keeping their previous centroid.
+
+    Returns a (ksub, dim) float64 matrix — row j's subspace-s slice is
+    sub-centroid (s, j), the concatenated layout ``codebook_from_seeds``
+    and ``MaintainedPQ`` consume directly (subspaces are independent, so
+    any (m, ksub, dsub) codebook reshapes losslessly into full-vector
+    rows). Like train_centroids: numpy means aggregate doubles, so
+    callers gate on RECALL, not bit-exact codes — the trained gate is
+    rows-only BY DESIGN."""
+    import numpy as np
+
+    pool_rows = (
+        embeddings.select(
+            F.col(emb_col).cast("array<double>").alias("_e"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(1_000_003)).alias("_r"),
+            F.col(id_col),
+        )
+        .where(F.col("_e").isNotNull())
+        .orderBy("_r", id_col)
+        .limit(max_train_rows)
+        .collect()
+    )
+    X = np.asarray([r["_e"] for r in pool_rows], dtype=np.float64)
+    n, dim = X.shape
+    if n < ksub:
+        raise ValueError(f"train_pq_codebook: {n} training rows < ksub={ksub}")
+    dsub = dim // m
+    book = np.zeros((ksub, dim), dtype=np.float64)
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        C = sub[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)  # ties -> lowest cid (numpy argmin)
+            for j in range(ksub):
+                mask = assign == j
+                if mask.any():
+                    C[j] = sub[mask].mean(0)
+        book[:, s * dsub : (s + 1) * dsub] = C
+    return book
+
+
+def pq_search_trained(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k under a TRAINED codebook: train (driver-bounded numpy
+    Lloyd per subspace), encode+reconstruct+rank through the SAME
+    Catalyst kernels as the seeded path (codebook_from_seeds →
+    pq_encode_against → pq_reconstruct_against). Honest measurement on
+    the SYNTHETIC fixture: the vectors are isotropic random, so
+    per-subspace k-means finds no cluster structure to exploit and
+    trained recall ≈ seeded recall (0.15-0.25 both, order flipping
+    between sf0.001/sf0.01 — unlike the full-vector IVF case, where
+    training measured 0.52 vs 0.43 seeded); on real embedding corpora
+    with cluster structure training is the standard recall lever.
+    Recall floor pytest-gated; the twin-checked seeded gate pins the
+    shared plumbing every round."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    spark = embeddings.sparkSession
+    book = train_pq_codebook(
+        embeddings, m, ksub, iters, id_col, emb_col
+    )
+    seeds = spark.createDataFrame(
+        [(cid, [float(x) for x in row]) for cid, row in enumerate(book)],
+        "cid int, _e array<double>",
+    )
+    cents = codebook_from_seeds(seeds, m).localCheckpoint(eager=True)
+    codes = pq_encode_against(embeddings, cents, m, id_col, emb_col)
+    recon = pq_reconstruct_against(codes, cents, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "recon",
+        dot_col("recon", "recon").alias("_rr"),
+    )
+    q = queries.select(
+        query_id_col, F.col(emb_col).cast("array<double>").alias("_q")
+    ).withColumn("_qq", dot_col("_q", "_q"))
+    pairs = recon.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+    dist = (
+        F.col("_qq") + F.col("_rr") - F.lit(2.0) * dot_col("_q", "recon")
+    ).alias("_d")
+    ranked = pairs.select(query_id_col, "neighbor_id", dist).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.col("_d").asc(), F.col("neighbor_id").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        query_id_col,
+        "neighbor_id",
+        round6(F.col("_d")).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -52,7 +52,7 @@ def _norm(rows, cols):
 #: gates with NO DuckDB twin BY DESIGN (non-SQL-expressible): the
 #: driver records a rows-only check for these; quality is pytest-gated
 #: (see each gate's docstring). Everything else must have a twin.
-ROWS_ONLY = {"knn_graph_ivf_trained"}
+ROWS_ONLY = {"knn_graph_ivf_trained", "pq_search_trained"}
 
 ALL_QUERIES = sorted(set(entry_mod.queries()) - ROWS_ONLY)
 
@@ -178,6 +178,8 @@ def test_rows_only_gate_runs_with_stable_schema(spark, name):
     assert len(rows) > 0
     if name == "knn_graph_ivf_trained":
         assert df.columns == ["vec_id", "neighbor_id", "cosine", "rank"]
+    if name == "pq_search_trained":
+        assert df.columns == ["query_id", "neighbor_id", "adc_dist", "rank"]
 
 
 def test_entry_smoke(spark):

@@ -144,6 +144,32 @@ def test_ivfpq_all_probe_equals_pq_search_and_partial_recall(spark, emb):
     assert len(part & fullpairs) / len(fullpairs) >= 0.4
 
 
+def test_pq_trained_codebook_recall_floor(emb):
+    """Trained (per-subspace Lloyd) PQ through the shared kernels:
+    recall floor holds. On this ISOTROPIC RANDOM fixture training has
+    no cluster structure to exploit — measured trained ≈ seeded
+    (0.15 vs 0.25 at sf0.001, 0.25 vs 0.15 at sf0.01; the full-vector
+    IVF case, by contrast, measured trained 0.52 > seeded 0.43), so
+    only the floor is asserted, not superiority."""
+    from cuda_gis_smoothing_spark.operators.quantization import (
+        pq_search_trained,
+        train_pq_codebook,
+    )
+
+    ids, X = _xy(emb)
+    book = train_pq_codebook(emb, m=M, ksub=KSUB, iters=5)
+    assert book.shape == (KSUB, X.shape[1])
+    want = {q: set(v) for q, v in _exact_l2_top5(ids, X).items()}
+    queries = emb.where(emb.vec_id < 8).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    got = {}
+    for r in pq_search_trained(emb, queries, k=5, m=M, ksub=KSUB).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(got[q] & want[q]) for q in want) / (5 * len(want))
+    assert recall >= 0.1, recall
+
+
 def test_sq_encode_matches_numpy(emb):
     """Every (vector, dim) code equals numpy's clamp-floor bucket over
     the per-dim corpus [lo, hi] calibration (the +1e-9 floor_stable
