@@ -988,6 +988,32 @@ def _q_sq_search(spark, sf_dir):
     return sq_search(emb, queries, k=5, levels=_SQ_LEVELS)
 
 
+def _q_morans_i_bivariate(spark, sf_dir):
+    """Bivariate Moran's I between ndvi and OBSERVATION DENSITY (per-
+    cell lineitem row count — genuinely not an affine image of ndvi,
+    unlike the derived bands): does vegetation here predict sampling
+    density next door? Completes the spatial-autocorrelation family's
+    cross-variable member."""
+    from cuda_gis_smoothing_spark.sources.tables import GRID
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_quantity"
+    )
+    q = F.col("l_partkey") % GRID
+    r = F.col("l_orderkey") % GRID
+    cell = ((q + OFFSET) * ENC + (r + OFFSET)).alias("cell")
+    cells = (
+        li.select(cell, "l_quantity")
+        .groupBy("cell")
+        .agg(
+            (F.sum("l_quantity") / F.count(F.lit(1)) / 50.0).alias("ndvi"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .localCheckpoint()  # three consumers: means, deviations, edges
+    )
+    return stats_ops.bivariate_morans_i(cells, "ndvi", "n_obs")
+
+
 def _q_kmv_distinct_users(spark, sf_dir):
     """Per-event-type approximate distinct users via a k-minimum-values
     sketch over the PORTABLE hash — the cross-engine-gateable
@@ -1359,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only BY DESIGN (trained sub-codebooks are not
         # SQL-expressible; recall is pytest-gated — see the docstring)
         "pq_search_trained": _q_pq_search_trained,
+        "morans_i_bivariate": _q_morans_i_bivariate,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2508,6 +2535,31 @@ FROM ranked WHERE rank <= {_BIGRAM_K}
     )
     out["sq_codes"] = _sq_codes_sql()
     out["sq_search"] = _sq_search_sql()
+    from cuda_gis_smoothing_spark.sources.tables import GRID as _GRID
+
+    out["morans_i_bivariate"] = f"""
+WITH cellsb AS (
+  SELECT ((l_partkey % {_GRID}) + {OFFSET}) * {ENC} + ((l_orderkey % {_GRID}) + {OFFSET}) AS cell,
+         SUM(l_quantity) / COUNT(*) / 5e1 AS ndvi,
+         COUNT(*) AS n_obs
+  FROM lineitem GROUP BY 1
+),
+offsets (delta) AS (VALUES {_vals(_R1)}),
+mu AS (SELECT AVG(ndvi) AS mx, AVG(n_obs) AS my FROM cellsb),
+dev AS (SELECT cell, ndvi - mu.mx AS dx, n_obs - mu.my AS dy FROM cellsb, mu),
+cr AS (
+  SELECT COUNT(*) AS W, SUM(a.dx * b.dy) AS num
+  FROM cellsb c CROSS JOIN offsets o
+  JOIN cellsb n ON n.cell = c.cell + o.delta
+  JOIN dev a ON a.cell = c.cell
+  JOIN dev b ON b.cell = n.cell
+),
+dn AS (SELECT COUNT(*) AS n, SUM(dx * dx) AS sx, SUM(dy * dy) AS sy FROM dev)
+SELECT CAST(dn.n AS BIGINT) AS n_cells,
+       CAST(cr.W AS BIGINT) AS total_edges,
+       ROUND(((dn.n / cr.W) * cr.num / SQRT(dn.sx * dn.sy)) + 1e-09, 6) AS bivariate_i
+FROM cr, dn
+""".strip()
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,

@@ -313,6 +313,62 @@ def join_counts(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def bivariate_morans_i(
+    cells: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Bivariate Moran's I — the CROSS-variable member of the spatial-
+    autocorrelation family ("does X here predict Y next door?" — e.g.
+    vegetation vs sampling density, price vs demand):
+
+        I_xy = (n / W) · Σ_edges (x_i − μx)(y_j − μy)
+               / √(Σ_i (x_i − μx)² · Σ_i (y_i − μy)²)
+
+    over directed ring-1 contiguity edges (x from the edge SOURCE, y
+    from the NEIGHBOR — the asymmetric convention; swap columns for
+    I_yx). NOTE the two variables must not be affine images of each
+    other (the grid's derived bands are ndvi-linear, so this gate pairs
+    ndvi with OBSERVATION DENSITY, which is not).
+
+    Spark shape: the morans_i plan verbatim with a second deviation —
+    one edge-cardinality k-ring equi-join, 1-row broadcast means,
+    everything collapsing to 1-row aggregates. Output one row:
+    ``(n_cells, total_edges, bivariate_i)``."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    mu = cells.agg(F.avg(x_col).alias("_mx"), F.avg(y_col).alias("_my"))
+    dev = cells.crossJoin(F.broadcast(mu)).select(
+        "cell",
+        (F.col(x_col) - F.col("_mx")).alias("_dx"),
+        (F.col(y_col) - F.col("_my")).alias("_dy"),
+    )
+    e = valid_edges(cells, 1).select("cell", "nbr")
+    cross = (
+        e.join(dev.select("cell", "_dx"), "cell")
+        .join(
+            dev.select(F.col("cell").alias("nbr"), F.col("_dy").alias("_dyn")),
+            "nbr",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_W"),
+            F.sum(F.col("_dx") * F.col("_dyn")).alias("_num"),
+        )
+    )
+    den = dev.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_dx") * F.col("_dx")).alias("_sx"),
+        F.sum(F.col("_dy") * F.col("_dy")).alias("_sy"),
+    )
+    return cross.crossJoin(F.broadcast(den)).select(
+        F.col("_n").cast("long").alias("n_cells"),
+        F.col("_W").cast("long").alias("total_edges"),
+        round6(
+            (F.col("_n") / F.col("_W"))
+            * F.col("_num")
+            / F.sqrt(F.col("_sx") * F.col("_sy"))
+        ).alias("bivariate_i"),
+    )
+
+
 def cell_pagerank(
     cells: DataFrame, damping: float = 0.85, iters: int = 5
 ) -> DataFrame:
