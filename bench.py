@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "sq_codes",
     "sq_search",
     "pq_search_trained",
+    "morans_i_bivariate",
     "ivf_bucket_stats",
     "dataset_split",
     "embedding_norms",
