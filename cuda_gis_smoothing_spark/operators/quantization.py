@@ -80,41 +80,129 @@ def pq_subcentroids(
     return codebook_from_seeds(seeds, m)
 
 
+def seeded_book(
+    embeddings: DataFrame,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list:
+    """The seeded codebook as driver rows: the ``ksub`` smallest-id
+    vectors' exact doubles (bounded collect — the ivf_knn seed
+    convention). Shape (ksub, dim), feeds :func:`pq_encode_against`."""
+    rows = (
+        embeddings.orderBy(id_col)
+        .limit(ksub)
+        .select(F.col(emb_col).cast("array<double>"))
+        .collect()
+    )
+    return [list(r[0]) for r in rows]
+
+
+def _seq_sq_norm(sub) -> float:
+    """Σ x² as a SEQUENTIAL left fold (plain loop — NOT np.dot, whose
+    pairwise/SIMD accumulation order differs): bit-identical to both
+    engines' fold-based dot products over the same doubles."""
+    acc = 0.0
+    for x in sub:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _book_lit(book, m: int) -> Column:
+    """The codebook as a LITERAL nested array column
+    ``array<array<struct<sub array<double>, cc double>>>`` indexed
+    [s][j] — m·ksub·dsub doubles (~2 k here), small enough to live in
+    the plan like the k-ring offset literals. ``cc = c·c`` is
+    precomputed (sequential fold) so encode needs ONE dot per
+    candidate."""
+    ksub = len(book)
+    dim = len(book[0])
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.array(
+                            *[
+                                F.lit(float(x))
+                                for x in row[s * dsub : (s + 1) * dsub]
+                            ]
+                        ).alias("sub"),
+                        F.lit(_seq_sq_norm(row[s * dsub : (s + 1) * dsub])).alias(
+                            "cc"
+                        ),
+                    )
+                    for row in book
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+
+
 def pq_encode_against(
     embeddings: DataFrame,
-    codebook: DataFrame,
+    book,
     m: int,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """:func:`pq_encode` against an EXPLICIT (cid, s, sub) codebook —
-    the maintained-index path (streaming/quantization.py freezes the
-    codebook at init; encode arithmetic must not depend on where the
-    seeds came from). Rows with a NULL embedding are filtered: they
-    produce NO code rows (callers needing tombstones emit them — the
-    MaintainedPQ contract)."""
-    cents = F.broadcast(codebook)
-    vecs = (
+    """:func:`pq_encode` against an EXPLICIT (ksub, dim) codebook
+    (driver rows / numpy — the maintained-index path freezes one at
+    construction; encode arithmetic must not depend on where the seeds
+    came from).
+
+    The whole argmin is a PURE PROJECTION: the codebook is a literal
+    nested array, per-subspace scores are a higher-order transform
+    (``c.cc − 2·c·v`` — the v·v term is constant per (vector,
+    subspace), so dropping it preserves the argmin), and the code is
+    ``array_position(scores, array_min(scores)) − 1`` — first match =
+    lowest cid, the twin's ROW_NUMBER (score, cid) tie-break. One
+    corpus scan, whole-stage codegen, ZERO joins/shuffles/aggregates
+    (the first cut used a struct-MIN aggregate, which Spark compiles
+    to SortAggregate — struct buffers aren't hash-aggregable — and
+    sorted the N·m·ksub candidate stream; the literal form deletes
+    the stream entirely). Scores are projected to a named column
+    BEFORE the argmin consumes them twice (the CollapseProject
+    cheap-expr rule would otherwise re-evaluate every dot product —
+    the CLAUDE.md language-argmax lesson).
+
+    Rows with a NULL embedding are filtered: they produce NO code rows
+    (callers needing tombstones emit them — the MaintainedPQ
+    contract)."""
+    dot = (
+        "aggregate(zip_with(c.sub, slice(_e, s * _dsub + 1, _dsub), "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
         embeddings.select(id_col, F.col(emb_col).cast("array<double>").alias("_e"))
         .where(F.col("_e").isNotNull())
         .withColumn("_dsub", F.expr(f"size(_e) DIV {m}"))
-    )
-    cand = vecs.join(cents, F.expr("true")).select(
-        id_col,
-        "s",
-        "cid",
-        (
-            dot_col("sub", "sub")
-            - F.lit(2.0) * dot_col("sub", f"slice(_e, s * _dsub + 1, _dsub)")
-        ).alias("_score"),
-    )
-    return (
-        cand.groupBy(id_col, "s")
-        .agg(F.min(F.struct("_score", "cid")).alias("_best"))
+        .withColumn("_cb", _book_lit(book, m))
+        .withColumn(
+            "_sc",
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> "
+                f"transform(element_at(_cb, s + 1), c -> c.cc - 2.0D * {dot}))"
+            ),
+        )
         .select(
             id_col,
-            F.col("s").cast("int").alias("subspace"),
-            F.col("_best.cid").cast("int").alias("code"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> "
+                    "array_position(element_at(_sc, s + 1), "
+                    "array_min(element_at(_sc, s + 1))) - 1)"
+                )
+            ).alias("subspace", "code"),
+        )
+        .select(
+            id_col,
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("code").cast("int").alias("code"),
         )
     )
 
@@ -127,18 +215,13 @@ def pq_encode(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Encode each vector as ``m`` sub-codes: code_s = argmin_j
-    ||v_s − c_{s,j}||², ties to the smallest j. The argmin score is
-    ``c·c − 2·c·v`` (the ``v·v`` term is constant per (vector,
-    subspace), so dropping it preserves the argmin and skips a fold) —
-    the SQL twin orders by the same expression.
-
-    Output: (vec_id, subspace, code) — one row per vector per
-    subspace, all integers. The argmin is a struct-MIN hash aggregate
-    (lexicographic (score, cid) — identical tie-break to a ROW_NUMBER
-    twin), NOT a window: no sort of the N*m*ksub candidate stream."""
+    ||v_s − c_{s,j}||², ties to the smallest j, under the SEEDED
+    codebook. Output: (vec_id, subspace, code) — one row per vector
+    per subspace, all integers. See :func:`pq_encode_against` for the
+    pure-projection plan shape."""
     return pq_encode_against(
         embeddings,
-        pq_subcentroids(embeddings, m, ksub, id_col, emb_col),
+        seeded_book(embeddings, ksub, id_col, emb_col),
         m,
         id_col,
         emb_col,
@@ -537,7 +620,7 @@ def pq_search_trained(
         "cid int, _e array<double>",
     )
     cents = codebook_from_seeds(seeds, m).localCheckpoint(eager=True)
-    codes = pq_encode_against(embeddings, cents, m, id_col, emb_col)
+    codes = pq_encode_against(embeddings, book, m, id_col, emb_col)
     recon = pq_reconstruct_against(codes, cents, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         "recon",

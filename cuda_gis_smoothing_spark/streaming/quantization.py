@@ -117,7 +117,7 @@ class MaintainedPQ:
         if self.log.has(batch_id):
             return  # crash replay of an applied batch: no-op
         codes = (
-            pq_encode_against(embeddings, self._cents, self.m, self.id_col)
+            pq_encode_against(embeddings, self.codebook, self.m, self.id_col)
             .groupBy(self.id_col)
             .agg(
                 F.expr("transform(sort_array(collect_list(struct(subspace, code))), x -> x.code)").alias(

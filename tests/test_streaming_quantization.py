@@ -88,7 +88,7 @@ def test_vector_update_replaces_codes(spark, tmp_path):
     mpq.process_batch(donor, 1)
     got = _codes(mpq.codes())
     updated = emb.where(F.col("vec_id") != 400).unionByName(donor)
-    want = _codes(pq_encode_against(updated, mpq._cents, M))
+    want = _codes(pq_encode_against(updated, mpq.codebook, M))
     assert got == want
     c0 = {(s, c) for v, s, c in got if v == 0}
     c400 = {(s, c) for v, s, c in got if v == 400}
