@@ -943,6 +943,61 @@ def _q_pq_codes_maintained(spark, sf_dir):
     return out
 
 
+def _q_ivfpq_search_maintained(spark, sf_dir):
+    """ivfpq_search served from the COMPOSED maintained two-tier
+    export (streaming/quantization.export_ivfpq: MaintainedIVF bucket
+    rows ⋈ MaintainedPQ code rows → one bucket-partitioned
+    operators/quantization.IVFPQIndex): both logs fold a fresh
+    single batch, the export joins their latest-wins views, and
+    search runs ADC over STORED codes with PartitionFilters pruning
+    unprobed buckets — this CORRECTNESS row gates the whole
+    log→export→probe path against ivfpq_search's identical SQL twin
+    (multi-batch / update / tombstone equality is in
+    tests/test_ivfpq_index.py). The result is eagerly checkpointed so
+    the state and index directories can be deleted once the plan is
+    built (the _q_bm25_search contract)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from cuda_gis_smoothing_spark.streaming.quantization import (
+        MaintainedPQ,
+        export_ivfpq,
+    )
+    from cuda_gis_smoothing_spark.streaming.similarity import MaintainedIVF
+
+    _ensure_shipped(spark)  # pandas UDFs run in py workers
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = np.asarray([r[0] for r in seeds], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+    brows = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_KSUB)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    book = np.asarray([r[0] for r in brows], dtype=np.float64)
+    root = tempfile.mkdtemp(prefix="ivfpq_state_")
+    ivf = MaintainedIVF(spark, f"{root}/ivf", cents)
+    pq = MaintainedPQ(spark, f"{root}/pq", book, m=_PQ_M)
+    ivf.process_batch(emb, 0)
+    pq.process_batch(emb, 0)
+    idx = export_ivfpq(ivf, pq, f"{root}/exp")
+    queries = emb.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = idx.search(queries, k=5, n_probe=2).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _q_cell_pagerank(spark, sf_dir):
     """Fixed-iteration (5) PageRank over ring-1 contiguity — an
     ITERATIVE algorithm driver-hash-gated via an unrolled 5-CTE twin."""
@@ -1386,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-expressible; recall is pytest-gated — see the docstring)
         "pq_search_trained": _q_pq_search_trained,
         "morans_i_bivariate": _q_morans_i_bivariate,
+        "ivfpq_search_maintained": _q_ivfpq_search_maintained,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2527,6 +2583,7 @@ FROM ranked WHERE rank <= {_BIGRAM_K}
     # identical semantics, different Spark path (maintained codes log)
     out["pq_codes_maintained"] = out["pq_codes"]
     out["ivfpq_search"] = _ivfpq_sql()
+    out["ivfpq_search_maintained"] = _ivfpq_sql()
     out["cell_pagerank"] = _pagerank_sql()
     from cuda_gis_smoothing_spark.operators.sketches import kmv_distinct_sql
 

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "pq_search",
     "pq_codes_maintained",
     "ivfpq_search",
+    "ivfpq_search_maintained",
     "kmv_distinct_users",
     "sq_codes",
     "sq_search",

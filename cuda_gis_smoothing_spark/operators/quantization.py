@@ -647,3 +647,185 @@ def pq_search_trained(
         round6(F.col("_d")).alias("adc_dist"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+class IVFPQIndex:
+    """Persisted IVF-PQ serving index — the composed serving tier of
+    ``similarity.IVFIndex`` (coarse buckets as partition directories)
+    and the PQ codes table: corpus rows are ``(vec_id, codes
+    array<int>)`` PARTITIONED BY bucket, so a probe reads only the
+    probed buckets' files (PartitionFilters — plan-asserted in tests)
+    AND ships only ``m`` ints per candidate. Search is
+    :func:`ivfpq_search`'s fine path over STORED codes: reconstruction
+    is a pure projection against the literal codebook (zero corpus-side
+    joins — the :func:`pq_encode_against` plan shape), ADC L2 ranks on
+    the (dist, neighbor_id) total order; over the same vectors,
+    centroids and codebook the results equal the batch operator
+    bit-for-bit (tested).
+
+    Layout under ``path``:
+      * ``centroids/`` — (bucket, centroid array<double>), normalized
+        coarse centroids (the cosine-probe convention)
+      * ``codebook/``  — (cid, emb array<double>, m), raw full seed
+        rows (PQ quantizes raw coordinates)
+      * ``corpus/``    — (vec_id, codes) parquet partitioned by bucket
+
+    Built batch-side via :meth:`build`, or from the maintained ingest
+    logs via ``streaming.quantization.export_ivfpq`` (the two-tier
+    deployment: vec-keyed logs absorb O(batch) ingest, this layout
+    serves probes)."""
+
+    def __init__(self, spark, path: str, centroids, codebook, m: int):
+        import numpy as np
+
+        self.spark = spark
+        self.path = path
+        self.m = int(m)
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.codebook = np.asarray(codebook, dtype=np.float64)
+        # broadcast ONCE — 'build once, probe many' must not leak one
+        # broadcast per search() call (the IVFIndex contract)
+        self._bc = spark.sparkContext.broadcast(self.centroids)
+
+    @classmethod
+    def _write(cls, spark, corpus: DataFrame, path: str, centroids, codebook, m: int):
+        import os
+
+        corpus.select("vec_id", "codes", "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(path, "corpus"))
+        spark.createDataFrame(
+            [(b, [float(x) for x in row]) for b, row in enumerate(centroids)],
+            "bucket int, centroid array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        spark.createDataFrame(
+            [(cid, [float(x) for x in row], int(m)) for cid, row in enumerate(codebook)],
+            "cid int, emb array<double>, m int",
+        ).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+        return cls(spark, path, centroids, codebook, m)
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        path: str,
+        centroids,
+        codebook,
+        m: int = 8,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ) -> "IVFPQIndex":
+        """One pass over the corpus: nearest-bucket assignment (the
+        normalized-cosine argmax, ties to the lowest cid) + PQ encode
+        against the frozen ``codebook``, written bucket-partitioned.
+        NULL-embedding rows are excluded (nothing to serve)."""
+        from cuda_gis_smoothing_spark.operators.similarity import (
+            _nearest_bucket_udf,
+        )
+
+        spark = embeddings.sparkSession
+        assign = _nearest_bucket_udf(spark, centroids)
+        codes = (
+            pq_encode_against(embeddings, codebook, m, id_col, emb_col)
+            .groupBy(id_col)
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(subspace, code))),"
+                    " x -> x.code)"
+                ).alias("codes")
+            )
+        )
+        corpus = (
+            embeddings.where(F.col(emb_col).isNotNull())
+            .select(F.col(id_col).alias("vec_id"), assign(emb_col).alias("bucket"))
+            .join(codes.withColumnRenamed(id_col, "vec_id"), "vec_id")
+        )
+        return cls._write(spark, corpus, path, centroids, codebook, m)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        import os
+
+        import numpy as np
+
+        crows = (
+            spark.read.parquet(os.path.join(path, "centroids"))
+            .orderBy("bucket")
+            .collect()
+        )
+        brows = (
+            spark.read.parquet(os.path.join(path, "codebook"))
+            .orderBy("cid")
+            .collect()
+        )
+        return cls(
+            spark,
+            path,
+            np.asarray([r["centroid"] for r in crows], dtype=np.float64),
+            np.asarray([r["emb"] for r in brows], dtype=np.float64),
+            int(brows[0]["m"]),
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 2,
+        query_id_col: str = "query_id",
+        prune: bool = True,
+    ) -> DataFrame:
+        """Top-k ADC per query over the probed buckets.
+        ``prune=True`` collects the probed bucket SET (bounded by
+        #queries * n_probe — queries are broadcast-small by assumption)
+        and static-filters the corpus scan so PartitionFilters prune
+        unprobed bucket directories; ``prune=False`` is the
+        large-query-set path (no driver collect — the probe output
+        shuffle-joins the corpus on the bucket key). Results identical
+        either way, and identical to :func:`ivfpq_search` over the
+        indexed vectors (tested)."""
+        import os
+
+        from cuda_gis_smoothing_spark.functions.numeric import round6
+        from cuda_gis_smoothing_spark.operators.similarity import probe_rows
+
+        q = probe_rows(queries, self._bc, n_probe, query_id_col).withColumn(
+            "_qq", dot_col("q_emb", "q_emb")
+        )
+        corpus = self.spark.read.parquet(os.path.join(self.path, "corpus"))
+        if prune:
+            buckets = sorted(
+                r["bucket"] for r in q.select("bucket").distinct().collect()
+            )
+            corpus = corpus.where(F.col("bucket").isin(buckets))
+        recon = (
+            corpus.withColumn("_cb", _book_lit(self.codebook, self.m))
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                "bucket",
+                F.expr(
+                    "flatten(transform(codes, (c, s) -> "
+                    "element_at(element_at(_cb, s + 1), c + 1).sub))"
+                ).alias("recon"),
+            )
+            .withColumn("_rr", dot_col("recon", "recon"))
+        )
+        pairs = recon.join(F.broadcast(q), "bucket").where(
+            F.col("neighbor_id") != F.col(query_id_col)
+        )
+        dist = (
+            F.col("_qq") + F.col("_rr") - F.lit(2.0) * dot_col("q_emb", "recon")
+        ).alias("_d")
+        ranked = pairs.select(query_id_col, "neighbor_id", dist).withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("_d").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        return ranked.where(F.col("rank") <= k).select(
+            query_id_col,
+            "neighbor_id",
+            round6(F.col("_d")).alias("adc_dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )

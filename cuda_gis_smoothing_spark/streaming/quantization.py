@@ -220,3 +220,37 @@ class MaintainedPQ:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+def export_ivfpq(ivf, pq: MaintainedPQ, path: str):
+    """Compose the two maintained ingest logs — ``MaintainedIVF``
+    bucket assignments and ``MaintainedPQ`` codes — into ONE
+    bucket-partitioned ``operators.quantization.IVFPQIndex`` serving
+    layout (the IVFPQ analog of ``MaintainedIVF.export_index``): the
+    vec-keyed logs absorb O(batch) ingest, the export is a periodic
+    one-pass compaction that recovers true partition pruning AND
+    code-only candidate rows.
+
+    Inner join on vec_id: a vector is servable only when BOTH tiers
+    hold its latest row — the caller feeds both logs the same batches
+    in lockstep (the two-tier deployment contract). PQ empty-codes
+    tombstones drop via the size filter, so a vector NULLed in a later
+    batch vanishes from the export; a vector updated in both tiers
+    serves its latest bucket AND latest codes (tested)."""
+    from cuda_gis_smoothing_spark.operators.quantization import IVFPQIndex
+
+    iv = ivf.corpus()
+    if iv is None:
+        raise ValueError("export_ivfpq: empty IVF log (no batches applied)")
+    codes = pq.log.read()
+    if codes is None:
+        raise ValueError("export_ivfpq: empty PQ log (no batches applied)")
+    corpus = iv.select(F.col(ivf.id_col).alias("vec_id"), "bucket").join(
+        codes.where(F.size("codes") > 0).select(
+            F.col(pq.id_col).alias("vec_id"), "codes"
+        ),
+        "vec_id",
+    )
+    return IVFPQIndex._write(
+        ivf.spark, corpus, path, ivf.centroids, pq.codebook, pq.m
+    )

@@ -70,26 +70,41 @@ class MaintainedIVF:
 
     def process_batch(self, embeddings: DataFrame, batch_id: int) -> None:
         """Assign a batch of (re)ingested vectors to their buckets and
-        fold them in: one vec-keyed delta of O(batch) rows."""
+        fold them in: one vec-keyed delta of O(batch) rows. A
+        NULL-embedding row writes a NULL-bucket TOMBSTONE so
+        latest-wins REMOVES the vector from the served index (the
+        MaintainedPQ / MaintainedPostings NULL lesson, ADVICE r4: zero
+        emitted rows silently keep stale state)."""
         if self.log.has(batch_id):
             return  # crash replay of an applied batch: no-op
         # nearest bucket == first probe (probe_rows is stable-sorted,
         # so exact ties take the lowest cid — the SQL twins' order)
         rows = probe_rows(
-            embeddings, self._bc, n_probe=1, query_id_col=self.id_col
+            embeddings.where(F.col("embedding").isNotNull()),
+            self._bc,
+            n_probe=1,
+            query_id_col=self.id_col,
         ).select(
             self.id_col,
             F.col("bucket"),
             F.col("q_emb").alias("c_emb"),
             F.col("q_nrm").alias("c_nrm"),
         )
-        self.log.write_delta(rows, batch_id)
+        tombs = embeddings.where(F.col("embedding").isNull()).select(
+            self.id_col,
+            F.lit(None).cast("int").alias("bucket"),
+            F.lit(None).cast("array<double>").alias("c_emb"),
+            F.lit(None).cast("double").alias("c_nrm"),
+        )
+        self.log.write_delta(rows.unionByName(tombs), batch_id)
         if self.log.delta_count() >= self.compact_every:
             self.log.compact(batch_id)
 
     def corpus(self) -> DataFrame | None:
-        """Latest (vec_id, bucket, c_emb, c_nrm) per vector."""
-        return self.log.read()
+        """Latest (vec_id, bucket, c_emb, c_nrm) per vector;
+        tombstoned (NULL-bucket) vectors excluded."""
+        t = self.log.read()
+        return None if t is None else t.where(F.col("bucket").isNotNull())
 
     def query(
         self,

@@ -142,3 +142,35 @@ def test_stream_wiring_builds_same_index(spark, tmp_path):
     got = _res(idx.query(_queries(spark), k=5, n_probe=2))
     want = _res(ivf_knn(emb, _queries(spark), k=5, n_probe=2, centroids=cents))
     assert got == want
+
+
+def test_null_embedding_tombstone_removes_vector(spark, tmp_path):
+    """A NULL-embedding re-ingest writes a NULL-bucket tombstone:
+    latest-wins removes the vector from the served corpus and its
+    queries equal ivf_knn over the corpus WITHOUT it (the
+    MaintainedPQ / MaintainedPostings NULL lesson)."""
+    emb = _emb(spark).select("vec_id", "embedding")
+    cents = train_centroids(emb, n_centroids=8, iters=2)
+    idx = MaintainedIVF(spark, str(tmp_path / "state"), cents)
+    idx.process_batch(emb, 0)
+    victim = int(
+        idx.query(_queries(spark), k=1, n_probe=2)
+        .where(F.col("query_id") == 0)
+        .collect()[0]["neighbor_id"]
+    )
+    null_row = spark.createDataFrame(
+        [(victim, None)], "vec_id long, embedding array<float>"
+    )
+    idx.process_batch(null_row, 1)
+    assert idx.corpus().where(F.col("vec_id") == victim).count() == 0
+    got = _res(idx.query(_queries(spark), k=5, n_probe=2))
+    want = _res(
+        ivf_knn(
+            emb.where(F.col("vec_id") != victim),
+            _queries(spark),
+            k=5,
+            n_probe=2,
+            centroids=cents,
+        )
+    )
+    assert got == want
