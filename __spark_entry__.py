@@ -1069,6 +1069,19 @@ def _q_morans_i_bivariate(spark, sf_dir):
     return stats_ops.bivariate_morans_i(cells, "ndvi", "n_obs")
 
 
+def _q_source_overlap_kmv(spark, sf_dir):
+    """KMV-sketch cross-source shingle SET OPERATIONS: estimated
+    |A|, |B|, |A∪B|, |A∩B| and Jaccard per source pair — the sketch
+    sibling of source_overlap (exact) and source_overlap_minhash
+    (ratio-only); sketches are mergeable, so at 100 TB per-source
+    sketches accumulate across partitions/days without re-reading."""
+    from cuda_gis_smoothing_spark.operators.sketches import kmv_shingle_overlap
+
+    return kmv_shingle_overlap(
+        load(spark, sf_dir, "documents"), k_shingle=_OVERLAP_K, k=64
+    )
+
+
 def _q_kmv_distinct_users(spark, sf_dir):
     """Per-event-type approximate distinct users via a k-minimum-values
     sketch over the PORTABLE hash — the cross-engine-gateable
@@ -1442,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search_trained": _q_pq_search_trained,
         "morans_i_bivariate": _q_morans_i_bivariate,
         "ivfpq_search_maintained": _q_ivfpq_search_maintained,
+        "source_overlap_kmv": _q_source_overlap_kmv,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2617,6 +2631,11 @@ SELECT CAST(dn.n AS BIGINT) AS n_cells,
        ROUND(((dn.n / cr.W) * cr.num / SQRT(dn.sx * dn.sy)) + 1e-09, 6) AS bivariate_i
 FROM cr, dn
 """.strip()
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        kmv_shingle_overlap_sql,
+    )
+
+    out["source_overlap_kmv"] = kmv_shingle_overlap_sql(k_shingle=_OVERLAP_K, k=64)
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,

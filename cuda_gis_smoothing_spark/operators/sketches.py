@@ -120,3 +120,159 @@ SELECT {g}, CAST(n_sketch AS BIGINT) AS n_sketch,
                    ELSE {kp} / (kth_hash + 1) END) + 1e-09, 6) AS est_distinct
 FROM agg
 """.strip()
+
+
+def kmv_shingle_overlap(
+    docs: DataFrame,
+    k_shingle: int = 5,
+    k: int = KMV_K,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS between per-source k-gram
+    shingle sets, entirely from KMV sketches: for every source pair
+    (a < b) estimate |A|, |B|, |A∪B| and, via inclusion–exclusion,
+    |A∩B| and Jaccard. The sketch answer to ``source_overlap``'s exact
+    self-join: MinHash (``source_overlap_minhash``) estimates the
+    Jaccard RATIO only — KMV sketches also estimate the SIZES (union /
+    intersection cardinalities), the numbers a dataset card reports.
+
+    Union-of-sketches = sketch-of-union by construction (the k smallest
+    of two k-smallest lists ARE the k smallest of the union), so the
+    pair stage runs over #sources × k sketch rows; the heavy work is
+    ONE distinct (source, shingle-hash) aggregate over the corpus,
+    map-side combinable — at 100 TB per-source sketches are mergeable
+    across days/partitions without re-reading documents. Exact when a
+    sketch isn't full (n < k); relative error ~ 1/√(k−2) when full.
+
+    Shingles are ``source_overlap``'s exact k-token grams (docs with
+    fewer than ``k_shingle`` tokens contribute none); hashes via the
+    portable rolling hash then the KMV affine (products < 2^62 — the
+    overflow invariant); every estimate is one division of exact
+    integers and the inclusion–exclusion sum composes identically
+    cross-engine (``kmv_shingle_overlap_sql`` is the DuckDB twin)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.dedup import token_hash_col
+
+    if k < 2:
+        raise ValueError("kmv_shingle_overlap: k must be >= 2 (estimator uses k - 1)")
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {k_shingle - 1}, 1)), "
+        f"i -> array_join(slice(_toks, i, {k_shingle}), ' '))"
+    )
+    hashes = (
+        docs.select(F.col(source_col).alias("source"), toks.alias("_toks"))
+        .where(F.size("_toks") >= k_shingle)
+        .select("source", F.explode(shingles).alias("t"))
+        .select(
+            "source",
+            ((token_hash_col("t") * KMV_A + KMV_B) % MH_PRIME).alias("_h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy(F.col("_h").asc())
+    sk = (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("_h").cast("long").alias("kth"),
+            F.sort_array(F.collect_list("_h")).alias("sk"),
+        )
+    )
+    kp = float((k - 1) * MH_PRIME)
+
+    def est(n, kth):
+        return F.when(n < k, n.cast("double")).otherwise(F.lit(kp) / (kth + 1))
+
+    a = sk.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("_na"),
+        F.col("kth").alias("_ka"),
+        F.col("sk").alias("_ska"),
+    )
+    b = sk.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("_nb"),
+        F.col("kth").alias("_kb"),
+        F.col("sk").alias("_skb"),
+    )
+    pairs = (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .withColumn("_m", F.expr(f"slice(array_sort(array_union(_ska, _skb)), 1, {k})"))
+        .withColumn("_nu", F.size("_m").cast("long"))
+        .withColumn("_kthu", F.element_at("_m", F.size("_m")).cast("long"))
+    )
+    # project the estimates to named columns before they feed multiple
+    # output expressions (the CollapseProject re-evaluation lesson)
+    pe = pairs.select(
+        "source_a",
+        "source_b",
+        est(F.col("_na"), F.col("_ka")).alias("_ea"),
+        est(F.col("_nb"), F.col("_kb")).alias("_eb"),
+        est(F.col("_nu"), F.col("_kthu")).alias("_eu"),
+    )
+    inter = F.greatest(F.lit(0.0), F.col("_ea") + F.col("_eb") - F.col("_eu"))
+    return pe.select(
+        "source_a",
+        "source_b",
+        round6(F.col("_ea")).alias("est_a"),
+        round6(F.col("_eb")).alias("est_b"),
+        round6(F.col("_eu")).alias("est_union"),
+        round6(inter).alias("est_intersection"),
+        round6(inter / F.col("_eu")).alias("est_jaccard"),
+    )
+
+
+def kmv_shingle_overlap_sql(k_shingle: int = 5, k: int = KMV_K) -> str:
+    """DuckDB twin of :func:`kmv_shingle_overlap` over the
+    ``documents`` view — same shingles, same hash, same affine, same
+    merge, same inclusion–exclusion composition, same round6."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+    from cuda_gis_smoothing_spark.operators.dedup import token_hash_sql_duckdb
+
+    th = token_hash_sql_duckdb("t")
+    kp = flit(float((k - 1) * MH_PRIME))
+    z = "CAST(0.0 AS DOUBLE)"
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(lower(text), ' ')) - {k_shingle - 1}, 0)),
+           i -> array_to_string((string_split(lower(text), ' '))[i:i+{k_shingle - 1}], ' '))) AS t
+  FROM documents
+),
+hs AS (
+  SELECT DISTINCT source, ({th} * {KMV_A} + {KMV_B}) % {MH_PRIME} AS h FROM sh
+),
+rk AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs
+),
+sk AS (
+  SELECT source, COUNT(*) AS n, MAX(h) AS kth, list(h ORDER BY h) AS sk
+  FROM rk WHERE rn <= {k} GROUP BY source
+),
+pr AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n AS na, a.kth AS ka, b.n AS nb, b.kth AS kb,
+         list_slice(list_sort(list_distinct(a.sk || b.sk)), 1, {k}) AS m
+  FROM sk a JOIN sk b ON a.source < b.source
+),
+pe AS (
+  SELECT source_a, source_b,
+    CASE WHEN na < {k} THEN CAST(na AS DOUBLE) ELSE {kp} / (ka + 1) END AS ea,
+    CASE WHEN nb < {k} THEN CAST(nb AS DOUBLE) ELSE {kp} / (kb + 1) END AS eb,
+    CASE WHEN LEN(m) < {k} THEN CAST(LEN(m) AS DOUBLE)
+         ELSE {kp} / (m[LEN(m)] + 1) END AS eu
+  FROM pr
+)
+SELECT source_a, source_b,
+  ROUND(ea + 1e-09, 6) AS est_a,
+  ROUND(eb + 1e-09, 6) AS est_b,
+  ROUND(eu + 1e-09, 6) AS est_union,
+  ROUND(GREATEST({z}, ea + eb - eu) + 1e-09, 6) AS est_intersection,
+  ROUND((GREATEST({z}, ea + eb - eu) / eu) + 1e-09, 6) AS est_jaccard
+FROM pe
+""".strip()
