@@ -1069,6 +1069,27 @@ def _q_morans_i_bivariate(spark, sf_dir):
     return stats_ops.bivariate_morans_i(cells, "ndvi", "n_obs")
 
 
+_QSK_K = 64
+
+
+def _q_value_quantiles_sketch(spark, sf_dir):
+    """Approximate per-type value quantiles from a bottom-k-by-hash
+    sample — the deterministic, mergeable, twin-exact alternative to
+    approx_percentile (engine-private sketch) and to exact percentile
+    (full per-group sort at 100 TB)."""
+    from cuda_gis_smoothing_spark.operators.events import PCT_QS
+    from cuda_gis_smoothing_spark.operators.sketches import kmv_quantile_sketch
+
+    return kmv_quantile_sketch(
+        load(spark, sf_dir, "events"),
+        "value",
+        "event_id",
+        PCT_QS,
+        group_cols=("event_type",),
+        k=_QSK_K,
+    )
+
+
 def _q_source_overlap_kmv(spark, sf_dir):
     """KMV-sketch cross-source shingle SET OPERATIONS: estimated
     |A|, |B|, |A∪B|, |A∩B| and Jaccard per source pair — the sketch
@@ -1456,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_bivariate": _q_morans_i_bivariate,
         "ivfpq_search_maintained": _q_ivfpq_search_maintained,
         "source_overlap_kmv": _q_source_overlap_kmv,
+        "value_quantiles_sketch": _q_value_quantiles_sketch,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2636,6 +2658,19 @@ FROM cr, dn
     )
 
     out["source_overlap_kmv"] = kmv_shingle_overlap_sql(k_shingle=_OVERLAP_K, k=64)
+    from cuda_gis_smoothing_spark.operators.events import PCT_QS as _PCT_QS
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        kmv_quantile_sketch_sql,
+    )
+
+    out["value_quantiles_sketch"] = kmv_quantile_sketch_sql(
+        "SELECT * FROM events",
+        "value",
+        "event_id",
+        _PCT_QS,
+        group_cols=("event_type",),
+        k=_QSK_K,
+    )
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,

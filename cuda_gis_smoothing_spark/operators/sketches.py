@@ -276,3 +276,74 @@ SELECT source_a, source_b,
   ROUND((GREATEST({z}, ea + eb - eu) / eu) + 1e-09, 6) AS est_jaccard
 FROM pe
 """.strip()
+
+
+def kmv_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    fractions: tuple[float, ...],
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Approximate per-group quantiles from a BOTTOM-k-BY-HASH row
+    sample — the quantile member of the deterministic-sketch family.
+    ``approx_percentile`` (t-digest/KLL style) is engine-private and
+    ungateable; a bottom-k sample under the PORTABLE hash is a
+    deterministic uniform sample, so quantiles over it estimate the
+    group quantiles with error ~1/sqrt(k) in RANK space, and both
+    engines select the identical sample bit-for-bit. Exact whenever a
+    group has <= k non-null rows (the sample IS the group).
+
+    Mergeable like KMV: the bottom-k of a union is the bottom-k of
+    concatenated per-partition bottom-k's (value rides with the hash),
+    so at 100 TB per-day/per-partition sketches merge without
+    re-reading events — unlike exact ``percentile``, which sorts every
+    group end-to-end. The heavy step is one per-group top-k rank over
+    (hash, id); the quantile then runs over <= k rows per group.
+
+    Selection order is (hash, id) — ``id_col`` must be unique, making
+    the sample a TOTAL order (the cross-engine window-tie invariant).
+    NULL values are excluded BEFORE sampling so every sampled row
+    carries information. Routes through the shared
+    :func:`~cuda_gis_smoothing_spark.operators.events.percentile_explode`
+    kernel (the one cross-engine-sensitive percentile composition);
+    :func:`kmv_quantile_sketch_sql` is the DuckDB twin."""
+    from cuda_gis_smoothing_spark.operators.events import percentile_explode
+
+    w = Window.partitionBy(
+        *[F.col(g) for g in group_cols] if group_cols else [F.lit(1)]
+    ).orderBy(kmv_hash_col(id_col).asc(), F.col(id_col).asc())
+    sample = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+    )
+    return percentile_explode(
+        sample, value_col, fractions, group_cols=group_cols, out_value="est_value"
+    )
+
+
+def kmv_quantile_sketch_sql(
+    source_sql: str,
+    value_col: str,
+    id_col: str,
+    fractions: tuple[float, ...],
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`kmv_quantile_sketch`: identical portable
+    hash, identical (hash, id) total-order bottom-k selection,
+    identical quantile kernel (``percentile_sql``)."""
+    from cuda_gis_smoothing_spark.operators.events import percentile_sql
+
+    part = f"PARTITION BY {', '.join(group_cols)} " if group_cols else ""
+    sample = f"""
+SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER ({part}ORDER BY {kmv_hash_sql(id_col)}, {id_col}) AS _rn
+  FROM ({source_sql}) WHERE {value_col} IS NOT NULL
+) WHERE _rn <= {k}
+""".strip()
+    return percentile_sql(
+        sample, value_col, fractions, group_cols=group_cols, out_value="est_value"
+    )

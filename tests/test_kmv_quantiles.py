@@ -1,0 +1,102 @@
+"""Quantile sketch (operators/sketches.kmv_quantile_sketch): (a) with
+k >= every group size the sketch IS exact — equals percentile_explode
+on the full input; (b) at k=64 each estimated quantile q lands within
+a rank-space band of the true quantile (the value at rank q·n is
+estimated with rank error ~3/sqrt(k), so compare against the exact
+values at ranks q ± 3/sqrt(k)); (c) merge property — the bottom-k of
+a union equals the bottom-k of concatenated per-part bottom-k's, so
+sketching two halves then merging reproduces the whole-input sample.
+Cross-engine equality is the driver parity gate
+(value_quantiles_sketch)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_gis_smoothing_spark.operators.events import PCT_QS, percentile_explode
+from cuda_gis_smoothing_spark.operators.sketches import (
+    KMV_K,
+    kmv_hash_col,
+    kmv_quantile_sketch,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_exact_when_k_covers_group(spark):
+    ev = _events(spark)
+    exact = {
+        (r.event_type, r.q): r.value
+        for r in percentile_explode(
+            ev, "value", PCT_QS, group_cols=("event_type",)
+        ).collect()
+    }
+    got = {
+        (r.event_type, r.q): r.est_value
+        for r in kmv_quantile_sketch(
+            ev, "value", "event_id", PCT_QS, group_cols=("event_type",), k=10**6
+        ).collect()
+    }
+    assert got == exact and len(got) == len(exact) > 0
+
+
+def test_rank_space_error_band(spark):
+    k = KMV_K
+    ev = _events(spark)
+    rows = ev.select("event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    got = {
+        (r.event_type, r.q): r.est_value
+        for r in kmv_quantile_sketch(
+            ev, "value", "event_id", PCT_QS, group_cols=("event_type",), k=k
+        ).collect()
+    }
+    band = 3.0 / k**0.5  # ~3 sigma of the sampled-quantile rank error
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for q in PCT_QS:
+            lo = vals[max(0, int((q - band) * (n - 1)))]
+            hi = vals[min(n - 1, int((q + band) * (n - 1)) + 1)]
+            assert lo - 1e-6 <= got[(t, q)] <= hi + 1e-6, (t, q)
+
+
+def test_merge_property(spark):
+    """Sketch-of-parts merges to sketch-of-whole: keeping the k
+    hash-smallest of the union of two per-half bottom-k samples
+    selects exactly the whole-input sample rows."""
+    k = 16
+    ev = _events(spark).where(F.col("value").isNotNull())
+    whole = (
+        ev.withColumn("_h", kmv_hash_col("event_id"))
+        .orderBy("_h", "event_id")
+        .limit(k)
+        .select("event_id")
+        .collect()
+    )
+    parts = []
+    for half in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        parts.extend(
+            ev.where(half)
+            .withColumn("_h", kmv_hash_col("event_id"))
+            .orderBy("_h", "event_id")
+            .limit(k)
+            .select("event_id", "_h")
+            .collect()
+        )
+    merged = sorted(parts, key=lambda r: (r._h, r.event_id))[:k]
+    assert [r.event_id for r in merged] == [r.event_id for r in whole]
+
+
+def test_sampling_is_real_at_gate_k(spark):
+    """At the gate's k the sketch must actually sketch (some group
+    larger than k) — otherwise the gate only tests the exact path."""
+    n_max = (
+        _events(spark).groupBy("event_type").count().agg(F.max("count")).first()[0]
+    )
+    assert n_max > KMV_K
