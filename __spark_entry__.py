@@ -1069,6 +1069,28 @@ def _q_morans_i_bivariate(spark, sf_dir):
     return stats_ops.bivariate_morans_i(cells, "ndvi", "n_obs")
 
 
+def _q_source_kl_maintained(spark, sf_dir):
+    """The SAME per-source KL drift table served from maintained
+    (source, token) count logs — zero corpus re-tokenization at read
+    time: the corpus folds into a fresh single-batch
+    MaintainedSourceTokens, so this CORRECTNESS row gates the
+    maintained path against the batch twin's SQL every round (the
+    bigram_pmi_maintained precedent)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.source_stats import (
+        MaintainedSourceTokens,
+    )
+
+    state = tempfile.mkdtemp(prefix="srckl_state_")
+    mst = MaintainedSourceTokens(spark, state)
+    mst.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = mst.kl()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 _QSK_K = 64
 
 
@@ -1478,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_search_maintained": _q_ivfpq_search_maintained,
         "source_overlap_kmv": _q_source_overlap_kmv,
         "value_quantiles_sketch": _q_value_quantiles_sketch,
+        "source_kl_maintained": _q_source_kl_maintained,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2671,6 +2694,8 @@ FROM cr, dn
         group_cols=("event_type",),
         k=_QSK_K,
     )
+    # identical semantics, different Spark path (maintained count logs)
+    out["source_kl_maintained"] = out["source_kl_divergence"]
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,
