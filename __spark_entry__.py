@@ -1139,6 +1139,26 @@ def _q_kmv_distinct_users(spark, sf_dir):
     )
 
 
+def _q_kmv_distinct_maintained(spark, sf_dir):
+    """The SAME per-type distinct-user sketch table served from a
+    maintained group-keyed KMV log (union-of-sketches == sketch-of-
+    union; O(touched-groups × k) deltas, state #groups × k longs): the
+    events fold into a fresh single-batch MaintainedKMV, so this
+    CORRECTNESS row gates the maintained sketch path against
+    kmv_distinct's twin every round."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.sketches import MaintainedKMV
+
+    state = tempfile.mkdtemp(prefix="kmv_state_")
+    mk = MaintainedKMV(spark, state, ["event_type"], "user_id", k=64)
+    mk.process_batch(load(spark, sf_dir, "events"), 0)
+    out = mk.distinct_counts()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test holdout assignment per doc (90/5/5
     over the portable hash space) — retry/re-ingest-stable by
@@ -1501,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_kmv": _q_source_overlap_kmv,
         "value_quantiles_sketch": _q_value_quantiles_sketch,
         "source_kl_maintained": _q_source_kl_maintained,
+        "kmv_distinct_maintained": _q_kmv_distinct_maintained,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2696,6 +2717,8 @@ FROM cr, dn
     )
     # identical semantics, different Spark path (maintained count logs)
     out["source_kl_maintained"] = out["source_kl_divergence"]
+    # identical semantics, different Spark path (maintained sketch log)
+    out["kmv_distinct_maintained"] = out["kmv_distinct_users"]
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,

@@ -128,6 +128,10 @@ BENCH_QUERIES = [
     "ivf_bucket_stats",
     "dataset_split",
     "embedding_norms",
+    "source_overlap_kmv",
+    "value_quantiles_sketch",
+    "source_kl_maintained",
+    "kmv_distinct_maintained",
 ]
 
 
@@ -519,6 +523,28 @@ def main() -> None:
         f"{bigram_delta_sec}s, pmi read {bigram_read_sec}s"
     )
 
+    # maintained per-source KL: same split story again
+    from cuda_gis_smoothing_spark.streaming.source_stats import (
+        MaintainedSourceTokens,
+    )
+
+    kl_dir = tempfile.mkdtemp(prefix="bench_srckl_state_")
+    mst = MaintainedSourceTokens(spark, kl_dir)
+    t0 = time.perf_counter()
+    mst.process_batch(docs, 0)
+    srckl_build_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    mst.process_batch(delta_docs, 1)
+    srckl_delta_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _run_noop(mst.kl())
+    srckl_read_sec = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(kl_dir, ignore_errors=True)
+    log(
+        f"maintained source KL: build {srckl_build_sec}s, 50-doc delta "
+        f"{srckl_delta_sec}s, kl read {srckl_read_sec}s"
+    )
+
     # smoothing throughput: fused two-ring pass over the testdata grid
     from cuda_gis_smoothing_spark.operators.smoothing import smooth
     from cuda_gis_smoothing_spark.plans.config import ALL_VARIABLES, SmoothingPlan
@@ -591,6 +617,11 @@ def main() -> None:
             "build_sec": bigram_build_sec,
             "delta50_sec": bigram_delta_sec,
             "pmi_read_sec": bigram_read_sec,
+        },
+        "srckl_maintained_split": {
+            "build_sec": srckl_build_sec,
+            "delta50_sec": srckl_delta_sec,
+            "kl_read_sec": srckl_read_sec,
         },
         "reorder_sweep": reorder,
         "scaling": scaling,

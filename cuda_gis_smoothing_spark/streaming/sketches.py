@@ -1,0 +1,168 @@
+"""Maintained KMV cardinality sketches — the streaming member of the
+deterministic-sketch family (operators/sketches.py).
+
+``kmv_distinct`` is a batch rebuild: every run re-scans the stream
+history into a (group, hash) DISTINCT. At 100 TB "distinct users per
+event type, updated continuously" is served from MAINTAINED sketch
+state — and KMV is the sketch BUILT for that: union-of-sketches ==
+sketch-of-union (keep the k smallest distinct hashes of the
+concatenation), so a batch folds in as an O(touched-groups × k) merge
+and the standing state is #groups × k longs, never O(history).
+
+State: ONE group-keyed SnapshotLog row per group, ``(group...,
+sk array<long>)`` — the group's k smallest distinct member hashes,
+latest-wins. A batch computes its own per-group bottom-k, array-merges
+with the prior rows of the TOUCHED groups (read with
+``before_batch_id`` so a crash replay never sees its own partial
+delta; replay overwrites idempotently — with one log the write is the
+commit, no separate guard needed), and writes only touched groups.
+
+APPEND-ONLY by nature: a KMV sketch cannot forget a member, so this
+maintains sketches over EVENT streams (facts that happened), not over
+doc-keyed mutable tables — the opposite trade from the doc-keyed
+count logs (MaintainedBigrams/MaintainedSourceTokens), which support
+updates but pay a diff. NULL member ids are excluded (COUNT DISTINCT
+convention); NULL group values are keyed under a sentinel (SnapshotLog
+key joins drop NULL keys — the _group_dedup lesson) and surface as
+NULL again at read time.
+
+``distinct_counts()`` serves the EXACT ``kmv_distinct`` output —
+(group..., n_sketch, kth_hash, est_distinct) — as a pure per-row
+function of the stored integers (same (k−1)·P literal, same round6),
+so maintained-over-batches equals batch-over-union bit-for-bit
+(tested; the ``kmv_distinct_maintained`` driver gate routes the events
+table through a single-batch instance against ``kmv_distinct_sql``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cuda_gis_smoothing_spark.operators.sketches import (
+    KMV_K,
+    kmv_hash_col,
+)
+from cuda_gis_smoothing_spark.operators.dedup import MH_PRIME
+from cuda_gis_smoothing_spark.streaming.incremental import SnapshotLog
+
+#: non-data sentinel for NULL group values inside the state key
+NULL_GROUP = "\x00"
+
+
+class MaintainedKMV:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_root: str,
+        group_cols: list[str],
+        id_col: str,
+        k: int = KMV_K,
+        compact_every: int = 4,
+    ):
+        if k < 2:
+            raise ValueError("MaintainedKMV: k must be >= 2")
+        self.spark = spark
+        self.group_cols = list(group_cols)
+        self.id_col = id_col
+        self.k = k
+        self.compact_every = compact_every
+        self.sk_log = SnapshotLog(
+            spark, os.path.join(state_root, "sketches"), key=self.group_cols
+        )
+
+    def _keyed(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.coalesce(F.col(g), F.lit(NULL_GROUP)).alias(g)
+                for g in self.group_cols
+            ],
+            F.col(self.id_col),
+        )
+
+    def process_batch(self, events: DataFrame, batch_id: int) -> None:
+        """Fold a batch of events into the sketches: per-group bottom-k
+        over the batch, array-merge with prior state for the touched
+        groups only — O(touched-groups × k) rows written."""
+        if self.sk_log.has(batch_id):
+            return  # crash replay of an applied batch: no-op
+        g = self.group_cols
+        w = Window.partitionBy(*g).orderBy(F.col("_h").asc())
+        batch_sk = (
+            self._keyed(events)
+            .where(F.col(self.id_col).isNotNull())
+            .select(*g, kmv_hash_col(self.id_col).alias("_h"))
+            .distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= self.k)
+            .groupBy(*g)
+            .agg(F.sort_array(F.collect_list("_h")).alias("_new"))
+        )
+        prior = self.sk_log.read(before_batch_id=batch_id)
+        if prior is None:
+            merged = batch_sk.select(*g, F.col("_new").alias("sk"))
+        else:
+            merged = batch_sk.join(
+                prior.select(*g, F.col("sk").alias("_old")), g, "left"
+            ).select(
+                *g,
+                F.expr(
+                    "slice(array_sort(array_union("
+                    f"coalesce(_old, CAST(array() AS array<long>)), _new)), 1, {self.k})"
+                ).alias("sk"),
+            )
+        self.sk_log.write_delta(merged, batch_id)
+        if self.sk_log.delta_count() >= self.compact_every:
+            self.sk_log.compact(batch_id)
+
+    def distinct_counts(self) -> DataFrame:
+        """The maintained ``kmv_distinct`` table — served from state
+        alone as a pure per-row function of the stored hashes (nothing
+        re-scans events). Reads state through an EAGER localCheckpoint
+        — callers may delete the state directory once the plan is
+        built (the MaintainedPostings.search contract)."""
+        from cuda_gis_smoothing_spark.functions.numeric import round6
+
+        t = self.sk_log.read()
+        if t is None:
+            raise ValueError("MaintainedKMV: empty state")
+        t = t.localCheckpoint(eager=True)
+        g = self.group_cols
+        kp = float((self.k - 1) * MH_PRIME)
+        n = F.size("sk").cast("long")
+        kth = F.element_at("sk", F.size("sk")).cast("long")
+        est = F.when(F.col("n_sketch") < self.k, F.col("n_sketch").cast("double")).otherwise(
+            F.lit(kp) / (F.col("kth_hash") + 1)
+        )
+        return (
+            t.select(
+                *[
+                    F.when(F.col(c) == NULL_GROUP, F.lit(None).cast("string"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in g
+                ],
+                n.alias("n_sketch"),
+                kth.alias("kth_hash"),
+            )
+            .select(*g, "n_sketch", "kth_hash", round6(est).alias("est_distinct"))
+        )
+
+    def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
+        from cuda_gis_smoothing_spark.streaming.windows import EVENTS_SCHEMA
+
+        stream = (
+            self.spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
