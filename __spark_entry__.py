@@ -1139,6 +1139,33 @@ def _q_kmv_distinct_users(spark, sf_dir):
     )
 
 
+def _q_source_overlap_kmv_maintained(spark, sf_dir):
+    """The SAME cross-source set-operation table served from maintained
+    per-source shingle sketches (the members hook + overlap_pairs) —
+    the 'sketches merge across days without re-reading documents'
+    claim, gated: single-batch state == kmv_shingle_overlap exactly."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        shingle_hash_members,
+    )
+    from cuda_gis_smoothing_spark.streaming.sketches import MaintainedKMV
+
+    state = tempfile.mkdtemp(prefix="kmvov_state_")
+    mk = MaintainedKMV(
+        spark,
+        state,
+        ["source"],
+        k=64,
+        members=lambda df: shingle_hash_members(df, _OVERLAP_K),
+    )
+    mk.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = mk.overlap_pairs()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_kmv_distinct_maintained(spark, sf_dir):
     """The SAME per-type distinct-user sketch table served from a
     maintained group-keyed KMV log (union-of-sketches == sketch-of-
@@ -1522,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles_sketch": _q_value_quantiles_sketch,
         "source_kl_maintained": _q_source_kl_maintained,
         "kmv_distinct_maintained": _q_kmv_distinct_maintained,
+        "source_overlap_kmv_maintained": _q_source_overlap_kmv_maintained,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2719,6 +2747,7 @@ FROM cr, dn
     out["source_kl_maintained"] = out["source_kl_divergence"]
     # identical semantics, different Spark path (maintained sketch log)
     out["kmv_distinct_maintained"] = out["kmv_distinct_users"]
+    out["source_overlap_kmv_maintained"] = out["source_overlap_kmv"]
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,

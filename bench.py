@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "value_quantiles_sketch",
     "source_kl_maintained",
     "kmv_distinct_maintained",
+    "source_overlap_kmv_maintained",
 ]
 
 

@@ -151,17 +151,39 @@ def kmv_shingle_overlap(
     overflow invariant); every estimate is one division of exact
     integers and the inclusion–exclusion sum composes identically
     cross-engine (``kmv_shingle_overlap_sql`` is the DuckDB twin)."""
-    from cuda_gis_smoothing_spark.functions.numeric import round6
-    from cuda_gis_smoothing_spark.operators.dedup import token_hash_col
-
     if k < 2:
         raise ValueError("kmv_shingle_overlap: k must be >= 2 (estimator uses k - 1)")
+    hashes = shingle_hash_members(
+        docs, k_shingle, source_col=source_col, text_col=text_col
+    )
+    w = Window.partitionBy("source").orderBy(F.col("_h").asc())
+    sk = (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("_h")).alias("sk"))
+    )
+    return kmv_overlap_pairs(sk, k)
+
+
+def shingle_hash_members(
+    docs: DataFrame,
+    k_shingle: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct (source, shingle-hash) members: ``source_overlap``'s
+    exact k-token grams through the portable rolling hash and the KMV
+    affine (products < 2^62 — the overflow invariant). Shared by the
+    batch overlap operator and the maintained sketch's members hook."""
+    from cuda_gis_smoothing_spark.operators.dedup import token_hash_col
+
     toks = F.split(F.lower(F.col(text_col)), " ")
     shingles = F.expr(
         f"transform(sequence(1, greatest(size(_toks) - {k_shingle - 1}, 1)), "
         f"i -> array_join(slice(_toks, i, {k_shingle}), ' '))"
     )
-    hashes = (
+    return (
         docs.select(F.col(source_col).alias("source"), toks.alias("_toks"))
         .where(F.size("_toks") >= k_shingle)
         .select("source", F.explode(shingles).alias("t"))
@@ -171,53 +193,47 @@ def kmv_shingle_overlap(
         )
         .distinct()
     )
-    w = Window.partitionBy("source").orderBy(F.col("_h").asc())
-    sk = (
-        hashes.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.max("_h").cast("long").alias("kth"),
-            F.sort_array(F.collect_list("_h")).alias("sk"),
-        )
-    )
+
+
+def kmv_overlap_pairs(sk: DataFrame, k: int, group_col: str = "source") -> DataFrame:
+    """The pairwise set-operation stage over (group, sorted sketch
+    array) rows — shared by :func:`kmv_shingle_overlap` and the
+    maintained sketch (``MaintainedKMV.overlap_pairs``): per-side
+    counts / k-th values derive from the array itself, the union
+    sketch is the k smallest of the merged arrays, and intersection /
+    Jaccard follow by inclusion–exclusion."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
     kp = float((k - 1) * MH_PRIME)
 
     def est(n, kth):
         return F.when(n < k, n.cast("double")).otherwise(F.lit(kp) / (kth + 1))
 
-    a = sk.select(
-        F.col("source").alias("source_a"),
-        F.col("n").alias("_na"),
-        F.col("kth").alias("_ka"),
-        F.col("sk").alias("_ska"),
-    )
-    b = sk.select(
-        F.col("source").alias("source_b"),
-        F.col("n").alias("_nb"),
-        F.col("kth").alias("_kb"),
-        F.col("sk").alias("_skb"),
-    )
+    def side(suffix: str) -> DataFrame:
+        return sk.select(
+            F.col(group_col).alias(f"{group_col}_{suffix}"),
+            F.col("sk").alias(f"_sk{suffix}"),
+        )
+
+    ga, gb = f"{group_col}_a", f"{group_col}_b"
     pairs = (
-        a.join(b, F.col("source_a") < F.col("source_b"))
+        side("a")
+        .join(side("b"), F.col(ga) < F.col(gb))
         .withColumn("_m", F.expr(f"slice(array_sort(array_union(_ska, _skb)), 1, {k})"))
-        .withColumn("_nu", F.size("_m").cast("long"))
-        .withColumn("_kthu", F.element_at("_m", F.size("_m")).cast("long"))
     )
     # project the estimates to named columns before they feed multiple
     # output expressions (the CollapseProject re-evaluation lesson)
     pe = pairs.select(
-        "source_a",
-        "source_b",
-        est(F.col("_na"), F.col("_ka")).alias("_ea"),
-        est(F.col("_nb"), F.col("_kb")).alias("_eb"),
-        est(F.col("_nu"), F.col("_kthu")).alias("_eu"),
+        ga,
+        gb,
+        est(F.size("_ska").cast("long"), F.element_at("_ska", F.size("_ska"))).alias("_ea"),
+        est(F.size("_skb").cast("long"), F.element_at("_skb", F.size("_skb"))).alias("_eb"),
+        est(F.size("_m").cast("long"), F.element_at("_m", F.size("_m"))).alias("_eu"),
     )
     inter = F.greatest(F.lit(0.0), F.col("_ea") + F.col("_eb") - F.col("_eu"))
     return pe.select(
-        "source_a",
-        "source_b",
+        ga,
+        gb,
         round6(F.col("_ea")).alias("est_a"),
         round6(F.col("_eb")).alias("est_b"),
         round6(F.col("_eu")).alias("est_union"),

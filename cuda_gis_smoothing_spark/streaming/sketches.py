@@ -26,6 +26,12 @@ convention); NULL group values are keyed under a sentinel (SnapshotLog
 key joins drop NULL keys — the _group_dedup lesson) and surface as
 NULL again at read time.
 
+Members default to the hashed ``id_col``; the ``members`` hook swaps
+in any (group, hash) extraction — shingle members give maintained
+CROSS-SOURCE OVERLAP sketches, served by ``overlap_pairs()`` through
+the same pair stage as the batch operator (the "sketches are mergeable
+across days" claim in kmv_shingle_overlap's docstring, made real).
+
 ``distinct_counts()`` serves the EXACT ``kmv_distinct`` output —
 (group..., n_sketch, kth_hash, est_distinct) — as a pure per-row
 function of the stored integers (same (k−1)·P literal, same round6),
@@ -57,28 +63,46 @@ class MaintainedKMV:
         spark: SparkSession,
         state_root: str,
         group_cols: list[str],
-        id_col: str,
+        id_col: str | None = None,
         k: int = KMV_K,
         compact_every: int = 4,
+        members=None,
     ):
+        """``members``, when given, replaces the default id-hash member
+        extraction: a callable (batch DataFrame) → DataFrame with
+        ``group_cols`` + a ``_h`` long column of member hashes in
+        [0, MH_PRIME) — e.g. the shingle members of
+        ``operators/sketches.shingle_hash_members`` for maintained
+        cross-source overlap sketches. Exactly one of ``id_col`` /
+        ``members`` must be set."""
         if k < 2:
             raise ValueError("MaintainedKMV: k must be >= 2")
+        if (id_col is None) == (members is None):
+            raise ValueError("MaintainedKMV: set exactly one of id_col / members")
         self.spark = spark
         self.group_cols = list(group_cols)
         self.id_col = id_col
+        self.members = members
         self.k = k
         self.compact_every = compact_every
         self.sk_log = SnapshotLog(
             spark, os.path.join(state_root, "sketches"), key=self.group_cols
         )
 
-    def _keyed(self, df: DataFrame) -> DataFrame:
-        return df.select(
+    def _member_hashes(self, df: DataFrame) -> DataFrame:
+        """(group..., _h) member-hash rows, NULL groups sentinel-keyed."""
+        if self.members is not None:
+            raw = self.members(df)
+        else:
+            raw = df.where(F.col(self.id_col).isNotNull()).select(
+                *self.group_cols, kmv_hash_col(self.id_col).alias("_h")
+            )
+        return raw.select(
             *[
                 F.coalesce(F.col(g), F.lit(NULL_GROUP)).alias(g)
                 for g in self.group_cols
             ],
-            F.col(self.id_col),
+            F.col("_h"),
         )
 
     def process_batch(self, events: DataFrame, batch_id: int) -> None:
@@ -90,9 +114,7 @@ class MaintainedKMV:
         g = self.group_cols
         w = Window.partitionBy(*g).orderBy(F.col("_h").asc())
         batch_sk = (
-            self._keyed(events)
-            .where(F.col(self.id_col).isNotNull())
-            .select(*g, kmv_hash_col(self.id_col).alias("_h"))
+            self._member_hashes(events)
             .distinct()
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= self.k)
@@ -148,6 +170,32 @@ class MaintainedKMV:
             )
             .select(*g, "n_sketch", "kth_hash", round6(est).alias("est_distinct"))
         )
+
+    def overlap_pairs(self) -> DataFrame:
+        """Pairwise set operations between the maintained sketches —
+        |A|, |B|, |A∪B|, inclusion–exclusion |A∩B|, Jaccard — via the
+        SAME pair stage as the batch overlap operator
+        (``operators/sketches.kmv_overlap_pairs``), so a single-batch
+        instance over shingle members equals ``kmv_shingle_overlap``
+        bit-for-bit (gated as ``source_overlap_kmv_maintained``).
+        Single string group column only (pair output shape). Reads
+        state through an EAGER localCheckpoint — callers may delete
+        the state directory once the plan is built."""
+        from cuda_gis_smoothing_spark.operators.sketches import (
+            kmv_overlap_pairs,
+        )
+
+        if len(self.group_cols) != 1:
+            raise ValueError("overlap_pairs: exactly one group column")
+        t = self.sk_log.read()
+        if t is None:
+            raise ValueError("MaintainedKMV: empty state")
+        g = self.group_cols[0]
+        t = (
+            t.where(F.col(g) != NULL_GROUP)  # pairs over REAL groups only
+            .localCheckpoint(eager=True)
+        )
+        return kmv_overlap_pairs(t, self.k, group_col=g)
 
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         from cuda_gis_smoothing_spark.streaming.windows import EVENTS_SCHEMA

@@ -113,3 +113,63 @@ def test_streaming_wiring(spark, tmp_path):
     assert _rows(mk.distinct_counts()) == _rows(
         kmv_distinct(ev, ["event_type"], "user_id", k=K)
     )
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _overlap_mk(spark, tmp_path, k=64):
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        shingle_hash_members,
+    )
+
+    return MaintainedKMV(
+        spark,
+        str(tmp_path / "state"),
+        ["source"],
+        k=k,
+        members=lambda df: shingle_hash_members(df, 5),
+    )
+
+
+def test_overlap_single_batch_equals_batch_operator(spark, tmp_path):
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        kmv_shingle_overlap,
+    )
+
+    docs = _docs(spark)
+    mk = _overlap_mk(spark, tmp_path)
+    mk.process_batch(docs, 0)
+    assert _rows(mk.overlap_pairs()) == _rows(
+        kmv_shingle_overlap(docs, k_shingle=5, k=64)
+    )
+
+
+def test_overlap_multibatch_appends_merge(spark, tmp_path):
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        kmv_shingle_overlap,
+    )
+
+    docs = _docs(spark)
+    mk = _overlap_mk(spark, tmp_path)
+    for bid, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 10**9))):
+        mk.process_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), bid
+        )
+    got = _rows(mk.overlap_pairs())
+    want = _rows(kmv_shingle_overlap(docs, k_shingle=5, k=64))
+    assert got == want and len(want) > 0
+
+
+def test_overlap_excludes_null_group(spark, tmp_path):
+    rows = [
+        (0, "a b c d e f g", "s1"),
+        (1, "a b c d e h i", "s2"),
+        (2, "a b c d e j k", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    mk = _overlap_mk(spark, tmp_path)
+    mk.process_batch(docs, 0)
+    pairs = {(r.source_a, r.source_b) for r in mk.overlap_pairs().collect()}
+    assert pairs == {("s1", "s2")}
