@@ -238,6 +238,14 @@ def _q_semivariogram(spark, sf_dir):
     return stats_ops.semivariogram(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_semivariogram_directional(spark, sf_dir):
+    """Per-axis semivariogram (anisotropy report): the same γ(h) sum
+    split by each lag's canonical hex axis — axis-dependent continuity
+    at one ring is directional trend/striping an isotropic model
+    would misfit."""
+    return stats_ops.directional_semivariogram(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_local_morans_i(spark, sf_dir):
     """Local Moran's I (Anselin LISA) with HH/LL/HL/LH quadrant labels
     — the per-cell clustering map."""
@@ -1550,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl_maintained": _q_source_kl_maintained,
         "kmv_distinct_maintained": _q_kmv_distinct_maintained,
         "source_overlap_kmv_maintained": _q_source_overlap_kmv_maintained,
+        "semivariogram_directional": _q_semivariogram_directional,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2748,6 +2757,22 @@ FROM cr, dn
     # identical semantics, different Spark path (maintained sketch log)
     out["kmv_distinct_maintained"] = out["kmv_distinct_users"]
     out["source_overlap_kmv_maintained"] = out["source_overlap_kmv"]
+    from cuda_gis_smoothing_spark.operators.stats import directional_axes
+
+    _dir_vals = ", ".join(
+        f"({delta}, {ring}, {adq}, {adr})"
+        for delta, ring, adq, adr in directional_axes(2)
+    )
+    out["semivariogram_directional"] = f"""
+WITH {GRID_CELLS_SQL},
+offs (delta, ring, dq, dr) AS (VALUES {_dir_vals})
+SELECT CAST(o.ring AS INT) AS ring, CAST(o.dq AS INT) AS dq, CAST(o.dr AS INT) AS dr,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM((c.ndvi - n.ndvi) * (c.ndvi - n.ndvi)) / (2.0 * COUNT(*)) + 1e-09, 6) AS gamma
+FROM cells4 c CROSS JOIN offs o
+JOIN cells4 n ON n.cell = c.cell + o.delta
+GROUP BY o.ring, o.dq, o.dr
+""".strip()
     from cuda_gis_smoothing_spark.operators.sampling import (
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,

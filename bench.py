@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "source_kl_maintained",
     "kmv_distinct_maintained",
     "source_overlap_kmv_maintained",
+    "semivariogram_directional",
 ]
 
 

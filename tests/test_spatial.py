@@ -94,3 +94,26 @@ def test_knn_excludes_self_and_ranks_dense(spark):
     out = knn(points, queries, k=3, ring=2).toPandas().sort_values("rank")
     assert "x5" not in out["image_id"].tolist()
     assert out["rank"].tolist() == [1, 2, 3]
+
+
+def test_directional_semivariogram_decomposes_isotropic(spark):
+    from cuda_gis_smoothing_spark.operators.stats import (
+        directional_semivariogram,
+        semivariogram,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    iso = {r.ring: r for r in semivariogram(cells).collect()}
+    rows = directional_semivariogram(cells).collect()
+    by_ring = {}
+    for r in rows:
+        by_ring.setdefault(r.ring, []).append(r)
+    assert {len(by_ring[1]), len(by_ring[2])} == {3, 6}
+    for ring, axes in by_ring.items():
+        n = sum(r.n_pairs for r in axes)
+        assert n == iso[ring].n_pairs
+        # pair-weighted mean of the axis gammas is the isotropic gamma
+        # (round6 per axis -> bounded slack)
+        w = sum(r.gamma * r.n_pairs for r in axes) / n
+        assert abs(w - iso[ring].gamma) < 1e-5
