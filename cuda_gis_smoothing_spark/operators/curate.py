@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from cuda_gis_smoothing_spark.functions.numeric import round6
 from cuda_gis_smoothing_spark.operators.dedup import (
     lsh_blocked_neardup_drops,
+    shingles_expr,
     verified_jaccard_pairs,
 )
 from cuda_gis_smoothing_spark.operators.sampling import deterministic_sample
@@ -72,10 +73,7 @@ def contamination_report(
     are filtered explicitly on the Spark side to keep the twins equal.
     """
     toks = F.split(F.lower(F.col("text")), " ")
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
-        f"i -> array_join(slice(_toks, i, {k}), ' '))"
-    )
+    shingles = shingles_expr(k)
     shingle_key = (
         F.xxhash64(F.col("_shingle")) if hash_shingles else F.col("_shingle")
     )
@@ -241,10 +239,7 @@ def source_overlap(
     raw-string form so the DuckDB twin is byte-identical).
     """
     toks = F.split(F.lower(F.col("text")), " ")
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
-        f"i -> array_join(slice(_toks, i, {k}), ' '))"
-    )
+    shingles = shingles_expr(k)
     shingle_key = (
         F.xxhash64(F.col("_shingle")) if hash_shingles else F.col("_shingle")
     )
@@ -602,10 +597,7 @@ def source_overlap_minhash(
     )
 
     toks = F.split(F.lower(F.col("text")), " ")
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
-        f"i -> array_join(slice(_toks, i, {k}), ' '))"
-    )
+    shingles = shingles_expr(k)
     # NO distinct before the aggregation: MIN over a multiset equals
     # MIN over its set, so deduping the raw shingle strings would only
     # add the full string-keyed shuffle this operator exists to avoid

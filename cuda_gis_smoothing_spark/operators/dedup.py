@@ -97,6 +97,20 @@ def normalized_dedup(
     return _group_dedup(df, F.md5(norm), id_col)
 
 
+def shingles_expr(k: int, toks_col: str = "_toks"):
+    """k-token shingles of a token-array column — THE shingle
+    construction (transform/sequence/greatest/array_join) every
+    overlap consumer shares: ``source_overlap`` (operators/curate.py),
+    ``shingle_hash_members`` (operators/sketches.py) and the tests.
+    One definition so the greatest(...,1) guard and the separator can
+    never drift between them; each consumer's SQL twin is pinned to
+    this form by its own parity gate."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size({toks_col}) - {k - 1}, 1)), "
+        f"i -> array_join(slice({toks_col}, i, {k}), ' '))"
+    )
+
+
 def token_hash_col(token_col: str = "t"):
     """Polynomial rolling hash of a token, mod MH_PRIME, as a Column.
 

@@ -163,6 +163,10 @@ def kmv_shingle_overlap(
         .groupBy("source")
         .agg(F.sort_array(F.collect_list("_h")).alias("sk"))
     )
+    # the sketch table feeds BOTH pair-join sides — unmaterialized,
+    # the corpus-wide shingle scan runs twice (the source_overlap
+    # multi-consumer lesson); #sources × k rows, trivial to pin
+    sk = sk.localCheckpoint()
     return kmv_overlap_pairs(sk, k)
 
 
@@ -176,17 +180,16 @@ def shingle_hash_members(
     exact k-token grams through the portable rolling hash and the KMV
     affine (products < 2^62 — the overflow invariant). Shared by the
     batch overlap operator and the maintained sketch's members hook."""
-    from cuda_gis_smoothing_spark.operators.dedup import token_hash_col
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        shingles_expr,
+        token_hash_col,
+    )
 
     toks = F.split(F.lower(F.col(text_col)), " ")
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {k_shingle - 1}, 1)), "
-        f"i -> array_join(slice(_toks, i, {k_shingle}), ' '))"
-    )
     return (
         docs.select(F.col(source_col).alias("source"), toks.alias("_toks"))
         .where(F.size("_toks") >= k_shingle)
-        .select("source", F.explode(shingles).alias("t"))
+        .select("source", F.explode(shingles_expr(k_shingle)).alias("t"))
         .select(
             "source",
             ((token_hash_col("t") * KMV_A + KMV_B) % MH_PRIME).alias("_h"),
@@ -320,8 +323,9 @@ def kmv_quantile_sketch(
 
     Selection order is (hash, id) — ``id_col`` must be unique, making
     the sample a TOTAL order (the cross-engine window-tie invariant).
-    NULL values are excluded BEFORE sampling so every sampled row
-    carries information. Routes through the shared
+    NULL values and NULL ids are excluded BEFORE sampling: a NULL
+    value carries no information, and a NULL id's NULL hash sorts
+    first in Spark but last in DuckDB. Routes through the shared
     :func:`~cuda_gis_smoothing_spark.operators.events.percentile_explode`
     kernel (the one cross-engine-sensitive percentile composition);
     :func:`kmv_quantile_sketch_sql` is the DuckDB twin."""
@@ -330,8 +334,11 @@ def kmv_quantile_sketch(
     w = Window.partitionBy(
         *[F.col(g) for g in group_cols] if group_cols else [F.lit(1)]
     ).orderBy(kmv_hash_col(id_col).asc(), F.col(id_col).asc())
+    # NULL ids are excluded BEFORE ranking: a NULL hash sorts FIRST in
+    # Spark's ascending window but LAST under DuckDB's defaults, so a
+    # NULL-id row would enter one engine's sample and not the other's
     sample = (
-        df.where(F.col(value_col).isNotNull())
+        df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
     )
@@ -357,7 +364,7 @@ def kmv_quantile_sketch_sql(
     sample = f"""
 SELECT * FROM (
   SELECT *, ROW_NUMBER() OVER ({part}ORDER BY {kmv_hash_sql(id_col)}, {id_col}) AS _rn
-  FROM ({source_sql}) WHERE {value_col} IS NOT NULL
+  FROM ({source_sql}) WHERE {value_col} IS NOT NULL AND {id_col} IS NOT NULL
 ) WHERE _rn <= {k}
 """.strip()
     return percentile_sql(

@@ -197,11 +197,21 @@ class MaintainedKMV:
         )
         return kmv_overlap_pairs(t, self.k, group_col=g)
 
-    def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
+    def start(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        schema: str | None = None,
+    ):
+        """``schema`` defaults to the events DDL; a members-hook
+        instance over documents must pass the matching schema (e.g.
+        ``streaming.dedup.DOCS_SCHEMA``) or the hook's columns won't
+        exist in the stream."""
         from cuda_gis_smoothing_spark.streaming.windows import EVENTS_SCHEMA
 
         stream = (
-            self.spark.readStream.schema(EVENTS_SCHEMA)
+            self.spark.readStream.schema(schema or EVENTS_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .parquet(source_dir)
         )

@@ -67,12 +67,30 @@ def _doc_source_slices(
     source_col: str = "source",
 ) -> DataFrame:
     """One row per distinct batch doc id: (doc_id, source_k, _uni
-    slice, _nt total) under the batch operator's tokenizer."""
+    slice, _nt total) under the batch operator's tokenizer.
+
+    Intra-batch duplicate ids resolve to ONE deterministic
+    representative (greatest (source, text)) BEFORE slicing: two rows
+    sharing an id but differing in source would otherwise both survive
+    the (doc_id, source) distinct while sharing a merged token slice —
+    two log rows per key, latest-wins then drops one arbitrarily and
+    the stranded source's counts never decrement (the packer's
+    intra-batch dup-id class, ADVICE r4)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("source_k").desc(), F.coalesce(F.col(text_col), F.lit("")).desc()
+    )
     toks = F.split(F.lower(F.col(text_col)), " ")
-    base = docs.select(
-        F.col(id_col),
-        F.coalesce(F.col(source_col), F.lit(NULL_SOURCE)).alias("source_k"),
-        toks.alias("_t"),
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.coalesce(F.col(source_col), F.lit(NULL_SOURCE)).alias("source_k"),
+            F.col(text_col),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "source_k", toks.alias("_t"))
     )
     uni = (
         base.select(id_col, F.explode("_t").alias("t"))

@@ -26,16 +26,14 @@ def _docs(spark):
 
 
 def _exact_sets(spark):
+    from cuda_gis_smoothing_spark.operators.dedup import shingles_expr
+
     toks = F.split(F.lower(F.col("text")), " ")
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {KSH - 1}, 1)), "
-        f"i -> array_join(slice(_toks, i, {KSH}), ' '))"
-    )
     sh = (
         _docs(spark)
         .select("source", toks.alias("_toks"))
         .where(F.size("_toks") >= KSH)
-        .select("source", F.explode(shingles).alias("t"))
+        .select("source", F.explode(shingles_expr(KSH)).alias("t"))
         .distinct()
         .collect()
     )

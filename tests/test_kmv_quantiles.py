@@ -100,3 +100,21 @@ def test_sampling_is_real_at_gate_k(spark):
         _events(spark).groupBy("event_type").count().agg(F.max("count")).first()[0]
     )
     assert n_max > KMV_K
+
+
+def test_null_ids_excluded(spark):
+    """A NULL id's NULL hash sorts first in Spark but last in DuckDB —
+    the operator must exclude NULL-id rows before sampling (and NULL
+    values regardless)."""
+    rows = [(None, "a", 100.0), (1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0),
+            (4, "a", None)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {
+        (r.q): r.est_value
+        for r in kmv_quantile_sketch(
+            df, "value", "event_id", (0.5,), group_cols=("event_type",), k=2
+        ).collect()
+    }
+    # sample drawn from ids {1,2,3} only: the NULL-id row's 100.0 and
+    # the NULL value never enter
+    assert all(v <= 3.0 for v in got.values())

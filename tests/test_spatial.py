@@ -109,7 +109,7 @@ def test_directional_semivariogram_decomposes_isotropic(spark):
     by_ring = {}
     for r in rows:
         by_ring.setdefault(r.ring, []).append(r)
-    assert {len(by_ring[1]), len(by_ring[2])} == {3, 6}
+    assert len(by_ring[1]) == 3 and len(by_ring[2]) == 6
     for ring, axes in by_ring.items():
         n = sum(r.n_pairs for r in axes)
         assert n == iso[ring].n_pairs

@@ -173,3 +173,25 @@ def test_overlap_excludes_null_group(spark, tmp_path):
     mk.process_batch(docs, 0)
     pairs = {(r.source_a, r.source_b) for r in mk.overlap_pairs().collect()}
     assert pairs == {("s1", "s2")}
+
+
+def test_overlap_streaming_wiring_with_docs_schema(spark, tmp_path):
+    """The members hook is only streamable with the matching schema —
+    start(schema=DOCS_SCHEMA) wires the documents stream through the
+    same process_batch."""
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        kmv_shingle_overlap,
+    )
+    from cuda_gis_smoothing_spark.streaming.dedup import DOCS_SCHEMA
+
+    docs = _docs(spark).where(F.col("doc_id") < 80)
+    src = str(tmp_path / "src")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
+        1
+    ).write.parquet(src)
+    mk = _overlap_mk(spark, tmp_path)
+    q = mk.start(src, str(tmp_path / "ckpt"), schema=DOCS_SCHEMA)
+    q.awaitTermination(120)
+    assert _rows(mk.overlap_pairs()) == _rows(
+        kmv_shingle_overlap(docs, k_shingle=5, k=64)
+    )

@@ -146,3 +146,40 @@ def test_streaming_wiring(spark, tmp_path):
     q = mst.start(src, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert _kl_set(mst.kl()) == _kl_set(source_kl_divergence(docs))
+
+
+def test_intra_batch_duplicate_ids_resolve_deterministically(spark, tmp_path):
+    """Two rows sharing an id in ONE batch (producer replay + source
+    correction) must collapse to one deterministic representative —
+    the greatest (source, text) — keeping the doc log one-row-per-key
+    so later re-ingests decrement cleanly (the packer's intra-batch
+    dup-id class)."""
+    dup = spark.createDataFrame(
+        [
+            (0, "x y z", "web"),
+            (0, "x y q", "blog"),  # same id, different source+text
+            (1, "a b", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    mst = MaintainedSourceTokens(spark, str(tmp_path / "state"))
+    mst.process_batch(dup, 0)
+    # one log row per key
+    slices = mst.log.read().collect()
+    assert len(slices) == 2
+    # representative = greatest (source, text) -> ('web', 'x y z')
+    rep = spark.createDataFrame(
+        [(0, "x y z", "web"), (1, "a b", "web")],
+        "doc_id long, text string, source string",
+    )
+    assert _kl_set(mst.kl()) == _kl_set(source_kl_divergence(rep))
+    # a later re-ingest replaces the representative cleanly
+    upd = spark.createDataFrame(
+        [(0, "m n", "books")], "doc_id long, text string, source string"
+    )
+    mst.process_batch(upd, 1)
+    final = spark.createDataFrame(
+        [(0, "m n", "books"), (1, "a b", "web")],
+        "doc_id long, text string, source string",
+    )
+    assert _kl_set(mst.kl()) == _kl_set(source_kl_divergence(final))
