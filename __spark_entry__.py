@@ -1120,6 +1120,30 @@ def _q_value_quantiles_sketch(spark, sf_dir):
     )
 
 
+def _q_value_quantiles_maintained(spark, sf_dir):
+    """The SAME quantile-sketch table served from maintained bottom-k
+    sample logs (value rides with the hash, so bottom-k samples merge
+    like KMV sketches): the events fold into a fresh single-batch
+    MaintainedQuantiles, gating the maintained path against the batch
+    twin every round."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.operators.events import PCT_QS
+    from cuda_gis_smoothing_spark.streaming.sketches import (
+        MaintainedQuantiles,
+    )
+
+    state = tempfile.mkdtemp(prefix="mq_state_")
+    mq = MaintainedQuantiles(
+        spark, state, ["event_type"], "event_id", "value", k=_QSK_K
+    )
+    mq.process_batch(load(spark, sf_dir, "events"), 0)
+    out = mq.quantiles(PCT_QS)  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_source_overlap_kmv(spark, sf_dir):
     """KMV-sketch cross-source shingle SET OPERATIONS: estimated
     |A|, |B|, |A∪B|, |A∩B| and Jaccard per source pair — the sketch
@@ -1559,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_maintained": _q_kmv_distinct_maintained,
         "source_overlap_kmv_maintained": _q_source_overlap_kmv_maintained,
         "semivariogram_directional": _q_semivariogram_directional,
+        "value_quantiles_maintained": _q_value_quantiles_maintained,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2757,6 +2782,7 @@ FROM cr, dn
     # identical semantics, different Spark path (maintained sketch log)
     out["kmv_distinct_maintained"] = out["kmv_distinct_users"]
     out["source_overlap_kmv_maintained"] = out["source_overlap_kmv"]
+    out["value_quantiles_maintained"] = out["value_quantiles_sketch"]
     from cuda_gis_smoothing_spark.operators.stats import directional_axes
 
     _dir_vals = ", ".join(

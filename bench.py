@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "kmv_distinct_maintained",
     "source_overlap_kmv_maintained",
     "semivariogram_directional",
+    "value_quantiles_maintained",
 ]
 
 

@@ -224,3 +224,161 @@ class MaintainedKMV:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+_QSK_EMPTY = "CAST(array() AS array<struct<h:bigint,i:bigint,v:double>>)"
+
+
+class MaintainedQuantiles:
+    """Maintained bottom-k-by-hash quantile samples — the quantile
+    member of the maintained-sketch family: the batch operator's
+    (``operators/sketches.kmv_quantile_sketch``) sample is a bottom-k
+    set under the portable hash, and bottom-k sets MERGE (the k
+    (hash, id)-smallest of a union are the k smallest of concatenated
+    per-part bottom-k's when the VALUE rides with the hash), so a
+    batch folds in as an O(touched-groups × k) struct-array merge and
+    the standing state is #groups × k (hash, id, value) triples.
+
+    ``array_union`` dedups equal structs, so a row re-delivered across
+    batches (same id, same value) enters once; a re-delivered id with
+    a CHANGED value is append-only like every KMV sketch (both copies
+    can rank — sketches can't forget; use the doc-keyed count logs for
+    mutable tables). NULL values and NULL ids are excluded exactly as
+    the batch operator excludes them; NULL group values sentinel-keyed
+    and restored at read.
+
+    ``quantiles()`` explodes the stored samples and routes through the
+    SAME shared percentile kernel, so a single-batch instance equals
+    ``kmv_quantile_sketch`` bit-for-bit (gated as
+    ``value_quantiles_maintained`` against the batch twin) and
+    multi-batch disjoint appends equal the batch operator over the
+    union (tested)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_root: str,
+        group_cols: list[str],
+        id_col: str,
+        value_col: str,
+        k: int = 256,
+        compact_every: int = 4,
+    ):
+        if k < 1:
+            raise ValueError("MaintainedQuantiles: k must be >= 1")
+        self.spark = spark
+        self.group_cols = list(group_cols)
+        self.id_col = id_col
+        self.value_col = value_col
+        self.k = k
+        self.compact_every = compact_every
+        self.sk_log = SnapshotLog(
+            spark, os.path.join(state_root, "samples"), key=self.group_cols
+        )
+
+    def process_batch(self, events: DataFrame, batch_id: int) -> None:
+        """Fold a batch into the samples: per-group bottom-k over the
+        batch, struct-array merge with prior state for touched groups."""
+        if self.sk_log.has(batch_id):
+            return  # crash replay of an applied batch: no-op
+        g = self.group_cols
+        w = Window.partitionBy(*g).orderBy(F.col("_h").asc(), F.col("_i").asc())
+        batch_sk = (
+            events.where(
+                F.col(self.value_col).isNotNull()
+                & F.col(self.id_col).isNotNull()
+            )
+            .select(
+                *[
+                    F.coalesce(F.col(c), F.lit(NULL_GROUP)).alias(c)
+                    for c in g
+                ],
+                kmv_hash_col(self.id_col).alias("_h"),
+                F.col(self.id_col).cast("long").alias("_i"),
+                F.col(self.value_col).cast("double").alias("_v"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= self.k)
+            .groupBy(*g)
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_h").alias("h"),
+                            F.col("_i").alias("i"),
+                            F.col("_v").alias("v"),
+                        )
+                    )
+                ).alias("_new")
+            )
+        )
+        prior = self.sk_log.read(before_batch_id=batch_id)
+        if prior is None:
+            merged = batch_sk.select(*g, F.col("_new").alias("sk"))
+        else:
+            merged = batch_sk.join(
+                prior.select(*g, F.col("sk").alias("_old")), g, "left"
+            ).select(
+                *g,
+                F.expr(
+                    "slice(array_sort(array_union("
+                    f"coalesce(_old, {_QSK_EMPTY}), _new)), 1, {self.k})"
+                ).alias("sk"),
+            )
+        self.sk_log.write_delta(merged, batch_id)
+        if self.sk_log.delta_count() >= self.compact_every:
+            self.sk_log.compact(batch_id)
+
+    def quantiles(self, fractions: tuple[float, ...]) -> DataFrame:
+        """The maintained ``kmv_quantile_sketch`` table — stored sample
+        values through the shared percentile kernel; nothing re-scans
+        events. Reads state through an EAGER localCheckpoint — callers
+        may delete the state directory once the plan is built."""
+        from cuda_gis_smoothing_spark.operators.events import (
+            percentile_explode,
+        )
+
+        t = self.sk_log.read()
+        if t is None:
+            raise ValueError("MaintainedQuantiles: empty state")
+        g = self.group_cols
+        sample = (
+            t.localCheckpoint(eager=True)
+            .select(
+                *[
+                    F.when(F.col(c) == NULL_GROUP, F.lit(None).cast("string"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in g
+                ],
+                F.explode("sk").alias("_p"),
+            )
+            .select(*g, F.col("_p.v").alias("_v"))
+        )
+        return percentile_explode(
+            sample, "_v", fractions, group_cols=tuple(g), out_value="est_value"
+        )
+
+    def start(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        schema: str | None = None,
+    ):
+        from cuda_gis_smoothing_spark.streaming.windows import EVENTS_SCHEMA
+
+        stream = (
+            self.spark.readStream.schema(schema or EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -195,3 +195,79 @@ def test_overlap_streaming_wiring_with_docs_schema(spark, tmp_path):
     assert _rows(mk.overlap_pairs()) == _rows(
         kmv_shingle_overlap(docs, k_shingle=5, k=64)
     )
+
+
+def test_quantiles_single_batch_equals_batch_operator(spark, tmp_path):
+    from cuda_gis_smoothing_spark.operators.events import PCT_QS
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        kmv_quantile_sketch,
+    )
+    from cuda_gis_smoothing_spark.streaming.sketches import (
+        MaintainedQuantiles,
+    )
+
+    ev = _events(spark)
+    mq = MaintainedQuantiles(
+        spark, str(tmp_path / "state"), ["event_type"], "event_id", "value", k=64
+    )
+    mq.process_batch(ev, 0)
+    assert _rows(mq.quantiles(PCT_QS)) == _rows(
+        kmv_quantile_sketch(
+            ev, "value", "event_id", PCT_QS, group_cols=("event_type",), k=64
+        )
+    )
+
+
+def test_quantiles_multibatch_and_redelivery(spark, tmp_path):
+    """Disjoint batches merge to the batch operator over the union;
+    re-delivering an already-sampled batch changes nothing
+    (array_union dedups equal (h, id, v) structs)."""
+    from cuda_gis_smoothing_spark.operators.events import PCT_QS
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        kmv_quantile_sketch,
+    )
+    from cuda_gis_smoothing_spark.streaming.sketches import (
+        MaintainedQuantiles,
+    )
+
+    ev = _events(spark)
+    mq = MaintainedQuantiles(
+        spark, str(tmp_path / "state"), ["event_type"], "event_id", "value",
+        k=64, compact_every=2,
+    )
+    for bid, (lo, hi) in enumerate(((0, 300), (300, 700), (700, 10**9))):
+        mq.process_batch(
+            ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)), bid
+        )
+    want = _rows(
+        kmv_quantile_sketch(
+            ev, "value", "event_id", PCT_QS, group_cols=("event_type",), k=64
+        )
+    )
+    assert _rows(mq.quantiles(PCT_QS)) == want
+    # redelivery of batch 0's rows under a NEW batch id: no change
+    mq.process_batch(ev.where(F.col("event_id") < 300), 3)
+    assert _rows(mq.quantiles(PCT_QS)) == want
+    assert any(
+        d.startswith("base-")
+        for d in os.listdir(tmp_path / "state" / "samples")
+    )
+
+
+def test_quantiles_delta_touches_only_batch_groups(spark, tmp_path):
+    from cuda_gis_smoothing_spark.operators.events import PCT_QS
+    from cuda_gis_smoothing_spark.streaming.sketches import (
+        MaintainedQuantiles,
+    )
+
+    ev = _events(spark)
+    mq = MaintainedQuantiles(
+        spark, str(tmp_path / "state"), ["event_type"], "event_id", "value", k=16
+    )
+    mq.process_batch(ev, 0)
+    mq.process_batch(ev.orderBy("event_id").limit(1), 1)
+    d1 = spark.read.parquet(
+        str(tmp_path / "state" / "samples" / "delta-b00000001")
+    )
+    assert d1.count() == 1
+    mq.quantiles(PCT_QS).collect()  # state still serves
