@@ -1378,6 +1378,15 @@ def _q_doc_logprob(spark, sf_dir):
     return doc_unigram_logprob(load(spark, sf_dir, "documents"))
 
 
+def _q_holdout_logprob(spark, sf_dir):
+    """Cross-split LM evaluation: Laplace unigram LM fit on the train
+    split scores the val split (the leak-free perplexity filter;
+    doc_logprob's held-out counterpart)."""
+    from cuda_gis_smoothing_spark.functions.text import holdout_logprob
+
+    return holdout_logprob(load(spark, sf_dir, "documents"))
+
+
 def _q_region_revenue(spark, sf_dir):
     """TPC-H Q5-shaped star join: broadcast dims, shuffle facts, exact
     fixed-point revenue (association-free integer sums)."""
@@ -1584,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_kmv_maintained": _q_source_overlap_kmv_maintained,
         "semivariogram_directional": _q_semivariogram_directional,
         "value_quantiles_maintained": _q_value_quantiles_maintained,
+        "holdout_logprob": _q_holdout_logprob,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2783,6 +2793,9 @@ FROM cr, dn
     out["kmv_distinct_maintained"] = out["kmv_distinct_users"]
     out["source_overlap_kmv_maintained"] = out["source_overlap_kmv"]
     out["value_quantiles_maintained"] = out["value_quantiles_sketch"]
+    from cuda_gis_smoothing_spark.functions.text import HOLDOUT_LOGPROB_SQL
+
+    out["holdout_logprob"] = HOLDOUT_LOGPROB_SQL
     from cuda_gis_smoothing_spark.operators.stats import directional_axes
 
     _dir_vals = ", ".join(

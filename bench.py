@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "source_overlap_kmv_maintained",
     "semivariogram_directional",
     "value_quantiles_maintained",
+    "holdout_logprob",
 ]
 
 

@@ -190,6 +190,115 @@ GROUP BY occ.doc_id
 """.strip()
 
 
+def holdout_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-split LM evaluation — the held-out counterpart of
+    :func:`doc_unigram_logprob`'s SELF-score: a Laplace-smoothed
+    unigram LM is fit on the TRAIN split (the deterministic
+    ``dataset_split`` hash cut, so the model/data boundary is
+    reproducible and leak-free by construction) and scores the VAL
+    split's docs by mean −ln p over token occurrences, with
+
+        p(t) = (c_t + 1) / (T + V)
+
+    (c_t train count, T train occurrences, V train vocabulary —
+    smoothing is REQUIRED here, unlike the self-score, because val
+    docs legally contain train-unseen tokens). This is the actual
+    quality/contamination-adjacent filter pipelines run: a val doc
+    scoring far below the mass is templated or leaked from train;
+    far above is out-of-distribution noise. Output per val doc:
+    ``(doc_id, n_token_occurrences, n_unseen, avg_neg_logprob)`` —
+    n_unseen counts occurrences backed off to the floor probability.
+
+    Plan (100 TB): one pass over the train partition into the
+    vocab-sized count table (materialized once — its totals row and
+    the scoring join both read it), one pass over the much smaller
+    val partition, a LEFT join against counts (unseen tokens keep the
+    row), 1-row broadcast totals. Docs with no tokens get no row
+    (the self-score contract); every smoothing input is an exact
+    integer so the served doubles gate cross-engine
+    (``HOLDOUT_LOGPROB_SQL``)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        sample_hash_col,
+    )
+
+    h = sample_hash_col(id_col)
+
+    def occ(lo: int, hi: int) -> DataFrame:
+        return (
+            df.where((h >= lo) & (h < hi))
+            .select(id_col, F.explode(tokens_col(text_col)).alias("t"))
+            .where(F.col("t") != "")
+        )
+
+    counts = (
+        occ(0, SPLIT_TRAIN_LT)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()  # two consumers: totals row + scoring join
+    )
+    tot = counts.agg(
+        F.sum("_c").alias("_s"), F.count(F.lit(1)).alias("_v")
+    )
+    p = (F.coalesce(F.col("_c"), F.lit(0)) + 1) / (F.col("_s") + F.col("_v"))
+    return (
+        occ(SPLIT_TRAIN_LT, SPLIT_VAL_LT)
+        .join(counts, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            F.col("_c").isNull().cast("int").alias("_u"),
+            (-F.log(p)).alias("_nlp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_token_occurrences"),
+            F.sum("_u").cast("long").alias("n_unseen"),
+            round6(F.avg("_nlp")).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def _holdout_logprob_sql() -> str:
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        sample_hash_sql,
+    )
+
+    hs = sample_hash_sql("doc_id")
+    return f"""
+WITH tr AS (
+  SELECT t FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS t
+    FROM documents WHERE {hs} < {SPLIT_TRAIN_LT}
+  ) WHERE t <> ''
+),
+c AS (SELECT t, COUNT(*) AS c FROM tr GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS s, COUNT(*) AS v FROM c),
+vo AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+    FROM documents
+    WHERE {hs} >= {SPLIT_TRAIN_LT} AND {hs} < {SPLIT_VAL_LT}
+  ) WHERE t <> ''
+)
+SELECT vo.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_token_occurrences,
+       CAST(SUM(CASE WHEN c.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       ROUND(AVG(-ln((COALESCE(c.c, 0) + 1) * 1.0 / (tot.s + tot.v))) + 1e-09, 6) AS avg_neg_logprob
+FROM vo LEFT JOIN c USING (t) CROSS JOIN tot
+GROUP BY vo.doc_id
+""".strip()
+
+
+HOLDOUT_LOGPROB_SQL = _holdout_logprob_sql()
+
+
 def doc_tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Sparse TF-IDF document vectors: one row per (doc, distinct
     token) with ``tfidf = tf · idf``, tf the doc's occurrence count

@@ -592,3 +592,49 @@ def test_source_overlap_minhash_estimates_exact_jaccard(spark):
         for r in source_overlap_minhash(df, k=k, n_hashes=128).collect()
     }
     assert est == est2
+
+
+def test_holdout_logprob_differential(spark):
+    """Python differential on a synthetic corpus whose ids are chosen
+    to land in specific splits, including a val doc with train-UNSEEN
+    tokens backed off to the floor 1/(T+V)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.functions.text import holdout_logprob
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        sample_hash_col,
+    )
+
+    ids = spark.range(0, 4000).select(
+        "id", sample_hash_col("id").alias("h")
+    ).collect()
+    train_ids = [r.id for r in ids if r.h < SPLIT_TRAIN_LT]
+    val_ids = [r.id for r in ids if SPLIT_TRAIN_LT <= r.h < SPLIT_VAL_LT]
+    assert len(train_ids) >= 2 and len(val_ids) >= 2
+    rows = [
+        (train_ids[0], "a a b"),
+        (train_ids[1], "b c"),
+        (val_ids[0], "a zz"),   # one seen, one unseen
+        (val_ids[1], "qq qq"),  # all unseen -> pure floor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in holdout_logprob(df).collect()
+    }
+    T, V = 5, 3  # a:2 b:2 c:1
+    def p(c):
+        return (c + 1) / (T + V)
+
+    r0 = got[val_ids[0]]
+    assert (r0.n_token_occurrences, r0.n_unseen) == (2, 1)
+    assert abs(r0.avg_neg_logprob - (-(math.log(p(2)) + math.log(p(0))) / 2)) < 1e-6
+    r1 = got[val_ids[1]]
+    assert (r1.n_token_occurrences, r1.n_unseen) == (2, 2)
+    assert abs(r1.avg_neg_logprob - (-math.log(p(0)))) < 1e-6
+    # train docs are never scored
+    assert set(got) == {val_ids[0], val_ids[1]}
