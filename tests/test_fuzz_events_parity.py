@@ -38,6 +38,11 @@ EVENTS_GATES = [
     # randomized corpus exercises the not-full-sketch exact fallback
     # and the hash tie-break identically in both engines
     "kmv_distinct_users",
+    "kmv_distinct_maintained",
+    # bottom-k sample quantiles: the fuzz corpus's duplicate/tied rows
+    # exercise the (hash, id) total order and the NULL-id exclusion
+    "value_quantiles_sketch",
+    "value_quantiles_maintained",
 ]
 
 

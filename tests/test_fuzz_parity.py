@@ -79,6 +79,10 @@ DOC_GATES = [
     "source_kl_divergence",
     "cooccurrence_window",
     "dataset_split",
+    "source_overlap_kmv",
+    "source_overlap_kmv_maintained",
+    "source_kl_maintained",
+    "holdout_logprob",
 ]
 
 
