@@ -1378,6 +1378,14 @@ def _q_doc_logprob(spark, sf_dir):
     return doc_unigram_logprob(load(spark, sf_dir, "documents"))
 
 
+def _q_lang_source_chi2(spark, sf_dir):
+    """Pearson χ² independence between lang and source (+ Cramér's V)
+    — the dataset-card homogeneity check."""
+    from cuda_gis_smoothing_spark.functions.text import lang_source_chi2
+
+    return lang_source_chi2(load(spark, sf_dir, "documents"))
+
+
 def _q_holdout_logprob(spark, sf_dir):
     """Cross-split LM evaluation: Laplace unigram LM fit on the train
     split scores the val split (the leak-free perplexity filter;
@@ -1594,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram_directional": _q_semivariogram_directional,
         "value_quantiles_maintained": _q_value_quantiles_maintained,
         "holdout_logprob": _q_holdout_logprob,
+        "lang_source_chi2": _q_lang_source_chi2,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2793,9 +2802,13 @@ FROM cr, dn
     out["kmv_distinct_maintained"] = out["kmv_distinct_users"]
     out["source_overlap_kmv_maintained"] = out["source_overlap_kmv"]
     out["value_quantiles_maintained"] = out["value_quantiles_sketch"]
-    from cuda_gis_smoothing_spark.functions.text import HOLDOUT_LOGPROB_SQL
+    from cuda_gis_smoothing_spark.functions.text import (
+        HOLDOUT_LOGPROB_SQL,
+        LANG_SOURCE_CHI2_SQL,
+    )
 
     out["holdout_logprob"] = HOLDOUT_LOGPROB_SQL
+    out["lang_source_chi2"] = LANG_SOURCE_CHI2_SQL
     from cuda_gis_smoothing_spark.operators.stats import directional_axes
 
     _dir_vals = ", ".join(

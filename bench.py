@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "semivariogram_directional",
     "value_quantiles_maintained",
     "holdout_logprob",
+    "lang_source_chi2",
 ]
 
 

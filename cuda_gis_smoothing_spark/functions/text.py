@@ -551,6 +551,96 @@ def source_kl_divergence(
     )
 
 
+def lang_source_chi2(
+    df: DataFrame, lang_col: str = "lang", source_col: str = "source"
+) -> DataFrame:
+    """Pearson χ² independence test between language and source — the
+    dataset-card question "is language mix homogeneous across
+    sources?" (a strongly dependent pair means per-source language
+    filters can't be tuned globally). Observed counts come from one
+    (lang, source) aggregate; the FULL R×C contingency table is
+    reconstituted by crossing the marginals and left-joining observed
+    cells (χ² needs the O=0, E>0 cells a groupBy alone never emits).
+    Output one row: ``(n_docs, n_langs, n_sources, dof, chi2,
+    cramers_v)`` with V = √(χ²/(N·min(R−1, C−1))). NULL lang/source
+    rows are excluded up front (identically in the twin). Every input
+    to the float formula is an exact integer; the cell sum has R×C
+    (bounded, vocabulary-free) terms."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    obs = (
+        df.where(F.col(lang_col).isNotNull() & F.col(source_col).isNotNull())
+        .groupBy(F.col(lang_col).alias("lang"), F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .localCheckpoint()  # three consumers: both marginals + cells
+    )
+    rm = obs.groupBy("lang").agg(F.sum("_o").alias("_r"))
+    cm = obs.groupBy("source").agg(F.sum("_o").alias("_c"))
+    tot = obs.agg(F.sum("_o").cast("double").alias("_n"))
+    # marginal product in DOUBLE: r·c overflows int64 once N > ~2^31
+    # (Spark would wrap silently, DuckDB would raise — the CLAUDE.md
+    # overflow invariant), and the twin multiplies in the same order
+    e = F.col("_r").cast("double") * F.col("_c") / F.col("_n")
+    o = F.coalesce(F.col("_o"), F.lit(0)).cast("double")
+    return (
+        rm.crossJoin(cm)
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "source", "_n", ((o - e) * (o - e) / e).alias("_t"))
+        .agg(
+            F.max("_n").cast("long").alias("n_docs"),
+            F.count_distinct(F.col("lang")).cast("int").alias("n_langs"),
+            F.count_distinct(F.col("source")).cast("int").alias("n_sources"),
+            (
+                (F.count_distinct(F.col("lang")) - 1)
+                * (F.count_distinct(F.col("source")) - 1)
+            )
+            .cast("int")
+            .alias("dof"),
+            round6(F.sum("_t")).alias("chi2"),
+            round6(
+                F.sqrt(
+                    F.sum("_t")
+                    / (
+                        F.max("_n")
+                        * F.least(
+                            F.count_distinct(F.col("lang")) - 1,
+                            F.count_distinct(F.col("source")) - 1,
+                        )
+                    )
+                )
+            ).alias("cramers_v"),
+        )
+    )
+
+
+LANG_SOURCE_CHI2_SQL = """
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+),
+rm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+cm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs),
+cells AS (
+  SELECT rm.lang, cm.source, tot.n,
+         COALESCE(obs.o, 0) * 1.0 AS o,
+         (rm.r * 1.0) * cm.c / tot.n AS e
+  FROM rm CROSS JOIN cm CROSS JOIN tot
+  LEFT JOIN obs ON obs.lang = rm.lang AND obs.source = cm.source
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS INT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS INT) AS n_sources,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS INT) AS dof,
+       ROUND(SUM((o - e) * (o - e) / e) + 1e-09, 6) AS chi2,
+       ROUND(SQRT(SUM((o - e) * (o - e) / e) /
+                  (MAX(n) * LEAST(COUNT(DISTINCT lang) - 1,
+                                  COUNT(DISTINCT source) - 1))) + 1e-09, 6) AS cramers_v
+FROM cells
+""".strip()
+
+
 def cooccurrence_window(
     df: DataFrame,
     window: int = 3,

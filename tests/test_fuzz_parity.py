@@ -83,6 +83,7 @@ DOC_GATES = [
     "source_overlap_kmv_maintained",
     "source_kl_maintained",
     "holdout_logprob",
+    "lang_source_chi2",
 ]
 
 

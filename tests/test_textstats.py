@@ -638,3 +638,31 @@ def test_holdout_logprob_differential(spark):
     assert abs(r1.avg_neg_logprob - (-math.log(p(0)))) < 1e-6
     # train docs are never scored
     assert set(got) == {val_ids[0], val_ids[1]}
+
+
+def test_lang_source_chi2_differential(spark):
+    """scipy-free Python differential on a small table with an EMPTY
+    observed cell (the O=0, E>0 cell a bare groupBy never emits) and a
+    NULL lang row (excluded)."""
+    from cuda_gis_smoothing_spark.functions.text import lang_source_chi2
+
+    rows = (
+        [(i, "en", "s1") for i in range(10)]
+        + [(i + 10, "en", "s2") for i in range(5)]
+        + [(i + 20, "de", "s1") for i in range(3)]
+        # NO (de, s2) cell; one NULL lang row
+        + [(30, None, "s2")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    r = lang_source_chi2(df).collect()[0]
+    n = 18.0
+    obs = {("en", "s1"): 10, ("en", "s2"): 5, ("de", "s1"): 3, ("de", "s2"): 0}
+    rm = {"en": 15, "de": 3}
+    cm = {"s1": 13, "s2": 5}
+    chi2 = sum(
+        (o - rm[l] * cm[s] / n) ** 2 / (rm[l] * cm[s] / n)
+        for (l, s), o in obs.items()
+    )
+    assert (r.n_docs, r.n_langs, r.n_sources, r.dof) == (18, 2, 2, 1)
+    assert abs(r.chi2 - chi2) < 1e-5
+    assert abs(r.cramers_v - (chi2 / (n * 1)) ** 0.5) < 1e-5
