@@ -1378,6 +1378,16 @@ def _q_doc_logprob(spark, sf_dir):
     return doc_unigram_logprob(load(spark, sf_dir, "documents"))
 
 
+def _q_label_centroid_similarity(spark, sf_dir):
+    """Pairwise cosine between per-label embedding centroids — the
+    class-separation audit of a labeled embedding table."""
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    return label_centroid_similarity(load(spark, sf_dir, "embeddings"))
+
+
 def _q_lang_source_chi2(spark, sf_dir):
     """Pearson χ² independence between lang and source (+ Cramér's V)
     — the dataset-card homogeneity check."""
@@ -1603,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles_maintained": _q_value_quantiles_maintained,
         "holdout_logprob": _q_holdout_logprob,
         "lang_source_chi2": _q_lang_source_chi2,
+        "label_centroid_similarity": _q_label_centroid_similarity,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2809,6 +2820,11 @@ FROM cr, dn
 
     out["holdout_logprob"] = HOLDOUT_LOGPROB_SQL
     out["lang_source_chi2"] = LANG_SOURCE_CHI2_SQL
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        LABEL_CENTROID_SQL,
+    )
+
+    out["label_centroid_similarity"] = LABEL_CENTROID_SQL
     from cuda_gis_smoothing_spark.operators.stats import directional_axes
 
     _dir_vals = ", ".join(

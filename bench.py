@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "value_quantiles_maintained",
     "holdout_logprob",
     "lang_source_chi2",
+    "label_centroid_similarity",
 ]
 
 

@@ -804,3 +804,110 @@ def lsh_bucketed_knn(
         ),
     )
     return ranked.where(F.col("rank") <= k).select(query_id_col, "neighbor_id", "rank")
+
+
+def label_centroid_similarity(
+    embeddings: DataFrame,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Class-separation audit over the embedding space: per-label
+    centroid, then pairwise cosine between label centroids — near-1.0
+    cosines mean the embedding model does not separate those classes
+    (or the labels are noise), the first question asked of any labeled
+    embedding table. Cosine is computed from per-dimension SUMS (the
+    mean's 1/n cancels), so the heavy work is ONE posexplode +
+    (label, dim) hash aggregate — L×d rows out — and the pair stage
+    joins centroid COORDINATES (L²·d bounded rows), never vectors.
+    NULL labels and NULL embeddings are excluded. Output per pair
+    (a < b): ``(label_a, label_b, n_a, n_b, centroid_cosine)``.
+    Cross-row double sums sit under round6 like every aggregate gate
+    (the morans_i / source_kl precedent); the per-dimension fold order
+    inside a pair is a SEQUENTIAL 64-term join-aggregate in both
+    engines."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    coords = (
+        embeddings.where(
+            F.col(label_col).isNotNull() & F.col(emb_col).isNotNull()
+        )
+        .select(F.col(label_col).alias("label"), F.posexplode(emb_col))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("col").cast("double")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .localCheckpoint()  # two pair-join sides
+    )
+    stats = coords.groupBy("label").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum(F.col("_s") * F.col("_s")).alias("_sq"),
+    )
+
+    def side(suffix: str) -> DataFrame:
+        return coords.select(
+            F.col("label").alias(f"label_{suffix}"),
+            "pos",
+            F.col("_s").alias(f"_s{suffix}"),
+        )
+
+    num = (
+        side("a")
+        .join(side("b"), "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("_sa") * F.col("_sb")).alias("_dot"))
+    )
+    sa = stats.select(
+        F.col("label").alias("label_a"),
+        F.col("n").alias("n_a"),
+        F.col("_sq").alias("_sqa"),
+    )
+    sb = stats.select(
+        F.col("label").alias("label_b"),
+        F.col("n").alias("n_b"),
+        F.col("_sq").alias("_sqb"),
+    )
+    return (
+        num.join(sa, "label_a")
+        .join(sb, "label_b")
+        .select(
+            F.col("label_a").cast("int").alias("label_a"),
+            F.col("label_b").cast("int").alias("label_b"),
+            "n_a",
+            "n_b",
+            round6(
+                F.col("_dot") / (F.sqrt("_sqa") * F.sqrt("_sqb"))
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
+LABEL_CENTROID_SQL = """
+WITH coords AS (
+  SELECT label, i - 1 AS pos,
+         SUM(CAST(embedding[i] AS DOUBLE)) AS s,
+         COUNT(*) AS n
+  FROM embeddings, LATERAL (
+    SELECT unnest(generate_series(1, len(embedding))) AS i
+  )
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT label, CAST(MAX(n) AS BIGINT) AS n, SUM(s * s) AS sq
+  FROM coords GROUP BY label
+),
+num AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.s * b.s) AS dot
+  FROM coords a JOIN coords b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT CAST(num.label_a AS INT) AS label_a,
+       CAST(num.label_b AS INT) AS label_b,
+       sa.n AS n_a, sb.n AS n_b,
+       ROUND(num.dot / (SQRT(sa.sq) * SQRT(sb.sq)) + 1e-09, 6) AS centroid_cosine
+FROM num
+JOIN stats sa ON sa.label = num.label_a
+JOIN stats sb ON sb.label = num.label_b
+""".strip()

@@ -255,3 +255,43 @@ def test_cell_pagerank_mass_and_positivity(spark):
     floor = (1.0 - 0.85) / n
     for r in rows:
         assert r.pagerank >= floor - 1e-6
+
+
+def test_label_centroid_similarity_numpy_differential(spark):
+    """numpy differential: centroid cosines over the fixture (and NULL
+    label/embedding rows excluded)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.where(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    ).collect()
+    sums = {}
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        if r.label in sums:
+            sums[r.label][0] += v
+            sums[r.label][1] += 1
+        else:
+            sums[r.label] = [v.copy(), 1]
+    got = {
+        (r.label_a, r.label_b): r
+        for r in label_centroid_similarity(emb).collect()
+    }
+    labels = sorted(sums)
+    assert len(got) == len(labels) * (len(labels) - 1) // 2
+    for i, a in enumerate(labels):
+        for b in labels[i + 1 :]:
+            sa, na = sums[a]
+            sb, nb = sums[b]
+            want = float(
+                sa @ sb / (np.linalg.norm(sa) * np.linalg.norm(sb))
+            )
+            r = got[(a, b)]
+            assert (r.n_a, r.n_b) == (na, nb)
+            assert abs(r.centroid_cosine - want) < 1e-5
