@@ -1312,6 +1312,15 @@ def _q_user_moving_avg(spark, sf_dir):
     return user_moving_avg(load(spark, sf_dir, "events"))
 
 
+def _q_value_outliers(spark, sf_dir):
+    """Tukey IQR outlier screen per event type (exact q1/q3 through
+    the shared percentile kernel — boundary doubles identical
+    cross-engine)."""
+    from cuda_gis_smoothing_spark.operators.events import value_outliers
+
+    return value_outliers(load(spark, sf_dir, "events"))
+
+
 def _q_value_percentiles(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.events import value_percentiles
 
@@ -1614,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_logprob": _q_holdout_logprob,
         "lang_source_chi2": _q_lang_source_chi2,
         "label_centroid_similarity": _q_label_centroid_similarity,
+        "value_outliers": _q_value_outliers,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2825,6 +2835,9 @@ FROM cr, dn
     )
 
     out["label_centroid_similarity"] = LABEL_CENTROID_SQL
+    from cuda_gis_smoothing_spark.operators.events import VALUE_OUTLIERS_SQL
+
+    out["value_outliers"] = VALUE_OUTLIERS_SQL
     from cuda_gis_smoothing_spark.operators.stats import directional_axes
 
     _dir_vals = ", ".join(

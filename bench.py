@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "holdout_logprob",
     "lang_source_chi2",
     "label_centroid_similarity",
+    "value_outliers",
 ]
 
 

@@ -586,6 +586,69 @@ def value_percentiles_sql() -> str:
     )
 
 
+def value_outliers(events: DataFrame) -> DataFrame:
+    """Tukey IQR outlier report per event type: values outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] — the standard first-pass anomaly
+    screen on a metric column. Composes the exact percentile kernel
+    (q1/q3 bit-identical cross-engine, see :func:`percentile_explode`)
+    with one broadcast join back to the events, so the boundary
+    doubles both engines compare against are the SAME doubles and the
+    comparison can never tie-break differently. Output per type:
+    ``(event_type, n_values, q1, q3, n_low, n_high)`` — NULL values
+    excluded from both the quantiles and the counts."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    ev = events.where(F.col("value").isNotNull()).select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.75))").alias("_p")
+    ).select(
+        "event_type",
+        F.element_at("_p", 1).alias("_q1"),
+        F.element_at("_p", 2).alias("_q3"),
+    )
+    lo = F.col("_q1") - 1.5 * (F.col("_q3") - F.col("_q1"))
+    hi = F.col("_q3") + 1.5 * (F.col("_q3") - F.col("_q1"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "_q1",
+            "_q3",
+            (F.col("value") < lo).cast("long").alias("_lo"),
+            (F.col("value") > hi).cast("long").alias("_hi"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            round6(F.max("_q1")).alias("q1"),
+            round6(F.max("_q3")).alias("q3"),
+            F.sum("_lo").cast("long").alias("n_low"),
+            F.sum("_hi").cast("long").alias("n_high"),
+        )
+    )
+
+
+VALUE_OUTLIERS_SQL = """
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+st AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM ev GROUP BY event_type
+)
+SELECT ev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       ROUND(MAX(st.q1) + 1e-09, 6) AS q1,
+       ROUND(MAX(st.q3) + 1e-09, 6) AS q3,
+       CAST(SUM(CASE WHEN ev.value < st.q1 - 1.5 * (st.q3 - st.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN ev.value > st.q3 + 1.5 * (st.q3 - st.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM ev JOIN st USING (event_type)
+GROUP BY ev.event_type
+""".strip()
+
+
 def asof_attribute(
     events: DataFrame, left_type: str = "purchase", right_type: str = "click"
 ) -> DataFrame:

@@ -43,6 +43,7 @@ EVENTS_GATES = [
     # exercise the (hash, id) total order and the NULL-id exclusion
     "value_quantiles_sketch",
     "value_quantiles_maintained",
+    "value_outliers",
 ]
 
 

@@ -118,3 +118,18 @@ def test_null_ids_excluded(spark):
     # sample drawn from ids {1,2,3} only: the NULL-id row's 100.0 and
     # the NULL value never enter
     assert all(v <= 3.0 for v in got.values())
+
+
+def test_value_outliers_differential(spark):
+    """Python differential for the IQR screen, including a value
+    exactly ON the fence (not an outlier: strict inequality)."""
+    from cuda_gis_smoothing_spark.operators.events import value_outliers
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]  # q1=2, q3=4, IQR=2, hi fence=7
+    rows = [(i, "a", v) for i, v in enumerate(vals)] + [(9, "a", 7.0), (10, "a", None)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = value_outliers(df).collect()[0]
+    assert (r.n_values, r.n_low, r.n_high) == (6, 0, 1)
+    # over the 6 non-null values [1,2,3,4,7,100]: q1 at rank 1.25,
+    # q3 at rank 3.75 -> 4 + 0.75*(7-4); hi fence = 6.25 + 1.5*4 = 12.25
+    assert (r.q1, r.q3) == (2.25, 6.25)
