@@ -1397,6 +1397,17 @@ def _q_label_centroid_similarity(spark, sf_dir):
     return label_centroid_similarity(load(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_triangles(spark, sf_dir):
+    """Triangle census + global clustering of the banded near-dup
+    graph — cliques collapse safely, chains over-merge (the question
+    behind canonical selection)."""
+    from cuda_gis_smoothing_spark.operators.dedup import embedding_triangles
+
+    return embedding_triangles(
+        load(spark, sf_dir, "embeddings"), threshold=_EMB_BANDED_THRESHOLD
+    )
+
+
 def _q_lang_source_chi2(spark, sf_dir):
     """Pearson χ² independence between lang and source (+ Cramér's V)
     — the dataset-card homogeneity check."""
@@ -1624,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_chi2": _q_lang_source_chi2,
         "label_centroid_similarity": _q_label_centroid_similarity,
         "value_outliers": _q_value_outliers,
+        "embedding_triangles": _q_embedding_triangles,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2838,6 +2850,27 @@ FROM cr, dn
     from cuda_gis_smoothing_spark.operators.events import VALUE_OUTLIERS_SQL
 
     out["value_outliers"] = VALUE_OUTLIERS_SQL
+    out["embedding_triangles"] = f"""
+WITH pairs AS ({_emb_banded_sql()}),
+e AS (SELECT vec_a, vec_b FROM pairs),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT vec_a AS v FROM e UNION ALL SELECT vec_b AS v FROM e
+  ) GROUP BY v
+),
+w AS (SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS w FROM deg),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM e e1
+  JOIN e e2 ON e1.vec_b = e2.vec_a
+  JOIN e e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+SELECT ne.n AS n_edges, w.w AS n_wedges, t.t AS n_triangles,
+       ROUND((CASE WHEN w.w > 0 THEN 3e0 * t.t / w.w
+                   ELSE CAST(0 AS DOUBLE) END) + 1e-09, 6) AS global_clustering
+FROM ne, w, t
+""".strip()
     from cuda_gis_smoothing_spark.operators.stats import directional_axes
 
     _dir_vals = ", ".join(

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "lang_source_chi2",
     "label_centroid_similarity",
     "value_outliers",
+    "embedding_triangles",
 ]
 
 

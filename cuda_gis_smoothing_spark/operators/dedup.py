@@ -1243,6 +1243,68 @@ def embedding_components(
     )
 
 
+def embedding_triangles(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Triangle census of the banded embedding near-dup graph — the
+    graph-analytics sibling of :func:`embedding_components`: one row
+    ``(n_edges, n_wedges, n_triangles, global_clustering)`` where
+    global clustering = 3·triangles / wedges (the transitivity ratio
+    dedup pipelines read to decide whether near-dup clusters are
+    CLIQUES — safe to collapse to one canonical — or CHAINS, where
+    transitive collapse over-merges; the reference question behind
+    dedup_canonicals' quality-argmax).
+
+    All counting is integer-exact. Every pair arrives a < b, so the
+    a<b<c triangle joins ((a,b) ⋈ (b,c) ⋈ (a,c)) count each triangle
+    exactly once; wedges come from the symmetric degree (Σ d·(d−1)/2,
+    exact in int64). The pair table feeds FOUR consumers (degree +
+    three join legs) — localCheckpoint'ed once (the multi-consumer
+    scan lesson)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    pairs = (
+        embedding_neardup_pairs_banded(emb, threshold=threshold)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("vec_a").alias("v"))
+        .unionAll(pairs.select(F.col("vec_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    # all-integer wedge count: Σ d·(d−1) is even, halved AFTER the
+    # integer sum (no float division anywhere in the census)
+    wedges = deg.agg(
+        (F.sum(F.col("_d") * (F.col("_d") - 1)) / F.lit(2))
+        .cast("long")
+        .alias("_w")
+    )
+    e1 = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    e2 = pairs.select(F.col("vec_a").alias("b"), F.col("vec_b").alias("c"))
+    e3 = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("_e"))
+    return (
+        n_edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            F.col("_e").alias("n_edges"),
+            F.col("_w").alias("n_wedges"),
+            F.col("_t").alias("n_triangles"),
+            round6(
+                F.when(F.col("_w") > 0, 3.0 * F.col("_t") / F.col("_w"))
+                .otherwise(F.lit(0.0))
+            ).alias("global_clustering"),
+        )
+    )
+
+
 def component_canonicals(
     df: DataFrame,
     max_hamming: int = 1,

@@ -593,3 +593,37 @@ def test_contamination_hashed_shingles_equal_string_path(spark, docs_df):
         for r in contamination_report(docs_df, hash_shingles=True).collect()
     }
     assert plain == hashed and plain
+
+
+def test_embedding_triangles_differential(spark):
+    """networkx-free Python differential: brute-force triangle/wedge
+    census over the SAME banded pair set."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_neardup_pairs_banded,
+        embedding_triangles,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs_banded(emb, threshold=0.2).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    tris = sum(
+        1
+        for a, b in pairs
+        for c in adj[a] & adj[b]
+        if b < c
+    )
+    r = embedding_triangles(emb, threshold=0.2).collect()[0]
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (
+        len(pairs),
+        wedges,
+        tris,
+    )
+    want = 3.0 * tris / wedges if wedges else 0.0
+    assert abs(r.global_clustering - want) < 1e-6
