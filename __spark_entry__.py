@@ -1397,6 +1397,19 @@ def _q_label_centroid_similarity(spark, sf_dir):
     return label_centroid_similarity(load(spark, sf_dir, "embeddings"))
 
 
+def _q_smooth_residual_k2(spark, sf_dir):
+    """High-pass detail layer: ndvi − gaussian_k2 smoothed ndvi (the
+    complement of the reference's flagship pass — anomaly spikes and
+    edges the smoothing removed)."""
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth_residual
+    from cuda_gis_smoothing_spark.plans.config import SmoothingPlan
+
+    return smooth_residual(
+        grid_from_lineitem(spark, sf_dir),
+        SmoothingPlan(variant="gaussian_k2", variables=("ndvi",)),
+    )
+
+
 def _q_embedding_triangles(spark, sf_dir):
     """Triangle census + global clustering of the banded near-dup
     graph — cliques collapse safely, chains over-merge (the question
@@ -1636,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_similarity": _q_label_centroid_similarity,
         "value_outliers": _q_value_outliers,
         "embedding_triangles": _q_embedding_triangles,
+        "smooth_residual_k2": _q_smooth_residual_k2,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2850,6 +2864,14 @@ FROM cr, dn
     from cuda_gis_smoothing_spark.operators.events import VALUE_OUTLIERS_SQL
 
     out["value_outliers"] = VALUE_OUTLIERS_SQL
+    out["smooth_residual_k2"] = smoothing_sql(
+        "gaussian_k2",
+        ["ndvi"],
+        "duckdb",
+        source="cells4",
+        with_ctes=GRID_CELLS_SQL,
+        residual=True,
+    )
     out["embedding_triangles"] = f"""
 WITH pairs AS ({_emb_banded_sql()}),
 e AS (SELECT vec_a, vec_b FROM pairs),

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "label_centroid_similarity",
     "value_outliers",
     "embedding_triangles",
+    "smooth_residual_k2",
 ]
 
 

@@ -294,12 +294,41 @@ def second_order_edges(cells: DataFrame) -> DataFrame:
     return hop2.join(e1v, ["cell", "nbr"], "left_anti")
 
 
+def smooth_residual(cells: DataFrame, plan: SmoothingPlan) -> DataFrame:
+    """High-pass detail layer: original − smoothed per cell — the
+    complement every smoothing pipeline also wants (the reference's
+    smoothing REMOVES detail; the residual IS that detail — anomaly
+    spikes, sensor noise, edges). One smoothing pass joined back to
+    the originals; the subtraction happens on the RAW smoothed double
+    (bit-identical cross-engine, same as the smooth gates) and rounds
+    once. Output ``cell`` + ``residual_<var>`` per variable;
+    ``smoothing_sql(..., residual=True)`` is the twin builder."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    variables = list(plan.variables)
+    sm = smooth(cells, plan)
+    return (
+        cells.select("cell", *variables)
+        .join(sm, "cell")
+        .select(
+            "cell",
+            *[
+                round6(
+                    F.col(v).cast("double") - F.col(f"smoothed_{v}")
+                ).alias(f"residual_{v}")
+                for v in variables
+            ],
+        )
+    )
+
+
 def smoothing_sql(
     variant: str,
     variables: Sequence[str],
     dialect: str,
     source: str = "cells",
     with_ctes: str = "",
+    residual: bool = False,
 ) -> str:
     """Emit the ANSI-SQL equivalent of :func:`smooth` for a given
     dialect ('spark' | 'duckdb') over a relation named ``source``.
@@ -323,10 +352,19 @@ def smoothing_sql(
     wcase = "CASE " + " ".join(
         f"WHEN o.ring = {ring} THEN {flit(w)}" for ring, w in sorted(weights.items())
     ) + " END"
-    aggs = ",\n  ".join(
-        f"ROUND((SUM(n.{v} * {wcase}) / SUM({wcase})) + 1e-09, 6) AS smoothed_{v}"
-        for v in variables
-    )
+    if residual:
+        # high-pass detail layer: original − smoothed, subtracted RAW
+        # then rounded once (MAX over the per-cell group is the
+        # constant center value — both engines aggregate it the same)
+        aggs = ",\n  ".join(
+            f"ROUND((MAX(c.{v}) - SUM(n.{v} * {wcase}) / SUM({wcase})) + 1e-09, 6) AS residual_{v}"
+            for v in variables
+        )
+    else:
+        aggs = ",\n  ".join(
+            f"ROUND((SUM(n.{v} * {wcase}) / SUM({wcase})) + 1e-09, 6) AS smoothed_{v}"
+            for v in variables
+        )
     values = "VALUES\n    " + rows
     if dialect == "spark":
         offsets_cte = f"offsets (delta, ring) AS (SELECT * FROM ({values}) AS t(delta, ring))"

@@ -195,3 +195,30 @@ def test_dangling_neighbors_do_not_contribute(spark):
     got = {r["cell"]: r["smoothed_ndvi"] for r in out.collect()}
     assert abs(got[c] - 3.0) < 1e-12
     assert abs(got[n1] - 3.0) < 1e-12
+
+
+def test_smooth_residual_complements_smooth(spark):
+    """residual = original − smoothed (both round6'd separately, so the
+    identity holds within the two rounding errors) and the residual
+    mass is centered: a low-pass + its detail layer reconstruct the
+    signal."""
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.operators.smoothing import (
+        smooth,
+        smooth_residual,
+    )
+    from cuda_gis_smoothing_spark.plans.config import SmoothingPlan
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    plan = SmoothingPlan(variant="gaussian_k2", variables=("ndvi",))
+    sm = {r.cell: r.smoothed_ndvi for r in smooth(cells, plan).collect()}
+    orig = {r.cell: r.ndvi for r in cells.select("cell", "ndvi").collect()}
+    res = {
+        r.cell: r.residual_ndvi
+        for r in smooth_residual(cells, plan).collect()
+    }
+    assert set(res) == set(orig)
+    for cell, r in res.items():
+        assert abs(r - (orig[cell] - sm[cell])) < 2e-6, cell
