@@ -1397,6 +1397,13 @@ def _q_label_centroid_similarity(spark, sf_dir):
     return label_centroid_similarity(load(spark, sf_dir, "embeddings"))
 
 
+def _q_cell_gradient(spark, sf_dir):
+    """Central-difference gradient along the two axial hex directions
+    (slope/aspect primitive); border cells without both axis neighbors
+    excluded by contract."""
+    return stats_ops.cell_gradient(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_smooth_residual_k2(spark, sf_dir):
     """High-pass detail layer: ndvi − gaussian_k2 smoothed ndvi (the
     complement of the reference's flagship pass — anomaly spikes and
@@ -1650,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": _q_value_outliers,
         "embedding_triangles": _q_embedding_triangles,
         "smooth_residual_k2": _q_smooth_residual_k2,
+        "cell_gradient": _q_cell_gradient,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2864,6 +2872,19 @@ FROM cr, dn
     from cuda_gis_smoothing_spark.operators.events import VALUE_OUTLIERS_SQL
 
     out["value_outliers"] = VALUE_OUTLIERS_SQL
+    out["cell_gradient"] = f"""
+WITH {GRID_CELLS_SQL}
+SELECT c.cell,
+       ROUND(((qp.ndvi - qm.ndvi) / 2e0) + 1e-09, 6) AS grad_q,
+       ROUND(((rp.ndvi - rm.ndvi) / 2e0) + 1e-09, 6) AS grad_r,
+       ROUND(SQRT(((qp.ndvi - qm.ndvi) / 2e0) * ((qp.ndvi - qm.ndvi) / 2e0)
+                + ((rp.ndvi - rm.ndvi) / 2e0) * ((rp.ndvi - rm.ndvi) / 2e0)) + 1e-09, 6) AS grad_mag
+FROM cells4 c
+JOIN cells4 qp ON qp.cell = c.cell + {ENC}
+JOIN cells4 qm ON qm.cell = c.cell - {ENC}
+JOIN cells4 rp ON rp.cell = c.cell + 1
+JOIN cells4 rm ON rm.cell = c.cell - 1
+""".strip()
     out["smooth_residual_k2"] = smoothing_sql(
         "gaussian_k2",
         ["ndvi"],

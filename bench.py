@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "value_outliers",
     "embedding_triangles",
     "smooth_residual_k2",
+    "cell_gradient",
 ]
 
 

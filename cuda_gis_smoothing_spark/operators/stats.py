@@ -547,6 +547,44 @@ def directional_semivariogram(
     )
 
 
+def cell_gradient(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Per-cell gradient by central differences along the two axial
+    hex directions — the slope/aspect primitive of raster GIS (the
+    reference smooths the field; this measures how steeply it varies
+    and in which axis): grad_q = (x(q+1,r) − x(q−1,r))/2, grad_r
+    likewise, magnitude = √(grad_q² + grad_r²). Cells missing either
+    axis neighbor (grid border/holes) are EXCLUDED — central
+    differences aren't defined there, and one-sided fallbacks would
+    silently mix estimator orders (documented contract, like the
+    strict-ring-2 hole semantics). One 4-neighbor equi-join via a
+    literal offsets array; all float math is per-row over exact
+    grid values. Output ``(cell, grad_q, grad_r, grad_mag)``."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.hexgrid import ENC
+
+    vals = cells.select("cell", F.col(value_col).alias("_x"))
+
+    def nbr(delta: int, alias: str) -> DataFrame:
+        return vals.select(
+            (F.col("cell") - delta).alias("cell"), F.col("_x").alias(alias)
+        )
+
+    gq = (F.col("_qp") - F.col("_qm")) / 2.0
+    gr = (F.col("_rp") - F.col("_rm")) / 2.0
+    return (
+        vals.join(nbr(ENC, "_qp"), "cell")
+        .join(nbr(-ENC, "_qm"), "cell")
+        .join(nbr(1, "_rp"), "cell")
+        .join(nbr(-1, "_rm"), "cell")
+        .select(
+            "cell",
+            round6(gq).alias("grad_q"),
+            round6(gr).alias("grad_r"),
+            round6(F.sqrt(gq * gq + gr * gr)).alias("grad_mag"),
+        )
+    )
+
+
 #: measured window-vs-bucketed crossover (32 cores, see docstring)
 LOCALITY_WINDOW_MAX_ROWS = 10_000_000
 

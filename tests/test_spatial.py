@@ -117,3 +117,28 @@ def test_directional_semivariogram_decomposes_isotropic(spark):
         # (round6 per axis -> bounded slack)
         w = sum(r.gamma * r.n_pairs for r in axes) / n
         assert abs(w - iso[ring].gamma) < 1e-5
+
+
+def test_cell_gradient_differential(spark):
+    """Python differential: central differences recomputed from the
+    collected grid; border cells (missing an axis neighbor) excluded."""
+    from cuda_gis_smoothing_spark.hexgrid import ENC
+    from cuda_gis_smoothing_spark.operators.stats import cell_gradient
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    vals = {r.cell: r.ndvi for r in cells.select("cell", "ndvi").collect()}
+    got = {r.cell: r for r in cell_gradient(cells).collect()}
+    want_cells = {
+        c
+        for c in vals
+        if all(c + d in vals for d in (ENC, -ENC, 1, -1))
+    }
+    assert set(got) == want_cells and len(want_cells) > 0
+    for c in list(want_cells)[:50]:
+        gq = (vals[c + ENC] - vals[c - ENC]) / 2.0
+        gr = (vals[c + 1] - vals[c - 1]) / 2.0
+        r = got[c]
+        assert abs(r.grad_q - gq) < 1e-6
+        assert abs(r.grad_r - gr) < 1e-6
+        assert abs(r.grad_mag - (gq * gq + gr * gr) ** 0.5) < 1e-6
