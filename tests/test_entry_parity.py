@@ -127,6 +127,14 @@ _HOSTILE_SAMPLE = [
     "knn_graph_ivf",
     "knn_ivf_maintained",
     "local_morans_i",
+    # late-r5 additions: the sketch pair join over a checkpointed
+    # sketch table (bottom-k selection must not depend on partition
+    # counts), the maintained KL read (state built UNDER the hostile
+    # config), and the bottom-k sample quantiles ((hash, id) total
+    # order under 3 shuffle partitions)
+    "source_overlap_kmv",
+    "source_kl_maintained",
+    "value_quantiles_sketch",
 ]
 
 
