@@ -2901,7 +2901,7 @@ deg AS (
     SELECT vec_a AS v FROM e UNION ALL SELECT vec_b AS v FROM e
   ) GROUP BY v
 ),
-w AS (SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS w FROM deg),
+w AS (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS w FROM deg),
 t AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS t
   FROM e e1

@@ -572,7 +572,7 @@ def lang_source_chi2(
         df.where(F.col(lang_col).isNotNull() & F.col(source_col).isNotNull())
         .groupBy(F.col(lang_col).alias("lang"), F.col(source_col).alias("source"))
         .agg(F.count(F.lit(1)).alias("_o"))
-        .localCheckpoint()  # three consumers: both marginals + cells
+        .localCheckpoint()  # FOUR consumers: rm, cm, tot + the cells left join
     )
     rm = obs.groupBy("lang").agg(F.sum("_o").alias("_r"))
     cm = obs.groupBy("source").agg(F.sum("_o").alias("_c"))

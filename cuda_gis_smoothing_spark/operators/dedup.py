@@ -1274,12 +1274,12 @@ def embedding_triangles(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("_d"))
     )
-    # all-integer wedge count: Σ d·(d−1) is even, halved AFTER the
-    # integer sum (no float division anywhere in the census)
+    # all-integer wedge count: Σ d·(d−1) is even, halved with INTEGER
+    # division after the integer sum (a double division would lose
+    # exactness past 2^53 and Spark's truncating cast could disagree
+    # with DuckDB's rounding cast by 1)
     wedges = deg.agg(
-        (F.sum(F.col("_d") * (F.col("_d") - 1)) / F.lit(2))
-        .cast("long")
-        .alias("_w")
+        F.expr("sum(_d * (_d - 1)) div 2").cast("long").alias("_w")
     )
     e1 = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     e2 = pairs.select(F.col("vec_a").alias("b"), F.col("vec_b").alias("c"))

@@ -505,6 +505,21 @@ PIVOT_SQL = (
 PCT_QS = (0.25, 0.5, 0.75, 0.9)
 
 
+def percentile_array_expr(value_col: str, fractions: tuple[float, ...]):
+    """THE Spark-side exact-percentile aggregate (paired with DuckDB
+    ``quantile_cont`` — see :func:`percentile_explode` for the
+    cross-engine contract). Every consumer of exact quantiles
+    (:func:`percentile_explode`, :func:`value_outliers`) MUST build
+    its aggregate here so the composition can never drift."""
+    qs = ", ".join(str(q) for q in fractions)
+    return F.expr(f"percentile({value_col}, array({qs}))")
+
+
+def quantile_cont_scalar_sql(value_col: str, q: float) -> str:
+    """DuckDB scalar twin of one :func:`percentile_array_expr` entry."""
+    return f"quantile_cont({value_col}, {q})"
+
+
 def percentile_explode(
     df: DataFrame,
     value_col: str,
@@ -525,8 +540,7 @@ def percentile_explode(
     ungrouped input) yields NO rows — percentile returns NULL and
     posexplode(NULL) emits nothing; :func:`percentile_sql` guards the
     twin to match."""
-    qs = ", ".join(str(q) for q in fractions)
-    agg = F.expr(f"percentile({value_col}, array({qs}))").alias("_p")
+    agg = percentile_array_expr(value_col, fractions).alias("_p")
     p = df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
     pos = F.posexplode("_p")
     return p.select(*group_cols, pos).select(
@@ -600,7 +614,7 @@ def value_outliers(events: DataFrame) -> DataFrame:
 
     ev = events.where(F.col("value").isNotNull()).select("event_type", "value")
     stats = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, array(0.25, 0.75))").alias("_p")
+        percentile_array_expr("value", (0.25, 0.75)).alias("_p")
     ).select(
         "event_type",
         F.element_at("_p", 1).alias("_q1"),
@@ -628,12 +642,12 @@ def value_outliers(events: DataFrame) -> DataFrame:
     )
 
 
-VALUE_OUTLIERS_SQL = """
+VALUE_OUTLIERS_SQL = f"""
 WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
 st AS (
   SELECT event_type,
-         quantile_cont(value, 0.25) AS q1,
-         quantile_cont(value, 0.75) AS q3
+         {quantile_cont_scalar_sql("value", 0.25)} AS q1,
+         {quantile_cont_scalar_sql("value", 0.75)} AS q3
   FROM ev GROUP BY event_type
 )
 SELECT ev.event_type,

@@ -297,6 +297,11 @@ class MaintainedQuantiles:
                 F.col(self.id_col).cast("long").alias("_i"),
                 F.col(self.value_col).cast("double").alias("_v"),
             )
+            # intra-batch dedup BEFORE ranking: array_union dedups
+            # equal structs on every later merge, so the first batch
+            # must apply the same once-per-(h,id,v) semantics or the
+            # served sample depends on whether prior state existed
+            .distinct()
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= self.k)
             .groupBy(*g)

@@ -121,11 +121,10 @@ def test_null_ids_excluded(spark):
 
 
 def test_value_outliers_differential(spark):
-    """Python differential for the IQR screen, including a value
-    exactly ON the fence (not an outlier: strict inequality)."""
+    """Python differential for the IQR screen."""
     from cuda_gis_smoothing_spark.operators.events import value_outliers
 
-    vals = [1.0, 2.0, 3.0, 4.0, 100.0]  # q1=2, q3=4, IQR=2, hi fence=7
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
     rows = [(i, "a", v) for i, v in enumerate(vals)] + [(9, "a", 7.0), (10, "a", None)]
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     r = value_outliers(df).collect()[0]
@@ -133,3 +132,17 @@ def test_value_outliers_differential(spark):
     # over the 6 non-null values [1,2,3,4,7,100]: q1 at rank 1.25,
     # q3 at rank 3.75 -> 4 + 0.75*(7-4); hi fence = 6.25 + 1.5*4 = 12.25
     assert (r.q1, r.q3) == (2.25, 6.25)
+
+
+def test_value_outliers_on_fence_is_inlier(spark):
+    """A value exactly ON the fence is NOT an outlier (strict
+    inequality): degenerate IQR=0 makes both fences equal q1=q3, so
+    every median-valued row sits exactly on the fence — a regression
+    flipping < to <= would count all five zeros as outliers."""
+    from cuda_gis_smoothing_spark.operators.events import value_outliers
+
+    rows = [(i, "a", 0.0) for i in range(5)] + [(9, "a", 5.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = value_outliers(df).collect()[0]
+    assert (r.q1, r.q3) == (0.0, 0.0)  # fences collapse to 0
+    assert (r.n_values, r.n_low, r.n_high) == (6, 0, 1)  # only the 5.0
