@@ -1397,6 +1397,24 @@ def _q_label_centroid_similarity(spark, sf_dir):
     return label_centroid_similarity(load(spark, sf_dir, "embeddings"))
 
 
+def _q_doc_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy + type-token ratio (lexical-
+    diversity quality signals; the self-distribution complement of
+    doc_logprob's corpus-LM score)."""
+    from cuda_gis_smoothing_spark.functions.text import doc_token_entropy
+
+    return doc_token_entropy(load(spark, sf_dir, "documents"))
+
+
+def _q_zipf_fit(spark, sf_dir):
+    """Corpus Zipf-law OLS fit (ln freq ~ ln rank) over partition-
+    parallel quantile-boundary global ranks — the dataset-card corpus-
+    health diagnostic."""
+    from cuda_gis_smoothing_spark.functions.text import zipf_fit
+
+    return zipf_fit(load(spark, sf_dir, "documents"))
+
+
 def _q_cell_gradient(spark, sf_dir):
     """Central-difference gradient along the two axial hex directions
     (slope/aspect primitive); border cells without both axis neighbors
@@ -1658,6 +1676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_triangles": _q_embedding_triangles,
         "smooth_residual_k2": _q_smooth_residual_k2,
         "cell_gradient": _q_cell_gradient,
+        "doc_entropy": _q_doc_entropy,
+        "zipf_fit": _q_zipf_fit,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2885,6 +2905,13 @@ JOIN cells4 qm ON qm.cell = c.cell - {ENC}
 JOIN cells4 rp ON rp.cell = c.cell + 1
 JOIN cells4 rm ON rm.cell = c.cell - 1
 """.strip()
+    from cuda_gis_smoothing_spark.functions.text import (
+        DOC_ENTROPY_SQL,
+        ZIPF_FIT_SQL,
+    )
+
+    out["doc_entropy"] = DOC_ENTROPY_SQL
+    out["zipf_fit"] = ZIPF_FIT_SQL
     out["smooth_residual_k2"] = smoothing_sql(
         "gaussian_k2",
         ["ndvi"],

@@ -740,3 +740,146 @@ def feature_hashed_vectors(
         F.col("dim_index").cast("long").alias("dim_index"),
         round6(F.col("_c") / F.col("_nrm")).alias("weight"),
     )
+
+
+def doc_token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram Shannon entropy and type-token ratio — the
+    lexical-diversity quality signals (low entropy = templated or
+    repetitive text, the same family Gopher's repetition filters
+    target, but distribution-based instead of run-based; complements
+    :func:`doc_unigram_logprob`, which scores against the CORPUS LM
+    while this scores the doc against itself).
+
+    Entropy in nats over the doc's own token distribution, computed as
+    ``ln(n) - sum(c*ln(c))/n`` (one pass over the per-(doc, token)
+    counts, no per-term division). TTR = distinct/total (exact integer
+    division in double — identical cross-engine).
+
+    Plan (100 TB): explode → (doc, token) hash aggregate → doc-keyed
+    hash aggregate. Two partial-agg shuffles, both keyed by doc so the
+    second reuses nothing corpus-wide; no windows, no joins. Docs with
+    no tokens get no row (the signature-operator contract; NULL text
+    included).
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    counts = (
+        df.select(id_col, F.explode(tokens_col(text_col)).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_token_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        round6(
+            F.log(F.sum("_c")) - F.sum(F.col("_c") * F.log("_c")) / F.sum("_c")
+        ).alias("token_entropy"),
+        round6(F.count(F.lit(1)) / F.sum("_c")).alias("ttr"),
+    )
+
+
+DOC_ENTROPY_SQL = """
+WITH occ AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+c AS (SELECT doc_id, t, COUNT(*) AS c FROM occ GROUP BY doc_id, t)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_token_occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) + 1e-09, 6) AS token_entropy,
+       ROUND(COUNT(*) * 1.0 / SUM(c) + 1e-09, 6) AS ttr
+FROM c
+GROUP BY doc_id
+""".strip()
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus Zipf-law fit: OLS regression of ``ln(freq)`` on
+    ``ln(rank)`` over the full token-frequency table — the standard
+    corpus-health diagnostic (natural text slopes near −1; templated /
+    synthetic corpora drift off it). One summary row: (n_vocab,
+    n_occurrences, zipf_slope, zipf_intercept).
+
+    Ranks are DESCENDING by frequency. Cross-engine determinism: ties
+    in frequency are broken by token, and within a tie block ln(freq)
+    is constant, so every regression sum is invariant to tie
+    permutation anyway — but both engines use the SAME (count, token)
+    total order so per-token ranks agree exactly.
+
+    Plan (100 TB): the vocab-sized count table is materialized once
+    (localCheckpoint — it feeds the rank stage's three differently-
+    pruned subplans AND the 1-row vocab total; the multi-consumer
+    class), ranks come from plans/partitioning.global_ranks
+    (partition-parallel, quantile boundaries — counts are Zipf-skewed
+    so uniform range cuts would put the df=1 mass in one bucket), and
+    the regression is a 1-row aggregate. No global sort anywhere.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
+
+    counts = (
+        df.select(id_col, F.explode(tokens_col(text_col)).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
+    )
+    vocab = counts.agg(F.count(F.lit(1)).alias("_v"))
+    ranked = (
+        global_ranks(counts, ["_c", "t"], out_col="_r", boundaries="quantile")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.log(F.col("_v") - F.col("_r") + 1).alias("_x"),
+            F.log("_c").alias("_y"),
+            F.col("_c"),
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_c").cast("long").alias("n_occurrences"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_vocab"),
+        "n_occurrences",
+        round6(slope).alias("zipf_slope"),
+        round6((F.col("_sy") - slope * F.col("_sx")) / F.col("_n")).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+ZIPF_FIT_SQL = """
+WITH occ AS (
+  SELECT t FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+c AS (SELECT t, COUNT(*) AS c FROM occ GROUP BY t),
+v AS (SELECT COUNT(*) AS v FROM c),
+ranked AS (
+  SELECT ln(v.v - ROW_NUMBER() OVER (ORDER BY c.c, c.t) + 1) AS x,
+         ln(c.c) AS y, c.c
+  FROM c, v
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(c) AS occ, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       CAST(occ AS BIGINT) AS n_occurrences,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-09, 6) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n + 1e-09, 6)
+         AS zipf_intercept
+FROM s
+""".strip()

@@ -84,6 +84,8 @@ DOC_GATES = [
     "source_kl_maintained",
     "holdout_logprob",
     "lang_source_chi2",
+    "doc_entropy",
+    "zipf_fit",
 ]
 
 
