@@ -1415,6 +1415,24 @@ def _q_zipf_fit(spark, sf_dir):
     return zipf_fit(load(spark, sf_dir, "documents"))
 
 
+def _q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences (empirical funnel discovery); (epoch_us, event_id) total
+    order so tied timestamps cannot flake the lag pairing."""
+    from cuda_gis_smoothing_spark.operators.events import event_transitions
+
+    return event_transitions(load(spark, sf_dir, "events"))
+
+
+def _q_event_interarrival(spark, sf_dir):
+    """Per-type inter-arrival gap stats (count/min/max/mean + exact
+    p50/p90 through the shared percentile kernel) — burst/automation
+    detection over integer-microsecond gaps."""
+    from cuda_gis_smoothing_spark.operators.events import event_interarrival
+
+    return event_interarrival(load(spark, sf_dir, "events"))
+
+
 def _q_cell_gradient(spark, sf_dir):
     """Central-difference gradient along the two axial hex directions
     (slope/aspect primitive); border cells without both axis neighbors
@@ -1678,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_gradient": _q_cell_gradient,
         "doc_entropy": _q_doc_entropy,
         "zipf_fit": _q_zipf_fit,
+        "event_transitions": _q_event_transitions,
+        "event_interarrival": _q_event_interarrival,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2912,6 +2932,13 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
 
     out["doc_entropy"] = DOC_ENTROPY_SQL
     out["zipf_fit"] = ZIPF_FIT_SQL
+    from cuda_gis_smoothing_spark.operators.events import (
+        EVENT_INTERARRIVAL_SQL,
+        EVENT_TRANSITIONS_SQL,
+    )
+
+    out["event_transitions"] = EVENT_TRANSITIONS_SQL
+    out["event_interarrival"] = EVENT_INTERARRIVAL_SQL
     out["smooth_residual_k2"] = smoothing_sql(
         "gaussian_k2",
         ["ndvi"],

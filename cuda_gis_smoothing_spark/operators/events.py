@@ -789,3 +789,132 @@ JOIN events c
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL {window_s} SECONDS
 WHERE s.event_type = '{src_type}' AND c.event_type = '{dst_type}'
 """.strip()
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the funnel-discovery / clickstream-model primitive
+    (``funnel_conversion`` checks a GIVEN path; this surfaces the
+    empirical paths). One row per observed (from_type, to_type) pair
+    with its count and row-normalized transition probability.
+
+    Determinism: the sequence order is (epoch_us, event_id) — a TOTAL
+    order (event_id is unique), so tied timestamps cannot permute the
+    lag pairing between engines (the span_coverage window lesson).
+
+    Plan (100 TB): one user-keyed window (hash exchange on user_id +
+    per-user sort — the sessionize shape) feeding a #types²-sized hash
+    aggregate; the probability normalization is a window over the
+    AGGREGATED table (whole-partition frame, O(#types²) rows). p =
+    n/total is an integer-over-integer double division — exact and
+    identical cross-engine before the round6.
+    """
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = events.select(
+        "user_id", "event_id", "event_type", event_micros("ts").alias("us")
+    ).select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    counts = (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        round6(F.col("n_transitions") / F.sum("n_transitions").over(tot)).alias(
+            "p_transition"
+        ),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type,
+       CAST(n AS BIGINT) AS n_transitions,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type) + 1e-09, 6)
+         AS p_transition
+FROM c
+""".strip()
+
+
+#: inter-arrival percentile fractions (median + tail)
+INTERARRIVAL_QS = (0.5, 0.9)
+
+
+def event_interarrival(events: DataFrame) -> DataFrame:
+    """Per-type inter-arrival statistics: gaps between consecutive
+    events of the SAME type for the SAME user (integer microseconds —
+    the exact-gap contract shared with sessionize), summarized per
+    event_type with count / min / max / mean and exact p50/p90 via
+    :func:`percentile_array_expr` (the ONE cross-engine percentile
+    kernel). The capacity-planning / bot-detection signal: near-zero
+    tails = bursts or automation.
+
+    Plan (100 TB): one (user, type)-keyed window (hash exchange +
+    per-group sort), then a #types-sized sort aggregate (exact
+    percentiles sort each group — bounded by the type cardinality;
+    approx_percentile is the high-cardinality path, engine-private
+    sketch, not gate-able). Types with no repeat visits produce no
+    row (lag yields all NULLs → filtered).
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = (
+        events.select(
+            "user_id", "event_id", "event_type", event_micros("ts").alias("us")
+        )
+        .select(
+            "event_type", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    # mean/percentiles are reported in SECONDS: at microsecond magnitude
+    # (~1e11 on year-scale gaps) a 6-decimal round is BELOW one double
+    # ulp and the two engines' round paths legally differ in the last
+    # ulp; at second magnitude round6 is comfortably above ulp. min/max
+    # stay exact integer micros. The /1e6 happens AFTER the division /
+    # quantile on both sides, operand-for-operand, so the doubles agree.
+    p = percentile_array_expr("gap_us", INTERARRIVAL_QS)
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        round6(F.sum("gap_us") / F.count(F.lit(1)) / F.lit(1e6)).alias("avg_gap_s"),
+        round6(F.element_at(p, 1) / F.lit(1e6)).alias("p50_gap_s"),
+        round6(F.element_at(p, 2) / F.lit(1e6)).alias("p90_gap_s"),
+    )
+
+
+EVENT_INTERARRIVAL_SQL = f"""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       ROUND(SUM(gap_us) * 1.0 / COUNT(*) / 1000000e0 + 1e-09, 6) AS avg_gap_s,
+       ROUND({quantile_cont_scalar_sql("gap_us", INTERARRIVAL_QS[0])} / 1000000e0 + 1e-09, 6) AS p50_gap_s,
+       ROUND({quantile_cont_scalar_sql("gap_us", INTERARRIVAL_QS[1])} / 1000000e0 + 1e-09, 6) AS p90_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""".strip()

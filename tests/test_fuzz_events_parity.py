@@ -44,6 +44,10 @@ EVENTS_GATES = [
     "value_quantiles_sketch",
     "value_quantiles_maintained",
     "value_outliers",
+    # lag-pair gates: the fuzz corpus's tied timestamps exercise the
+    # (epoch_us, event_id) total-order contract in both windows
+    "event_transitions",
+    "event_interarrival",
 ]
 
 
