@@ -1433,6 +1433,20 @@ def _q_event_interarrival(spark, sf_dir):
     return event_interarrival(load(spark, sf_dir, "events"))
 
 
+_WINNOW_W = 4
+
+
+def _q_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection: per-window minimum of
+    the rolling gram hashes — the guaranteed-recall sub-quadratic
+    fingerprint set for span-level near-dup candidates."""
+    from cuda_gis_smoothing_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load(spark, sf_dir, "documents"), gram_len=_SPAN_GRAM, window=_WINNOW_W
+    )
+
+
 def _q_cell_gradient(spark, sf_dir):
     """Central-difference gradient along the two axial hex directions
     (slope/aspect primitive); border cells without both axis neighbors
@@ -1698,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _q_zipf_fit,
         "event_transitions": _q_event_transitions,
         "event_interarrival": _q_event_interarrival,
+        "winnowing_fingerprints": _q_winnowing,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2939,6 +2954,9 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
 
     out["event_transitions"] = EVENT_TRANSITIONS_SQL
     out["event_interarrival"] = EVENT_INTERARRIVAL_SQL
+    from cuda_gis_smoothing_spark.operators.dedup import winnow_sql
+
+    out["winnowing_fingerprints"] = winnow_sql(_SPAN_GRAM, _WINNOW_W)
     out["smooth_residual_k2"] = smoothing_sql(
         "gaussian_k2",
         ["ndvi"],

@@ -1690,3 +1690,66 @@ def interval_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    gram_len: int = 4,
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every ``gram_len``-gram, slide a ``window``
+    of consecutive gram hashes, keep each window's minimum — the
+    guarantee is that any shared run of ``window + gram_len - 1``
+    tokens between two docs shares at least one selected fingerprint,
+    at ~2/(window+1) of the full gram density. The sub-quadratic
+    complement of :func:`duplicate_spans`' exact gram seeds: candidate
+    pairs can join on the winnowed set instead of every gram.
+
+    Contract: the output is the DISTINCT (doc, fingerprint-VALUE) set
+    (position-free — value sets are order-insensitive, so rightmost-
+    vs-leftmost tie selection inside a window cannot matter); prefix
+    windows shorter than ``window`` are included, so every doc with
+    ≥ gram_len tokens emits ≥ 1 fingerprint (short docs are not
+    silently unfingerprinted). Grams and the polynomial hash are the
+    shared :func:`gram_positions` / :func:`token_hash_col` kernels —
+    already cross-engine-pinned by the span and minhash gates.
+
+    Plan (100 TB): explode grams → ONE doc-keyed window (hash exchange
+    on doc id + per-doc sort by position; parallel across docs — a doc
+    is never split, bounded by max doc length) → distinct, keyed by
+    (doc, fingerprint) so the dedup shuffle is fingerprint-parallel.
+    No joins, no driver state.
+    """
+    from pyspark.sql import Window as W
+
+    pos = gram_positions(docs, gram_len, id_col)
+    h = pos.select(id_col, "_pos", token_hash_col("_g").alias("_gh"))
+    w = W.partitionBy(id_col).orderBy("_pos").rowsBetween(-(window - 1), 0)
+    return (
+        h.select(F.col(id_col), F.min("_gh").over(w).alias("fingerprint"))
+        .distinct()
+        .select(id_col, F.col("fingerprint").cast("long").alias("fingerprint"))
+    )
+
+
+def winnow_sql(gram_len: int, window: int, source: str = "documents") -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` — same grams (the
+    _span_ctes ``pos`` form), same polynomial hash, same window frame."""
+    g = gram_len
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM {source}),
+pos AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i:i+{g - 1}], ' ') AS gr
+  FROM toks, UNNEST(CASE WHEN len(ts) >= {g}
+                    THEN generate_series(1, len(ts) - {g - 1}) ELSE [] END) AS u(i)
+),
+h AS (SELECT doc_id, pos, {token_hash_sql_duckdb("gr")} AS gh FROM pos)
+SELECT DISTINCT doc_id,
+       CAST(MIN(gh) OVER (
+         PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS fingerprint
+FROM h
+""".strip()

@@ -86,6 +86,7 @@ DOC_GATES = [
     "lang_source_chi2",
     "doc_entropy",
     "zipf_fit",
+    "winnowing_fingerprints",
 ]
 
 

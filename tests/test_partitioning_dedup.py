@@ -627,3 +627,44 @@ def test_embedding_triangles_differential(spark):
     )
     want = 3.0 * tris / wedges if wedges else 0.0
     assert abs(r.global_clustering - want) < 1e-6
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing contract: any shared run of window+gram_len-1
+    tokens between two docs shares at least one fingerprint VALUE, and
+    the selected set is a subset of the full gram-hash set at reduced
+    density."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        gram_positions,
+        token_hash_col,
+        winnow_fingerprints,
+    )
+
+    k, w = 4, 4
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k tokens
+    rows = [
+        (1, f"one unique prefix here {shared} and a suffix tail"),
+        (2, f"{shared} completely different ending words now"),
+        (3, "totally disjoint text with no overlap at all whatsoever"),
+        (4, "short doc"),  # < k tokens: no fingerprints
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(docs, gram_len=k, window=w).toPandas()
+    by_doc = {d: set(g.fingerprint) for d, g in fps.groupby("doc_id")}
+    # guarantee: docs 1 and 2 share the 8-token run => share a fingerprint
+    assert by_doc[1] & by_doc[2]
+    # disjoint doc shares nothing with either
+    assert not (by_doc.get(3, set()) & (by_doc[1] | by_doc[2]))
+    # sub-k doc emits no row
+    assert 4 not in by_doc
+    # every fingerprint is one of the doc's full gram hashes (subset),
+    # and the selection thinned the set
+    full = (
+        gram_positions(docs, k)
+        .select("doc_id", token_hash_col("_g").alias("h"))
+        .toPandas()
+    )
+    for d, sel in by_doc.items():
+        allh = set(full[full.doc_id == d].h)
+        assert sel <= allh
+        assert len(sel) < len(allh) or len(allh) <= w
