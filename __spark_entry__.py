@@ -1447,6 +1447,14 @@ def _q_winnowing(spark, sf_dir):
     )
 
 
+def _q_ndvi_patches(spark, sf_dir):
+    """Raster region labeling: connected components of above-mean
+    cells over ring-1 contiguity (landscape 'patches'), via the SAME
+    star-CC core as the text/embedding dedup clusters; recursive-
+    closure twin over the identical marked edge set."""
+    return stats_ops.value_patches(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_cell_gradient(spark, sf_dir):
     """Central-difference gradient along the two axial hex directions
     (slope/aspect primitive); border cells without both axis neighbors
@@ -1713,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "event_interarrival": _q_event_interarrival,
         "winnowing_fingerprints": _q_winnowing,
+        "ndvi_patches": _q_ndvi_patches,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2957,6 +2966,33 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     from cuda_gis_smoothing_spark.operators.dedup import winnow_sql
 
     out["winnowing_fingerprints"] = winnow_sql(_SPAN_GRAM, _WINNOW_W)
+    out["ndvi_patches"] = f"""
+WITH RECURSIVE {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)}),
+mu AS (SELECT AVG(ndvi) AS mu FROM cells4),
+mark AS (SELECT cell, ndvi FROM cells4, mu WHERE ndvi > mu.mu),
+sym AS (
+  SELECT c.cell AS a, n.cell AS b
+  FROM mark c CROSS JOIN offsets o
+  JOIN mark n ON n.cell = c.cell + o.delta
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (
+  SELECT m.cell, m.ndvi,
+         LEAST(m.cell, COALESCE(r.mn, m.cell)) AS patch_id
+  FROM mark m
+  LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) r ON r.a = m.cell
+)
+SELECT patch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(AVG(ndvi) + 1e-09, 6) AS mean_ndvi
+FROM comp
+GROUP BY patch_id
+""".strip()
     out["smooth_residual_k2"] = smoothing_sql(
         "gaussian_k2",
         ["ndvi"],

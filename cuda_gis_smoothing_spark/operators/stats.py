@@ -666,3 +666,49 @@ def quadrant_histogram(cells: DataFrame) -> DataFrame:
         .groupBy("q_hi", "r_hi")
         .agg(F.count("*").alias("n_cells"))
     )
+
+
+def value_patches(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Raster region labeling (blob / patch extraction): connected
+    components of the ABOVE-MEAN cells over ring-1 contiguity — the
+    landscape-ecology "patch" primitive (contiguous high-NDVI stands),
+    and the raster analog of the near-dup cluster labeling. One row
+    per patch: ``(patch_id, n_cells, mean_<value_col>)`` with patch_id
+    = the component's smallest cell id.
+
+    Shares :func:`~cuda_gis_smoothing_spark.operators.dedup.star_components`
+    (large-star/small-star, O(log n) rounds) with the text and
+    embedding dedup families — one CC core, three graph domains; the
+    DuckDB twin is a recursive closure over the SAME marked edge set
+    (the embedding_components precedent). Mark-boundary caveat as in
+    :func:`join_counts`: a cell at fp-noise distance from μ could
+    legally flip sides cross-engine (no such cell in the fixture at
+    either gated scale).
+
+    Plan (100 TB): 1-row μ broadcast → marked-cell filter (checkpointed
+    once: it feeds both edge endpoints, the node list, and the final
+    stats join — the multi-consumer class) → ring-1 equi-join edges
+    among marked cells only → star CC → patch-keyed hash aggregate.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.dedup import star_components
+
+    mu = cells.agg(F.avg(value_col).alias("_mu"))
+    marked = (
+        cells.crossJoin(F.broadcast(mu))
+        .where(F.col(value_col) > F.col("_mu"))
+        .select("cell", value_col)
+        .localCheckpoint()
+    )
+    edges = valid_edges(marked, 1).select(
+        F.col("cell").alias("a"), F.col("nbr").alias("b")
+    )
+    comp = star_components(edges, marked.select("cell"), id_col="cell")
+    return (
+        comp.join(marked, "cell")
+        .groupBy(F.col("component").alias("patch_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            round6(F.avg(value_col)).alias(f"mean_{value_col}"),
+        )
+    )

@@ -135,6 +135,13 @@ _HOSTILE_SAMPLE = [
     "source_overlap_kmv",
     "source_kl_maintained",
     "value_quantiles_sketch",
+    # latest additions: quantile-boundary global ranks (rank offsets
+    # must not depend on partition counts), star CC over the marked
+    # grid built UNDER the hostile config, and the lag/percentile
+    # window pair under 3 shuffle partitions
+    "zipf_fit",
+    "ndvi_patches",
+    "event_interarrival",
 ]
 
 
