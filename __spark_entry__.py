@@ -1455,6 +1455,12 @@ def _q_ndvi_patches(spark, sf_dir):
     return stats_ops.value_patches(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_correlogram(spark, sf_dir):
+    """Spatial correlogram: Moran's I per ring distance (1, 2) — the
+    autocorrelation-decay diagnostic; ring 1 reproduces morans_i."""
+    return stats_ops.correlogram(grid_from_lineitem(spark, sf_dir), k=2)
+
+
 def _q_cell_gradient(spark, sf_dir):
     """Central-difference gradient along the two axial hex directions
     (slope/aspect primitive); border cells without both axis neighbors
@@ -1722,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_interarrival": _q_event_interarrival,
         "winnowing_fingerprints": _q_winnowing,
         "ndvi_patches": _q_ndvi_patches,
+        "correlogram": _q_correlogram,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2966,6 +2973,32 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     from cuda_gis_smoothing_spark.operators.dedup import winnow_sql
 
     out["winnowing_fingerprints"] = winnow_sql(_SPAN_GRAM, _WINNOW_W)
+    out["correlogram"] = f"""
+WITH {GRID_CELLS_SQL},
+o1 (delta) AS (VALUES {_vals(_R1)}),
+o2 (delta) AS (VALUES {_vals(_R2)}),
+offs AS (
+  SELECT delta, 1 AS ring FROM o1
+  UNION ALL
+  SELECT delta, 2 AS ring FROM o2
+),
+mu AS (SELECT AVG(ndvi) AS mu FROM cells4),
+dev AS (SELECT cell, ndvi - mu.mu AS d FROM cells4, mu),
+cr AS (
+  SELECT o.ring, COUNT(*) AS W, SUM(a.d * b.d) AS num
+  FROM cells4 c CROSS JOIN offs o
+  JOIN cells4 n ON n.cell = c.cell + o.delta
+  JOIN dev a ON a.cell = c.cell
+  JOIN dev b ON b.cell = n.cell
+  GROUP BY o.ring
+),
+dn AS (SELECT COUNT(*) AS n, SUM(d * d) AS den FROM dev)
+SELECT CAST(cr.ring AS INT) AS ring,
+       CAST(dn.n AS BIGINT) AS n_cells,
+       CAST(cr.W AS BIGINT) AS total_edges,
+       ROUND((dn.n * 1.0 / cr.W) * cr.num / dn.den + 1e-09, 6) AS morans_i
+FROM cr, dn
+""".strip()
     out["ndvi_patches"] = f"""
 WITH RECURSIVE {GRID_CELLS_SQL},
 offsets (delta) AS (VALUES {_vals(_R1)}),

@@ -712,3 +712,48 @@ def value_patches(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
             round6(F.avg(value_col)).alias(f"mean_{value_col}"),
         )
     )
+
+
+def correlogram(cells: DataFrame, value_col: str = "ndvi", k: int = 2) -> DataFrame:
+    """Spatial correlogram: Moran's I per ring distance 1..k — the
+    range-of-dependence diagnostic (how fast autocorrelation decays
+    with distance; the lattice sibling of :func:`semivariogram`, which
+    reports the same structure as variance instead of correlation).
+    One row per ring: ``(ring, n_cells, total_edges, morans_i)``;
+    ring 1 reproduces :func:`morans_i` exactly by construction (same
+    join, same aggregates — pinned in pytest).
+
+    Spark shape: ONE k-ring equi-join at full edge cardinality with
+    the ring label carried through (the cell_edges table), collapsing
+    to a #rings-sized hash aggregate; μ and the deviation denominator
+    are 1-row broadcasts. Still no windows, no iteration."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    mu = cells.agg(F.avg(value_col).alias("_mu"))
+    dev = cells.crossJoin(F.broadcast(mu)).select(
+        "cell", (F.col(value_col) - F.col("_mu")).alias("_d")
+    )
+    e = valid_edges(cells, k).select("cell", "nbr", "ring")
+    cross = (
+        e.join(dev, "cell")
+        .join(
+            dev.select(F.col("cell").alias("nbr"), F.col("_d").alias("_dn")),
+            "nbr",
+        )
+        .groupBy("ring")
+        .agg(
+            F.count(F.lit(1)).alias("_W"),
+            F.sum(F.col("_d") * F.col("_dn")).alias("_num"),
+        )
+    )
+    den = dev.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(F.col("_d") * F.col("_d")).alias("_den")
+    )
+    return cross.crossJoin(F.broadcast(den)).select(
+        F.col("ring").cast("int").alias("ring"),
+        F.col("_n").cast("long").alias("n_cells"),
+        F.col("_W").cast("long").alias("total_edges"),
+        round6((F.col("_n") / F.col("_W")) * F.col("_num") / F.col("_den")).alias(
+            "morans_i"
+        ),
+    )

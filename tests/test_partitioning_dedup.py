@@ -668,3 +668,18 @@ def test_winnowing_guarantee_and_density(spark):
         allh = set(full[full.doc_id == d].h)
         assert sel <= allh
         assert len(sel) < len(allh) or len(allh) <= w
+
+
+def test_correlogram_ring1_equals_morans_i(spark):
+    """The correlogram's ring-1 row must reproduce the standalone
+    morans_i gate exactly (same join, same aggregates)."""
+    from cuda_gis_smoothing_spark.operators.stats import correlogram, morans_i
+
+    cells = spark.createDataFrame(datagen.gen_cells(side=12, n_isolated=3))
+    solo = morans_i(cells).collect()[0]
+    ring1 = {r["ring"]: r for r in correlogram(cells, k=2).collect()}[1]
+    assert ring1["n_cells"] == solo["n_cells"]
+    assert ring1["total_edges"] == solo["total_edges"]
+    assert ring1["morans_i"] == solo["morans_i"]
+    # ring-2 edges exist and differ in cardinality
+    assert 2 in {r["ring"] for r in correlogram(cells, k=2).collect()}
