@@ -1447,6 +1447,20 @@ def _q_winnowing(spark, sf_dir):
     )
 
 
+def _q_dedup_winnowed(spark, sf_dir):
+    """Near-dup pairs from winnowed-fingerprint candidates + shared
+    exact-jaccard verify — the guaranteed-recall (span-level)
+    candidate source beside the MinHash/SimHash band families."""
+    from cuda_gis_smoothing_spark.operators.dedup import winnowed_neardup_pairs
+
+    return winnowed_neardup_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=_JACCARD_THRESHOLD,
+        gram_len=_SPAN_GRAM,
+        window=_WINNOW_W,
+    )
+
+
 def _q_ndvi_patches(spark, sf_dir):
     """Raster region labeling: connected components of above-mean
     cells over ring-1 contiguity (landscape 'patches'), via the SAME
@@ -1727,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "event_interarrival": _q_event_interarrival,
         "winnowing_fingerprints": _q_winnowing,
+        "dedup_winnowed": _q_dedup_winnowed,
         "ndvi_patches": _q_ndvi_patches,
         "correlogram": _q_correlogram,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
@@ -2970,9 +2985,15 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
 
     out["event_transitions"] = EVENT_TRANSITIONS_SQL
     out["event_interarrival"] = EVENT_INTERARRIVAL_SQL
-    from cuda_gis_smoothing_spark.operators.dedup import winnow_sql
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        winnow_sql,
+        winnowed_neardup_sql,
+    )
 
     out["winnowing_fingerprints"] = winnow_sql(_SPAN_GRAM, _WINNOW_W)
+    out["dedup_winnowed"] = winnowed_neardup_sql(
+        _JACCARD_THRESHOLD, _SPAN_GRAM, _WINNOW_W
+    )
     out["correlogram"] = f"""
 WITH {GRID_CELLS_SQL},
 o1 (delta) AS (VALUES {_vals(_R1)}),

@@ -1734,22 +1734,115 @@ def winnow_fingerprints(
     )
 
 
-def winnow_sql(gram_len: int, window: int, source: str = "documents") -> str:
-    """DuckDB twin of :func:`winnow_fingerprints` — same grams (the
-    _span_ctes ``pos`` form), same polynomial hash, same window frame."""
+def winnow_ctes(gram_len: int, window: int, source: str = "documents") -> str:
+    """CTE chain ``toks → pos → h → wfp`` producing the winnowed
+    (doc_id, fingerprint) set — ONE builder shared by the
+    winnowing_fingerprints and dedup_winnowed twins (the _span_ctes
+    precedent: a fix to the selection can never diverge between
+    gates). Same grams (the _span_ctes ``pos`` form), same polynomial
+    hash, same window frame as :func:`winnow_fingerprints`."""
     g = gram_len
-    return f"""
-WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM {source}),
+    return f"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM {source}),
 pos AS (
   SELECT doc_id, i AS pos, array_to_string(ts[i:i+{g - 1}], ' ') AS gr
   FROM toks, UNNEST(CASE WHEN len(ts) >= {g}
                     THEN generate_series(1, len(ts) - {g - 1}) ELSE [] END) AS u(i)
 ),
-h AS (SELECT doc_id, pos, {token_hash_sql_duckdb("gr")} AS gh FROM pos)
-SELECT DISTINCT doc_id,
-       CAST(MIN(gh) OVER (
-         PARTITION BY doc_id ORDER BY pos
-         ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
-       ) AS BIGINT) AS fingerprint
-FROM h
+h AS (SELECT doc_id, pos, {token_hash_sql_duckdb("gr")} AS gh FROM pos),
+wfp AS (
+  SELECT DISTINCT doc_id,
+         CAST(MIN(gh) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS fingerprint
+  FROM h
+)"""
+
+
+def winnow_sql(gram_len: int, window: int, source: str = "documents") -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`."""
+    return f"""
+WITH {winnow_ctes(gram_len, window, source)}
+SELECT doc_id, fingerprint FROM wfp
+""".strip()
+
+
+def winnowed_neardup_pairs(
+    docs: DataFrame,
+    threshold: float,
+    gram_len: int = 4,
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs from WINNOWED candidates: docs sharing any
+    winnowing fingerprint (:func:`winnow_fingerprints`) are verified
+    with the shared exact-jaccard kernel
+    (:func:`verified_jaccard_pairs`). The third candidate source
+    beside MinHash-LSH bands and SimHash bands — unlike either, its
+    recall on SPAN-level duplication is a guarantee, not a
+    probability: any shared run of window+gram−1 tokens yields a
+    shared fingerprint, so boilerplate/quotation overlap is never
+    missed, at ~2/(window+1) of the full gram-join's candidate mass
+    (the duplicate_spans seed join without the density).
+
+    Output: (doc_a, doc_b, jaccard) at jaccard ≥ threshold.
+
+    Plan (100 TB): the fingerprint table is checkpointed once (both
+    join sides read it), the self-join is pinned to full parallelism
+    on the fingerprint key (the AQE-coalesce class — candidate keys
+    are cheap to ship, pair output is superlinear), pairs dedup on
+    first-shared-fingerprint (ONE verify per pair, the LSH-drop
+    precedent), and the verify is one array_intersect per candidate.
+    Hot-fingerprint caveat: a fingerprint shared by m docs emits m²/2
+    candidates — same exposure class as an LSH band bucket; the
+    blocked-triangle equi-join form (lsh_blocked_neardup_drops) is the
+    lever if a corpus develops megaclusters.
+    """
+    fps = winnow_fingerprints(docs, gram_len, window, id_col).localCheckpoint()
+    parts = docs.sparkSession.sparkContext.defaultParallelism
+    a = fps.select(F.col(id_col).alias("doc_a"), "fingerprint").repartition(
+        parts, "fingerprint"
+    )
+    b = fps.select(F.col(id_col).alias("doc_b"), "fingerprint").repartition(
+        parts, "fingerprint"
+    )
+    cand = (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verified_jaccard_pairs(cand, docs, docs, threshold, id_col)
+
+
+def winnowed_neardup_sql(
+    threshold: float, gram_len: int, window: int, source: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`winnowed_neardup_pairs`: the SAME winnow
+    CTE chain for candidates, exact distinct-token jaccard verify."""
+    return f"""
+WITH {winnow_ctes(gram_len, window, source)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wfp a JOIN wfp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+),
+tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM {source}
+  ) WHERE t <> ''
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN tok a ON a.doc_id = c.doc_a
+  JOIN tok b ON b.doc_id = c.doc_b AND b.t = a.t
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(i * 1.0 / (sa.n + sb.n - i) + 1e-09, 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE ROUND(i * 1.0 / (sa.n + sb.n - i) + 1e-09, 6) >= {threshold}
 """.strip()

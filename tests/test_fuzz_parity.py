@@ -87,6 +87,7 @@ DOC_GATES = [
     "doc_entropy",
     "zipf_fit",
     "winnowing_fingerprints",
+    "dedup_winnowed",
 ]
 
 

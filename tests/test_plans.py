@@ -296,3 +296,25 @@ def test_filtered_base_is_join_free_single_scan(spark):
     plan = _plan(filtered_base(docs, "en", 0.5))
     assert "Join" not in plan and "Exchange" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_winnowed_pairs_plan_discipline(spark):
+    """dedup_winnowed's candidate self-join must be a pinned
+    (REPARTITION_BY_NUM on both sides) hash equi-join — never a
+    nested loop — with broadcast disabled (the 100 TB regime)."""
+    from cuda_gis_smoothing_spark.operators.dedup import winnowed_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j) % 9}" for j in range(8))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = winnowed_neardup_pairs(docs, threshold=0.4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("REPARTITION_BY_NUM") >= 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
