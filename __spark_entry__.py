@@ -1424,6 +1424,26 @@ def _q_event_transitions(spark, sf_dir):
     return event_transitions(load(spark, sf_dir, "events"))
 
 
+def _q_event_transitions_maintained(spark, sf_dir):
+    """The SAME transition matrix served from maintained state: the
+    corpus folds into a fresh single-batch MaintainedTransitions and
+    the serve path (shared transition_probabilities kernel) is gated
+    against the batch twin's SQL (the source_kl_maintained precedent)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.transitions import (
+        MaintainedTransitions,
+    )
+
+    state = tempfile.mkdtemp(prefix="trans_state_")
+    mt = MaintainedTransitions(spark, state)
+    mt.process_batch(load(spark, sf_dir, "events"), 0)
+    out = mt.transitions()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_event_interarrival(spark, sf_dir):
     """Per-type inter-arrival gap stats (count/min/max/mean + exact
     p50/p90 through the shared percentile kernel) — burst/automation
@@ -1739,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": _q_doc_entropy,
         "zipf_fit": _q_zipf_fit,
         "event_transitions": _q_event_transitions,
+        "event_transitions_maintained": _q_event_transitions_maintained,
         "event_interarrival": _q_event_interarrival,
         "winnowing_fingerprints": _q_winnowing,
         "dedup_winnowed": _q_dedup_winnowed,
@@ -2984,6 +3005,7 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     )
 
     out["event_transitions"] = EVENT_TRANSITIONS_SQL
+    out["event_transitions_maintained"] = EVENT_TRANSITIONS_SQL
     out["event_interarrival"] = EVENT_INTERARRIVAL_SQL
     from cuda_gis_smoothing_spark.operators.dedup import (
         winnow_sql,

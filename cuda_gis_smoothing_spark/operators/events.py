@@ -821,6 +821,16 @@ def event_transitions(events: DataFrame) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+    return transition_probabilities(counts)
+
+
+def transition_probabilities(counts: DataFrame) -> DataFrame:
+    """Row-normalize a (from_type, to_type, n_transitions) count table
+    into the transition matrix — THE shared serving kernel: the batch
+    operator and the maintained-state read both route here so the
+    normalization can never drift (the bm25_score_postings precedent).
+    p = n/total is integer-over-integer double division — exact and
+    identical cross-engine before the round6."""
     tot = Window.partitionBy("from_type")
     return counts.select(
         "from_type",

@@ -47,6 +47,7 @@ EVENTS_GATES = [
     # lag-pair gates: the fuzz corpus's tied timestamps exercise the
     # (epoch_us, event_id) total-order contract in both windows
     "event_transitions",
+    "event_transitions_maintained",
     "event_interarrival",
 ]
 
