@@ -142,6 +142,15 @@ BENCH_QUERIES = [
     "embedding_triangles",
     "smooth_residual_k2",
     "cell_gradient",
+    "doc_entropy",
+    "zipf_fit",
+    "event_transitions",
+    "event_transitions_maintained",
+    "event_interarrival",
+    "winnowing_fingerprints",
+    "dedup_winnowed",
+    "ndvi_patches",
+    "correlogram",
 ]
 
 
