@@ -1444,6 +1444,15 @@ def _q_event_transitions_maintained(spark, sf_dir):
     return out
 
 
+def _q_session_paths(spark, sf_dir):
+    """Top session-opening event-type paths (first 3 events per
+    session under sessionize's exact gap boundaries) — the
+    entry-funnel report; k-cut total-ordered on (count desc, path)."""
+    from cuda_gis_smoothing_spark.operators.events import session_paths
+
+    return session_paths(load(spark, sf_dir, "events"))
+
+
 def _q_event_interarrival(spark, sf_dir):
     """Per-type inter-arrival gap stats (count/min/max/mean + exact
     p50/p90 through the shared percentile kernel) — burst/automation
@@ -1761,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "event_transitions_maintained": _q_event_transitions_maintained,
         "event_interarrival": _q_event_interarrival,
+        "session_paths": _q_session_paths,
         "winnowing_fingerprints": _q_winnowing,
         "dedup_winnowed": _q_dedup_winnowed,
         "ndvi_patches": _q_ndvi_patches,
@@ -3007,6 +3017,9 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     out["event_transitions"] = EVENT_TRANSITIONS_SQL
     out["event_transitions_maintained"] = EVENT_TRANSITIONS_SQL
     out["event_interarrival"] = EVENT_INTERARRIVAL_SQL
+    from cuda_gis_smoothing_spark.operators.events import SESSION_PATHS_SQL
+
+    out["session_paths"] = SESSION_PATHS_SQL
     from cuda_gis_smoothing_spark.operators.dedup import (
         winnow_sql,
         winnowed_neardup_sql,

@@ -48,19 +48,16 @@ def day_str(ts_col: str = "ts"):
     return F.col(ts_col).cast("date").cast("string")
 
 
-def sessionize(events: DataFrame) -> DataFrame:
-    """Assign session ids per user (new session when the gap from the
-    previous event exceeds 30 min) and aggregate per session.
-
-    Scale note: both windows partition by user_id — ONE shuffle, then
-    per-user local sorts; the per-user event counts are small and
-    bounded, so no skew lever is needed (a viral-user variant would
-    sessionize within (user, day) buckets first).
-    """
+def session_events(events: DataFrame) -> DataFrame:
+    """Per-event session tagging — the gap-break windows
+    :func:`sessionize` aggregates over, exposed so path/sequence
+    analyses reuse the IDENTICAL session boundaries (one definition of
+    SESSION_GAP_US and the (us, event_id) total order). Output: the
+    event columns + ``us`` + ``session_seq`` (1-based per user)."""
     us = event_micros("ts").alias("us")
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    flagged = (
-        events.select("user_id", "event_id", "ts", "value", us)
+    return (
+        events.select("user_id", "event_id", "event_type", "ts", "value", us)
         .withColumn("prev_us", F.lag("us").over(w))
         .withColumn(
             "new_session",
@@ -76,6 +73,18 @@ def sessionize(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Assign session ids per user (new session when the gap from the
+    previous event exceeds 30 min) and aggregate per session.
+
+    Scale note: both windows partition by user_id — ONE shuffle, then
+    per-user local sorts; the per-user event counts are small and
+    bounded, so no skew lever is needed (a viral-user variant would
+    sessionize within (user, day) buckets first).
+    """
+    flagged = session_events(events)
     return (
         flagged.groupBy("user_id", "session_seq")
         .agg(
@@ -927,4 +936,91 @@ SELECT event_type,
        ROUND({quantile_cont_scalar_sql("gap_us", INTERARRIVAL_QS[1])} / 1000000e0 + 1e-09, 6) AS p90_gap_s
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY event_type
+""".strip()
+
+
+#: session path parameters: opening-path depth and top-k cut
+SESSION_PATH_DEPTH = 3
+SESSION_PATHS_K = 20
+#: NULL event types inside a path render as this token on BOTH engines
+#: (Spark array_join and DuckDB string_agg disagree on skipping NULL
+#: elements — coalescing BEFORE aggregation sidesteps the divergence)
+NULL_PATH_TOKEN = "(null)"
+
+
+def session_paths(
+    events: DataFrame,
+    depth: int = SESSION_PATH_DEPTH,
+    k: int = SESSION_PATHS_K,
+) -> DataFrame:
+    """Top-k session-opening paths: the first ``depth`` event types of
+    each session (the :func:`session_events` boundaries — identical
+    gap semantics to sessionize) joined with '>', counted across
+    sessions — the empirical entry-funnel report
+    (:func:`event_transitions` aggregates single hops; this keeps
+    short sequences intact). Output: (path, n_sessions), top-k.
+
+    Determinism: the per-session ordering is the (us, event_id) total
+    order; the ordered concat sorts collected (rn, type) structs (rn
+    unique per session — collect order never observable); the k-cut
+    total-orders on (n_sessions DESC, path ASC).
+
+    Plan (100 TB): the session windows' one user-keyed shuffle, a
+    session-keyed aggregate, a path-keyed count, and a
+    TakeOrderedAndProject k-cut (no global sort — the
+    vocab_top_tokens shape)."""
+    se = session_events(events)
+    w = Window.partitionBy("user_id", "session_seq").orderBy("us", "event_id")
+    firsts = (
+        se.select(
+            "user_id",
+            "session_seq",
+            "us",
+            "event_id",
+            F.coalesce("event_type", F.lit(NULL_PATH_TOKEN)).alias("_t"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= depth)
+    )
+    paths = firsts.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(_rn, _t))),"
+            " s -> s._t), '>')"
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    return counts.orderBy(F.col("n_sessions").desc(), "path").limit(k)
+
+
+SESSION_PATHS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, event_type, us,
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+rn AS (
+  SELECT user_id, session_seq,
+         COALESCE(event_type, '{NULL_PATH_TOKEN}') AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq ORDER BY us, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT string_agg(t, '>' ORDER BY rn) AS path
+  FROM rn WHERE rn <= {SESSION_PATH_DEPTH}
+  GROUP BY user_id, session_seq
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {SESSION_PATHS_K}
 """.strip()

@@ -49,6 +49,9 @@ EVENTS_GATES = [
     "event_transitions",
     "event_transitions_maintained",
     "event_interarrival",
+    # the k-cut total-orders on (count, path); tied timestamps exercise
+    # the session-boundary and within-session ordering contracts
+    "session_paths",
 ]
 
 
