@@ -1444,6 +1444,15 @@ def _q_event_transitions_maintained(spark, sf_dir):
     return out
 
 
+def _q_user_rfm(spark, sf_dir):
+    """RFM segmentation scored against exact corpus quartiles — every
+    compared quantity integer or round6 so the thresholds cannot flip
+    cross-engine."""
+    from cuda_gis_smoothing_spark.operators.events import user_rfm
+
+    return user_rfm(load(spark, sf_dir, "events"))
+
+
 def _q_session_paths(spark, sf_dir):
     """Top session-opening event-type paths (first 3 events per
     session under sessionize's exact gap boundaries) — the
@@ -1771,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions_maintained": _q_event_transitions_maintained,
         "event_interarrival": _q_event_interarrival,
         "session_paths": _q_session_paths,
+        "user_rfm": _q_user_rfm,
         "winnowing_fingerprints": _q_winnowing,
         "dedup_winnowed": _q_dedup_winnowed,
         "ndvi_patches": _q_ndvi_patches,
@@ -3017,9 +3027,13 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     out["event_transitions"] = EVENT_TRANSITIONS_SQL
     out["event_transitions_maintained"] = EVENT_TRANSITIONS_SQL
     out["event_interarrival"] = EVENT_INTERARRIVAL_SQL
-    from cuda_gis_smoothing_spark.operators.events import SESSION_PATHS_SQL
+    from cuda_gis_smoothing_spark.operators.events import (
+        SESSION_PATHS_SQL,
+        user_rfm_sql,
+    )
 
     out["session_paths"] = SESSION_PATHS_SQL
+    out["user_rfm"] = user_rfm_sql()
     from cuda_gis_smoothing_spark.operators.dedup import (
         winnow_sql,
         winnowed_neardup_sql,

@@ -1024,3 +1024,105 @@ FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT {SESSION_PATHS_K}
 """.strip()
+
+
+#: RFM quartile fractions (shared by the operator and its twin)
+RFM_QS = (0.25, 0.5, 0.75)
+
+
+def user_rfm(events: DataFrame) -> DataFrame:
+    """RFM segmentation: per-user Recency (µs since the user's last
+    event, measured from the corpus max — integer differences, exact),
+    Frequency (event count) and Monetary (round6 value sum), each
+    scored 1–4 against the EXACT corpus quartiles of the per-user
+    table, segment = ``r*100 + f*10 + m``. The classic marketing
+    segmentation — and the house pattern for making a
+    float-thresholded report gate-able: every compared quantity is
+    either an integer or a round6 double, and the quartile boundaries
+    come from :func:`percentile_array_expr` over those SAME rounded
+    values, so both engines compare identical doubles (a raw-float
+    threshold could legally flip a user at fp-association distance).
+    Recency scores are inverted (most recent = 4).
+
+    Plan (100 TB): one user-keyed hash aggregate, one 1-row quartile
+    aggregate over the user table broadcast back — no windows, no
+    sorts beyond the bounded percentile groups. NULL values sum to
+    NULL monetary only for users with ALL-NULL values (SUM semantics);
+    their m-comparison yields NULL > x = false → m_score 1, identical
+    in both engines."""
+    mx = events.agg(F.max(event_micros("ts")).alias("_mx"))
+    m = (
+        events.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("_mx") - event_micros("ts")).cast("long").alias("recency_us"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            round6(F.sum("value")).alias("monetary"),
+        )
+        .localCheckpoint()  # feeds the quartile aggregate AND the scoring
+    )
+    qs = m.agg(
+        percentile_array_expr("recency_us", RFM_QS).alias("_qr"),
+        percentile_array_expr("frequency", RFM_QS).alias("_qf"),
+        percentile_array_expr("monetary", RFM_QS).alias("_qm"),
+    )
+
+    def asc(col: str, q: str):
+        s = F.lit(1)
+        for i in range(1, 4):
+            # coalesce: NULL monetary (all-NULL values user) must score
+            # 1 like DuckDB's CASE WHEN NULL THEN..ELSE 0, not NULL
+            s = s + F.coalesce(
+                (F.col(col) > F.element_at(F.col(q), i)).cast("int"), F.lit(0)
+            )
+        return s
+
+    scored = m.crossJoin(F.broadcast(qs)).select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary",
+        (F.lit(5) - asc("recency_us", "_qr")).cast("int").alias("r_score"),
+        asc("frequency", "_qf").cast("int").alias("f_score"),
+        asc("monetary", "_qm").cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "int"
+        ),
+    )
+
+
+def user_rfm_sql() -> str:
+    qs = ", ".join(str(q) for q in RFM_QS)
+    cmp = lambda col, q: " + ".join(
+        f"CASE WHEN {col} > {q}[{i}] THEN 1 ELSE 0 END" for i in (1, 2, 3)
+    )
+    return f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+m AS (
+  SELECT user_id,
+         CAST(MIN(mx.mx - epoch_us(ts)) AS BIGINT) AS recency_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(SUM(value) + 1e-09, 6) AS monetary
+  FROM events, mx
+  GROUP BY user_id
+),
+q AS (
+  SELECT quantile_cont(recency_us, [{qs}]) AS qr,
+         quantile_cont(frequency, [{qs}]) AS qf,
+         quantile_cont(monetary, [{qs}]) AS qm
+  FROM m
+),
+s AS (
+  SELECT user_id, recency_us, frequency, monetary,
+         CAST(5 - (1 + {cmp("recency_us", "qr")}) AS INT) AS r_score,
+         CAST(1 + {cmp("frequency", "qf")} AS INT) AS f_score,
+         CAST(1 + {cmp("monetary", "qm")} AS INT) AS m_score
+  FROM m, q
+)
+SELECT user_id, recency_us, frequency, monetary, r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+FROM s
+""".strip()

@@ -52,6 +52,9 @@ EVENTS_GATES = [
     # the k-cut total-orders on (count, path); tied timestamps exercise
     # the session-boundary and within-session ordering contracts
     "session_paths",
+    # quartile-threshold scoring over integers/round6 values only; the
+    # fuzz corpus's NULL values exercise the NULL-monetary score class
+    "user_rfm",
 ]
 
 
