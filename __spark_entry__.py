@@ -1415,6 +1415,15 @@ def _q_zipf_fit(spark, sf_dir):
     return zipf_fit(load(spark, sf_dir, "documents"))
 
 
+def _q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (smallest top-frequency vocab per
+    occurrence-share target) — composes BOTH partition-parallel
+    order-statistics kernels (global_ranks + global_prefix_sums)."""
+    from cuda_gis_smoothing_spark.functions.text import vocab_coverage
+
+    return vocab_coverage(load(spark, sf_dir, "documents"))
+
+
 def _q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event-type
     sequences (empirical funnel discovery); (epoch_us, event_id) total
@@ -1776,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_gradient": _q_cell_gradient,
         "doc_entropy": _q_doc_entropy,
         "zipf_fit": _q_zipf_fit,
+        "vocab_coverage": _q_vocab_coverage,
         "event_transitions": _q_event_transitions,
         "event_transitions_maintained": _q_event_transitions_maintained,
         "event_interarrival": _q_event_interarrival,
@@ -3015,10 +3025,12 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     from cuda_gis_smoothing_spark.functions.text import (
         DOC_ENTROPY_SQL,
         ZIPF_FIT_SQL,
+        vocab_coverage_sql,
     )
 
     out["doc_entropy"] = DOC_ENTROPY_SQL
     out["zipf_fit"] = ZIPF_FIT_SQL
+    out["vocab_coverage"] = vocab_coverage_sql()
     from cuda_gis_smoothing_spark.operators.events import (
         EVENT_INTERARRIVAL_SQL,
         EVENT_TRANSITIONS_SQL,

@@ -883,3 +883,118 @@ SELECT CAST(n AS BIGINT) AS n_vocab,
          AS zipf_intercept
 FROM s
 """.strip()
+
+
+#: vocabulary-coverage targets (shared by operator and twin)
+VOCAB_COVERAGES = (0.5, 0.75, 0.9, 0.99)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    coverages: tuple[float, ...] = VOCAB_COVERAGES,
+) -> DataFrame:
+    """Vocabulary coverage curve: the smallest top-by-frequency vocab
+    that covers each target share of token OCCURRENCES — the
+    tokenizer-budget question ("how many types cover 95% of the
+    corpus?"). One row per target:
+    (coverage, vocab_needed, vocab_share, occ_share).
+
+    Composes BOTH partition-parallel order-statistics kernels over the
+    same checkpointed count table: descending ranks from
+    ``global_ranks`` and top-of-distribution cumulative mass from
+    ``global_prefix_sums`` (top-r sum = T − ascending exclusive
+    prefix, so no descending pass is needed); no global sort anywhere.
+    The threshold compare is (integer cumulative) ≥ (target × integer
+    total) — one double product, identical cross-engine; within a
+    count-tie block the cumulative values are permutation-invariant,
+    and both engines pin the same (count, token) total order anyway.
+    ``occ_share`` reports the exact share the chosen vocab covers
+    (≥ the target — the curve is a step function).
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.plans.partitioning import (
+        global_prefix_sums,
+        global_ranks,
+    )
+
+    counts = (
+        df.select(F.explode(tokens_col(text_col)).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("_v"), F.sum("_c").alias("_T")
+    )
+    ranked = global_ranks(counts, ["_c", "t"], out_col="_r", boundaries="quantile")
+    pre = global_prefix_sums(
+        counts, ["_c", "t"], "_c", out_col="_p", boundaries="quantile"
+    ).select("t", "_p")
+    cov = F.explode(
+        F.array(*[F.lit(float(c)) for c in coverages])
+    ).alias("coverage")
+    rows = (
+        ranked.join(pre, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("_v") - F.col("_r") + 1).alias("_rd"),
+            (F.col("_T") - F.col("_p")).alias("_topcum"),
+            "_v",
+            "_T",
+            cov,
+        )
+    )
+    hit = rows.where(F.col("_topcum") >= F.col("coverage") * F.col("_T"))
+    # _topcum is strictly increasing in rank_desc (counts ≥ 1), so the
+    # first qualifying rank's mass is the MIN _topcum among qualifiers
+    return (
+        hit.groupBy("coverage")
+        .agg(
+            F.min("_rd").cast("long").alias("vocab_needed"),
+            F.min("_topcum").alias("_occ"),
+            F.max("_v").alias("_vv"),
+            F.max("_T").alias("_TT"),
+        )
+        .select(
+            round6(F.col("coverage")).alias("coverage"),
+            "vocab_needed",
+            round6(F.col("vocab_needed") / F.col("_vv")).alias("vocab_share"),
+            round6(F.col("_occ") / F.col("_TT")).alias("occ_share"),
+        )
+    )
+
+
+def vocab_coverage_sql(coverages: tuple[float, ...] = VOCAB_COVERAGES) -> str:
+    """DuckDB twin of :func:`vocab_coverage` — the (c DESC, t DESC)
+    window order matches the Spark side's V − asc_rank + 1 exactly."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
+    covs = ", ".join(flit(float(c)) for c in coverages)
+    return f"""
+WITH occ AS (
+  SELECT t FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+c AS (SELECT t, COUNT(*) AS c FROM occ GROUP BY t),
+tot AS (SELECT COUNT(*) AS v, SUM(c) AS T FROM c),
+r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c.c DESC, c.t DESC) AS rd,
+         SUM(c.c) OVER (ORDER BY c.c DESC, c.t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS topcum
+  FROM c
+),
+cov AS (SELECT unnest([{covs}]) AS coverage),
+hit AS (
+  SELECT cov.coverage, r.rd, r.topcum, tot.v, tot.T
+  FROM r, cov, tot
+  WHERE r.topcum >= cov.coverage * tot.T
+)
+SELECT ROUND(coverage + 1e-09, 6) AS coverage,
+       CAST(MIN(rd) AS BIGINT) AS vocab_needed,
+       ROUND(MIN(rd) * 1.0 / MAX(v) + 1e-09, 6) AS vocab_share,
+       ROUND(MIN(topcum) * 1.0 / MAX(T) + 1e-09, 6) AS occ_share
+FROM hit GROUP BY coverage
+""".strip()

@@ -88,6 +88,7 @@ DOC_GATES = [
     "zipf_fit",
     "winnowing_fingerprints",
     "dedup_winnowed",
+    "vocab_coverage",
 ]
 
 
