@@ -1453,6 +1453,19 @@ def _q_event_transitions_maintained(spark, sf_dir):
     return out
 
 
+def _q_late_shipments(spark, sf_dir):
+    """TPC-H Q4-shaped priority audit — the LEFT SEMI (EXISTS) plan
+    shape over the order key with the exact-microsecond lateness
+    predicate riding the join condition."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        late_shipment_priority,
+    )
+
+    return late_shipment_priority(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
 def _q_user_rfm(spark, sf_dir):
     """RFM segmentation scored against exact corpus quartiles — every
     compared quantity integer or round6 so the thresholds cannot flip
@@ -1791,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_interarrival": _q_event_interarrival,
         "session_paths": _q_session_paths,
         "user_rfm": _q_user_rfm,
+        "late_shipments": _q_late_shipments,
         "winnowing_fingerprints": _q_winnowing,
         "dedup_winnowed": _q_dedup_winnowed,
         "ndvi_patches": _q_ndvi_patches,
@@ -3046,6 +3060,9 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
 
     out["session_paths"] = SESSION_PATHS_SQL
     out["user_rfm"] = user_rfm_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import late_shipment_sql
+
+    out["late_shipments"] = late_shipment_sql()
     from cuda_gis_smoothing_spark.operators.dedup import (
         winnow_sql,
         winnowed_neardup_sql,

@@ -186,3 +186,74 @@ SELECT c.c_custkey, c.c_name,
        CAST(ROW_NUMBER() OVER (ORDER BY t.rev_total DESC, c.c_custkey ASC) AS INT) AS rank
 FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
 """.strip()
+
+
+#: late-shipment grace period (exact integer microseconds)
+LATE_SHIP_GRACE_US = 60 * 86_400 * 1_000_000
+
+
+def late_shipment_priority(
+    orders: DataFrame, lineitem: DataFrame, grace_us: int = LATE_SHIP_GRACE_US
+) -> DataFrame:
+    """TPC-H Q4-shaped order-priority audit: per priority, how many
+    orders have AT LEAST ONE lineitem shipped more than the grace
+    period after the order date — the canonical EXISTS/semi-join plan
+    shape (every other star gate is an inner/broadcast chain; this
+    pins LEFT SEMI). Output: (o_orderpriority, n_orders,
+    n_late_orders, late_share).
+
+    The lateness predicate is exact integer microseconds
+    (``timestampdiff`` between two NTZ values — the event_micros
+    timezone-free contract), and late_share is an integer-over-integer
+    round6. Plan (100 TB): one hash semi-join shuffled on the order
+    key (the date predicate rides the join condition, so a matched
+    order short-circuits without materializing its other lineitems),
+    two priority-sized hash aggregates, one tiny left join."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    o = orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.expr("timestampdiff(MICROSECOND, o_orderdate, l_shipdate)")
+            > F.lit(grace_us)
+        ),
+        "left_semi",
+    )
+    tot = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    ln = late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_late_orders")
+    )
+    return tot.join(ln, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "n_orders",
+        F.coalesce("n_late_orders", F.lit(0)).cast("long").alias("n_late_orders"),
+        round6(
+            F.coalesce("n_late_orders", F.lit(0)) / F.col("n_orders")
+        ).alias("late_share"),
+    )
+
+
+def late_shipment_sql(grace_us: int = LATE_SHIP_GRACE_US) -> str:
+    return f"""
+WITH late AS (
+  SELECT o_orderkey, o_orderpriority FROM orders o
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > {grace_us}
+  )
+),
+tot AS (SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+ln AS (SELECT o_orderpriority, COUNT(*) AS n_late_orders FROM late GROUP BY 1)
+SELECT tot.o_orderpriority,
+       CAST(tot.n_orders AS BIGINT) AS n_orders,
+       CAST(COALESCE(ln.n_late_orders, 0) AS BIGINT) AS n_late_orders,
+       ROUND(COALESCE(ln.n_late_orders, 0) * 1.0 / tot.n_orders + 1e-09, 6)
+         AS late_share
+FROM tot LEFT JOIN ln USING (o_orderpriority)
+""".strip()

@@ -15,7 +15,7 @@ import pytest
 
 from test_entry_parity import assert_gate_on
 
-GATES = ["region_revenue", "top_customers"]
+GATES = ["region_revenue", "top_customers", "late_shipments"]
 
 
 def _warehouse(seed: int = 7):
