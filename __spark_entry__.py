@@ -1466,6 +1466,28 @@ def _q_late_shipments(spark, sf_dir):
     )
 
 
+def _q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: PROMO-part revenue share on the exact integer
+    cents x percent grid; part is a broadcast dimension hop."""
+    from cuda_gis_smoothing_spark.operators.analytics import promo_revenue
+
+    return promo_revenue(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+def _q_supplier_balances(spark, sf_dir):
+    """Per-nation supplier census with exact-cent balance totals —
+    brings the supplier table under the gate wall."""
+    from cuda_gis_smoothing_spark.operators.analytics import supplier_balances
+
+    return supplier_balances(
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
 def _q_user_rfm(spark, sf_dir):
     """RFM segmentation scored against exact corpus quartiles — every
     compared quantity integer or round6 so the thresholds cannot flip
@@ -1805,6 +1827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": _q_session_paths,
         "user_rfm": _q_user_rfm,
         "late_shipments": _q_late_shipments,
+        "promo_revenue": _q_promo_revenue,
+        "supplier_balances": _q_supplier_balances,
         "winnowing_fingerprints": _q_winnowing,
         "dedup_winnowed": _q_dedup_winnowed,
         "ndvi_patches": _q_ndvi_patches,
@@ -3060,9 +3084,15 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
 
     out["session_paths"] = SESSION_PATHS_SQL
     out["user_rfm"] = user_rfm_sql()
-    from cuda_gis_smoothing_spark.operators.analytics import late_shipment_sql
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        PROMO_REVENUE_SQL,
+        SUPPLIER_BALANCES_SQL,
+        late_shipment_sql,
+    )
 
     out["late_shipments"] = late_shipment_sql()
+    out["promo_revenue"] = PROMO_REVENUE_SQL
+    out["supplier_balances"] = SUPPLIER_BALANCES_SQL
     from cuda_gis_smoothing_spark.operators.dedup import (
         winnow_sql,
         winnowed_neardup_sql,

@@ -257,3 +257,86 @@ SELECT tot.o_orderpriority,
          AS late_share
 FROM tot LEFT JOIN ln USING (o_orderpriority)
 """.strip()
+
+
+def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: share of lineitem revenue from PROMO-type
+    parts — the lineitem ⋈ part dimension hop (the one TPC-H table no
+    other gate touched). Revenue stays on the exact integer cents ×
+    percent grid (``_rev_scaled``), so the share is an
+    integer-over-integer round6 and the gate is association-proof.
+    Output: one row (n_lineitems, promo_revenue_scaled,
+    total_revenue_scaled, promo_share).
+
+    Plan (100 TB): part is an explicit ``broadcast()`` side (a
+    dimension — same treatment as region/nation); one scan of
+    lineitem, one 1-row conditional aggregate; no shuffle at all
+    beyond the final 1-row collapse."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    rev = _rev_scaled()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    j = lineitem.select("l_partkey", "l_extendedprice", "l_discount").join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum(promo).cast("long").alias("promo_revenue_scaled"),
+        F.sum(rev).cast("long").alias("total_revenue_scaled"),
+        round6(F.sum(promo) / F.sum(rev)).alias("promo_share"),
+    )
+
+
+PROMO_REVENUE_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SCALED_SQL} ELSE 0 END) AS BIGINT)
+         AS promo_revenue_scaled,
+       CAST(SUM({_REV_SCALED_SQL}) AS BIGINT) AS total_revenue_scaled,
+       ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SCALED_SQL} ELSE 0 END) * 1.0
+             / SUM({_REV_SCALED_SQL}) + 1e-09, 6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""".strip()
+
+
+def supplier_balances(
+    supplier: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Per-nation supplier census: count + exact-cent account-balance
+    total through the region/nation dimension chain — brings the
+    SUPPLIER table under the gate wall (the last untouched fixture
+    table). Balances are 2-dp money: ``round(x*100)`` recovers exact
+    integer cents (the region_revenue fixed-point contract), so the
+    sums are association-free. Output: (r_name, n_name, n_suppliers,
+    total_acctbal_cents).
+
+    Plan (100 TB): two broadcast dimension hops, one nation-sized hash
+    aggregate."""
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    dims = F.broadcast(
+        region.select("r_regionkey", "r_name")
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        supplier.select("s_nationkey", cents.alias("_c"))
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("_c").cast("long").alias("total_acctbal_cents"),
+        )
+    )
+
+
+SUPPLIER_BALANCES_SQL = """
+SELECT r_name, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS total_acctbal_cents
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name, n_name
+""".strip()

@@ -15,7 +15,13 @@ import pytest
 
 from test_entry_parity import assert_gate_on
 
-GATES = ["region_revenue", "top_customers", "late_shipments"]
+GATES = [
+    "region_revenue",
+    "top_customers",
+    "late_shipments",
+    "promo_revenue",
+    "supplier_balances",
+]
 
 
 def _warehouse(seed: int = 7):
@@ -70,12 +76,27 @@ def _warehouse(seed: int = 7):
             add_order(cust, boundary_lines)  # STRADDLES the k=20 cut
         else:
             add_order(cust, rand_lines(rng.randint(1, 5)))
+    # part keys 1..50 are referenced by lineitem; 51-60 never are.
+    # cent-grid retail prices keep the money contract
+    part = [
+        (p, f"Part#{p}", f"Brand#{p % 5}",
+         rng.choice(["PROMO", "STANDARD", "ECONOMY"]), rng.randint(1, 50),
+         round(rng.uniform(1, 500), 2))
+        for p in range(1, 61)
+    ]
+    # suppliers spread over every nation incl. the customer-less ones
+    supplier = [
+        (s, f"Supplier#{s}", nation[s % 8][0], round(rng.uniform(-999, 9999.99), 2))
+        for s in range(1, 13)
+    ]
     return {
         "region": region,
         "nation": nation,
         "customer": customer,
         "orders": orders,
         "lineitem": lineitem,
+        "part": part,
+        "supplier": supplier,
     }
 
 
@@ -89,6 +110,11 @@ SCHEMAS = {
         "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
         "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz"
     ),
+    "part": (
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ),
+    "supplier": "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
 }
 
 
