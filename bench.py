@@ -151,6 +151,12 @@ BENCH_QUERIES = [
     "dedup_winnowed",
     "ndvi_patches",
     "correlogram",
+    "session_paths",
+    "user_rfm",
+    "vocab_coverage",
+    "late_shipments",
+    "promo_revenue",
+    "supplier_balances",
 ]
 
 
