@@ -3489,13 +3489,12 @@ def _span_ctes(source: str, g: int) -> str:
     duplicate_spans' gram-seed + per-diagonal islands-and-gaps merge
     over relation ``source`` — ONE builder shared by the
     duplicate_spans, span_coverage and curate_corpus_strict twins so a
-    fix to the sweep can never silently diverge between gates."""
-    return f"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM {source}),
-pos AS (
-  SELECT doc_id, i AS pos, array_to_string(ts[i:i+{g - 1}], ' ') AS g
-  FROM toks, UNNEST(CASE WHEN len(ts) >= {g}
-                    THEN generate_series(1, len(ts) - {g - 1}) ELSE [] END) AS u(i)
-),
+    fix to the sweep can never silently diverge between gates; the
+    gram extraction itself comes from the shared ``gram_pos_ctes``
+    (also the winnowing family's)."""
+    from cuda_gis_smoothing_spark.operators.dedup import gram_pos_ctes
+
+    return f"""{gram_pos_ctes(source, g)},
 seed AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
   FROM pos a JOIN pos b ON a.g = b.g AND a.doc_id < b.doc_id

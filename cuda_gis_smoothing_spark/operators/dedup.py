@@ -1734,21 +1734,31 @@ def winnow_fingerprints(
     )
 
 
+def gram_pos_ctes(source: str, g: int) -> str:
+    """DuckDB CTE pair ``toks → pos`` emitting each doc's 1-based
+    ``g``-gram positions ``(doc_id, pos, g)`` — the SQL twin of
+    :func:`gram_positions`, shared by the span family
+    (``__spark_entry__._span_ctes``) and the winnowing family so the
+    gram semantics (empty-guard, 1-based positions, space join) can
+    never silently diverge between them."""
+    return f"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM {source}),
+pos AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i:i+{g - 1}], ' ') AS g
+  FROM toks, UNNEST(CASE WHEN len(ts) >= {g}
+                    THEN generate_series(1, len(ts) - {g - 1}) ELSE [] END) AS u(i)
+)"""
+
+
 def winnow_ctes(gram_len: int, window: int, source: str = "documents") -> str:
     """CTE chain ``toks → pos → h → wfp`` producing the winnowed
     (doc_id, fingerprint) set — ONE builder shared by the
     winnowing_fingerprints and dedup_winnowed twins (the _span_ctes
     precedent: a fix to the selection can never diverge between
-    gates). Same grams (the _span_ctes ``pos`` form), same polynomial
-    hash, same window frame as :func:`winnow_fingerprints`."""
-    g = gram_len
-    return f"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM {source}),
-pos AS (
-  SELECT doc_id, i AS pos, array_to_string(ts[i:i+{g - 1}], ' ') AS gr
-  FROM toks, UNNEST(CASE WHEN len(ts) >= {g}
-                    THEN generate_series(1, len(ts) - {g - 1}) ELSE [] END) AS u(i)
-),
-h AS (SELECT doc_id, pos, {token_hash_sql_duckdb("gr")} AS gh FROM pos),
+    gates). Grams from the shared :func:`gram_pos_ctes`, same
+    polynomial hash, same window frame as
+    :func:`winnow_fingerprints`."""
+    return f"""{gram_pos_ctes(source, gram_len)},
+h AS (SELECT doc_id, pos, {token_hash_sql_duckdb("g")} AS gh FROM pos),
 wfp AS (
   SELECT DISTINCT doc_id,
          CAST(MIN(gh) OVER (

@@ -96,20 +96,30 @@ def sessionize(events: DataFrame) -> DataFrame:
     )
 
 
-SESSIONIZE_SQL = f"""
-WITH flagged AS (
-  SELECT user_id, event_id, ts, value,
+def _session_ctes(payload_cols: str) -> str:
+    """DuckDB CTE pair ``flagged → sess`` tagging every event with its
+    gap-break ``session_seq`` — the SQL twin of :func:`session_events`,
+    shared by the sessionize and session_paths twins so the gap
+    predicate and the (us, event_id) total order can never drift
+    between them. ``payload_cols`` = extra event columns to carry
+    through (beyond user_id/event_id/us)."""
+    return f"""flagged AS (
+  SELECT user_id, event_id, {payload_cols},
          epoch_us(ts) AS us,
          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
   FROM events
 ),
 sess AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, {payload_cols}, us,
          SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY us, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
-)
+)"""
+
+
+SESSIONIZE_SQL = f"""
+WITH {_session_ctes("ts, value")}
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(MIN(ts) AS VARCHAR) AS session_start,
        COUNT(*) AS n_events,
@@ -995,19 +1005,7 @@ def session_paths(
 
 
 SESSION_PATHS_SQL = f"""
-WITH flagged AS (
-  SELECT user_id, event_id, event_type,
-         epoch_us(ts) AS us,
-         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
-  FROM events
-),
-sess AS (
-  SELECT user_id, event_id, event_type, us,
-         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY us, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-  FROM flagged
-),
+WITH {_session_ctes("event_type")},
 rn AS (
   SELECT user_id, session_seq,
          COALESCE(event_type, '{NULL_PATH_TOKEN}') AS t,

@@ -173,10 +173,11 @@ class MaintainedTransitions:
         cur = self.counts_log.read()
         if cur is None:
             raise ValueError("MaintainedTransitions: empty state")
+        # only to_k is sentinel-keyed: from_type is filtered non-NULL
+        # before grouping, so no stored row ever carries the sentinel
+        # in from_k (NULL-from pairs are dropped, per module docstring)
         counts = cur.select(
-            F.when(F.col("from_k") == NULL_TYPE, F.lit(None))
-            .otherwise(F.col("from_k"))
-            .alias("from_type"),
+            F.col("from_k").alias("from_type"),
             F.when(F.col("to_k") == NULL_TYPE, F.lit(None))
             .otherwise(F.col("to_k"))
             .alias("to_type"),
