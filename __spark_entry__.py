@@ -1518,6 +1518,14 @@ def _q_event_interarrival(spark, sf_dir):
 _WINNOW_W = 4
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    """Vector-space-model retrieval (lnc.nnn cosine over the shared
+    doc_tfidf sparse vectors) — the classical ranking beside BM25."""
+    from cuda_gis_smoothing_spark.operators.retrieval import tfidf_topk
+
+    return tfidf_topk(load(spark, sf_dir, "documents"))
+
+
 def _q_winnowing(spark, sf_dir):
     """Winnowing (MOSS) fingerprint selection: per-window minimum of
     the rolling gram hashes — the guaranteed-recall sub-quadratic
@@ -1549,6 +1557,12 @@ def _q_ndvi_patches(spark, sf_dir):
     star-CC core as the text/embedding dedup clusters; recursive-
     closure twin over the identical marked edge set."""
     return stats_ops.value_patches(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_cell_quantile_norm(spark, sf_dir):
+    """Rank-based (ECDF) normalization of ndvi — quantile-boundary
+    global ranks (partition-parallel, no global sort), exact rank/n."""
+    return stats_ops.cell_quantile_norm(grid_from_lineitem(spark, sf_dir))
 
 
 def _q_correlogram(spark, sf_dir):
@@ -1829,10 +1843,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipments": _q_late_shipments,
         "promo_revenue": _q_promo_revenue,
         "supplier_balances": _q_supplier_balances,
+        "tfidf_topk": _q_tfidf_topk,
         "winnowing_fingerprints": _q_winnowing,
         "dedup_winnowed": _q_dedup_winnowed,
         "ndvi_patches": _q_ndvi_patches,
         "correlogram": _q_correlogram,
+        "cell_quantile_norm": _q_cell_quantile_norm,
         # --- driver-checked in r4 (CORRECTNESS_r04 green) -----------------
         "smooth_simple_k1": _rounded_smooth("simple_k1", ("ndvi",)),
         "smooth_gaussian_k1": _rounded_smooth("gaussian_k1", ("ndvi",)),
@@ -2863,19 +2879,14 @@ FROM cells4 c CROSS JOIN offs o
 JOIN cells4 n ON n.cell = c.cell + o.delta
 GROUP BY o.ring
 """.strip()
-    out["doc_tfidf"] = """
-WITH occ AS (
-  SELECT doc_id, t FROM (
-    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
-  ) WHERE t <> ''
-),
-tf AS (SELECT doc_id, t AS token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
-dfr AS (SELECT token, COUNT(*) * 1.0 AS df FROM tf GROUP BY token),
-n AS (SELECT COUNT(*) * 1.0 AS N FROM documents WHERE text IS NOT NULL)
-SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
-       ROUND(tf.tf * ln(1.0 + (n.N - dfr.df + 0.5) / (dfr.df + 0.5)) + 1e-09, 6) AS tfidf
-FROM tf JOIN dfr USING (token), n
+    from cuda_gis_smoothing_spark.functions.text import TFIDF_VEC_CTES
+    from cuda_gis_smoothing_spark.operators.retrieval import tfidf_topk_sql
+
+    out["doc_tfidf"] = f"""
+WITH {TFIDF_VEC_CTES}
+SELECT doc_id, token, tf, tfidf FROM vec
 """.strip()
+    out["tfidf_topk"] = tfidf_topk_sql()
     # identical semantics, different Spark path (maintained index logs)
     out["doc_tfidf_maintained"] = out["doc_tfidf"]
     out["knn_ivf_maintained"] = out["knn_ivf"]
@@ -3102,6 +3113,13 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     out["dedup_winnowed"] = winnowed_neardup_sql(
         _JACCARD_THRESHOLD, _SPAN_GRAM, _WINNOW_W
     )
+    out["cell_quantile_norm"] = f"""
+WITH {GRID_CELLS_SQL},
+n AS (SELECT COUNT(*) AS n FROM cells4)
+SELECT cell, ndvi,
+       ROUND(ROW_NUMBER() OVER (ORDER BY ndvi, cell) * 1.0 / n.n + 1e-09, 6) AS ecdf
+FROM cells4, n
+""".strip()
     out["correlogram"] = f"""
 WITH {GRID_CELLS_SQL},
 o1 (delta) AS (VALUES {_vals(_R1)}),

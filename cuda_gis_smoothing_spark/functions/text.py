@@ -998,3 +998,22 @@ SELECT ROUND(coverage + 1e-09, 6) AS coverage,
        ROUND(MIN(topcum) * 1.0 / MAX(T) + 1e-09, 6) AS occ_share
 FROM hit GROUP BY coverage
 """.strip()
+
+
+#: DuckDB CTE chain ``occ → tf → dfr → n → vec`` producing the exact
+#: :func:`doc_tfidf` sparse vectors — ONE definition shared by the
+#: doc_tfidf / doc_tfidf_maintained twins and the tfidf_topk retrieval
+#: twin so the weighting can never drift between them.
+TFIDF_VEC_CTES = """occ AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+tf AS (SELECT doc_id, t AS token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+dfr AS (SELECT token, COUNT(*) * 1.0 AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) * 1.0 AS N FROM documents WHERE text IS NOT NULL),
+vec AS (
+  SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+         ROUND(tf.tf * ln(1.0 + (n.N - dfr.df + 0.5) / (dfr.df + 0.5)) + 1e-09, 6) AS tfidf
+  FROM tf JOIN dfr USING (token), n
+)"""

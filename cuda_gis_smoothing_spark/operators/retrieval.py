@@ -264,3 +264,64 @@ def bm25_score_postings(
         .where(F.col("_rk") <= k)
         .select("query_id", id_col, "bm25")
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = BM25_TOPK_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vector-space-model retrieval: top-``k`` docs by cosine between
+    the :func:`~cuda_gis_smoothing_spark.functions.text.doc_tfidf`
+    sparse vectors and an UNWEIGHTED query-term indicator vector
+    (lnc.nnn in SMART notation — the query norm is constant across
+    docs, so it cannot change the ranking and is dropped). The
+    classical ranking beside BM25: same inverted structure, no length
+    saturation. Output: (doc_id, tfidf_cosine), docs matching at least
+    one query term (BM25's zero-score rows carry no information here).
+
+    Cross-engine contract: both the norm and the score aggregate the
+    ROUND6'd tfidf weights — both engines square/sum identical doubles
+    — and the k-cut total-orders on (score DESC, doc_id).
+
+    Plan (100 TB): the vector table materializes once (localCheckpoint
+    — the norm aggregate and the query-term filter are differently
+    pruned consumers), then two doc-keyed hash aggregates and a
+    TakeOrderedAndProject k-cut."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.functions.text import doc_tfidf
+
+    terms = check_terms(terms)
+    vec = doc_tfidf(docs, id_col=id_col).localCheckpoint()
+    norms = vec.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("_nrm")
+    )
+    hits = (
+        vec.where(F.col("token").isin(list(terms)))
+        .groupBy(id_col)
+        .agg(F.sum("tfidf").alias("_s"))
+    )
+    scored = hits.join(norms, id_col).select(
+        id_col, round6(F.col("_s") / F.col("_nrm")).alias("tfidf_cosine")
+    )
+    return scored.orderBy(F.col("tfidf_cosine").desc(), id_col).limit(k)
+
+
+def tfidf_topk_sql(
+    terms: tuple[str, ...] = BM25_TERMS, k: int = BM25_TOPK_K
+) -> str:
+    """DuckDB twin of :func:`tfidf_topk` over the shared
+    ``TFIDF_VEC_CTES`` vector definition."""
+    from cuda_gis_smoothing_spark.functions.text import TFIDF_VEC_CTES
+
+    tl = ", ".join(f"'{t}'" for t in check_terms(terms))
+    return f"""
+WITH {TFIDF_VEC_CTES},
+norms AS (SELECT doc_id, SQRT(SUM(tfidf * tfidf)) AS nrm FROM vec GROUP BY doc_id),
+hits AS (SELECT doc_id, SUM(tfidf) AS s FROM vec WHERE token IN ({tl}) GROUP BY doc_id)
+SELECT doc_id, ROUND(s / nrm + 1e-09, 6) AS tfidf_cosine
+FROM hits JOIN norms USING (doc_id)
+ORDER BY tfidf_cosine DESC, doc_id
+LIMIT {k}
+""".strip()

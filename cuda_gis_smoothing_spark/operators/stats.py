@@ -757,3 +757,31 @@ def correlogram(cells: DataFrame, value_col: str = "ndvi", k: int = 2) -> DataFr
             "morans_i"
         ),
     )
+
+
+def cell_quantile_norm(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Rank-based (ECDF) normalization of a cell variable — the
+    quantile-normalization preprocessing step (maps any value
+    distribution onto the uniform grid; the raster analog of the ML
+    feature transform). Output: (cell, <value_col>, ecdf) with ecdf =
+    rank/n under the (value, cell) TOTAL order (ties broken by cell id
+    so both engines assign identical ranks; rank/n is an
+    integer-over-integer double — exact cross-engine).
+
+    Plan (100 TB): ranks from quantile-boundary ``global_ranks``
+    (partition-parallel — a float leading key degenerates the uniform
+    integer-width cut to one bucket, so quantile cuts are REQUIRED
+    here); n is a 1-row broadcast. No global sort."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
+
+    base = cells.select("cell", value_col)
+    n = base.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = global_ranks(
+        base, [value_col, "cell"], out_col="_r", boundaries="quantile"
+    )
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "cell",
+        value_col,
+        round6(F.col("_r") / F.col("_n")).alias("ecdf"),
+    )

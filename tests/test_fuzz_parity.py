@@ -89,6 +89,7 @@ DOC_GATES = [
     "winnowing_fingerprints",
     "dedup_winnowed",
     "vocab_coverage",
+    "tfidf_topk",
 ]
 
 
