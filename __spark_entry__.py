@@ -1537,6 +1537,24 @@ def _q_winnowing(spark, sf_dir):
     )
 
 
+def _q_winnowing_maintained(spark, sf_dir):
+    """The SAME winnowed fingerprint set served from a maintained
+    doc-keyed selection log (single-batch fold, the bm25_search
+    precedent) — gates the incremental span-level candidate index
+    against the batch twin every round."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.winnow import MaintainedWinnow
+
+    state = tempfile.mkdtemp(prefix="winnow_state_")
+    mw = MaintainedWinnow(spark, state, gram_len=_SPAN_GRAM, window=_WINNOW_W)
+    mw.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = mw.fingerprints()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_dedup_winnowed(spark, sf_dir):
     """Near-dup pairs from winnowed-fingerprint candidates + shared
     exact-jaccard verify — the guaranteed-recall (span-level)
@@ -1845,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balances": _q_supplier_balances,
         "tfidf_topk": _q_tfidf_topk,
         "winnowing_fingerprints": _q_winnowing,
+        "winnowing_maintained": _q_winnowing_maintained,
         "dedup_winnowed": _q_dedup_winnowed,
         "ndvi_patches": _q_ndvi_patches,
         "correlogram": _q_correlogram,
@@ -3110,6 +3129,8 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     )
 
     out["winnowing_fingerprints"] = winnow_sql(_SPAN_GRAM, _WINNOW_W)
+    # identical semantics, different Spark path (maintained selection log)
+    out["winnowing_maintained"] = out["winnowing_fingerprints"]
     out["dedup_winnowed"] = winnowed_neardup_sql(
         _JACCARD_THRESHOLD, _SPAN_GRAM, _WINNOW_W
     )

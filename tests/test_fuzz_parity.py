@@ -87,6 +87,7 @@ DOC_GATES = [
     "doc_entropy",
     "zipf_fit",
     "winnowing_fingerprints",
+    "winnowing_maintained",
     "dedup_winnowed",
     "vocab_coverage",
     "tfidf_topk",
