@@ -157,6 +157,9 @@ BENCH_QUERIES = [
     "late_shipments",
     "promo_revenue",
     "supplier_balances",
+    "cell_quantile_norm",
+    "tfidf_topk",
+    "winnowing_maintained",
 ]
 
 
