@@ -1415,6 +1415,15 @@ def _q_zipf_fit(spark, sf_dir):
     return zipf_fit(load(spark, sf_dir, "documents"))
 
 
+def _q_doc_compression_ratio(spark, sf_dir):
+    """Compressibility quality signal (deflate size / raw size) — the
+    one deliberate text-side vectorized pandas UDF; ROWS-ONLY gate
+    (zlib has no SQL twin), pytest-gated by a zlib differential."""
+    from cuda_gis_smoothing_spark.functions.text import doc_compression_ratio
+
+    return doc_compression_ratio(load(spark, sf_dir, "documents"))
+
+
 def _q_vocab_coverage(spark, sf_dir):
     """Vocabulary coverage curve (smallest top-frequency vocab per
     occurrence-share target) — composes BOTH partition-parallel
@@ -1853,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": _q_doc_entropy,
         "zipf_fit": _q_zipf_fit,
         "vocab_coverage": _q_vocab_coverage,
+        "doc_compression_ratio": _q_doc_compression_ratio,
         "event_transitions": _q_event_transitions,
         "event_transitions_maintained": _q_event_transitions_maintained,
         "event_interarrival": _q_event_interarrival,

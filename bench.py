@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "cell_quantile_norm",
     "tfidf_topk",
     "winnowing_maintained",
+    "doc_compression_ratio",
 ]
 
 

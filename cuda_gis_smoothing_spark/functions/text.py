@@ -1017,3 +1017,51 @@ vec AS (
          ROUND(tf.tf * ln(1.0 + (n.N - dfr.df + 0.5) / (dfr.df + 0.5)) + 1e-09, 6) AS tfidf
   FROM tf JOIN dfr USING (token), n
 )"""
+
+
+def doc_compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Compressibility quality signal (the Gopher/FineWeb heuristic):
+    deflate-compressed size over raw UTF-8 size — near-zero ratios are
+    templated/repetitive text, near-1 ratios are noise; real pipelines
+    threshold both tails. Output: (doc_id, n_chars, compression_ratio)
+    with NULL ratio for NULL/empty text.
+
+    ROWS-ONLY gate BY DESIGN: zlib is not expressible in DuckDB SQL,
+    so there is no twin — correctness is pytest-gated by a pure-Python
+    zlib differential (deterministic: zlib at a fixed level is
+    bit-stable across platforms/versions for the same input, and the
+    ratio is rounded on the same round6 grid as everything else).
+
+    This is ALSO the repo's one deliberate text-side Python UDF: a
+    vectorized ``pandas_udf`` over Arrow batches (never row-at-a-time
+    — the ~10-100× rule), the pattern to copy when a signal genuinely
+    cannot be a Catalyst expression. Plan: a pure projection — no
+    shuffle, scales embarrassingly."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(s):
+        import zlib
+
+        def f(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return round(len(zlib.compress(b, 6)) / len(b) + 1e-09, 6)
+
+        return s.map(f)
+
+    # `from __future__ import annotations` stringifies closure type
+    # hints, which pandas_udf cannot resolve — attach live objects
+    # (the CLAUDE.md pandas_udf annotations quirk)
+    _ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    ratio = pandas_udf(_ratio, "double")
+    return df.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars"),
+        ratio(F.col(text_col)).alias("compression_ratio"),
+    )

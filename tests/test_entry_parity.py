@@ -52,7 +52,11 @@ def _norm(rows, cols):
 #: gates with NO DuckDB twin BY DESIGN (non-SQL-expressible): the
 #: driver records a rows-only check for these; quality is pytest-gated
 #: (see each gate's docstring). Everything else must have a twin.
-ROWS_ONLY = {"knn_graph_ivf_trained", "pq_search_trained"}
+ROWS_ONLY = {
+    "knn_graph_ivf_trained",
+    "pq_search_trained",
+    "doc_compression_ratio",  # zlib has no SQL twin; zlib differential
+}
 
 ALL_QUERIES = sorted(set(entry_mod.queries()) - ROWS_ONLY)
 

@@ -666,3 +666,30 @@ def test_lang_source_chi2_differential(spark):
     assert (r.n_docs, r.n_langs, r.n_sources, r.dof) == (18, 2, 2, 1)
     assert abs(r.chi2 - chi2) < 1e-5
     assert abs(r.cramers_v - (chi2 / (n * 1)) ** 0.5) < 1e-5
+
+
+def test_compression_ratio_matches_zlib(spark):
+    """doc_compression_ratio (the rows-only pandas-UDF gate) must equal
+    a pure-Python zlib computation row for row, with NULL for NULL and
+    empty text."""
+    import zlib
+
+    from cuda_gis_smoothing_spark.functions.text import doc_compression_ratio
+
+    rows = [
+        (1, "the the the the the the the the the the"),  # compresses hard
+        (2, "zq8!kf@93jx#mwp2$vd7&hb1*ln5^cr4"),  # high-entropy
+        (3, None),
+        (4, ""),
+        (5, "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in doc_compression_ratio(docs).collect()}
+    for i, t in rows:
+        if not t:
+            assert got[i]["compression_ratio"] is None
+        else:
+            b = t.encode("utf-8")
+            exp = round(len(zlib.compress(b, 6)) / len(b) + 1e-09, 6)
+            assert got[i]["compression_ratio"] == exp
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
