@@ -1497,6 +1497,64 @@ def _q_supplier_balances(spark, sf_dir):
     )
 
 
+def _q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment filter pushed into the customer scan,
+    two fact equi-joins, exact-cents top-k via TakeOrderedAndProject."""
+    from cuda_gis_smoothing_spark.operators.analytics import shipping_priority
+
+    return shipping_priority(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: returns-exposure ranking — the returnflag
+    filter reaches the lineitem scan; customer join runs over the
+    aggregated side only."""
+    from cuda_gis_smoothing_spark.operators.analytics import returned_revenue
+
+    return returned_revenue(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer histogram INCLUDING the
+    zero-order bucket (LEFT OUTER join — fuzz-pinned on order-less
+    customers)."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        customer_order_distribution,
+    )
+
+    return customer_order_distribution(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
+def _q_part_quantity_outliers(spark, sf_dir):
+    """TPC-H Q17 shape: small-lot revenue audit — decorrelated per-part
+    average join with a pure-integer threshold compare."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        part_quantity_outliers,
+    )
+
+    return part_quantity_outliers(load(spark, sf_dir, "lineitem"))
+
+
+def _q_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-pruned order-quantity aggregate joined
+    to orders; integer-exact ranking."""
+    from cuda_gis_smoothing_spark.operators.analytics import big_orders
+
+    return big_orders(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
 def _q_user_rfm(spark, sf_dir):
     """RFM segmentation scored against exact corpus quartiles — every
     compared quantity integer or round6 so the thresholds cannot flip
@@ -1871,6 +1929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipments": _q_late_shipments,
         "promo_revenue": _q_promo_revenue,
         "supplier_balances": _q_supplier_balances,
+        "shipping_priority": _q_shipping_priority,
+        "returned_revenue": _q_returned_revenue,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "part_quantity_outliers": _q_part_quantity_outliers,
+        "big_orders": _q_big_orders,
         "tfidf_topk": _q_tfidf_topk,
         "winnowing_fingerprints": _q_winnowing,
         "winnowing_maintained": _q_winnowing_maintained,
@@ -3133,6 +3196,19 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     out["late_shipments"] = late_shipment_sql()
     out["promo_revenue"] = PROMO_REVENUE_SQL
     out["supplier_balances"] = SUPPLIER_BALANCES_SQL
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        PART_QUANTITY_OUTLIERS_SQL,
+        big_orders_sql,
+        returned_revenue_sql,
+        shipping_priority_sql,
+    )
+
+    out["shipping_priority"] = shipping_priority_sql()
+    out["returned_revenue"] = returned_revenue_sql()
+    out["customer_order_distribution"] = CUSTOMER_ORDER_DISTRIBUTION_SQL
+    out["part_quantity_outliers"] = PART_QUANTITY_OUTLIERS_SQL
+    out["big_orders"] = big_orders_sql()
     from cuda_gis_smoothing_spark.operators.dedup import (
         winnow_sql,
         winnowed_neardup_sql,

@@ -161,6 +161,11 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "winnowing_maintained",
     "doc_compression_ratio",
+    "shipping_priority",
+    "returned_revenue",
+    "customer_order_distribution",
+    "part_quantity_outliers",
+    "big_orders",
 ]
 
 

@@ -340,3 +340,296 @@ JOIN nation ON n_nationkey = s_nationkey
 JOIN region ON r_regionkey = n_regionkey
 GROUP BY r_name, n_name
 """.strip()
+
+
+# -- round-5 late additions: the remaining canonical TPC-H plan shapes --
+
+#: Q3 cutoff / Q18 quantity floor — fixture orderdates span 1995-2001
+#: and per-order quantity p99 is ~262, so both constants cut non-
+#: degenerate subsets at every SF.
+SHIP_CUTOFF = "1998-06-01 00:00:00"
+BIG_ORDER_MIN_QTY = 300
+TOPK_DEFAULT = 20
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = SHIP_CUTOFF,
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k highest-revenue orders placed before the
+    cutoff with lineitems still shipping after it, for one market
+    segment — the selective-dimension-filter + two-fact-join + top-k
+    plan (the segment filter prunes customer BEFORE the join chain, so
+    Catalyst pushes it into the scan). Revenue is exact scaled cents ×
+    percent; the top-k total order is (revenue_scaled DESC, o_orderkey)
+    — integer, tie-proof. Output: (o_orderkey, order_date, n_items,
+    revenue).
+
+    Plan (100 TB): segment-filtered customer ⋈ date-filtered orders ⋈
+    date-filtered lineitem, all hash equi-joins on their keys; one
+    order-keyed aggregate; TakeOrderedAndProject for the top-k (no
+    global sort)."""
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(
+        F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{cutoff}'")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = lineitem.where(
+        F.col("l_shipdate") > F.expr(f"TIMESTAMP_NTZ '{cutoff}'")
+    ).select("l_orderkey", _rev_scaled().alias("_rev"))
+    per_order = (
+        ords.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_rev").alias("_rev_scaled"),
+        )
+    )
+    return (
+        per_order.orderBy(F.col("_rev_scaled").desc(), "o_orderkey")
+        .limit(k)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            "n_items",
+            round6(F.col("_rev_scaled") / F.lit(10_000.0)).alias("revenue"),
+        )
+    )
+
+
+def shipping_priority_sql(
+    segment: str = "BUILDING", cutoff: str = SHIP_CUTOFF, k: int = TOPK_DEFAULT
+) -> str:
+    return f"""
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM({_REV_SCALED_SQL}) / 10000.0 + 1e-09, 6) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{cutoff}'
+  AND l_shipdate > TIMESTAMP '{cutoff}'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY SUM({_REV_SCALED_SQL}) DESC, o_orderkey
+LIMIT {k}
+""".strip()
+
+
+def returned_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue LOST to returned
+    items (l_returnflag = 'R') — the returns-exposure ranking. Same
+    exact-cents total order contract as shipping_priority
+    ((revenue_scaled DESC, c_custkey)). Output: (c_custkey, c_name,
+    n_items, revenue).
+
+    Plan (100 TB): the returnflag filter reaches the lineitem scan
+    (1/3 selectivity); orders ⋈ lineitem shuffles on the order key,
+    the per-customer aggregate shuffles on custkey, then the
+    customer-name join runs over only the aggregated (customer-
+    cardinality) side; top-k is TakeOrderedAndProject."""
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _rev_scaled().alias("_rev")
+    )
+    per_cust = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_rev").alias("_rev_scaled"),
+        )
+    )
+    return (
+        per_cust.join(
+            customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .orderBy(F.col("_rev_scaled").desc(), "c_custkey")
+        .limit(k)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_items",
+            round6(F.col("_rev_scaled") / F.lit(10_000.0)).alias("revenue"),
+        )
+    )
+
+
+def returned_revenue_sql(k: int = TOPK_DEFAULT) -> str:
+    return f"""
+SELECT c_custkey, c_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM({_REV_SCALED_SQL}) / 10000.0 + 1e-09, 6) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY SUM({_REV_SCALED_SQL}) DESC, c_custkey
+LIMIT {k}
+""".strip()
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: the orders-per-customer histogram INCLUDING
+    zero-order customers — the one star gate whose join must be LEFT
+    OUTER (an inner chain silently drops the zero bucket; the fuzz
+    warehouse has order-less customers to pin it). Output:
+    (n_orders, n_customers), both exact counts.
+
+    Plan (100 TB): left join shuffled on custkey, per-customer count,
+    then a tiny second aggregate over distinct order-counts."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+""".strip()
+
+
+def part_quantity_outliers(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: revenue sitting in lineitems whose quantity is
+    BELOW 20% of their part's average order quantity (the small-lot
+    audit). The threshold compare is pure integer —
+    ``5·qty·cnt < sum_qty`` (quantities are whole units; exact) — so
+    the boundary can never flake cross-engine, and revenue is exact
+    extended-price cents. Output: one row (n_lineitems, n_parts,
+    revenue_cents).
+
+    Plan (100 TB): one per-part aggregate (map-side combined) joined
+    back to lineitem on l_partkey — the canonical correlated-subquery
+    decorrelation — then a 1-row conditional aggregate. Integer bound:
+    5·qty·cnt ≤ 250·per-part-rows < 2^62 up to ~1.8e16 rows/part."""
+    q = F.round(F.col("l_quantity")).cast("long")
+    li = lineitem.select(
+        "l_partkey",
+        q.alias("_q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.sum("_q").alias("_sum_q")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .where(F.lit(5) * F.col("_q") * F.col("_cnt") < F.col("_sum_q"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.count_distinct(F.col("l_partkey")).cast("long").alias("n_parts"),
+            # coalesce: an empty filter leaves SUM NULL in Spark while the
+            # twin's COALESCE emits 0 — pin both to 0
+            F.coalesce(F.sum("_cents"), F.lit(0)).cast("long").alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+PART_QUANTITY_OUTLIERS_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+pp AS (SELECT l_partkey, COUNT(*) AS cnt, SUM(q) AS sum_q FROM li GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(COUNT(DISTINCT li.l_partkey) AS BIGINT) AS n_parts,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS revenue_cents
+FROM li JOIN pp ON li.l_partkey = pp.l_partkey
+WHERE 5 * q * cnt < sum_q
+""".strip()
+
+
+def big_orders(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = BIG_ORDER_MIN_QTY,
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """TPC-H Q18 shape: top-k largest orders by total line quantity
+    above a floor — the HAVING-over-fact-aggregate plan. Quantities
+    are whole units, so the filter, ranking, and tie-break
+    ((total_qty DESC, o_orderkey)) are all integer-exact. Output:
+    (o_orderkey, o_custkey, order_date, n_items, total_qty).
+
+    Plan (100 TB): one order-keyed aggregate over lineitem (map-side
+    combined), HAVING prunes to the rare tail BEFORE the orders join,
+    so the join's left side is tiny; TakeOrderedAndProject top-k."""
+    q = F.round(F.col("l_quantity")).cast("long")
+    per_order = (
+        lineitem.select("l_orderkey", q.alias("_q"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_q").alias("total_qty"),
+        )
+        .where(F.col("total_qty") > min_qty)
+    )
+    return (
+        per_order.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(k)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            "n_items",
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
+def big_orders_sql(
+    min_qty: int = BIG_ORDER_MIN_QTY, k: int = TOPK_DEFAULT
+) -> str:
+    return f"""
+WITH po AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {min_qty}
+)
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       n_items, total_qty
+FROM po JOIN orders ON o_orderkey = l_orderkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT {k}
+""".strip()

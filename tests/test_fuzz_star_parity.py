@@ -21,6 +21,19 @@ GATES = [
     "late_shipments",
     "promo_revenue",
     "supplier_balances",
+    # Q10: returnflag varies by line index (deterministic — doesn't
+    # shift the rng stream the engineered ties depend on)
+    "returned_revenue",
+    # Q13: order-less customers 122-129 pin the LEFT-join zero bucket
+    "customer_order_distribution",
+    # Q17: small per-part counts — may legally select zero rows, which
+    # pins the Spark-side COALESCE(SUM, 0) against the twin's
+    "part_quantity_outliers",
+    # Q3/Q18: the fuzz dates/quantities sit entirely outside the gate
+    # constants (orders are 2024 > the 1998 cutoff; max order qty 200
+    # < 300), so these pin the EMPTY-result schema contract
+    "shipping_priority",
+    "big_orders",
 ]
 
 
@@ -47,7 +60,8 @@ def _warehouse(seed: int = 7):
         for i, (qty, price, disc) in enumerate(lines):
             lineitem.append(
                 (okey, rng.randint(1, 50), rng.randint(1, 10), i + 1,
-                 float(qty), price, disc, 0.04, "N", "O",
+                 float(qty), price, disc, 0.04,
+                 "R" if (okey + i) % 3 == 0 else "N", "O",
                  base + datetime.timedelta(days=rng.randint(0, 90)))
             )
 
