@@ -1497,6 +1497,34 @@ def _q_supplier_balances(spark, sf_dir):
     )
 
 
+def _q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of the two gated rankers (BM25 + VSM
+    cosine) — hybrid retrieval; ranks NULL when a doc is in only one
+    list."""
+    from cuda_gis_smoothing_spark.operators.retrieval import rrf_fuse_topk
+
+    return rrf_fuse_topk(load(spark, sf_dir, "documents"))
+
+
+def _q_props_field_stats(spark, sf_dir):
+    """Semi-structured projection: per-type integer stats of the JSON
+    props field, regex-gated so the extraction cannot diverge
+    cross-engine."""
+    from cuda_gis_smoothing_spark.operators.events import props_field_stats
+
+    return props_field_stats(load(spark, sf_dir, "events"))
+
+
+def _q_source_mixture_weights(spark, sf_dir):
+    """Uniform-target data-mixing rates per source (capped at 1) —
+    integer-exact token masses, single-division shares."""
+    from cuda_gis_smoothing_spark.operators.curate import (
+        source_mixture_weights,
+    )
+
+    return source_mixture_weights(load(spark, sf_dir, "documents"))
+
+
 def _q_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: segment filter pushed into the customer scan,
     two fact equi-joins, exact-cents top-k via TakeOrderedAndProject."""
@@ -1934,6 +1962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "part_quantity_outliers": _q_part_quantity_outliers,
         "big_orders": _q_big_orders,
+        "rrf_fusion": _q_rrf_fusion,
+        "props_field_stats": _q_props_field_stats,
+        "source_mixture_weights": _q_source_mixture_weights,
         "tfidf_topk": _q_tfidf_topk,
         "winnowing_fingerprints": _q_winnowing,
         "winnowing_maintained": _q_winnowing_maintained,
@@ -3209,6 +3240,21 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     out["customer_order_distribution"] = CUSTOMER_ORDER_DISTRIBUTION_SQL
     out["part_quantity_outliers"] = PART_QUANTITY_OUTLIERS_SQL
     out["big_orders"] = big_orders_sql()
+    from cuda_gis_smoothing_spark.operators.curate import (
+        SOURCE_MIXTURE_WEIGHTS_SQL,
+    )
+    from cuda_gis_smoothing_spark.operators.events import (
+        props_field_stats_sql,
+    )
+    from cuda_gis_smoothing_spark.operators.retrieval import (
+        rrf_fuse_topk_sql,
+        tfidf_topk_sql,
+    )
+
+    # composed from the two rankers' OWN twins — one scoring definition
+    out["rrf_fusion"] = rrf_fuse_topk_sql(_bm25_sql(), tfidf_topk_sql())
+    out["props_field_stats"] = props_field_stats_sql()
+    out["source_mixture_weights"] = SOURCE_MIXTURE_WEIGHTS_SQL
     from cuda_gis_smoothing_spark.operators.dedup import (
         winnow_sql,
         winnowed_neardup_sql,

@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "customer_order_distribution",
     "part_quantity_outliers",
     "big_orders",
+    "rrf_fusion",
+    "props_field_stats",
+    "source_mixture_weights",
 ]
 
 

@@ -658,3 +658,96 @@ def language_confusion(docs: DataFrame) -> DataFrame:
             round6(F.col("n_docs") / F.col("_t")).alias("truth_share"),
         )
     )
+
+
+def source_mixture_weights(docs: DataFrame) -> DataFrame:
+    """Training-mixture sampling weights per source: the rate at which
+    each source must be (down-)sampled so the surviving token mass
+    approaches a UNIFORM share across sources, without upsampling
+    (rate capped at 1 — repeat-epoch weighting is a trainer concern).
+    The data-mixing step every multi-source pretraining pipeline runs
+    between curation and packing.
+
+    ``rate_s = min(1, (T/S) / tokens_s)`` where T is the corpus token
+    total and S the number of sources; a token-free source reports
+    rate 1 (nothing to drop — the zero denominator is guarded
+    explicitly because Spark ANSI raises and DuckDB yields NULL on
+    double division by zero). Output per source: ``n_docs``, ``tokens``,
+    ``natural_share`` (tokens_s/T), ``sample_rate``, and
+    ``effective_tokens`` (round6(rate)·tokens re-rounded, so both
+    engines multiply the identical already-rounded double).
+
+    Cross-engine contract: every input to every division is an exact
+    int64 (token counts), so each quotient is one IEEE division of
+    exact integers — bit-identical — then round6.
+
+    Plan (100 TB): one scan + one source-keyed hash aggregate
+    (map-side combined) + a 1-row broadcast of (T, S); output is
+    #sources rows."""
+    tok = docs.select(
+        "source",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias("_t"),
+    )
+    per = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("tokens"),
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("double").alias("_T"),
+        F.count(F.lit(1)).cast("double").alias("_S"),
+    )
+    rate = F.when(F.col("tokens") == 0, F.lit(1.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            (F.col("_T") / F.col("_S")) / F.col("tokens").cast("double"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            round6(F.col("tokens").cast("double") / F.col("_T")).alias(
+                "natural_share"
+            ),
+            round6(rate).alias("sample_rate"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "natural_share",
+            "sample_rate",
+            round6(F.col("sample_rate") * F.col("tokens")).alias(
+                "effective_tokens"
+            ),
+        )
+    )
+
+
+SOURCE_MIXTURE_WEIGHTS_SQL = """
+WITH tok AS (
+  SELECT source, len(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(t), 0) AS BIGINT) AS tokens
+  FROM tok GROUP BY source
+),
+tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS T,
+               CAST(COUNT(*) AS DOUBLE) AS S FROM per),
+rated AS (
+  SELECT source, n_docs, tokens,
+         ROUND(CAST(tokens AS DOUBLE) / T + 1e-09, 6) AS natural_share,
+         ROUND(CASE WHEN tokens = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE LEAST(CAST(1.0 AS DOUBLE),
+                               (T / S) / CAST(tokens AS DOUBLE)) END
+               + 1e-09, 6) AS sample_rate
+  FROM per, tot
+)
+SELECT source, n_docs, tokens, natural_share, sample_rate,
+       ROUND(sample_rate * tokens + 1e-09, 6) AS effective_tokens
+FROM rated
+""".strip()

@@ -9,6 +9,8 @@ in both engines (float epoch seconds would tie-break differently).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from cuda_gis_smoothing_spark.functions.numeric import round6
@@ -1123,4 +1125,68 @@ s AS (
 SELECT user_id, recency_us, frequency, monetary, r_score, f_score, m_score,
        CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
 FROM s
+""".strip()
+
+
+_PROPS_KEY_RE = re.compile(r"^[a-z0-9_]+$")
+_PROPS_INT_RE = "^-?[0-9]+$"
+
+
+def props_field_stats(events: DataFrame, key: str = "k") -> DataFrame:
+    """Per-event-type statistics of an INTEGER field extracted from the
+    semi-structured JSON ``props`` column — the engine's semi-structured
+    projection surface (schema-on-read over an opaque payload column).
+
+    Cross-engine contract: Spark's ``get_json_object`` returns NULL on
+    malformed JSON while DuckDB's ``->>`` RAISES, and on float-valued
+    fields Spark's try_cast-to-long yields NULL while DuckDB's TRY_CAST
+    rounds — so extraction is gated by an integer regex on the
+    UNQUOTED extracted string on both sides (DuckDB additionally guards
+    with json_valid). Only strict-integer values survive; every
+    aggregate is then integer-exact (avg = one division of exact
+    integers). try_cast keeps int64-overflow values NULL in both
+    engines rather than raising.
+
+    Plan (100 TB): one scan + one hash aggregate keyed on event_type
+    (map-side combined); the JSON path never leaves codegen."""
+    if not _PROPS_KEY_RE.match(key):  # interpolated into expr + SQL
+        raise ValueError(f"invalid props key: {key!r}")
+    v = F.get_json_object(F.col("props"), f"$.{key}")
+    kv = F.when(
+        v.rlike(_PROPS_INT_RE), F.expr(f"try_cast(get_json_object(props, '$.{key}') as bigint)")
+    )
+    per = events.select("event_type", kv.alias("_kv"))
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("_kv").cast("long").alias("n_valid"),
+        F.min("_kv").alias("k_min"),
+        F.max("_kv").alias("k_max"),
+        F.sum("_kv").alias("k_sum"),
+        round6(
+            F.sum("_kv").cast("double") / F.count("_kv").cast("double")
+        ).alias("k_avg"),
+    )
+
+
+def props_field_stats_sql(key: str = "k") -> str:
+    """DuckDB twin of :func:`props_field_stats` (same regex gate)."""
+    if not _PROPS_KEY_RE.match(key):
+        raise ValueError(f"invalid props key: {key!r}")
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+                   AND regexp_matches(props->>'$.{key}', '{_PROPS_INT_RE}')
+              THEN TRY_CAST(props->>'$.{key}' AS BIGINT) END AS kv
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(kv) AS BIGINT) AS n_valid,
+       CAST(MIN(kv) AS BIGINT) AS k_min,
+       CAST(MAX(kv) AS BIGINT) AS k_max,
+       CAST(SUM(kv) AS BIGINT) AS k_sum,
+       ROUND(CAST(SUM(kv) AS DOUBLE) / CAST(COUNT(kv) AS DOUBLE) + 1e-09, 6) AS k_avg
+FROM e
+GROUP BY event_type
 """.strip()

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from cuda_gis_smoothing_spark.functions.numeric import round6
 
@@ -324,4 +324,89 @@ SELECT doc_id, ROUND(s / nrm + 1e-09, 6) AS tfidf_cosine
 FROM hits JOIN norms USING (doc_id)
 ORDER BY tfidf_cosine DESC, doc_id
 LIMIT {k}
+""".strip()
+
+
+RRF_K0 = 60  # the canonical reciprocal-rank-fusion constant (Cormack et al.)
+
+
+def rrf_fuse_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = BM25_TOPK_K,
+    k0: int = RRF_K0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion of the two gated
+    rankers: :func:`bm25_topk` (probabilistic) and :func:`tfidf_topk`
+    (vector-space). ``rrf = Σ_lists 1/(k0 + rank)`` — the standard
+    score-free fusion, robust to the two scorers' incomparable scales.
+    Output: every doc in either top-``k`` list with its per-list rank
+    (NULL when absent from that list) and the fused score.
+
+    Cross-engine contract: each list's rank is a ROW_NUMBER over the
+    list's OWN gated total order ((round6 score DESC, id)) — both
+    engines produce identical rank assignments because the ordered
+    inputs are already hash-gate-identical; ``1/(k0+rank)`` is a single
+    IEEE division of exact integers and the two-term sum has fixed
+    association, so the fused double is bit-identical before round6.
+
+    Plan (100 TB): both ranker plans as-is (each ends in a k-row
+    TakeOrderedAndProject), then rank windows and a full-outer join
+    over ≤ k rows each — driver-sized by construction, the unpartitioned
+    windows are deliberate."""
+    b = bm25_topk(docs, terms, k, id_col=id_col)
+    v = tfidf_topk(docs, terms, k, id_col=id_col)
+    br = b.select(
+        F.col(id_col).alias("_bid"),
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col(id_col)))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    vr = v.select(
+        F.col(id_col).alias("_vid"),
+        F.row_number()
+        .over(Window.orderBy(F.col("tfidf_cosine").desc(), F.col(id_col)))
+        .cast("long")
+        .alias("vsm_rank"),
+    )
+    fused = br.join(vr, br["_bid"] == vr["_vid"], "full_outer")
+    contrib = F.coalesce(
+        F.lit(1.0) / (F.lit(k0) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("vsm_rank")), F.lit(0.0))
+    return fused.select(
+        F.coalesce("_bid", "_vid").alias(id_col),
+        "bm25_rank",
+        "vsm_rank",
+        round6(contrib).alias("rrf"),
+    )
+
+
+def rrf_fuse_topk_sql(
+    bm25_sql: str,
+    tfidf_sql: str,
+    k0: int = RRF_K0,
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse_topk`, composed from the two
+    rankers' OWN gate twins (passed in as full SELECTs — nested WITH
+    inside a derived table is legal DuckDB), so the three gates can
+    never drift apart."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
+    one, zero = flit(1.0), flit(0.0)
+    return f"""
+WITH bl AS (SELECT * FROM ({bm25_sql}) t),
+vl AS (SELECT * FROM ({tfidf_sql}) t),
+br AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS bm25_rank
+       FROM bl),
+vr AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY tfidf_cosine DESC, doc_id) AS BIGINT) AS vsm_rank
+       FROM vl)
+SELECT COALESCE(br.doc_id, vr.doc_id) AS doc_id,
+       bm25_rank, vsm_rank,
+       ROUND(COALESCE({one} / ({k0} + bm25_rank), {zero})
+             + COALESCE({one} / ({k0} + vsm_rank), {zero}) + 1e-09, 6) AS rrf
+FROM br FULL OUTER JOIN vr ON br.doc_id = vr.doc_id
 """.strip()

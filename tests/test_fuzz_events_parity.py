@@ -55,6 +55,10 @@ EVENTS_GATES = [
     # quartile-threshold scoring over integers/round6 values only; the
     # fuzz corpus's NULL values exercise the NULL-monetary score class
     "user_rfm",
+    # JSON extraction: the hostile props rotation (malformed / missing /
+    # float / string / bool / overflow / NULL) pins the regex-gated
+    # integer contract on every divergence class
+    "props_field_stats",
 ]
 
 
@@ -63,9 +67,27 @@ def _fuzz_events(seed: int = 42, n_users: int = 40):
     base = datetime.datetime(2024, 1, 1)
     rows, eid = [], 0
 
+    # hostile props rotation keyed off eid (NOT the rng stream, which
+    # the engineered tie structure depends on): malformed JSON, NULL,
+    # missing key, float / string / bool / null / overflow values —
+    # props_field_stats must treat every class identically cross-engine
+    HOSTILE_PROPS = {
+        0: None,
+        1: "not json",
+        2: '{"x": 1}',
+        3: '{"k": 87.5}',
+        4: '{"k": "12"}',
+        5: '{"k": "abc"}',
+        6: '{"k": null}',
+        7: '{"k": -5}',
+        8: '{"k": 99999999999999999999}',
+        9: '{"k": true}',
+    }
+
     def add(user, ts, etype=None, value=None):
         nonlocal eid
         eid += 1
+        k = rng.randint(0, 99)  # always drawn — keeps the stream stable
         rows.append(
             (
                 eid,
@@ -73,7 +95,7 @@ def _fuzz_events(seed: int = 42, n_users: int = 40):
                 user,
                 etype or rng.choice(EVENT_TYPES),
                 value if value is not None else round(rng.uniform(0.01, 300), 2),
-                '{"k": %d}' % rng.randint(0, 99),
+                HOSTILE_PROPS.get(eid % 17, '{"k": %d}' % k),
             )
         )
 

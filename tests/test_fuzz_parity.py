@@ -91,6 +91,11 @@ DOC_GATES = [
     "dedup_winnowed",
     "vocab_coverage",
     "tfidf_topk",
+    # composes the two fuzz-pinned rankers; NULL-text docs exercise the
+    # absent-from-one-list NULL-rank path
+    "rrf_fusion",
+    # NULL-text docs pin the zero-token-source rate-1 guard
+    "source_mixture_weights",
 ]
 
 
