@@ -1,0 +1,143 @@
+"""Unit/differential tests for the round-5 retrieval-fusion, JSON
+extraction, and data-mixing operators — independent oracles beside the
+DuckDB twin gates (the seeded-differential house pattern)."""
+
+import json
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_rrf_ranks_match_member_lists(spark):
+    """Every doc of each ranker's top-k appears in the fusion with the
+    rank equal to its position in that ranker's own gated ordering, and
+    the fused score is exactly 1/(k0+r_b) + 1/(k0+r_v)."""
+    from cuda_gis_smoothing_spark.operators.retrieval import (
+        RRF_K0,
+        bm25_topk,
+        rrf_fuse_topk,
+        tfidf_topk,
+    )
+
+    docs = _docs(spark)
+    b = [r.doc_id for r in bm25_topk(docs).collect()]  # already ordered
+    v = [r.doc_id for r in tfidf_topk(docs).collect()]
+    fused = {r.doc_id: r for r in rrf_fuse_topk(docs).collect()}
+
+    assert set(fused) == set(b) | set(v)
+    for rank, d in enumerate(b, start=1):
+        assert fused[d].bm25_rank == rank
+    for rank, d in enumerate(v, start=1):
+        assert fused[d].vsm_rank == rank
+    for d, row in fused.items():
+        expect = (1.0 / (RRF_K0 + row.bm25_rank) if row.bm25_rank else 0.0) + (
+            1.0 / (RRF_K0 + row.vsm_rank) if row.vsm_rank else 0.0
+        )
+        assert row.rrf == pytest.approx(expect, abs=1e-6)
+
+
+def test_props_stats_vs_python_json(spark):
+    """props_field_stats == a pure-Python json.loads oracle over the
+    same hostile value classes (strict-integer-only contract)."""
+    from cuda_gis_smoothing_spark.operators.events import props_field_stats
+
+    rows = [
+        (1, "a", '{"k": 87}'),
+        (2, "a", '{"k": "12"}'),
+        (3, "a", '{"k": 87.5}'),
+        (4, "a", None),
+        (5, "a", "not json"),
+        (6, "b", '{"x": 1}'),
+        (7, "b", '{"k": null}'),
+        (8, "b", '{"k": true}'),
+        (9, "b", '{"k": -5}'),
+        (10, "b", '{"k": 99999999999999999999}'),
+        (11, "c", '{"k": "abc"}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, props string"
+    )
+
+    def oracle_k(p):
+        if p is None:
+            return None
+        try:
+            obj = json.loads(p)
+        except ValueError:
+            return None
+        if not isinstance(obj, dict) or "k" not in obj:
+            return None
+        val = obj["k"]
+        # strict-integer contract: JSON ints and integer STRINGS only,
+        # within int64 (try_cast NULLs the overflow in both engines)
+        if isinstance(val, bool) or val is None:
+            return None
+        if isinstance(val, float):
+            return None
+        if isinstance(val, str):
+            if not val.lstrip("-").isdigit() or val in ("-", ""):
+                return None
+            val = int(val)
+        if not isinstance(val, int) or not (-(2**63) <= val < 2**63):
+            return None
+        return val
+
+    expect = {}
+    for _, et, p in rows:
+        k = oracle_k(p)
+        e = expect.setdefault(et, [0, []])
+        e[0] += 1
+        if k is not None:
+            e[1].append(k)
+
+    got = {r.event_type: r for r in props_field_stats(df).collect()}
+    assert set(got) == set(expect)
+    for et, (n, ks) in expect.items():
+        r = got[et]
+        assert r.n_events == n and r.n_valid == len(ks)
+        if ks:
+            assert (r.k_min, r.k_max, r.k_sum) == (min(ks), max(ks), sum(ks))
+            assert r.k_avg == pytest.approx(sum(ks) / len(ks), abs=1e-6)
+        else:
+            assert r.k_min is None and r.k_sum is None and r.k_avg is None
+
+
+def test_mixture_invariants_and_zero_token_source(spark):
+    """natural_share sums to 1 (round6 slack), rates are capped at 1,
+    the uniform target is hit exactly when achievable, and an all-NULL
+    source reports rate 1 on zero tokens."""
+    from cuda_gis_smoothing_spark.operators.curate import (
+        source_mixture_weights,
+    )
+
+    rows = (
+        [(i, "big", "a b c d e f g h") for i in range(60)]  # 480 tokens
+        + [(100 + i, "small", "a b") for i in range(10)]  # 20 tokens
+        + [(200 + i, "nulls", None) for i in range(3)]  # 0 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in source_mixture_weights(df).collect()}
+
+    assert set(out) == {"big", "small", "nulls"}
+    total = 500
+    share_sum = sum(r.natural_share for r in out.values())
+    assert abs(share_sum - 1.0) <= len(out) * (5e-7 + 1e-9)
+    for r in out.values():
+        assert r.sample_rate <= 1.0
+    # uniform target: T/S = 500/3 tokens per source
+    assert out["big"].tokens == 480
+    assert out["big"].sample_rate == pytest.approx(
+        (total / 3) / 480, abs=1e-6
+    )
+    assert out["small"].sample_rate == 1.0  # under target — never upsampled
+    assert out["nulls"].tokens == 0 and out["nulls"].sample_rate == 1.0
+    assert out["big"].effective_tokens == pytest.approx(
+        round((total / 3) / 480 + 1e-9, 6) * 480, abs=1e-6
+    )
+    assert math.isclose(out["small"].effective_tokens, 20.0)
