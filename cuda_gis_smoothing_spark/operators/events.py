@@ -1151,11 +1151,15 @@ def props_field_stats(events: DataFrame, key: str = "k") -> DataFrame:
     (map-side combined); the JSON path never leaves codegen."""
     if not _PROPS_KEY_RE.match(key):  # interpolated into expr + SQL
         raise ValueError(f"invalid props key: {key!r}")
-    v = F.get_json_object(F.col("props"), f"$.{key}")
-    kv = F.when(
-        v.rlike(_PROPS_INT_RE), F.expr(f"try_cast(get_json_object(props, '$.{key}') as bigint)")
-    )
-    per = events.select("event_type", kv.alias("_kv"))
+    # project the JSON extraction to a NAMED column first — referencing
+    # it twice (regex gate + cast) would parse every row's JSON twice
+    # (the CollapseProject expensive-expression class)
+    v = F.col("_v")
+    kv = F.when(v.rlike(_PROPS_INT_RE), F.expr("try_cast(_v as bigint)"))
+    per = events.select(
+        "event_type",
+        F.get_json_object(F.col("props"), f"$.{key}").alias("_v"),
+    ).select("event_type", kv.alias("_kv"))
     return per.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.count("_kv").cast("long").alias("n_valid"),
