@@ -318,3 +318,19 @@ def test_winnowed_pairs_plan_discipline(spark):
         assert plan.count("REPARTITION_BY_NUM") >= 2, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_props_stats_parses_json_once(spark):
+    """props_field_stats must leave exactly ONE get_json_object in the
+    executed plan — the regex gate and the cast both consume the same
+    named projection (re-referencing the raw expression would parse
+    every row's JSON twice; the CollapseProject expensive-expr class)."""
+    from cuda_gis_smoothing_spark.operators.events import props_field_stats
+
+    ev = spark.createDataFrame(
+        [(1, "a", '{"k": 3}')], "event_id long, event_type string, props string"
+    )
+    plan = (
+        props_field_stats(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("get_json_object") == 1, plan
