@@ -16,6 +16,9 @@ already is one).
 
 from __future__ import annotations
 
+import re as _re
+from datetime import datetime as _datetime
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from cuda_gis_smoothing_spark.functions.numeric import round6
@@ -351,6 +354,23 @@ SHIP_CUTOFF = "1998-06-01 00:00:00"
 BIG_ORDER_MIN_QTY = 300
 TOPK_DEFAULT = 20
 
+_SEGMENT_RE = _re.compile(r"^[A-Z]+$")
+
+
+def _check_segment(segment: str) -> str:
+    """Segment is interpolated into a Spark filter and the SQL twin —
+    whitelist it (the check_terms precedent for interpolated params)."""
+    if not _SEGMENT_RE.match(segment):
+        raise ValueError(f"invalid market segment: {segment!r}")
+    return segment
+
+
+def _check_cutoff(cutoff: str) -> str:
+    """Cutoff is interpolated into TIMESTAMP literals on both sides —
+    require an exact 'YYYY-MM-DD HH:MM:SS' parse before interpolation."""
+    _datetime.strptime(cutoff, "%Y-%m-%d %H:%M:%S")
+    return cutoff
+
 
 def shipping_priority(
     customer: DataFrame,
@@ -373,6 +393,7 @@ def shipping_priority(
     date-filtered lineitem, all hash equi-joins on their keys; one
     order-keyed aggregate; TakeOrderedAndProject for the top-k (no
     global sort)."""
+    segment, cutoff = _check_segment(segment), _check_cutoff(cutoff)
     cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
     ords = orders.where(
         F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{cutoff}'")
@@ -404,6 +425,7 @@ def shipping_priority(
 def shipping_priority_sql(
     segment: str = "BUILDING", cutoff: str = SHIP_CUTOFF, k: int = TOPK_DEFAULT
 ) -> str:
+    segment, cutoff, k = _check_segment(segment), _check_cutoff(cutoff), int(k)
     return f"""
 SELECT o_orderkey,
        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
@@ -467,6 +489,7 @@ def returned_revenue(
 
 
 def returned_revenue_sql(k: int = TOPK_DEFAULT) -> str:
+    k = int(k)  # interpolated below
     return f"""
 SELECT c_custkey, c_name,
        CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -617,6 +640,7 @@ def big_orders(
 def big_orders_sql(
     min_qty: int = BIG_ORDER_MIN_QTY, k: int = TOPK_DEFAULT
 ) -> str:
+    min_qty, k = int(min_qty), int(k)  # interpolated below
     return f"""
 WITH po AS (
   SELECT l_orderkey,

@@ -681,9 +681,14 @@ def source_mixture_weights(docs: DataFrame) -> DataFrame:
     int64 (token counts), so each quotient is one IEEE division of
     exact integers — bit-identical — then round6.
 
-    Plan (100 TB): one scan + one source-keyed hash aggregate
-    (map-side combined) + a 1-row broadcast of (T, S); output is
-    #sources rows."""
+    Plan (100 TB): ONE scan + one source-keyed hash aggregate
+    (map-side combined); the corpus totals (T, S) come from an
+    unpartitioned window over the #sources-row aggregate — a separate
+    ``per.agg(...)`` consumer would re-execute the corpus scan (the
+    multi-consumer pruning class CLAUDE.md documents; single FileScan
+    plan-asserted). Output is #sources rows."""
+    from pyspark.sql import Window
+
     tok = docs.select(
         "source",
         F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias("_t"),
@@ -692,9 +697,13 @@ def source_mixture_weights(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("tokens"),
     )
-    tot = per.agg(
-        F.sum("tokens").cast("double").alias("_T"),
-        F.count(F.lit(1)).cast("double").alias("_S"),
+    w = Window.partitionBy()  # #sources rows: a single-task window
+    per = per.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.sum("tokens").over(w).cast("double").alias("_T"),
+        F.count(F.lit(1)).over(w).cast("double").alias("_S"),
     )
     rate = F.when(F.col("tokens") == 0, F.lit(1.0)).otherwise(
         F.least(
@@ -703,8 +712,7 @@ def source_mixture_weights(docs: DataFrame) -> DataFrame:
         )
     )
     return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
+        per.select(
             "source",
             "n_docs",
             "tokens",

@@ -1131,21 +1131,43 @@ FROM s
 _PROPS_KEY_RE = re.compile(r"^[a-z0-9_]+$")
 _PROPS_INT_RE = "^-?[0-9]+$"
 
+# The supported payload envelope: a FLAT JSON object of strictly-valid
+# scalar members (strict string escapes, strict number grammar, no
+# nesting, no trailing comma). The two engines' parsers disagree
+# outside strict JSON — Spark's get_json_object tolerates trailing
+# garbage and single-quoted keys that DuckDB's json_valid rejects,
+# while DuckDB tolerates trailing commas that Spark rejects (all
+# probed) — so BOTH sides gate extraction on this identical regex and
+# anything outside the envelope is NULL in both. Nested-structure
+# payloads are likewise out of contract BY THE SAME RULE (still NULL
+# in both engines, never divergent).
+_J_STR = r'"(?:[^"\\\x00-\x1f]|\\["\\/bfnrt]|\\u[0-9a-fA-F]{4})*"'
+_J_NUM = r"-?(?:0|[1-9][0-9]*)(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+_J_SCALAR = rf"(?:{_J_STR}|{_J_NUM}|true|false|null)"
+PROPS_FLAT_OBJECT_RE = (
+    rf"^\{{\s*(?:{_J_STR}\s*:\s*{_J_SCALAR}\s*"
+    rf"(?:,\s*{_J_STR}\s*:\s*{_J_SCALAR}\s*)*)?\}}$"
+)
+
 
 def props_field_stats(events: DataFrame, key: str = "k") -> DataFrame:
     """Per-event-type statistics of an INTEGER field extracted from the
     semi-structured JSON ``props`` column — the engine's semi-structured
     projection surface (schema-on-read over an opaque payload column).
 
-    Cross-engine contract: Spark's ``get_json_object`` returns NULL on
-    malformed JSON while DuckDB's ``->>`` RAISES, and on float-valued
-    fields Spark's try_cast-to-long yields NULL while DuckDB's TRY_CAST
-    rounds — so extraction is gated by an integer regex on the
-    UNQUOTED extracted string on both sides (DuckDB additionally guards
-    with json_valid). Only strict-integer values survive; every
-    aggregate is then integer-exact (avg = one division of exact
-    integers). try_cast keeps int64-overflow values NULL in both
-    engines rather than raising.
+    Cross-engine contract, two gates applied identically on both sides:
+    (1) the raw payload must match ``PROPS_FLAT_OBJECT_RE`` — the
+    strict flat-object envelope — because the engines' parsers diverge
+    on every lenient edge (Spark's get_json_object tolerates trailing
+    garbage and single quotes that DuckDB rejects; DuckDB tolerates
+    trailing commas that Spark rejects; DuckDB's ``->>`` RAISES on
+    malformed input where Spark NULLs — all probed); (2) the extracted
+    UNQUOTED value must match an integer regex, because on float
+    strings Spark's try_cast-to-long yields NULL while DuckDB's
+    TRY_CAST rounds. Only strict-integer values of strict-envelope
+    payloads survive; every aggregate is then integer-exact (avg = one
+    division of exact integers). try_cast keeps int64-overflow values
+    NULL in both engines rather than raising.
 
     Plan (100 TB): one scan + one hash aggregate keyed on event_type
     (map-side combined); the JSON path never leaves codegen."""
@@ -1158,7 +1180,10 @@ def props_field_stats(events: DataFrame, key: str = "k") -> DataFrame:
     kv = F.when(v.rlike(_PROPS_INT_RE), F.expr("try_cast(_v as bigint)"))
     per = events.select(
         "event_type",
-        F.get_json_object(F.col("props"), f"$.{key}").alias("_v"),
+        F.when(
+            F.col("props").rlike(PROPS_FLAT_OBJECT_RE),
+            F.get_json_object(F.col("props"), f"$.{key}"),
+        ).alias("_v"),
     ).select("event_type", kv.alias("_kv"))
     return per.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -1179,7 +1204,9 @@ def props_field_stats_sql(key: str = "k") -> str:
     return f"""
 WITH e AS (
   SELECT event_type,
-         CASE WHEN props IS NOT NULL AND json_valid(props)
+         CASE WHEN props IS NOT NULL
+                   AND regexp_matches(props, '{PROPS_FLAT_OBJECT_RE}')
+                   AND json_valid(props)
                    AND regexp_matches(props->>'$.{key}', '{_PROPS_INT_RE}')
               THEN TRY_CAST(props->>'$.{key}' AS BIGINT) END AS kv
   FROM events

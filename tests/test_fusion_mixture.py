@@ -59,13 +59,26 @@ def test_props_stats_vs_python_json(spark):
         (9, "b", '{"k": -5}'),
         (10, "b", '{"k": 99999999999999999999}'),
         (11, "c", '{"k": "abc"}'),
+        # parser-leniency divergence classes + envelope rejections
+        (12, "c", '{"k": 3}junk'),
+        (13, "c", "{'k': 4}"),
+        (14, "c", '{"k": 6,}'),
+        (15, "c", '{"k": 1, "m": [1, 2]}'),
+        (16, "c", '{ "k" : 9 , "m" : "x,y" }'),
     ]
     df = spark.createDataFrame(
         rows, "event_id long, event_type string, props string"
     )
 
+    import re
+
+    from cuda_gis_smoothing_spark.operators.events import (
+        PROPS_FLAT_OBJECT_RE,
+    )
+
     def oracle_k(p):
-        if p is None:
+        # the gate's contract: strict flat-scalar-object envelope first
+        if p is None or not re.match(PROPS_FLAT_OBJECT_RE, p):
             return None
         try:
             obj = json.loads(p)

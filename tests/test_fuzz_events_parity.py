@@ -82,6 +82,16 @@ def _fuzz_events(seed: int = 42, n_users: int = 40):
         7: '{"k": -5}',
         8: '{"k": 99999999999999999999}',
         9: '{"k": true}',
+        # the three PROBED parser-leniency divergence classes — the
+        # flat-object envelope must reject each on BOTH sides
+        10: '{"k": 3}junk',  # Spark-lenient, DuckDB-invalid
+        11: "{'k': 4}",  # Spark-lenient, DuckDB-invalid
+        12: '{"k": 6,}',  # DuckDB-lenient, Spark-invalid
+        # inside the envelope: comma within a string value
+        13: '{"k": "x,y", "m": "z"}',
+        # valid JSON but OUTSIDE the flat-scalar envelope (nested)
+        14: '{"k": 1, "m": [1, 2]}',
+        15: '{"k": 01}',  # leading zero: strict-number reject
     }
 
     def add(user, ts, etype=None, value=None):

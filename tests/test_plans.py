@@ -334,3 +334,26 @@ def test_props_stats_parses_json_once(spark):
         props_field_stats(ev)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("get_json_object") == 1, plan
+
+
+def test_mixture_weights_single_scan(spark, tmp_path):
+    """source_mixture_weights must read the corpus ONCE: the (T, S)
+    totals come from an unpartitioned window over the per-source
+    aggregate, not a second differently-pruned aggregate consumer."""
+    from cuda_gis_smoothing_spark.operators.curate import (
+        source_mixture_weights,
+    )
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"s{i % 3}", "a b c") for i in range(30)],
+        "doc_id long, source string, text string",
+    ).write.parquet(p)
+    plan = (
+        source_mixture_weights(spark.read.parquet(p))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_scans = plan.count("FileScan")
+    assert n_scans == 1, f"{n_scans} scans\n{plan}"
