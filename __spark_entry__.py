@@ -1497,6 +1497,15 @@ def _q_supplier_balances(spark, sf_dir):
     )
 
 
+def _q_dedup_edit_distance(spark, sf_dir):
+    """Character-level near-dup pairs: all-band MinHash candidates +
+    length prefilter + threshold-banded exact levenshtein verify
+    (printable-ASCII contract — byte==char in both engines)."""
+    from cuda_gis_smoothing_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(load(spark, sf_dir, "documents"))
+
+
 def _q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of the two gated rankers (BM25 + VSM
     cosine) — hybrid retrieval; ranks NULL when a doc is in only one
@@ -1965,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _q_rrf_fusion,
         "props_field_stats": _q_props_field_stats,
         "source_mixture_weights": _q_source_mixture_weights,
+        "dedup_edit_distance": _q_dedup_edit_distance,
         "tfidf_topk": _q_tfidf_topk,
         "winnowing_fingerprints": _q_winnowing,
         "winnowing_maintained": _q_winnowing_maintained,
@@ -3255,6 +3265,9 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     out["rrf_fusion"] = rrf_fuse_topk_sql(_bm25_sql(), tfidf_topk_sql())
     out["props_field_stats"] = props_field_stats_sql()
     out["source_mixture_weights"] = SOURCE_MIXTURE_WEIGHTS_SQL
+    from cuda_gis_smoothing_spark.operators.dedup import edit_distance_sql
+
+    out["dedup_edit_distance"] = edit_distance_sql()
     from cuda_gis_smoothing_spark.operators.dedup import (
         winnow_sql,
         winnowed_neardup_sql,

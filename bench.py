@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "rrf_fusion",
     "props_field_stats",
     "source_mixture_weights",
+    "dedup_edit_distance",
 ]
 
 

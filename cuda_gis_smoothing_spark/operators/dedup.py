@@ -1856,3 +1856,135 @@ JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE ROUND(i * 1.0 / (sa.n + sb.n - i) + 1e-09, 6) >= {threshold}
 """.strip()
+
+
+#: printable-ASCII text gate for byte-vs-char sensitive kernels —
+#: DuckDB's levenshtein counts BYTES while Spark's counts CHARS
+#: (probed: levenshtein('héllo','hello') = 2 vs 1), so edit-distance
+#: operators restrict to the range where byte == char, identically on
+#: both sides.
+ASCII_TEXT_RE = "^[ -~]*$"
+
+EDIT_MAX_DIST = 50
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int = EDIT_MAX_DIST,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 6,
+    bands: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by EXACT edit distance ≤ ``max_dist`` over
+    MinHash candidates — the character-level verify kernel beside the
+    token-set (jaccard), bit (hamming), and span (winnow) families;
+    what title/bitext dedup runs where token-level jaccard is too
+    coarse (a 3-char edit in every token zeroes jaccard but is a tiny
+    edit distance).
+
+    Candidates must share ALL ``bands`` LSH bands (precision-first: an
+    edit budget of ~10% of the text implies near-identical token sets,
+    the regime where every band agrees) — recall is probabilistic like
+    every banded kernel and is NOT exact for pairs whose edits
+    concentrate in few long tokens; the pytest measures it against a
+    brute-force oracle. Two exact prefilters run before the O(d·n)
+    verify: printable-ASCII texts only (byte == char, see
+    ``ASCII_TEXT_RE`` — non-ASCII docs are out of contract IDENTICALLY
+    in both engines), and ``|len(a) − len(b)| ≤ max_dist`` (a length
+    gap is a lower bound on edit distance). The Spark verify uses the
+    threshold-banded ``levenshtein(a, b, max_dist)`` (O(d·n), returns
+    −1 above the threshold); the DuckDB twin computes the full matrix —
+    identical within the kept set.
+
+    Plan (100 TB): the banded self-join is :func:`minhash_lsh_pairs`
+    (pinned parallelism, first-class band shuffle keys); texts join the
+    candidate list by id — at real scale the verify stage ships full
+    text to each candidate pair (bounded by the all-band precision
+    gate; a dictionary/fetch service replaces the join when texts are
+    huge). Output: (doc_a, doc_b, edit_distance).
+    """
+    ad = docs.where(F.col(text_col).rlike(ASCII_TEXT_RE)).select(
+        F.col(id_col), F.col(text_col), F.length(text_col).alias("_L")
+    )
+    cand = (
+        minhash_lsh_pairs(ad, text_col, id_col, n_hashes, bands)
+        .where(F.col("n_shared_bands") == bands)
+        .select("doc_a", "doc_b")
+    )
+    withtexts = (
+        cand.join(
+            ad.select(
+                F.col(id_col).alias("doc_a"),
+                F.col(text_col).alias("_ta"),
+                F.col("_L").alias("_la"),
+            ),
+            "doc_a",
+        )
+        .join(
+            ad.select(
+                F.col(id_col).alias("doc_b"),
+                F.col(text_col).alias("_tb"),
+                F.col("_L").alias("_lb"),
+            ),
+            "doc_b",
+        )
+        .where(F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+    )
+    return (
+        withtexts.withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist).cast("long"),
+        )
+        .where(F.col("edit_distance") >= 0)
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
+def edit_distance_sql(
+    max_dist: int = EDIT_MAX_DIST, source: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`edit_distance_pairs` (n_hashes=6, bands=3,
+    the gate constants — bh folds mirror ``banded_signature_rows``)."""
+    th = token_hash_sql_duckdb("t")
+    mh = ",\n       ".join(
+        f"MIN((h * {MH_A[i]} + {MH_B[i]}) % {MH_PRIME}) AS mh_{i}"
+        for i in range(6)
+    )
+    bu = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (mh_{2 * b} * 8191 + mh_{2 * b + 1})"
+        f" % {MH_PRIME} AS bh FROM sig"
+        for b in range(3)
+    )
+    return f"""
+WITH ad AS (
+  SELECT doc_id, text, length(text) AS L
+  FROM {source} WHERE regexp_matches(text, '{ASCII_TEXT_RE}')
+),
+tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+    FROM ad
+  ) WHERE t <> ''
+),
+h AS (SELECT doc_id, {th} AS h FROM tok),
+sig AS (SELECT doc_id, {mh} FROM h GROUP BY doc_id),
+banded AS (
+  {bu}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) = 3
+),
+wt AS (
+  SELECT doc_a, doc_b, ta.text AS t_a, tb.text AS t_b
+  FROM cand
+  JOIN ad ta ON ta.doc_id = cand.doc_a
+  JOIN ad tb ON tb.doc_id = cand.doc_b
+  WHERE abs(ta.L - tb.L) <= {int(max_dist)}
+)
+SELECT doc_a, doc_b, CAST(levenshtein(t_a, t_b) AS BIGINT) AS edit_distance
+FROM wt WHERE levenshtein(t_a, t_b) <= {int(max_dist)}
+""".strip()

@@ -154,3 +154,48 @@ def test_mixture_invariants_and_zero_token_source(spark):
         round((total / 3) / 480 + 1e-9, 6) * 480, abs=1e-6
     )
     assert math.isclose(out["small"].effective_tokens, 20.0)
+
+
+def test_edit_distance_vs_bruteforce_dp(spark):
+    """Every (pair, distance) the gate emits is exactly the Levenshtein
+    DP value, and — recall floor — every ASCII pair within max_dist
+    whose token sets are IDENTICAL (all bands must then agree) is
+    found. Banded recall on token-divergent pairs is probabilistic by
+    design and not asserted."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        EDIT_MAX_DIST,
+        edit_distance_pairs,
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base),
+        (2, base[:-3] + "cat"),          # tiny edit, same token set mostly
+        (3, base.replace("quick", "quik")),
+        (4, "completely different text with other words entirely"),
+        (5, base),                        # exact duplicate of 1
+        (6, None),                        # NULL text: excluded
+        (7, base + "é"),                  # non-ASCII: out of contract
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in edit_distance_pairs(docs).collect()
+    }
+    texts = {i: t for i, t in rows if t is not None and t.isascii()}
+    for (a, b), d in got.items():
+        assert d == lev(texts[a], texts[b]) <= EDIT_MAX_DIST
+    # identical-token-set recall floor: the exact duplicate pair
+    assert (1, 5) in got and got[(1, 5)] == 0
+    assert all(7 not in pair and 6 not in pair for pair in got)

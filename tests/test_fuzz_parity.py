@@ -96,6 +96,8 @@ DOC_GATES = [
     "rrf_fusion",
     # NULL-text docs pin the zero-token-source rate-1 guard
     "source_mixture_weights",
+    # character-level verify kernel; NULL-text docs pin the ASCII gate
+    "dedup_edit_distance",
 ]
 
 
