@@ -146,6 +146,16 @@ _HOSTILE_SAMPLE = [
     "zipf_fit",
     "ndvi_patches",
     "event_interarrival",
+    # round-5 close additions: the all-band candidate self-join +
+    # levenshtein verify under 3 shuffle partitions (pinned
+    # repartitions carry the hostile count), rank fusion whose member
+    # lists are TakeOrderedAndProject k-cuts, the unpartitioned-window
+    # totals of the mixing table, and a broadcast-threshold-sensitive
+    # star top-k
+    "dedup_edit_distance",
+    "rrf_fusion",
+    "source_mixture_weights",
+    "shipping_priority",
 ]
 
 
