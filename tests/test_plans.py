@@ -357,3 +357,49 @@ def test_mixture_weights_single_scan(spark, tmp_path):
     )
     n_scans = plan.count("FileScan")
     assert n_scans == 1, f"{n_scans} scans\n{plan}"
+
+
+def test_no_quadratic_join_in_any_batch_gate(spark):
+    """Sweep EVERY pure-batch gate's executed plan: zero cartesian
+    products anywhere, and every BroadcastNestedLoopJoin covered by an
+    ungrouped (1-row stats) aggregate — the intentional
+    crossJoin(broadcast(stats)) pattern plans as a BNL, an accidental
+    corpus×corpus one does not have the 1-row side. Auto-covers future
+    gates: only maintained/streaming gates (whose wrappers EXECUTE
+    state builds) are skipped by name."""
+    import re
+
+    import __spark_entry__ as entry_mod
+    from cuda_gis_smoothing_spark.plans.audit import assert_no_quadratic_join
+    from cuda_gis_smoothing_spark.sources.tables import clear_cells_cache
+
+    skip = re.compile(r"maintained|stream|_ivf|ivf_|ivfpq|pq_|winnow")
+    # BNLs that are deliberate bounded-side designs the text heuristic
+    # cannot see (each documented in its operator's docstring):
+    exempt = {
+        # exact brute-force scan vs a BOUNDED broadcast query table —
+        # the deliberate baselines whose scale paths are the IVF gates
+        "sq_search",
+        "knn_cosine",
+        # #sources² pair joins over per-source aggregate rows (source
+        # cardinality is tiny by design)
+        "source_overlap_kmv",
+        "source_overlap_minhash",
+        # the exact all-pairs simhash baseline (scale path:
+        # simhash_pairs_banded — in the sweep and clean)
+        "simhash_pairs",
+        # 1-row (N, avgdl) stats attach whose aggregate sits behind the
+        # postings localCheckpoint, invisible to the text count
+        "bm25_search",
+    }
+    sf = "/root/testdata/sf0.001"
+    clear_cells_cache()
+    checked = 0
+    for name, q in entry_mod.queries().items():
+        if skip.search(name) or name in exempt:
+            continue
+        assert_no_quadratic_join(
+            q(spark, sf), context=name, allow_stats_broadcasts=True
+        )
+        checked += 1
+    assert checked >= 100  # the sweep must actually cover the surface

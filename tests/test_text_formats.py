@@ -1,0 +1,65 @@
+"""JSONL / CSV source-sink round trips over the real documents
+fixture — NULL text, quotes/commas in text, and unicode must survive
+byte-identically (the dedup digests downstream depend on it)."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (100001, 'quote " and, comma', "en", "srcx", 18),
+            (100002, None, None, "srcx", None),
+            (100003, "unicode héllo ñ 中", "en", "srcx", 17),
+            (100004, "", "en", "srcx", 0),
+        ],
+        base.schema,
+    )
+    return base.unionByName(extra)
+
+
+def _assert_round_trip(original, loaded):
+    assert loaded.schema == original.schema
+    a = sorted(map(tuple, original.collect()))
+    b = sorted(map(tuple, loaded.collect()))
+    assert a == b
+
+
+def test_jsonl_round_trip(spark, docs, tmp_path):
+    from cuda_gis_smoothing_spark.sources.text_formats import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    p = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, p)
+    _assert_round_trip(docs, read_documents_jsonl(spark, p))
+
+
+def test_csv_round_trip(spark, docs, tmp_path):
+    from cuda_gis_smoothing_spark.sources.text_formats import (
+        read_documents_csv,
+        write_documents_csv,
+    )
+
+    p = str(tmp_path / "docs_csv")
+    write_documents_csv(docs, p)
+    _assert_round_trip(docs, read_documents_csv(spark, p))
+
+
+def test_jsonl_failfast_on_corrupt_row(spark, tmp_path):
+    from cuda_gis_smoothing_spark.sources.text_formats import (
+        read_documents_jsonl,
+    )
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\nnot json at all\n'
+    )
+    with pytest.raises(Exception, match="Malformed|FAILFAST|JSON"):
+        read_documents_jsonl(spark, str(p)).collect()
