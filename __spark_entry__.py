@@ -1497,6 +1497,15 @@ def _q_supplier_balances(spark, sf_dir):
     )
 
 
+def _q_key_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostic over events.user_id — the
+    measurement step before the salting lever; gini rank sum is
+    tie-permutation-invariant so the ranks kernel twins exactly."""
+    from cuda_gis_smoothing_spark.operators.analytics import key_skew_report
+
+    return key_skew_report(load(spark, sf_dir, "events"), "user_id")
+
+
 def _q_dedup_edit_distance(spark, sf_dir):
     """Character-level near-dup pairs: all-band MinHash candidates +
     length prefilter + threshold-banded exact levenshtein verify
@@ -1975,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_field_stats": _q_props_field_stats,
         "source_mixture_weights": _q_source_mixture_weights,
         "dedup_edit_distance": _q_dedup_edit_distance,
+        "key_skew_report": _q_key_skew_report,
         "tfidf_topk": _q_tfidf_topk,
         "winnowing_fingerprints": _q_winnowing,
         "winnowing_maintained": _q_winnowing_maintained,
@@ -3268,6 +3278,11 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     from cuda_gis_smoothing_spark.operators.dedup import edit_distance_sql
 
     out["dedup_edit_distance"] = edit_distance_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        key_skew_report_sql,
+    )
+
+    out["key_skew_report"] = key_skew_report_sql("events", "user_id")
     from cuda_gis_smoothing_spark.operators.dedup import (
         winnow_sql,
         winnowed_neardup_sql,

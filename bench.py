@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "props_field_stats",
     "source_mixture_weights",
     "dedup_edit_distance",
+    "key_skew_report",
 ]
 
 

@@ -657,3 +657,67 @@ FROM po JOIN orders ON o_orderkey = l_orderkey
 ORDER BY total_qty DESC, o_orderkey
 LIMIT {k}
 """.strip()
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the measurement step
+    BEFORE the salting/AQE levers (plans/partitioning.salted_join,
+    salted mean): per-key counts reduced to one row of
+    ``(n_keys, n_rows, max_count, top1_share, gini)``. A gini near 0
+    means uniform keys (plain hash shuffle is fine); near 1 means a
+    handful of hot keys own the table (salt or isolate them).
+
+    Cross-engine contract: ranks come from the partition-parallel
+    :func:`~cuda_gis_smoothing_spark.plans.partitioning.global_ranks`
+    (quantile boundaries — count distributions are exactly the skewed
+    case) ordered by ``(cnt, key)``; rank ORDER within a tie block of
+    equal counts is engine-dependent (NULL-key placement) but the gini
+    rank sum is TIE-PERMUTATION-INVARIANT (i·x + j·x = j·x + i·x — the
+    zipf_fit lesson), so the aggregate is exact. Gini =
+    ``(2·Σ i·cnt_i − (n+1)·Σcnt) / (n·Σcnt)`` — integer numerator and
+    denominator, ONE double division. Int64 bound: needs
+    ``n_keys · n_rows < 2^62`` (holds to ~10^9 keys × 10^9 rows;
+    beyond that, compute over the KMV/quantile sketch family instead).
+
+    Plan (100 TB): one key-count aggregate (map-side combined), the
+    bucketed rank kernel (no global window), one 1-row aggregate."""
+    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
+
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ranked = global_ranks(
+        counts, ["cnt", "_k"], out_col="_i", boundaries="quantile"
+    )
+    n, tot = F.count(F.lit(1)), F.sum("cnt")
+    gini = (
+        (F.lit(2) * F.sum(F.col("_i") * F.col("cnt")) - (n + 1) * tot)
+        .cast("double")
+        / (n * tot).cast("double")
+    )
+    return ranked.agg(
+        n.cast("long").alias("n_keys"),
+        tot.cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_count"),
+        round6(F.max("cnt").cast("double") / tot.cast("double")).alias(
+            "top1_share"
+        ),
+        round6(gini).alias("gini"),
+    )
+
+
+def key_skew_report_sql(table: str, key_col: str) -> str:
+    """DuckDB twin of :func:`key_skew_report` (HUGEINT-safe: the gini
+    ratio converts exact integers to double only at the division)."""
+    return f"""
+WITH c AS (SELECT {key_col} AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1),
+r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, k) AS i FROM c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_count,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) + 1e-09, 6)
+         AS top1_share,
+       ROUND(CAST(2 * SUM(i * cnt) - (COUNT(*) + 1) * SUM(cnt) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(cnt) AS DOUBLE) + 1e-09, 6) AS gini
+FROM r
+""".strip()

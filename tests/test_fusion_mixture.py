@@ -199,3 +199,33 @@ def test_edit_distance_vs_bruteforce_dp(spark):
     # identical-token-set recall floor: the exact duplicate pair
     assert (1, 5) in got and got[(1, 5)] == 0
     assert all(7 not in pair and 6 not in pair for pair in got)
+
+
+def test_key_skew_gini_vs_python(spark):
+    """key_skew_report == a pure-Python Gini over the same counts, on
+    an engineered skew (one key owning half the table) and on a uniform
+    table (gini 0). NULL keys count as one group."""
+    from cuda_gis_smoothing_spark.operators.analytics import key_skew_report
+
+    rows = [(i, 1) for i in range(50)] + [
+        (50 + i, 2 + (i % 5)) for i in range(25)
+    ] + [(99, None)]
+    df = spark.createDataFrame(rows, "event_id long, user_id int")
+    r = key_skew_report(df, "user_id").collect()[0]
+
+    from collections import Counter
+
+    counts = Counter(u for _, u in rows)
+    xs = sorted(counts.values())
+    n, tot = len(xs), sum(xs)
+    gini = (2 * sum(i * x for i, x in enumerate(xs, 1)) - (n + 1) * tot) / (
+        n * tot
+    )
+    assert (r.n_keys, r.n_rows, r.max_count) == (n, tot, max(xs))
+    assert r.gini == pytest.approx(gini, abs=1e-6)
+    assert r.top1_share == pytest.approx(max(xs) / tot, abs=1e-6)
+
+    uniform = spark.createDataFrame(
+        [(i, i % 10) for i in range(100)], "event_id long, user_id int"
+    )
+    assert key_skew_report(uniform, "user_id").collect()[0].gini == 0.0

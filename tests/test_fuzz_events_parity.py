@@ -59,6 +59,9 @@ EVENTS_GATES = [
     # float / string / bool / overflow / NULL) pins the regex-gated
     # integer contract on every divergence class
     "props_field_stats",
+    # gini over hot-user counts: the fuzz's hot user + single-event
+    # users create the tie blocks the permutation-invariance relies on
+    "key_skew_report",
 ]
 
 
