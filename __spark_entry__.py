@@ -2320,11 +2320,10 @@ tok AS (
         f"MIN((h * {MH_A[i]} + {MH_B[i]}) % {MH_PRIME}) AS mh_{i}" for i in range(6)
     )
     # LSH banding twin of operators/dedup.py::minhash_lsh_pairs
-    # (n_hashes=6, bands=3, rows_per_band=2): bh = (mh_even*8191 + mh_odd) % P
-    band_union = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, (mh_{2 * b} * 8191 + mh_{2 * b + 1}) % {MH_PRIME} AS bh FROM sig"
-        for b in range(3)
-    )
+    # (n_hashes=6, bands=3): the shared builder — one banding definition
+    from cuda_gis_smoothing_spark.operators.dedup import band_union_sql
+
+    band_union = band_union_sql("sig")
     langs = sorted(STOPWORDS)
     hits_cols = ",\n       ".join(
         f"LEN(regexp_extract_all(lower(text), '{_stopword_pat(lg)}')) AS hits_{lg}"
@@ -2678,10 +2677,7 @@ GROUP BY d.source
     )
     from cuda_gis_smoothing_spark.operators.sampling import _DENOM, sample_hash_sql
 
-    band_union2 = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, (mh_{2 * b} * 8191 + mh_{2 * b + 1}) % {MH_PRIME} AS bh FROM sig2"
-        for b in range(3)
-    )
+    band_union2 = band_union_sql("sig2")
     out["curate_corpus"] = f"""
 WITH q AS ({out["doc_quality"]}),
 l AS ({out["doc_language_id"]}),

@@ -1862,8 +1862,11 @@ WHERE ROUND(i * 1.0 / (sa.n + sb.n - i) + 1e-09, 6) >= {threshold}
 #: DuckDB's levenshtein counts BYTES while Spark's counts CHARS
 #: (probed: levenshtein('héllo','hello') = 2 vs 1), so edit-distance
 #: operators restrict to the range where byte == char, identically on
-#: both sides.
-ASCII_TEXT_RE = "^[ -~]*$"
+#: both sides. Anchors are \A..\z, NOT ^..$: Java's '$' (Spark rlike)
+#: matches BEFORE a trailing newline while RE2's (DuckDB) is strict
+#: end-of-text (probed: 'hello\n' passed ^..$ only in Spark), so
+#: ^-anchored cross-engine gates diverge on newline-terminated text.
+ASCII_TEXT_RE = r"\A[ -~]*\z"
 
 EDIT_MAX_DIST = 50
 
@@ -1941,21 +1944,40 @@ def edit_distance_pairs(
     )
 
 
+def band_union_sql(
+    sig_cte: str = "sig", n_hashes: int = 6, bands: int = 3
+) -> str:
+    """UNION ALL of ``(doc_id, band, bh)`` rows over a minhash
+    signature CTE — the DuckDB twin of :func:`banded_signature_rows`'
+    fold (``(prev*8191 + mh) % P``). ONE definition shared by every
+    banded twin (minhash_lsh, curate_corpus, edit distance) so the
+    banding arithmetic cannot drift between gates (the shared-CTE
+    drift-prevention class)."""
+    rpb = n_hashes // bands
+    outs = []
+    for b in range(bands):
+        expr = f"mh_{b * rpb}"
+        for j in range(1, rpb):
+            expr = f"({expr} * 8191 + mh_{b * rpb + j}) % {MH_PRIME}"
+        outs.append(f"SELECT doc_id, {b} AS band, {expr} AS bh FROM {sig_cte}")
+    return "\n  UNION ALL ".join(outs)
+
+
 def edit_distance_sql(
     max_dist: int = EDIT_MAX_DIST, source: str = "documents"
 ) -> str:
     """DuckDB twin of :func:`edit_distance_pairs` (n_hashes=6, bands=3,
-    the gate constants — bh folds mirror ``banded_signature_rows``)."""
+    the gate constants — bands via the shared :func:`band_union_sql`).
+    The distance is computed ONCE in a scored CTE (referencing the
+    full-matrix levenshtein in both SELECT and WHERE would run the
+    O(n·m) DP twice per candidate — DuckDB does not CSE across
+    clauses)."""
     th = token_hash_sql_duckdb("t")
     mh = ",\n       ".join(
         f"MIN((h * {MH_A[i]} + {MH_B[i]}) % {MH_PRIME}) AS mh_{i}"
         for i in range(6)
     )
-    bu = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, (mh_{2 * b} * 8191 + mh_{2 * b + 1})"
-        f" % {MH_PRIME} AS bh FROM sig"
-        for b in range(3)
-    )
+    bu = band_union_sql("sig")
     return f"""
 WITH ad AS (
   SELECT doc_id, text, length(text) AS L
@@ -1984,7 +2006,10 @@ wt AS (
   JOIN ad ta ON ta.doc_id = cand.doc_a
   JOIN ad tb ON tb.doc_id = cand.doc_b
   WHERE abs(ta.L - tb.L) <= {int(max_dist)}
+),
+scored AS (
+  SELECT doc_a, doc_b, levenshtein(t_a, t_b) AS d FROM wt
 )
-SELECT doc_a, doc_b, CAST(levenshtein(t_a, t_b) AS BIGINT) AS edit_distance
-FROM wt WHERE levenshtein(t_a, t_b) <= {int(max_dist)}
+SELECT doc_a, doc_b, CAST(d AS BIGINT) AS edit_distance
+FROM scored WHERE d <= {int(max_dist)}
 """.strip()

@@ -1129,7 +1129,12 @@ FROM s
 
 
 _PROPS_KEY_RE = re.compile(r"^[a-z0-9_]+$")
-_PROPS_INT_RE = "^-?[0-9]+$"
+# \A..\z anchors, NOT ^..$ — Java's '$' (Spark rlike) matches before a
+# trailing newline while RE2's (DuckDB) is end-of-text, so ^-anchored
+# cross-engine gates diverge on newline-terminated values (probed; the
+# ASCII_TEXT_RE lesson in operators/dedup.py). Python's re needs \Z —
+# translate when using these in a Python oracle.
+_PROPS_INT_RE = r"\A-?[0-9]+\z"
 
 # The supported payload envelope: a FLAT JSON object of strictly-valid
 # scalar members (strict string escapes, strict number grammar, no
@@ -1145,8 +1150,8 @@ _J_STR = r'"(?:[^"\\\x00-\x1f]|\\["\\/bfnrt]|\\u[0-9a-fA-F]{4})*"'
 _J_NUM = r"-?(?:0|[1-9][0-9]*)(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
 _J_SCALAR = rf"(?:{_J_STR}|{_J_NUM}|true|false|null)"
 PROPS_FLAT_OBJECT_RE = (
-    rf"^\{{\s*(?:{_J_STR}\s*:\s*{_J_SCALAR}\s*"
-    rf"(?:,\s*{_J_STR}\s*:\s*{_J_SCALAR}\s*)*)?\}}$"
+    rf"\A\{{\s*(?:{_J_STR}\s*:\s*{_J_SCALAR}\s*"
+    rf"(?:,\s*{_J_STR}\s*:\s*{_J_SCALAR}\s*)*)?\}}\z"
 )
 
 

@@ -39,9 +39,14 @@ def audit_plan(df: DataFrame) -> dict:
         "take_ordered": plan.count("TakeOrderedAndProject"),
         "codegen_spans": plan.count("WholeStageCodegen"),
         # ungrouped (1-row) aggregates — the legitimate broadcast sides
-        # of the house's crossJoin(broadcast(stats)) pattern
-        "ungrouped_aggregates": plan.count("Aggregate(keys=[]")
-        + plan.count("Aggregate (keys=[]"),
+        # of the house's crossJoin(broadcast(stats)) pattern. Count
+        # FINAL aggregates only: every logical agg prints twice in the
+        # executed plan (a partial_ map-side half + the final), so the
+        # naive count grants 2× allowance per stats join
+        "ungrouped_aggregates": (
+            plan.count("Aggregate(keys=[]")
+            - plan.count("Aggregate(keys=[], functions=[partial_")
+        ),
     }
 
 
@@ -55,10 +60,14 @@ def assert_no_quadratic_join(
     stats attach — PLANS as a BroadcastNestedLoopJoin (there is no join
     key to hash on), so a blanket BNL ban would flag 30+ legitimate
     gates. With ``allow_stats_broadcasts`` each BNL must be covered by
-    an ungrouped aggregate somewhere in the plan (the broadcast side a
-    1-row stats join necessarily has); an accidental corpus×corpus BNL
+    an ungrouped FINAL aggregate somewhere in the plan (the broadcast
+    side a 1-row stats join necessarily has; partial halves excluded —
+    each logical agg prints twice); an accidental corpus×corpus BNL
     from a dropped join condition has no such aggregate and still
-    fails. Pair kernels should call the strict form (default)."""
+    fails. Residual blind spot: a gate whose OUTPUT is itself a 1-row
+    aggregate earns one BNL of allowance it may not deserve — pair
+    kernels should call the strict form (default), which is what the
+    targeted plan tests do."""
     a = audit_plan(df)
     bad_bnl = (
         a["nested_loop_joins"] > a["ungrouped_aggregates"]

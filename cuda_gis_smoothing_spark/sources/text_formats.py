@@ -43,8 +43,12 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
 #: CSV cannot distinguish NULL from '' unless NULL gets a sentinel —
 #: Spark writes both as an empty field and reads empty fields back as
 #: NULL (measured: an empty-text doc returned as NULL text). The
-#: MySQL-style \\N sentinel on BOTH sides keeps the round trip
-#: lossless; emptyValue pins '' to stay ''.
+#: MySQL-style \\N sentinel on BOTH sides keeps NULL and '' distinct;
+#: emptyValue pins '' to stay ''. KNOWN LIMIT (pinned by test): a text
+#: field whose content is LITERALLY the sentinel reads back as NULL —
+#: the reader matches nullValue after unquoting, so even quoteAll
+#: cannot protect it (measured). CSV is the interchange format for
+#: humans and legacy loaders; JSONL is the lossless one.
 CSV_NULL = "\\N"
 
 

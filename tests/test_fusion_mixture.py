@@ -65,6 +65,10 @@ def test_props_stats_vs_python_json(spark):
         (14, "c", '{"k": 6,}'),
         (15, "c", '{"k": 1, "m": [1, 2]}'),
         (16, "c", '{ "k" : 9 , "m" : "x,y" }'),
+        # trailing newline: the \A..\z anchor class (Java ^..$ would
+        # accept this, RE2 would not — both must reject)
+        (17, "c", '{"k": 7}\n'),
+        (18, "c", '{"k": "12\n"}'),
     ]
     df = spark.createDataFrame(
         rows, "event_id long, event_type string, props string"
@@ -76,9 +80,12 @@ def test_props_stats_vs_python_json(spark):
         PROPS_FLAT_OBJECT_RE,
     )
 
+    # Python re has no \z (that's Java/RE2); \Z is its exact equivalent
+    envelope = re.compile(PROPS_FLAT_OBJECT_RE.replace(r"\z", r"\Z"))
+
     def oracle_k(p):
         # the gate's contract: strict flat-scalar-object envelope first
-        if p is None or not re.match(PROPS_FLAT_OBJECT_RE, p):
+        if p is None or not envelope.match(p):
             return None
         try:
             obj = json.loads(p)

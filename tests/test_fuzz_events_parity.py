@@ -95,6 +95,9 @@ def _fuzz_events(seed: int = 42, n_users: int = 40):
         # valid JSON but OUTSIDE the flat-scalar envelope (nested)
         14: '{"k": 1, "m": [1, 2]}',
         15: '{"k": 01}',  # leading zero: strict-number reject
+        # trailing newline: Java's ^..$ would pass where RE2 rejects —
+        # the \A..\z anchors must reject in BOTH engines
+        16: '{"k": 7}\n',
     }
 
     def add(user, ts, etype=None, value=None):

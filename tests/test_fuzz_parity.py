@@ -158,6 +158,13 @@ def _fuzz_corpus(seed: int = 20260816, n: int = 160):
     # handle it identically to its twin or filter it identically
     rows.append((next_id(), None, "en", "src2", 0))
     rows.append((next_id(), None, "de", "src0", 0))
+    # newline-terminated and non-ASCII texts: the \A..\z anchor class
+    # (Java ^..$ accepts a trailing newline, RE2 does not) and the
+    # byte-vs-char contract — ASCII-gated kernels must exclude these
+    # IDENTICALLY in both engines while token-level gates process them
+    t = rand_text(10, 20)
+    rows.append((next_id(), t + "\n", "en", "src3", len(t) + 1))
+    rows.append((next_id(), t + " café", "fr", "src3", len(t) + 5))
     rng.shuffle(rows)
     return rows
 

@@ -16,6 +16,8 @@ def docs(spark):
             (100002, None, None, "srcx", None),
             (100003, "unicode héllo ñ 中", "en", "srcx", 17),
             (100004, "", "en", "srcx", 0),
+            # embedded newline: the multiLine rationale, exercised
+            (100005, "line one\nline two", "en", "srcx", 17),
         ],
         base.schema,
     )
@@ -49,6 +51,35 @@ def test_csv_round_trip(spark, docs, tmp_path):
     p = str(tmp_path / "docs_csv")
     write_documents_csv(docs, p)
     _assert_round_trip(docs, read_documents_csv(spark, p))
+
+
+def test_csv_sentinel_literal_reads_as_null_documented_limit(
+    spark, tmp_path
+):
+    """A text field whose content is LITERALLY the \\N sentinel reads
+    back as NULL — the reader matches nullValue after unquoting, so no
+    quoting protects it (probed, incl. quoteAll). Pinned here as the
+    documented CSV limitation; JSONL is the lossless format (its
+    round-trip test covers this same value)."""
+    from cuda_gis_smoothing_spark.sources.text_formats import (
+        CSV_NULL,
+        read_documents_csv,
+        read_documents_jsonl,
+        write_documents_csv,
+        write_documents_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, CSV_NULL, "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "sentinel_csv")
+    write_documents_csv(df, p)
+    assert read_documents_csv(spark, p).collect()[0].text is None
+    # JSONL round-trips the same value losslessly
+    pj = str(tmp_path / "sentinel_jsonl")
+    write_documents_jsonl(df, pj)
+    assert read_documents_jsonl(spark, pj).collect()[0].text == CSV_NULL
 
 
 def test_jsonl_failfast_on_corrupt_row(spark, tmp_path):
