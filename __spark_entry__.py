@@ -1497,6 +1497,28 @@ def _q_supplier_balances(spark, sf_dir):
     )
 
 
+def _q_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape: the pure predicate-pushdown scan-aggregate —
+    all predicates integer/timestamp-exact and pushed to the scan."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        forecast_revenue_change,
+    )
+
+    return forecast_revenue_change(load(spark, sf_dir, "lineitem"))
+
+
+def _q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (schema-adapted): OR-of-conjunctions predicate
+    over a broadcast dimension join."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        disjunctive_revenue,
+    )
+
+    return disjunctive_revenue(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
 def _q_key_skew_report(spark, sf_dir):
     """Shuffle-key skew diagnostic over events.user_id — the
     measurement step before the salting lever; gini rank sum is
@@ -1985,6 +2007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_weights": _q_source_mixture_weights,
         "dedup_edit_distance": _q_dedup_edit_distance,
         "key_skew_report": _q_key_skew_report,
+        "forecast_revenue_change": _q_forecast_revenue_change,
+        "disjunctive_revenue": _q_disjunctive_revenue,
         "tfidf_topk": _q_tfidf_topk,
         "winnowing_fingerprints": _q_winnowing,
         "winnowing_maintained": _q_winnowing_maintained,
@@ -3279,6 +3303,13 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     )
 
     out["key_skew_report"] = key_skew_report_sql("events", "user_id")
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        disjunctive_revenue_sql,
+        forecast_revenue_change_sql,
+    )
+
+    out["forecast_revenue_change"] = forecast_revenue_change_sql()
+    out["disjunctive_revenue"] = disjunctive_revenue_sql()
     from cuda_gis_smoothing_spark.operators.dedup import (
         winnow_sql,
         winnowed_neardup_sql,

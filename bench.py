@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "source_mixture_weights",
     "dedup_edit_distance",
     "key_skew_report",
+    "forecast_revenue_change",
+    "disjunctive_revenue",
 ]
 
 

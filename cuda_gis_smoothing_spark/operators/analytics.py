@@ -721,3 +721,140 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
              / CAST(COUNT(*) * SUM(cnt) AS DOUBLE) + 1e-09, 6) AS gini
 FROM r
 """.strip()
+
+
+#: Q6 constants — fixture shipdates span 1995-2001, discounts
+#: {0, 0.01..0.10}, quantities 1..50, so every predicate cuts a
+#: non-degenerate subset at every SF.
+Q6_YEAR = 1997
+Q6_DISCOUNT_CENTIPCT = 5  # 0.05 on the integer percent grid
+Q6_MAX_QTY = 24
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    year: int = Q6_YEAR,
+    discount_pct: int = Q6_DISCOUNT_CENTIPCT,
+    max_qty: int = Q6_MAX_QTY,
+) -> DataFrame:
+    """TPC-H Q6 shape: the pure predicate-pushdown scan-aggregate —
+    revenue that would be recovered by dropping small-lot discounts in
+    one year. EVERY predicate is integer-exact: the year bounds are
+    timestamp literals pushed to the scan, the discount band compares
+    on the integer percent grid (``round(d*100)`` — a float compare on
+    0.05±0.01 would straddle representation error), and quantity is a
+    whole unit. Measure = Σ cents·percent exact integers. Output: one
+    row (n_lineitems, revenue).
+
+    Plan (100 TB): one scan with ALL filters in PushedFilters (the
+    shipdate range prunes row groups via parquet min/max stats), one
+    1-row partial+final aggregate — zero shuffles beyond the 1-row
+    exchange."""
+    year, discount_pct, max_qty = int(year), int(discount_pct), int(max_qty)
+    d_pct = F.round(F.col("l_discount") * 100).cast("long")
+    rev_cents_pct = (
+        F.round(F.col("l_extendedprice") * 100).cast("long") * d_pct
+    )
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.expr(f"TIMESTAMP_NTZ '{year}-01-01 00:00:00'"))
+        & (
+            F.col("l_shipdate")
+            < F.expr(f"TIMESTAMP_NTZ '{year + 1}-01-01 00:00:00'")
+        )
+        & (F.round(F.col("l_quantity")).cast("long") < max_qty)
+    )
+    return (
+        li.where(
+            (d_pct >= discount_pct - 1) & (d_pct <= discount_pct + 1)
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            round6(
+                F.coalesce(F.sum(rev_cents_pct), F.lit(0)) / F.lit(10_000.0)
+            ).alias("revenue"),
+        )
+    )
+
+
+def forecast_revenue_change_sql(
+    year: int = Q6_YEAR,
+    discount_pct: int = Q6_DISCOUNT_CENTIPCT,
+    max_qty: int = Q6_MAX_QTY,
+) -> str:
+    year, discount_pct, max_qty = int(year), int(discount_pct), int(max_qty)
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       ROUND(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * CAST(ROUND(l_discount * 100) AS BIGINT)), 0)
+             / 10000.0 + 1e-09, 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
+  AND l_shipdate < TIMESTAMP '{year + 1}-01-01'
+  AND CAST(ROUND(l_quantity) AS BIGINT) < {max_qty}
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN {discount_pct - 1} AND {discount_pct + 1}
+""".strip()
+
+
+#: Q19-adapted disjunctive branches over the fixture's part columns
+#: (no p_container in this schema): (brand, size range, qty range).
+Q19_BRANCHES = (
+    ("Brand#1", 1, 15, 1, 11),
+    ("Brand#2", 10, 30, 10, 20),
+    ("Brand#3", 25, 50, 20, 30),
+)
+
+
+def disjunctive_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    branches: tuple = Q19_BRANCHES,
+) -> DataFrame:
+    """TPC-H Q19 shape (adapted to this schema's part columns): revenue
+    matching an OR of (brand, size-range, quantity-range) conjunctions
+    — the disjunctive join-predicate plan. The join key stays a clean
+    equi-join on partkey with the OR evaluated as a post-join filter
+    (Catalyst also derives the pushable per-side implications); all
+    compares are integer-exact. Output: one row (n_lineitems, revenue).
+
+    Plan (100 TB): part is the broadcast side (dimension-sized); one
+    hash equi-join on l_partkey; 1-row aggregate."""
+    q = F.round(F.col("l_quantity")).cast("long")
+    cond = F.lit(False)
+    for brand, lo_sz, hi_sz, lo_q, hi_q in branches:
+        # interpolated into the twin too — whitelist the 'Brand#N' form
+        if not _re.match(r"^Brand#[0-9]+$", brand):
+            raise ValueError(f"invalid brand: {brand!r}")
+        cond = cond | (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(int(lo_sz), int(hi_sz)))
+            & (q.between(int(lo_q), int(hi_q)))
+        )
+    joined = lineitem.select(
+        "l_partkey", "l_quantity", _rev_scaled().alias("_rev")
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return joined.where(cond).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        round6(
+            F.coalesce(F.sum("_rev"), F.lit(0)) / F.lit(10_000.0)
+        ).alias("revenue"),
+    )
+
+
+def disjunctive_revenue_sql(branches: tuple = Q19_BRANCHES) -> str:
+    ors = []
+    for brand, lo_sz, hi_sz, lo_q, hi_q in branches:
+        if not _re.match(r"^Brand#[0-9]+$", brand):
+            raise ValueError(f"invalid brand: {brand!r}")
+        ors.append(
+            f"(p_brand = '{brand}' AND p_size BETWEEN {int(lo_sz)} AND {int(hi_sz)}"
+            f" AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN {int(lo_q)} AND {int(hi_q)})"
+        )
+    cond = "\n   OR ".join(ors)
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       ROUND(COALESCE(SUM({_REV_SCALED_SQL}), 0) / 10000.0 + 1e-09, 6) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {cond}
+""".strip()

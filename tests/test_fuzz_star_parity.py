@@ -34,6 +34,11 @@ GATES = [
     # < 300), so these pin the EMPTY-result schema contract
     "shipping_priority",
     "big_orders",
+    # Q6/Q19: fuzz shipdates (2024) miss the Q6 year → empty + the
+    # coalesce-to-0 sum contract; Q19's brand/size branches DO select
+    # fuzz rows (brands Brand#0-4, sizes 1-50)
+    "forecast_revenue_change",
+    "disjunctive_revenue",
 ]
 
 
