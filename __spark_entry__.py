@@ -1497,6 +1497,14 @@ def _q_supplier_balances(spark, sf_dir):
     )
 
 
+def _q_basket_part_pairs(spark, sf_dir):
+    """Market-basket lift: bounded per-order self-join (≤ items/order²
+    fan-out), integer counts, one division, TakeOrderedAndProject."""
+    from cuda_gis_smoothing_spark.operators.analytics import basket_part_pairs
+
+    return basket_part_pairs(load(spark, sf_dir, "lineitem"))
+
+
 def _q_forecast_revenue_change(spark, sf_dir):
     """TPC-H Q6 shape: the pure predicate-pushdown scan-aggregate —
     all predicates integer/timestamp-exact and pushed to the scan."""
@@ -2009,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": _q_key_skew_report,
         "forecast_revenue_change": _q_forecast_revenue_change,
         "disjunctive_revenue": _q_disjunctive_revenue,
+        "basket_part_pairs": _q_basket_part_pairs,
         "tfidf_topk": _q_tfidf_topk,
         "winnowing_fingerprints": _q_winnowing,
         "winnowing_maintained": _q_winnowing_maintained,
@@ -3310,6 +3319,11 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
 
     out["forecast_revenue_change"] = forecast_revenue_change_sql()
     out["disjunctive_revenue"] = disjunctive_revenue_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        basket_part_pairs_sql,
+    )
+
+    out["basket_part_pairs"] = basket_part_pairs_sql()
     from cuda_gis_smoothing_spark.operators.dedup import (
         winnow_sql,
         winnowed_neardup_sql,

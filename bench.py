@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "key_skew_report",
     "forecast_revenue_change",
     "disjunctive_revenue",
+    "basket_part_pairs",
 ]
 
 

@@ -858,3 +858,103 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE {cond}
 """.strip()
+
+
+BASKET_MIN_SUPPORT = 2
+BASKET_TOPK = 50
+
+
+def basket_part_pairs(
+    lineitem: DataFrame,
+    min_support: int = BASKET_MIN_SUPPORT,
+    k: int = BASKET_TOPK,
+) -> DataFrame:
+    """Market-basket association: top-``k`` part pairs by LIFT among
+    pairs co-ordered at least ``min_support`` times — the
+    frequently-bought-together report as one bounded self-join.
+
+    ``lift(a,b) = N·c(ab) / (c(a)·c(b))`` over distinct (order, part)
+    rows — all exact integer counts, ONE double division, round6; the
+    k-cut total-orders on (lift, part_a, part_b). Int64 bound:
+    ``c(ab)·N < 2^62`` (c(ab) ≤ N, so N < 2^31 orders — beyond that
+    compute lift in the log domain or pre-scale).
+
+    Plan (100 TB): the self-join fans out ≤ (items/order)² rows per
+    order — bounded by the order-size cap, never corpus-quadratic (the
+    cross_source_dups class); pair counts hash-aggregate with map-side
+    combine; part counts and the 1-row N broadcast; k-cut is
+    TakeOrderedAndProject."""
+    min_support, k = int(min_support), int(k)
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("_o2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("_o") == F.col("_o2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+    )
+    pc = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    n = op.agg(
+        F.count_distinct(F.col("l_orderkey")).cast("long").alias("_N")
+    )
+    scored = (
+        pairs.join(
+            pc.select(F.col("l_partkey").alias("part_a"), F.col("_c").alias("_ca")),
+            "part_a",
+        )
+        .join(
+            pc.select(F.col("l_partkey").alias("part_b"), F.col("_c").alias("_cb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            round6(
+                (F.col("n_both") * F.col("_N")).cast("double")
+                / (F.col("_ca") * F.col("_cb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "part_a", "part_b"
+    ).limit(k)
+
+
+def basket_part_pairs_sql(
+    min_support: int = BASKET_MIN_SUPPORT, k: int = BASKET_TOPK
+) -> str:
+    min_support, k = int(min_support), int(k)
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS N FROM op),
+pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+)
+SELECT part_a, part_b, n_both,
+       ROUND(CAST(n_both * N AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)
+             + 1e-09, 6) AS lift
+FROM pairs
+JOIN pc ca ON ca.l_partkey = part_a
+JOIN pc cb ON cb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT {k}
+""".strip()

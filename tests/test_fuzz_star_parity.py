@@ -39,6 +39,10 @@ GATES = [
     # fuzz rows (brands Brand#0-4, sizes 1-50)
     "forecast_revenue_change",
     "disjunctive_revenue",
+    # basket lift: the hot customer's 12 orders and the engineered
+    # identical-lineitem tie orders exercise the pair counts + the
+    # round6-lift k-cut tie-break
+    "basket_part_pairs",
 ]
 
 
