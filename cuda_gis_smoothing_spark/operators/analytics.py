@@ -746,10 +746,12 @@ def forecast_revenue_change(
     whole unit. Measure = Σ cents·percent exact integers. Output: one
     row (n_lineitems, revenue).
 
-    Plan (100 TB): one scan with ALL filters in PushedFilters (the
-    shipdate range prunes row groups via parquet min/max stats), one
-    1-row partial+final aggregate — zero shuffles beyond the 1-row
-    exchange."""
+    Plan (100 TB): one scan; the shipdate bounds reach PushedFilters
+    and prune row groups via parquet min/max stats (the
+    round()-wrapped discount/quantity predicates are expression
+    filters evaluated post-scan — a cast-free schema would push them
+    too), one 1-row partial+final aggregate — zero shuffles beyond the
+    1-row exchange."""
     year, discount_pct, max_qty = int(year), int(discount_pct), int(max_qty)
     d_pct = F.round(F.col("l_discount") * 100).cast("long")
     rev_cents_pct = (
@@ -817,11 +819,15 @@ def disjunctive_revenue(
 
     Plan (100 TB): part is the broadcast side (dimension-sized); one
     hash equi-join on l_partkey; 1-row aggregate."""
+    if not branches:  # the twin's empty WHERE would be a syntax error
+        raise ValueError("disjunctive_revenue needs at least one branch")
     q = F.round(F.col("l_quantity")).cast("long")
     cond = F.lit(False)
     for brand, lo_sz, hi_sz, lo_q, hi_q in branches:
         # interpolated into the twin too — whitelist the 'Brand#N' form
-        if not _re.match(r"^Brand#[0-9]+$", brand):
+        # (fullmatch: Python's $ matches before a trailing newline —
+        # the \A..\z anchor class)
+        if not _re.fullmatch(r"Brand#[0-9]+", brand):
             raise ValueError(f"invalid brand: {brand!r}")
         cond = cond | (
             (F.col("p_brand") == brand)
@@ -843,9 +849,11 @@ def disjunctive_revenue(
 
 
 def disjunctive_revenue_sql(branches: tuple = Q19_BRANCHES) -> str:
+    if not branches:
+        raise ValueError("disjunctive_revenue needs at least one branch")
     ors = []
     for brand, lo_sz, hi_sz, lo_q, hi_q in branches:
-        if not _re.match(r"^Brand#[0-9]+$", brand):
+        if not _re.fullmatch(r"Brand#[0-9]+", brand):
             raise ValueError(f"invalid brand: {brand!r}")
         ors.append(
             f"(p_brand = '{brand}' AND p_size BETWEEN {int(lo_sz)} AND {int(hi_sz)}"
@@ -883,9 +891,17 @@ def basket_part_pairs(
     order — bounded by the order-size cap, never corpus-quadratic (the
     cross_source_dups class); pair counts hash-aggregate with map-side
     combine; part counts and the 1-row N broadcast; k-cut is
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject. The distinct (order, part) table feeds FOUR
+    differently-pruned consumers (both self-join sides, part counts,
+    the order count) — unmaterialized, column pruning defeats
+    ReuseExchange and the corpus scans 3× (plan-verified), so it is
+    localCheckpoint'ed (the bm25-postings class)."""
     min_support, k = int(min_support), int(k)
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
     a = op.select(
         F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_a")
     )
