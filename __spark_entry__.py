@@ -1345,6 +1345,58 @@ def _q_top_event_types(spark, sf_dir):
     return top_event_types_per_user(load(spark, sf_dir, "events"), k=3)
 
 
+def _q_dedup_lines(spark, sf_dir):
+    """C4-style line-level dedup over aligned 8-token chunk-lines:
+    drop every occurrence of a cross-doc repeated chunk except the
+    global first, reassemble each doc. NULL-text rows preserved."""
+    from cuda_gis_smoothing_spark.operators.dedup import line_dedup
+
+    return line_dedup(load(spark, sf_dir, "documents"))
+
+
+def _q_boilerplate_lines(spark, sf_dir):
+    """Boilerplate chunk-line audit: top-k chunks by doc frequency —
+    one explode + hash aggregate + TakeOrderedAndProject."""
+    from cuda_gis_smoothing_spark.operators.dedup import boilerplate_chunks
+
+    return boilerplate_chunks(load(spark, sf_dir, "documents"))
+
+
+def _q_blocking_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: double-correlated EXISTS + NOT-EXISTS,
+    decorrelated into order-keyed aggregates (top-2 trick)."""
+    from cuda_gis_smoothing_spark.operators.analytics import blocking_suppliers
+
+    return blocking_suppliers(
+        load(spark, sf_dir, "supplier"), load(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery threshold (integer-exact
+    rational compare) + LEFT ANTI join on orders."""
+    from cuda_gis_smoothing_spark.operators.analytics import idle_customers
+
+    return idle_customers(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
+def _q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: conditional share-of-group over one join tree
+    (CASE-gated and total sums from the same fact rows)."""
+    from cuda_gis_smoothing_spark.operators.analytics import nation_market_share
+
+    return nation_market_share(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+    )
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Exact all-pairs cosine near-dup through the blocked triangle
     equi-join (no Cartesian/NestedLoop node — plan-asserted)."""
@@ -2076,6 +2128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _q_asof_attribution,
         "range_join_followups": _q_range_join,
         "top_event_types": _q_top_event_types,
+        # --- round-5 close additions (rotate into the window in r6) ------
+        "dedup_lines": _q_dedup_lines,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "blocking_suppliers": _q_blocking_suppliers,
+        "idle_customers": _q_idle_customers,
+        "nation_market_share": _q_nation_market_share,
     }
     return qs
 
@@ -3684,6 +3742,22 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(prefix % {_L} AS BIGINT) AS seq_offset
 FROM p
 """.strip()
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        boilerplate_chunks_sql,
+        line_dedup_sql,
+    )
+
+    out["dedup_lines"] = line_dedup_sql()
+    out["boilerplate_lines"] = boilerplate_chunks_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        blocking_suppliers_sql,
+        idle_customers_sql,
+        nation_market_share_sql,
+    )
+
+    out["blocking_suppliers"] = blocking_suppliers_sql()
+    out["idle_customers"] = idle_customers_sql()
+    out["nation_market_share"] = nation_market_share_sql()
     return out
 
 

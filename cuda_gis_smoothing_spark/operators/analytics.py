@@ -974,3 +974,298 @@ CROSS JOIN n
 ORDER BY lift DESC, part_a, part_b
 LIMIT {k}
 """.strip()
+
+
+# -- round-5 close: the last three distinct TPC-H plan shapes ----------
+
+def blocking_suppliers(
+    supplier: DataFrame, lineitem: DataFrame, k: int = TOPK_DEFAULT
+) -> DataFrame:
+    """TPC-H Q21 shape (schema-adapted — no receipt/commit dates):
+    suppliers whose lineitem was the LAST to ship in a multi-supplier
+    order — the double-correlated EXISTS + NOT-EXISTS plan (every
+    other star gate correlates at most once). A line of supplier s in
+    order o qualifies iff another supplier participates in o (EXISTS)
+    and no other supplier's line ships strictly later (NOT EXISTS).
+    Output: top-k (s_suppkey, s_name, n_blocked_orders, n_lines) by
+    (n_blocked_orders DESC, n_lines DESC, s_suppkey) — integer-exact.
+
+    Spark decorrelates by hand: NOT EXISTS (other ship > mine) ⇔
+    my shipdate >= max(other suppliers' shipdates), computed per order
+    via the top-2 trick — max1 over per-supplier maxima with a
+    min-suppkey argmax tie-break, max2 excluding the argmax; for
+    supplier s the "other max" is max2 iff s IS the argmax (when a tie
+    attains max1 twice, max2 == max1, so the branch is exact either
+    way). All compares are timestamp equality — exact cross-engine.
+
+    Plan (100 TB): three order-keyed hash aggregates/joins (map-side
+    combined; no window, no correlated re-scan per row — the
+    decorrelation is what Catalyst would do for the EXISTS pair, made
+    explicit), one supplier-keyed aggregate, TakeOrderedAndProject,
+    and a dimension join AFTER the k-cut (the top_customers shape)."""
+    k = int(k)
+    ls = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_os = ls.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("_smax")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.max(F.struct(F.col("_smax"), (-F.col("l_suppkey")).alias("_negk")))
+        .alias("_top"),
+    ).select(
+        "l_orderkey",
+        "_n_supp",
+        F.col("_top._smax").alias("_max1"),
+        (-F.col("_top._negk")).alias("_argmax"),
+    )
+    max2 = (
+        per_os.join(
+            per_o.select("l_orderkey", "_argmax"),
+            "l_orderkey",
+        )
+        .where(F.col("l_suppkey") != F.col("_argmax"))
+        .groupBy("l_orderkey")
+        .agg(F.max("_smax").alias("_max2"))
+    )
+    stats = per_o.join(max2, "l_orderkey", "left")
+    qualified = (
+        ls.join(stats, "l_orderkey")
+        .where(
+            (F.col("_n_supp") >= 2)
+            & (
+                F.col("l_shipdate")
+                >= F.when(
+                    F.col("l_suppkey") == F.col("_argmax"), F.col("_max2")
+                ).otherwise(F.col("_max1"))
+            )
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count_distinct(F.col("l_orderkey"))
+            .cast("long")
+            .alias("n_blocked_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    return (
+        qualified.orderBy(
+            F.col("n_blocked_orders").desc(),
+            F.col("n_lines").desc(),
+            "l_suppkey",
+        )
+        .limit(k)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_blocked_orders", "n_lines")
+    )
+
+
+def blocking_suppliers_sql(k: int = TOPK_DEFAULT) -> str:
+    """DuckDB twin of :func:`blocking_suppliers` — the CORRELATED form
+    (EXISTS + NOT EXISTS verbatim), so the twin checks the
+    decorrelation, not a re-transcription of it."""
+    k = int(k)
+    return f"""
+WITH l1 AS (
+  SELECT l.l_suppkey, l.l_orderkey
+  FROM lineitem l
+  WHERE EXISTS (
+          SELECT 1 FROM lineitem o2
+          WHERE o2.l_orderkey = l.l_orderkey
+            AND o2.l_suppkey <> l.l_suppkey)
+    AND NOT EXISTS (
+          SELECT 1 FROM lineitem o3
+          WHERE o3.l_orderkey = l.l_orderkey
+            AND o3.l_suppkey <> l.l_suppkey
+            AND o3.l_shipdate > l.l_shipdate)
+),
+agg AS (
+  SELECT l_suppkey,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_blocked_orders,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM l1 GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, a.n_blocked_orders, a.n_lines
+FROM agg a JOIN supplier s ON s.s_suppkey = a.l_suppkey
+ORDER BY a.n_blocked_orders DESC, a.n_lines DESC, s.s_suppkey
+LIMIT {k}
+""".strip()
+
+
+#: lapsed-customer cutoff — every fixture customer has SOME order, but
+#: 29 (at sf0.01) have none on/after 1999, so the gate is non-degenerate
+IDLE_CUTOFF = "1999-01-01 00:00:00"
+
+
+def idle_customers(
+    customer: DataFrame, orders: DataFrame, cutoff: str = IDLE_CUTOFF
+) -> DataFrame:
+    """TPC-H Q22 shape (schema-adapted — segment stands in for the
+    phone prefix, and "never ordered" becomes "no order since the
+    cutoff": every fixture customer has SOME order, so the literal Q22
+    predicate would gate an empty table — the cross_source_dups
+    precedent): per market segment, count and total balance of LAPSED
+    customers with an above-average positive-side account balance —
+    the scalar-subquery + anti-join plan (the one star shape left: a
+    global aggregate gating a NOT EXISTS). The above-average compare
+    is INTEGER-exact: cents·n_pos > sum_pos_cents (avg as a rational,
+    never a float divide — a balance at float-noise distance from the
+    mean cannot flip cross-engine). Int64 bound: max cents (~10^6) ×
+    n_pos < 2^62 holds to ~4.6e15 customers.
+    Output: (c_mktsegment, n_customers, total_acctbal_cents).
+
+    Plan (100 TB): one 1-row stats aggregate attached as a broadcast
+    (the audited crossJoin(broadcast(ungrouped agg)) pattern), one
+    LEFT ANTI hash join on custkey with the date predicate pushed to
+    the orders scan, one segment-sized aggregate."""
+    cutoff = _check_cutoff(cutoff)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    c = customer.select("c_custkey", "c_mktsegment", cents.alias("_cents"))
+    stats = c.where(F.col("_cents") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_pos"),
+        F.coalesce(F.sum("_cents"), F.lit(0)).cast("long").alias("_sum_pos"),
+    )
+    rich = c.crossJoin(F.broadcast(stats)).where(
+        F.col("_cents") * F.col("_n_pos") > F.col("_sum_pos")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{cutoff}'")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("_cents").cast("long").alias("total_acctbal_cents"),
+    )
+
+
+def idle_customers_sql(cutoff: str = IDLE_CUTOFF) -> str:
+    cutoff = _check_cutoff(cutoff)
+    return f"""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+         CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_pos
+  FROM c WHERE cents > 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_acctbal_cents
+FROM c, s
+WHERE c.cents * s.n_pos > s.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{cutoff}')
+GROUP BY c_mktsegment
+""".strip()
+
+
+#: Q8 constants — NATION_3 sits in EUROPE on the fixture's
+#: nation→region assignment (nationkey % 5 regions), so the share is
+#: non-degenerate at every SF.
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_3"
+
+_NAME_RE = _re.compile(r"\A[A-Z0-9_ ]+\Z")
+
+
+def _check_name(name: str) -> str:
+    """Region/nation names are interpolated into both engines' SQL —
+    whitelist them (the check_terms precedent)."""
+    if not _NAME_RE.match(name):
+        raise ValueError(f"invalid region/nation name: {name!r}")
+    return name
+
+
+def nation_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = Q8_REGION,
+    supp_nation: str = Q8_NATION,
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's lineitem
+    revenue per order year — the conditional-share-of-group plan (a
+    CASE-gated sum over the SAME rows as the total, ONE join tree —
+    two separate aggregates would scan the facts twice). Revenue stays
+    exact scaled integers; share is one division, round6. Output:
+    (o_year, n_lineitems, nation_revenue, total_revenue, share).
+
+    Plan (100 TB): region/nation/supplier dimension hops are explicit
+    broadcasts; customer ⋈ orders ⋈ lineitem shuffle on their keys;
+    the region filter prunes customers BEFORE the fact joins; one
+    year-sized hash aggregate."""
+    region_name = _check_name(region_name)
+    supp_nation = _check_name(supp_nation)
+    dims = (
+        F.broadcast(region.where(F.col("r_name") == region_name)
+                    .select("r_regionkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    ords = orders.select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year")
+    ).join(cust.select("c_custkey", ), F.col("o_custkey") == F.col("c_custkey"))
+    supp = supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("_sname")
+        )),
+        F.col("s_nationkey") == F.col("_snk"),
+    ).select("s_suppkey", "_sname")
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", _rev_scaled().alias("_rev"))
+        .join(ords.select("o_orderkey", "o_year"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    target = F.when(F.col("_sname") == supp_nation, F.col("_rev")).otherwise(
+        F.lit(0)
+    )
+    return li.groupBy("o_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        round6(F.sum(target) / F.lit(10_000.0)).alias("nation_revenue"),
+        round6(F.sum("_rev") / F.lit(10_000.0)).alias("total_revenue"),
+        round6(F.sum(target) / F.sum("_rev")).alias("share"),
+    )
+
+
+def nation_market_share_sql(
+    region_name: str = Q8_REGION, supp_nation: str = Q8_NATION
+) -> str:
+    region_name = _check_name(region_name)
+    supp_nation = _check_name(supp_nation)
+    return f"""
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       ROUND(SUM(CASE WHEN sn.n_name = '{supp_nation}' THEN {_REV_SCALED_SQL}
+                      ELSE 0 END) / 10000.0 + 1e-09, 6) AS nation_revenue,
+       ROUND(SUM({_REV_SCALED_SQL}) / 10000.0 + 1e-09, 6) AS total_revenue,
+       ROUND(SUM(CASE WHEN sn.n_name = '{supp_nation}' THEN {_REV_SCALED_SQL}
+                      ELSE 0 END) * 1.0
+             / SUM({_REV_SCALED_SQL}) + 1e-09, 6) AS share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = cn.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE r.r_name = '{region_name}'
+GROUP BY 1
+""".strip()

@@ -2013,3 +2013,221 @@ scored AS (
 SELECT doc_a, doc_b, CAST(d AS BIGINT) AS edit_distance
 FROM scored WHERE d <= {int(max_dist)}
 """.strip()
+
+
+# -- C4-style line-level dedup (the fifth dedup family: aligned token
+# -- chunks stand in for "lines" — the fixture corpus has no newlines,
+# -- and the operator core is separator-agnostic anyway) ---------------
+
+#: tokens per chunk-line (8 ≈ a short sentence)
+LINE_WIDTH = 8
+#: a chunk appearing in this many DISTINCT docs is boilerplate
+LINE_MIN_DUP_DOCS = 2
+BOILERPLATE_TOPK = 50
+#: first-occurrence key = doc_id·2^30 + pos — exact while
+#: doc_id < 2^32 and pos < 2^30 (≈8.5 G tokens/doc at width 8);
+#: beyond that widen to a decimal key
+_LINE_POS_SHIFT = 1 << 30
+
+
+def chunk_lines(
+    df: DataFrame,
+    width: int = LINE_WIDTH,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exploded (doc_id, pos, chunk) table of NON-OVERLAPPING
+    ``width``-token chunks — the corpus "lines" for C4-style line
+    dedup (Raffel et al. 2020 drop repeated lines; newline-split lines
+    degenerate on this corpus, so the gate chunks the token stream;
+    the core below is separator-agnostic, and the newline form is
+    covered by the pytest differential over newline texts).
+
+    The final partial chunk IS emitted (C4 dedups short lines too);
+    NULL-text docs contribute no chunks (callers reattach them — the
+    NULL-text contract). Tokens project to ``_toks`` FIRST (the
+    CollapseProject rule: the transform lambda references them
+    ``n_chunks`` times)."""
+    width = int(width)
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+    )
+    # size >= 1 for any non-NULL text, so the sequence always ascends
+    # (the contamination_report sequence(1,0)-descends lesson)
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(_toks) / {width}.0) as int) - 1), "
+        f"i -> array_join(slice(_toks, i * {width} + 1, {width}), ' '))"
+    )
+    return toks.select(id_col, F.posexplode(chunks).alias("pos", "chunk"))
+
+
+def line_dedup(
+    df: DataFrame,
+    width: int = LINE_WIDTH,
+    min_dup_docs: int = LINE_MIN_DUP_DOCS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style line dedup over chunk-lines: every occurrence of a
+    chunk appearing in >= ``min_dup_docs`` DISTINCT docs is dropped
+    EXCEPT the global first (min (doc_id, pos) — C4 keeps one copy).
+    Doc-frequency (not occurrence-count) semantics: an intra-doc repeat
+    with df=1 keeps both copies. Output per INPUT doc (NULL-text rows
+    preserved with NULL new_text): (doc_id, n_chunks, n_kept,
+    n_dropped, new_text) — new_text is the kept chunks rejoined in
+    position order ('' when everything dropped, NULL text → NULL).
+
+    Plan (100 TB): one explode (corpus_tokens/width rows), chunk stats
+    hash-aggregate keyed on the md5 digest (map-side combined; the
+    digest — not the chunk string — is the shuffle/join key, the
+    exact_dedup precedent), one digest equi-join back (per-key
+    multiplicity = occurrence count — no fan-out product), one per-doc
+    aggregate. The exploded table has two differently-pruned consumers
+    (stats + join-back), so the corpus scans twice — the derivation is
+    one split+explode, cheaper than materializing the explosion."""
+    width, min_dup_docs = int(width), int(min_dup_docs)
+    ex = chunk_lines(df, width, text_col, id_col).select(
+        id_col,
+        "pos",
+        "chunk",
+        F.md5("chunk").alias("_d"),
+        (F.col(id_col) * _LINE_POS_SHIFT + F.col("pos")).alias("_k"),
+    )
+    stats = ex.groupBy("_d").agg(
+        F.count_distinct(F.col(id_col)).alias("_df"),
+        F.min("_k").alias("_first"),
+    )
+    kept = ex.join(stats, "_d").withColumn(
+        "_keep",
+        (F.col("_df") < F.lit(min_dup_docs)) | (F.col("_k") == F.col("_first")),
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_chunks"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("_n_kept"),
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(if(_keep, struct(pos, chunk), null))), "
+            "x -> x.chunk), ' ')"
+        ).alias("new_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("_n_chunks", F.lit(0)) - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            "new_text",
+        )
+    )
+
+
+def boilerplate_chunks(
+    df: DataFrame,
+    width: int = LINE_WIDTH,
+    min_df: int = LINE_MIN_DUP_DOCS,
+    k: int = BOILERPLATE_TOPK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` boilerplate chunk-lines by doc frequency — the audit
+    report a curation run reads BEFORE picking the line-dedup
+    threshold. Total order (n_docs DESC, n_occurrences DESC, chunk) —
+    chunk is the group key, so the cut is tie-proof. Output:
+    (chunk, n_docs, n_occurrences).
+
+    Plan (100 TB): one explode + one hash aggregate (map-side
+    combined) + TakeOrderedAndProject."""
+    width, min_df, k = int(width), int(min_df), int(k)
+    ex = chunk_lines(df, width, text_col, id_col)
+    return (
+        ex.groupBy("chunk")
+        .agg(
+            F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_df)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "chunk")
+        .limit(k)
+    )
+
+
+def chunk_ctes(width: int = LINE_WIDTH, source: str = "documents") -> str:
+    """Shared DuckDB CTEs for the chunk-line family (ONE builder — the
+    _span_ctes drift-prevention rule): base (tokenized docs) and ex
+    (doc_id, pos, chunk, d=md5, k=first-occurrence key). DuckDB
+    list_slice is (begin, end)-inclusive vs Spark slice's (start,
+    length) — both clamp at the array end."""
+    width = int(width)
+    return f"""
+base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         FROM {source} WHERE text IS NOT NULL),
+ex AS (
+  SELECT doc_id, u.pos AS pos, u.chunk AS chunk, md5(u.chunk) AS d,
+         doc_id * {_LINE_POS_SHIFT} + u.pos AS k
+  FROM (SELECT doc_id,
+          unnest(list_transform(generate_series(0, CAST(ceil(len(toks) / {width}.0) AS INT) - 1),
+                 i -> struct_pack(pos := i,
+                                  chunk := array_to_string(list_slice(toks, i * {width} + 1, (i + 1) * {width}), ' ')))) AS u
+        FROM base) t)
+""".strip()
+
+
+def line_dedup_sql(
+    width: int = LINE_WIDTH,
+    min_dup_docs: int = LINE_MIN_DUP_DOCS,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`line_dedup`. string_agg over an empty
+    FILTER set is NULL where Spark's array_join of an empty array is
+    '' — COALESCE pins the all-dropped doc to '' on both sides."""
+    min_dup_docs = int(min_dup_docs)
+    return f"""
+WITH {chunk_ctes(width, source)},
+stats AS (SELECT d, COUNT(DISTINCT doc_id) AS df, MIN(k) AS first_k
+          FROM ex GROUP BY 1),
+kept AS (
+  SELECT ex.doc_id, ex.pos, ex.chunk,
+         (s.df < {min_dup_docs} OR ex.k = s.first_k) AS keep
+  FROM ex JOIN stats s ON s.d = ex.d
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+           AS new_text
+  FROM kept GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(p.n_chunks, 0) - COALESCE(p.n_kept, 0) AS BIGINT)
+         AS n_dropped,
+       p.new_text AS new_text
+FROM {source} s LEFT JOIN per_doc p ON p.doc_id = s.doc_id
+""".strip()
+
+
+def boilerplate_chunks_sql(
+    width: int = LINE_WIDTH,
+    min_df: int = LINE_MIN_DUP_DOCS,
+    k: int = BOILERPLATE_TOPK,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`boilerplate_chunks`."""
+    min_df, k = int(min_df), int(k)
+    return f"""
+WITH {chunk_ctes(width, source)}
+SELECT chunk,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM ex GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= {min_df}
+ORDER BY n_docs DESC, n_occurrences DESC, chunk
+LIMIT {k}
+""".strip()

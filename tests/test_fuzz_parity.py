@@ -98,6 +98,11 @@ DOC_GATES = [
     "source_mixture_weights",
     # character-level verify kernel; NULL-text docs pin the ASCII gate
     "dedup_edit_distance",
+    # C4-style chunk-line family: newline-terminated and non-ASCII
+    # texts ride inside chunks; NULL-text docs pin the preserved-row
+    # contract (NULL new_text, zero counts)
+    "dedup_lines",
+    "boilerplate_lines",
 ]
 
 

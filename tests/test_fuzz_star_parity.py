@@ -43,6 +43,16 @@ GATES = [
     # identical-lineitem tie orders exercise the pair counts + the
     # round6-lift k-cut tie-break
     "basket_part_pairs",
+    # Q21: identical-lineitem tie orders pin the shipdate-tie branch of
+    # the top-2 decorrelation (max2 == max1 when two suppliers share
+    # the latest shipdate)
+    "blocking_suppliers",
+    # Q22: the order-less customers 122-129 + negative balances pin
+    # the integer rational threshold and the anti-join
+    "idle_customers",
+    # Q8: the fuzz warehouse has no 'EUROPE'/'NATION_3' — pins the
+    # empty-result schema contract (the Q3/Q18 precedent)
+    "nation_market_share",
 ]
 
 
