@@ -1397,6 +1397,25 @@ def _q_nation_market_share(spark, sf_dir):
     )
 
 
+def _q_dedup_lines_maintained(spark, sf_dir):
+    """The SAME per-doc line-dedup table served from maintained
+    chunk-df/first-occurrence logs (the corpus is never re-read at
+    serve time): the corpus folds into a fresh single-batch
+    MaintainedLines, so this CORRECTNESS row gates the incremental
+    path against the identical SQL twin (the bm25_search precedent)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.lines import MaintainedLines
+
+    state = tempfile.mkdtemp(prefix="lines_state_")
+    ml = MaintainedLines(spark, state)
+    ml.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = ml.line_dedup()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Exact all-pairs cosine near-dup through the blocked triangle
     equi-join (no Cartesian/NestedLoop node — plan-asserted)."""
@@ -2130,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_types": _q_top_event_types,
         # --- round-5 close additions (rotate into the window in r6) ------
         "dedup_lines": _q_dedup_lines,
+        "dedup_lines_maintained": _q_dedup_lines_maintained,
         "boilerplate_lines": _q_boilerplate_lines,
         "blocking_suppliers": _q_blocking_suppliers,
         "idle_customers": _q_idle_customers,
@@ -3748,6 +3768,9 @@ FROM p
     )
 
     out["dedup_lines"] = line_dedup_sql()
+    # single-batch maintained state == the batch operator exactly, so
+    # the twin is SHARED (the bigram_pmi_maintained precedent)
+    out["dedup_lines_maintained"] = line_dedup_sql()
     out["boilerplate_lines"] = boilerplate_chunks_sql()
     from cuda_gis_smoothing_spark.operators.analytics import (
         blocking_suppliers_sql,

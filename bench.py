@@ -174,6 +174,12 @@ BENCH_QUERIES = [
     "forecast_revenue_change",
     "disjunctive_revenue",
     "basket_part_pairs",
+    "dedup_lines",
+    "dedup_lines_maintained",
+    "boilerplate_lines",
+    "blocking_suppliers",
+    "idle_customers",
+    "nation_market_share",
 ]
 
 

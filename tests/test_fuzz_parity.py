@@ -102,6 +102,7 @@ DOC_GATES = [
     # texts ride inside chunks; NULL-text docs pin the preserved-row
     # contract (NULL new_text, zero counts)
     "dedup_lines",
+    "dedup_lines_maintained",
     "boilerplate_lines",
 ]
 
