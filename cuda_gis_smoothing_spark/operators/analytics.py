@@ -1002,12 +1002,18 @@ def blocking_suppliers(
     combined; no window, no correlated re-scan per row — the
     decorrelation is what Catalyst would do for the EXISTS pair, made
     explicit), one supplier-keyed aggregate, TakeOrderedAndProject,
-    and a dimension join AFTER the k-cut (the top_customers shape)."""
+    and a dimension join AFTER the k-cut (the top_customers shape).
+    per_os feeds TWO differently-pruned consumers (per_o and max2) —
+    unmaterialized each re-derives the lineitem scan (the
+    multi-consumer class), so it is localCheckpoint'ed: plan-measured
+    5 → 2 file scans in the served plan (one lineitem scan at eager
+    checkpoint build + one on the qualify side; at 100 TB the
+    (order, supplier) maxima ARE a stored table)."""
     k = int(k)
     ls = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
     per_os = ls.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("_smax")
-    )
+    ).localCheckpoint()
     per_o = per_os.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("_n_supp"),
         F.max(F.struct(F.col("_smax"), (-F.col("l_suppkey")).alias("_negk")))

@@ -2084,8 +2084,10 @@ def line_dedup(
     exact_dedup precedent), one digest equi-join back (per-key
     multiplicity = occurrence count — no fan-out product), one per-doc
     aggregate. The exploded table has two differently-pruned consumers
-    (stats + join-back), so the corpus scans twice — the derivation is
-    one split+explode, cheaper than materializing the explosion."""
+    (stats + join-back), so the corpus scans twice (plus an id-pruned
+    third scan reattaching NULL-text docs — plan-measured 3 FileScans);
+    the derivation is one split+explode, cheaper than materializing
+    the explosion."""
     width, min_dup_docs = int(width), int(min_dup_docs)
     ex = chunk_lines(df, width, text_col, id_col).select(
         id_col,

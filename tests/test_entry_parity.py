@@ -156,6 +156,15 @@ _HOSTILE_SAMPLE = [
     "rrf_fusion",
     "source_mixture_weights",
     "shipping_priority",
+    # this session's additions: the chunk-line digest join-back +
+    # first-occurrence MIN (must not depend on partition counts), the
+    # maintained selection state built UNDER the hostile config, the
+    # Q21 top-2 decorrelation with broadcasts disabled, and the
+    # scalar-subquery + anti-join under 3 shuffle partitions
+    "dedup_lines",
+    "dedup_lines_maintained",
+    "blocking_suppliers",
+    "idle_customers",
 ]
 
 
