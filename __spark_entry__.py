@@ -1416,6 +1416,25 @@ def _q_dedup_lines_maintained(spark, sf_dir):
     return out
 
 
+def _q_boilerplate_maintained(spark, sf_dir):
+    """The boilerplate chunk-line audit served PURELY from maintained
+    (df, occ, chunk-text) stats — the corpus folds into a fresh
+    single-batch MaintainedLines and the report reads O(chunk vocab)
+    state rows (the bm25_search precedent: the driver gates the
+    incremental path against the identical SQL twin)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.lines import MaintainedLines
+
+    state = tempfile.mkdtemp(prefix="lines_state_")
+    ml = MaintainedLines(spark, state)
+    ml.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = ml.boilerplate_chunks()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Exact all-pairs cosine near-dup through the blocked triangle
     equi-join (no Cartesian/NestedLoop node — plan-asserted)."""
@@ -2151,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": _q_dedup_lines,
         "dedup_lines_maintained": _q_dedup_lines_maintained,
         "boilerplate_lines": _q_boilerplate_lines,
+        "boilerplate_maintained": _q_boilerplate_maintained,
         "blocking_suppliers": _q_blocking_suppliers,
         "idle_customers": _q_idle_customers,
         "nation_market_share": _q_nation_market_share,
@@ -3772,6 +3792,7 @@ FROM p
     # the twin is SHARED (the bigram_pmi_maintained precedent)
     out["dedup_lines_maintained"] = line_dedup_sql()
     out["boilerplate_lines"] = boilerplate_chunks_sql()
+    out["boilerplate_maintained"] = boilerplate_chunks_sql()
     from cuda_gis_smoothing_spark.operators.analytics import (
         blocking_suppliers_sql,
         idle_customers_sql,

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "dedup_lines",
     "dedup_lines_maintained",
     "boilerplate_lines",
+    "boilerplate_maintained",
     "blocking_suppliers",
     "idle_customers",
     "nation_market_share",

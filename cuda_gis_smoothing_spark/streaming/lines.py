@@ -11,14 +11,18 @@ selection a streaming curation pipeline consumes are MAINTAINED:
   chunk occurrences (same tokenizer/chunking as the batch operator;
   NULL-text docs get an EMPTY slice with ``_has_text`` false — the
   natural tombstone), latest-wins on re-ingest.
-* ``chunk_stats`` — digest-keyed ABSOLUTE rows ``(d, df, first_key)``,
-  latest-wins. A batch diffs its doc ids' PRIOR slices (read with
-  ``before_batch_id`` — the crash-window rule) against the new slices
-  into net per-digest df deltas (distinct-doc contributions, exactly
-  reversible), and folds the batch's min occurrence keys into
+* ``chunk_stats`` — digest-keyed ABSOLUTE rows
+  ``(d, chunk, df, occ, first_key)``, latest-wins. A batch diffs its
+  doc ids' PRIOR slices (read with ``before_batch_id`` — the
+  crash-window rule) against the new slices into net per-digest df
+  (distinct-doc) AND occ (occurrence-count) deltas — both exactly
+  reversible — and folds the batch's min occurrence keys into
   ``first_key`` via ``least`` — MIN over ever-observed occurrences is
-  MONOTONE, so no decrement is ever needed. Delta size O(batch chunk
-  vocabulary), never O(corpus) (tested).
+  MONOTONE, so no decrement is ever needed. The chunk TEXT rides in
+  the stats row (functionally determined by the digest) so the
+  boilerplate audit report serves without touching doc slices or the
+  corpus. Delta size O(batch chunk vocabulary), never O(corpus)
+  (tested).
 * ``stats`` — one row ``(n_docs, n_occurrences)``: decrement+increment
   maintained corpus totals, written LAST as the replay guard.
 
@@ -41,6 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cuda_gis_smoothing_spark.operators.dedup import (
+    BOILERPLATE_TOPK,
     LINE_MIN_DUP_DOCS,
     LINE_WIDTH,
     _LINE_POS_SHIFT,
@@ -120,55 +125,75 @@ class MaintainedLines:
             ).localCheckpoint()  # feeds the df decrement AND the totals
         )
 
-        def doc_digests(rows: DataFrame, sign: int) -> DataFrame:
-            # distinct (doc, digest) → ±1 df contribution per doc
+        def digest_contrib(rows: DataFrame, sign: int) -> DataFrame:
+            # per (doc, digest): ±1 df and ±count occurrence contribution
             return (
                 rows.select(self.id_col, F.explode("_ch").alias("_p"))
-                .select(self.id_col, F.col("_p.d").alias("d"))
-                .distinct()
-                .select("d", F.lit(sign).alias("_s"))
+                .groupBy(F.col("_p.d").alias("d"), F.col(self.id_col))
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .select(
+                    "d",
+                    F.lit(sign).alias("_s"),
+                    (F.col("_c") * sign).alias("_o"),
+                )
             )
 
-        net = doc_digests(delta, 1)
+        net = digest_contrib(delta, 1)
         if old_rows is not None:
-            net = net.unionByName(doc_digests(old_rows, -1))
-        net = (
-            net.groupBy("d").agg(F.sum("_s").alias("_net"))
+            net = net.unionByName(digest_contrib(old_rows, -1))
+        net = net.groupBy("d").agg(
+            F.sum("_s").alias("_net"), F.sum("_o").alias("_net_occ")
         )
         bmin = (
             delta.select(self.id_col, F.explode("_ch").alias("_p"))
             .select(
                 F.col("_p.d").alias("d"),
+                F.col("_p.chunk").alias("_chunk"),
                 (F.col(self.id_col) * _LINE_POS_SHIFT + F.col("_p.pos")).alias(
                     "_bk"
                 ),
             )
             .groupBy("d")
-            .agg(F.min("_bk").alias("_bk"))
+            # chunk text is functionally determined by the digest — min
+            # is just a deterministic pick
+            .agg(F.min("_bk").alias("_bk"), F.min("_chunk").alias("_chunk"))
         )
-        # touched = df changed OR a (possibly smaller) first key observed
+        # touched = df/occ changed OR a (possibly smaller) first key seen
         touched = (
             net.join(bmin, "d", "full_outer")
             .select(
                 "d",
                 F.coalesce("_net", F.lit(0)).alias("_net"),
+                F.coalesce("_net_occ", F.lit(0)).alias("_net_occ"),
                 "_bk",
+                "_chunk",
             )
-            .where((F.col("_net") != 0) | F.col("_bk").isNotNull())
+            .where(
+                (F.col("_net") != 0)
+                | (F.col("_net_occ") != 0)
+                | F.col("_bk").isNotNull()
+            )
         )
         cur = self.chunk_log.read(before_batch_id=batch_id)
         if cur is None:
             new = touched.select(
                 "d",
+                F.col("_chunk").alias("chunk"),
                 F.col("_net").cast("long").alias("df"),
+                F.col("_net_occ").cast("long").alias("occ"),
                 F.col("_bk").cast("long").alias("first_key"),
             )
         else:
             new = touched.join(cur, "d", "left").select(
                 "d",
+                # a decrement-only touch has no batch text: keep the row's
+                F.coalesce(F.col("_chunk"), F.col("chunk")).alias("chunk"),
                 (F.coalesce(F.col("df"), F.lit(0)) + F.col("_net"))
                 .cast("long")
                 .alias("df"),
+                (F.coalesce(F.col("occ"), F.lit(0)) + F.col("_net_occ"))
+                .cast("long")
+                .alias("occ"),
                 F.least(
                     F.coalesce("first_key", F.col("_bk")),
                     F.coalesce("_bk", F.col("first_key")),
@@ -249,7 +274,7 @@ class MaintainedLines:
             F.col("_p.chunk").alias("chunk"),
             (F.col(self.id_col) * _LINE_POS_SHIFT + F.col("_p.pos")).alias("_k"),
         )
-        kept = occ.join(stats, "d").withColumn(
+        kept = occ.join(stats.select("d", "df", "first_key"), "d").withColumn(
             "_keep",
             (F.col("df") < F.lit(self.min_dup_docs))
             | (F.col("_k") == F.col("first_key")),
@@ -279,6 +304,36 @@ class MaintainedLines:
                 F.when(F.col("_has_text"), F.coalesce("_new_text", F.lit("")))
                 .alias("new_text"),
             )
+        )
+
+    def boilerplate_chunks(
+        self, min_df: int | None = None, k: int = BOILERPLATE_TOPK
+    ) -> DataFrame:
+        """Top-``k`` boilerplate chunk-lines served PURELY from the
+        maintained stats log — same output contract and total order as
+        ``operators/dedup.boilerplate_chunks`` ((chunk, n_docs,
+        n_occurrences); chunk is the tiebreak AND the group key so the
+        cut is tie-proof), but the corpus and the doc slices are never
+        read: one TakeOrderedAndProject over O(chunk vocabulary) state
+        rows. Reads state through an EAGER localCheckpoint (the
+        MaintainedPostings.search contract: callers may delete the
+        state directory once the plan is built)."""
+        min_df = self.min_dup_docs if min_df is None else int(min_df)
+        stats = self.chunk_stats()
+        if stats is None:
+            raise ValueError("MaintainedLines: empty state (no batches applied)")
+        return (
+            stats.localCheckpoint(eager=True)
+            .where(F.col("df") >= F.lit(min_df))
+            .select(
+                "chunk",
+                F.col("df").cast("long").alias("n_docs"),
+                F.col("occ").cast("long").alias("n_occurrences"),
+            )
+            .orderBy(
+                F.col("n_docs").desc(), F.col("n_occurrences").desc(), "chunk"
+            )
+            .limit(int(k))
         )
 
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):

@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from cuda_gis_smoothing_spark.operators.dedup import line_dedup
+from cuda_gis_smoothing_spark.operators.dedup import boilerplate_chunks, line_dedup
 from cuda_gis_smoothing_spark.streaming.lines import MaintainedLines
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -45,6 +45,41 @@ def test_multibatch_append_equals_batch(spark, tmp_path):
     assert any(
         d.startswith("base-") for d in os.listdir(tmp_path / "state" / "doc_chunks")
     )
+
+
+def test_multibatch_boilerplate_equals_batch(spark, tmp_path):
+    """The maintained (df, occ, chunk-text) stats serve the
+    boilerplate audit identically to the batch rebuild — ordered rows,
+    not just sets (the cut is a total order on the served columns)."""
+    docs = _docs(spark)
+    ml = MaintainedLines(spark, str(tmp_path / "state"), compact_every=2)
+    for bid, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 10**9))):
+        ml.process_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), bid
+        )
+    got = [tuple(r) for r in ml.boilerplate_chunks().collect()]
+    want = [tuple(r) for r in boilerplate_chunks(docs).collect()]
+    assert got == want and len(want) > 0
+
+
+def test_doc_update_occurrences_exact(spark, tmp_path):
+    """Re-ingesting a doc replaces its OCCURRENCE contributions (not
+    just its distinct-doc df): doc 1 goes from 2 copies of the chunk
+    to 0, doc 2 still holds 3 — served n_occurrences must be 3."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    ml = MaintainedLines(spark, str(tmp_path / "state"), width=4)
+    ml.process_batch(
+        mk([(1, "a b c d a b c d"), (2, "a b c d a b c d a b c d")]), 0
+    )
+    top0 = ml.boilerplate_chunks().collect()
+    assert (top0[0].chunk, top0[0].n_docs, top0[0].n_occurrences) == (
+        "a b c d", 2, 5,
+    )
+    ml.process_batch(mk([(1, "x y z w")]), 1)
+    # df falls below min_dup_docs → filtered; lower the serve threshold
+    top1 = {r.chunk: r for r in ml.boilerplate_chunks(min_df=1).collect()}
+    assert top1["a b c d"].n_docs == 1 and top1["a b c d"].n_occurrences == 3
+    assert top1["x y z w"].n_occurrences == 1
 
 
 def test_delta_writes_are_o_batch(spark, tmp_path):
