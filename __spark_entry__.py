@@ -1397,6 +1397,38 @@ def _q_nation_market_share(spark, sf_dir):
     )
 
 
+def _q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: pushed shipdate filter + one wide multi-
+    aggregate pass, every measure an exact scaled-integer sum."""
+    from cuda_gis_smoothing_spark.operators.analytics import pricing_summary
+
+    return pricing_summary(load(spark, sf_dir, "lineitem"))
+
+
+def _q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation revenue matrix per ship year
+    (full matrix — a fixed nation pair is degenerate at sf0.001)."""
+    from cuda_gis_smoothing_spark.operators.analytics import volume_shipping
+
+    return volume_shipping(
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: max-revenue supplier(s) in a quarter — the
+    scalar-subquery-on-aggregate plan, integer-exact tie compare."""
+    from cuda_gis_smoothing_spark.operators.analytics import top_supplier
+
+    return top_supplier(
+        load(spark, sf_dir, "supplier"), load(spark, sf_dir, "lineitem")
+    )
+
+
 def _q_dedup_lines_maintained(spark, sf_dir):
     """The SAME per-doc line-dedup table served from maintained
     chunk-df/first-occurrence logs (the corpus is never re-read at
@@ -2174,6 +2206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_suppliers": _q_blocking_suppliers,
         "idle_customers": _q_idle_customers,
         "nation_market_share": _q_nation_market_share,
+        "pricing_summary": _q_pricing_summary,
+        "volume_shipping": _q_volume_shipping,
+        "top_supplier": _q_top_supplier,
     }
     return qs
 
@@ -3797,11 +3832,17 @@ FROM p
         blocking_suppliers_sql,
         idle_customers_sql,
         nation_market_share_sql,
+        pricing_summary_sql,
+        top_supplier_sql,
+        volume_shipping_sql,
     )
 
     out["blocking_suppliers"] = blocking_suppliers_sql()
     out["idle_customers"] = idle_customers_sql()
     out["nation_market_share"] = nation_market_share_sql()
+    out["pricing_summary"] = pricing_summary_sql()
+    out["volume_shipping"] = volume_shipping_sql()
+    out["top_supplier"] = top_supplier_sql()
     return out
 
 

@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "dedup_lines_maintained",
     "boilerplate_lines",
     "boilerplate_maintained",
+    "pricing_summary",
+    "volume_shipping",
+    "top_supplier",
     "blocking_suppliers",
     "idle_customers",
     "nation_market_share",

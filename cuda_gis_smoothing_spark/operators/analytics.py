@@ -1275,3 +1275,247 @@ JOIN nation sn ON sn.n_nationkey = s.s_nationkey
 WHERE r.r_name = '{region_name}'
 GROUP BY 1
 """.strip()
+
+
+# -- Q1 / Q7 / Q15: the last TPC-H shapes expressible on this schema --
+# (Q2/Q11/Q16/Q20 need a partsupp table the fixture doesn't carry;
+#  Q12 needs l_shipmode — both documented out of scope, not stubbed.)
+
+def _charge_scaled():
+    """extendedprice*(1-discount)*(1+tax) as an exact integer at 10^6
+    scale: cents x (100-disc_pct) x (100+tax_pct) — discount and tax
+    both live on the 2-dp grid (fixture-verified; ROUND recovers the
+    integer percent from the double representation). Integer bound:
+    10^7 cents x 10^4 = 10^11 per row, so sums stay < 2^62 up to ~4e7
+    rows PER GROUP x 10^3 groups — beyond that use decimal(38,4) sums
+    (the _rev_scaled note)."""
+    return (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        * (100 + F.round(F.col("l_tax") * 100).cast("long"))
+    )
+
+
+_CHARGE_SCALED_SQL = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+    " * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))"
+)
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = SHIP_CUTOFF) -> DataFrame:
+    """TPC-H Q1 shape: the canonical pushed-filter scan + wide
+    multi-aggregate — one pass, ~6 groups, every measure from the same
+    rows. All sums are exact scaled integers (quantity/price cents,
+    disc/charge on the percent grids), averages are one division each,
+    round6. Output: (l_returnflag, l_linestatus, sum_qty,
+    sum_base_price, sum_disc_price, sum_charge, avg_qty, avg_price,
+    avg_disc, count_order).
+
+    Plan (100 TB): the shipdate filter and the 5-column projection
+    push into the parquet scan; partial (map-side) aggregation makes
+    the shuffle 6 rows per task — the query is scan-bound by
+    construction, the shape AQE cannot improve."""
+    cutoff = _check_cutoff(cutoff)
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_p = F.round(F.col("l_discount") * 100).cast("long")
+    rows = lineitem.where(
+        F.col("l_shipdate") <= F.expr(f"TIMESTAMP_NTZ '{cutoff}'")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        qty_c.alias("_q"),
+        price_c.alias("_p"),
+        disc_p.alias("_d"),
+        _rev_scaled().alias("_rev"),
+        _charge_scaled().alias("_chg"),
+    )
+    cnt = F.count(F.lit(1))
+    return rows.groupBy("l_returnflag", "l_linestatus").agg(
+        round6(F.sum("_q") / F.lit(100.0)).alias("sum_qty"),
+        round6(F.sum("_p") / F.lit(100.0)).alias("sum_base_price"),
+        round6(F.sum("_rev") / F.lit(10_000.0)).alias("sum_disc_price"),
+        round6(F.sum("_chg") / F.lit(1_000_000.0)).alias("sum_charge"),
+        round6(F.sum("_q") / (cnt * F.lit(100.0))).alias("avg_qty"),
+        round6(F.sum("_p") / (cnt * F.lit(100.0))).alias("avg_price"),
+        round6(F.sum("_d") / (cnt * F.lit(100.0))).alias("avg_disc"),
+        cnt.cast("long").alias("count_order"),
+    )
+
+
+def pricing_summary_sql(cutoff: str = SHIP_CUTOFF) -> str:
+    cutoff = _check_cutoff(cutoff)
+    q = "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))"
+    p = "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+    d = "SUM(CAST(ROUND(l_discount * 100) AS BIGINT))"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND({q} / 100.0 + 1e-09, 6) AS sum_qty,
+       ROUND({p} / 100.0 + 1e-09, 6) AS sum_base_price,
+       ROUND(SUM({_REV_SCALED_SQL}) / 10000.0 + 1e-09, 6) AS sum_disc_price,
+       ROUND(SUM({_CHARGE_SCALED_SQL}) / 1000000.0 + 1e-09, 6) AS sum_charge,
+       ROUND({q} / (COUNT(*) * 100.0) + 1e-09, 6) AS avg_qty,
+       ROUND({p} / (COUNT(*) * 100.0) + 1e-09, 6) AS avg_price,
+       ROUND({d} / (COUNT(*) * 100.0) + 1e-09, 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+def volume_shipping(
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nations: tuple | None = None,
+) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation shipping volume — lineitem revenue
+    per (supp_nation, cust_nation, year) where the two nations differ.
+    The FULL matrix by default (the gate form: at sf0.001 only 10
+    suppliers exist so any fixed nation pair can be degenerate); pass
+    a 2-tuple of nation names for the classic disjunctive two-nation
+    Q7 (both directions kept, same-nation dropped). Output:
+    (supp_nation, cust_nation, l_year, n_lineitems, revenue).
+
+    Plan (100 TB): nation is a broadcast hop on BOTH dimension paths;
+    with a nation pair the supplier/customer filters prune the fact
+    joins' build sides; customer ⋈ orders ⋈ lineitem shuffle on their
+    keys; the supplier map is a broadcast; one (25x24xyears)-group
+    hash aggregate with map-side partials."""
+    n_s = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n_c = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supp = supplier.select("s_suppkey", "s_nationkey").join(
+        n_s, F.col("s_nationkey") == F.col("_snk")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.select("c_custkey", "c_nationkey").join(
+        n_c, F.col("c_nationkey") == F.col("_cnk")
+    ).select("c_custkey", "cust_nation")
+    if nations is not None:
+        a, b = (_check_name(n) for n in nations)
+        supp = supp.where(F.col("supp_nation").isin(a, b))
+        cust = cust.where(F.col("cust_nation").isin(a, b))
+    ords = orders.select("o_orderkey", "o_custkey").join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    li = (
+        lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            _rev_scaled().alias("_rev"),
+        )
+        .join(ords.select("o_orderkey", "cust_nation"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return li.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        round6(F.sum("_rev") / F.lit(10_000.0)).alias("revenue"),
+    )
+
+
+def volume_shipping_sql(nations: tuple | None = None) -> str:
+    pred = ""
+    if nations is not None:
+        a, b = (_check_name(n) for n in nations)
+        pred = (
+            f"  AND sn.n_name IN ('{a}', '{b}')\n"
+            f"  AND cn.n_name IN ('{a}', '{b}')\n"
+        )
+    return f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       ROUND(SUM({_REV_SCALED_SQL}) / 10000.0 + 1e-09, 6) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE sn.n_name <> cn.n_name
+{pred}GROUP BY 1, 2, 3
+""".strip()
+
+
+#: Q15 quarter — fixture shipdates span 1995-2001; every SF has
+#: suppliers with 1997-Q1 revenue (sf0.001 verified: all 10).
+Q15_START = "1997-01-01 00:00:00"
+Q15_END = "1997-04-01 00:00:00"
+
+
+def top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    start: str = Q15_START,
+    end: str = Q15_END,
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM revenue in a date
+    window — the scalar-subquery-on-an-aggregate plan, ties kept. The
+    max compare runs on the EXACT scaled-integer revenue (never the
+    round6 double — a float compare at the max boundary could split a
+    true tie). Output: (s_suppkey, s_name, n_lineitems, total_revenue).
+
+    Plan (100 TB): one date-filtered scan + supplier-keyed aggregate;
+    the max folds in an UNPARTITIONED window over the supplier-sized
+    agg (bounded by #suppliers — the source_mixture_weights precedent;
+    a second max aggregate would re-scan the facts); the winners
+    (ties only) broadcast into the supplier dimension join."""
+    start, end = _check_cutoff(start), _check_cutoff(end)
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.expr(f"TIMESTAMP_NTZ '{start}'"))
+            & (F.col("l_shipdate") < F.expr(f"TIMESTAMP_NTZ '{end}'"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.sum(_rev_scaled()).alias("_r"),
+        )
+    )
+    winners = (
+        rev.withColumn("_mx", F.max("_r").over(Window.partitionBy()))
+        .where(F.col("_r") == F.col("_mx"))
+        .select("l_suppkey", "n_lineitems", "_r")
+    )
+    return (
+        supplier.select("s_suppkey", "s_name")
+        .join(F.broadcast(winners), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_lineitems",
+            round6(F.col("_r") / F.lit(10_000.0)).alias("total_revenue"),
+        )
+    )
+
+
+def top_supplier_sql(start: str = Q15_START, end: str = Q15_END) -> str:
+    start, end = _check_cutoff(start), _check_cutoff(end)
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+         SUM({_REV_SCALED_SQL}) AS _r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{start}' AND l_shipdate < TIMESTAMP '{end}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_lineitems,
+       ROUND(_r / 10000.0 + 1e-09, 6) AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE _r = (SELECT MAX(_r) FROM rev)
+""".strip()

@@ -165,6 +165,9 @@ _HOSTILE_SAMPLE = [
     "dedup_lines_maintained",
     "blocking_suppliers",
     "idle_customers",
+    # Q15: unpartitioned-window max + broadcast winners join, re-run
+    # with broadcasts disabled and 3 shuffle partitions
+    "top_supplier",
 ]
 
 

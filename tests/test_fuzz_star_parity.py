@@ -53,6 +53,13 @@ GATES = [
     # Q8: the fuzz warehouse has no 'EUROPE'/'NATION_3' — pins the
     # empty-result schema contract (the Q3/Q18 precedent)
     "nation_market_share",
+    # Q1: fuzz shipdates (2024) all sit after the 1998 cutoff → pins
+    # the empty-result schema contract; Q15's 1997 quarter likewise
+    "pricing_summary",
+    "top_supplier",
+    # Q7: supplier nations 0-7 x customer nations 0-5 — non-empty,
+    # pins the cross-nation matrix incl. customer-less nations 6/7
+    "volume_shipping",
 ]
 
 

@@ -1,0 +1,106 @@
+"""Semantics pins for the late TPC-H shapes (Q1/Q7/Q15) that the
+fixture and the star fuzz can't exercise directly: the Q15 exact
+revenue tie (BOTH suppliers must survive the max), the Q7 two-nation
+disjunctive filter vs the full matrix, and Q1's exact-integer measure
+arithmetic against a hand-computed micro frame."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from cuda_gis_smoothing_spark.operators.analytics import (
+    pricing_summary,
+    top_supplier,
+    volume_shipping,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp_ntz"
+)
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(rows, _LI_SCHEMA)
+
+
+def test_top_supplier_keeps_exact_ties(spark):
+    d = datetime.datetime(1997, 2, 1)
+    li = _li(
+        spark,
+        [
+            # suppliers 1 and 2 tie EXACTLY (same price/discount);
+            # supplier 3 is strictly below; supplier 4 is outside the
+            # quarter with a huge line (must not leak in)
+            (10, 1, 1, 1, 1.0, 100.00, 0.05, 0.04, "N", "O", d),
+            (11, 1, 2, 1, 1.0, 100.00, 0.05, 0.04, "N", "O", d),
+            (12, 1, 3, 1, 1.0, 99.99, 0.05, 0.04, "N", "O", d),
+            (13, 1, 4, 1, 1.0, 9999.0, 0.0, 0.0, "N", "O",
+             datetime.datetime(1998, 2, 1)),
+        ],
+    )
+    supp = spark.createDataFrame(
+        [(i, f"Supplier#{i}", 0, 0.0) for i in (1, 2, 3, 4)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    got = sorted(r.s_suppkey for r in top_supplier(supp, li).collect())
+    assert got == [1, 2]
+
+
+def test_volume_shipping_pair_filter_matches_matrix_slice(spark):
+    load = lambda t: spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+    args = (load("nation"), load("customer"), load("orders"),
+            load("supplier"), load("lineitem"))
+    full = volume_shipping(*args)
+    # pick the busiest pair from the matrix itself (SF-robust)
+    top = (
+        full.groupBy("supp_nation", "cust_nation")
+        .agg(F.sum("n_lineitems").alias("n"))
+        .orderBy(F.col("n").desc(), "supp_nation", "cust_nation")
+        .first()
+    )
+    a, b = top.supp_nation, top.cust_nation
+    got = {
+        tuple(r)
+        for r in volume_shipping(*args, nations=(a, b)).collect()
+    }
+    want = {
+        tuple(r)
+        for r in full.where(
+            F.col("supp_nation").isin(a, b) & F.col("cust_nation").isin(a, b)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # same-nation rows are excluded by construction
+    assert all(r[0] != r[1] for r in got)
+
+
+def test_pricing_summary_exact_micro_frame(spark):
+    d = datetime.datetime(1997, 6, 1)
+    li = _li(
+        spark,
+        [
+            (1, 1, 1, 1, 3.0, 100.00, 0.10, 0.05, "A", "F", d),
+            (2, 1, 1, 1, 5.0, 200.00, 0.00, 0.08, "A", "F", d),
+            # after the cutoff: excluded
+            (3, 1, 1, 1, 7.0, 300.00, 0.00, 0.00, "A", "F",
+             datetime.datetime(1999, 1, 1)),
+        ],
+    )
+    row = pricing_summary(li).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.l_returnflag, r.l_linestatus, r.count_order) == ("A", "F", 2)
+    assert r.sum_qty == 8.0
+    assert r.sum_base_price == 300.0
+    # 100*0.9 + 200*1.0 = 290
+    assert r.sum_disc_price == 290.0
+    # 90*1.05 + 200*1.08 = 94.5 + 216 = 310.5
+    assert r.sum_charge == 310.5
+    assert r.avg_qty == 4.0
+    assert r.avg_price == 150.0
+    assert r.avg_disc == 0.05
