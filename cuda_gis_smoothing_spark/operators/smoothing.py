@@ -85,23 +85,51 @@ def ring_weight_col(weights: dict[int, float]):
     return last if expr is None else expr.otherwise(last)
 
 
-def smooth(cells: DataFrame, plan: SmoothingPlan) -> DataFrame:
+def smooth(
+    cells: DataFrame,
+    plan: SmoothingPlan,
+    restrict_to: DataFrame | None = None,
+) -> DataFrame:
     """A1-A4: one weighted neighbor-average pass over ``plan.variables``.
 
     Input: DataFrame with ``cell`` plus one numeric column per variable.
     Output: ``cell`` + ``smoothed_<var>`` per variable, one row per
     input cell (isolated cells keep their own value — the join always
     matches at least the ring-0 self row).
+
+    ``restrict_to`` (a DataFrame with a ``cell`` column) limits the
+    OUTPUT to those cells — neighbor VALUES still come from the full
+    ``cells`` table, so each produced row is identical to the
+    unrestricted run's. This is the incremental-maintenance hook
+    (IncrementalSmoother re-smooths only a batch's affected k-rings):
+    on the geometric gather path the k-ring edges are generated from
+    the restricted set alone, so the per-batch join/aggregate work is
+    O(restricted x ring), never O(state). Strict ring-2 membership
+    depends on mid-cell presence in the FULL grid, and scatter pushes
+    contributions FROM every source cell, so those two paths restrict
+    by semi-join after edge generation instead (correct, but the edge
+    build stays O(state)).
     """
     if plan.strategy == "scatter":
-        return smooth_scatter(cells, plan)
+        out = smooth_scatter(cells, plan)
+        if restrict_to is not None:
+            out = out.join(restrict_to.select("cell"), "cell", "left_semi")
+        return out
     variables = list(plan.variables)
     if plan.k == 2 and plan.strict_second_order:
         ring01 = kring_edges(cells.select("cell"), 1, include_center=True)
         ring2 = second_order_edges(cells.select("cell")).withColumn("ring", F.lit(2))
         edges = ring01.unionByName(ring2)
+        if restrict_to is not None:
+            edges = edges.join(restrict_to.select("cell"), "cell", "left_semi")
     else:
-        edges = kring_edges(cells.select("cell"), plan.k, include_center=True)
+        src = cells.select("cell")
+        if restrict_to is not None:
+            # only live cells produce output rows (a dangling neighbor
+            # key in restrict_to must not fabricate a row from its
+            # own neighbors' values)
+            src = restrict_to.select("cell").join(src, "cell", "left_semi")
+        edges = kring_edges(src, plan.k, include_center=True)
 
     values = cells.select(
         F.col("cell").alias("nbr"),

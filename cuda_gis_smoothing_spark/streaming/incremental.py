@@ -237,9 +237,13 @@ class IncrementalSmoother:
                 .distinct()
             )
             # neighbor VALUES come from the full state; only the output
-            # set is restricted — semi-join after the smooth keeps the
-            # plan a pure subset of the batch plan (identical results)
-            smoothed = smooth(cells, self.plan).join(affected, "cell", "left_semi")
+            # set is restricted. restrict_to generates the k-ring edges
+            # from the affected set alone (geometric gather), so the
+            # per-batch smooth is O(affected x ring) — a full-state
+            # smooth + semi-join here would re-do O(state) work every
+            # batch, exactly the scale trap the strict curator's
+            # gram-postings fix closed
+            smoothed = smooth(cells, self.plan, restrict_to=affected)
             self._smooth.write_delta(smoothed, batch_id)
 
         if self._agg.delta_count() >= self.compact_every:

@@ -222,3 +222,44 @@ def test_smooth_residual_complements_smooth(spark):
     assert set(res) == set(orig)
     for cell, r in res.items():
         assert abs(r - (orig[cell] - sm[cell])) < 2e-6, cell
+
+
+@pytest.mark.parametrize(
+    "plan",
+    [
+        SmoothingPlan(variant="gaussian_k1", variables=("ndvi",)),
+        SmoothingPlan(variant="gaussian_k2", variables=("ndvi", "evi")),
+        SmoothingPlan(
+            variant="gaussian_k2", variables=("ndvi",), strict_second_order=True
+        ),
+        SmoothingPlan(variant="uniform_k2", variables=("ndvi",), strategy="scatter"),
+    ],
+    ids=["gather_k1", "gather_k2_fused", "strict_k2", "scatter_k2"],
+)
+def test_restrict_to_is_exact_output_subset(spark, cells_df, plan):
+    """The incremental-maintenance hook: smooth(..., restrict_to=S)
+    must produce EXACTLY the unrestricted rows whose cell is in S, on
+    every physical path (geometric gather generates edges from S
+    alone; strict/scatter semi-join) — including a dangling key in S
+    that is not a live cell (no fabricated row)."""
+    import pandas as pd
+
+    sample = [int(r.cell) for r in cells_df.select("cell").limit(7).collect()]
+    dangling = max(
+        int(r.cell) for r in cells_df.select("cell").collect()
+    ) + 10_000_000
+    sub = spark.createDataFrame(
+        [(c,) for c in [*sample, dangling]], "cell long"
+    )
+    got = (
+        smooth(cells_df, plan, restrict_to=sub)
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    full = smooth(cells_df, plan).toPandas().set_index("cell").sort_index()
+    want = full.loc[sorted(sample)]
+    assert list(got.index) == list(want.index)  # dangling key absent
+    pd.testing.assert_frame_equal(
+        got, want, check_exact=False, atol=1e-9, rtol=0
+    )
