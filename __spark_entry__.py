@@ -143,6 +143,40 @@ def _rounded_smooth(variant: str, variables: tuple[str, ...]):
     return q
 
 
+def _q_smooth_maintained(spark, sf_dir):
+    """The reference's headline smoothing served from MAINTAINED state
+    (the bm25_search precedent: the driver gates the incremental path
+    against the identical batch twin): the cell table folds into an
+    IncrementalSmoother as one partials batch — ndvi rides as
+    (sum_ndvi, n=1), so state-side sum/n recovers it exactly — and the
+    smoothed snapshot log serves the result. Single batch == the
+    smooth_gaussian_k2 gate exactly; multi-batch/restart/crash-replay
+    equality lives in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.incremental import IncrementalSmoother
+
+    cells = grid_from_lineitem(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="smooth_state_")
+    sm = IncrementalSmoother(
+        spark, state, plan=SmoothingPlan(variant="gaussian_k2", variables=("ndvi",))
+    )
+    sm.process_partials(
+        cells.select(
+            "cell", F.col("ndvi").alias("sum_ndvi"), F.lit(1).cast("long").alias("n")
+        ),
+        0,
+    )
+    out = (
+        sm.current_smoothed()
+        .localCheckpoint(eager=True)  # state dir is GC'd next line
+        .select("cell", round6("smoothed_ndvi").alias("smoothed_ndvi"))
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_neighbor_stats(spark, sf_dir):
     return stats_ops.neighbor_stats(grid_from_lineitem(spark, sf_dir), k=1)
 
@@ -2209,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "volume_shipping": _q_volume_shipping,
         "top_supplier": _q_top_supplier,
+        "smooth_maintained": _q_smooth_maintained,
     }
     return qs
 
@@ -3843,6 +3878,11 @@ FROM p
     out["pricing_summary"] = pricing_summary_sql()
     out["volume_shipping"] = volume_shipping_sql()
     out["top_supplier"] = top_supplier_sql()
+    # single-batch maintained state == the batch operator exactly, so
+    # the twin is SHARED (the dedup_lines_maintained precedent)
+    out["smooth_maintained"] = smoothing_sql(
+        "gaussian_k2", ["ndvi"], "duckdb", source="cells4", with_ctes=GRID_CELLS_SQL
+    )
     return out
 
 

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "volume_shipping",
     "top_supplier",
+    "smooth_maintained",
     "blocking_suppliers",
     "idle_customers",
     "nation_market_share",

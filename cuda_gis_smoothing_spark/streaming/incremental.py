@@ -193,6 +193,14 @@ class IncrementalSmoother:
 
     # -- the foreachBatch body -------------------------------------------------
     def process_batch(self, images_batch: DataFrame, batch_id: int) -> None:
+        self.process_partials(cell_partials(images_batch, self.grid), batch_id)
+
+    def process_partials(self, partials: DataFrame, batch_id: int) -> None:
+        """Fold pre-aggregated ``(cell, sum_ndvi, n)`` partial rows into
+        the state (the packer's accepts-pre-counted-rows precedent:
+        callers that already hold cell aggregates — a stored cell
+        table, a different decoder — skip the image decode). Multiple
+        rows per cell are fine; they merge additively."""
         new = None
         agg_delta_dir = os.path.join(self._agg.path, f"delta-b{batch_id:08d}")
         if self._agg.has(batch_id):  # crash replay: batch already applied
@@ -201,7 +209,7 @@ class IncrementalSmoother:
             updated = self.spark.read.parquet(agg_delta_dir).select("cell")
         else:
             new = (
-                cell_partials(images_batch, self.grid)
+                partials
                 .groupBy("cell")
                 .agg(F.sum("sum_ndvi").alias("sum_ndvi"), F.sum("n").alias("n"))
                 .cache()

@@ -114,3 +114,39 @@ def test_snapshot_log_compacts_and_replays(spark, tmp_path):
     assert (got.index == exp.index).all()
     assert np.allclose(got["smoothed_ndvi"], exp["smoothed_ndvi"], atol=1e-9)
     assert os.path.isdir(str(state / "smoothed"))
+
+
+def test_partials_entrypoint_multibatch_equals_batch(spark, tmp_path):
+    """process_partials (the no-decode entry the smooth_maintained
+    gate uses): cell-value rows folded over three batches — including
+    an ADDITIVE update to already-seen cells — must serve the same
+    smoothed snapshot as one batch smooth over the merged aggregates."""
+    pdf = datagen.gen_cells(side=16, n_isolated=1)[["cell", "ndvi"]]
+    cells = spark.createDataFrame(pdf)
+    sm = IncrementalSmoother(spark, str(tmp_path / "state"), plan=PLAN)
+    from pyspark.sql import functions as F
+
+    parts = [
+        cells.where(F.col("cell") % 3 == i).select(
+            "cell", F.col("ndvi").alias("sum_ndvi"), F.lit(1).cast("long").alias("n")
+        )
+        for i in range(3)
+    ]
+    # batch 3 re-touches batch 0's cells with an additive contribution
+    extra = parts[0].select(
+        "cell", (F.col("sum_ndvi") * 3).alias("sum_ndvi"), F.col("n")
+    )
+    for bid, p in enumerate([*parts, extra]):
+        sm.process_partials(p, bid)
+    got = sm.current_smoothed().toPandas().set_index("cell").sort_index()
+    merged = pdf.copy()
+    touched = merged["cell"] % 3 == 0
+    merged.loc[touched, "ndvi"] = merged.loc[touched, "ndvi"] * 4 / 2  # (v+3v)/2
+    exp = (
+        smooth(spark.createDataFrame(merged), PLAN)
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    assert (got.index == exp.index).all()
+    assert np.allclose(got["smoothed_ndvi"], exp["smoothed_ndvi"], atol=1e-9)
