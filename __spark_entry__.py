@@ -568,6 +568,22 @@ def _q_dedup_components(spark, sf_dir):
     return neardup_components(load(spark, sf_dir, "documents"), max_hamming=1)
 
 
+def _q_dedup_component_sizes(spark, sf_dir):
+    """Dataset-card cluster-size histogram: (size, n_components) over
+    the simhash near-dup components — two hash aggregates on top of
+    the star-CC fixpoint (singletons included: the size-1 row IS the
+    'how much of the corpus is unique' headline number)."""
+    from cuda_gis_smoothing_spark.operators.dedup import neardup_components
+
+    comp = neardup_components(load(spark, sf_dir, "documents"), max_hamming=1)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+
+
 def _q_embedding_components(spark, sf_dir):
     """Semantic-dedup clusters: star CC over the banded embedding
     near-dup graph, vs a recursive closure over the SAME banded SQL."""
@@ -2244,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": _q_volume_shipping,
         "top_supplier": _q_top_supplier,
         "smooth_maintained": _q_smooth_maintained,
+        "dedup_component_sizes": _q_dedup_component_sizes,
     }
     return qs
 
@@ -2943,6 +2960,18 @@ SELECT d.doc_id,
        LEAST(d.doc_id, COALESCE(r.mn, d.doc_id)) AS component
 FROM documents d
 LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) r ON r.a = d.doc_id
+""".strip()
+    # cluster-size histogram: the same recursive components query,
+    # reduced twice (the dedup_canonicals nesting precedent)
+    out["dedup_component_sizes"] = f"""
+WITH comp AS (
+{out["dedup_components"]}
+)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS size FROM comp GROUP BY component
+)
+GROUP BY size
 """.strip()
     # quality-argmax canonical per component: the components CTE is the
     # full recursive query above, nested as a derived table

@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "volume_shipping",
     "top_supplier",
     "smooth_maintained",
+    "dedup_component_sizes",
     "blocking_suppliers",
     "idle_customers",
     "nation_market_share",

@@ -41,6 +41,7 @@ DOC_GATES = [
     "simhash_pairs_banded",
     "dedup_components",
     "dedup_canonicals",
+    "dedup_component_sizes",
     "vocab_top_tokens",
     "doc_length_histogram",
     "contamination_report",
