@@ -584,6 +584,26 @@ def _q_dedup_component_sizes(spark, sf_dir):
     )
 
 
+def _q_dedup_components_maintained(spark, sf_dir):
+    """The near-dup clustering served from MAINTAINED state (the
+    bm25_search precedent): the corpus folds into a fresh
+    MaintainedComponents as one batch and the label log serves the
+    result — single batch == neardup_components exactly (integer
+    min-id labels), so the twin is SHARED. Multi-batch/merge-relabel/
+    crash-replay equality lives in tests/test_streaming_components.py."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.components import MaintainedComponents
+
+    state = tempfile.mkdtemp(prefix="cc_state_")
+    mc = MaintainedComponents(spark, state)
+    mc.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = mc.components()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_embedding_components(spark, sf_dir):
     """Semantic-dedup clusters: star CC over the banded embedding
     near-dup graph, vs a recursive closure over the SAME banded SQL."""
@@ -2261,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": _q_top_supplier,
         "smooth_maintained": _q_smooth_maintained,
         "dedup_component_sizes": _q_dedup_component_sizes,
+        "dedup_components_maintained": _q_dedup_components_maintained,
     }
     return qs
 
@@ -2961,6 +2982,9 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) r ON r.a = d.doc_id
 """.strip()
+    # single-batch maintained clustering == the batch operator exactly,
+    # so the twin is SHARED (the dedup_lines_maintained precedent)
+    out["dedup_components_maintained"] = out["dedup_components"]
     # cluster-size histogram: the same recursive components query,
     # reduced twice (the dedup_canonicals nesting precedent)
     out["dedup_component_sizes"] = f"""

@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "top_supplier",
     "smooth_maintained",
     "dedup_component_sizes",
+    "dedup_components_maintained",
     "blocking_suppliers",
     "idle_customers",
     "nation_market_share",
