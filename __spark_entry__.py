@@ -177,6 +177,15 @@ def _q_smooth_maintained(spark, sf_dir):
     return out
 
 
+def _q_majority_filter(spark, sf_dir):
+    """GIS majority (mode) filter: categorical neighborhood smoothing
+    — integer class banding, struct-MIN argmax (count DESC, class ASC
+    tie-break), two hash aggregates on the k-ring join."""
+    from cuda_gis_smoothing_spark.operators.stats import majority_filter
+
+    return majority_filter(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_neighbor_stats(spark, sf_dir):
     return stats_ops.neighbor_stats(grid_from_lineitem(spark, sf_dir), k=1)
 
@@ -2282,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_maintained": _q_smooth_maintained,
         "dedup_component_sizes": _q_dedup_component_sizes,
         "dedup_components_maintained": _q_dedup_components_maintained,
+        "majority_filter": _q_majority_filter,
     }
     return qs
 
@@ -2612,6 +2622,28 @@ offsets (delta) AS (VALUES {_vals(_R1)})
 SELECT COUNT(*) AS total_edges
 FROM cells4 c CROSS JOIN offsets o
 JOIN cells4 n ON n.cell = c.cell + o.delta
+""".strip(),
+        # majority filter: the window's ORDER BY (n DESC, cls ASC) is a
+        # TOTAL order per cell ((cell, cls) rows are distinct) and only
+        # a filter consumes it — safe per the cross-engine window rule
+        "majority_filter": f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES (0), {_vals(_R1)}),
+cls AS (SELECT cell, CAST(FLOOR(ndvi * 8 + 1e-09) AS BIGINT) AS cls FROM cells4),
+cnt AS (
+  SELECT c.cell, n.cls, COUNT(*) AS n
+  FROM cls c CROSS JOIN offsets o
+  JOIN cls n ON n.cell = c.cell + o.delta
+  GROUP BY 1, 2
+)
+SELECT cell, cls AS mode_class, CAST(n AS BIGINT) AS mode_count,
+       CAST(t AS BIGINT) AS n_local
+FROM (
+  SELECT cell, cls, n, SUM(n) OVER (PARTITION BY cell) AS t,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, cls ASC) AS rk
+  FROM cnt
+)
+WHERE rk = 1
 """.strip(),
         "derived_variables": f"""
 WITH {GRID_CELLS_SQL}

@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "smooth_maintained",
     "dedup_component_sizes",
     "dedup_components_maintained",
+    "majority_filter",
     "blocking_suppliers",
     "idle_customers",
     "nation_market_share",

@@ -785,3 +785,50 @@ def cell_quantile_norm(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
         value_col,
         round6(F.col("_r") / F.col("_n")).alias("ecdf"),
     )
+
+
+def majority_filter(
+    cells: DataFrame, k: int = 1, value_col: str = "ndvi", n_classes: int = 8
+) -> DataFrame:
+    """GIS majority (mode) filter — the CATEGORICAL smoothing the mean
+    family can't express (land-cover / classified rasters: a cell takes
+    its neighborhood's most common class, never an average of class
+    ids). Class = ``floor_stable(value * n_classes)`` (the integer
+    banding contract: floats never cross the gate), neighborhood =
+    the cell plus its valid k-ring.
+
+    Mode tie-break is DETERMINISTIC and cross-engine: highest count,
+    then smallest class id — folded as one ``min(struct(-count, cls))``
+    aggregate (the PQ struct-MIN argmin precedent), so the whole
+    operator is two hash aggregates on the k-ring join, no window sort.
+    Output: ``(cell, mode_class, mode_count, n_local)``.
+
+    Plan (100 TB): identical shape to :func:`smooth` — one k-ring
+    explode + equi-join + two groupBys that reuse the join's
+    partitioning on ``cell``; map-side partials bound the first
+    aggregate's shuffle by (cells x classes-present-locally).
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import floor_stable
+    from cuda_gis_smoothing_spark.operators.smoothing import kring_edges
+
+    cls = cells.select(
+        F.col("cell").alias("nbr"),
+        floor_stable(F.col(value_col) * n_classes).cast("long").alias("cls"),
+    )
+    edges = kring_edges(cells.select("cell"), k, include_center=True)
+    counts = (
+        edges.join(cls, "nbr")
+        .groupBy("cell", "cls")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    pick = F.min(F.struct((-F.col("_n")).alias("neg"), F.col("cls").alias("cls")))
+    return (
+        counts.groupBy("cell")
+        .agg(pick.alias("_m"), F.sum("_n").alias("n_local"))
+        .select(
+            "cell",
+            F.col("_m.cls").alias("mode_class"),
+            (-F.col("_m.neg")).cast("long").alias("mode_count"),
+            F.col("n_local").cast("long").alias("n_local"),
+        )
+    )

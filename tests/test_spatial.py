@@ -142,3 +142,46 @@ def test_cell_gradient_differential(spark):
         assert abs(r.grad_q - gq) < 1e-6
         assert abs(r.grad_r - gr) < 1e-6
         assert abs(r.grad_mag - (gq * gq + gr * gr) ** 0.5) < 1e-6
+
+
+def test_majority_filter_tie_breaks_to_smallest_class(spark):
+    """Mode tie-break contract: highest count, then SMALLEST class id.
+    A 3-cell row where the center sees classes {0: 2, 8: 2} (itself +
+    one neighbor each side at ndvi extremes) must pick class 0; the
+    isolated cell is its own mode with count 1."""
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.hexgrid import neighbor_delta
+    from cuda_gis_smoothing_spark.operators.stats import majority_filter
+
+    base = 5_000_000
+    e = neighbor_delta(1, 0)  # +q axis step
+    rows = [
+        (base - e, 0.01),   # class 0
+        (base, 0.01),       # class 0 (center's own)
+        (base + e, 1.0),    # class 8
+        (base + 2 * e, 1.0),  # class 8
+        (base + 50 * e, 0.5),  # isolated: class 4
+    ]
+    cells = spark.createDataFrame(rows, "cell long, ndvi double")
+    got = {
+        r.cell: (r.mode_class, r.mode_count, r.n_local)
+        for r in majority_filter(cells).collect()
+    }
+    # center sees [0, 0, 8] + itself? neighborhood = self + valid ring1:
+    # cells base-e (0), base (0), base+e (8) → counts {0: 2, 8: 1}
+    assert got[base] == (0, 2, 3)
+    # base+e sees base (0), itself (8), base+2e (8) → {8: 2, 0: 1}
+    assert got[base + e] == (8, 2, 3)
+    # base-e sees itself (0) and base (0) → {0: 2}
+    assert got[base - e] == (0, 2, 2)
+    # the TIE: base+2e sees base+e (8) and itself (8) → no tie here;
+    # engineer one: a two-cell pair with distinct classes ties 1-1 and
+    # must pick the smaller class
+    pair = spark.createDataFrame(
+        [(base, 0.99), (base + e, 0.01)], "cell long, ndvi double"
+    )
+    got2 = {r.cell: r.mode_class for r in majority_filter(pair).collect()}
+    assert got2 == {base: 0, base + e: 0}  # 1-1 tie → class 0 wins both
+    # isolated cell: own class, count 1
+    assert got[base + 50 * e] == (4, 1, 1)
