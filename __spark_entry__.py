@@ -186,6 +186,40 @@ def _q_majority_filter(spark, sf_dir):
     return majority_filter(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_focal_stats(spark, sf_dir):
+    """Focal count/mean/min/max/range over the valid ring-1
+    neighborhood — the descriptive sibling of the mode/mean filters."""
+    from cuda_gis_smoothing_spark.operators.stats import focal_stats
+
+    return focal_stats(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_zonal_stats(spark, sf_dir):
+    """Zonal statistics: the PIP region tag (broadcast + vectorized
+    ray-cast, no shuffle on the point side) composed with one
+    region-keyed aggregate — cells outside every polygon form the NULL
+    zone (kept: it IS the coverage-gap headline)."""
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        centroid_sql,
+        point_in_polygon,
+    )
+
+    _ensure_shipped(spark)
+    cells = grid_from_lineitem(spark, sf_dir).select("cell", "ndvi")
+    lat, lon = centroid_sql("cell", "spark")
+    pts = cells.select(
+        "cell", "ndvi", F.expr(lat).alias("lat"), F.expr(lon).alias("lon")
+    )
+    tagged = point_in_polygon(pts, datagen.gen_boundaries())
+    return tagged.groupBy("region_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        round6(F.avg("ndvi")).alias("mean_ndvi"),
+        F.min("ndvi").alias("min_ndvi"),
+        F.max("ndvi").alias("max_ndvi"),
+    )
+
+
 def _q_neighbor_stats(spark, sf_dir):
     return stats_ops.neighbor_stats(grid_from_lineitem(spark, sf_dir), k=1)
 
@@ -2292,6 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_component_sizes": _q_dedup_component_sizes,
         "dedup_components_maintained": _q_dedup_components_maintained,
         "majority_filter": _q_majority_filter,
+        "focal_stats": _q_focal_stats,
+        "zonal_stats": _q_zonal_stats,
     }
     return qs
 
@@ -2645,6 +2681,21 @@ FROM (
 )
 WHERE rk = 1
 """.strip(),
+        # focal stats: min/max are association-order-free (raw doubles
+        # cross the gate); mean/range round6
+        "focal_stats": f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES (0), {_vals(_R1)})
+SELECT c.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_local,
+       ROUND(AVG(n.ndvi) + 1e-09, 6) AS focal_mean,
+       MIN(n.ndvi) AS focal_min,
+       MAX(n.ndvi) AS focal_max,
+       ROUND(MAX(n.ndvi) - MIN(n.ndvi) + 1e-09, 6) AS focal_range
+FROM cells4 c CROSS JOIN offsets o
+JOIN cells4 n ON n.cell = c.cell + o.delta
+GROUP BY c.cell
+""".strip(),
         "derived_variables": f"""
 WITH {GRID_CELLS_SQL}
 SELECT cell, ROUND(ndvi + 1e-09, 6) AS ndvi, ROUND(mndwi + 1e-09, 6) AS mndwi,
@@ -2876,6 +2927,7 @@ WHERE rank <= 5
         "value_percentiles": _percentiles_sql_oracle(),
         "tile_pyramid": _tile_pyramid_sql(),
         "pip_regions": _pip_sql(),
+        "zonal_stats": _zonal_sql(),
         "knn_cells": _knn_cells_sql(),
         "dedup_embedding": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -4207,6 +4259,26 @@ WITH {GRID_CELLS_SQL},
 pt AS (SELECT cell, {lat} AS lat, {lon} AS lon FROM cells4)
 SELECT cell, {case} AS region_id
 FROM pt
+""".strip()
+
+
+def _zonal_sql() -> str:
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.operators.spatial import centroid_sql, pip_region_sql
+
+    lat, lon = centroid_sql("cell", "duckdb")
+    case = pip_region_sql("pt.lat", "pt.lon", datagen.gen_boundaries())
+    return f"""
+WITH {GRID_CELLS_SQL},
+pt AS (SELECT cell, ndvi, {lat} AS lat, {lon} AS lon FROM cells4),
+z AS (SELECT ndvi, {case} AS region_id FROM pt)
+SELECT region_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(AVG(ndvi) + 1e-09, 6) AS mean_ndvi,
+       MIN(ndvi) AS min_ndvi,
+       MAX(ndvi) AS max_ndvi
+FROM z
+GROUP BY region_id
 """.strip()
 
 

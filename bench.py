@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "dedup_component_sizes",
     "dedup_components_maintained",
     "majority_filter",
+    "focal_stats",
+    "zonal_stats",
     "blocking_suppliers",
     "idle_customers",
     "nation_market_share",

@@ -832,3 +832,36 @@ def majority_filter(
             F.col("n_local").cast("long").alias("n_local"),
         )
     )
+
+
+def focal_stats(
+    cells: DataFrame, k: int = 1, value_col: str = "ndvi"
+) -> DataFrame:
+    """Focal statistics (the ArcGIS/GDAL focal block): per cell, count
+    / mean / min / max / range of the value over {cell} ∪ its valid
+    k-ring — the descriptive sibling of :func:`majority_filter` (mode)
+    and :func:`operators.smoothing.smooth` (weighted mean). min/max
+    are association-order-free so they cross the gate as raw doubles;
+    mean and range go through round6. Output: ``(cell, n_local,
+    focal_mean, focal_min, focal_max, focal_range)``.
+
+    Plan (100 TB): the smooth() shape — one k-ring explode + equi-join
+    + one groupBy reusing the join's partitioning on ``cell``."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.smoothing import kring_edges
+
+    vals = cells.select(
+        F.col("cell").alias("nbr"), F.col(value_col).cast("double").alias("_v")
+    )
+    edges = kring_edges(cells.select("cell"), k, include_center=True)
+    return (
+        edges.join(vals, "nbr")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_local"),
+            round6(F.avg("_v")).alias("focal_mean"),
+            F.min("_v").alias("focal_min"),
+            F.max("_v").alias("focal_max"),
+            round6(F.max("_v") - F.min("_v")).alias("focal_range"),
+        )
+    )
