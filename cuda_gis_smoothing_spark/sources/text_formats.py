@@ -78,3 +78,19 @@ def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("mode", "FAILFAST")
         .csv(path)
     )
+
+
+def write_documents_orc(docs: DataFrame, path: str) -> None:
+    """ORC sink (Spark-native columnar, zlib) — the Hive-ecosystem
+    interchange format beside parquet. ORC carries real NULLs and
+    types, so unlike CSV/JSONL the round trip needs no sentinel or
+    schema-restore tricks; it exists for warehouses whose landing
+    tables are ORC-managed."""
+    docs.write.mode("overwrite").option("compression", "zlib").orc(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Schema still EXPLICIT (the module contract): ORC files carry a
+    schema, but pinning the read schema rejects drift between drops
+    instead of silently unioning mismatched types."""
+    return spark.read.schema(DOCUMENTS_SCHEMA).orc(path)

@@ -94,3 +94,14 @@ def test_jsonl_failfast_on_corrupt_row(spark, tmp_path):
     )
     with pytest.raises(Exception, match="Malformed|FAILFAST|JSON"):
         read_documents_jsonl(spark, str(p)).collect()
+
+
+def test_orc_round_trip(spark, docs, tmp_path):
+    from cuda_gis_smoothing_spark.sources.text_formats import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    p = str(tmp_path / "docs_orc")
+    write_documents_orc(docs, p)
+    _assert_round_trip(docs, read_documents_orc(spark, p))
