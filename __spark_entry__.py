@@ -1603,6 +1603,26 @@ def _q_dedup_embedding_banded(spark, sf_dir):
     )
 
 
+def _q_embedding_sim_histogram(spark, sf_dir):
+    """Semantic-dedup tuning card: the pair-similarity distribution
+    over the banded near-dup graph in 0.05-wide cosine bands — the
+    measurement a threshold choice is made FROM (how much pair mass
+    each candidate threshold would drop). Counts exact; band id via
+    floor_stable on the round6 cosine; mean round6."""
+    from cuda_gis_smoothing_spark.functions.numeric import floor_stable
+    from cuda_gis_smoothing_spark.operators.dedup import embedding_neardup_pairs_banded
+
+    pairs = embedding_neardup_pairs_banded(
+        load(spark, sf_dir, "embeddings"), threshold=_EMB_BANDED_THRESHOLD
+    )
+    return pairs.groupBy(
+        floor_stable(F.col("cosine") * 20).cast("long").alias("sim_band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        round6(F.avg("cosine")).alias("mean_cosine"),
+    )
+
+
 _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -2328,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority_filter": _q_majority_filter,
         "focal_stats": _q_focal_stats,
         "zonal_stats": _q_zonal_stats,
+        "embedding_sim_histogram": _q_embedding_sim_histogram,
     }
     return qs
 
@@ -2938,6 +2959,17 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) >= 0.4
 """.strip(),
         "dedup_embedding_banded": _emb_banded_sql(),
+        # similarity-band histogram over the SAME banded pair SQL
+        "embedding_sim_histogram": f"""
+WITH pairs AS (
+{_emb_banded_sql()}
+)
+SELECT CAST(FLOOR(cosine * 20 + 1e-09) AS BIGINT) AS sim_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(cosine) + 1e-09, 6) AS mean_cosine
+FROM pairs
+GROUP BY 1
+""".strip(),
         "dedup_embedding_probed": _emb_banded_sql(probe_bits=1),
         "salted_aggregate": """
 SELECT event_type,

@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "majority_filter",
     "focal_stats",
     "zonal_stats",
+    "embedding_sim_histogram",
     "blocking_suppliers",
     "idle_customers",
     "nation_market_share",
