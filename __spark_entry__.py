@@ -2007,6 +2007,19 @@ def _q_smooth_residual_k2(spark, sf_dir):
     )
 
 
+def _q_smooth_bilateral_k1(spark, sf_dir):
+    """Edge-preserving bilateral pass: gaussian_k1 ring weights x a
+    Gaussian range kernel on the ndvi gap — neighbors across a value
+    discontinuity stop contributing (the denoiser that KEEPS edges)."""
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth_bilateral
+    from cuda_gis_smoothing_spark.plans.config import SmoothingPlan
+
+    return smooth_bilateral(
+        grid_from_lineitem(spark, sf_dir),
+        SmoothingPlan(variant="gaussian_k1", variables=("ndvi",)),
+    )
+
+
 def _q_embedding_triangles(spark, sf_dir):
     """Triangle census + global clustering of the banded near-dup
     graph — cliques collapse safely, chains over-merge (the question
@@ -2349,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_stats": _q_focal_stats,
         "zonal_stats": _q_zonal_stats,
         "embedding_sim_histogram": _q_embedding_sim_histogram,
+        "smooth_bilateral_k1": _q_smooth_bilateral_k1,
     }
     return qs
 
@@ -3739,6 +3753,16 @@ GROUP BY patch_id
         source="cells4",
         with_ctes=GRID_CELLS_SQL,
         residual=True,
+    )
+    from cuda_gis_smoothing_spark.operators.smoothing import BILATERAL_SIGMA
+
+    out["smooth_bilateral_k1"] = smoothing_sql(
+        "gaussian_k1",
+        ["ndvi"],
+        "duckdb",
+        source="cells4",
+        with_ctes=GRID_CELLS_SQL,
+        bilateral_sigma=BILATERAL_SIGMA,
     )
     out["embedding_triangles"] = f"""
 WITH pairs AS ({_emb_banded_sql()}),

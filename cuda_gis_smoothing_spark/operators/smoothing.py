@@ -350,6 +350,93 @@ def smooth_residual(cells: DataFrame, plan: SmoothingPlan) -> DataFrame:
     )
 
 
+#: range-kernel width for the gated bilateral pass — ndvi lives in
+#: (0, 1] on the fixture grid, so 0.1 suppresses neighbors across a
+#: >~0.25 value step while barely touching same-plateau smoothing.
+BILATERAL_SIGMA = 0.1
+
+
+def smooth_bilateral(
+    cells: DataFrame,
+    plan: SmoothingPlan,
+    sigma_r: float = BILATERAL_SIGMA,
+) -> DataFrame:
+    """Edge-preserving (bilateral) smoothing: each neighbor's spatial
+    ring weight is multiplied by a Gaussian RANGE kernel
+    ``exp(-(v_n - v_c)^2 / (2*sigma_r^2))``, so neighbors across a
+    value discontinuity contribute ~nothing — the classic
+    edge-preserving denoiser (Tomasi & Manduchi 1998) that the plain
+    passes cannot express (they blur edges BY DESIGN; the reference's
+    smoothing family stops at fixed ring weights,
+    /root/reference/src/cpu/hex_smooth_naive.cpp:65-83 — this is the
+    standard extension every raster toolbox ships beside it).
+
+    Same one-join-one-aggregate plan as :func:`smooth` plus ONE extra
+    equi-join attaching the CENTER value to each edge row (the range
+    kernel needs v_c). Per-variable weights: each fused variable gets
+    its OWN range kernel (a hot NDVI edge must not suppress elevation
+    smoothing), still a single groupBy — one (sum v*w, sum w) pair per
+    variable. Weights are projected to NAMED columns before the
+    aggregate (each is referenced twice; the CollapseProject lesson).
+
+    Cross-engine: the kernel inputs are bit-identical doubles (integer
+    sums / correctly-rounded divisions), EXP is libm-class <=1 ulp in
+    both engines — the same exposure class as the gated ln() in
+    doc_logprob; outputs round once through round6. The squared
+    difference is written ``(a-b)*(a-b)`` (exact-rounded multiply),
+    never POW, and the denominator ``2*sigma_r^2`` is folded ONCE in
+    Python so both engines divide by the same literal double.
+
+    Scale (100 TB): identical shuffle profile to :func:`smooth` — the
+    extra center-value join shares the ``cell`` key with the final
+    aggregate, so AQE/bucketing co-locates it; no new shuffle stage
+    when the cell table is bucketed by cell.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    variables = list(plan.variables)
+    two_s2 = 2.0 * sigma_r * sigma_r
+    edges = kring_edges(cells.select("cell"), plan.k, include_center=True)
+    values = cells.select(
+        F.col("cell").alias("nbr"),
+        *[F.col(v).cast("double").alias(f"_v_{v}") for v in variables],
+    )
+    centers = cells.select(
+        "cell",
+        *[F.col(v).cast("double").alias(f"_c_{v}") for v in variables],
+    )
+    ring_w = ring_weight_col(plan.ring_weights)
+    joined = (
+        edges.join(values, "nbr", "inner")
+        .join(centers, "cell", "inner")
+        .select(
+            "cell",
+            *[F.col(f"_v_{v}") for v in variables],
+            *[
+                (
+                    ring_w
+                    * F.exp(
+                        -(
+                            (F.col(f"_v_{v}") - F.col(f"_c_{v}"))
+                            * (F.col(f"_v_{v}") - F.col(f"_c_{v}"))
+                        )
+                        / F.lit(two_s2)
+                    )
+                ).alias(f"_w_{v}")
+                for v in variables
+            ],
+        )
+    )
+    return joined.groupBy("cell").agg(
+        *[
+            round6(
+                F.sum(F.col(f"_v_{v}") * F.col(f"_w_{v}")) / F.sum(f"_w_{v}")
+            ).alias(f"bilateral_{v}")
+            for v in variables
+        ]
+    )
+
+
 def smoothing_sql(
     variant: str,
     variables: Sequence[str],
@@ -357,6 +444,7 @@ def smoothing_sql(
     source: str = "cells",
     with_ctes: str = "",
     residual: bool = False,
+    bilateral_sigma: float | None = None,
 ) -> str:
     """Emit the ANSI-SQL equivalent of :func:`smooth` for a given
     dialect ('spark' | 'duckdb') over a relation named ``source``.
@@ -380,7 +468,24 @@ def smoothing_sql(
     wcase = "CASE " + " ".join(
         f"WHEN o.ring = {ring} THEN {flit(w)}" for ring, w in sorted(weights.items())
     ) + " END"
-    if residual:
+    if bilateral_sigma is not None:
+        # per-variable weight: ring weight x Gaussian range kernel on
+        # the center/neighbor value gap (smooth_bilateral's twin) —
+        # (a-b)*(a-b) not POW, denominator folded once in Python
+        two_s2 = 2.0 * bilateral_sigma * bilateral_sigma
+
+        def wvar(v: str) -> str:
+            return (
+                f"({wcase}) * EXP(-((n.{v} - c.{v}) * (n.{v} - c.{v}))"
+                f" / {flit(two_s2)})"
+            )
+
+        aggs = ",\n  ".join(
+            f"ROUND((SUM(n.{v} * {wvar(v)}) / SUM({wvar(v)})) + 1e-09, 6)"
+            f" AS bilateral_{v}"
+            for v in variables
+        )
+    elif residual:
         # high-pass detail layer: original − smoothed, subtracted RAW
         # then rounded once (MAX over the per-cell group is the
         # constant center value — both engines aggregate it the same)

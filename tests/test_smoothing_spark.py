@@ -263,3 +263,74 @@ def test_restrict_to_is_exact_output_subset(spark, cells_df, plan):
     pd.testing.assert_frame_equal(
         got, want, check_exact=False, atol=1e-9, rtol=0
     )
+
+
+def test_bilateral_limits(spark, cells_df, cells_pdf):
+    """Range-kernel limits: sigma_r -> inf reduces the bilateral pass
+    to the plain spatial pass (the range kernel goes to 1 everywhere);
+    sigma_r -> 0 keeps each cell's ORIGINAL value (only the ring-0
+    self term survives — and any neighbor that does survive has a
+    value gap bounded by ~sigma, so the residual shift is below the
+    reference tolerance)."""
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth_bilateral
+
+    plan = SmoothingPlan(variant="gaussian_k1", variables=("ndvi",))
+    plain = smooth(cells_df, plan).toPandas().set_index("cell").sort_index()
+    wide = (
+        smooth_bilateral(cells_df, plan, sigma_r=1e6)
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    assert np.allclose(
+        wide["bilateral_ndvi"].to_numpy(),
+        plain["smoothed_ndvi"].to_numpy(),
+        atol=2e-6,  # bilateral output is round6'ed
+    )
+    narrow = (
+        smooth_bilateral(cells_df, plan, sigma_r=1e-6)
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    orig = cells_pdf.set_index("cell").sort_index()
+    assert np.allclose(
+        narrow["bilateral_ndvi"].to_numpy(),
+        orig["ndvi"].to_numpy(),
+        atol=1e-4,
+    )
+
+
+def test_bilateral_preserves_edges(spark):
+    """The operator's reason to exist: on a two-plateau step image the
+    bilateral pass keeps BOTH plateaus flat (cross-edge neighbors are
+    suppressed by the range kernel) while the plain gaussian pass
+    blurs the boundary row by a visible margin."""
+    import pandas as pd
+
+    from cuda_gis_smoothing_spark.hexgrid import pack
+    from cuda_gis_smoothing_spark.operators.smoothing import smooth_bilateral
+
+    side = 10
+    qs, rs = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    q = qs.ravel().astype(np.int64)
+    r = rs.ravel().astype(np.int64)
+    pdf = pd.DataFrame(
+        {"cell": pack(q, r), "ndvi": np.where(q < side // 2, 0.1, 0.9)}
+    )
+    df = spark.createDataFrame(pdf)
+    plan = SmoothingPlan(variant="gaussian_k1", variables=("ndvi",))
+    bi = (
+        smooth_bilateral(df, plan, sigma_r=0.1)
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    orig = pdf.set_index("cell").sort_index()
+    # cross-plateau gap 0.8 with sigma 0.1: exp(-32) ~ 1e-14 — plateaus stay flat
+    assert np.allclose(
+        bi["bilateral_ndvi"].to_numpy(), orig["ndvi"].to_numpy(), atol=1e-6
+    )
+    plain = smooth(df, plan).toPandas().set_index("cell").sort_index()
+    blur = np.abs(plain["smoothed_ndvi"].to_numpy() - orig["ndvi"].to_numpy())
+    assert blur.max() > 0.1  # the plain pass DOES blur the step
