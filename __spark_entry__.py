@@ -1904,6 +1904,14 @@ def _q_session_paths(spark, sf_dir):
     return session_paths(load(spark, sf_dir, "events"))
 
 
+def _q_event_autocorrelation(spark, sf_dir):
+    """Lag-{1,2,7} Pearson autocorrelation of each type's daily count
+    series — calendar-lagged pairs, integer moments, one division."""
+    from cuda_gis_smoothing_spark.operators.events import event_autocorrelation
+
+    return event_autocorrelation(load(spark, sf_dir, "events"))
+
+
 def _q_event_interarrival(spark, sf_dir):
     """Per-type inter-arrival gap stats (count/min/max/mean + exact
     p50/p90 through the shared percentile kernel) — burst/automation
@@ -2363,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "embedding_sim_histogram": _q_embedding_sim_histogram,
         "smooth_bilateral_k1": _q_smooth_bilateral_k1,
+        "event_autocorrelation": _q_event_autocorrelation,
     }
     return qs
 
@@ -3611,6 +3620,11 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     out["event_transitions"] = EVENT_TRANSITIONS_SQL
     out["event_transitions_maintained"] = EVENT_TRANSITIONS_SQL
     out["event_interarrival"] = EVENT_INTERARRIVAL_SQL
+    from cuda_gis_smoothing_spark.operators.events import (
+        event_autocorrelation_sql,
+    )
+
+    out["event_autocorrelation"] = event_autocorrelation_sql()
     from cuda_gis_smoothing_spark.operators.events import (
         SESSION_PATHS_SQL,
         user_rfm_sql,

@@ -1226,3 +1226,109 @@ SELECT event_type,
 FROM e
 GROUP BY event_type
 """.strip()
+
+
+# -- lag-k autocorrelation of the daily volume series --------------------
+
+AUTOCORR_LAGS = (1, 2, 7)
+
+
+def event_autocorrelation(
+    events: DataFrame, lags: tuple[int, ...] = AUTOCORR_LAGS
+) -> DataFrame:
+    """Lag-k Pearson autocorrelation of each event type's DAILY count
+    series — the seasonality/trend card every ingest dashboard wants
+    ("do clicks repeat weekly?" = the lag-7 coefficient). Pairs are
+    CALENDAR-lagged: day d correlates with day d+k only when BOTH
+    days were observed (absent days are gaps, not zeros — documented
+    semantics; a zero-fill variant would need the day spine).
+
+    Exactness: counts and all five moment sums stay BIGINT (Pearson's
+    numerator n*Sxy − Sx*Sy is exact integer arithmetic), the
+    denominator takes IEEE-exact SQRTs of integer-valued doubles, so
+    the only float op is one division — round6 once. Zero-variance
+    series (constant counts) yield NULL via NULLIF. Integer bound:
+    n_pairs * max_daily_count^2 must stay < 2^62 — fine to ~1e9 days
+    x 1e4/day or 1e3 days x 1e9/day; beyond that compute the moments
+    in DOUBLE (exact while partial sums < 2^53) — documented, not
+    needed at gate scale.
+
+    Plan (100 TB): one (type, day) map-side-combining aggregate
+    collapses the corpus to #types x #days rows; the tiny daily table
+    is localCheckpoint'ed (TWO differently-projected consumers — the
+    multi-consumer re-execute lesson), the lag explode x self equi-join
+    and final aggregate all run over day-cardinality data.
+    """
+    daily = (
+        events.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    lag_arr = F.array(*[F.lit(int(k)) for k in lags])
+    x = daily.select(
+        "event_type",
+        "day",
+        F.col("n").alias("nx"),
+        F.explode(lag_arr).alias("lag"),
+    ).withColumn("jday", F.date_add(F.col("day"), F.col("lag")))
+    y = daily.select(
+        F.col("event_type").alias("_et"),
+        F.col("day").alias("_yday"),
+        F.col("n").alias("ny"),
+    )
+    pairs = x.join(
+        y,
+        (F.col("event_type") == F.col("_et")) & (F.col("jday") == F.col("_yday")),
+        "inner",
+    )
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("nx").alias("sx"),
+        F.sum("ny").alias("sy"),
+        F.sum(F.col("nx") * F.col("ny")).alias("sxy"),
+        F.sum(F.col("nx") * F.col("nx")).alias("sxx"),
+        F.sum(F.col("ny") * F.col("ny")).alias("syy"),
+    )
+    n = F.col("n_pairs")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        round6(num / F.nullif(den, F.lit(0.0))).alias("autocorr"),
+    )
+
+
+def event_autocorrelation_sql(lags: tuple[int, ...] = AUTOCORR_LAGS) -> str:
+    vals = ", ".join(f"({int(k)})" for k in lags)
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+lags (lag) AS (VALUES {vals}),
+pairs AS (
+  SELECT x.event_type, l.lag, x.n AS nx, y.n AS ny
+  FROM daily x CROSS JOIN lags l
+  JOIN daily y ON y.event_type = x.event_type AND y.day = x.day + l.lag
+),
+m AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(nx) AS BIGINT) AS sx, CAST(SUM(ny) AS BIGINT) AS sy,
+         CAST(SUM(nx * ny) AS BIGINT) AS sxy,
+         CAST(SUM(nx * nx) AS BIGINT) AS sxx,
+         CAST(SUM(ny * ny) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, lag, n_pairs,
+       ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             / NULLIF(SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                      * SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE)), 0)
+             + 1e-09, 6) AS autocorr
+FROM m
+""".strip()

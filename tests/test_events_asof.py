@@ -139,3 +139,53 @@ def test_cumulative_users_multiday_prefix_sum(spark):
         day = (T0 + dt.timedelta(days=d)).strftime("%Y-%m-%d")
         want.add((day, per_day[d], cum))
     assert got == want and len(want) >= 5
+
+
+def test_event_autocorrelation_matches_numpy(spark):
+    """Numpy differential: calendar-lag Pearson over an irregular day
+    span (gaps excluded, not zero-filled), plus the zero-variance NULL
+    branch (a constant-count type has autocorr NULL, not 0/0)."""
+    import numpy as np
+
+    from cuda_gis_smoothing_spark.operators.events import (
+        event_autocorrelation,
+    )
+
+    # type 'a': counts over days 0..9 with day 4 missing; type 'b':
+    # constant 2 events/day over days 0..5 (zero variance)
+    a_counts = {0: 3, 1: 1, 2: 4, 3: 1, 5: 5, 6: 9, 7: 2, 8: 6, 9: 5}
+    rows, eid = [], 0
+    for d, c in a_counts.items():
+        for _ in range(c):
+            rows.append((eid, T0 + dt.timedelta(days=d), 1, "a", 0.0, "{}"))
+            eid += 1
+    for d in range(6):
+        for _ in range(2):
+            rows.append((eid, T0 + dt.timedelta(days=d), 1, "b", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r.event_type, r.lag): (r.n_pairs, r.autocorr)
+        for r in event_autocorrelation(df, lags=(1, 2, 7)).collect()
+    }
+    for lag in (1, 2, 7):
+        xs = [
+            (a_counts[d], a_counts[d + lag])
+            for d in a_counts
+            if d + lag in a_counts
+        ]
+        n_pairs, r = got[("a", lag)]
+        assert n_pairs == len(xs)
+        x = np.array([p[0] for p in xs], dtype=float)
+        y = np.array([p[1] for p in xs], dtype=float)
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(r - want) < 1e-6, (lag, r, want)
+    # constant series: variance 0 -> NULL in every lag it appears at
+    for lag in (1, 2):
+        n_pairs, r = got[("b", lag)]
+        assert n_pairs == 6 - lag and r is None
+    assert ("b", 7) not in got  # span too short for lag 7: no pairs

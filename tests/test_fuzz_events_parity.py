@@ -62,6 +62,10 @@ EVENTS_GATES = [
     # gini over hot-user counts: the fuzz's hot user + single-event
     # users create the tie blocks the permutation-invariance relies on
     "key_skew_report",
+    # aggregation-only integer moments (tie-proof BY DESIGN); the fuzz
+    # corpus's short irregular day span exercises the missing-day gap
+    # semantics and the zero-variance NULL branch
+    "event_autocorrelation",
 ]
 
 
