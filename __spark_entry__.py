@@ -1510,6 +1510,24 @@ def _q_nation_market_share(spark, sf_dir):
     )
 
 
+def _q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 proper: the dimension-attribute equality
+    (s_nationkey = c_nationkey) riding the broadcast supplier join —
+    the one canonical star shape region_revenue doesn't express."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        local_supplier_volume,
+    )
+
+    return local_supplier_volume(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+    )
+
+
 def _q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: pushed shipdate filter + one wide multi-
     aggregate pass, every measure an exact scaled-integer sum."""
@@ -2372,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sim_histogram": _q_embedding_sim_histogram,
         "smooth_bilateral_k1": _q_smooth_bilateral_k1,
         "event_autocorrelation": _q_event_autocorrelation,
+        "local_supplier_volume": _q_local_supplier_volume,
     }
     return qs
 
@@ -4082,6 +4101,11 @@ FROM p
     out["blocking_suppliers"] = blocking_suppliers_sql()
     out["idle_customers"] = idle_customers_sql()
     out["nation_market_share"] = nation_market_share_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        local_supplier_volume_sql,
+    )
+
+    out["local_supplier_volume"] = local_supplier_volume_sql()
     out["pricing_summary"] = pricing_summary_sql()
     out["volume_shipping"] = volume_shipping_sql()
     out["top_supplier"] = top_supplier_sql()

@@ -1519,3 +1519,103 @@ SELECT s_suppkey, s_name, n_lineitems,
 FROM rev JOIN supplier ON s_suppkey = l_suppkey
 WHERE _r = (SELECT MAX(_r) FROM rev)
 """.strip()
+
+
+# -- Q5: local supplier volume (the one star shape still missing) --------
+
+Q5_REGION = "EUROPE"
+Q5_START = "1996-01-01 00:00:00"
+Q5_END = "1998-01-01 00:00:00"
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = Q5_REGION,
+    start: str = Q5_START,
+    end: str = Q5_END,
+) -> DataFrame:
+    """TPC-H Q5 proper: per-nation revenue where the lineitem's
+    SUPPLIER sits in the same nation as the ordering CUSTOMER — the
+    canonical plan whose distinguishing feature is an equality between
+    two DIMENSION attributes (s_nationkey = c_nationkey) riding a fact
+    join, which ``region_revenue`` (the Q5-shaped rollup) does not
+    express. Revenue stays exact scaled integers; one round6 division.
+    Output: (n_name, n_lineitems, revenue) — unordered (the driver
+    compare is order-insensitive; Q5's ORDER BY revenue DESC would be
+    a needless global sort).
+
+    Plan (100 TB): region->nation and supplier are broadcast dimension
+    hops; the date filter prunes orders AT THE SCAN; customer ⋈ orders
+    ⋈ lineitem shuffle on their keys; the local-supplier equality is
+    a second predicate on the broadcast supplier join (no extra
+    shuffle); final aggregate is #nations-sized."""
+    region_name = _check_name(region_name)
+    start, end = _check_cutoff(start), _check_cutoff(end)
+    dims = (
+        F.broadcast(
+            region.where(F.col("r_name") == region_name).select("r_regionkey")
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    ords = (
+        orders.where(
+            (F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{start}'"))
+            & (F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{end}'"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(
+            cust.select("c_custkey", "c_nationkey", "n_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", _rev_scaled().alias("_rev"))
+        .join(
+            ords.select("o_orderkey", "c_nationkey", "n_name"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return li.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        round6(F.sum("_rev") / F.lit(10_000.0)).alias("revenue"),
+    )
+
+
+def local_supplier_volume_sql(
+    region_name: str = Q5_REGION, start: str = Q5_START, end: str = Q5_END
+) -> str:
+    region_name = _check_name(region_name)
+    start, end = _check_cutoff(start), _check_cutoff(end)
+    return f"""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       ROUND(SUM({_REV_SCALED_SQL}) / 10000.0 + 1e-09, 6) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{region_name}'
+  AND o.o_orderdate >= TIMESTAMP '{start}'
+  AND o.o_orderdate < TIMESTAMP '{end}'
+GROUP BY n.n_name
+""".strip()

@@ -53,6 +53,10 @@ GATES = [
     # Q8: the fuzz warehouse has no 'EUROPE'/'NATION_3' — pins the
     # empty-result schema contract (the Q3/Q18 precedent)
     "nation_market_share",
+    # Q5: no 'EUROPE' region AND 2024 orders sit outside the 1996-1998
+    # window — pins the empty-result schema contract on the
+    # local-supplier (s_nationkey = c_nationkey) join
+    "local_supplier_volume",
     # Q1: fuzz shipdates (2024) all sit after the 1998 cutoff → pins
     # the empty-result schema contract; Q15's 1997 quarter likewise
     "pricing_summary",

@@ -104,3 +104,51 @@ def test_pricing_summary_exact_micro_frame(spark):
     assert r.avg_qty == 4.0
     assert r.avg_price == 150.0
     assert r.avg_disc == 0.05
+
+
+def test_local_supplier_volume_counts_only_local_lines(spark):
+    """Q5's defining predicate: a lineitem counts only when its
+    supplier's nation equals the ordering customer's nation — an
+    identical line from a foreign supplier must not contribute."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        local_supplier_volume,
+    )
+
+    region = spark.createDataFrame(
+        [(0, "EUROPE")], "r_regionkey long, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "N_LOCAL", 0), (1, "N_FOREIGN", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    customer = spark.createDataFrame(
+        [(1, "Customer#1", 0, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    d_in = datetime.datetime(1997, 1, 1)
+    d_out = datetime.datetime(1999, 1, 1)  # outside [start, end)
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 1.0, d_in, "1-URGENT"), (11, 1, "O", 1.0, d_out, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "S#1", 0, 0.0), (2, "S#2", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    li = _li(
+        spark,
+        [
+            (10, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d_in),  # local
+            (10, 1, 2, 2, 1.0, 100.0, 0.0, 0.0, "N", "O", d_in),  # foreign
+            (11, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d_out),  # late order
+        ],
+    )
+    got = local_supplier_volume(
+        region, nation, customer, orders, li, supplier
+    ).collect()
+    assert len(got) == 1
+    assert got[0].n_name == "N_LOCAL"
+    assert got[0].n_lineitems == 1
+    assert abs(got[0].revenue - 100.0) < 1e-9
