@@ -2033,6 +2033,15 @@ def _q_smooth_residual_k2(spark, sf_dir):
     )
 
 
+def _q_idw_fill(spark, sf_dir):
+    """Inverse-distance gap filling: estimate ndvi for absent cells
+    with >= 3 present k-ring neighbors (holes + the just-outside
+    border ring) — the interpolation stage that runs BEFORE smoothing."""
+    from cuda_gis_smoothing_spark.operators.smoothing import idw_fill
+
+    return idw_fill(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_smooth_bilateral_k1(spark, sf_dir):
     """Edge-preserving bilateral pass: gaussian_k1 ring weights x a
     Gaussian range kernel on the ndvi gap — neighbors across a value
@@ -2391,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_bilateral_k1": _q_smooth_bilateral_k1,
         "event_autocorrelation": _q_event_autocorrelation,
         "local_supplier_volume": _q_local_supplier_volume,
+        "idw_fill": _q_idw_fill,
     }
     return qs
 
@@ -3796,6 +3806,11 @@ GROUP BY patch_id
         source="cells4",
         with_ctes=GRID_CELLS_SQL,
         bilateral_sigma=BILATERAL_SIGMA,
+    )
+    from cuda_gis_smoothing_spark.operators.smoothing import idw_fill_sql
+
+    out["idw_fill"] = idw_fill_sql(
+        source="cells4", with_ctes=GRID_CELLS_SQL
     )
     out["embedding_triangles"] = f"""
 WITH pairs AS ({_emb_banded_sql()}),

@@ -515,3 +515,107 @@ CROSS JOIN offsets o
 JOIN {source} n ON n.cell = c.cell + o.delta
 GROUP BY c.cell
 """.strip()
+
+
+# -- IDW gap filling ------------------------------------------------------
+
+IDW_MIN_CONTRIBUTORS = 3
+
+
+def idw_fill(
+    cells: DataFrame,
+    variables: Sequence[str] = ("ndvi",),
+    k: int = 2,
+    min_contributors: int = IDW_MIN_CONTRIBUTORS,
+) -> DataFrame:
+    """Inverse-distance-weighted gap filling: estimate a value for
+    every ABSENT cell that has at least ``min_contributors`` present
+    cells inside its k-ring, as the 1/ring weighted mean of those
+    neighbors — the interpolation stage a real raster pipeline runs
+    BEFORE the reference's smoothing passes (sensor dropouts / cloud
+    masks leave holes the smoother would otherwise propagate around).
+    The reference stops at smoothing present cells
+    (/root/reference/src/cpu/hex_smooth_naive.cpp:48-63); this is the
+    standard companion the same toolboxes ship.
+
+    Candidate holes are derived, never enumerated: k-ring offsets are
+    SYMMETRIC, so "present cells in the hole's k-ring" == "holes in a
+    present cell's k-ring" — one explode of the present table gives
+    (hole, contributor, ring) rows, one LEFT ANTI join against the
+    present table drops non-holes, one aggregate computes the
+    estimate. Weights 1/1 and 1/2 are exact doubles; outputs round6.
+    The ``min_contributors`` floor (>= 3 by default) stops wild
+    single-neighbor extrapolation at the raster border.
+
+    Scale (100 TB): explode fans out 18x then collapses in a map-side-
+    combining aggregate keyed on the hole cell; the anti-join is a
+    hash equi-join on the same key. No window, no collect.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    variables = list(variables)
+    edges = kring_edges(cells.select("cell"), k, include_center=False)
+    vals = cells.select(
+        F.col("cell").alias("_src"),
+        *[F.col(v).cast("double").alias(f"_v_{v}") for v in variables],
+    )
+    contrib = (
+        edges.select(
+            F.col("nbr").alias("hole"),
+            F.col("cell").alias("_src"),
+            (F.lit(1.0) / F.col("ring")).alias("_w"),
+        )
+        .join(
+            cells.select(F.col("cell").alias("hole")), "hole", "left_anti"
+        )
+        .join(vals, "_src", "inner")
+    )
+    out = contrib.groupBy("hole").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contributors"),
+        *[
+            round6(F.sum(F.col(f"_v_{v}") * F.col("_w")) / F.sum("_w")).alias(
+                f"idw_{v}"
+            )
+            for v in variables
+        ],
+    )
+    return out.where(F.col("n_contributors") >= min_contributors).select(
+        F.col("hole").alias("cell"), "n_contributors",
+        *[f"idw_{v}" for v in variables],
+    )
+
+
+def idw_fill_sql(
+    variables: Sequence[str] = ("ndvi",),
+    k: int = 2,
+    min_contributors: int = IDW_MIN_CONTRIBUTORS,
+    source: str = "cells",
+    with_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`idw_fill` (same literal offsets/weights)."""
+    from cuda_gis_smoothing_spark.hexgrid import ENC
+
+    offs = kring_offsets(k, include_center=False)
+    rows = ",\n    ".join(f"({dq * ENC + dr}, {ring})" for dq, dr, ring in offs)
+    aggs = ",\n  ".join(
+        f"ROUND((SUM(c.{v} * (1.0 / o.ring)) / SUM(1.0 / o.ring)) + 1e-09, 6)"
+        f" AS idw_{v}"
+        for v in variables
+    )
+    pre = f"{with_ctes}," if with_ctes else ""
+    return f"""
+WITH {pre}
+offsets (delta, ring) AS (VALUES
+    {rows}),
+est AS (
+  SELECT c.cell + o.delta AS cell,
+         CAST(COUNT(*) AS BIGINT) AS n_contributors,
+  {aggs}
+  FROM {source} c CROSS JOIN offsets o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {source} p WHERE p.cell = c.cell + o.delta
+  )
+  GROUP BY c.cell + o.delta
+)
+SELECT * FROM est WHERE n_contributors >= {int(min_contributors)}
+""".strip()

@@ -334,3 +334,46 @@ def test_bilateral_preserves_edges(spark):
     plain = smooth(df, plan).toPandas().set_index("cell").sort_index()
     blur = np.abs(plain["smoothed_ndvi"].to_numpy() - orig["ndvi"].to_numpy())
     assert blur.max() > 0.1  # the plain pass DOES blur the step
+
+
+def test_idw_fill_hand_computed(spark):
+    """A punched-out center cell gets the 1/ring weighted mean of its
+    present k-ring; a far isolated cell's phantom neighbors fail the
+    min_contributors floor; present cells never appear in the output."""
+    import pandas as pd
+
+    from cuda_gis_smoothing_spark.hexgrid import kring_cells, pack
+    from cuda_gis_smoothing_spark.operators.smoothing import idw_fill
+
+    side = 7
+    qs, rs = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    cells = pack(qs.ravel().astype(np.int64), rs.ravel().astype(np.int64))
+    hole = int(pack(np.array([3]), np.array([3]))[0])
+    iso = int(pack(np.array([100]), np.array([100]))[0])
+    keep = cells[cells != hole]
+    vals = {int(c): 0.1 + (int(c) % 97) / 100.0 for c in keep}
+    vals[iso] = 0.5
+    pdf = pd.DataFrame(
+        {"cell": list(vals), "ndvi": [vals[c] for c in vals]}
+    )
+    out = {
+        int(r.cell): (int(r.n_contributors), float(r.idw_ndvi))
+        for r in idw_fill(spark.createDataFrame(pdf)).collect()
+    }
+    # the punched-out hole: all 18 k-ring cells present
+    ring1 = set(int(c) for c in kring_cells(np.array([hole]), 1, False)[0])
+    ring2 = (
+        set(int(c) for c in kring_cells(np.array([hole]), 2, False)[0]) - ring1
+    )
+    num = sum(vals[c] for c in ring1) + sum(0.5 * vals[c] for c in ring2)
+    den = len(ring1) + 0.5 * len(ring2)
+    n, est = out[hole]
+    assert n == 18
+    assert abs(est - num / den) < 2e-6
+    # no present cell is ever re-estimated
+    assert not (set(out) & set(vals))
+    # the isolated cell's phantom neighbors have exactly 1 contributor
+    # each -> all below the min_contributors floor of 3
+    assert not any(
+        c in out for c in kring_cells(np.array([iso]), 2, False)[0]
+    )
