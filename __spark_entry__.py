@@ -1930,6 +1930,26 @@ def _q_event_autocorrelation(spark, sf_dir):
     return event_autocorrelation(load(spark, sf_dir, "events"))
 
 
+def _q_event_autocorrelation_maintained(spark, sf_dir):
+    """The SAME seasonality card served from a maintained (type, day)
+    count log — zero event re-aggregation at read time; single-batch
+    instance vs the batch twin's SQL (the source_kl_maintained
+    precedent), so CORRECTNESS gates the incremental path."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.daily_counts import (
+        MaintainedDailyCounts,
+    )
+
+    state = tempfile.mkdtemp(prefix="daily_state_")
+    m = MaintainedDailyCounts(spark, state)
+    m.process_batch(load(spark, sf_dir, "events"), 0)
+    out = m.autocorrelation()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_event_interarrival(spark, sf_dir):
     """Per-type inter-arrival gap stats (count/min/max/mean + exact
     p50/p90 through the shared percentile kernel) — burst/automation
@@ -2401,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_autocorrelation": _q_event_autocorrelation,
         "local_supplier_volume": _q_local_supplier_volume,
         "idw_fill": _q_idw_fill,
+        "event_autocorrelation_maintained": _q_event_autocorrelation_maintained,
     }
     return qs
 
@@ -3654,6 +3675,9 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     )
 
     out["event_autocorrelation"] = event_autocorrelation_sql()
+    # single-batch maintained state == the batch operator exactly, so
+    # the twin is SHARED (the smooth_maintained precedent)
+    out["event_autocorrelation_maintained"] = event_autocorrelation_sql()
     from cuda_gis_smoothing_spark.operators.events import (
         SESSION_PATHS_SQL,
         user_rfm_sql,

@@ -1259,11 +1259,26 @@ def event_autocorrelation(
     multi-consumer re-execute lesson), the lag explode x self equi-join
     and final aggregate all run over day-cardinality data.
     """
-    daily = (
-        events.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
+    return autocorr_from_daily(daily_counts(events), lags)
+
+
+def daily_counts(events: DataFrame) -> DataFrame:
+    """(event_type, day DATE, n) — the daily volume table both the
+    batch autocorrelation and MaintainedDailyCounts serve from."""
+    return events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def autocorr_from_daily(
+    daily: DataFrame, lags: tuple[int, ...] = AUTOCORR_LAGS
+) -> DataFrame:
+    """The Pearson kernel over a (event_type, day, n) table — ONE
+    shared body so the batch gate and the maintained serving path can
+    never drift (the transition_probabilities precedent). NULL days /
+    NULL event types never pair (NULL equality) so they cannot affect
+    the output whether or not the caller's table carries them."""
+    daily = daily.localCheckpoint()  # TWO differently-projected consumers
     lag_arr = F.array(*[F.lit(int(k)) for k in lags])
     x = daily.select(
         "event_type",

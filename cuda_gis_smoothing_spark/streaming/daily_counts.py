@@ -1,0 +1,118 @@
+"""Maintained per-(event_type, day) volume counts — the streaming form
+of the daily table behind ``operators/events.event_autocorrelation``
+(and any other daily-volume card).
+
+The batch operator re-aggregates the full event history per run; at
+100 TB the seasonality card is served from MAINTAINED state. Events are
+immutable and append-only (the MaintainedTransitions contract), so the
+count log is purely ADDITIVE — no decrement machinery exists:
+
+* ``counts`` — (event_type, day)-keyed ABSOLUTE counts, latest-wins:
+  a batch's own (type, day) aggregate joins its TOUCHED keys against
+  prior state (read with ``before_batch_id`` — the crash-window
+  contract) and writes absolute rows. O(batch keys) delta rows per
+  batch, never O(history) (tested). A single log is its own replay
+  guard: ``has(batch_id)`` short-circuits a replayed batch before any
+  read or write.
+
+NULL handling: rows with a NULL ``ts`` or NULL ``event_type`` are
+EXCLUDED from state — in the batch operator they survive as daily rows
+but can never join a lag pair (NULL equality), so the served
+autocorrelation is identical with or without them (pinned by the
+multi-batch equality test, which feeds NULL rows).
+
+Serving routes through the shared ``autocorr_from_daily`` kernel so the
+batch gate and this path cannot drift; the driver gates the path via
+``event_autocorrelation_maintained`` (single-batch instance vs the
+batch twin's SQL — the source_kl_maintained precedent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cuda_gis_smoothing_spark.operators.events import (
+    AUTOCORR_LAGS,
+    autocorr_from_daily,
+    daily_counts,
+)
+from cuda_gis_smoothing_spark.streaming.incremental import SnapshotLog
+
+
+class MaintainedDailyCounts:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_root: str,
+        compact_every: int = 4,
+    ):
+        self.spark = spark
+        self.compact_every = compact_every
+        self.counts_log = SnapshotLog(
+            spark, os.path.join(state_root, "counts"), key=["event_type", "day"]
+        )
+
+    # ------------------------------------------------------------------
+    def process_batch(self, events: DataFrame, batch_id: int) -> None:
+        """Fold one batch into the daily counts: one (type, day)-keyed
+        delta of O(batch keys) absolute rows."""
+        if self.counts_log.has(batch_id):
+            return  # crash replay of an applied batch: no-op
+        add = (
+            daily_counts(events)
+            .where(F.col("event_type").isNotNull() & F.col("day").isNotNull())
+            .select("event_type", "day", F.col("n").alias("_d"))
+        )
+        cur = self.counts_log.read(before_batch_id=batch_id)
+        if cur is None:
+            new_counts = add.select(
+                "event_type", "day", F.col("_d").cast("long").alias("n")
+            )
+        else:
+            new_counts = add.join(cur, ["event_type", "day"], "left").select(
+                "event_type",
+                "day",
+                (F.coalesce(F.col("n"), F.lit(0)) + F.col("_d"))
+                .cast("long")
+                .alias("n"),
+            )
+        self.counts_log.write_delta(new_counts, batch_id)
+        if self.counts_log.delta_count() >= self.compact_every:
+            self.counts_log.compact(batch_id)
+
+    # ------------------------------------------------------------------
+    def daily(self) -> DataFrame:
+        """The maintained (event_type, day, n) table, read through an
+        EAGER localCheckpoint — callers may delete the state directory
+        once the plan is built (the MaintainedPostings.search
+        contract)."""
+        t = self.counts_log.read()
+        if t is None:
+            raise ValueError("MaintainedDailyCounts: empty state")
+        return t.select("event_type", "day", "n").localCheckpoint(eager=True)
+
+    def autocorrelation(
+        self, lags: tuple[int, ...] = AUTOCORR_LAGS
+    ) -> DataFrame:
+        """Lag-k Pearson autocorrelation served from state alone —
+        nothing re-reads events; the moment sums run over the
+        day-cardinality maintained table through the SHARED kernel."""
+        return autocorr_from_daily(self.daily(), lags)
+
+    # ------------------------------------------------------------------
+    def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
+        from cuda_gis_smoothing_spark.streaming.windows import EVENTS_SCHEMA
+
+        stream = (
+            self.spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
+        writer = stream.writeStream.foreachBatch(
+            lambda df, bid: self.process_batch(df, bid)
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
