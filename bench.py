@@ -191,6 +191,11 @@ BENCH_QUERIES = [
     "blocking_suppliers",
     "idle_customers",
     "nation_market_share",
+    "smooth_bilateral_k1",
+    "event_autocorrelation",
+    "event_autocorrelation_maintained",
+    "local_supplier_volume",
+    "idw_fill",
 ]
 
 
