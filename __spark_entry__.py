@@ -1641,6 +1641,31 @@ def _q_embedding_sim_histogram(spark, sf_dir):
     )
 
 
+def _q_embedding_degree_histogram(spark, sf_dir):
+    """Dedup-graph degree distribution: how many near-dup partners
+    each vector has under the banded graph, including the 0-degree
+    mass (the fraction semantic dedup wouldn't touch) — the third
+    marginal beside component sizes and pair-similarity mass."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_neardup_pairs_banded,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs_banded(emb, threshold=_EMB_BANDED_THRESHOLD)
+    # both directions from ONE pass (the explode-of-structs lesson)
+    ends = pairs.select(
+        F.explode(F.array(F.col("vec_a"), F.col("vec_b"))).alias("vec_id")
+    )
+    deg = ends.groupBy("vec_id").agg(F.count(F.lit(1)).alias("_d"))
+    return (
+        emb.select("vec_id")
+        .join(deg, "vec_id", "left")
+        .select(F.coalesce(F.col("_d"), F.lit(0)).cast("long").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+
+
 _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -2422,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "idw_fill": _q_idw_fill,
         "event_autocorrelation_maintained": _q_event_autocorrelation_maintained,
+        "embedding_degree_histogram": _q_embedding_degree_histogram,
     }
     return qs
 
@@ -3836,6 +3862,20 @@ GROUP BY patch_id
     out["idw_fill"] = idw_fill_sql(
         source="cells4", with_ctes=GRID_CELLS_SQL
     )
+    out["embedding_degree_histogram"] = f"""
+WITH pairs AS ({_emb_banded_sql()}),
+ends AS (
+  SELECT vec_a AS vec_id FROM pairs
+  UNION ALL SELECT vec_b AS vec_id FROM pairs
+),
+deg AS (
+  SELECT e.vec_id, CAST(COUNT(p.vec_id) AS BIGINT) AS degree
+  FROM embeddings e LEFT JOIN ends p ON p.vec_id = e.vec_id
+  GROUP BY e.vec_id
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM deg GROUP BY degree
+""".strip()
     out["embedding_triangles"] = f"""
 WITH pairs AS ({_emb_banded_sql()}),
 e AS (SELECT vec_a, vec_b FROM pairs),

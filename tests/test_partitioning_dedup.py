@@ -684,3 +684,24 @@ def test_correlogram_ring1_equals_morans_i(spark):
     assert ring1["morans_i"] == solo["morans_i"]
     # ring-2 edges exist too
     assert 2 in rows
+
+
+def test_embedding_degree_histogram_handshake(spark):
+    """Graph invariants at sf0.001: sum(degree * n_vectors) counts each
+    pair twice (handshake lemma) and the histogram covers EVERY vector
+    (0-degree mass included)."""
+    import __spark_entry__ as entry_mod
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_neardup_pairs_banded,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    hist = entry_mod.queries()["embedding_degree_histogram"](spark, sf).collect()
+    emb = load(spark, sf, "embeddings")
+    n_pairs = embedding_neardup_pairs_banded(
+        emb, threshold=entry_mod._EMB_BANDED_THRESHOLD
+    ).count()
+    assert sum(r.degree * r.n_vectors for r in hist) == 2 * n_pairs
+    assert sum(r.n_vectors for r in hist) == emb.count()
+    assert any(r.degree == 0 for r in hist)  # the untouched mass exists
