@@ -1955,6 +1955,15 @@ def _q_event_autocorrelation(spark, sf_dir):
     return event_autocorrelation(load(spark, sf_dir, "events"))
 
 
+def _q_events_daily_anomaly_robust(spark, sf_dir):
+    """Median/MAD daily-volume z-scores — the masking-resistant twin
+    of events_daily_anomaly; integer counts, exact percentiles, one
+    round6 division."""
+    from cuda_gis_smoothing_spark.operators.events import daily_anomaly_robust
+
+    return daily_anomaly_robust(load(spark, sf_dir, "events"))
+
+
 def _q_event_autocorrelation_maintained(spark, sf_dir):
     """The SAME seasonality card served from a maintained (type, day)
     count log — zero event re-aggregation at read time; single-batch
@@ -2448,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_fill": _q_idw_fill,
         "event_autocorrelation_maintained": _q_event_autocorrelation_maintained,
         "embedding_degree_histogram": _q_embedding_degree_histogram,
+        "events_daily_anomaly_robust": _q_events_daily_anomaly_robust,
     }
     return qs
 
@@ -3704,6 +3714,11 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     # single-batch maintained state == the batch operator exactly, so
     # the twin is SHARED (the smooth_maintained precedent)
     out["event_autocorrelation_maintained"] = event_autocorrelation_sql()
+    from cuda_gis_smoothing_spark.operators.events import (
+        daily_anomaly_robust_sql,
+    )
+
+    out["events_daily_anomaly_robust"] = daily_anomaly_robust_sql()
     from cuda_gis_smoothing_spark.operators.events import (
         SESSION_PATHS_SQL,
         user_rfm_sql,

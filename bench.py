@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "event_autocorrelation_maintained",
     "local_supplier_volume",
     "idw_fill",
+    "embedding_degree_histogram",
+    "events_daily_anomaly_robust",
 ]
 
 

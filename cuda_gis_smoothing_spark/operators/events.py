@@ -1347,3 +1347,87 @@ SELECT event_type, lag, n_pairs,
              + 1e-09, 6) AS autocorr
 FROM m
 """.strip()
+
+
+# -- robust (median/MAD) daily anomaly ------------------------------------
+
+#: 1 / Phi^-1(3/4): scales MAD to a normal-consistent sigma estimate
+ROBUST_Z_CONSISTENCY = 1.4826
+
+
+def daily_anomaly_robust(events: DataFrame) -> DataFrame:
+    """Median/MAD z-score of each (event_type, day) count — the
+    outlier-RESISTANT form of :func:`daily_anomaly`: one crater day
+    drags a mean/std baseline toward itself (masking), while the
+    median/MAD baseline ignores it. robust_z = (n − median) /
+    (1.4826 · MAD); an all-constant series (MAD 0) yields NULL.
+
+    Exactness: daily counts are integers, a median of integers is
+    integer or x.5 (exactly representable), absolute deviations and
+    their median are therefore exact dyadic doubles, and Spark's exact
+    percentile() matches DuckDB quantile_cont bit-for-bit (the
+    value_percentiles lesson) — so the single round6 division is the
+    only fp exposure. The consistency constant is folded ONCE here and
+    flit()-ed into the twin.
+
+    Plan (100 TB): one map-side-combining (type, day) aggregate, then
+    everything runs over day-cardinality rows — two #types-sized exact
+    percentile aggregates broadcast back. Counts never leave integers
+    until the final division.
+    """
+    daily = daily_counts(events).localCheckpoint()
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("_med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "_med",
+        F.abs(F.col("n") - F.col("_med")).alias("_ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(_ad, 0.5)").alias("_mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("n").alias("n_events"),
+        round6(F.col("_med")).alias("median_n"),
+        round6(
+            (F.col("n") - F.col("_med"))
+            / F.nullif(F.lit(ROBUST_Z_CONSISTENCY) * F.col("_mad"), F.lit(0.0))
+        ).alias("robust_z"),
+    )
+
+
+def daily_anomaly_robust_sql() -> str:
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
+    c = flit(ROBUST_Z_CONSISTENCY)
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS _med
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n, m._med,
+         ABS(d.n - m._med) AS _ad
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(_ad, 0.5) AS _mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(d.day AS VARCHAR) AS day,
+       d.n AS n_events,
+       ROUND(d._med + 1e-09, 6) AS median_n,
+       ROUND((d.n - d._med) / NULLIF({c} * m._mad, 0) + 1e-09, 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+""".strip()

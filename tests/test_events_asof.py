@@ -189,3 +189,41 @@ def test_event_autocorrelation_matches_numpy(spark):
         n_pairs, r = got[("b", lag)]
         assert n_pairs == 6 - lag and r is None
     assert ("b", 7) not in got  # span too short for lag 7: no pairs
+
+
+def test_robust_anomaly_resists_masking(spark):
+    """The operator's reason to exist: one extreme crater day inflates
+    a mean/std baseline enough to mask itself (|classic z| stays
+    small-ish) while the median/MAD z-score still flags it hard."""
+    from cuda_gis_smoothing_spark.operators.events import (
+        daily_anomaly,
+        daily_anomaly_robust,
+    )
+
+    # 20 quiet days of ~100 events, one day with 2000
+    counts = {d: 100 + (d % 3) for d in range(20)}
+    counts[20] = 2000
+    rows, eid = [], 0
+    for d, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, T0 + dt.timedelta(days=d), 1, "a", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    spike_day = (T0 + dt.timedelta(days=20)).date().isoformat()
+    robust = {
+        r.day: r.robust_z for r in daily_anomaly_robust(df).collect()
+    }
+    classic = {
+        str(r.day): r.z_score for r in daily_anomaly(df).collect()
+    }
+    # the spike drags mean AND std toward itself: classic z < 4.5
+    # always (for a single outlier z is bounded by ~sqrt(n)); robust z
+    # uses the quiet-day scale and lands in the hundreds
+    assert classic[spike_day] < 5
+    assert robust[spike_day] > 100
+    # quiet days stay quiet under the robust score
+    assert all(abs(z) < 3 for d, z in robust.items() if d != spike_day)

@@ -66,6 +66,10 @@ EVENTS_GATES = [
     # corpus's short irregular day span exercises the missing-day gap
     # semantics and the zero-variance NULL branch
     "event_autocorrelation",
+    # exact percentiles over integer counts (medians land on integers
+    # or x.5 — exact dyadic); the fuzz bursts exercise the MAD-0 NULL
+    # branch when a type's counts are all equal
+    "events_daily_anomaly_robust",
 ]
 
 
