@@ -1871,6 +1871,16 @@ def _q_source_mixture_weights(spark, sf_dir):
     return source_mixture_weights(load(spark, sf_dir, "documents"))
 
 
+def _q_source_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) source sampling weights — the
+    integerized-sqrt normalization keeps the weights twin-exact."""
+    from cuda_gis_smoothing_spark.operators.curate import (
+        source_mixture_temperature,
+    )
+
+    return source_mixture_temperature(load(spark, sf_dir, "documents"))
+
+
 def _q_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: segment filter pushed into the customer scan,
     two fact equi-joins, exact-cents top-k via TakeOrderedAndProject."""
@@ -2458,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_autocorrelation_maintained": _q_event_autocorrelation_maintained,
         "embedding_degree_histogram": _q_embedding_degree_histogram,
         "events_daily_anomaly_robust": _q_events_daily_anomaly_robust,
+        "source_mixture_temperature": _q_source_mixture_temperature,
     }
     return qs
 
@@ -3763,6 +3774,11 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     out["rrf_fusion"] = rrf_fuse_topk_sql(_bm25_sql(), tfidf_topk_sql())
     out["props_field_stats"] = props_field_stats_sql()
     out["source_mixture_weights"] = SOURCE_MIXTURE_WEIGHTS_SQL
+    from cuda_gis_smoothing_spark.operators.curate import (
+        SOURCE_MIXTURE_TEMPERATURE_SQL,
+    )
+
+    out["source_mixture_temperature"] = SOURCE_MIXTURE_TEMPERATURE_SQL
     from cuda_gis_smoothing_spark.operators.dedup import edit_distance_sql
 
     out["dedup_edit_distance"] = edit_distance_sql()

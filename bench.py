@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "idw_fill",
     "embedding_degree_histogram",
     "events_daily_anomaly_robust",
+    "source_mixture_temperature",
 ]
 
 

@@ -759,3 +759,97 @@ SELECT source, n_docs, tokens, natural_share, sample_rate,
        ROUND(sample_rate * tokens + 1e-09, 6) AS effective_tokens
 FROM rated
 """.strip()
+
+
+def source_mixture_temperature(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled source sampling weights — the mT5/Pile
+    standard: sample source s with probability proportional to
+    ``p_s^alpha`` (p_s = natural token share), flattening the mixture
+    toward uniform without :func:`source_mixture_weights`'s hard cap.
+    ``alpha`` is FIXED at 0.5 by contract: sqrt is IEEE-correctly-
+    rounded in both engines while a general ``POW(p, alpha)`` is the
+    ≤1-ulp libm class — the one exactness-compatible temperature.
+
+    Cross-engine normalization trick: the denominator is a SUM of
+    doubles, whose association order differs between engines — so the
+    per-source weight is INTEGERIZED first (``floor_stable(sqrt(tokens)
+    * 1e6)``, exact int64: sqrt and the 1e6 multiply are correctly
+    rounded, floor_stable absorbs the boundary) and the normalizer is
+    an exact integer sum; each output weight is then ONE IEEE division
+    of exact integers, round6'ed. The 1e-6 quantization moves any
+    weight by < 1e-6/WS — invisible at round6 for every real corpus.
+    An all-empty corpus (every source zero tokens) yields NULL weights
+    via NULLIF rather than a fake uniform.
+
+    Output per source: ``n_docs``, ``tokens``, ``natural_share``,
+    ``mixture_weight`` (sums to 1 within round6 slack). Plan: same
+    single-scan shape as source_mixture_weights — one source-keyed
+    aggregate, both corpus totals from ONE unpartitioned window over
+    the #sources-row table."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.functions.numeric import floor_stable
+
+    tok = docs.select(
+        "source",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias("_t"),
+    )
+    per = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("tokens"),
+    )
+    per = per.select(
+        "source",
+        "n_docs",
+        "tokens",
+        floor_stable(F.sqrt(F.col("tokens").cast("double")) * F.lit(1e6))
+        .cast("long")
+        .alias("_ws"),
+    )
+    w = Window.partitionBy()  # #sources rows: a single-task window
+    per = per.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "_ws",
+        F.sum("tokens").over(w).cast("double").alias("_T"),
+        F.sum("_ws").over(w).cast("double").alias("_wsum"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "tokens",
+        round6(F.col("tokens").cast("double") / F.col("_T")).alias(
+            "natural_share"
+        ),
+        round6(
+            F.col("_ws").cast("double") / F.nullif(F.col("_wsum"), F.lit(0.0))
+        ).alias("mixture_weight"),
+    )
+
+
+SOURCE_MIXTURE_TEMPERATURE_SQL = """
+WITH tok AS (
+  SELECT source, len(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(t), 0) AS BIGINT) AS tokens
+  FROM tok GROUP BY source
+),
+ws AS (
+  SELECT source, n_docs, tokens,
+         CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE)) * 1e6 + 1e-09) AS BIGINT) AS wsc
+  FROM per
+),
+tot AS (
+  SELECT CAST(SUM(tokens) AS DOUBLE) AS T,
+         CAST(SUM(wsc) AS DOUBLE) AS WS
+  FROM ws
+)
+SELECT source, n_docs, tokens,
+       ROUND(CAST(tokens AS DOUBLE) / T + 1e-09, 6) AS natural_share,
+       ROUND(CAST(wsc AS DOUBLE) / NULLIF(WS, 0) + 1e-09, 6) AS mixture_weight
+FROM ws, tot
+""".strip()

@@ -236,3 +236,39 @@ def test_key_skew_gini_vs_python(spark):
         [(i, i % 10) for i in range(100)], "event_id long, user_id int"
     )
     assert key_skew_report(uniform, "user_id").collect()[0].gini == 0.0
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    """alpha=0.5 temperature invariants: weights sum to 1 (round6
+    slack), the order of sources is preserved, the mixture is strictly
+    FLATTER than natural (max weight < max share, min weight > min
+    share), hand-computed sqrt values match, and a zero-token source
+    gets weight 0 (never a fake share)."""
+    import math
+
+    from cuda_gis_smoothing_spark.operators.curate import (
+        source_mixture_temperature,
+    )
+
+    rows = (
+        [(i, "big", "a b c d e f g h") for i in range(60)]  # 480 tokens
+        + [(100 + i, "small", "a b") for i in range(10)]  # 20 tokens
+        + [(200 + i, "nulls", None) for i in range(3)]  # 0 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in source_mixture_temperature(df).collect()}
+
+    assert set(out) == {"big", "small", "nulls"}
+    wsum = sum(r.mixture_weight for r in out.values())
+    assert abs(wsum - 1.0) <= len(out) * (5e-7 + 1e-9)
+    # hand-computed: integerized sqrt weights
+    ws = {s: math.floor(math.sqrt(out[s].tokens) * 1e6 + 1e-9) for s in out}
+    tot = sum(ws.values())
+    for s in out:
+        assert out[s].mixture_weight == pytest.approx(ws[s] / tot, abs=1e-6)
+    assert out["nulls"].mixture_weight == 0.0
+    # flattening: big's weight < its natural share; small's weight >
+    assert out["big"].mixture_weight < out["big"].natural_share
+    assert out["small"].mixture_weight > out["small"].natural_share
+    # order preserved
+    assert out["big"].mixture_weight > out["small"].mixture_weight

@@ -97,6 +97,9 @@ DOC_GATES = [
     "rrf_fusion",
     # NULL-text docs pin the zero-token-source rate-1 guard
     "source_mixture_weights",
+    # NULL-text docs pin the zero-token weight-0 branch; the integerized
+    # sqrt normalizer is exercised over hostile token counts
+    "source_mixture_temperature",
     # character-level verify kernel; NULL-text docs pin the ASCII gate
     "dedup_edit_distance",
     # C4-style chunk-line family: newline-terminated and non-ASCII
