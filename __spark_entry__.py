@@ -366,6 +366,40 @@ def _q_language_id(spark, sf_dir):
     return language_id(load(spark, sf_dir, "documents"))
 
 
+def _q_quality_calibration(spark, sf_dir):
+    """Cross-source score calibration: each doc's quality mapped to its
+    ECDF quantile WITHIN its source (cume_dist — tie-invariant: the
+    value depends only on the score multiset, so tied round6 scores
+    cannot flake it; its value is an exact integer ratio). The fix for
+    'source A's 0.6 means something different than source B's 0.6'
+    before any cross-source quality threshold. NULL-text docs carry
+    the DEGENERATE composite score (0.75: both engines' least() skips
+    NULL terms — the doc_quality contract) and rank like any doc; the
+    IS NOT NULL guard only drops a fully-NULL score if one ever
+    arises. One scan, one source-partitioned window."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.functions.text import (
+        quality_feature_cols,
+        quality_score_col,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", *quality_feature_cols("text")
+    ).withColumn("quality_score", quality_score_col())
+    w = Window.partitionBy("source").orderBy("quality_score")
+    return (
+        q.where(F.col("quality_score").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            round6(F.cume_dist().over(w)).alias("source_quantile"),
+        )
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(load(spark, sf_dir, "documents"))
 
@@ -2469,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_degree_histogram": _q_embedding_degree_histogram,
         "events_daily_anomaly_robust": _q_events_daily_anomaly_robust,
         "source_mixture_temperature": _q_source_mixture_temperature,
+        "quality_calibration": _q_quality_calibration,
     }
     return qs
 
@@ -4098,6 +4133,20 @@ GROUP BY source
     out["quality_deciles"] = percentile_sql(
         out["doc_quality"], "quality_score", _DECILES, out_value="quality"
     )
+    # composes the gated doc_quality SQL (no feature duplication — the
+    # drift-prevention class); join-back supplies source
+    out["quality_calibration"] = f"""
+WITH q AS ({out["doc_quality"]}),
+j AS (
+  SELECT d.doc_id, d.source, q.quality_score
+  FROM q JOIN documents d USING (doc_id)
+  WHERE q.quality_score IS NOT NULL
+)
+SELECT doc_id, source, quality_score,
+       ROUND(cume_dist() OVER (PARTITION BY source ORDER BY quality_score)
+             + 1e-09, 6) AS source_quantile
+FROM j
+""".strip()
     out["cell_edges"] = f"""
 WITH {GRID_CELLS_SQL},
 o1 (delta) AS (VALUES {_vals(_R1)}),

@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "embedding_degree_histogram",
     "events_daily_anomaly_robust",
     "source_mixture_temperature",
+    "quality_calibration",
 ]
 
 

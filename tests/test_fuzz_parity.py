@@ -100,6 +100,10 @@ DOC_GATES = [
     # NULL-text docs pin the zero-token weight-0 branch; the integerized
     # sqrt normalizer is exercised over hostile token counts
     "source_mixture_temperature",
+    # cume_dist is tie-invariant BY DEFINITION; the fuzz corpus's
+    # duplicate texts create the tied round6 scores that pin it, and
+    # NULL-text docs pin the degenerate-score (least-skips-NULL) class
+    "quality_calibration",
     # character-level verify kernel; NULL-text docs pin the ASCII gate
     "dedup_edit_distance",
     # C4-style chunk-line family: newline-terminated and non-ASCII

@@ -693,3 +693,50 @@ def test_compression_ratio_matches_zlib(spark):
             exp = round(len(zlib.compress(b, 6)) / len(b) + 1e-09, 6)
             assert got[i]["compression_ratio"] == exp
     assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+
+
+def test_quality_calibration_ecdf_invariants(spark):
+    """cume_dist calibration invariants on an engineered corpus: the
+    max quantile per source is exactly 1.0, tied scores share one
+    quantile, quantiles are monotone in score, and a source's skewed
+    scale calibrates to the same quantile grid as a clean source."""
+    import __spark_entry__ as entry_mod
+
+    rows = (
+        # source A: four docs, two EXACT ties in the middle
+        [(1, "a b c d e f g h " * 8, "en", "A", 0),
+         (2, "a b", "en", "A", 0),
+         (3, "a b", "en", "A", 0),
+         (4, "a b c d", "en", "A", 0)]
+        # source B: two docs + a NULL-text doc (carries the degenerate
+        # composite score — both engines' LEAST() skips NULL terms —
+        # and ranks like any other doc)
+        + [(10, "x y z w " * 16, "en", "B", 0),
+           (11, "x", "en", "B", 0),
+           (12, None, "en", "B", 0)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        for t in ["documents"]:
+            df.write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+        out = entry_mod.queries()["quality_calibration"](spark, d).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # NULL-text doc is INCLUDED with the deterministic degenerate score
+    # (0.5*1 + 0.25*0 + 0.25*1 — the least()-skips-NULL fold, identical
+    # in both engines and pinned by the doc_quality fuzz corpus)
+    b = {r.doc_id: r for r in out if r.source == "B"}
+    assert b[12].quality_score == 0.75
+    for src, rs in by_src.items():
+        assert max(r.source_quantile for r in rs) == 1.0
+        ordered = sorted(rs, key=lambda r: r.quality_score)
+        qs = [r.source_quantile for r in ordered]
+        assert qs == sorted(qs)  # monotone in score
+    a = {r.doc_id: r for r in by_src["A"]}
+    assert a[2].source_quantile == a[3].source_quantile  # exact tie
+    assert a[2].source_quantile == 0.5  # 2 of 4 rows <= the tied score
