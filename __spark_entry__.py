@@ -479,6 +479,44 @@ def _q_vocab_top_tokens(spark, sf_dir):
     )
 
 
+def _q_vocab_cms_estimates(spark, sf_dir):
+    """Count-Min sketch audit card: the exact top-k document
+    frequencies beside their CMS estimates (d=4, w=1024) — the
+    frequency sketch beside KMV's distinct, deterministic over the
+    portable token hash so it is twin-exact; estimates are one-sided
+    (>= truth, pytest + Python differential). Plan: ONE corpus scan
+    into the vocab-sized count table (localCheckpoint'ed — the
+    counters and the top-k are two differently-shaped consumers),
+    counters built WEIGHTED from it, sketch-sized broadcast join on
+    the query side."""
+    from cuda_gis_smoothing_spark.operators.dedup import _doc_tokens
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        CMS_TOPK,
+        cms_counters,
+        cms_hash_cols,
+    )
+
+    toks = _doc_tokens(load(spark, sf_dir, "documents"), "text", "doc_id", None)
+    counts = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .localCheckpoint()
+    )
+    ctr = cms_counters(counts, token_col="t", weight_col="df")
+    top = counts.orderBy(F.col("df").desc(), F.col("t").asc()).limit(CMS_TOPK)
+    probes = top.select(
+        "t", "df", F.explode(cms_hash_cols("t")).alias("r")
+    ).select("t", "df", F.col("r.j").alias("j"), F.col("r.counter").alias("counter"))
+    return (
+        probes.join(F.broadcast(ctr), ["j", "counter"])
+        .groupBy(F.col("t").alias("token"))
+        .agg(
+            F.max("df").alias("df"),
+            F.min("cnt").alias("cms_estimate"),
+        )
+    )
+
+
 def _q_doc_length_histogram(spark, sf_dir):
     """Character-length histogram at fixed bucket width — the standard
     corpus length profile. Pure Catalyst: integer floor-div bucket +
@@ -2504,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_anomaly_robust": _q_events_daily_anomaly_robust,
         "source_mixture_temperature": _q_source_mixture_temperature,
         "quality_calibration": _q_quality_calibration,
+        "vocab_cms_estimates": _q_vocab_cms_estimates,
     }
     return qs
 
@@ -4133,6 +4172,40 @@ GROUP BY source
     out["quality_deciles"] = percentile_sql(
         out["doc_quality"], "quality_score", _DECILES, out_value="quality"
     )
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        CMS_ROWS,
+        CMS_TOPK,
+        cms_hash_sql,
+    )
+
+    _cms_ctr_branches = "\n    UNION ALL ".join(
+        f"SELECT {j} AS j, {cms_hash_sql('t', j)} AS counter, df FROM counts"
+        for j in range(len(CMS_ROWS))
+    )
+    _cms_probe_branches = "\n    UNION ALL ".join(
+        f"SELECT t, df, {j} AS j, {cms_hash_sql('t', j)} AS counter FROM top"
+        for j in range(len(CMS_ROWS))
+    )
+    out["vocab_cms_estimates"] = f"""
+WITH {tok_cte},
+counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY t),
+ctr AS (
+  SELECT j, counter, CAST(SUM(df) AS BIGINT) AS cnt FROM (
+    {_cms_ctr_branches}
+  ) GROUP BY j, counter
+),
+top AS (
+  SELECT t, df FROM (
+    SELECT t, df, ROW_NUMBER() OVER (ORDER BY df DESC, t ASC) AS r FROM counts
+  ) WHERE r <= {CMS_TOPK}
+),
+probes AS (
+    {_cms_probe_branches}
+)
+SELECT p.t AS token, MAX(p.df) AS df, MIN(c.cnt) AS cms_estimate
+FROM probes p JOIN ctr c USING (j, counter)
+GROUP BY p.t
+""".strip()
     # composes the gated doc_quality SQL (no feature duplication — the
     # drift-prevention class); join-back supplies source
     out["quality_calibration"] = f"""

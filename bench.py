@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "events_daily_anomaly_robust",
     "source_mixture_temperature",
     "quality_calibration",
+    "vocab_cms_estimates",
 ]
 
 

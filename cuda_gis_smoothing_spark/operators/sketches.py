@@ -370,3 +370,74 @@ SELECT * FROM (
     return percentile_sql(
         sample, value_col, fractions, group_cols=group_cols, out_value="est_value"
     )
+
+
+# -- Count-Min Sketch (the frequency sketch beside KMV's distinct) --------
+
+#: 4 independent affine rows over the token hash (products stay < 2^62:
+#: both factors < 2^31 — the portable-hash integer bound)
+CMS_ROWS = (
+    (1_094_795_711, 373_587_883),
+    (1_582_459_139, 711_628_519),
+    (1_183_186_591, 926_292_013),
+    (1_431_655_751, 161_803_399),
+)
+CMS_WIDTH = 1024
+CMS_TOPK = 20
+
+
+def cms_hash_cols(token_col: str = "t"):
+    """The d (j, counter) struct array for one token — shared by the
+    counter build and the query side so the hash family cannot drift."""
+    from cuda_gis_smoothing_spark.operators.dedup import token_hash_col
+
+    h = token_hash_col(token_col)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    F.pmod(h * F.lit(a) + F.lit(b), F.lit(MH_PRIME))
+                    % CMS_WIDTH
+                ).alias("counter"),
+            )
+            for j, (a, b) in enumerate(CMS_ROWS)
+        ]
+    )
+
+
+def cms_counters(
+    toks: DataFrame, token_col: str = "t", weight_col: str | None = None
+) -> DataFrame:
+    """Count-Min counter table over a token stream: each input row
+    increments ``len(CMS_ROWS)`` counters ``h_j(t) = ((hash(t)*A_j +
+    B_j) % MH_PRIME) % CMS_WIDTH`` (by ``weight_col`` when given — a
+    pre-aggregated (token, count) table builds the IDENTICAL sketch as
+    the raw stream, which is how a gate feeds it from a vocab-sized
+    table in one corpus scan). Output (j, counter, cnt) — exploded
+    rows collapse by map-side partial aggregation into at most d·W
+    rows per partition, so the shuffle ships sketch-sized state no
+    matter the corpus (THE point of a sketch at 100 TB: the counter
+    table is mergeable across any partitioning, like the KMV bottom-k
+    set).
+
+    Deterministic by construction (the KMV precedent): integer
+    arithmetic over the portable token hash — twin-exact, unlike a
+    seeded-RNG sketch."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    h = toks.select(cms_hash_cols(token_col).alias("_rows"), w.alias("_w"))
+    return (
+        h.select(F.explode("_rows").alias("r"), "_w")
+        .groupBy(F.col("r.j").alias("j"), F.col("r.counter").alias("counter"))
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_hash_sql(token_expr: str, j: int) -> str:
+    from cuda_gis_smoothing_spark.operators.dedup import token_hash_sql_duckdb
+
+    a, b = CMS_ROWS[j]
+    return (
+        f"(({token_hash_sql_duckdb(token_expr)} * {a} + {b})"
+        f" % {MH_PRIME}) % {CMS_WIDTH}"
+    )

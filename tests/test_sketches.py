@@ -79,3 +79,54 @@ def test_null_ids_excluded_and_groups_independent(spark):
     rows = {r.g: r for r in kmv_distinct(df, ["g"], "uid", k=64).collect()}
     assert rows["a"].est_distinct == 30.0
     assert rows["b"].est_distinct == 50.0
+
+
+def test_cms_matches_python_and_is_one_sided(spark):
+    """Pure-Python CMS differential over the sf0.001 corpus: the
+    counter table and every top-k estimate match a reference
+    implementation exactly (the sketch is DETERMINISTIC over the
+    portable hash — no tolerance), and estimates are one-sided
+    (>= the true count, the CMS guarantee)."""
+    import __spark_entry__ as entry_mod
+    from cuda_gis_smoothing_spark.operators.dedup import MH_PRIME
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        CMS_ROWS,
+        CMS_WIDTH,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "text").collect()
+
+    def token_hash(t):
+        acc = 7
+        for ch in t:
+            acc = (acc * 131 + ord(ch)) % MH_PRIME
+        return acc
+
+    from collections import Counter
+
+    df_counts = Counter()
+    for r in docs:
+        if r.text is None:
+            continue
+        for t in set(r.text.lower().split(" ")):
+            if t:
+                df_counts[t] += 1
+    ctr = Counter()
+    for t, c in df_counts.items():
+        h = token_hash(t)
+        for j, (a, b) in enumerate(CMS_ROWS):
+            ctr[(j, (h * a + b) % MH_PRIME % CMS_WIDTH)] += c
+
+    got = entry_mod.queries()["vocab_cms_estimates"](spark, sf).collect()
+    assert len(got) == 20
+    for r in got:
+        assert r.df == df_counts[r.token]
+        h = token_hash(r.token)
+        want = min(
+            ctr[(j, (h * a + b) % MH_PRIME % CMS_WIDTH)]
+            for j, (a, b) in enumerate(CMS_ROWS)
+        )
+        assert r.cms_estimate == want
+        assert r.cms_estimate >= r.df  # one-sided error, always
