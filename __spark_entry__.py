@@ -517,6 +517,34 @@ def _q_vocab_cms_estimates(spark, sf_dir):
     )
 
 
+def _q_vocab_cms_maintained(spark, sf_dir):
+    """The SAME CMS audit card with the COUNTERS served from a
+    maintained doc-keyed sketch log (MaintainedCMS — the decrementable
+    sketch: doc updates subtract their old contributions); the exact
+    top-k df side still comes from the corpus, so the CORRECTNESS row
+    gates the maintained counter path against the batch twin (the
+    source_kl_maintained precedent)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.operators.dedup import _doc_tokens
+    from cuda_gis_smoothing_spark.operators.sketches import CMS_TOPK
+    from cuda_gis_smoothing_spark.streaming.sketches import MaintainedCMS
+
+    docs = load(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="cms_state_")
+    m = MaintainedCMS(spark, state)
+    m.process_batch(docs, 0)
+    toks = _doc_tokens(docs, "text", "doc_id", None)
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    top = counts.orderBy(F.col("df").desc(), F.col("t").asc()).limit(CMS_TOPK)
+    est = m.estimates(top.select("t"))  # eager-checkpoint contract
+    shutil.rmtree(state, ignore_errors=True)
+    return top.join(est, top["t"] == est["token"]).select(
+        "token", "df", "cms_estimate"
+    )
+
+
 def _q_doc_length_histogram(spark, sf_dir):
     """Character-length histogram at fixed bucket width — the standard
     corpus length profile. Pure Catalyst: integer floor-div bucket +
@@ -2543,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_temperature": _q_source_mixture_temperature,
         "quality_calibration": _q_quality_calibration,
         "vocab_cms_estimates": _q_vocab_cms_estimates,
+        "vocab_cms_maintained": _q_vocab_cms_maintained,
     }
     return qs
 
@@ -4206,6 +4235,9 @@ SELECT p.t AS token, MAX(p.df) AS df, MIN(c.cnt) AS cms_estimate
 FROM probes p JOIN ctr c USING (j, counter)
 GROUP BY p.t
 """.strip()
+    # single-batch maintained counters == the batch sketch exactly, so
+    # the twin is SHARED (the smooth_maintained precedent)
+    out["vocab_cms_maintained"] = out["vocab_cms_estimates"]
     # composes the gated doc_quality SQL (no feature duplication — the
     # drift-prevention class); join-back supplies source
     out["quality_calibration"] = f"""

@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "source_mixture_temperature",
     "quality_calibration",
     "vocab_cms_estimates",
+    "vocab_cms_maintained",
 ]
 
 

@@ -387,3 +387,165 @@ class MaintainedQuantiles:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+# -- Maintained Count-Min sketch ------------------------------------------
+
+_TOK_EMPTY = "CAST(array() AS array<string>)"
+
+
+class MaintainedCMS:
+    """Maintained Count-Min counters over a DOC-KEYED mutable corpus —
+    the decrementable half of the sketch family: KMV (above) can never
+    forget a member, but CMS counters live in an additive GROUP, so a
+    re-ingested doc's old contributions subtract out exactly. This is
+    the doc-slice diff pattern (MaintainedSourceTokens) applied to
+    sketch state:
+
+    * ``slices`` — one doc-keyed row per doc: its DISTINCT token list
+      (the df convention of ``vocab_cms_estimates``); NULL/empty text
+      → EMPTY list (the natural tombstone).
+    * ``counters`` — (j, counter)-keyed ABSOLUTE counts, latest-wins,
+      written LAST as the crash-replay guard: a batch diffs its doc
+      ids' PRIOR slices (``before_batch_id``) against the new ones
+      into net counter deltas — O(batch vocabulary · d) rows, never
+      O(corpus) (tested).
+
+    ``estimates(tokens)`` serves min-over-rows counts for any token
+    list from state alone (the exact-df side of the audit card still
+    comes from the corpus — pairing with a maintained df log is the
+    MaintainedLines precedent, documented not duplicated here).
+    """
+
+    def __init__(self, spark: SparkSession, state_root: str, compact_every: int = 4):
+        self.spark = spark
+        self.compact_every = compact_every
+        self.slices_log = SnapshotLog(
+            spark, os.path.join(state_root, "slices"), key="doc_id"
+        )
+        self.counters_log = SnapshotLog(
+            spark, os.path.join(state_root, "counters"), key=["j", "counter"]
+        )
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        from cuda_gis_smoothing_spark.operators.sketches import cms_hash_cols
+
+        if self.counters_log.has(batch_id):
+            return  # crash replay of an applied batch: no-op
+        # one deterministic representative per intra-batch duplicate id
+        # (the packer dup-id class): greatest text wins
+        w = W.partitionBy("doc_id").orderBy(
+            F.coalesce(F.col("text"), F.lit("")).desc()
+        )
+        slices = (
+            docs.select("doc_id", "text")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "doc_id",
+                F.coalesce(
+                    F.filter(
+                        F.array_distinct(
+                            F.split(F.lower(F.col("text")), " ")
+                        ),
+                        lambda t: t != "",
+                    ),
+                    F.expr(_TOK_EMPTY),
+                ).alias("_toks"),
+            )
+        )
+        self.slices_log.write_delta(slices, batch_id)
+        delta = self.slices_log.read_delta(batch_id)
+        prior = self.slices_log.read(before_batch_id=batch_id)
+        old = (
+            None
+            if prior is None
+            else prior.join(delta.select("doc_id"), "doc_id", "left_semi")
+        )
+
+        def contrib(rows: DataFrame, sign: int) -> DataFrame:
+            return (
+                rows.select(F.explode("_toks").alias("t"))
+                .select(F.explode(cms_hash_cols("t")).alias("r"))
+                .select("r.j", "r.counter", F.lit(sign).alias("_d"))
+            )
+
+        net = contrib(delta, 1)
+        if old is not None:
+            net = net.unionByName(contrib(old, -1))
+        net = (
+            net.groupBy("j", "counter")
+            .agg(F.sum("_d").alias("_net"))
+            .where(F.col("_net") != 0)
+        )
+        cur = self.counters_log.read(before_batch_id=batch_id)
+        if cur is None:
+            new_counts = net.select(
+                "j", "counter", F.col("_net").cast("long").alias("cnt")
+            )
+        else:
+            new_counts = net.join(cur, ["j", "counter"], "left").select(
+                "j",
+                "counter",
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("_net"))
+                .cast("long")
+                .alias("cnt"),
+            )
+        self.counters_log.write_delta(new_counts, batch_id)
+        if self.slices_log.delta_count() >= self.compact_every:
+            for log in (self.slices_log, self.counters_log):
+                log.compact(batch_id)
+
+    # ------------------------------------------------------------------
+    def counters(self) -> DataFrame:
+        """The maintained (j, counter, cnt) table (zero rows filtered —
+        a counter whose docs all left), read through an EAGER
+        localCheckpoint (the MaintainedPostings.search contract)."""
+        t = self.counters_log.read()
+        if t is None:
+            raise ValueError("MaintainedCMS: empty state")
+        return (
+            t.where(F.col("cnt") > 0)
+            .select("j", "counter", "cnt")
+            .localCheckpoint(eager=True)
+        )
+
+    def estimates(self, tokens: DataFrame, token_col: str = "t") -> DataFrame:
+        """CMS estimate per input token from state alone: explode the
+        d probe rows, sketch-sized broadcast join, min over rows. A
+        token absent from every counter row estimates 0 (coalesce —
+        min over an empty group never materializes thanks to the left
+        join)."""
+        from cuda_gis_smoothing_spark.operators.sketches import cms_hash_cols
+
+        ctr = self.counters()
+        probes = tokens.select(
+            F.col(token_col).alias("token"),
+            F.explode(cms_hash_cols(token_col)).alias("r"),
+        ).select("token", "r.j", "r.counter")
+        return (
+            probes.join(F.broadcast(ctr), ["j", "counter"], "left")
+            .groupBy("token")
+            .agg(
+                F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                .cast("long")
+                .alias("cms_estimate")
+            )
+        )
+
+    def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
+        from cuda_gis_smoothing_spark.streaming.dedup import DOCS_SCHEMA
+
+        stream = (
+            self.spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
+        writer = stream.writeStream.foreachBatch(
+            lambda df, bid: self.process_batch(df, bid)
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -271,3 +271,86 @@ def test_quantiles_delta_touches_only_batch_groups(spark, tmp_path):
     )
     assert d1.count() == 1
     mq.quantiles(PCT_QS).collect()  # state still serves
+
+
+# -- MaintainedCMS ---------------------------------------------------------
+
+
+def _cms_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def _cms_state(m):
+    return {
+        (r.j, r.counter): r.cnt for r in m.counters().collect()
+    }
+
+
+def _cms_batch_rebuild(spark, docs):
+    from cuda_gis_smoothing_spark.operators.dedup import _doc_tokens
+    from cuda_gis_smoothing_spark.operators.sketches import cms_counters
+    from pyspark.sql import functions as F
+
+    counts = _doc_tokens(docs, "text", "doc_id", None).groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return {
+        (r.j, r.counter): r.cnt
+        for r in cms_counters(counts, "t", "df").collect()
+    }
+
+
+def test_cms_multi_batch_update_and_tombstone_equal_rebuild(spark, tmp_path):
+    from cuda_gis_smoothing_spark.streaming.sketches import MaintainedCMS
+
+    m = MaintainedCMS(spark, str(tmp_path / "cms"))
+    b0 = _cms_docs(
+        spark,
+        [(1, "a b c", "en", "s", 0), (2, "a a d", "en", "s", 0),
+         (3, None, "en", "s", 0)],
+    )
+    # doc 2 UPDATED (loses d, gains e); doc 1 text NULLED (tombstone);
+    # doc 4 new
+    b1 = _cms_docs(
+        spark,
+        [(2, "a e", "en", "s", 0), (1, None, "en", "s", 0),
+         (4, "b c", "en", "s", 0)],
+    )
+    m.process_batch(b0, 0)
+    assert _cms_state(m) == _cms_batch_rebuild(spark, b0)
+    m.process_batch(b1, 1)
+    final = _cms_docs(
+        spark,
+        [(1, None, "en", "s", 0), (2, "a e", "en", "s", 0),
+         (3, None, "en", "s", 0), (4, "b c", "en", "s", 0)],
+    )
+    assert _cms_state(m) == _cms_batch_rebuild(spark, final)
+    # crash replay: no double-apply
+    before = _cms_state(m)
+    m.process_batch(b1, 1)
+    assert _cms_state(m) == before
+    # estimates: present tokens >= truth; absent token estimates 0
+    q = spark.createDataFrame([("a",), ("zzz_absent",)], "t string")
+    est = {r.token: r.cms_estimate for r in m.estimates(q).collect()}
+    assert est["a"] >= 1
+    assert est["zzz_absent"] >= 0  # may collide, but never negative
+
+
+def test_cms_deltas_are_o_batch_vocab(spark, tmp_path):
+    from cuda_gis_smoothing_spark.operators.sketches import CMS_ROWS
+    from cuda_gis_smoothing_spark.streaming.sketches import MaintainedCMS
+
+    m = MaintainedCMS(spark, str(tmp_path / "cms"))
+    big = _cms_docs(
+        spark,
+        [(i, " ".join(f"w{i}_{k}" for k in range(6)), "en", "s", 0)
+         for i in range(40)],
+    )
+    m.process_batch(big, 0)
+    tiny = _cms_docs(spark, [(1000, "only two", "en", "s", 0)])
+    m.process_batch(tiny, 1)
+    delta = m.counters_log.read_delta(1)
+    # 2 tokens x 4 rows = at most 8 touched counters
+    assert delta.count() <= 2 * len(CMS_ROWS)
