@@ -168,6 +168,17 @@ _HOSTILE_SAMPLE = [
     # Q15: unpartitioned-window max + broadcast winners join, re-run
     # with broadcasts disabled and 3 shuffle partitions
     "top_supplier",
+    # part-10 additions: the bilateral center-value join with
+    # broadcasts DISABLED, the IDW anti-join under 3 shuffle
+    # partitions, the Q5 local-supplier dimension equality without
+    # broadcasts, the calendar lag self-join over the checkpointed
+    # daily table, and the CMS weighted-counter build + sketch-sized
+    # probe join under the hostile partition count
+    "smooth_bilateral_k1",
+    "idw_fill",
+    "local_supplier_volume",
+    "event_autocorrelation",
+    "vocab_cms_estimates",
 ]
 
 
