@@ -2184,6 +2184,13 @@ def _q_cell_gradient(spark, sf_dir):
     return stats_ops.cell_gradient(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_hillshade(spark, sf_dir):
+    """Lambertian hillshade over the ndvi surface — trig folded into
+    Python literal sun components so the data path is exact-rounded
+    arithmetic only; border cells excluded (the gradient contract)."""
+    return stats_ops.hillshade(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_smooth_residual_k2(spark, sf_dir):
     """High-pass detail layer: ndvi − gaussian_k2 smoothed ndvi (the
     complement of the reference's flagship pass — anomaly spikes and
@@ -2572,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": _q_quality_calibration,
         "vocab_cms_estimates": _q_vocab_cms_estimates,
         "vocab_cms_maintained": _q_vocab_cms_maintained,
+        "hillshade": _q_hillshade,
     }
     return qs
 
@@ -3803,6 +3811,9 @@ JOIN cells4 qm ON qm.cell = c.cell - {ENC}
 JOIN cells4 rp ON rp.cell = c.cell + 1
 JOIN cells4 rm ON rm.cell = c.cell - 1
 """.strip()
+    from cuda_gis_smoothing_spark.operators.stats import hillshade_sql
+
+    out["hillshade"] = hillshade_sql(source="cells4", with_ctes=GRID_CELLS_SQL)
     from cuda_gis_smoothing_spark.functions.text import (
         DOC_ENTROPY_SQL,
         ZIPF_FIT_SQL,

@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "quality_calibration",
     "vocab_cms_estimates",
     "vocab_cms_maintained",
+    "hillshade",
 ]
 
 

@@ -865,3 +865,84 @@ def focal_stats(
             round6(F.max("_v") - F.min("_v")).alias("focal_range"),
         )
     )
+
+
+# -- hillshade (terrain trio: gradient -> slope/aspect -> shading) --------
+
+#: light at 45 deg altitude from the NW-analog direction on the axial
+#: grid (azimuth measured from the +q axis) — folded in Python so both
+#: engines see LITERAL doubles; the per-row math is then pure
+#: mul/add/div/sqrt (all IEEE-correctly-rounded: ZERO libm exposure,
+#: unlike the naive atan/cos/sin formulation it is equivalent to)
+import math as _math
+
+HILLSHADE_ALTITUDE_DEG = 45.0
+HILLSHADE_AZIMUTH_DEG = 315.0
+_ZEN = _math.radians(90.0 - HILLSHADE_ALTITUDE_DEG)
+HS_COSZ = _math.cos(_ZEN)
+HS_SINZ = _math.sin(_ZEN)
+HS_LX = _math.cos(_math.radians(HILLSHADE_AZIMUTH_DEG))
+HS_LY = _math.sin(_math.radians(HILLSHADE_AZIMUTH_DEG))
+
+
+def hillshade(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Lambertian hillshade over the hex value surface — the third leg
+    of the terrain trio (cell_gradient measures the surface; this
+    renders it): illumination = max(0, L·n) with surface normal
+    n = (−grad_q, −grad_r, 1)/√(1+|grad|²) and a FIXED sun vector L.
+    Algebraically identical to the classic
+    cos(zen)·cos(slope) + sin(zen)·sin(slope)·cos(az−aspect) formula
+    (cos∘atan / sin∘atan2 expand to the rational forms), but written
+    WITHOUT trig on the data path: the sun components are Python-folded
+    literals, so the per-row math is exact-rounded mul/add/div/sqrt and
+    the output crosses the engine gate like any integer-derived double.
+    Border/hole cells are excluded (the cell_gradient central-
+    difference contract). Output ``(cell, hillshade)`` in [0, 1].
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.hexgrid import ENC
+
+    vals = cells.select("cell", F.col(value_col).alias("_x"))
+
+    def nbr(delta: int, alias: str) -> DataFrame:
+        return vals.select(
+            (F.col("cell") - delta).alias("cell"), F.col("_x").alias(alias)
+        )
+
+    gq = (F.col("_qp") - F.col("_qm")) / 2.0
+    gr = (F.col("_rp") - F.col("_rm")) / 2.0
+    # L·n with n ∝ (−gq, −gr, 1): the −grads cancel into the light's
+    # horizontal components below (L_xy points TOWARD the sun)
+    num = F.lit(HS_COSZ) - F.lit(HS_SINZ) * (
+        F.lit(HS_LX) * gq + F.lit(HS_LY) * gr
+    )
+    shade = F.greatest(F.lit(0.0), num / F.sqrt(gq * gq + gr * gr + 1.0))
+    return (
+        vals.join(nbr(ENC, "_qp"), "cell")
+        .join(nbr(-ENC, "_qm"), "cell")
+        .join(nbr(1, "_rp"), "cell")
+        .join(nbr(-1, "_rm"), "cell")
+        .select("cell", round6(shade).alias("hillshade"))
+    )
+
+
+def hillshade_sql(source: str = "cells", with_ctes: str = "") -> str:
+    """DuckDB twin of :func:`hillshade` — identical literal sun
+    components (flit-folded) over the same 4-neighbor join."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+    from cuda_gis_smoothing_spark.hexgrid import ENC
+
+    gq = "((qp.ndvi - qm.ndvi) / 2e0)"
+    gr = "((rp.ndvi - rm.ndvi) / 2e0)"
+    num = f"({flit(HS_COSZ)} - {flit(HS_SINZ)} * ({flit(HS_LX)} * {gq} + {flit(HS_LY)} * {gr}))"
+    pre = f"WITH {with_ctes}" if with_ctes else ""
+    return f"""
+{pre}
+SELECT c.cell,
+       ROUND(GREATEST(0e0, {num} / SQRT({gq} * {gq} + {gr} * {gr} + 1e0)) + 1e-09, 6) AS hillshade
+FROM {source} c
+JOIN {source} qp ON qp.cell = c.cell + {ENC}
+JOIN {source} qm ON qm.cell = c.cell - {ENC}
+JOIN {source} rp ON rp.cell = c.cell + 1
+JOIN {source} rm ON rm.cell = c.cell - 1
+""".strip()

@@ -185,3 +185,63 @@ def test_majority_filter_tie_breaks_to_smallest_class(spark):
     assert got2 == {base: 0, base + e: 0}  # 1-1 tie → class 0 wins both
     # isolated cell: own class, count 1
     assert got[base + 50 * e] == (4, 1, 1)
+
+
+def test_hillshade_equals_trig_formula_and_orients_to_light(spark):
+    """The rational form must equal the classic
+    cosZ*cos(slope) + sinZ*sin(slope)*cos(az - aspect) trig hillshade
+    (numpy differential on a synthetic slope field); a flat surface
+    shades to exactly cos(zenith); a slope tilted toward the light
+    outshines the opposite tilt."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from cuda_gis_smoothing_spark.hexgrid import ENC, pack
+    from cuda_gis_smoothing_spark.operators.stats import (
+        HS_COSZ,
+        HS_LX,
+        HS_LY,
+        HS_SINZ,
+        hillshade,
+    )
+
+    side = 12
+    qs, rs = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    q = qs.ravel().astype(np.int64)
+    r = rs.ravel().astype(np.int64)
+    # tilted + rippled field: nonzero gradients in both axes
+    val = 0.05 * q - 0.03 * r + 0.01 * ((q * 7 + r * 3) % 5)
+    pdf = pd.DataFrame({"cell": pack(q, r), "ndvi": val})
+    got = {
+        int(row.cell): float(row.hillshade)
+        for row in hillshade(spark.createDataFrame(pdf)).collect()
+    }
+    vals = dict(zip(pdf.cell.astype(int), pdf.ndvi))
+    for cell, shade in got.items():
+        gq = (vals[cell + ENC] - vals[cell - ENC]) / 2.0
+        gr = (vals[cell + 1] - vals[cell - 1]) / 2.0
+        # the classic trig form
+        slope = math.atan(math.hypot(gq, gr))
+        aspect = math.atan2(-gr, -gq) if (gq or gr) else 0.0
+        az = math.atan2(HS_LY, HS_LX)
+        trig = HS_COSZ * math.cos(slope) + HS_SINZ * math.sin(slope) * math.cos(
+            az - aspect
+        )
+        assert abs(shade - max(0.0, trig)) < 2e-6, cell
+    # flat surface: hillshade == cos(zenith) everywhere
+    flat = pd.DataFrame({"cell": pdf.cell, "ndvi": 0.5})
+    fl = hillshade(spark.createDataFrame(flat)).collect()
+    assert all(abs(row.hillshade - round(HS_COSZ + 1e-9, 6)) < 1e-9 for row in fl)
+    # orientation: tilt TOWARD the light (gradient opposite L_xy)
+    # outshines the tilt AWAY from it
+    toward = pd.DataFrame(
+        {"cell": pdf.cell, "ndvi": -0.2 * (HS_LX * q + HS_LY * r)}
+    )
+    away = pd.DataFrame(
+        {"cell": pdf.cell, "ndvi": 0.2 * (HS_LX * q + HS_LY * r)}
+    )
+    t = hillshade(spark.createDataFrame(toward)).agg({"hillshade": "avg"}).collect()[0][0]
+    a = hillshade(spark.createDataFrame(away)).agg({"hillshade": "avg"}).collect()[0][0]
+    assert t > a + 0.1
