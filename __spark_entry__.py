@@ -2191,6 +2191,33 @@ def _q_hillshade(spark, sf_dir):
     return stats_ops.hillshade(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_flow_direction(spark, sf_dir):
+    """D6 steepest-descent routing: each cell's strictly-lowest ring-1
+    neighbor (argmin = struct-MIN on exact doubles, integer tie-break);
+    sinks flow nowhere. operators/hydrology.py module docstring has the
+    twin-exactness argument."""
+    from cuda_gis_smoothing_spark.operators.hydrology import flow_direction
+
+    return flow_direction(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_watershed_basins(spark, sf_dir):
+    """Drainage basins = connected components of the undirected flow
+    forest (exactly one sink per basin — strict descent is acyclic);
+    the shared star-CC core's fourth graph domain."""
+    from cuda_gis_smoothing_spark.operators.hydrology import watershed_basins
+
+    return watershed_basins(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_flow_accumulation(spark, sf_dir):
+    """Full upslope-cell counts via O(log L) relation squaring vs the
+    twin's recursive closure — integer counts, tie-proof."""
+    from cuda_gis_smoothing_spark.operators.hydrology import flow_accumulation
+
+    return flow_accumulation(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_smooth_residual_k2(spark, sf_dir):
     """High-pass detail layer: ndvi − gaussian_k2 smoothed ndvi (the
     complement of the reference's flagship pass — anomaly spikes and
@@ -2580,6 +2607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_cms_estimates": _q_vocab_cms_estimates,
         "vocab_cms_maintained": _q_vocab_cms_maintained,
         "hillshade": _q_hillshade,
+        "flow_direction": _q_flow_direction,
+        "watershed_basins": _q_watershed_basins,
+        "flow_accumulation": _q_flow_accumulation,
     }
     return qs
 
@@ -3814,6 +3844,52 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     from cuda_gis_smoothing_spark.operators.stats import hillshade_sql
 
     out["hillshade"] = hillshade_sql(source="cells4", with_ctes=GRID_CELLS_SQL)
+    from cuda_gis_smoothing_spark.operators.hydrology import flow_ctes
+
+    # hydrology family: one shared fd CTE builder (drift-prevention);
+    # closure twins are recursive CTEs — the flow graph is acyclic by
+    # strict descent, so recursion terminates
+    _FLOW = f"{GRID_CELLS_SQL},\n{flow_ctes()}"
+    out["flow_direction"] = f"""
+WITH {_FLOW}
+SELECT cell, flow_to, ROUND(descent_raw + 1e-09, 6) AS descent
+FROM fd
+""".strip()
+    out["watershed_basins"] = f"""
+WITH RECURSIVE {_FLOW},
+fedges AS (SELECT cell AS a, flow_to AS b FROM fd WHERE flow_to IS NOT NULL),
+fsym AS (SELECT a, b FROM fedges UNION ALL SELECT b, a FROM fedges),
+freach(a, b) AS (
+  SELECT a, b FROM fsym
+  UNION
+  SELECT r.a, s.b FROM freach r JOIN fsym s ON r.b = s.a WHERE s.b <> r.a
+),
+fcomp AS (
+  SELECT c.cell, LEAST(c.cell, COALESCE(r.mn, c.cell)) AS basin
+  FROM cells4 c
+  LEFT JOIN (SELECT a, MIN(b) AS mn FROM freach GROUP BY a) r ON r.a = c.cell
+),
+fsizes AS (SELECT basin, CAST(COUNT(*) AS BIGINT) AS n_cells FROM fcomp GROUP BY 1),
+fsinks AS (
+  SELECT p.basin, d.cell AS sink_cell, ROUND(c.ndvi + 1e-09, 6) AS sink_value
+  FROM fd d JOIN fcomp p ON p.cell = d.cell JOIN cells4 c ON c.cell = d.cell
+  WHERE d.flow_to IS NULL
+)
+SELECT s.basin, s.n_cells, k.sink_cell, k.sink_value
+FROM fsizes s JOIN fsinks k ON k.basin = s.basin
+""".strip()
+    out["flow_accumulation"] = f"""
+WITH RECURSIVE {_FLOW},
+fedges AS (SELECT cell AS src, flow_to AS dst FROM fd WHERE flow_to IS NOT NULL),
+freach(src, dst) AS (
+  SELECT src, dst FROM fedges
+  UNION
+  SELECT r.src, e.dst FROM freach r JOIN fedges e ON e.src = r.dst
+),
+facc AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst)
+SELECT c.cell, CAST(1 + COALESCE(a.n, 0) AS BIGINT) AS upslope_cells
+FROM cells4 c LEFT JOIN facc a ON a.dst = c.cell
+""".strip()
     from cuda_gis_smoothing_spark.functions.text import (
         DOC_ENTROPY_SQL,
         ZIPF_FIT_SQL,

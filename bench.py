@@ -203,6 +203,9 @@ BENCH_QUERIES = [
     "vocab_cms_estimates",
     "vocab_cms_maintained",
     "hillshade",
+    "flow_direction",
+    "watershed_basins",
+    "flow_accumulation",
 ]
 
 

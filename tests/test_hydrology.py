@@ -1,0 +1,104 @@
+"""D6 hydrology family (operators/hydrology.py): a pure-Python
+differential for flow_direction, structural invariants linking all
+three operators (every cell drains to exactly one sink; basin sizes
+equal their sink's upslope count; basin sizes sum to the grid), and an
+engineered multi-step accumulation check."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_gis_smoothing_spark.hexgrid import ENC
+from cuda_gis_smoothing_spark.operators.hydrology import (
+    R1_DELTAS,
+    flow_accumulation,
+    flow_direction,
+    watershed_basins,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _grid(spark):
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    return grid_from_lineitem(spark, SF_DIR)
+
+
+def _py_flow(cells_rows):
+    """Pure-Python steepest-descent oracle over {cell: value}."""
+    out = {}
+    for c, x in cells_rows.items():
+        nbrs = [(cells_rows[c + d], c + d) for d in R1_DELTAS if c + d in cells_rows]
+        if not nbrs:
+            out[c] = (None, 0.0)
+            continue
+        xn, nbr = min(nbrs)
+        out[c] = (nbr, x - xn) if xn < x else (None, 0.0)
+    return out
+
+
+def test_flow_direction_matches_python_oracle(spark):
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    want = _py_flow(vals)
+    got = {
+        r["cell"]: (r["flow_to"], r["descent"])
+        for r in flow_direction(cells).collect()
+    }
+    assert set(got) == set(want)
+    for c, (nbr, drop) in want.items():
+        assert got[c][0] == nbr, f"cell {c}: flow_to {got[c][0]} != {nbr}"
+        assert got[c][1] == pytest.approx(drop, abs=2e-6)
+
+
+def test_flow_is_strictly_descending(spark):
+    cells = _grid(spark)
+    fd = flow_direction(cells)
+    vals = cells.select(F.col("cell").alias("flow_to"), F.col("ndvi").alias("_xn"))
+    bad = (
+        fd.where(F.col("flow_to").isNotNull())
+        .join(cells.select("cell", "ndvi"), "cell")
+        .join(vals, "flow_to")
+        .where(F.col("_xn") >= F.col("ndvi"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_basins_partition_grid_and_match_sink_upslope(spark):
+    cells = _grid(spark)
+    n_cells = cells.count()
+    basins = watershed_basins(cells).collect()
+    # exactly one sink per basin is enforced by the inner join's 1:1
+    # fan-out: duplicate basins would inflate the size sum
+    assert sum(r["n_cells"] for r in basins) == n_cells
+    assert len({r["basin"] for r in basins}) == len(basins)
+    # every basin's size equals its sink's full upslope count — each
+    # cell's flow path ends at exactly its basin's sink
+    acc = {
+        r["cell"]: r["upslope_cells"] for r in flow_accumulation(cells).collect()
+    }
+    assert sum(acc[r["sink_cell"]] for r in basins) == n_cells
+    for r in basins:
+        assert acc[r["sink_cell"]] == r["n_cells"]
+
+
+def test_flow_accumulation_engineered_chain(spark):
+    # a 1-D descending chain c0 > c1 > ... > c4 plus one tributary into
+    # c2: upslope counts are 1,2,4,5,6 along the chain (closure depth 4
+    # exercises >1 squaring round); the tributary itself counts 1
+    base = (20 + 1) * ENC + 20  # interior q/r so deltas stay on-grid
+    chain = [(base + i, 10.0 - i) for i in range(5)]  # flows along +r
+    trib = (base + 2 - ENC, 9.0)  # flows +q into chain[2]... value between
+    rows = chain + [trib]
+    cells = spark.createDataFrame(rows, "cell long, ndvi double")
+    acc = {r["cell"]: r["upslope_cells"] for r in flow_accumulation(cells).collect()}
+    assert acc[trib[0]] == 1
+    want = {0: 1, 1: 2, 2: 4, 3: 5, 4: 6}
+    for i, (c, _) in enumerate(chain):
+        assert acc[c] == want[i], f"chain[{i}]"
+    fd = {r["cell"]: r["flow_to"] for r in flow_direction(cells).collect()}
+    assert fd[trib[0]] == chain[2][0]
+    assert fd[chain[4][0]] is None  # chain end is the sink
+    b = watershed_basins(cells).collect()
+    assert len(b) == 1 and b[0]["n_cells"] == 6 and b[0]["sink_cell"] == chain[4][0]
