@@ -2218,6 +2218,35 @@ def _q_flow_accumulation(spark, sf_dir):
     return flow_accumulation(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_flow_path_length(spark, sf_dir):
+    """Per-cell flow-path length (D6 hops to the basin sink) + the
+    terminal sink cell — steps = descendant count of the shared
+    closure, integers/ids only, tie-proof."""
+    from cuda_gis_smoothing_spark.operators.hydrology import flow_path_length
+
+    return flow_path_length(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_basin_stats(spark, sf_dir):
+    """Zonal statistics over the DERIVED basin partition (count, mean,
+    min/max, relief per drainage basin) — zonal_stats with the polygon
+    zone replaced by the flow partition; min/max raw doubles,
+    mean/relief round6 (the focal_stats contract)."""
+    from cuda_gis_smoothing_spark.operators.hydrology import basin_stats
+
+    return basin_stats(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_twi(spark, sf_dir):
+    """Topographic wetness index ln(a / (tanβ + ε)): integer upslope
+    count over the unrounded central-difference gradient magnitude —
+    ln is the doc_logprob ≤1-ulp class, safe under round6; border
+    cells excluded (the cell_gradient contract)."""
+    from cuda_gis_smoothing_spark.operators.hydrology import twi
+
+    return twi(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_smooth_residual_k2(spark, sf_dir):
     """High-pass detail layer: ndvi − gaussian_k2 smoothed ndvi (the
     complement of the reference's flagship pass — anomaly spikes and
@@ -2610,6 +2639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_direction": _q_flow_direction,
         "watershed_basins": _q_watershed_basins,
         "flow_accumulation": _q_flow_accumulation,
+        "flow_path_length": _q_flow_path_length,
+        "basin_stats": _q_basin_stats,
+        "twi": _q_twi,
     }
     return qs
 
@@ -3844,11 +3876,17 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
     from cuda_gis_smoothing_spark.operators.stats import hillshade_sql
 
     out["hillshade"] = hillshade_sql(source="cells4", with_ctes=GRID_CELLS_SQL)
-    from cuda_gis_smoothing_spark.operators.hydrology import flow_ctes
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        TWI_EPS,
+        flow_closure_ctes,
+        flow_component_ctes,
+        flow_ctes,
+    )
 
-    # hydrology family: one shared fd CTE builder (drift-prevention);
-    # closure twins are recursive CTEs — the flow graph is acyclic by
-    # strict descent, so recursion terminates
+    # hydrology family: one shared CTE builder per layer (fd / directed
+    # closure / undirected components — drift-prevention); closure
+    # twins are recursive CTEs — the flow graph is acyclic by strict
+    # descent, so recursion terminates
     _FLOW = f"{GRID_CELLS_SQL},\n{flow_ctes()}"
     out["flow_direction"] = f"""
 WITH {_FLOW}
@@ -3857,18 +3895,7 @@ FROM fd
 """.strip()
     out["watershed_basins"] = f"""
 WITH RECURSIVE {_FLOW},
-fedges AS (SELECT cell AS a, flow_to AS b FROM fd WHERE flow_to IS NOT NULL),
-fsym AS (SELECT a, b FROM fedges UNION ALL SELECT b, a FROM fedges),
-freach(a, b) AS (
-  SELECT a, b FROM fsym
-  UNION
-  SELECT r.a, s.b FROM freach r JOIN fsym s ON r.b = s.a WHERE s.b <> r.a
-),
-fcomp AS (
-  SELECT c.cell, LEAST(c.cell, COALESCE(r.mn, c.cell)) AS basin
-  FROM cells4 c
-  LEFT JOIN (SELECT a, MIN(b) AS mn FROM freach GROUP BY a) r ON r.a = c.cell
-),
+{flow_component_ctes()},
 fsizes AS (SELECT basin, CAST(COUNT(*) AS BIGINT) AS n_cells FROM fcomp GROUP BY 1),
 fsinks AS (
   SELECT p.basin, d.cell AS sink_cell, ROUND(c.ndvi + 1e-09, 6) AS sink_value
@@ -3880,15 +3907,53 @@ FROM fsizes s JOIN fsinks k ON k.basin = s.basin
 """.strip()
     out["flow_accumulation"] = f"""
 WITH RECURSIVE {_FLOW},
-fedges AS (SELECT cell AS src, flow_to AS dst FROM fd WHERE flow_to IS NOT NULL),
-freach(src, dst) AS (
-  SELECT src, dst FROM fedges
-  UNION
-  SELECT r.src, e.dst FROM freach r JOIN fedges e ON e.src = r.dst
-),
+{flow_closure_ctes()},
 facc AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst)
 SELECT c.cell, CAST(1 + COALESCE(a.n, 0) AS BIGINT) AS upslope_cells
 FROM cells4 c LEFT JOIN facc a ON a.dst = c.cell
+""".strip()
+    out["flow_path_length"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+fsteps AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS path_steps FROM freach GROUP BY src),
+fsinks AS (SELECT cell FROM fd WHERE flow_to IS NULL),
+fterm AS (SELECT r.src, r.dst AS sink_cell FROM freach r JOIN fsinks s ON s.cell = r.dst)
+SELECT t.src AS cell, st.path_steps, t.sink_cell
+FROM fsteps st JOIN fterm t ON t.src = st.src
+UNION ALL
+SELECT cell, CAST(0 AS BIGINT) AS path_steps, cell AS sink_cell FROM fsinks
+""".strip()
+    out["basin_stats"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_component_ctes()}
+SELECT p.basin,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(AVG(c.ndvi) + 1e-09, 6) AS mean_value,
+       MIN(c.ndvi) AS min_value,
+       MAX(c.ndvi) AS max_value,
+       ROUND((MAX(c.ndvi) - MIN(c.ndvi)) + 1e-09, 6) AS relief
+FROM fcomp p JOIN cells4 c ON c.cell = p.cell
+GROUP BY p.basin
+""".strip()
+    out["twi"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+facc AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst),
+fups AS (
+  SELECT c.cell, CAST(1 + COALESCE(a.n, 0) AS BIGINT) AS upslope_cells
+  FROM cells4 c LEFT JOIN facc a ON a.dst = c.cell
+)
+SELECT c.cell, u.upslope_cells,
+       ROUND(LN(CAST(u.upslope_cells AS DOUBLE)
+                / (SQRT(((qp.ndvi - qm.ndvi) / 2e0) * ((qp.ndvi - qm.ndvi) / 2e0)
+                      + ((rp.ndvi - rm.ndvi) / 2e0) * ((rp.ndvi - rm.ndvi) / 2e0))
+                   + {flit(TWI_EPS)})) + 1e-09, 6) AS twi
+FROM cells4 c
+JOIN cells4 qp ON qp.cell = c.cell + {ENC}
+JOIN cells4 qm ON qm.cell = c.cell - {ENC}
+JOIN cells4 rp ON rp.cell = c.cell + 1
+JOIN cells4 rm ON rm.cell = c.cell - 1
+JOIN fups u ON u.cell = c.cell
 """.strip()
     from cuda_gis_smoothing_spark.functions.text import (
         DOC_ENTROPY_SQL,

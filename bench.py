@@ -206,6 +206,9 @@ BENCH_QUERIES = [
     "flow_direction",
     "watershed_basins",
     "flow_accumulation",
+    "flow_path_length",
+    "basin_stats",
+    "twi",
 ]
 
 

@@ -27,7 +27,18 @@ All three operators are twin-exact by construction:
   100 TB; the per-round pair mass Σ path lengths is inherent to the
   closure). Counts are integers, so the gate is tie-proof.
 
-DuckDB twins share ONE CTE builder (:func:`flow_ctes` — the
+Built on those cores: ``flow_path_length`` (steps-to-sink + terminal
+cell — both integers/ids, tie-proof), ``basin_stats`` (zonal
+statistics over the DERIVED basin partition — the zonal_stats pattern
+with the polygon replaced by the flow partition; min/max raw,
+mean/relief round6 per the focal_stats precedent) and ``twi``
+(topographic wetness ln(a / (tanβ + ε)) — integer upslope count over
+the unrounded central-difference gradient; ln is the doc_logprob
+≤1-ulp class, safe under round6).
+
+DuckDB twins share ONE CTE builder per layer (:func:`flow_ctes` for
+``fd``, :func:`flow_closure_ctes` for the directed closure,
+:func:`flow_component_ctes` for the undirected components — the
 _span_ctes/_session_ctes drift-prevention class): the flow_direction
 window ``ORDER BY (n.value ASC, n.cell ASC)`` is a TOTAL order per
 cell (neighbor ids are unique), satisfying the cross-engine window
@@ -86,6 +97,26 @@ def flow_direction(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def basin_labels(
+    cells: DataFrame, value_col: str = "ndvi", fd: DataFrame | None = None
+) -> DataFrame:
+    """Per-cell drainage-basin label ``(cell, basin)`` — connected
+    components of the undirected flow forest, ``basin`` = the
+    component's minimum cell id (the star-CC label contract). Pass a
+    pre-checkpointed ``fd`` to share the flow-direction derivation with
+    a sibling consumer (the multi-consumer re-execute class)."""
+    from cuda_gis_smoothing_spark.operators.dedup import star_components
+
+    if fd is None:
+        fd = flow_direction(cells, value_col).localCheckpoint()
+    edges = fd.where(F.col("flow_to").isNotNull()).select(
+        F.col("cell").alias("a"), F.col("flow_to").alias("b")
+    )
+    return star_components(edges, cells.select("cell"), "cell").select(
+        "cell", F.col("component").alias("basin")
+    )
+
+
 def watershed_basins(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     """Drainage-basin delineation: label each connected component of
     the (undirected) flow forest — exactly one sink per basin, see the
@@ -93,15 +124,13 @@ def watershed_basins(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     sink_value)`` with ``basin`` = the component's minimum cell id
     (the star-CC label contract)."""
     from cuda_gis_smoothing_spark.functions.numeric import round6
-    from cuda_gis_smoothing_spark.operators.dedup import star_components
 
     # two differently-pruned consumers (CC edges + the sink rows) —
     # checkpoint the derived table (the multi-consumer re-execute class)
     fd = flow_direction(cells, value_col).localCheckpoint()
-    edges = fd.where(F.col("flow_to").isNotNull()).select(
-        F.col("cell").alias("a"), F.col("flow_to").alias("b")
+    labels = basin_labels(cells, value_col, fd=fd).withColumnRenamed(
+        "basin", "component"
     )
-    labels = star_components(edges, cells.select("cell"), "cell")
     vals = cells.select("cell", F.col(value_col).cast("double").alias("_x"))
     sinks = (
         fd.where(F.col("flow_to").isNull())
@@ -122,25 +151,15 @@ def watershed_basins(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
-def flow_accumulation(
-    cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
-) -> DataFrame:
-    """Full flow accumulation: ``upslope_cells`` = 1 + the number of
-    cells whose (strictly descending, hence finite and acyclic) flow
-    path reaches the cell. Transitive descendant pairs by relation
-    squaring — each round at most doubles the covered path length, so
-    convergence takes ceil(log2 L) + 1 rounds; raises if ``max_rounds``
-    (paths up to 2**max_rounds) is exceeded. Output
-    ``(cell, upslope_cells)`` over every input cell."""
-    edges = (
-        flow_direction(cells, value_col)
-        .where(F.col("flow_to").isNotNull())
-        .select(F.col("cell").alias("src"), F.col("flow_to").alias("dst"))
-        .localCheckpoint()
-    )
-    pairs = edges
+def descendant_pairs(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Transitive closure of a DAG's ``(src, dst)`` edge set by
+    relation squaring — each round at most doubles the covered path
+    length, so convergence takes ceil(log2 L) + 1 rounds for longest
+    path L; raises if ``max_rounds`` (paths up to 2**max_rounds) is
+    exceeded. Shared by every flow-closure consumer (accumulation,
+    path length, wetness index)."""
+    pairs = edges.select("src", "dst").localCheckpoint()
     n = pairs.count()
-    converged = False
     for _ in range(max_rounds):
         hop = pairs.join(
             pairs.select(F.col("src").alias("dst"), F.col("dst").alias("_d2")),
@@ -150,13 +169,30 @@ def flow_accumulation(
         m = nxt.count()
         pairs = nxt
         if m == n:
-            converged = True
-            break
+            return pairs
         n = m
-    if not converged:
-        raise RuntimeError(
-            f"flow_accumulation did not converge in {max_rounds} rounds"
-        )
+    raise RuntimeError(f"flow closure did not converge in {max_rounds} rounds")
+
+
+def _flow_edges(cells: DataFrame, value_col: str) -> DataFrame:
+    """Checkpointed directed flow edges ``(src, dst)`` (sinks absent)."""
+    return (
+        flow_direction(cells, value_col)
+        .where(F.col("flow_to").isNotNull())
+        .select(F.col("cell").alias("src"), F.col("flow_to").alias("dst"))
+        .localCheckpoint()
+    )
+
+
+def flow_accumulation(
+    cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
+) -> DataFrame:
+    """Full flow accumulation: ``upslope_cells`` = 1 + the number of
+    cells whose (strictly descending, hence finite and acyclic) flow
+    path reaches the cell. Closure by :func:`descendant_pairs`; counts
+    are integers, so the gate is tie-proof. Output
+    ``(cell, upslope_cells)`` over every input cell."""
+    pairs = descendant_pairs(_flow_edges(cells, value_col), max_rounds)
     acc = pairs.groupBy("dst").agg(F.count(F.lit(1)).alias("_n"))
     return (
         cells.select("cell")
@@ -167,6 +203,107 @@ def flow_accumulation(
             .cast("long")
             .alias("upslope_cells"),
         )
+    )
+
+
+def flow_path_length(
+    cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
+) -> DataFrame:
+    """Per-cell flow-path length: ``path_steps`` = number of D6 hops
+    from the cell to its basin's sink (0 for sinks) and ``sink_cell``
+    = that terminal cell. From the shared descendant closure: steps =
+    the cell's descendant count (a strictly descending path visits
+    each descendant once), sink = its unique descendant with no
+    outgoing edge. Integer steps + id sink — tie-proof. Output
+    ``(cell, path_steps, sink_cell)`` over every input cell."""
+    fd = flow_direction(cells, value_col).localCheckpoint()
+    edges = fd.where(F.col("flow_to").isNotNull()).select(
+        F.col("cell").alias("src"), F.col("flow_to").alias("dst")
+    )
+    pairs = descendant_pairs(edges, max_rounds)
+    sinks = fd.where(F.col("flow_to").isNull()).select("cell")
+    steps = pairs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("path_steps")
+    )
+    term = pairs.join(sinks.withColumnRenamed("cell", "dst"), "dst").select(
+        "src", F.col("dst").alias("sink_cell")
+    )
+    non_sinks = (
+        steps.join(term, "src")
+        .select(F.col("src").alias("cell"), "path_steps", "sink_cell")
+    )
+    sink_rows = sinks.select(
+        "cell",
+        F.lit(0).cast("long").alias("path_steps"),
+        F.col("cell").alias("sink_cell"),
+    )
+    return non_sinks.unionByName(sink_rows)
+
+
+def basin_stats(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Zonal statistics over DERIVED zones: per drainage basin, cell
+    count, mean/min/max of the value surface and relief (max − min) —
+    the zonal_stats pattern with the zone polygon replaced by the flow
+    partition. min/max cross the gate as raw doubles (association-
+    order-free); mean/relief go through round6 (the focal_stats
+    precedent). Output ``(basin, n_cells, mean_value, min_value,
+    max_value, relief)``."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    vals = cells.select("cell", F.col(value_col).cast("double").alias("_x"))
+    return (
+        basin_labels(cells, value_col)
+        .join(vals, "cell")
+        .groupBy("basin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            round6(F.avg("_x")).alias("mean_value"),
+            F.min("_x").alias("min_value"),
+            F.max("_x").alias("max_value"),
+            round6(F.max("_x") - F.min("_x")).alias("relief"),
+        )
+    )
+
+
+#: TWI slope-floor epsilon (flats have zero gradient): a literal folded
+#: identically into both engines via flit on the SQL side
+TWI_EPS = 1e-3
+
+
+def twi(
+    cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
+) -> DataFrame:
+    """Topographic wetness index ln(a / (tanβ + ε)) with a = the full
+    upslope count (flow_accumulation) and tanβ = the central-difference
+    gradient magnitude (cell_gradient's UNROUNDED form — re-derived
+    inline so no intermediate round6 enters the formula). ln is libm
+    but ≤1 ulp cross-engine (the doc_logprob class) — safe under
+    round6. Border/hole cells are excluded (the central-difference
+    contract). Output ``(cell, upslope_cells, twi)``."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.hexgrid import ENC
+
+    acc = flow_accumulation(cells, value_col, max_rounds)
+    vals = cells.select("cell", F.col(value_col).cast("double").alias("_x"))
+
+    def nbr(delta: int, alias: str) -> DataFrame:
+        return vals.select(
+            (F.col("cell") - delta).alias("cell"), F.col("_x").alias(alias)
+        )
+
+    gq = (F.col("_qp") - F.col("_qm")) / 2.0
+    gr = (F.col("_rp") - F.col("_rm")) / 2.0
+    wet = F.log(
+        F.col("upslope_cells").cast("double")
+        / (F.sqrt(gq * gq + gr * gr) + F.lit(TWI_EPS))
+    )
+    return (
+        vals.join(nbr(ENC, "_qp"), "cell")
+        .join(nbr(-ENC, "_qm"), "cell")
+        .join(nbr(1, "_rp"), "cell")
+        .join(nbr(-1, "_rm"), "cell")
+        .join(acc, "cell")
+        .select("cell", "upslope_cells", round6(wet).alias("twi"))
     )
 
 
@@ -190,5 +327,41 @@ fd AS (
          CASE WHEN b.xn < b.x THEN b.nbr END AS flow_to,
          GREATEST(c.{value_col} - COALESCE(b.xn, c.{value_col}), 0e0) AS descent_raw
   FROM {source} c LEFT JOIN (SELECT * FROM fnb WHERE rk = 1) b ON b.cell = c.cell
+)
+""".strip()
+
+
+def flow_closure_ctes() -> str:
+    """DIRECTED transitive-closure CTEs over ``fd`` (``fedges`` +
+    recursive ``freach(src, dst)``) — shared by the accumulation /
+    path-length / TWI twins. Recursion terminates because strict
+    descent makes the flow graph acyclic."""
+    return """
+fedges AS (SELECT cell AS src, flow_to AS dst FROM fd WHERE flow_to IS NOT NULL),
+freach(src, dst) AS (
+  SELECT src, dst FROM fedges
+  UNION
+  SELECT r.src, e.dst FROM freach r JOIN fedges e ON e.src = r.dst
+)
+""".strip()
+
+
+def flow_component_ctes(source: str = "cells4") -> str:
+    """UNDIRECTED component CTEs over ``fd`` (symmetric closure +
+    per-cell min-reachable label ``fcomp(cell, basin)``) — shared by
+    the watershed / basin-stats twins; the label contract matches
+    star_components (component = min cell id)."""
+    return f"""
+fuedges AS (SELECT cell AS a, flow_to AS b FROM fd WHERE flow_to IS NOT NULL),
+fsym AS (SELECT a, b FROM fuedges UNION ALL SELECT b, a FROM fuedges),
+fureach(a, b) AS (
+  SELECT a, b FROM fsym
+  UNION
+  SELECT r.a, s.b FROM fureach r JOIN fsym s ON r.b = s.a WHERE s.b <> r.a
+),
+fcomp AS (
+  SELECT c.cell, LEAST(c.cell, COALESCE(r.mn, c.cell)) AS basin
+  FROM {source} c
+  LEFT JOIN (SELECT a, MIN(b) AS mn FROM fureach GROUP BY a) r ON r.a = c.cell
 )
 """.strip()

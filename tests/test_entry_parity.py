@@ -179,6 +179,11 @@ _HOSTILE_SAMPLE = [
     "local_supplier_volume",
     "event_autocorrelation",
     "vocab_cms_estimates",
+    # hydrology rep: the relation-squaring closure (iterative
+    # localCheckpoint self-joins) + gradient joins + the struct-MIN
+    # flow argmin, all under 3 shuffle partitions with broadcasts
+    # disabled — closure convergence must not depend on partitioning
+    "twi",
 ]
 
 

@@ -10,8 +10,12 @@ from pyspark.sql import functions as F
 from cuda_gis_smoothing_spark.hexgrid import ENC
 from cuda_gis_smoothing_spark.operators.hydrology import (
     R1_DELTAS,
+    TWI_EPS,
+    basin_stats,
     flow_accumulation,
     flow_direction,
+    flow_path_length,
+    twi,
     watershed_basins,
 )
 
@@ -102,3 +106,90 @@ def test_flow_accumulation_engineered_chain(spark):
     assert fd[chain[4][0]] is None  # chain end is the sink
     b = watershed_basins(cells).collect()
     assert len(b) == 1 and b[0]["n_cells"] == 6 and b[0]["sink_cell"] == chain[4][0]
+    # path lengths along the chain: 4,3,2,1,0 hops to the sink; the
+    # tributary joins at chain[2] so its path is 3 hops
+    pl = {
+        r["cell"]: (r["path_steps"], r["sink_cell"])
+        for r in flow_path_length(cells).collect()
+    }
+    for i, (c, _) in enumerate(chain):
+        assert pl[c] == (4 - i, chain[4][0]), f"chain[{i}]"
+    assert pl[trib[0]] == (3, chain[4][0])
+
+
+def test_flow_path_length_matches_python_oracle(spark):
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    fd = {c: nbr for c, (nbr, _) in _py_flow(vals).items()}
+    got = {
+        r["cell"]: (r["path_steps"], r["sink_cell"])
+        for r in flow_path_length(cells).collect()
+    }
+    assert set(got) == set(vals)
+    for c in vals:
+        steps, cur = 0, c
+        while fd[cur] is not None:
+            cur = fd[cur]
+            steps += 1
+        assert got[c] == (steps, cur), f"cell {c}"
+
+
+def _py_basins(vals):
+    """{cell: basin} with basin = min cell id of the undirected flow
+    component (the star-CC label contract)."""
+    fd = {c: nbr for c, (nbr, _) in _py_flow(vals).items()}
+    parent = {c: c for c in vals}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for c, nbr in fd.items():
+        if nbr is not None:
+            ra, rb = find(c), find(nbr)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {c: find(c) for c in vals}
+
+
+def test_basin_stats_matches_python_oracle(spark):
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    lab = _py_basins(vals)
+    members = {}
+    for c, b in lab.items():
+        members.setdefault(b, []).append(vals[c])
+    got = {r["basin"]: r for r in basin_stats(cells).collect()}
+    assert set(got) == set(members)
+    for b, xs in members.items():
+        r = got[b]
+        assert r["n_cells"] == len(xs)
+        assert r["min_value"] == min(xs)  # raw doubles, exact
+        assert r["max_value"] == max(xs)
+        assert r["mean_value"] == pytest.approx(sum(xs) / len(xs), abs=2e-6)
+        assert r["relief"] == pytest.approx(max(xs) - min(xs), abs=2e-6)
+
+
+def test_twi_matches_python_oracle(spark):
+    import math
+
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    acc = {r["cell"]: r["upslope_cells"] for r in flow_accumulation(cells).collect()}
+    got = {r["cell"]: r for r in twi(cells).collect()}
+    # exactly the cells with all four axis neighbors (the cell_gradient
+    # border contract), each carrying its full upslope count
+    want_cells = {
+        c
+        for c in vals
+        if all(c + d in vals for d in (ENC, -ENC, 1, -1))
+    }
+    assert set(got) == want_cells
+    for c in want_cells:
+        gq = (vals[c + ENC] - vals[c - ENC]) / 2.0
+        gr = (vals[c + 1] - vals[c - 1]) / 2.0
+        w = math.log(acc[c] / (math.sqrt(gq * gq + gr * gr) + TWI_EPS))
+        assert got[c]["upslope_cells"] == acc[c]
+        assert got[c]["twi"] == pytest.approx(w, abs=2e-6)
