@@ -2247,6 +2247,42 @@ def _q_twi(spark, sf_dir):
     return twi(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_aspect_sectors(spark, sf_dir):
+    """Hex-native aspect classification: sector = canonical ring-1
+    index of the steepest-descent neighbor (−1 for sinks) — pure
+    integer arithmetic on the tie-proof flow argmin."""
+    from cuda_gis_smoothing_spark.operators.hydrology import aspect_sectors
+
+    return aspect_sectors(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_drainage_density(spark, sf_dir):
+    """Stream network + per-basin drainage density: composes flow
+    direction, basin labels and the accumulation closure over ONE
+    checkpointed fd; integer counts + one exact integer-ratio
+    division (round6)."""
+    from cuda_gis_smoothing_spark.operators.hydrology import drainage_density
+
+    return drainage_density(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_terrain_ruggedness(spark, sf_dir):
+    """Riley TRI (mean |Δ| to ring-1 neighbors) — isotropic roughness
+    beside cell_gradient's oriented slope; isolated cells excluded."""
+    from cuda_gis_smoothing_spark.operators.stats import terrain_ruggedness
+
+    return terrain_ruggedness(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_grid_downsample(spark, sf_dir):
+    """Pyramid/overview level on the axial grid: coarse cell = packed
+    q/r // 2, one map-side-combinable hash aggregate — the
+    overview-building shape at 100 TB."""
+    from cuda_gis_smoothing_spark.operators.spatial import grid_downsample
+
+    return grid_downsample(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_smooth_residual_k2(spark, sf_dir):
     """High-pass detail layer: ndvi − gaussian_k2 smoothed ndvi (the
     complement of the reference's flagship pass — anomaly spikes and
@@ -2642,6 +2678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_path_length": _q_flow_path_length,
         "basin_stats": _q_basin_stats,
         "twi": _q_twi,
+        "aspect_sectors": _q_aspect_sectors,
+        "drainage_density": _q_drainage_density,
+        "terrain_ruggedness": _q_terrain_ruggedness,
+        "grid_downsample": _q_grid_downsample,
     }
     return qs
 
@@ -3877,6 +3917,8 @@ JOIN cells4 rm ON rm.cell = c.cell - 1
 
     out["hillshade"] = hillshade_sql(source="cells4", with_ctes=GRID_CELLS_SQL)
     from cuda_gis_smoothing_spark.operators.hydrology import (
+        R1_DELTAS,
+        STREAM_THRESHOLD,
         TWI_EPS,
         flow_closure_ctes,
         flow_component_ctes,
@@ -3954,6 +3996,53 @@ JOIN cells4 qm ON qm.cell = c.cell - {ENC}
 JOIN cells4 rp ON rp.cell = c.cell + 1
 JOIN cells4 rm ON rm.cell = c.cell - 1
 JOIN fups u ON u.cell = c.cell
+""".strip()
+    _sector_case = " ".join(
+        f"WHEN {d} THEN {i}" for i, d in enumerate(R1_DELTAS)
+    )
+    out["aspect_sectors"] = f"""
+WITH {_FLOW}
+SELECT cell,
+       CAST(CASE flow_to - cell {_sector_case} ELSE -1 END AS INT) AS sector
+FROM fd
+""".strip()
+    out["drainage_density"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_component_ctes()},
+{flow_closure_ctes()},
+facc AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst),
+fups AS (
+  SELECT c.cell, CAST(1 + COALESCE(a.n, 0) AS BIGINT) AS upslope_cells
+  FROM cells4 c LEFT JOIN facc a ON a.dst = c.cell
+)
+SELECT p.basin,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN u.upslope_cells >= {STREAM_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_stream_cells,
+       ROUND((CAST(SUM(CASE WHEN u.upslope_cells >= {STREAM_THRESHOLD} THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*)) + 1e-09, 6) AS drainage_density,
+       MAX(u.upslope_cells) AS max_upslope
+FROM fcomp p JOIN fups u ON u.cell = p.cell
+GROUP BY p.basin
+""".strip()
+    out["terrain_ruggedness"] = f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)})
+SELECT c.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       ROUND(AVG(ABS(n.ndvi - c.ndvi)) + 1e-09, 6) AS tri
+FROM cells4 c CROSS JOIN offsets o
+JOIN cells4 n ON n.cell = c.cell + o.delta
+GROUP BY c.cell
+""".strip()
+    out["grid_downsample"] = f"""
+WITH {GRID_CELLS_SQL}
+SELECT ((cell // {ENC}) // 2) * {ENC} + ((cell % {ENC}) // 2) AS coarse_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(AVG(ndvi) + 1e-09, 6) AS mean_value,
+       MIN(ndvi) AS min_value,
+       MAX(ndvi) AS max_value
+FROM cells4
+GROUP BY 1
 """.strip()
     from cuda_gis_smoothing_spark.functions.text import (
         DOC_ENTROPY_SQL,

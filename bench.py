@@ -209,6 +209,10 @@ BENCH_QUERIES = [
     "flow_path_length",
     "basin_stats",
     "twi",
+    "aspect_sectors",
+    "drainage_density",
+    "terrain_ruggedness",
+    "grid_downsample",
 ]
 
 

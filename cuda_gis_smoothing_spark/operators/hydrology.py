@@ -174,25 +174,32 @@ def descendant_pairs(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     raise RuntimeError(f"flow closure did not converge in {max_rounds} rounds")
 
 
-def _flow_edges(cells: DataFrame, value_col: str) -> DataFrame:
-    """Checkpointed directed flow edges ``(src, dst)`` (sinks absent)."""
+def _flow_edges(
+    cells: DataFrame, value_col: str, fd: DataFrame | None = None
+) -> DataFrame:
+    """Checkpointed directed flow edges ``(src, dst)`` (sinks absent).
+    Pass a pre-checkpointed ``fd`` to share the flow-direction
+    derivation with sibling consumers."""
+    src = fd if fd is not None else flow_direction(cells, value_col)
     return (
-        flow_direction(cells, value_col)
-        .where(F.col("flow_to").isNotNull())
+        src.where(F.col("flow_to").isNotNull())
         .select(F.col("cell").alias("src"), F.col("flow_to").alias("dst"))
         .localCheckpoint()
     )
 
 
 def flow_accumulation(
-    cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    max_rounds: int = 16,
+    fd: DataFrame | None = None,
 ) -> DataFrame:
     """Full flow accumulation: ``upslope_cells`` = 1 + the number of
     cells whose (strictly descending, hence finite and acyclic) flow
     path reaches the cell. Closure by :func:`descendant_pairs`; counts
     are integers, so the gate is tie-proof. Output
     ``(cell, upslope_cells)`` over every input cell."""
-    pairs = descendant_pairs(_flow_edges(cells, value_col), max_rounds)
+    pairs = descendant_pairs(_flow_edges(cells, value_col, fd), max_rounds)
     acc = pairs.groupBy("dst").agg(F.count(F.lit(1)).alias("_n"))
     return (
         cells.select("cell")
@@ -304,6 +311,71 @@ def twi(
         .join(nbr(-1, "_rm"), "cell")
         .join(acc, "cell")
         .select("cell", "upslope_cells", round6(wet).alias("twi"))
+    )
+
+
+def aspect_sectors(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Hex-native aspect (downslope direction) classification: per
+    cell, ``sector`` = the index of its steepest-descent neighbor in
+    the canonical ring-1 offset order (:data:`R1_DELTAS`), −1 for
+    sinks/flats — the gradient-free aspect product (the classic raster
+    aspect discretized to the 6 hex directions). Reuses
+    :func:`flow_direction`'s struct-MIN argmin, so the classification
+    inherits its tie-proofness; the sector map is pure integer
+    arithmetic on ``flow_to − cell``. Output ``(cell, sector)``."""
+    fd = flow_direction(cells, value_col)
+    delta = F.col("flow_to") - F.col("cell")
+    sector = F.lit(-1)
+    for i in reversed(range(len(R1_DELTAS))):
+        sector = F.when(delta == R1_DELTAS[i], F.lit(i)).otherwise(sector)
+    return fd.select("cell", sector.cast("int").alias("sector"))
+
+
+#: minimum upslope count for a cell to qualify as a stream cell (small
+#: because the gated fixture's basins average ~7 cells)
+STREAM_THRESHOLD = 3
+
+
+def drainage_density(
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    threshold: int = STREAM_THRESHOLD,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Stream-network extraction + per-basin drainage density: stream
+    cells are those with ``upslope_cells >= threshold``; per basin,
+    report cell count, stream-cell count, density (stream/total — one
+    exact integer-ratio division, correctly rounded identically in
+    both engines, then round6) and the basin's maximum accumulation.
+    Composes the three hydrology cores over ONE checkpointed flow
+    direction (the multi-consumer re-execute class: labels and the
+    closure both consume ``fd``). Integer counts keep the grouping
+    tie-proof. Output ``(basin, n_cells, n_stream_cells,
+    drainage_density, max_upslope)``."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    fd = flow_direction(cells, value_col).localCheckpoint()
+    labels = basin_labels(cells, value_col, fd=fd)
+    acc = flow_accumulation(cells, value_col, max_rounds, fd=fd)
+    return (
+        labels.join(acc, "cell")
+        .groupBy("basin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum((F.col("upslope_cells") >= threshold).cast("long"))
+            .cast("long")
+            .alias("n_stream_cells"),
+            F.max("upslope_cells").alias("max_upslope"),
+        )
+        .select(
+            "basin",
+            "n_cells",
+            "n_stream_cells",
+            round6(
+                F.col("n_stream_cells").cast("double") / F.col("n_cells")
+            ).alias("drainage_density"),
+            "max_upslope",
+        )
     )
 
 

@@ -108,6 +108,41 @@ def tile_pyramid(cells: DataFrame, zooms: tuple[int, ...] = (10, 11, 12)) -> Dat
     return out
 
 
+def grid_downsample(
+    cells: DataFrame, factor: int = 2, value_col: str = "ndvi"
+) -> DataFrame:
+    """Raster pyramid/overview level on the hex grid itself (the
+    :func:`tile_pyramid` sibling in axial space): aggregate cells by
+    an integer ``factor`` — coarse q/r = packed q/r // factor. Both
+    packed components are NON-NEGATIVE by the OFFSET packing contract
+    (hexgrid.py), so truncating and floor division agree and the
+    double-division-then-cast quotient cannot cross an integer
+    boundary (error ~1e-12 vs a gap ≥ 1/factor). Mean goes through
+    round6 over ≤ factor² members (the focal_stats class); min/max
+    cross raw. Output ``(coarse_cell, n_cells, mean_value, min_value,
+    max_value)``.
+
+    Plan (100 TB): ONE map-side-combinable hash aggregate per level —
+    the overview-building shape (each pyramid level is a groupBy of
+    the level below; no joins, no windows)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    q = (F.col("cell") / ENC).cast("long")
+    r = F.col("cell") % ENC
+    coarse = (q / factor).cast("long") * ENC + (r / factor).cast("long")
+    v = F.col(value_col).cast("double")
+    return (
+        cells.select(coarse.alias("coarse_cell"), v.alias("_v"))
+        .groupBy("coarse_cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            round6(F.avg("_v")).alias("mean_value"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+        )
+    )
+
+
 def pip_region_sql(lat_expr: str, lon_expr: str, boundaries_pdf) -> str:
     """First-containing-region id as a SQL CASE over literal polygons.
 

@@ -867,6 +867,40 @@ def focal_stats(
     )
 
 
+def terrain_ruggedness(
+    cells: DataFrame, k: int = 1, value_col: str = "ndvi"
+) -> DataFrame:
+    """Terrain ruggedness index (Riley TRI, mean-|Δ| form): per cell,
+    the average absolute value difference to its valid k-ring
+    neighbors plus the neighbor count — the roughness sibling of
+    :func:`cell_gradient` (gradient measures oriented slope; TRI
+    measures isotropic local variability). Cells with NO valid
+    neighbor (isolated holes) are excluded — the mean is undefined
+    there (the cell_gradient border-contract class). Sums are ≤ 6
+    ring-1 terms, the smoothing/focal_stats round6 class. Output
+    ``(cell, n_neighbors, tri)``.
+
+    Plan (100 TB): the smooth() shape — one ring explode + equi-join
+    + one groupBy reusing the join's partitioning on ``cell``."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.smoothing import kring_edges
+
+    vals = cells.select(
+        F.col("cell").alias("nbr"), F.col(value_col).cast("double").alias("_v")
+    )
+    ctr = cells.select("cell", F.col(value_col).cast("double").alias("_c"))
+    edges = kring_edges(cells.select("cell"), k, include_center=False)
+    return (
+        edges.join(vals, "nbr")
+        .join(ctr, "cell")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            round6(F.avg(F.abs(F.col("_v") - F.col("_c")))).alias("tri"),
+        )
+    )
+
+
 # -- hillshade (terrain trio: gradient -> slope/aspect -> shading) --------
 
 #: light at 45 deg altitude from the NW-analog direction on the axial

@@ -172,6 +172,46 @@ def test_basin_stats_matches_python_oracle(spark):
         assert r["relief"] == pytest.approx(max(xs) - min(xs), abs=2e-6)
 
 
+def test_aspect_sectors_match_flow_direction(spark):
+    from cuda_gis_smoothing_spark.operators.hydrology import aspect_sectors
+
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    fd = {c: nbr for c, (nbr, _) in _py_flow(vals).items()}
+    got = {r["cell"]: r["sector"] for r in aspect_sectors(cells).collect()}
+    assert set(got) == set(vals)
+    for c, nbr in fd.items():
+        want = -1 if nbr is None else R1_DELTAS.index(nbr - c)
+        assert got[c] == want, f"cell {c}"
+    assert set(got.values()) - {-1} <= set(range(6))
+
+
+def test_drainage_density_matches_python_oracle(spark):
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        STREAM_THRESHOLD,
+        drainage_density,
+    )
+
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    lab = _py_basins(vals)
+    acc = {r["cell"]: r["upslope_cells"] for r in flow_accumulation(cells).collect()}
+    want = {}
+    for c, b in lab.items():
+        n, s, m = want.get(b, (0, 0, 0))
+        want[b] = (
+            n + 1,
+            s + (acc[c] >= STREAM_THRESHOLD),
+            max(m, acc[c]),
+        )
+    got = {r["basin"]: r for r in drainage_density(cells).collect()}
+    assert set(got) == set(want)
+    for b, (n, s, m) in want.items():
+        r = got[b]
+        assert (r["n_cells"], r["n_stream_cells"], r["max_upslope"]) == (n, s, m)
+        assert r["drainage_density"] == pytest.approx(s / n, abs=2e-6)
+
+
 def test_twi_matches_python_oracle(spark):
     import math
 

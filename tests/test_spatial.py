@@ -144,6 +144,52 @@ def test_cell_gradient_differential(spark):
         assert abs(r.grad_mag - (gq * gq + gr * gr) ** 0.5) < 1e-6
 
 
+def test_terrain_ruggedness_differential(spark):
+    """Python differential: TRI recomputed as the mean |Δ| over the
+    valid ring-1 neighborhood; isolated cells excluded."""
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+    from cuda_gis_smoothing_spark.operators.stats import terrain_ruggedness
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    vals = {r.cell: r.ndvi for r in cells.select("cell", "ndvi").collect()}
+    got = {r.cell: r for r in terrain_ruggedness(cells).collect()}
+    want = {
+        c: [abs(vals[c + d] - vals[c]) for d in R1_DELTAS if c + d in vals]
+        for c in vals
+    }
+    want = {c: ds for c, ds in want.items() if ds}
+    assert set(got) == set(want) and len(want) > 0
+    for c, ds in want.items():
+        assert got[c].n_neighbors == len(ds)
+        assert got[c].tri == pytest.approx(sum(ds) / len(ds), abs=2e-6)
+
+
+def test_grid_downsample_differential(spark):
+    """Python differential: coarse-cell aggregates recomputed from the
+    collected grid with floor-divided packed coordinates; coverage and
+    count conservation are structural (every cell lands in exactly one
+    coarse cell)."""
+    from cuda_gis_smoothing_spark.hexgrid import ENC
+    from cuda_gis_smoothing_spark.operators.spatial import grid_downsample
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    vals = {r.cell: r.ndvi for r in cells.select("cell", "ndvi").collect()}
+    groups = {}
+    for c, x in vals.items():
+        cc = ((c // ENC) // 2) * ENC + ((c % ENC) // 2)
+        groups.setdefault(cc, []).append(x)
+    got = {r.coarse_cell: r for r in grid_downsample(cells).collect()}
+    assert set(got) == set(groups)
+    assert sum(r.n_cells for r in got.values()) == len(vals)
+    for cc, xs in groups.items():
+        r = got[cc]
+        assert r.n_cells == len(xs)
+        assert r.min_value == min(xs) and r.max_value == max(xs)
+        assert r.mean_value == pytest.approx(sum(xs) / len(xs), abs=2e-6)
+
+
 def test_majority_filter_tie_breaks_to_smallest_class(spark):
     """Mode tie-break contract: highest count, then SMALLEST class id.
     A 3-cell row where the center sees classes {0: 2, 8: 2} (itself +
