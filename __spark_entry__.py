@@ -2247,6 +2247,35 @@ def _q_twi(spark, sf_dir):
     return twi(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_flow_direction_maintained(spark, sf_dir):
+    """D6 flow routing served from MAINTAINED state (the
+    smooth_maintained precedent): the cell table folds into an
+    IncrementalFlowRouter as one partials batch — ndvi rides as
+    (sum_ndvi, n=1) so state sum/n recovers it exactly — and the fd
+    snapshot log serves the result. Single batch == the flow_direction
+    gate exactly (SHARED twin); multi-batch/affected-set/crash-replay
+    equality lives in tests/test_hydrology.py."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.incremental import (
+        IncrementalFlowRouter,
+    )
+
+    cells = grid_from_lineitem(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="flow_state_")
+    rt = IncrementalFlowRouter(spark, state)
+    rt.process_partials(
+        cells.select(
+            "cell", F.col("ndvi").alias("sum_ndvi"), F.lit(1).cast("long").alias("n")
+        ),
+        0,
+    )
+    out = rt.current_flow().localCheckpoint(eager=True)  # state dir GC'd next
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_aspect_sectors(spark, sf_dir):
     """Hex-native aspect classification: sector = canonical ring-1
     index of the steepest-descent neighbor (−1 for sinks) — pure
@@ -2678,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_path_length": _q_flow_path_length,
         "basin_stats": _q_basin_stats,
         "twi": _q_twi,
+        "flow_direction_maintained": _q_flow_direction_maintained,
         "aspect_sectors": _q_aspect_sectors,
         "drainage_density": _q_drainage_density,
         "terrain_ruggedness": _q_terrain_ruggedness,
@@ -3935,6 +3965,9 @@ WITH {_FLOW}
 SELECT cell, flow_to, ROUND(descent_raw + 1e-09, 6) AS descent
 FROM fd
 """.strip()
+    # single-batch maintained state == the batch operator exactly, so
+    # the twin is SHARED (the smooth_maintained precedent)
+    out["flow_direction_maintained"] = out["flow_direction"]
     out["watershed_basins"] = f"""
 WITH RECURSIVE {_FLOW},
 {flow_component_ctes()},

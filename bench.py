@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "flow_path_length",
     "basin_stats",
     "twi",
+    "flow_direction_maintained",
     "aspect_sectors",
     "drainage_density",
     "terrain_ruggedness",

@@ -55,7 +55,11 @@ from cuda_gis_smoothing_spark.hexgrid import ENC, RING1_OFFSETS
 R1_DELTAS: tuple[int, ...] = tuple(dq * ENC + dr for dq, dr in RING1_OFFSETS)
 
 
-def flow_direction(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+def flow_direction(
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    restrict_to: DataFrame | None = None,
+) -> DataFrame:
     """Per-cell steepest-descent routing: ``flow_to`` = the strictly
     lower ring-1 neighbor of minimum value (tie-break smallest cell
     id), NULL for sinks (no strictly lower neighbor — flats are sinks,
@@ -64,14 +68,26 @@ def flow_direction(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     neighbor at all (isolated holes) are sinks. Output
     ``(cell, flow_to, descent)`` over every input cell.
 
+    ``restrict_to`` (a DataFrame with a ``cell`` column) limits the
+    OUTPUT to those cells while neighbor values still come from the
+    full ``cells`` table — the smooth(restrict_to=...) geometric
+    gather: ring-1 edges are generated from the restricted set alone,
+    so the per-call work is O(restricted × ring), not O(grid) (the
+    IncrementalFlowRouter per-batch path).
+
     Plan (100 TB): one ring-1 explode + equi-join + one struct-MIN
     aggregate + one cell-keyed join — the smooth() shuffle shape, no
     window sort."""
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
     vals = cells.select("cell", F.col(value_col).cast("double").alias("_x"))
+    src = vals
+    if restrict_to is not None:
+        # intersect: a key in restrict_to absent from the grid must
+        # not fabricate a row
+        src = vals.join(restrict_to.select("cell"), "cell", "left_semi")
     offs = F.array(*[F.lit(d) for d in R1_DELTAS])
-    e = vals.select("cell", F.explode(offs).alias("_d")).select(
+    e = src.select("cell", F.explode(offs).alias("_d")).select(
         "cell", (F.col("cell") + F.col("_d")).alias("nbr")
     )
     nb = e.join(
@@ -83,7 +99,7 @@ def flow_direction(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
         )
     )
     return (
-        vals.join(best, "cell", "left")
+        src.join(best, "cell", "left")
         .select(
             "cell",
             F.when(F.col("_m.xn") < F.col("_x"), F.col("_m.nbr")).alias("flow_to"),

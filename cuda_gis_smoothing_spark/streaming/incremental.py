@@ -164,6 +164,47 @@ class SnapshotLog:
                 shutil.rmtree(d, ignore_errors=True)
 
 
+def _merge_cell_partials(
+    spark: SparkSession, agg: SnapshotLog, partials: DataFrame, batch_id: int
+):
+    """Fold ``(cell, sum_ndvi, n)`` partial rows into a cell-aggregate
+    SnapshotLog — the ONE merge implementation shared by every
+    cell-state maintainer (IncrementalSmoother, IncrementalFlowRouter;
+    the drift-prevention class). O(batch) updated-cell merge,
+    idempotent by batch id (crash replay re-reads the existing delta).
+    Returns ``(updated_cells_df, cached_new_or_None)``, or ``None``
+    when the batch is empty or already applied AND compacted away;
+    callers must ``unpersist()`` the cached frame when done."""
+    new = None
+    agg_delta_dir = os.path.join(agg.path, f"delta-b{batch_id:08d}")
+    if agg.has(batch_id):  # crash replay: batch already applied
+        if not os.path.isdir(agg_delta_dir):
+            return None  # applied AND compacted away — fully done
+        return spark.read.parquet(agg_delta_dir).select("cell"), None
+    new = (
+        partials.groupBy("cell")
+        .agg(F.sum("sum_ndvi").alias("sum_ndvi"), F.sum("n").alias("n"))
+        .cache()
+    )
+    if new.isEmpty():
+        new.unpersist()
+        return None
+    prev = agg.read()
+    if prev is None:
+        merged = new
+    else:
+        # only updated cells are re-merged and re-written:
+        # O(batch), not O(state)
+        merged = (
+            prev.join(new.select("cell"), "cell", "left_semi")
+            .unionByName(new)
+            .groupBy("cell")
+            .agg(F.sum("sum_ndvi").alias("sum_ndvi"), F.sum("n").alias("n"))
+        )
+    agg.write_delta(merged, batch_id)
+    return new.select("cell"), new
+
+
 class IncrementalSmoother:
     """foreachBatch sink: merge partials, re-smooth affected k-rings."""
 
@@ -201,36 +242,10 @@ class IncrementalSmoother:
         callers that already hold cell aggregates — a stored cell
         table, a different decoder — skip the image decode). Multiple
         rows per cell are fine; they merge additively."""
-        new = None
-        agg_delta_dir = os.path.join(self._agg.path, f"delta-b{batch_id:08d}")
-        if self._agg.has(batch_id):  # crash replay: batch already applied
-            if not os.path.isdir(agg_delta_dir):
-                return  # applied AND compacted away — fully done
-            updated = self.spark.read.parquet(agg_delta_dir).select("cell")
-        else:
-            new = (
-                partials
-                .groupBy("cell")
-                .agg(F.sum("sum_ndvi").alias("sum_ndvi"), F.sum("n").alias("n"))
-                .cache()
-            )
-            if new.isEmpty():
-                new.unpersist()
-                return
-            prev = self._agg.read()
-            if prev is None:
-                merged = new
-            else:
-                # only updated cells are re-merged and re-written:
-                # O(batch), not O(state)
-                merged = (
-                    prev.join(new.select("cell"), "cell", "left_semi")
-                    .unionByName(new)
-                    .groupBy("cell")
-                    .agg(F.sum("sum_ndvi").alias("sum_ndvi"), F.sum("n").alias("n"))
-                )
-            self._agg.write_delta(merged, batch_id)
-            updated = new.select("cell")
+        res = _merge_cell_partials(self.spark, self._agg, partials, batch_id)
+        if res is None:
+            return
+        updated, new = res
 
         if not self._smooth.has(batch_id):
             # affected = updated cells ∪ k-ring(updated): every cell
@@ -257,6 +272,113 @@ class IncrementalSmoother:
         if self._agg.delta_count() >= self.compact_every:
             self._agg.compact(batch_id)
             self._smooth.compact(batch_id)
+        if new is not None:
+            new.unpersist()
+
+    # -- stream wiring -----------------------------------------------------------
+    def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
+        from cuda_gis_smoothing_spark.sources.images import IMAGES_SCHEMA
+
+        stream = (
+            self.spark.readStream.schema(IMAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(source_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+class IncrementalFlowRouter:
+    """foreachBatch sink maintaining D6 flow direction over streaming
+    cell aggregates — the :class:`IncrementalSmoother` pattern applied
+    to the hydrology family. Per batch: merge ``(cell, sum_ndvi, n)``
+    partials (the SHARED :func:`_merge_cell_partials` core), then
+    recompute flow direction ONLY for affected = updated ∪
+    ring-1(updated) via ``flow_direction(restrict_to=...)`` — a cell's
+    steepest-descent target references exactly its ring-1 neighborhood
+    and the operator is a single pass over current values (never
+    iterative), so no other cell's routing can change: per-batch work
+    is O(affected × ring), not O(grid).
+
+    Downstream products (basins, accumulation, path length, TWI) are
+    CLOSURES over fd: one updated cell can relabel an arbitrarily long
+    downstream path, so maintaining them incrementally is decremental
+    reachability (the MaintainedComponents edge-deletion class —
+    documented out). They are instead recomputed from the maintained
+    fd state on read; the fd log IS their stored input table at 100 TB.
+
+    The fd log is written AFTER the aggregate log and is keyed by cell
+    (latest-wins): a crash between the two writes replays the batch,
+    re-reads the existing aggregate delta for its updated set, and
+    rewrites the same fd rows — idempotent by batch id.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        grid: GridSpec | None = None,
+        compact_every: int = 8,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.grid = grid or GridSpec()
+        self.compact_every = compact_every
+        os.makedirs(state_dir, exist_ok=True)
+        self._agg = SnapshotLog(spark, os.path.join(state_dir, "cell_aggregates"))
+        self._fd = SnapshotLog(spark, os.path.join(state_dir, "flow_direction"))
+
+    # -- state views -----------------------------------------------------------
+    def current_aggregates(self) -> DataFrame | None:
+        return self._agg.read()
+
+    def current_flow(self) -> DataFrame | None:
+        """Latest-wins per-cell ``(cell, flow_to, descent)`` view."""
+        fd = self._fd.read()
+        return None if fd is None else fd.select("cell", "flow_to", "descent")
+
+    def state_cells(self) -> DataFrame | None:
+        """The value surface recovered from state: sum/n is exact when
+        partials ride as (value, n=1) — the smooth_maintained
+        contract."""
+        state = self._agg.read()
+        if state is None:
+            return None
+        return state.select(
+            "cell", (F.col("sum_ndvi") / F.col("n")).alias("ndvi")
+        )
+
+    # -- the foreachBatch body -------------------------------------------------
+    def process_batch(self, images_batch: DataFrame, batch_id: int) -> None:
+        self.process_partials(cell_partials(images_batch, self.grid), batch_id)
+
+    def process_partials(self, partials: DataFrame, batch_id: int) -> None:
+        from cuda_gis_smoothing_spark.operators.hydrology import flow_direction
+
+        res = _merge_cell_partials(self.spark, self._agg, partials, batch_id)
+        if res is None:
+            return
+        updated, new = res
+
+        if not self._fd.has(batch_id):
+            cells = self.state_cells()
+            affected = (
+                kring_edges(updated, 1, include_center=True)
+                .select(F.col("nbr").alias("cell"))
+                .distinct()
+            )
+            self._fd.write_delta(
+                flow_direction(cells, restrict_to=affected), batch_id
+            )
+
+        if self._agg.delta_count() >= self.compact_every:
+            self._agg.compact(batch_id)
+            self._fd.compact(batch_id)
         if new is not None:
             new.unpersist()
 

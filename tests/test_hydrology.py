@@ -172,6 +172,59 @@ def test_basin_stats_matches_python_oracle(spark):
         assert r["relief"] == pytest.approx(max(xs) - min(xs), abs=2e-6)
 
 
+def _partials(spark, rows):
+    return spark.createDataFrame(
+        [(c, x, 1) for c, x in rows], "cell long, sum_ndvi double, n long"
+    )
+
+
+def test_incremental_flow_router_single_batch_equals_batch(spark, tmp_path):
+    from cuda_gis_smoothing_spark.streaming.incremental import IncrementalFlowRouter
+
+    cells = _grid(spark)
+    rt = IncrementalFlowRouter(spark, str(tmp_path / "state"))
+    rt.process_partials(
+        cells.selectExpr("cell", "ndvi AS sum_ndvi", "CAST(1 AS LONG) AS n"), 0
+    )
+    got = {r["cell"]: (r["flow_to"], r["descent"]) for r in rt.current_flow().collect()}
+    want = {
+        r["cell"]: (r["flow_to"], r["descent"])
+        for r in flow_direction(cells).collect()
+    }
+    assert got == want
+
+
+def test_incremental_flow_router_update_flips_neighbor_routing(spark, tmp_path):
+    """An updated cell must re-route its ring-1 NEIGHBORS too: raising
+    chain[1]'s aggregate mean turns un-updated chain[0] into a sink.
+    Multi-batch state must equal a from-scratch batch recompute, and a
+    replayed batch must be a no-op (idempotence by batch id)."""
+    from cuda_gis_smoothing_spark.streaming.incremental import IncrementalFlowRouter
+
+    base = (20 + 1) * ENC + 20
+    chain = [(base + i, 10.0 - i) for i in range(5)]
+    trib = (base + 2 - ENC, 9.0)
+    rt = IncrementalFlowRouter(spark, str(tmp_path / "state"))
+    rt.process_partials(_partials(spark, chain + [trib]), 0)
+    # batch 1: one extra partial on chain[1] -> mean (9 + 29) / 2 = 19
+    rt.process_partials(_partials(spark, [(chain[1][0], 29.0)]), 1)
+    got = {r["cell"]: (r["flow_to"], r["descent"]) for r in rt.current_flow().collect()}
+    want = {
+        r["cell"]: (r["flow_to"], r["descent"])
+        for r in flow_direction(rt.state_cells()).collect()
+    }
+    assert got == want
+    assert got[chain[0][0]] == (None, 0.0)  # neighbor of updated: now a sink
+    assert got[chain[1][0]][0] == chain[2][0]  # updated cell still drains on
+    assert got[chain[1][0]][1] == pytest.approx(11.0)
+    # replaying the applied batch must change nothing
+    rt.process_partials(_partials(spark, [(chain[1][0], 29.0)]), 1)
+    again = {
+        r["cell"]: (r["flow_to"], r["descent"]) for r in rt.current_flow().collect()
+    }
+    assert again == got
+
+
 def test_aspect_sectors_match_flow_direction(spark):
     from cuda_gis_smoothing_spark.operators.hydrology import aspect_sectors
 
