@@ -970,6 +970,18 @@ def _q_decontaminated_corpus(spark, sf_dir):
     )
 
 
+def _q_decontaminated_bloom(spark, sf_dir):
+    """The 100 TB decontamination path: benchmark shingles fold into a
+    broadcast 8 KB Bloom mask, training shingles drop MAP-SIDE, exact
+    verify on candidates only — no false negatives + verify ⇒ output
+    == decontaminated_corpus bit-for-bit (SHARED twin)."""
+    from cuda_gis_smoothing_spark.operators.curate import decontaminated_bloom
+
+    return decontaminated_bloom(
+        load(spark, sf_dir, "documents"), bench_source=_CONTAM_BENCH, k=_CONTAM_K
+    )
+
+
 _VOCAB_MIN_DF = 2
 _BIGRAM_K = 30
 
@@ -2295,6 +2307,15 @@ def _q_drainage_density(spark, sf_dir):
     return drainage_density(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_cell_curvature(spark, sf_dir):
+    """Second differences per axis + hex Laplacian over interior cells
+    (all 6 neighbors present) — one ring explode + conditional
+    aggregate, not six shifted self-joins."""
+    from cuda_gis_smoothing_spark.operators.stats import cell_curvature
+
+    return cell_curvature(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_terrain_ruggedness(spark, sf_dir):
     """Riley TRI (mean |Δ| to ring-1 neighbors) — isotropic roughness
     beside cell_gradient's oriented slope; isolated cells excluded."""
@@ -2526,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "cross_source_dups": _q_cross_source_dups,
         "decontaminated_corpus": _q_decontaminated_corpus,
+        "decontaminated_bloom": _q_decontaminated_bloom,
         "vocab_df_idf": _q_vocab_df_idf,
         "sequence_packing": _q_sequence_packing,
         "packing_manifest": _q_packing_manifest,
@@ -2712,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drainage_density": _q_drainage_density,
         "terrain_ruggedness": _q_terrain_ruggedness,
         "grid_downsample": _q_grid_downsample,
+        "cell_curvature": _q_cell_curvature,
     }
     return qs
 
@@ -3616,6 +3639,10 @@ FROM documents d
 WHERE d.source <> '{_CONTAM_BENCH}'
   AND d.doc_id NOT IN (SELECT doc_id FROM contam)
 """.strip()
+    # bloom prefilter has no false negatives and the exact verify
+    # removes every false positive → output == the exact anti-join's,
+    # so the twin is SHARED (the banded-variant precedent)
+    out["decontaminated_bloom"] = out["decontaminated_corpus"]
     out["vocab_df_idf"] = f"""
 WITH {tok_cte},
 dfr AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
@@ -4066,6 +4093,22 @@ SELECT c.cell,
 FROM cells4 c CROSS JOIN offsets o
 JOIN cells4 n ON n.cell = c.cell + o.delta
 GROUP BY c.cell
+""".strip()
+    out["cell_curvature"] = f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)})
+SELECT c.cell,
+       ROUND((SUM(CASE WHEN o.delta = {ENC} THEN n.ndvi END)
+            + SUM(CASE WHEN o.delta = -{ENC} THEN n.ndvi END)
+            - 2e0 * c.ndvi) + 1e-09, 6) AS curv_q,
+       ROUND((SUM(CASE WHEN o.delta = 1 THEN n.ndvi END)
+            + SUM(CASE WHEN o.delta = -1 THEN n.ndvi END)
+            - 2e0 * c.ndvi) + 1e-09, 6) AS curv_r,
+       ROUND((SUM(n.ndvi) - 6e0 * c.ndvi) + 1e-09, 6) AS laplacian
+FROM cells4 c CROSS JOIN offsets o
+JOIN cells4 n ON n.cell = c.cell + o.delta
+GROUP BY c.cell, c.ndvi
+HAVING COUNT(*) = 6
 """.strip()
     out["grid_downsample"] = f"""
 WITH {GRID_CELLS_SQL}

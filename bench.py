@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "drainage_density",
     "terrain_ruggedness",
     "grid_downsample",
+    "cell_curvature",
+    "decontaminated_bloom",
 ]
 
 

@@ -72,6 +72,27 @@ def contamination_report(
     DuckDB's ``generate_series(1, 0)`` is empty — docs shorter than k
     are filtered explicitly on the Spark side to keep the twins equal.
     """
+    bench, train = _shingle_tables(
+        docs, bench_source, k, id_col, hash_shingles=hash_shingles
+    )
+    return (
+        train.join(bench, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+
+
+def _shingle_tables(
+    docs: DataFrame,
+    bench_source: str,
+    k: int,
+    id_col: str = "doc_id",
+    hash_shingles: bool = False,
+):
+    """The ONE benchmark/training shingle-table builder shared by the
+    decontamination family (report, exact filter, bloom prefilter —
+    the drift-prevention class). Returns ``(bench, train)``: distinct
+    benchmark shingles and distinct (id, shingle) training rows."""
     toks = F.split(F.lower(F.col("text")), " ")
     shingles = shingles_expr(k)
     shingle_key = (
@@ -91,11 +112,7 @@ def contamination_report(
         .select(id_col, "shingle")
         .distinct()
     )
-    return (
-        train.join(bench, "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
-    )
+    return bench, train
 
 
 def repetition_signals_expr(
@@ -532,6 +549,103 @@ def decontaminated_corpus(
     return (
         docs.where(F.col("source") != bench_source)
         .join(contam, "doc_id", "left_anti")
+        .select("doc_id", "source", n_tokens.alias("n_tokens"))
+    )
+
+
+#: Bloom prefilter sizing: 2^16 bits (1024 packed longs, 8 KB
+#: broadcast) x 2 probes — benchmark sets are small by definition, so
+#: the false-positive rate stays low and every FP is removed by the
+#: exact verify anyway
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 2
+
+
+def _bloom_mask(shingles: DataFrame) -> DataFrame:
+    """ONE-row ``(_mask array<long>)`` Bloom bit array over a shingle
+    set: per shingle, BLOOM_HASHES indices via seeded xxhash64
+    (engine-private — the mask never crosses the engine gate), packed
+    into BLOOM_BITS/64 longs by bit_or, assembled in word order (a
+    sort_array of (word, bits) structs — deterministic, no
+    collect-to-driver). The 1-row result rides a broadcast crossJoin
+    (the 1-row stats class, covered by its ungrouped aggregate)."""
+    spark = shingles.sparkSession
+    idx = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("shingle"), F.lit(i)), F.lit(BLOOM_BITS))
+            for i in range(BLOOM_HASHES)
+        ]
+    )
+    pos = shingles.select(F.explode(idx).alias("_idx")).distinct()
+    packed = pos.groupBy(F.expr("_idx DIV 64").alias("_w")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(_idx % 64 AS INT)))"
+        ).alias("_bits")
+    )
+    return (
+        spark.range(BLOOM_BITS // 64)
+        .select(F.col("id").alias("_w"))
+        .join(packed, "_w", "left")
+        .select("_w", F.coalesce("_bits", F.lit(0)).cast("long").alias("_bits"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_w", "_bits"))),
+                lambda s: s["_bits"],
+            ).alias("_mask")
+        )
+    )
+
+
+def bloom_candidate_shingles(
+    train: DataFrame, mask: DataFrame
+) -> DataFrame:
+    """Training shingle rows that pass every Bloom probe against the
+    broadcast 1-row ``mask`` — the map-side candidate drop. Probe
+    indices are projected to NAMED columns first (the CollapseProject
+    re-reference lesson), then each bit test is pure long arithmetic
+    (shiftright of a negative packed word sign-extends high bits but
+    moves bit b to position 0 regardless; ``& 1`` isolates it)."""
+    probed = train.select(
+        "*",
+        *[
+            F.pmod(F.xxhash64(F.col("shingle"), F.lit(i)), F.lit(BLOOM_BITS))
+            .alias(f"_i{i}")
+            for i in range(BLOOM_HASHES)
+        ],
+    ).crossJoin(F.broadcast(mask))
+    cond = F.lit(True)
+    for i in range(BLOOM_HASHES):
+        cond = cond & F.expr(
+            f"(shiftright(element_at(_mask, CAST(_i{i} DIV 64 AS INT) + 1),"
+            f" CAST(_i{i} % 64 AS INT)) & 1) = 1"
+        )
+    return probed.where(cond).drop(
+        "_mask", *[f"_i{i}" for i in range(BLOOM_HASHES)]
+    )
+
+
+def decontaminated_bloom(
+    docs: DataFrame, bench_source: str = "src0", k: int = 4
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — the 100 TB SCALE PATH of
+    :func:`decontaminated_corpus` with IDENTICAL output (the twin is
+    SHARED, the banded-variant precedent): the benchmark shingle set
+    folds into an 8 KB Bloom bit array broadcast to every executor;
+    training shingles probe it MAP-SIDE and only candidates reach the
+    exact shingle equi-join (verify). Bloom membership has NO false
+    negatives, so every genuinely shared shingle survives the
+    prefilter, and the exact verify removes every false positive —
+    survivors are the exact anti-join's survivors bit-for-bit. At
+    100 TB the exact path shuffles the full distinct training-shingle
+    table; here non-candidate grams die in the scan stage and the
+    shuffle carries only the (tiny) candidate set."""
+    bench, train = _shingle_tables(docs, bench_source, k)
+    cand = bloom_candidate_shingles(train, _bloom_mask(bench))
+    contaminated = cand.join(bench, "shingle").select("doc_id").distinct()
+    n_tokens = F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
+    return (
+        docs.where(F.col("source") != bench_source)
+        .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "source", n_tokens.alias("n_tokens"))
     )
 

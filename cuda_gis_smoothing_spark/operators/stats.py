@@ -867,6 +867,54 @@ def focal_stats(
     )
 
 
+def cell_curvature(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Second-order terrain derivatives: per-axis second differences
+    curv_q = x(q+1,r) − 2x + x(q−1,r) (curv_r likewise) and the hex
+    Laplacian Σ_ring1 x_n − 6x — curvature closes the derivative
+    family (gradient → curvature → ruggedness → shading). Restricted
+    to INTERIOR cells (all 6 ring-1 neighbors present): second
+    differences aren't defined at borders and a partial Laplacian
+    silently changes the stencil (the cell_gradient border-contract
+    class). Output ``(cell, curv_q, curv_r, laplacian)``.
+
+    Plan (100 TB): ONE ring-1 explode + equi-join + one conditional
+    aggregate (HAVING count = 6) — not six shifted self-joins; the
+    smooth() shuffle shape."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+
+    vals = cells.select("cell", F.col(value_col).cast("double").alias("_x"))
+    offs = F.array(*[F.lit(d) for d in R1_DELTAS])
+    e = vals.select(
+        "cell", F.col("_x").alias("_c"), F.explode(offs).alias("_d")
+    ).select("cell", "_c", (F.col("cell") + F.col("_d")).alias("nbr"), "_d")
+    nb = e.join(
+        vals.select(F.col("cell").alias("nbr"), F.col("_x").alias("_xn")), "nbr"
+    )
+
+    def pick(delta: int):
+        return F.sum(F.when(F.col("_d") == delta, F.col("_xn")))
+
+    return (
+        nb.groupBy("cell", "_c")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            pick(ENC).alias("_qp"),
+            pick(-ENC).alias("_qm"),
+            pick(1).alias("_rp"),
+            pick(-1).alias("_rm"),
+            F.sum("_xn").alias("_s"),
+        )
+        .where(F.col("_n") == 6)
+        .select(
+            "cell",
+            round6(F.col("_qp") + F.col("_qm") - 2.0 * F.col("_c")).alias("curv_q"),
+            round6(F.col("_rp") + F.col("_rm") - 2.0 * F.col("_c")).alias("curv_r"),
+            round6(F.col("_s") - 6.0 * F.col("_c")).alias("laplacian"),
+        )
+    )
+
+
 def terrain_ruggedness(
     cells: DataFrame, k: int = 1, value_col: str = "ndvi"
 ) -> DataFrame:

@@ -64,6 +64,7 @@ DOC_GATES = [
     "dedup_containment_banded",
     "cross_source_dups",
     "decontaminated_corpus",
+    "decontaminated_bloom",
     "vocab_df_idf",
     "sequence_packing",
     "packing_manifest",

@@ -595,6 +595,42 @@ def test_contamination_hashed_shingles_equal_string_path(spark, docs_df):
     assert plain == hashed and plain
 
 
+def test_decontaminated_bloom_equals_exact(spark, docs_df):
+    """The Bloom-prefiltered path must equal the exact anti-join
+    bit-for-bit (no false negatives + exact verify), and a benchmark
+    with a DISJOINT vocabulary must yield zero candidates — the grams
+    die map-side at the broadcast mask, never reaching the verify
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.operators.curate import (
+        _bloom_mask,
+        _shingle_tables,
+        bloom_candidate_shingles,
+        decontaminated_bloom,
+        decontaminated_corpus,
+    )
+
+    exact = {
+        (r.doc_id, r.source, r.n_tokens)
+        for r in decontaminated_corpus(docs_df).collect()
+    }
+    bloom = {
+        (r.doc_id, r.source, r.n_tokens)
+        for r in decontaminated_bloom(docs_df).collect()
+    }
+    assert bloom == exact and bloom
+
+    # disjoint-vocabulary benchmark: every probe must miss
+    rows = [("b%d" % i, "src0", "zq%d zq%d zq%d zq%d zq%d" % (i, i + 1, i + 2, i + 3, i + 4)) for i in range(4)]
+    rows += [("t%d" % i, "src1", "alpha beta gamma delta epsilon zeta") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    bench, train = _shingle_tables(docs, "src0", 4)
+    cand = bloom_candidate_shingles(train, _bloom_mask(bench))
+    assert cand.count() == 0
+    assert decontaminated_bloom(docs, "src0", 4).count() == 4
+
+
 def test_embedding_triangles_differential(spark):
     """networkx-free Python differential: brute-force triangle/wedge
     census over the SAME banded pair set."""

@@ -165,6 +165,33 @@ def test_terrain_ruggedness_differential(spark):
         assert got[c].tri == pytest.approx(sum(ds) / len(ds), abs=2e-6)
 
 
+def test_cell_curvature_differential(spark):
+    """Python differential: second differences + Laplacian over
+    interior cells (all 6 ring-1 neighbors present)."""
+    from cuda_gis_smoothing_spark.hexgrid import ENC
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+    from cuda_gis_smoothing_spark.operators.stats import cell_curvature
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    vals = {r.cell: r.ndvi for r in cells.select("cell", "ndvi").collect()}
+    got = {r.cell: r for r in cell_curvature(cells).collect()}
+    want_cells = {
+        c for c in vals if all(c + d in vals for d in R1_DELTAS)
+    }
+    assert set(got) == want_cells and len(want_cells) > 0
+    for c in want_cells:
+        r = got[c]
+        assert r.curv_q == pytest.approx(
+            vals[c + ENC] + vals[c - ENC] - 2 * vals[c], abs=2e-6
+        )
+        assert r.curv_r == pytest.approx(
+            vals[c + 1] + vals[c - 1] - 2 * vals[c], abs=2e-6
+        )
+        lap = sum(vals[c + d] for d in R1_DELTAS) - 6 * vals[c]
+        assert r.laplacian == pytest.approx(lap, abs=2e-6)
+
+
 def test_grid_downsample_differential(spark):
     """Python differential: coarse-cell aggregates recomputed from the
     collected grid with floor-divided packed coordinates; coverage and
