@@ -2307,6 +2307,16 @@ def _q_drainage_density(spark, sf_dir):
     return drainage_density(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_axis_visibility(spark, sf_dir):
+    """Line-of-sight visibility count along the 6 hex axes (the
+    viewshed primitive): sight-line heights are IDENTICAL expression
+    shapes in both engines (correctly-rounded ops only), so the
+    blocked compare cannot diverge; holes are opaque by contract."""
+    from cuda_gis_smoothing_spark.operators.stats import axis_visibility
+
+    return axis_visibility(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_cell_curvature(spark, sf_dir):
     """Second differences per axis + hex Laplacian over interior cells
     (all 6 neighbors present) — one ring explode + conditional
@@ -2735,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_ruggedness": _q_terrain_ruggedness,
         "grid_downsample": _q_grid_downsample,
         "cell_curvature": _q_cell_curvature,
+        "axis_visibility": _q_axis_visibility,
     }
     return qs
 
@@ -4109,6 +4120,39 @@ FROM cells4 c CROSS JOIN offsets o
 JOIN cells4 n ON n.cell = c.cell + o.delta
 GROUP BY c.cell, c.ndvi
 HAVING COUNT(*) = 6
+""".strip()
+    from cuda_gis_smoothing_spark.operators.stats import VISIBILITY_RANGE
+
+    _ks = ", ".join(f"({k})" for k in range(1, VISIBILITY_RANGE + 1))
+    out["axis_visibility"] = f"""
+WITH {GRID_CELLS_SQL},
+dirs (d) AS (VALUES {_vals(_R1)}),
+ks (k) AS (VALUES {_ks}),
+rays AS (
+  SELECT c.cell, c.ndvi AS x, d.d AS d, k.k AS k, t.ndvi AS xt
+  FROM cells4 c CROSS JOIN dirs d CROSS JOIN ks k
+  JOIN cells4 t ON t.cell = c.cell + d.d * k.k
+),
+inter AS (
+  SELECT r.cell, r.d, r.k, r.x, r.xt, u.j, i.ndvi AS xi
+  FROM rays r, UNNEST(range(1, r.k)) AS u(j)
+  JOIN cells4 i ON i.cell = r.cell + r.d * u.j
+  WHERE r.k >= 2
+),
+checked AS (
+  SELECT cell, d, k, COUNT(*) AS nf,
+         MAX(CASE WHEN xi >= x + (xt - x) * (CAST(j AS DOUBLE) / k)
+                  THEN 1 ELSE 0 END) AS blocked
+  FROM inter GROUP BY cell, d, k
+),
+vis AS (
+  SELECT cell FROM rays WHERE k = 1
+  UNION ALL
+  SELECT cell FROM checked WHERE nf = k - 1 AND blocked = 0
+),
+nv AS (SELECT cell, COUNT(*) AS n FROM vis GROUP BY cell)
+SELECT c.cell, CAST(COALESCE(nv.n, 0) AS BIGINT) AS n_visible
+FROM cells4 c LEFT JOIN nv ON nv.cell = c.cell
 """.strip()
     out["grid_downsample"] = f"""
 WITH {GRID_CELLS_SQL}

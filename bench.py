@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "grid_downsample",
     "cell_curvature",
     "decontaminated_bloom",
+    "axis_visibility",
 ]
 
 

@@ -867,6 +867,109 @@ def focal_stats(
     )
 
 
+#: line-of-sight range (cells) along each hex axis — small fixed range
+#: keeps the explode constant-factor (6 · R²/2 rows per cell)
+VISIBILITY_RANGE = 4
+
+
+def axis_visibility(
+    cells: DataFrame, value_col: str = "ndvi", r: int = VISIBILITY_RANGE
+) -> DataFrame:
+    """Line-of-sight visibility count — the viewshed primitive
+    restricted to the 6 hex axes: target t = c + k·d (k ≤ r) is
+    visible from c iff every intermediate j ∈ 1..k−1 exists on the
+    grid AND sits strictly below the sight line
+    ``x_c + (x_t − x_c) · (j/k)`` (a missing intermediate blocks the
+    ray — holes are opaque, the documented contract). Output
+    ``(cell, n_visible)`` over every input cell (0 when no target in
+    range), n_visible ≤ 6r.
+
+    Cross-engine: the sight-line height is the IDENTICAL expression
+    shape in Spark and the twin — every op (sub, int-ratio div, mul,
+    add) is correctly rounded, so both engines compare the SAME
+    doubles and the blocked boolean cannot diverge (stronger than the
+    join_counts mark-boundary caveat: no aggregate feeds the compare).
+    Adjacent targets (k=1) have no intermediates and are always
+    visible.
+
+    Plan (100 TB): two literal-offset explodes + equi-joins + two hash
+    aggregates — rows per cell bounded by 6·r²/2 (the smooth() class,
+    constant fan-out; no window, no self-join on values)."""
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+
+    vals = cells.select("cell", F.col(value_col).cast("double").alias("_x"))
+    tgt_offs = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), F.lit(k).alias("k"))
+            for d in R1_DELTAS
+            for k in range(1, r + 1)
+        ]
+    )
+    # rays with an existing target: (cell, _x, d, k, _xt)
+    rays = (
+        vals.select("cell", "_x", F.explode(tgt_offs).alias("_o"))
+        .select(
+            "cell",
+            "_x",
+            F.col("_o.d").alias("_d"),
+            F.col("_o.k").alias("_k"),
+            (F.col("cell") + F.col("_o.d") * F.col("_o.k")).alias("_t"),
+        )
+        .join(
+            vals.select(F.col("cell").alias("_t"), F.col("_x").alias("_xt")),
+            "_t",
+        )
+    )
+    k1 = rays.where(F.col("_k") == 1).select("cell", "_d", "_k")
+    multi = rays.where(F.col("_k") >= 2)
+    inter = (
+        multi.select(
+            "cell",
+            "_d",
+            "_k",
+            "_x",
+            "_xt",
+            F.explode(F.sequence(F.lit(1), F.col("_k") - 1)).alias("_j"),
+        )
+        .select(
+            "cell",
+            "_d",
+            "_k",
+            "_x",
+            "_xt",
+            "_j",
+            (F.col("cell") + F.col("_d") * F.col("_j")).alias("_i"),
+        )
+        .join(
+            vals.select(F.col("cell").alias("_i"), F.col("_x").alias("_xi")),
+            "_i",
+        )
+    )
+    line = F.col("_x") + (F.col("_xt") - F.col("_x")) * (
+        F.col("_j").cast("double") / F.col("_k")
+    )
+    checked = inter.groupBy("cell", "_d", "_k").agg(
+        F.count(F.lit(1)).alias("_nf"),
+        F.max((F.col("_xi") >= line).cast("int")).alias("_blocked"),
+    )
+    vis_multi = checked.where(
+        (F.col("_nf") == F.col("_k") - 1) & (F.col("_blocked") == 0)
+    ).select("cell", "_d", "_k")
+    n_vis = (
+        k1.unionByName(vis_multi)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_visible"))
+    )
+    return (
+        cells.select("cell")
+        .join(n_vis, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_visible", F.lit(0)).cast("long").alias("n_visible"),
+        )
+    )
+
+
 def cell_curvature(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     """Second-order terrain derivatives: per-axis second differences
     curv_q = x(q+1,r) − 2x + x(q−1,r) (curv_r likewise) and the hex

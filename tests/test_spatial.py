@@ -165,6 +165,55 @@ def test_terrain_ruggedness_differential(spark):
         assert got[c].tri == pytest.approx(sum(ds) / len(ds), abs=2e-6)
 
 
+def test_axis_visibility_differential(spark):
+    """Python differential: brute-force line-of-sight along the 6 axes
+    (missing intermediates block the ray), plus an engineered ridge —
+    a peak between two cells must block exactly that pair."""
+    from cuda_gis_smoothing_spark.hexgrid import ENC
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+    from cuda_gis_smoothing_spark.operators.stats import (
+        VISIBILITY_RANGE,
+        axis_visibility,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    def py_vis(vals, r):
+        out = {}
+        for c, x in vals.items():
+            n = 0
+            for d in R1_DELTAS:
+                for k in range(1, r + 1):
+                    t = c + d * k
+                    if t not in vals:
+                        continue
+                    ok = True
+                    for j in range(1, k):
+                        i = c + d * j
+                        if i not in vals or vals[i] >= x + (vals[t] - x) * (j / k):
+                            ok = False
+                            break
+                    n += ok
+            out[c] = n
+        return out
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    vals = {r.cell: r.ndvi for r in cells.select("cell", "ndvi").collect()}
+    want = py_vis(vals, VISIBILITY_RANGE)
+    got = {r.cell: r.n_visible for r in axis_visibility(cells).collect()}
+    assert got == want and sum(want.values()) > 0
+
+    # engineered ridge: flat line of 5 cells with a peak in the middle
+    base = (20 + 1) * ENC + 20
+    rows = [(base + i, 1.0 if i == 2 else 0.0) for i in range(5)]
+    ridge = spark.createDataFrame(rows, "cell long, ndvi double")
+    gv = {r.cell: r.n_visible for r in axis_visibility(ridge).collect()}
+    pv = py_vis({c: x for c, x in rows}, VISIBILITY_RANGE)
+    assert gv == pv
+    # the end cells see the peak + their flat neighbor(s) but NOT past
+    # the peak: cell 0 sees 1 and 2 only
+    assert gv[base] == 2
+
+
 def test_cell_curvature_differential(spark):
     """Python differential: second differences + Laplacian over
     interior cells (all 6 ring-1 neighbors present)."""
