@@ -970,6 +970,15 @@ def _q_decontaminated_corpus(spark, sf_dir):
     )
 
 
+def _q_doc_skyline(spark, sf_dir):
+    """Pareto skyline over (quality, tokens): per-quality max + ONE
+    running max over distinct quality levels — no quadratic dominance
+    join; equal points are mutually non-dominating and all kept."""
+    from cuda_gis_smoothing_spark.operators.curate import doc_skyline
+
+    return doc_skyline(load(spark, sf_dir, "documents"))
+
+
 def _q_decontaminated_bloom(spark, sf_dir):
     """The 100 TB decontamination path: benchmark shingles fold into a
     broadcast 8 KB Bloom mask, training shingles drop MAP-SIDE, exact
@@ -2558,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": _q_cross_source_dups,
         "decontaminated_corpus": _q_decontaminated_corpus,
         "decontaminated_bloom": _q_decontaminated_bloom,
+        "doc_skyline": _q_doc_skyline,
         "vocab_df_idf": _q_vocab_df_idf,
         "sequence_packing": _q_sequence_packing,
         "packing_manifest": _q_packing_manifest,
@@ -3654,6 +3664,26 @@ WHERE d.source <> '{_CONTAM_BENCH}'
     # removes every false positive → output == the exact anti-join's,
     # so the twin is SHARED (the banded-variant precedent)
     out["decontaminated_bloom"] = out["decontaminated_corpus"]
+    # skyline: the running max runs over DISTINCT quality levels
+    # (total order — the cross-engine window rule); round6 quality is
+    # the join key (the user_rfm compare-only-rounded contract)
+    out["doc_skyline"] = f"""
+WITH q AS ({out["doc_quality"]}),
+pts AS (
+  SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM q WHERE quality_score IS NOT NULL AND n_tokens IS NOT NULL
+),
+perq AS (SELECT quality_score, MAX(n_tokens) AS mt FROM pts GROUP BY 1),
+run AS (
+  SELECT quality_score, mt,
+         MAX(mt) OVER (ORDER BY quality_score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
+  FROM perq
+)
+SELECT p.doc_id, p.quality_score, p.n_tokens
+FROM pts p JOIN run r ON r.quality_score = p.quality_score
+WHERE p.n_tokens = r.mt AND (r.best_above IS NULL OR r.best_above < r.mt)
+""".strip()
     out["vocab_df_idf"] = f"""
 WITH {tok_cte},
 dfr AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),

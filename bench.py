@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "cell_curvature",
     "decontaminated_bloom",
     "axis_visibility",
+    "doc_skyline",
 ]
 
 

@@ -650,6 +650,49 @@ def decontaminated_bloom(
     )
 
 
+def doc_skyline(docs: DataFrame) -> DataFrame:
+    """Pareto skyline over (quality_score, n_tokens) — the classic
+    dominance query (maximize both): a doc survives iff NO other doc
+    is ≥ on both axes and strictly better on one. Computed WITHOUT a
+    quadratic dominance join: group to per-quality max tokens (the
+    corpus-scale aggregate), then one running max over the DISTINCT
+    quality levels ordered DESC (distinct keys ⇒ a total order, the
+    cross-engine window rule) — a doc is on the skyline iff it carries
+    its level's max tokens AND beats every higher level's best. Ties
+    at the same (quality, tokens) point don't dominate each other and
+    are all kept. NULL-text docs are excluded symmetrically (their
+    n_tokens is NULL in both engines). Output ``(doc_id,
+    quality_score, n_tokens)``.
+
+    Scale note: the window input is the |distinct quality levels|
+    aggregate, not the corpus — the heavy work is the map-side-
+    combinable groupBy; round6 quality is the join/group key (the
+    user_rfm compare-only-rounded-values contract)."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.functions.text import quality_features
+
+    pts = (
+        quality_features(docs)
+        .select("doc_id", "quality_score", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .where(F.col("quality_score").isNotNull() & F.col("n_tokens").isNotNull())
+    )
+    per_q = pts.groupBy("quality_score").agg(F.max("n_tokens").alias("_mt"))
+    w = (
+        Window.orderBy(F.col("quality_score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = per_q.withColumn("_best_above", F.max("_mt").over(w))
+    return (
+        pts.join(run, "quality_score")
+        .where(
+            (F.col("n_tokens") == F.col("_mt"))
+            & (F.col("_best_above").isNull() | (F.col("_best_above") < F.col("_mt")))
+        )
+        .select("doc_id", "quality_score", "n_tokens")
+    )
+
+
 def source_dedup_stats(docs: DataFrame) -> DataFrame:
     """Per-source duplication report: doc count, distinct-text count
     and duplicate rate — the dataset-card number a source-priority

@@ -105,6 +105,9 @@ DOC_GATES = [
     # duplicate texts create the tied round6 scores that pin it, and
     # NULL-text docs pin the degenerate-score (least-skips-NULL) class
     "quality_calibration",
+    # skyline: duplicate texts pin the equal-point (mutually
+    # non-dominating) class; NULL-text docs drop out symmetrically
+    "doc_skyline",
     # character-level verify kernel; NULL-text docs pin the ASCII gate
     "dedup_edit_distance",
     # C4-style chunk-line family: newline-terminated and non-ASCII

@@ -740,3 +740,55 @@ def test_quality_calibration_ecdf_invariants(spark):
     a = {r.doc_id: r for r in by_src["A"]}
     assert a[2].source_quantile == a[3].source_quantile  # exact tie
     assert a[2].source_quantile == 0.5  # 2 of 4 rows <= the tied score
+
+
+def test_doc_skyline_matches_bruteforce(spark):
+    """Brute-force O(n²) dominance differential over the sf0.001
+    documents table, plus an engineered corpus with ties at a skyline
+    point (equal points don't dominate each other — all kept) and a
+    strictly dominated duplicate-quality doc."""
+    from cuda_gis_smoothing_spark.functions.text import quality_features
+    from cuda_gis_smoothing_spark.operators.curate import doc_skyline
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    def brute(pts):
+        out = set()
+        for i, (q, t) in pts.items():
+            dominated = any(
+                (q2 >= q and t2 >= t and (q2 > q or t2 > t))
+                for j, (q2, t2) in pts.items()
+                if j != i
+            )
+            if not dominated:
+                out.add(i)
+        return out
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    feats = quality_features(docs).select(
+        "doc_id", "quality_score", "n_tokens"
+    ).collect()
+    pts = {
+        r.doc_id: (r.quality_score, r.n_tokens)
+        for r in feats
+        if r.quality_score is not None and r.n_tokens is not None
+    }
+    got = {r.doc_id for r in doc_skyline(docs).collect()}
+    assert got == brute(pts) and got
+
+    # engineered: two docs with IDENTICAL text tie at one skyline
+    # point; a third at the same quality with fewer tokens is dominated
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today", "s"),
+        (1, "the quick brown fox jumps over the lazy dog today", "s"),
+        (2, "the quick brown fox jumps", "s"),
+    ]
+    eng = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    epts = {
+        r.doc_id: (r.quality_score, r.n_tokens)
+        for r in quality_features(eng).select(
+            "doc_id", "quality_score", "n_tokens"
+        ).collect()
+    }
+    egot = {r.doc_id for r in doc_skyline(eng).collect()}
+    assert egot == brute(epts)
+    assert {0, 1} <= egot  # the tied pair both survive
