@@ -2316,6 +2316,16 @@ def _q_drainage_density(spark, sf_dir):
     return drainage_density(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_terrain_profile(spark, sf_dir):
+    """Fused terrain kernel: gradient + curvature + TRI + hillshade +
+    flow direction from ONE ring join + ONE conditional aggregate —
+    one shuffle instead of five (the smooth_fused_k2 idea applied to
+    the derivative family); interior cells only."""
+    from cuda_gis_smoothing_spark.operators.stats import terrain_profile
+
+    return terrain_profile(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_axis_visibility(spark, sf_dir):
     """Line-of-sight visibility count along the 6 hex axes (the
     viewshed primitive): sight-line heights are IDENTICAL expression
@@ -2756,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_downsample": _q_grid_downsample,
         "cell_curvature": _q_cell_curvature,
         "axis_visibility": _q_axis_visibility,
+        "terrain_profile": _q_terrain_profile,
     }
     return qs
 
@@ -4151,7 +4162,53 @@ JOIN cells4 n ON n.cell = c.cell + o.delta
 GROUP BY c.cell, c.ndvi
 HAVING COUNT(*) = 6
 """.strip()
-    from cuda_gis_smoothing_spark.operators.stats import VISIBILITY_RANGE
+    from cuda_gis_smoothing_spark.operators.stats import (
+        HS_COSZ,
+        HS_LX,
+        HS_LY,
+        HS_SINZ,
+        VISIBILITY_RANGE,
+    )
+
+    # fused terrain kernel: the twin mirrors SEMANTICS, not the fused
+    # plan — flow rides the shared fd CTE, the rest are conditional
+    # sums over one offsets join (axis values are single-row sums, so
+    # every column matches its standalone twin's expression shape)
+    _gq = "((a.qp - a.qm) / 2e0)"
+    _gr = "((a.rp - a.rm) / 2e0)"
+    _hsnum = (
+        f"({flit(HS_COSZ)} - {flit(HS_SINZ)} * "
+        f"({flit(HS_LX)} * {_gq} + {flit(HS_LY)} * {_gr}))"
+    )
+    out["terrain_profile"] = f"""
+WITH {_FLOW},
+offsets (delta) AS (VALUES {_vals(_R1)}),
+a AS (
+  SELECT c.cell, c.ndvi AS x, COUNT(*) AS n,
+         SUM(CASE WHEN o.delta = {ENC} THEN n.ndvi END) AS qp,
+         SUM(CASE WHEN o.delta = -{ENC} THEN n.ndvi END) AS qm,
+         SUM(CASE WHEN o.delta = 1 THEN n.ndvi END) AS rp,
+         SUM(CASE WHEN o.delta = -1 THEN n.ndvi END) AS rm,
+         SUM(n.ndvi) AS s,
+         AVG(ABS(n.ndvi - c.ndvi)) AS t
+  FROM cells4 c CROSS JOIN offsets o
+  JOIN cells4 n ON n.cell = c.cell + o.delta
+  GROUP BY c.cell, c.ndvi
+  HAVING COUNT(*) = 6
+)
+SELECT a.cell,
+       ROUND({_gq} + 1e-09, 6) AS grad_q,
+       ROUND({_gr} + 1e-09, 6) AS grad_r,
+       ROUND(SQRT({_gq} * {_gq} + {_gr} * {_gr}) + 1e-09, 6) AS grad_mag,
+       ROUND((a.qp + a.qm - 2e0 * a.x) + 1e-09, 6) AS curv_q,
+       ROUND((a.rp + a.rm - 2e0 * a.x) + 1e-09, 6) AS curv_r,
+       ROUND((a.s - 6e0 * a.x) + 1e-09, 6) AS laplacian,
+       ROUND(a.t + 1e-09, 6) AS tri,
+       ROUND(GREATEST(0e0, {_hsnum} / SQRT({_gq} * {_gq} + {_gr} * {_gr} + 1e0)) + 1e-09, 6) AS hillshade,
+       f.flow_to,
+       ROUND(f.descent_raw + 1e-09, 6) AS descent
+FROM a JOIN fd f ON f.cell = a.cell
+""".strip()
 
     _ks = ", ".join(f"({k})" for k in range(1, VISIBILITY_RANGE + 1))
     out["axis_visibility"] = f"""

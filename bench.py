@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "decontaminated_bloom",
     "axis_visibility",
     "doc_skyline",
+    "terrain_profile",
 ]
 
 

@@ -1111,6 +1111,81 @@ def hillshade(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def terrain_profile(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """FUSED terrain kernel — the reference's fused-pass idea
+    (smooth_fused_k2) applied to the derivative family: ONE ring-1
+    explode + equi-join + ONE conditional aggregate produces gradient
+    (grad_q/grad_r/grad_mag), curvature (curv_q/curv_r/laplacian),
+    ruggedness (tri), hillshade and flow direction (flow_to/descent)
+    together — one shuffle instead of five. Restricted to INTERIOR
+    cells (all 6 neighbors; per-op border semantics live in the
+    standalone operators — documented contract). Axis values arrive as
+    single-row conditional sums (exact), so every derived column is
+    bit-compatible with its standalone operator on the shared domain
+    (cross-operator equality pytest); TWI stays standalone (it needs
+    the accumulation closure — not a single-pass product).
+
+    Plan (100 TB): the fused pass reads the cell table ONCE and
+    shuffles ONCE on cell; the five standalone operators each pay
+    their own ring join — this is the operator a 100 TB terrain sweep
+    actually runs."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+
+    vals = cells.select("cell", F.col(value_col).cast("double").alias("_x"))
+    offs = F.array(*[F.lit(d) for d in R1_DELTAS])
+    e = vals.select(
+        "cell", F.col("_x").alias("_c"), F.explode(offs).alias("_d")
+    ).select("cell", "_c", (F.col("cell") + F.col("_d")).alias("nbr"), "_d")
+    nb = e.join(
+        vals.select(F.col("cell").alias("nbr"), F.col("_x").alias("_xn")), "nbr"
+    )
+
+    def pick(delta: int):
+        return F.sum(F.when(F.col("_d") == delta, F.col("_xn")))
+
+    agg = (
+        nb.groupBy("cell", "_c")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            pick(ENC).alias("_qp"),
+            pick(-ENC).alias("_qm"),
+            pick(1).alias("_rp"),
+            pick(-1).alias("_rm"),
+            F.sum("_xn").alias("_s"),
+            F.avg(F.abs(F.col("_xn") - F.col("_c"))).alias("_t"),
+            F.min(
+                F.struct(F.col("_xn").alias("xn"), F.col("nbr").alias("nbr"))
+            ).alias("_m"),
+        )
+        .where(F.col("_n") == 6)
+    )
+    gq = (F.col("_qp") - F.col("_qm")) / 2.0
+    gr = (F.col("_rp") - F.col("_rm")) / 2.0
+    num = F.lit(HS_COSZ) - F.lit(HS_SINZ) * (
+        F.lit(HS_LX) * gq + F.lit(HS_LY) * gr
+    )
+    shade = F.greatest(F.lit(0.0), num / F.sqrt(gq * gq + gr * gr + 1.0))
+    return agg.select(
+        "cell",
+        round6(gq).alias("grad_q"),
+        round6(gr).alias("grad_r"),
+        round6(F.sqrt(gq * gq + gr * gr)).alias("grad_mag"),
+        round6(F.col("_qp") + F.col("_qm") - 2.0 * F.col("_c")).alias("curv_q"),
+        round6(F.col("_rp") + F.col("_rm") - 2.0 * F.col("_c")).alias("curv_r"),
+        round6(F.col("_s") - 6.0 * F.col("_c")).alias("laplacian"),
+        round6(F.col("_t")).alias("tri"),
+        round6(shade).alias("hillshade"),
+        F.when(F.col("_m.xn") < F.col("_c"), F.col("_m.nbr")).alias("flow_to"),
+        round6(
+            F.greatest(
+                F.col("_c") - F.coalesce(F.col("_m.xn"), F.col("_c")),
+                F.lit(0.0),
+            )
+        ).alias("descent"),
+    )
+
+
 def hillshade_sql(source: str = "cells", with_ctes: str = "") -> str:
     """DuckDB twin of :func:`hillshade` — identical literal sun
     components (flit-folded) over the same 4-neighbor join."""

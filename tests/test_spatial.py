@@ -367,3 +367,39 @@ def test_hillshade_equals_trig_formula_and_orients_to_light(spark):
     t = hillshade(spark.createDataFrame(toward)).agg({"hillshade": "avg"}).collect()[0][0]
     a = hillshade(spark.createDataFrame(away)).agg({"hillshade": "avg"}).collect()[0][0]
     assert t > a + 0.1
+
+
+def test_terrain_profile_matches_standalone_operators(spark):
+    """The fused kernel must agree with every standalone operator on
+    the shared interior domain (axis values arrive as single-row
+    conditional sums, so the derived math is the same expression over
+    the same doubles)."""
+    from cuda_gis_smoothing_spark.operators.hydrology import flow_direction
+    from cuda_gis_smoothing_spark.operators.stats import (
+        cell_curvature,
+        cell_gradient,
+        hillshade,
+        terrain_profile,
+        terrain_ruggedness,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    prof = {r.cell: r for r in terrain_profile(cells).collect()}
+    curv = {r.cell: r for r in cell_curvature(cells).collect()}
+    assert set(prof) == set(curv)  # identical interior domain
+    grad = {r.cell: r for r in cell_gradient(cells).collect()}
+    shade = {r.cell: r.hillshade for r in hillshade(cells).collect()}
+    tri = {r.cell: r for r in terrain_ruggedness(cells).collect()}
+    fd = {r.cell: r for r in flow_direction(cells).collect()}
+    for c, p in prof.items():
+        assert p.curv_q == pytest.approx(curv[c].curv_q, abs=2e-6)
+        assert p.curv_r == pytest.approx(curv[c].curv_r, abs=2e-6)
+        assert p.laplacian == pytest.approx(curv[c].laplacian, abs=2e-6)
+        assert p.grad_q == pytest.approx(grad[c].grad_q, abs=2e-6)
+        assert p.grad_r == pytest.approx(grad[c].grad_r, abs=2e-6)
+        assert p.grad_mag == pytest.approx(grad[c].grad_mag, abs=2e-6)
+        assert p.hillshade == pytest.approx(shade[c], abs=2e-6)
+        assert p.tri == pytest.approx(tri[c].tri, abs=2e-6)
+        assert p.flow_to == fd[c].flow_to
+        assert p.descent == pytest.approx(fd[c].descent, abs=2e-6)
