@@ -2316,6 +2316,32 @@ def _q_drainage_density(spark, sf_dir):
     return drainage_density(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_grid_downsample_maintained(spark, sf_dir):
+    """Overview level served from MAINTAINED state (the
+    smooth_maintained precedent, third instance of the shared
+    cell-state pattern): one partials batch folds in, the coarse log
+    serves the result. Single batch == grid_downsample exactly
+    (SHARED twin); multi-batch/min-max-refresh equality lives in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.incremental import IncrementalPyramid
+
+    cells = grid_from_lineitem(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="pyr_state_")
+    pyr = IncrementalPyramid(spark, state)
+    pyr.process_partials(
+        cells.select(
+            "cell", F.col("ndvi").alias("sum_ndvi"), F.lit(1).cast("long").alias("n")
+        ),
+        0,
+    )
+    out = pyr.current_pyramid().localCheckpoint(eager=True)  # state GC'd next
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_terrain_profile(spark, sf_dir):
     """Fused terrain kernel: gradient + curvature + TRI + hillshade +
     flow direction from ONE ring join + ONE conditional aggregate —
@@ -2767,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_curvature": _q_cell_curvature,
         "axis_visibility": _q_axis_visibility,
         "terrain_profile": _q_terrain_profile,
+        "grid_downsample_maintained": _q_grid_downsample_maintained,
     }
     return qs
 
@@ -4251,6 +4278,9 @@ SELECT ((cell // {ENC}) // 2) * {ENC} + ((cell % {ENC}) // 2) AS coarse_cell,
 FROM cells4
 GROUP BY 1
 """.strip()
+    # single-batch maintained state == the batch operator exactly
+    # (the smooth_maintained precedent)
+    out["grid_downsample_maintained"] = out["grid_downsample"]
     from cuda_gis_smoothing_spark.functions.text import (
         DOC_ENTROPY_SQL,
         ZIPF_FIT_SQL,

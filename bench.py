@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "axis_visibility",
     "doc_skyline",
     "terrain_profile",
+    "grid_downsample_maintained",
 ]
 
 

@@ -109,7 +109,10 @@ def tile_pyramid(cells: DataFrame, zooms: tuple[int, ...] = (10, 11, 12)) -> Dat
 
 
 def grid_downsample(
-    cells: DataFrame, factor: int = 2, value_col: str = "ndvi"
+    cells: DataFrame,
+    factor: int = 2,
+    value_col: str = "ndvi",
+    restrict_to: DataFrame | None = None,
 ) -> DataFrame:
     """Raster pyramid/overview level on the hex grid itself (the
     :func:`tile_pyramid` sibling in axial space): aggregate cells by
@@ -122,6 +125,12 @@ def grid_downsample(
     cross raw. Output ``(coarse_cell, n_cells, mean_value, min_value,
     max_value)``.
 
+    ``restrict_to`` (a DataFrame with a ``coarse_cell`` column) limits
+    the recompute to those coarse cells — the IncrementalPyramid
+    per-batch path: fine rows are semi-joined on their DERIVED coarse
+    key before the aggregate, so per-batch work is
+    O(affected × factor²), not O(grid).
+
     Plan (100 TB): ONE map-side-combinable hash aggregate per level —
     the overview-building shape (each pyramid level is a groupBy of
     the level below; no joins, no windows)."""
@@ -131,9 +140,13 @@ def grid_downsample(
     r = F.col("cell") % ENC
     coarse = (q / factor).cast("long") * ENC + (r / factor).cast("long")
     v = F.col(value_col).cast("double")
+    src = cells.select(coarse.alias("coarse_cell"), v.alias("_v"))
+    if restrict_to is not None:
+        src = src.join(
+            restrict_to.select("coarse_cell"), "coarse_cell", "left_semi"
+        )
     return (
-        cells.select(coarse.alias("coarse_cell"), v.alias("_v"))
-        .groupBy("coarse_cell")
+        src.groupBy("coarse_cell")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_cells"),
             round6(F.avg("_v")).alias("mean_value"),

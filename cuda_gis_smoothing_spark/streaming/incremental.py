@@ -398,3 +398,91 @@ class IncrementalFlowRouter:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class IncrementalPyramid:
+    """foreachBatch sink maintaining a grid overview level over
+    streaming cell aggregates — the third instance of the shared
+    cell-state pattern (:class:`IncrementalSmoother` re-smooths
+    k-rings, :class:`IncrementalFlowRouter` re-routes neighborhoods,
+    this re-aggregates coarse cells): per batch, merge partials via
+    :func:`_merge_cell_partials`, then recompute ONLY the coarse cells
+    containing an updated fine cell via
+    ``grid_downsample(restrict_to=...)`` — a coarse cell's count/mean/
+    min/max reference exactly its factor² fine cells, so no other
+    coarse cell can change; per-batch work is O(affected × factor²).
+    min/max are NOT maintained by merging (a fine cell's mean can
+    DECREASE when new partials arrive — decrement-unsafe); the
+    restricted recompute from fine state sidesteps that entirely.
+    The coarse log (key ``coarse_cell``) is written LAST (replay
+    guard)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        factor: int = 2,
+        grid: GridSpec | None = None,
+        compact_every: int = 8,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.factor = factor
+        self.grid = grid or GridSpec()
+        self.compact_every = compact_every
+        os.makedirs(state_dir, exist_ok=True)
+        self._agg = SnapshotLog(spark, os.path.join(state_dir, "cell_aggregates"))
+        self._coarse = SnapshotLog(
+            spark, os.path.join(state_dir, "coarse"), key="coarse_cell"
+        )
+
+    def current_aggregates(self) -> DataFrame | None:
+        return self._agg.read()
+
+    def current_pyramid(self) -> DataFrame | None:
+        """Latest-wins per-coarse-cell overview view."""
+        c = self._coarse.read()
+        if c is None:
+            return None
+        return c.select(
+            "coarse_cell", "n_cells", "mean_value", "min_value", "max_value"
+        )
+
+    def state_cells(self) -> DataFrame | None:
+        state = self._agg.read()
+        if state is None:
+            return None
+        return state.select(
+            "cell", (F.col("sum_ndvi") / F.col("n")).alias("ndvi")
+        )
+
+    def process_batch(self, images_batch: DataFrame, batch_id: int) -> None:
+        self.process_partials(cell_partials(images_batch, self.grid), batch_id)
+
+    def process_partials(self, partials: DataFrame, batch_id: int) -> None:
+        from cuda_gis_smoothing_spark.hexgrid import ENC
+        from cuda_gis_smoothing_spark.operators.spatial import grid_downsample
+
+        res = _merge_cell_partials(self.spark, self._agg, partials, batch_id)
+        if res is None:
+            return
+        updated, new = res
+
+        if not self._coarse.has(batch_id):
+            f = self.factor
+            q = (F.col("cell") / ENC).cast("long")
+            r = F.col("cell") % ENC
+            coarse = (q / f).cast("long") * ENC + (r / f).cast("long")
+            affected = updated.select(coarse.alias("coarse_cell")).distinct()
+            self._coarse.write_delta(
+                grid_downsample(
+                    self.state_cells(), f, restrict_to=affected
+                ),
+                batch_id,
+            )
+
+        if self._agg.delta_count() >= self.compact_every:
+            self._agg.compact(batch_id)
+            self._coarse.compact(batch_id)
+        if new is not None:
+            new.unpersist()

@@ -150,3 +150,45 @@ def test_partials_entrypoint_multibatch_equals_batch(spark, tmp_path):
     )
     assert (got.index == exp.index).all()
     assert np.allclose(got["smoothed_ndvi"], exp["smoothed_ndvi"], atol=1e-9)
+
+
+def test_incremental_pyramid_multibatch_and_minmax_refresh(spark, tmp_path):
+    """Multi-batch maintained pyramid equals a from-scratch downsample
+    of the merged state; a second partial that LOWERS a fine cell's
+    mean must refresh its coarse cell's min (decrement-unsafe for
+    merge-maintenance — the restricted recompute handles it); a
+    replayed batch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.hexgrid import ENC
+    from cuda_gis_smoothing_spark.operators.spatial import grid_downsample
+    from cuda_gis_smoothing_spark.streaming.incremental import IncrementalPyramid
+
+    def partials(rows):
+        return spark.createDataFrame(
+            [(c, x, 1) for c, x in rows], "cell long, sum_ndvi double, n long"
+        )
+
+    base = (20 + 1) * ENC + 20
+    b0 = [(base + i, 0.5) for i in range(4)]  # two coarse cells on axis r
+    pyr = IncrementalPyramid(spark, str(tmp_path / "state"))
+    pyr.process_partials(partials(b0), 0)
+    # batch 1: one extra partial drags cell base+0's mean to 0.25 —
+    # its coarse cell's min/mean must drop, the other must not change
+    pyr.process_partials(partials([(base + 0, 0.0)]), 1)
+    got = {r.coarse_cell: r for r in pyr.current_pyramid().collect()}
+    want = {
+        r.coarse_cell: r
+        for r in grid_downsample(pyr.state_cells()).collect()
+    }
+    assert set(got) == set(want)
+    for cc in want:
+        for f in ("n_cells", "mean_value", "min_value", "max_value"):
+            assert got[cc][f] == want[cc][f], (cc, f)
+    assert min(r.min_value for r in got.values()) == 0.25
+    # replay must be a no-op
+    pyr.process_partials(partials([(base + 0, 0.0)]), 1)
+    again = {r.coarse_cell: r for r in pyr.current_pyramid().collect()}
+    assert {c: (r.n_cells, r.mean_value, r.min_value, r.max_value) for c, r in again.items()} == {
+        c: (r.n_cells, r.mean_value, r.min_value, r.max_value) for c, r in got.items()
+    }
