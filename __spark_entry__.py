@@ -2316,6 +2316,21 @@ def _q_drainage_density(spark, sf_dir):
     return drainage_density(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_integrity_report(spark, sf_dir):
+    """Warehouse data-quality audit: referential integrity (LEFT ANTI
+    == NOT EXISTS on NULL-never-matches), dup PKs, NULL requireds,
+    range checks — one integer count per declared constraint."""
+    from cuda_gis_smoothing_spark.operators.analytics import integrity_report
+
+    return integrity_report(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "events"),
+    )
+
+
 def _q_grid_downsample_maintained(spark, sf_dir):
     """Overview level served from MAINTAINED state (the
     smooth_maintained precedent, third instance of the shared
@@ -2794,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "axis_visibility": _q_axis_visibility,
         "terrain_profile": _q_terrain_profile,
         "grid_downsample_maintained": _q_grid_downsample_maintained,
+        "integrity_report": _q_integrity_report,
     }
     return qs
 
@@ -4281,6 +4297,11 @@ GROUP BY 1
     # single-batch maintained state == the batch operator exactly
     # (the smooth_maintained precedent)
     out["grid_downsample_maintained"] = out["grid_downsample"]
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        INTEGRITY_REPORT_SQL,
+    )
+
+    out["integrity_report"] = INTEGRITY_REPORT_SQL
     from cuda_gis_smoothing_spark.functions.text import (
         DOC_ENTROPY_SQL,
         ZIPF_FIT_SQL,

@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "doc_skyline",
     "terrain_profile",
     "grid_downsample_maintained",
+    "integrity_report",
 ]
 
 

@@ -1619,3 +1619,113 @@ WHERE r.r_name = '{region_name}'
   AND o.o_orderdate < TIMESTAMP '{end}'
 GROUP BY n.n_name
 """.strip()
+
+
+def integrity_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    documents: DataFrame,
+    events: DataFrame,
+) -> DataFrame:
+    """Warehouse data-quality audit (the dbt-tests / Great-Expectations
+    analog): one row per declared constraint with its violation count —
+    referential integrity (LEFT ANTI == NOT EXISTS: a NULL foreign key
+    never matches, so it counts as an orphan in BOTH engines),
+    duplicate primary keys, NULL requireds, and range checks (NULL
+    comparisons filter out identically). All counts are integers —
+    tie-proof. Output ``(check_name, n_violations)``, one row per
+    check regardless of data.
+
+    Plan (100 TB): each check is an independent pruned scan + count —
+    Catalyst reads only the referenced columns, the anti-joins
+    broadcast the (smaller) parent key side, and the final UNION is
+    rows-per-check, not rows-per-violation."""
+    parts = []
+
+    def check(name: str, count_df: DataFrame) -> None:
+        parts.append(
+            count_df.select(
+                F.lit(name).alias("check_name"),
+                F.col("_n").cast("long").alias("n_violations"),
+            )
+        )
+
+    def cnt(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("_n"))
+
+    check(
+        "customer_dup_pk",
+        customer.agg(
+            (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("_n")
+        ),
+    )
+    check(
+        "orders_orphan_customer",
+        cnt(
+            orders.join(
+                customer.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            )
+        ),
+    )
+    check(
+        "lineitem_orphan_order",
+        cnt(
+            lineitem.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            )
+        ),
+    )
+    check(
+        "lineitem_nonpositive_quantity",
+        cnt(lineitem.where(F.col("l_quantity") <= 0)),
+    )
+    check(
+        "lineitem_discount_range",
+        cnt(
+            lineitem.where(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            )
+        ),
+    )
+    check("orders_null_custkey", cnt(orders.where(F.col("o_custkey").isNull())))
+    check("documents_null_text", cnt(documents.where(F.col("text").isNull())))
+    check("events_null_user", cnt(events.where(F.col("user_id").isNull())))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+INTEGRITY_REPORT_SQL = """
+SELECT 'customer_dup_pk' AS check_name,
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS n_violations
+FROM customer
+UNION ALL
+SELECT 'orders_orphan_customer',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_orphan_order',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem_nonpositive_quantity',
+       CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+UNION ALL
+SELECT 'orders_null_custkey',
+       CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'documents_null_text',
+       CAST(COUNT(*) AS BIGINT) FROM documents WHERE text IS NULL
+UNION ALL
+SELECT 'events_null_user',
+       CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id IS NULL
+""".strip()

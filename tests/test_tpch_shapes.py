@@ -152,3 +152,42 @@ def test_local_supplier_volume_counts_only_local_lines(spark):
     assert got[0].n_name == "N_LOCAL"
     assert got[0].n_lineitems == 1
     assert abs(got[0].revenue - 100.0) < 1e-9
+
+
+def test_integrity_report_counts_engineered_violations(spark):
+    """Engineered dirty warehouse: each check must count exactly its
+    violations — orphan FKs (including a NULL FK, which LEFT ANTI and
+    NOT EXISTS both count), a duplicate PK, a nonpositive quantity, an
+    out-of-range discount, and a NULL text."""
+    from cuda_gis_smoothing_spark.operators.analytics import integrity_report
+
+    customer = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "dup")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 99), (12, None)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 5.0, 0.05), (77, 1.0, 0.05), (10, 0.0, 0.05), (10, 2.0, 1.5)],
+        "l_orderkey long, l_quantity double, l_discount double",
+    )
+    documents = spark.createDataFrame(
+        [(1, "x"), (2, None)], "doc_id long, text string"
+    )
+    events = spark.createDataFrame(
+        [(1, "u1"), (2, None)], "event_id long, user_id string"
+    )
+    got = {
+        r.check_name: r.n_violations
+        for r in integrity_report(customer, orders, lineitem, documents, events).collect()
+    }
+    assert got == {
+        "customer_dup_pk": 1,
+        "orders_orphan_customer": 2,  # o_custkey 99 and NULL
+        "lineitem_orphan_order": 1,  # l_orderkey 77
+        "lineitem_nonpositive_quantity": 1,
+        "lineitem_discount_range": 1,
+        "orders_null_custkey": 1,
+        "documents_null_text": 1,
+        "events_null_user": 1,
+    }
