@@ -2316,6 +2316,15 @@ def _q_drainage_density(spark, sf_dir):
     return drainage_density(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_events_cusum(spark, sf_dir):
+    """Per-type CUSUM changepoint curve: integer prefix window sums
+    (association-proof) + one float mul/sub per row; windows run over
+    day cardinality, never event rows."""
+    from cuda_gis_smoothing_spark.operators.events import events_cusum
+
+    return events_cusum(load(spark, sf_dir, "events"))
+
+
 def _q_integrity_report(spark, sf_dir):
     """Warehouse data-quality audit: referential integrity (LEFT ANTI
     == NOT EXISTS on NULL-never-matches), dup PKs, NULL requireds,
@@ -2810,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_profile": _q_terrain_profile,
         "grid_downsample_maintained": _q_grid_downsample_maintained,
         "integrity_report": _q_integrity_report,
+        "events_cusum": _q_events_cusum,
     }
     return qs
 
@@ -4302,6 +4312,9 @@ GROUP BY 1
     )
 
     out["integrity_report"] = INTEGRITY_REPORT_SQL
+    from cuda_gis_smoothing_spark.operators.events import EVENTS_CUSUM_SQL
+
+    out["events_cusum"] = EVENTS_CUSUM_SQL
     from cuda_gis_smoothing_spark.functions.text import (
         DOC_ENTROPY_SQL,
         ZIPF_FIT_SQL,

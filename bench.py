@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "terrain_profile",
     "grid_downsample_maintained",
     "integrity_report",
+    "events_cusum",
 ]
 
 

@@ -1431,3 +1431,68 @@ SELECT d.event_type,
        ROUND((d.n - d._med) / NULLIF({c} * m._mad, 0) + 1e-09, 6) AS robust_z
 FROM dev d JOIN mad m USING (event_type)
 """.strip()
+
+
+def events_cusum(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint curve per event type: the running deviation
+    sum S_t = Σ_{i≤t}(n_i − μ) over the ordered daily-count series,
+    re-expressed as ``prefix_t − t·(total/n_days)`` so the CUMULATIVE
+    part is an INTEGER window sum — exact under ANY aggregation
+    association (DuckDB's segment-tree window combiner vs Spark's
+    running accumulator cannot diverge on integers; a float running
+    sum COULD, which is why the naive Σ(n−μ) form is banned here) —
+    followed by ONE float mul/sub per row (correctly rounded, the
+    axis_visibility identical-expression class). |S| peaks at the
+    changepoint. NULL-ts events are excluded on BOTH sides: a NULL day
+    would sort NULLS FIRST in Spark and NULLS LAST in DuckDB, shifting
+    every t. Output ``(event_type, day, n_events, cusum)``.
+
+    Plan (100 TB): one hash aggregate to day cardinality; every window
+    is partitioned by event_type over #days rows — never event rows
+    (the cumulative_users shape)."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    daily = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy("event_type", day_str("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("event_type")
+    t = F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+    prefix = F.sum("n").over(w)
+    total = F.sum("n").over(p)
+    nd = F.count(F.lit(1)).over(p)
+    cusum = prefix.cast("double") - t * (total.cast("double") / nd)
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        round6(cusum).alias("cusum"),
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM daily
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+       ROUND((CAST(prefix AS DOUBLE) - t * (CAST(total AS DOUBLE) / nd)) + 1e-09, 6) AS cusum
+FROM w
+""".strip()

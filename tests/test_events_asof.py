@@ -227,3 +227,40 @@ def test_robust_anomaly_resists_masking(spark):
     assert robust[spike_day] > 100
     # quiet days stay quiet under the robust score
     assert all(abs(z) < 3 for d, z in robust.items() if d != spike_day)
+
+
+def test_events_cusum_matches_python_and_peaks_at_changepoint(spark):
+    """Python differential on an engineered level shift: 10 days at
+    rate 2 then 10 days at rate 8 — |CUSUM| must peak exactly at the
+    last low-rate day."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.operators.events import events_cusum
+
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(20):
+        rate = 2 if d < 10 else 8
+        for i in range(rate):
+            rows.append((eid, base + datetime.timedelta(days=d, hours=i), "u", "click"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    got = sorted(
+        ((r.day, r.n_events, r.cusum) for r in events_cusum(df).collect())
+    )
+    counts = [2] * 10 + [8] * 10
+    mu = sum(counts) / 20
+    prefix, want = 0, []
+    for d, n in enumerate(counts):
+        prefix += n
+        day = (base + datetime.timedelta(days=d)).date().isoformat()
+        want.append((day, n, prefix - (d + 1) * mu))
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=2e-6)
+    peak = max(got, key=lambda g: abs(g[2]))
+    assert peak[0] == (base + datetime.timedelta(days=9)).date().isoformat()

@@ -34,6 +34,9 @@ EVENTS_GATES = [
     "cumulative_users",
     "user_sliding_avg",
     "events_daily_anomaly",
+    # CUSUM: integer prefix windows are association-proof; tied
+    # timestamps collapse into the same day bucket identically
+    "events_cusum",
     # integer sketch over the portable hash + round6 estimate — the
     # randomized corpus exercises the not-full-sketch exact fallback
     # and the hash tie-break identically in both engines
