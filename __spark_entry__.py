@@ -2316,6 +2316,15 @@ def _q_drainage_density(spark, sf_dir):
     return drainage_density(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_multitouch_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: integer micro-credits split by
+    1e6 DIV n (no float credit sums), lookback match via the bucketed
+    range-join shape, direct conversions credited in full."""
+    from cuda_gis_smoothing_spark.operators.events import multitouch_attribution
+
+    return multitouch_attribution(load(spark, sf_dir, "events"))
+
+
 def _q_events_cusum(spark, sf_dir):
     """Per-type CUSUM changepoint curve: integer prefix window sums
     (association-proof) + one float mul/sub per row; windows run over
@@ -2820,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_downsample_maintained": _q_grid_downsample_maintained,
         "integrity_report": _q_integrity_report,
         "events_cusum": _q_events_cusum,
+        "multitouch_attribution": _q_multitouch_attribution,
     }
     return qs
 
@@ -4315,6 +4325,11 @@ GROUP BY 1
     from cuda_gis_smoothing_spark.operators.events import EVENTS_CUSUM_SQL
 
     out["events_cusum"] = EVENTS_CUSUM_SQL
+    from cuda_gis_smoothing_spark.operators.events import (
+        multitouch_attribution_sql,
+    )
+
+    out["multitouch_attribution"] = multitouch_attribution_sql()
     from cuda_gis_smoothing_spark.functions.text import (
         DOC_ENTROPY_SQL,
         ZIPF_FIT_SQL,

@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "grid_downsample_maintained",
     "integrity_report",
     "events_cusum",
+    "multitouch_attribution",
 ]
 
 

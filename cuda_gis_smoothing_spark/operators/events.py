@@ -1496,3 +1496,120 @@ SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
        ROUND((CAST(prefix AS DOUBLE) - t * (CAST(total AS DOUBLE) / nd)) + 1e-09, 6) AS cusum
 FROM w
 """.strip()
+
+
+#: multi-touch lookback window and the touch channels credited
+ATTRIBUTION_WINDOW_S = 7 * 24 * 3600
+TOUCH_TYPES = ("click", "view", "signup")
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    touch_types: tuple[str, ...] = TOUCH_TYPES,
+    window_s: int = ATTRIBUTION_WINDOW_S,
+) -> DataFrame:
+    """Linear multi-touch attribution — the many-touch sibling of
+    :func:`asof_attribute` (last-touch): each conversion splits
+    1,000,000 micro-credits EQUALLY over its lookback touches (same
+    user, strictly before, within ``window_s``) via INTEGER division
+    (``1000000 DIV n`` — exact in both engines; a float 1/n credit
+    SUMMED per channel is the events_cusum association hazard), and a
+    conversion with no touch credits ``(direct)`` in full. Per-channel
+    floor loss is < n_conversions/1e6 by construction (documented, not
+    hidden). Output ``(channel, n_credited, credit)`` with credit in
+    conversions (round6 of micro/1e6; exact doubles below 2^53).
+
+    Plan (100 TB): the range_join_followups bucketing — conversions
+    replicate into their window's ≤ 2 buckets, touches land in one, so
+    the lookback match is an EQUI join on (user, bucket) + a residual
+    integer filter; credits then flow through two hash aggregates."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    width_us = window_s * 1_000_000
+    us = event_micros("ts")
+    bkt = floordiv(us, width_us)
+    conv = events.where(F.col("event_type") == conv_type).select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        us.alias("cus"),
+        F.explode(F.array(bkt, bkt - 1)).alias("bucket"),
+    )
+    touch = events.where(F.col("event_type").isin(list(touch_types))).select(
+        F.col("event_type").alias("channel"),
+        "user_id",
+        us.alias("tus"),
+        bkt.alias("bucket"),
+    )
+    pairs = conv.join(touch, ["user_id", "bucket"]).where(
+        (F.col("tus") >= F.col("cus") - width_us) & (F.col("tus") < F.col("cus"))
+    )
+    per_n = pairs.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
+    credit = pairs.join(per_n, "conv_id").select(
+        "channel", F.expr("CAST(1000000 DIV _n AS BIGINT)").alias("_micro")
+    )
+    by_channel = credit.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credited"),
+        F.sum("_micro").alias("_ms"),
+    )
+    direct = (
+        conv.select("conv_id")
+        .distinct()
+        .join(per_n.select("conv_id"), "conv_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_credited"))
+        .select(
+            F.lit("(direct)").alias("channel"),
+            "n_credited",
+            (F.col("n_credited") * 1_000_000).alias("_ms"),
+        )
+        .where(F.col("n_credited") > 0)
+    )
+    return by_channel.unionByName(direct).select(
+        "channel",
+        "n_credited",
+        round6(F.col("_ms").cast("double") / 1_000_000).alias("credit"),
+    )
+
+
+def multitouch_attribution_sql(
+    conv_type: str = "purchase",
+    touch_types: tuple[str, ...] = TOUCH_TYPES,
+    window_s: int = ATTRIBUTION_WINDOW_S,
+) -> str:
+    """DuckDB twin — the straightforward inequality join over the same
+    integer micro-credits."""
+    width_us = window_s * 1_000_000
+    types = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = '{conv_type}'
+),
+touch AS (
+  SELECT event_type AS channel, user_id, epoch_us(ts) AS tus
+  FROM events WHERE event_type IN ({types})
+),
+pairs AS (
+  SELECT c.conv_id, t.channel
+  FROM conv c JOIN touch t ON t.user_id = c.user_id
+   AND t.tus >= c.cus - {width_us} AND t.tus < c.cus
+),
+pern AS (SELECT conv_id, COUNT(*) AS n FROM pairs GROUP BY 1),
+credit AS (
+  SELECT p.channel, 1000000 // n.n AS micro
+  FROM pairs p JOIN pern n USING (conv_id)
+),
+bych AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credited, SUM(micro) AS ms
+  FROM credit GROUP BY 1
+),
+direct AS (
+  SELECT '(direct)' AS channel, CAST(COUNT(*) AS BIGINT) AS n_credited,
+         COUNT(*) * 1000000 AS ms
+  FROM conv c WHERE NOT EXISTS (SELECT 1 FROM pern p WHERE p.conv_id = c.conv_id)
+  HAVING COUNT(*) > 0
+)
+SELECT channel, n_credited,
+       ROUND(CAST(ms AS DOUBLE) / 1000000 + 1e-09, 6) AS credit
+FROM (SELECT * FROM bych UNION ALL SELECT * FROM direct)
+""".strip()

@@ -264,3 +264,47 @@ def test_events_cusum_matches_python_and_peaks_at_changepoint(spark):
         assert g[2] == pytest.approx(w[2], abs=2e-6)
     peak = max(got, key=lambda g: abs(g[2]))
     assert peak[0] == (base + datetime.timedelta(days=9)).date().isoformat()
+
+
+def test_multitouch_attribution_engineered(spark):
+    """Engineered journeys: 2-touch conversion splits 500000 micro each,
+    3-touch floors to 333333, no-touch credits (direct), out-of-window
+    and after-conversion touches excluded."""
+    import datetime
+
+    from cuda_gis_smoothing_spark.operators.events import multitouch_attribution
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, user, etype, dt_s):
+        return (eid, t0 + datetime.timedelta(seconds=dt_s), user, etype)
+
+    rows = [
+        # u1: click + view then purchase -> 500000 each
+        ev(1, "u1", "click", 0),
+        ev(2, "u1", "view", 10),
+        ev(3, "u1", "purchase", 20),
+        # u2: three clicks then purchase -> 333333 each (floor)
+        ev(10, "u2", "click", 0),
+        ev(11, "u2", "click", 1),
+        ev(12, "u2", "click", 2),
+        ev(13, "u2", "purchase", 60),
+        # u3: no touches -> (direct)
+        ev(20, "u3", "purchase", 0),
+        # u4: touch OUTSIDE the 7d window + touch AFTER the purchase
+        ev(30, "u4", "click", -8 * 24 * 3600),
+        ev(31, "u4", "purchase", 0),
+        ev(32, "u4", "view", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    got = {
+        r.channel: (r.n_credited, r.credit)
+        for r in multitouch_attribution(df).collect()
+    }
+    assert got == {
+        "click": (4, pytest.approx(0.5 + 3 * 0.333333, abs=1e-9)),
+        "view": (1, pytest.approx(0.5, abs=1e-9)),
+        "(direct)": (2, pytest.approx(2.0, abs=1e-9)),  # u3 and u4
+    }

@@ -37,6 +37,9 @@ EVENTS_GATES = [
     # CUSUM: integer prefix windows are association-proof; tied
     # timestamps collapse into the same day bucket identically
     "events_cusum",
+    # integer micro-credits (1e6 DIV n) — tied conv/touch timestamps
+    # exercise the strict tus < cus exclusion identically
+    "multitouch_attribution",
     # integer sketch over the portable hash + round6 estimate — the
     # randomized corpus exercises the not-full-sketch exact fallback
     # and the hash tie-break identically in both engines
