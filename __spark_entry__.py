@@ -2316,6 +2316,30 @@ def _q_drainage_density(spark, sf_dir):
     return drainage_density(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_boundary_distance(spark, sf_dir):
+    """Distance-to-boundary raster: per cell centroid, min point-to-
+    segment distance to any region ring — ONE shared expression text
+    evaluated by both engines (the centroid_sql single-text precedent),
+    all segment constants Python-folded."""
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+    from cuda_gis_smoothing_spark.operators import spatial as _sp
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        boundary_distance_sql,
+        centroid_sql,
+    )
+
+    cells = grid_from_lineitem(spark, sf_dir).select("cell")
+    lat, lon = centroid_sql("cell", "spark")
+    pts = cells.select(
+        "cell",
+        F.expr(f"({lon}) * {flit(_sp._COS0)}").alias("px"),
+        F.expr(lat).alias("py"),
+    )
+    dist = boundary_distance_sql(datagen.gen_boundaries())
+    return pts.select("cell", round6(F.expr(dist)).alias("boundary_dist"))
+
+
 def _q_multitouch_attribution(spark, sf_dir):
     """Linear multi-touch attribution: integer micro-credits split by
     1e6 DIV n (no float credit sums), lookback match via the bucketed
@@ -2830,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integrity_report": _q_integrity_report,
         "events_cusum": _q_events_cusum,
         "multitouch_attribution": _q_multitouch_attribution,
+        "boundary_distance": _q_boundary_distance,
     }
     return qs
 
@@ -4330,6 +4355,24 @@ GROUP BY 1
     )
 
     out["multitouch_attribution"] = multitouch_attribution_sql()
+    from cuda_gis_smoothing_spark import datagen as _dg
+    from cuda_gis_smoothing_spark.operators import spatial as _sp2
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        boundary_distance_sql,
+        centroid_sql,
+    )
+
+    _blat, _blon = centroid_sql("cell", "duckdb")
+    out["boundary_distance"] = f"""
+WITH {GRID_CELLS_SQL},
+pt AS (
+  SELECT cell, ({_blon}) * {flit(_sp2._COS0)} AS px, {_blat} AS py
+  FROM cells4
+)
+SELECT cell,
+       ROUND(({boundary_distance_sql(_dg.gen_boundaries())}) + 1e-09, 6) AS boundary_dist
+FROM pt
+""".strip()
     from cuda_gis_smoothing_spark.functions.text import (
         DOC_ENTROPY_SQL,
         ZIPF_FIT_SQL,

@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "integrity_report",
     "events_cusum",
     "multitouch_attribution",
+    "boundary_distance",
 ]
 
 

@@ -156,6 +156,43 @@ def grid_downsample(
     )
 
 
+def boundary_distance_sql(boundaries_pdf) -> str:
+    """Min point-to-segment distance to any region boundary, as ONE
+    SQL expression over projected columns ``px``/``py`` (px = lon·cosφ₀
+    — the knn metric's equirectangular scaling; py = lat) — emitted
+    once and evaluated by BOTH Spark (``F.expr``) and DuckDB (the
+    centroid_sql/tile_sql single-text precedent, so the two engines
+    compute the IDENTICAL correctly-rounded expression and the LEAST
+    over segments cannot diverge). All per-segment constants (scaled
+    vertices, deltas, squared lengths, the clamped projection's
+    divisor) are Python-folded literals; the per-row math is pure
+    mul/add/div/sqrt + LEAST/GREATEST."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
+    d2s = []
+    for row in boundaries_pdf.itertuples():
+        ring = [(p[0] * _COS0, p[1]) for p in row.ring_xy]
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            dx, dy = x2 - x1, y2 - y1
+            len2 = dx * dx + dy * dy
+            # expanded form |PA|² − 2t·(PA·D) + t²|D|² keeps each
+            # subterm referenced at most 3× (the inline-repetition
+            # lesson); GREATEST(…, 0) guards the cancellation-rounding
+            # negative that would SQRT to NaN
+            pax = f"(px - {flit(x1)})"
+            pay = f"(py - {flit(y1)})"
+            dot = f"({pax} * {flit(dx)} + {pay} * {flit(dy)})"
+            t = f"LEAST(GREATEST({dot} / {flit(len2)}, 0e0), 1e0)"
+            d2s.append(
+                f"GREATEST({pax} * {pax} + {pay} * {pay}"
+                f" - 2e0 * {t} * {dot} + {t} * {t} * {flit(len2)}, 0e0)"
+            )
+    return f"SQRT(LEAST({', '.join(d2s)}))"
+
+
 def pip_region_sql(lat_expr: str, lon_expr: str, boundaries_pdf) -> str:
     """First-containing-region id as a SQL CASE over literal polygons.
 

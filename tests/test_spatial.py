@@ -403,3 +403,45 @@ def test_terrain_profile_matches_standalone_operators(spark):
         assert p.tri == pytest.approx(tri[c].tri, abs=2e-6)
         assert p.flow_to == fd[c].flow_to
         assert p.descent == pytest.approx(fd[c].descent, abs=2e-6)
+
+
+def test_boundary_distance_matches_numpy(spark):
+    """Numpy point-to-segment differential over the cell centroids —
+    same clamp formula, direct (unexpanded) distance form, so the
+    expanded SQL expression must agree to fp tolerance."""
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.functions.numeric import flit, round6
+    from cuda_gis_smoothing_spark.operators import spatial as sp
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        boundary_distance_sql,
+        centroid_sql,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+    from pyspark.sql import functions as F
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001").select("cell")
+    lat_e, lon_e = centroid_sql("cell", "spark")
+    pts = cells.select(
+        "cell",
+        F.expr(f"({lon_e}) * {flit(sp._COS0)}").alias("px"),
+        F.expr(lat_e).alias("py"),
+    )
+    dist = boundary_distance_sql(datagen.gen_boundaries())
+    got = {
+        r.cell: r.d
+        for r in pts.select("cell", round6(F.expr(dist)).alias("d")).collect()
+    }
+    pdf = pts.toPandas()
+    segs = []
+    for row in datagen.gen_boundaries().itertuples():
+        ring = [(p[0] * sp._COS0, p[1]) for p in row.ring_xy]
+        for i in range(len(ring)):
+            segs.append((*ring[i], *ring[(i + 1) % len(ring)]))
+    for r in pdf.itertuples():
+        best = float("inf")
+        for x1, y1, x2, y2 in segs:
+            dx, dy = x2 - x1, y2 - y1
+            t = max(0.0, min(1.0, ((r.px - x1) * dx + (r.py - y1) * dy) / (dx * dx + dy * dy)))
+            best = min(best, ((r.px - (x1 + t * dx)) ** 2 + (r.py - (y1 + t * dy)) ** 2) ** 0.5)
+        assert got[r.cell] == pytest.approx(best, abs=2e-6), r.cell
+    assert min(got.values()) >= 0 and max(got.values()) > 0
