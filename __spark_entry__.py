@@ -2659,8 +2659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "cross_source_dups": _q_cross_source_dups,
         "decontaminated_corpus": _q_decontaminated_corpus,
-        "decontaminated_bloom": _q_decontaminated_bloom,
-        "doc_skyline": _q_doc_skyline,
         "vocab_df_idf": _q_vocab_df_idf,
         "sequence_packing": _q_sequence_packing,
         "packing_manifest": _q_packing_manifest,
@@ -2855,6 +2853,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": _q_events_cusum,
         "multitouch_attribution": _q_multitouch_attribution,
         "boundary_distance": _q_boundary_distance,
+        # appended AT THE END (never mid-dict): inserting before
+        # position 50 displaces driver-window gates (review catch)
+        "decontaminated_bloom": _q_decontaminated_bloom,
+        "doc_skyline": _q_doc_skyline,
     }
     return qs
 

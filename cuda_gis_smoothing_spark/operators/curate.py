@@ -676,6 +676,8 @@ def doc_skyline(docs: DataFrame) -> DataFrame:
         quality_features(docs)
         .select("doc_id", "quality_score", F.col("n_tokens").cast("long").alias("n_tokens"))
         .where(F.col("quality_score").isNotNull() & F.col("n_tokens").isNotNull())
+        .localCheckpoint()  # TWO differently-pruned consumers (per_q +
+        # the final join) — the multi-consumer re-execute class
     )
     per_q = pts.groupBy("quality_score").agg(F.max("n_tokens").alias("_mt"))
     w = (

@@ -193,14 +193,14 @@ def descendant_pairs(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
 def _flow_edges(
     cells: DataFrame, value_col: str, fd: DataFrame | None = None
 ) -> DataFrame:
-    """Checkpointed directed flow edges ``(src, dst)`` (sinks absent).
-    Pass a pre-checkpointed ``fd`` to share the flow-direction
-    derivation with sibling consumers."""
+    """Directed flow edges ``(src, dst)`` (sinks absent). NOT
+    checkpointed here — :func:`descendant_pairs` checkpoints its input
+    once (a second one would double-materialize; review catch). Pass a
+    pre-checkpointed ``fd`` to share the flow-direction derivation
+    with sibling consumers."""
     src = fd if fd is not None else flow_direction(cells, value_col)
-    return (
-        src.where(F.col("flow_to").isNotNull())
-        .select(F.col("cell").alias("src"), F.col("flow_to").alias("dst"))
-        .localCheckpoint()
+    return src.where(F.col("flow_to").isNotNull()).select(
+        F.col("cell").alias("src"), F.col("flow_to").alias("dst")
     )
 
 

@@ -108,6 +108,17 @@ def tile_pyramid(cells: DataFrame, zooms: tuple[int, ...] = (10, 11, 12)) -> Dat
     return out
 
 
+def coarse_cell_expr(factor: int, cell_col: str = "cell"):
+    """The ONE coarse-key derivation shared by :func:`grid_downsample`
+    and the maintained pyramid's affected-set projection (drift
+    prevention: if they diverged, the restricted recompute would miss
+    coarse cells). Packed q/r are non-negative by the OFFSET contract,
+    so truncating and floor division agree cross-engine."""
+    q = (F.col(cell_col) / ENC).cast("long")
+    r = F.col(cell_col) % ENC
+    return (q / factor).cast("long") * ENC + (r / factor).cast("long")
+
+
 def grid_downsample(
     cells: DataFrame,
     factor: int = 2,
@@ -136,11 +147,10 @@ def grid_downsample(
     the level below; no joins, no windows)."""
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
-    q = (F.col("cell") / ENC).cast("long")
-    r = F.col("cell") % ENC
-    coarse = (q / factor).cast("long") * ENC + (r / factor).cast("long")
     v = F.col(value_col).cast("double")
-    src = cells.select(coarse.alias("coarse_cell"), v.alias("_v"))
+    src = cells.select(
+        coarse_cell_expr(factor).alias("coarse_cell"), v.alias("_v")
+    )
     if restrict_to is not None:
         src = src.join(
             restrict_to.select("coarse_cell"), "coarse_cell", "left_semi"

@@ -919,6 +919,8 @@ def axis_visibility(
             vals.select(F.col("cell").alias("_t"), F.col("_x").alias("_xt")),
             "_t",
         )
+        .localCheckpoint()  # TWO differently-pruned consumers (k1 +
+        # multi) — the multi-consumer re-execute class
     )
     k1 = rays.where(F.col("_k") == 1).select("cell", "_d", "_k")
     multi = rays.where(F.col("_k") >= 2)

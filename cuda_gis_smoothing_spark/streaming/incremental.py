@@ -460,8 +460,10 @@ class IncrementalPyramid:
         self.process_partials(cell_partials(images_batch, self.grid), batch_id)
 
     def process_partials(self, partials: DataFrame, batch_id: int) -> None:
-        from cuda_gis_smoothing_spark.hexgrid import ENC
-        from cuda_gis_smoothing_spark.operators.spatial import grid_downsample
+        from cuda_gis_smoothing_spark.operators.spatial import (
+            coarse_cell_expr,
+            grid_downsample,
+        )
 
         res = _merge_cell_partials(self.spark, self._agg, partials, batch_id)
         if res is None:
@@ -470,10 +472,11 @@ class IncrementalPyramid:
 
         if not self._coarse.has(batch_id):
             f = self.factor
-            q = (F.col("cell") / ENC).cast("long")
-            r = F.col("cell") % ENC
-            coarse = (q / f).cast("long") * ENC + (r / f).cast("long")
-            affected = updated.select(coarse.alias("coarse_cell")).distinct()
+            # SHARED key derivation (coarse_cell_expr) — a divergence
+            # here would make the affected set miss coarse cells
+            affected = updated.select(
+                coarse_cell_expr(f).alias("coarse_cell")
+            ).distinct()
             self._coarse.write_delta(
                 grid_downsample(
                     self.state_cells(), f, restrict_to=affected
