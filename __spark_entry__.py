@@ -2316,6 +2316,16 @@ def _q_drainage_density(spark, sf_dir):
     return drainage_density(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_daily_trend(spark, sf_dir):
+    """Theil–Sen robust trend per event type: median of pairwise
+    integer-ratio slopes over the daily series — the exact percentile
+    kernel crosses engines bit-for-bit; pair join bounded by calendar
+    span squared, never event rows."""
+    from cuda_gis_smoothing_spark.operators.events import daily_trend
+
+    return daily_trend(load(spark, sf_dir, "events"))
+
+
 def _q_boundary_distance(spark, sf_dir):
     """Distance-to-boundary raster: per cell centroid, min point-to-
     segment distance to any region ring — ONE shared expression text
@@ -2853,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": _q_events_cusum,
         "multitouch_attribution": _q_multitouch_attribution,
         "boundary_distance": _q_boundary_distance,
+        "daily_trend": _q_daily_trend,
         # appended AT THE END (never mid-dict): inserting before
         # position 50 displaces driver-window gates (review catch)
         "decontaminated_bloom": _q_decontaminated_bloom,
@@ -4352,6 +4363,9 @@ GROUP BY 1
     from cuda_gis_smoothing_spark.operators.events import EVENTS_CUSUM_SQL
 
     out["events_cusum"] = EVENTS_CUSUM_SQL
+    from cuda_gis_smoothing_spark.operators.events import DAILY_TREND_SQL
+
+    out["daily_trend"] = DAILY_TREND_SQL
     from cuda_gis_smoothing_spark.operators.events import (
         multitouch_attribution_sql,
     )

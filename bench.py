@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "events_cusum",
     "multitouch_attribution",
     "boundary_distance",
+    "daily_trend",
 ]
 
 

@@ -1613,3 +1613,81 @@ SELECT channel, n_credited,
        ROUND(CAST(ms AS DOUBLE) / 1000000 + 1e-09, 6) AS credit
 FROM (SELECT * FROM bych UNION ALL SELECT * FROM direct)
 """.strip()
+
+
+def daily_trend(events: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes (n_j − n_i)/(d_j − d_i) over the daily-count
+    series — the outlier-resistant alternative to OLS (whose sum-of-
+    products accumulation is a cross-engine association hazard; a
+    median of exact values is not). Each slope is an integer-over-
+    integer double division (correctly rounded identically) and the
+    exact percentile kernel is bit-identical cross-engine
+    (value_percentiles precedent), including the even-count midpoint
+    (a+b)/2. NULL-ts events excluded both sides. Output
+    ``(event_type, n_days, n_pairs, theil_sen_slope)`` in
+    events/day per day.
+
+    Plan (100 TB): the pair self-join is per-type over DAY-cardinality
+    rows — bounded by the calendar span squared (~decades ⇒ ~10⁷ pairs
+    per type), never event rows."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    daily = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("d"),
+            "n",
+        )
+        .localCheckpoint()  # both sides of the pair join consume it
+    )
+    b = daily.select(
+        F.col("event_type").alias("event_type"),
+        F.col("d").alias("_db"),
+        F.col("n").alias("_nb"),
+    )
+    pairs = daily.join(b, "event_type").where(F.col("_db") > F.col("d"))
+    stats = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "percentile(CAST(_nb - n AS DOUBLE) / (_db - d), array(0.5))"
+        )[0].alias("_med"),
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return nd.join(stats, "event_type", "left").select(
+        "event_type",
+        "n_days",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        round6(F.col("_med")).alias("theil_sen_slope"),
+    )
+
+
+DAILY_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+dix AS (
+  SELECT event_type, (day - DATE '1970-01-01') AS d, n FROM daily
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.n - a.n AS DOUBLE) / (b.d - a.d) AS slope
+  FROM dix a JOIN dix b ON b.event_type = a.event_type AND b.d > a.d
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         quantile_cont(slope, 0.5) AS med
+  FROM pairs GROUP BY 1
+),
+nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM dix GROUP BY 1)
+SELECT nd.event_type, nd.n_days,
+       CAST(COALESCE(st.n_pairs, 0) AS BIGINT) AS n_pairs,
+       ROUND(st.med + 1e-09, 6) AS theil_sen_slope
+FROM nd LEFT JOIN st USING (event_type)
+""".strip()

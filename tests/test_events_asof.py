@@ -308,3 +308,35 @@ def test_multitouch_attribution_engineered(spark):
         "view": (1, pytest.approx(0.5, abs=1e-9)),
         "(direct)": (2, pytest.approx(2.0, abs=1e-9)),  # u3 and u4
     }
+
+
+def test_daily_trend_matches_python_theil_sen(spark):
+    """Python differential on an engineered series with one wild
+    outlier day: the Theil–Sen median slope must stay near the true
+    trend (robustness), and match the brute-force pairwise median."""
+    import datetime
+    import statistics
+
+    from cuda_gis_smoothing_spark.operators.events import daily_trend
+
+    t0 = datetime.datetime(2024, 5, 1)
+    rows, eid = [], 0
+    counts = [3 + d for d in range(12)]  # slope 1/day
+    counts[6] = 400  # outlier
+    for d, n in enumerate(counts):
+        for i in range(n):
+            rows.append((eid, t0 + datetime.timedelta(days=d, seconds=i), "u", "click"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    r = daily_trend(df).collect()[0]
+    slopes = [
+        (counts[j] - counts[i]) / (j - i)
+        for i in range(len(counts))
+        for j in range(i + 1, len(counts))
+    ]
+    want = statistics.median(slopes)
+    assert r.n_days == 12 and r.n_pairs == len(slopes)
+    assert r.theil_sen_slope == pytest.approx(want, abs=2e-6)
+    assert abs(r.theil_sen_slope - 1.0) < 0.5  # robust to the outlier

@@ -40,6 +40,9 @@ EVENTS_GATES = [
     # integer micro-credits (1e6 DIV n) — tied conv/touch timestamps
     # exercise the strict tus < cus exclusion identically
     "multitouch_attribution",
+    # median of integer-ratio slopes via the exact percentile kernel;
+    # single-day types exercise the zero-pair NULL-slope branch
+    "daily_trend",
     # integer sketch over the portable hash + round6 estimate — the
     # randomized corpus exercises the not-full-sketch exact fallback
     # and the hash tie-break identically in both engines
