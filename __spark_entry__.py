@@ -2316,6 +2316,15 @@ def _q_drainage_density(spark, sf_dir):
     return drainage_density(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_quality_mannwhitney(spark, sf_dir):
+    """Mann–Whitney U between two sources' quality: integer rank
+    machinery (doubled rank-sums + tie cubes), shape-identical float
+    tail, NULLIF-guarded where ANSI would raise."""
+    from cuda_gis_smoothing_spark.functions.text import quality_mannwhitney
+
+    return quality_mannwhitney(load(spark, sf_dir, "documents"))
+
+
 def _q_daily_trend(spark, sf_dir):
     """Theil–Sen robust trend per event type: median of pairwise
     integer-ratio slopes over the daily series — the exact percentile
@@ -2864,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multitouch_attribution": _q_multitouch_attribution,
         "boundary_distance": _q_boundary_distance,
         "daily_trend": _q_daily_trend,
+        "quality_mannwhitney": _q_quality_mannwhitney,
         # appended AT THE END (never mid-dict): inserting before
         # position 50 displaces driver-window gates (review catch)
         "decontaminated_bloom": _q_decontaminated_bloom,
@@ -4366,6 +4376,12 @@ GROUP BY 1
     from cuda_gis_smoothing_spark.operators.events import DAILY_TREND_SQL
 
     out["daily_trend"] = DAILY_TREND_SQL
+    from cuda_gis_smoothing_spark.functions.text import quality_mannwhitney_sql
+
+    out["quality_mannwhitney"] = f"""
+WITH q AS ({out["doc_quality"]}),
+{quality_mannwhitney_sql()}
+""".strip()
     from cuda_gis_smoothing_spark.operators.events import (
         multitouch_attribution_sql,
     )

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "multitouch_attribution",
     "boundary_distance",
     "daily_trend",
+    "quality_mannwhitney",
 ]
 
 

@@ -1065,3 +1065,121 @@ def doc_compression_ratio(
         F.length(text_col).cast("long").alias("n_chars"),
         ratio(F.col(text_col)).alias("compression_ratio"),
     )
+
+
+def quality_mannwhitney(
+    df: DataFrame, source_a: str = "src0", source_b: str = "src1"
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test between two sources' quality
+    scores — the nonparametric two-sample A/B test beside χ²'s
+    categorical independence. Ranks run over DISTINCT round6 quality
+    values (a total-order window over value cardinality — the
+    doc_skyline shape; tie groups take the average rank), and EVERY
+    aggregate is an INTEGER: doubled rank-sums 2R = Σ tₐ·(2p+t+1) and
+    the tie-correction cubes Σ(t³−t) — no float ever accumulates
+    cross-engine; u/μ/σ²/z are single float expressions over those
+    exact integers (shape-identical in the twin), with NULLIF guards
+    where Spark ANSI would raise on /0 (zero variance, N ≤ 1).
+    Output 1 row ``(n_a, n_b, u_a, z)``; u_a counts (a, b) pairs where
+    a ranks higher (+ half-ties).
+
+    Int bounds (the CLAUDE.md overflow invariant — DuckDB raises
+    rather than silently wrapping): tie cubes cap N at ~1.6M compared
+    rows per test; shard larger corpora per test stratum."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    q = quality_features(df).select("doc_id", "quality_score")
+    both = (
+        q.join(df.select("doc_id", "source"), "doc_id")
+        .where(
+            F.col("source").isin([source_a, source_b])
+            & F.col("quality_score").isNotNull()
+        )
+        .select("source", F.col("quality_score").alias("v"))
+    )
+    pv = both.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum((F.col("source") == source_a).cast("long"))
+        .cast("long")
+        .alias("ta"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wr = pv.withColumn("p", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    ag = wr.agg(
+        F.sum("ta").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("ta")).cast("long").alias("n2"),
+        F.sum(F.col("ta") * (2 * F.col("p") + F.col("t") + 1))
+        .cast("long")
+        .alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("ties"),
+    )
+    derived = ag.select(
+        "n1",
+        "n2",
+        F.expr("CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / 2.0").alias("_u"),
+        F.expr("CAST(n1 * n2 AS DOUBLE) / 2.0").alias("_mu"),
+        F.expr(
+            "(CAST(n1 * n2 AS DOUBLE) / 12.0) * ((n1 + n2 + 1)"
+            " - CAST(ties AS DOUBLE)"
+            " / NULLIF(CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1), 0.0))"
+        ).alias("_var"),
+    )
+    return derived.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        round6(F.col("_u")).alias("u_a"),
+        round6(
+            (F.col("_u") - F.col("_mu"))
+            / F.sqrt(F.expr("NULLIF(_var, 0.0)"))
+        ).alias("z"),
+    )
+
+
+def quality_mannwhitney_sql(
+    source_a: str = "src0", source_b: str = "src1"
+) -> str:
+    """DuckDB twin of :func:`quality_mannwhitney` — same integer rank
+    machinery, shape-identical float tail (built over the shared
+    doc_quality CTE, spliced by the caller)."""
+    return f"""
+bv AS (
+  SELECT d.source, q.quality_score AS v
+  FROM q JOIN documents d USING (doc_id)
+  WHERE d.source IN ('{source_a}', '{source_b}') AND q.quality_score IS NOT NULL
+),
+pv AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN source = '{source_a}' THEN 1 ELSE 0 END) AS BIGINT) AS ta
+  FROM bv GROUP BY 1
+),
+wr AS (
+  SELECT v, t, ta,
+         COALESCE(CAST(SUM(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS p
+  FROM pv
+),
+ag AS (
+  SELECT CAST(SUM(ta) AS BIGINT) AS n1,
+         CAST(SUM(t - ta) AS BIGINT) AS n2,
+         CAST(SUM(ta * (2 * p + t + 1)) AS BIGINT) AS r2a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+  FROM wr
+),
+dv AS (
+  SELECT n1, n2,
+         CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u,
+         CAST(n1 * n2 AS DOUBLE) / 2.0 AS mu,
+         (CAST(n1 * n2 AS DOUBLE) / 12.0) * ((n1 + n2 + 1)
+           - CAST(ties AS DOUBLE)
+           / NULLIF(CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1), 0.0)) AS var
+  FROM ag
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       ROUND(u + 1e-09, 6) AS u_a,
+       ROUND((u - mu) / SQRT(NULLIF(var, 0.0)) + 1e-09, 6) AS z
+FROM dv
+""".strip()

@@ -108,6 +108,10 @@ DOC_GATES = [
     # skyline: duplicate texts pin the equal-point (mutually
     # non-dominating) class; NULL-text docs drop out symmetrically
     "doc_skyline",
+    # integer rank machinery: duplicate texts create the tied round6
+    # scores that pin the average-rank/tie-cube path; NULL-text docs
+    # carry the degenerate 0.75 score into BOTH sides identically
+    "quality_mannwhitney",
     # character-level verify kernel; NULL-text docs pin the ASCII gate
     "dedup_edit_distance",
     # C4-style chunk-line family: newline-terminated and non-ASCII

@@ -792,3 +792,38 @@ def test_doc_skyline_matches_bruteforce(spark):
     egot = {r.doc_id for r in doc_skyline(eng).collect()}
     assert egot == brute(epts)
     assert {0, 1} <= egot  # the tied pair both survive
+
+
+def test_quality_mannwhitney_matches_bruteforce(spark):
+    """Brute-force pairwise U (count a>b plus half-ties) over the
+    sf0.001 corpus, plus the tie-corrected normal z recomputed in
+    Python — the operator's integer rank machinery must agree."""
+    import math
+    from collections import Counter
+
+    from cuda_gis_smoothing_spark.functions.text import (
+        quality_features,
+        quality_mannwhitney,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    feats = (
+        quality_features(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "quality_score")
+        .collect()
+    )
+    a = [round(r.quality_score, 6) for r in feats if r.source == "src0" and r.quality_score is not None]
+    b = [round(r.quality_score, 6) for r in feats if r.source == "src1" and r.quality_score is not None]
+    u = sum((x > y) + 0.5 * (x == y) for x in a for y in b)
+    n1, n2 = len(a), len(b)
+    n = n1 + n2
+    ties = Counter(a + b)
+    tie_sum = sum(t**3 - t for t in ties.values())
+    var = (n1 * n2 / 12.0) * ((n + 1) - tie_sum / (n * (n - 1)))
+    z = (u - n1 * n2 / 2.0) / math.sqrt(var)
+    r = quality_mannwhitney(docs).collect()[0]
+    assert (r.n_a, r.n_b) == (n1, n2) and n1 > 0 and n2 > 0
+    assert r.u_a == pytest.approx(u, abs=2e-6)
+    assert r.z == pytest.approx(z, abs=2e-6)
