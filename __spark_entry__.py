@@ -2316,6 +2316,26 @@ def _q_drainage_density(spark, sf_dir):
     return drainage_density(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_events_cusum_maintained(spark, sf_dir):
+    """The SAME changepoint curve served from the maintained (type,
+    day) count log — zero event re-aggregation at read time;
+    single-batch instance vs the batch twin's SQL (the
+    event_autocorrelation_maintained precedent)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.daily_counts import (
+        MaintainedDailyCounts,
+    )
+
+    state = tempfile.mkdtemp(prefix="daily_state_")
+    m = MaintainedDailyCounts(spark, state)
+    m.process_batch(load(spark, sf_dir, "events"), 0)
+    out = m.cusum().localCheckpoint(eager=True)  # state dir GC'd next
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_quality_mannwhitney(spark, sf_dir):
     """Mann–Whitney U between two sources' quality: integer rank
     machinery (doubled rank-sums + tie cubes), shape-identical float
@@ -2874,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boundary_distance": _q_boundary_distance,
         "daily_trend": _q_daily_trend,
         "quality_mannwhitney": _q_quality_mannwhitney,
+        "events_cusum_maintained": _q_events_cusum_maintained,
         # appended AT THE END (never mid-dict): inserting before
         # position 50 displaces driver-window gates (review catch)
         "decontaminated_bloom": _q_decontaminated_bloom,
@@ -4373,6 +4394,8 @@ GROUP BY 1
     from cuda_gis_smoothing_spark.operators.events import EVENTS_CUSUM_SQL
 
     out["events_cusum"] = EVENTS_CUSUM_SQL
+    # single-batch maintained state == the batch operator exactly
+    out["events_cusum_maintained"] = EVENTS_CUSUM_SQL
     from cuda_gis_smoothing_spark.operators.events import DAILY_TREND_SQL
 
     out["daily_trend"] = DAILY_TREND_SQL

@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "boundary_distance",
     "daily_trend",
     "quality_mannwhitney",
+    "events_cusum_maintained",
 ]
 
 

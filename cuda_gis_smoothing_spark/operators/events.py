@@ -1433,31 +1433,31 @@ FROM dev d JOIN mad m USING (event_type)
 """.strip()
 
 
-def events_cusum(events: DataFrame) -> DataFrame:
-    """CUSUM changepoint curve per event type: the running deviation
-    sum S_t = Σ_{i≤t}(n_i − μ) over the ordered daily-count series,
-    re-expressed as ``prefix_t − t·(total/n_days)`` so the CUMULATIVE
-    part is an INTEGER window sum — exact under ANY aggregation
-    association (DuckDB's segment-tree window combiner vs Spark's
-    running accumulator cannot diverge on integers; a float running
-    sum COULD, which is why the naive Σ(n−μ) form is banned here) —
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """The CUSUM kernel over a ``(event_type, day, n)`` table — ONE
+    shared body so the batch gate and the maintained serving path can
+    never drift (the autocorr_from_daily precedent). The running
+    deviation sum S_t = Σ_{i≤t}(n_i − μ) is re-expressed as
+    ``prefix_t − t·(total/n_days)`` so the CUMULATIVE part is an
+    INTEGER window sum — exact under ANY aggregation association
+    (DuckDB's segment-tree window combiner vs Spark's running
+    accumulator cannot diverge on integers; a float running sum
+    COULD, which is why the naive Σ(n−μ) form is banned here) —
     followed by ONE float mul/sub per row (correctly rounded, the
     axis_visibility identical-expression class). |S| peaks at the
-    changepoint. NULL-ts events are excluded on BOTH sides: a NULL day
-    would sort NULLS FIRST in Spark and NULLS LAST in DuckDB, shifting
-    every t. Output ``(event_type, day, n_events, cusum)``.
+    changepoint. NULL days/types are dropped (a NULL ordering key
+    sorts NULLS FIRST in Spark, NULLS LAST in DuckDB — it would shift
+    every t; the maintained log never stores them). Output
+    ``(event_type, day, n_events, cusum)`` with day as DATE TEXT.
 
-    Plan (100 TB): one hash aggregate to day cardinality; every window
-    is partitioned by event_type over #days rows — never event rows
-    (the cumulative_users shape)."""
+    Plan (100 TB): every window is partitioned by event_type over
+    #days rows — never event rows (the cumulative_users shape)."""
     from pyspark.sql import Window
 
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
-    daily = (
-        events.where(F.col("ts").isNotNull())
-        .groupBy("event_type", day_str("ts").alias("day"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d = daily.where(
+        F.col("event_type").isNotNull() & F.col("day").isNotNull()
     )
     w = (
         Window.partitionBy("event_type")
@@ -1470,18 +1470,25 @@ def events_cusum(events: DataFrame) -> DataFrame:
     total = F.sum("n").over(p)
     nd = F.count(F.lit(1)).over(p)
     cusum = prefix.cast("double") - t * (total.cast("double") / nd)
-    return daily.select(
+    return d.select(
         "event_type",
-        "day",
+        F.col("day").cast("string").alias("day"),
         F.col("n").alias("n_events"),
         round6(cusum).alias("cusum"),
     )
 
 
+def events_cusum(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint curve per event type over the daily-count
+    series — one hash aggregate to day cardinality, then the shared
+    :func:`cusum_from_daily` kernel."""
+    return cusum_from_daily(daily_counts(events))
+
+
 EVENTS_CUSUM_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
 ),
 w AS (
   SELECT event_type, day, n,

@@ -101,6 +101,15 @@ class MaintainedDailyCounts:
         day-cardinality maintained table through the SHARED kernel."""
         return autocorr_from_daily(self.daily(), lags)
 
+    def cusum(self) -> DataFrame:
+        """CUSUM changepoint curve served from state alone — the
+        SHARED cusum_from_daily kernel over the maintained table (the
+        autocorrelation precedent: the gate routes the incremental
+        path against the batch twin)."""
+        from cuda_gis_smoothing_spark.operators.events import cusum_from_daily
+
+        return cusum_from_daily(self.daily())
+
     # ------------------------------------------------------------------
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         from cuda_gis_smoothing_spark.streaming.windows import EVENTS_SCHEMA

@@ -97,3 +97,25 @@ def test_deltas_are_o_batch_keys(spark, state_dir):
     delta = m.counts_log.read_delta(2)
     assert delta.count() == 3
     assert m.daily().count() == 10
+
+
+def test_cusum_served_equals_batch_multi_batch(spark, state_dir):
+    """The shared cusum kernel over maintained state must equal the
+    batch operator over the concatenated stream — additive day counts
+    re-rank and re-mean correctly as later batches extend the series."""
+    from cuda_gis_smoothing_spark.operators.events import events_cusum
+
+    b0, b1, b2 = _batches(spark)
+    m = MaintainedDailyCounts(spark, state_dir)
+    for i, b in enumerate((b0, b1, b2)):
+        m.process_batch(b, i)
+    full = b0.unionByName(b1).unionByName(b2)
+    served = {
+        (r.event_type, r.day): (r.n_events, r.cusum)
+        for r in m.cusum().collect()
+    }
+    want = {
+        (r.event_type, r.day): (r.n_events, r.cusum)
+        for r in events_cusum(full).collect()
+    }
+    assert served == want and served
