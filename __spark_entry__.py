@@ -2336,6 +2336,24 @@ def _q_events_cusum_maintained(spark, sf_dir):
     return out
 
 
+def _q_daily_trend_maintained(spark, sf_dir):
+    """Theil–Sen trend served from the maintained (type, day) count
+    log (the events_cusum_maintained precedent)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.daily_counts import (
+        MaintainedDailyCounts,
+    )
+
+    state = tempfile.mkdtemp(prefix="daily_state_")
+    m = MaintainedDailyCounts(spark, state)
+    m.process_batch(load(spark, sf_dir, "events"), 0)
+    out = m.trend().localCheckpoint(eager=True)  # state dir GC'd next
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_quality_mannwhitney(spark, sf_dir):
     """Mann–Whitney U between two sources' quality: integer rank
     machinery (doubled rank-sums + tie cubes), shape-identical float
@@ -2895,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_trend": _q_daily_trend,
         "quality_mannwhitney": _q_quality_mannwhitney,
         "events_cusum_maintained": _q_events_cusum_maintained,
+        "daily_trend_maintained": _q_daily_trend_maintained,
         # appended AT THE END (never mid-dict): inserting before
         # position 50 displaces driver-window gates (review catch)
         "decontaminated_bloom": _q_decontaminated_bloom,
@@ -4399,6 +4418,8 @@ GROUP BY 1
     from cuda_gis_smoothing_spark.operators.events import DAILY_TREND_SQL
 
     out["daily_trend"] = DAILY_TREND_SQL
+    # single-batch maintained state == the batch operator exactly
+    out["daily_trend_maintained"] = DAILY_TREND_SQL
     from cuda_gis_smoothing_spark.functions.text import quality_mannwhitney_sql
 
     out["quality_mannwhitney"] = f"""

@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "daily_trend",
     "quality_mannwhitney",
     "events_cusum_maintained",
+    "daily_trend_maintained",
 ]
 
 

@@ -1622,18 +1622,19 @@ FROM (SELECT * FROM bych UNION ALL SELECT * FROM direct)
 """.strip()
 
 
-def daily_trend(events: DataFrame) -> DataFrame:
-    """Theil–Sen robust trend per event type: the MEDIAN of all
-    pairwise slopes (n_j − n_i)/(d_j − d_i) over the daily-count
-    series — the outlier-resistant alternative to OLS (whose sum-of-
-    products accumulation is a cross-engine association hazard; a
-    median of exact values is not). Each slope is an integer-over-
-    integer double division (correctly rounded identically) and the
-    exact percentile kernel is bit-identical cross-engine
-    (value_percentiles precedent), including the even-count midpoint
-    (a+b)/2. NULL-ts events excluded both sides. Output
-    ``(event_type, n_days, n_pairs, theil_sen_slope)`` in
-    events/day per day.
+def trend_from_daily(daily_tbl: DataFrame) -> DataFrame:
+    """The Theil–Sen kernel over a ``(event_type, day, n)`` table —
+    ONE shared body for the batch gate and the maintained serving path
+    (the cusum_from_daily shape): MEDIAN of all pairwise slopes
+    (n_j − n_i)/(d_j − d_i) — the outlier-resistant alternative to OLS
+    (whose sum-of-products accumulation is a cross-engine association
+    hazard; a median of exact values is not). Each slope is an
+    integer-over-integer double division (correctly rounded
+    identically) and the exact percentile kernel is bit-identical
+    cross-engine (value_percentiles precedent), including the
+    even-count midpoint (a+b)/2. NULL days/types dropped (the
+    maintained-log contract). Output ``(event_type, n_days, n_pairs,
+    theil_sen_slope)`` in events/day per day.
 
     Plan (100 TB): the pair self-join is per-type over DAY-cardinality
     rows — bounded by the calendar span squared (~decades ⇒ ~10⁷ pairs
@@ -1641,9 +1642,9 @@ def daily_trend(events: DataFrame) -> DataFrame:
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
     daily = (
-        events.where(F.col("ts").isNotNull())
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        daily_tbl.where(
+            F.col("event_type").isNotNull() & F.col("day").isNotNull()
+        )
         .select(
             "event_type",
             F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("d"),
@@ -1674,10 +1675,16 @@ def daily_trend(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_trend(events: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend per event type — one hash aggregate to
+    day cardinality, then the shared :func:`trend_from_daily` kernel."""
+    return trend_from_daily(daily_counts(events))
+
+
 DAILY_TREND_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
 ),
 dix AS (
   SELECT event_type, (day - DATE '1970-01-01') AS d, n FROM daily

@@ -110,6 +110,13 @@ class MaintainedDailyCounts:
 
         return cusum_from_daily(self.daily())
 
+    def trend(self) -> DataFrame:
+        """Theil–Sen trend served from state alone — the SHARED
+        trend_from_daily kernel over the maintained table."""
+        from cuda_gis_smoothing_spark.operators.events import trend_from_daily
+
+        return trend_from_daily(self.daily())
+
     # ------------------------------------------------------------------
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         from cuda_gis_smoothing_spark.streaming.windows import EVENTS_SCHEMA

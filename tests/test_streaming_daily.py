@@ -119,3 +119,22 @@ def test_cusum_served_equals_batch_multi_batch(spark, state_dir):
         for r in events_cusum(full).collect()
     }
     assert served == want and served
+
+
+def test_trend_served_equals_batch_multi_batch(spark, state_dir):
+    from cuda_gis_smoothing_spark.operators.events import daily_trend
+
+    b0, b1, b2 = _batches(spark)
+    m = MaintainedDailyCounts(spark, state_dir)
+    for i, b in enumerate((b0, b1, b2)):
+        m.process_batch(b, i)
+    full = b0.unionByName(b1).unionByName(b2)
+    served = {
+        r.event_type: (r.n_days, r.n_pairs, r.theil_sen_slope)
+        for r in m.trend().collect()
+    }
+    want = {
+        r.event_type: (r.n_days, r.n_pairs, r.theil_sen_slope)
+        for r in daily_trend(full).collect()
+    }
+    assert served == want and served
