@@ -1090,14 +1090,15 @@ def quality_mannwhitney(
 
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
-    q = quality_features(df).select("doc_id", "quality_score")
+    # source rides the SAME per-row projection as the features — ONE
+    # scan, zero joins (quality_features + a doc_id re-join would
+    # re-scan the corpus and shuffle; review catch)
     both = (
-        q.join(df.select("doc_id", "source"), "doc_id")
-        .where(
-            F.col("source").isin([source_a, source_b])
-            & F.col("quality_score").isNotNull()
-        )
-        .select("source", F.col("quality_score").alias("v"))
+        df.where(F.col("source").isin([source_a, source_b]))
+        .select("source", *quality_feature_cols("text"))
+        .withColumn("v", quality_score_col())
+        .where(F.col("v").isNotNull())
+        .select("source", "v")
     )
     pv = both.groupBy("v").agg(
         F.count(F.lit(1)).cast("long").alias("t"),
@@ -1134,7 +1135,7 @@ def quality_mannwhitney(
         round6(F.col("_u")).alias("u_a"),
         round6(
             (F.col("_u") - F.col("_mu"))
-            / F.sqrt(F.expr("NULLIF(_var, 0.0)"))
+            / F.sqrt(F.expr("NULLIF(GREATEST(_var, 0.0), 0.0)"))
         ).alias("z"),
     )
 
@@ -1180,6 +1181,6 @@ dv AS (
 )
 SELECT n1 AS n_a, n2 AS n_b,
        ROUND(u + 1e-09, 6) AS u_a,
-       ROUND((u - mu) / SQRT(NULLIF(var, 0.0)) + 1e-09, 6) AS z
+       ROUND((u - mu) / SQRT(NULLIF(GREATEST(var, 0.0), 0.0)) + 1e-09, 6) AS z
 FROM dv
 """.strip()
