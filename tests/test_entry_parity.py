@@ -184,6 +184,14 @@ _HOSTILE_SAMPLE = [
     # flow argmin, all under 3 shuffle partitions with broadcasts
     # disabled — closure convergence must not depend on partitioning
     "twi",
+    # part-12 reps: the fused conditional aggregate + struct-MIN under
+    # 3 partitions, the bucketed attribution equi-join with broadcasts
+    # disabled, the unpartitioned rank window over integer aggregates,
+    # and maintained daily state BUILT under the hostile config
+    "terrain_profile",
+    "multitouch_attribution",
+    "quality_mannwhitney",
+    "events_cusum_maintained",
 ]
 
 
