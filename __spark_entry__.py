@@ -2684,6 +2684,19 @@ def _q_smooth_strict_k2(spark, sf_dir):
     return out.select("cell", round6("smoothed_ndvi").alias("smoothed_ndvi"))
 
 
+def _q_cost_distance(spark, sf_dir):
+    """Cost-distance to the stream network: integer min-plus
+    Bellman-Ford over ring-1 hex adjacency (seeds = drainage stream
+    cells, crossing cost = 1 + floor(ndvi*1000)) — all-integer, so the
+    iterative accumulation is tie-proof cross-engine; the twin unrolls
+    the same relaxations as chained CTEs (the cell_pagerank
+    precedent). Cells beyond the COST_ROUNDS horizon are NULL by
+    contract."""
+    from cuda_gis_smoothing_spark.operators.hydrology import cost_distance
+
+    return cost_distance(grid_from_lineitem(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver gates only the FIRST 50 entries, so
     # never-driver-checked gates (all r4 additions + the r3 overflow) and any
@@ -2918,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position 50 displaces driver-window gates (review catch)
         "decontaminated_bloom": _q_decontaminated_bloom,
         "doc_skyline": _q_doc_skyline,
+        "cost_distance": _q_cost_distance,
     }
     return qs
 
@@ -4286,6 +4300,20 @@ SELECT p.basin,
        MAX(u.upslope_cells) AS max_upslope
 FROM fcomp p JOIN fups u ON u.cell = p.cell
 GROUP BY p.basin
+""".strip()
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        COST_ROUNDS,
+        cost_ctes,
+    )
+
+    # cost_distance: seeds ride the shared recursive closure; the
+    # relaxations are UNROLLED integer min-plus CTEs (cell_pagerank
+    # precedent — LEAST skips NULLs identically in both engines)
+    out["cost_distance"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+{cost_ctes()}
+SELECT cell, seed, cost FROM cd{COST_ROUNDS}
 """.strip()
     out["terrain_ruggedness"] = f"""
 WITH {GRID_CELLS_SQL},

@@ -453,3 +453,147 @@ fcomp AS (
   LEFT JOIN (SELECT a, MIN(b) AS mn FROM fureach GROUP BY a) r ON r.a = c.cell
 )
 """.strip()
+
+
+# -- cost-distance accumulation (the classic cost-surface raster op) --
+
+#: integer scale for the per-cell crossing cost (1 + floor(v * 1000))
+COST_SCALE = 1000
+#: Bellman-Ford relaxation rounds — exact geodesic cost for every cell
+#: whose optimal path to a seed has <= COST_ROUNDS edges; cells beyond
+#: the horizon report NULL (documented bounded-horizon semantics, the
+#: fixed-iteration cell_pagerank precedent)
+COST_ROUNDS = 8
+
+
+def cost_weights(
+    cells: DataFrame, value_col: str = "ndvi"
+) -> DataFrame:
+    """Integer crossing cost per cell: ``w = 1 + floor_stable(v *
+    COST_SCALE)`` — strictly positive, integer, so every cumulative
+    cost below is EXACT integer min-plus arithmetic (min is
+    association-order-free and + is exact on int64: the gate is
+    tie-proof cross-engine with zero float exposure). Bound: max path
+    cost <= COST_ROUNDS * (1 + COST_SCALE) << 2^62."""
+    from cuda_gis_smoothing_spark.functions.numeric import floor_stable
+
+    return cells.select(
+        "cell",
+        (
+            F.lit(1)
+            + floor_stable(F.col(value_col).cast("double") * COST_SCALE)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+
+
+def cost_distance(
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    threshold: int = STREAM_THRESHOLD,
+    rounds: int = COST_ROUNDS,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Cost-distance to the stream network — the classic GIS
+    cost-surface accumulation (riparian-buffer / proximity modelling):
+    seeds are the stream cells (``upslope_cells >= threshold``, the
+    drainage_density extraction) at cost 0; stepping INTO cell c costs
+    the integer :func:`cost_weights` ``w(c)``; ``cost`` = the minimal
+    cumulative cost over ring-1 hex paths, via ``rounds`` Bellman-Ford
+    relaxations (exact for all cells whose optimal path has <= rounds
+    edges; farther cells are NULL — bounded horizon BY CONTRACT,
+    mirrored in the twin's unrolled CTE chain):
+
+        d0(c)  = 0 if seed(c) else NULL
+        dt(c)  = least(dt-1(c), min_n dt-1(n) + w(c))
+
+    ``least``/``min`` skip NULLs identically in both engines (the
+    quality_calibration pinned contract), so NULL is infinity with no
+    sentinel arithmetic.
+
+    Spark shape (100 TB): weights and the ring-1 edge list materialize
+    ONCE (localCheckpoint — ``rounds`` consumers, the cell_pagerank
+    multi-consumer class); each round is one equi-join + one integer
+    hash MIN + one cell-keyed left join — the smoothing shuffle shape,
+    no windows, no collect. Output ``(cell, seed, cost)``."""
+    acc = flow_accumulation(cells, value_col, max_rounds)
+    wts = cost_weights(cells, value_col)
+    offs = F.array(*[F.lit(d) for d in R1_DELTAS])
+    edges = (
+        cells.select("cell", F.explode(offs).alias("_d"))
+        .select("cell", (F.col("cell") + F.col("_d")).alias("nbr"))
+        .join(cells.select(F.col("cell").alias("nbr")), "nbr")
+        .join(wts, "cell")
+        .localCheckpoint()  # rounds consumers
+    )
+    seeds = acc.select(
+        "cell", (F.col("upslope_cells") >= int(threshold)).alias("seed")
+    )
+    d = seeds.select(
+        "cell",
+        "seed",
+        F.when(F.col("seed"), F.lit(0).cast("long")).alias("cost"),
+    ).localCheckpoint()  # cuts the closure lineage out of every round
+    for _ in range(int(rounds)):
+        relax = (
+            edges.join(
+                d.where(F.col("cost").isNotNull()).select(
+                    F.col("cell").alias("nbr"), F.col("cost").alias("_cn")
+                ),
+                "nbr",
+            )
+            .groupBy("cell")
+            .agg(F.min(F.col("_cn") + F.col("w")).alias("_nc"))
+        )
+        d = d.join(relax, "cell", "left").select(
+            "cell", "seed", F.least(F.col("cost"), F.col("_nc")).alias("cost")
+        )
+    return d
+
+
+def cost_ctes(
+    threshold: int = STREAM_THRESHOLD,
+    rounds: int = COST_ROUNDS,
+    source: str = "cells4",
+    value_col: str = "ndvi",
+) -> str:
+    """DuckDB twin CTEs for :func:`cost_distance` — seeds from the
+    shared recursive closure (:func:`flow_closure_ctes` must precede),
+    then ``rounds`` UNROLLED relaxation CTEs ``cd0..cd{rounds}`` (the
+    cell_pagerank unrolled-iteration precedent; all-integer min-plus,
+    LEAST skips NULLs in both engines). Final table: ``cd{rounds}
+    (cell, seed, cost)``."""
+    parts = [
+        "cacc AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst)",
+        f"""cw AS (
+  SELECT c.cell, CAST(1 + FLOOR((c.{value_col} * {COST_SCALE}) + 1e-09) AS BIGINT) AS w
+  FROM {source} c
+)""",
+        f"""cedges AS (
+  SELECT c.cell, c.cell + o.delta AS nbr
+  FROM {source} c CROSS JOIN f_offsets o
+  JOIN {source} n ON n.cell = c.cell + o.delta
+)""",
+        f"""cd0 AS (
+  SELECT c.cell,
+         (1 + COALESCE(a.n, 0)) >= {int(threshold)} AS seed,
+         CASE WHEN (1 + COALESCE(a.n, 0)) >= {int(threshold)}
+              THEN CAST(0 AS BIGINT) END AS cost
+  FROM {source} c LEFT JOIN cacc a ON a.dst = c.cell
+)""",
+    ]
+    for t in range(1, int(rounds) + 1):
+        parts.append(
+            f"""cd{t} AS (
+  SELECT p.cell, p.seed, LEAST(p.cost, m.nc) AS cost
+  FROM cd{t - 1} p LEFT JOIN (
+    SELECT e.cell, MIN(pn.cost + w.w) AS nc
+    FROM cedges e
+    JOIN cd{t - 1} pn ON pn.cell = e.nbr AND pn.cost IS NOT NULL
+    JOIN cw w ON w.cell = e.cell
+    GROUP BY e.cell
+  ) m ON m.cell = p.cell
+)"""
+        )
+    return ",\n".join(parts)
