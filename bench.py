@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "quality_mannwhitney",
     "events_cusum_maintained",
     "daily_trend_maintained",
+    "cost_distance",
 ]
 
 

@@ -286,3 +286,66 @@ def test_twi_matches_python_oracle(spark):
         w = math.log(acc[c] / (math.sqrt(gq * gq + gr * gr) + TWI_EPS))
         assert got[c]["upslope_cells"] == acc[c]
         assert got[c]["twi"] == pytest.approx(w, abs=2e-6)
+
+
+def _py_cost_distance(vals, rounds, threshold):
+    """Pure-Python differential for cost_distance: integer weights
+    w = 1 + floor(v*1000 + 1e-9); seeds = cells whose full upslope
+    count >= threshold; K bounded Bellman-Ford rounds (min cost over
+    paths with <= K edges)."""
+    import math
+
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        COST_SCALE,
+    )
+
+    # full upslope counts (the flow_accumulation oracle: walk every
+    # cell's descent path, counting visits)
+    fd = {c: t[0] for c, t in _py_flow(vals).items()}
+    ups = {c: 1 for c in vals}
+    for c in vals:
+        cur = fd[c]
+        while cur is not None:
+            ups[cur] += 1
+            cur = fd[cur]
+    seeds = {c for c in vals if ups[c] >= threshold}
+    w = {c: 1 + math.floor(v * COST_SCALE + 1e-9) for c, v in vals.items()}
+    dist = {c: (0 if c in seeds else None) for c in vals}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for c in vals:
+            best = dist[c]
+            for d in R1_DELTAS:
+                n = c + d
+                if n in vals and dist[n] is not None:
+                    cand = dist[n] + w[c]
+                    if best is None or cand < best:
+                        best = cand
+            nxt[c] = best
+        dist = nxt
+    return seeds, dist
+
+
+def test_cost_distance_matches_python_oracle(spark):
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        COST_ROUNDS,
+        STREAM_THRESHOLD,
+        cost_distance,
+    )
+
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    seeds, dist = _py_cost_distance(vals, COST_ROUNDS, STREAM_THRESHOLD)
+    got = {
+        r["cell"]: (r["seed"], r["cost"]) for r in cost_distance(cells).collect()
+    }
+    assert set(got) == set(vals)
+    for c in vals:
+        assert got[c][0] == (c in seeds), f"cell {c}: seed flag"
+        assert got[c][1] == dist[c], f"cell {c}: cost {got[c][1]} != {dist[c]}"
+    # structure: seeds at 0; every reached non-seed paid at least its
+    # own crossing weight (w >= 1)
+    assert all(cost == 0 for s, cost in got.values() if s)
+    assert all(
+        cost >= 1 for s, cost in got.values() if not s and cost is not None
+    )
