@@ -2697,6 +2697,33 @@ def _q_cost_distance(spark, sf_dir):
     return cost_distance(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_flow_path_cost(spark, sf_dir):
+    """Integer cost accumulated along each cell's committed D6 flow
+    path (sum of crossing weights over its descendants; 0 for sinks) —
+    one closure join + one integer SUM, tie-proof."""
+    from cuda_gis_smoothing_spark.operators.hydrology import flow_path_cost
+
+    return flow_path_cost(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_stream_magnitude(spark, sf_dir):
+    """Shreve stream magnitude (additive stream order): sources whose
+    water passes through each cell, via one closure join against the
+    leaf set — integers only."""
+    from cuda_gis_smoothing_spark.operators.hydrology import stream_magnitude
+
+    return stream_magnitude(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_basin_hypsometry(spark, sf_dir):
+    """Per-basin hypsometric (area-elevation) histogram: integer
+    uniform bands over the unit value surface, grouped by the derived
+    basin partition — sparse (basin, band, n_cells) rows."""
+    from cuda_gis_smoothing_spark.operators.hydrology import basin_hypsometry
+
+    return basin_hypsometry(grid_from_lineitem(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver gates only the FIRST 50 entries, so
     # never-driver-checked gates (all r4 additions + the r3 overflow) and any
@@ -2932,6 +2959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_bloom": _q_decontaminated_bloom,
         "doc_skyline": _q_doc_skyline,
         "cost_distance": _q_cost_distance,
+        "flow_path_cost": _q_flow_path_cost,
+        "stream_magnitude": _q_stream_magnitude,
+        "basin_hypsometry": _q_basin_hypsometry,
     }
     return qs
 
@@ -4314,6 +4344,48 @@ WITH RECURSIVE {_FLOW},
 {flow_closure_ctes()},
 {cost_ctes()}
 SELECT cell, seed, cost FROM cd{COST_ROUNDS}
+""".strip()
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        HYPSO_BANDS,
+        cost_weight_cte,
+    )
+
+    out["flow_path_cost"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+{cost_weight_cte()},
+fpc AS (
+  SELECT r.src, SUM(w.w) AS pc FROM freach r JOIN cw w ON w.cell = r.dst GROUP BY r.src
+)
+SELECT c.cell, CAST(COALESCE(p.pc, 0) AS BIGINT) AS path_cost
+FROM cells4 c LEFT JOIN fpc p ON p.src = c.cell
+""".strip()
+    out["stream_magnitude"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+fleaves AS (
+  SELECT c.cell FROM cells4 c
+  WHERE NOT EXISTS (SELECT 1 FROM fedges e WHERE e.dst = c.cell)
+),
+fthru AS (
+  SELECT r.dst, COUNT(*) AS m
+  FROM freach r JOIN fleaves l ON l.cell = r.src GROUP BY r.dst
+)
+SELECT c.cell,
+       CAST(COALESCE(t.m, 0)
+            + (CASE WHEN l.cell IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS magnitude
+FROM cells4 c
+LEFT JOIN fthru t ON t.dst = c.cell
+LEFT JOIN fleaves l ON l.cell = c.cell
+""".strip()
+    out["basin_hypsometry"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_component_ctes()}
+SELECT p.basin,
+       CAST(LEAST(FLOOR((c.ndvi * {HYPSO_BANDS}) + 1e-09), {HYPSO_BANDS - 1}) AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM fcomp p JOIN cells4 c ON c.cell = p.cell
+GROUP BY 1, 2
 """.strip()
     out["terrain_ruggedness"] = f"""
 WITH {GRID_CELLS_SQL},

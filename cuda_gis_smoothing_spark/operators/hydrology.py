@@ -552,6 +552,17 @@ def cost_distance(
     return d
 
 
+def cost_weight_cte(source: str = "cells4", value_col: str = "ndvi") -> str:
+    """The ONE ``cw (cell, w)`` crossing-weight CTE — shared by the
+    cost_distance and flow_path_cost twins so the integerization can't
+    drift (the flow_ctes drift-prevention class); twin of
+    :func:`cost_weights`."""
+    return f"""cw AS (
+  SELECT c.cell, CAST(1 + FLOOR((c.{value_col} * {COST_SCALE}) + 1e-09) AS BIGINT) AS w
+  FROM {source} c
+)"""
+
+
 def cost_ctes(
     threshold: int = STREAM_THRESHOLD,
     rounds: int = COST_ROUNDS,
@@ -566,10 +577,7 @@ def cost_ctes(
     (cell, seed, cost)``."""
     parts = [
         "cacc AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst)",
-        f"""cw AS (
-  SELECT c.cell, CAST(1 + FLOOR((c.{value_col} * {COST_SCALE}) + 1e-09) AS BIGINT) AS w
-  FROM {source} c
-)""",
+        cost_weight_cte(source, value_col),
         f"""cedges AS (
   SELECT c.cell, c.cell + o.delta AS nbr
   FROM {source} c CROSS JOIN f_offsets o
@@ -597,3 +605,109 @@ def cost_ctes(
 )"""
         )
     return ",\n".join(parts)
+
+
+def flow_path_cost(
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Integer cost accumulated ALONG each cell's flow path: the sum
+    of :func:`cost_weights` over the cells its water flows INTO
+    (= its strict descendants in the flow forest; 0 for sinks) — the
+    path-weighted sibling of :func:`flow_path_length` (hops) and the
+    downstream analogue of :func:`cost_distance` (which searches over
+    ALL ring-1 paths; this one follows the committed D6 routing). One
+    join of the shared descendant closure against the weight table +
+    one integer SUM — tie-proof. Output ``(cell, path_cost)``."""
+    wts = cost_weights(cells, value_col)
+    pairs = descendant_pairs(_flow_edges(cells, value_col), max_rounds)
+    costs = (
+        pairs.join(wts.withColumnRenamed("cell", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.sum("w").alias("_pc"))
+    )
+    return (
+        cells.select("cell")
+        .join(costs, cells["cell"] == costs["src"], "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("_pc"), F.lit(0)).cast("long").alias("path_cost"),
+        )
+    )
+
+
+def stream_magnitude(
+    cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
+) -> DataFrame:
+    """Shreve stream magnitude: the number of SOURCE cells (cells with
+    no inflow — the flow forest's leaves) whose water passes through
+    the cell, counting the cell itself if it is a source. Shreve's
+    order is the additive one (magnitude at a confluence = sum of
+    tributary magnitudes), which makes it exactly one closure join:
+    m(c) = |{leaf u : u = c or (u, c) ∈ closure}| — integer,
+    tie-proof. (Strahler's max-based order needs a bottom-up
+    traversal with depth-many rounds — not twin-expressible as a
+    fixed unroll; Shreve is the standard additive alternative.)
+    Output ``(cell, magnitude)``, magnitude >= 1 for source cells and
+    every cell downstream of one; pure-sink isolated cells report 1
+    (they are their own source)."""
+    fd = flow_direction(cells, value_col).localCheckpoint()
+    edges = fd.where(F.col("flow_to").isNotNull()).select(
+        F.col("cell").alias("src"), F.col("flow_to").alias("dst")
+    )
+    # leaves: no edge flows INTO the cell
+    leaves = cells.select("cell").join(
+        edges.select(F.col("dst").alias("cell")), "cell", "left_anti"
+    )
+    pairs = descendant_pairs(edges, max_rounds)
+    thru = (
+        pairs.join(leaves.withColumnRenamed("cell", "src"), "src")
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    own = leaves.select("cell", F.lit(1).alias("_own"))
+    return (
+        cells.select("cell")
+        .join(thru.withColumnRenamed("dst", "cell"), "cell", "left")
+        .join(own, "cell", "left")
+        .select(
+            "cell",
+            (F.coalesce(F.col("_m"), F.lit(0)) + F.coalesce(F.col("_own"), F.lit(0)))
+            .cast("long")
+            .alias("magnitude"),
+        )
+    )
+
+
+#: hypsometric elevation bands (uniform over the unit value range)
+HYPSO_BANDS = 10
+
+
+def basin_hypsometry(
+    cells: DataFrame, value_col: str = "ndvi", bands: int = HYPSO_BANDS
+) -> DataFrame:
+    """Per-basin hypsometric histogram: cell counts per uniform
+    elevation band ``band = least(floor_stable(v * bands), bands-1)``
+    over the unit-range value surface — the area-elevation curve
+    hydrologists read basin maturity from, over the DERIVED basin
+    partition (the basin_stats zonal pattern). Integer band keys and
+    counts — tie-proof. Empty (basin, band) combinations are absent
+    (sparse contract). Output ``(basin, band, n_cells)``."""
+    from cuda_gis_smoothing_spark.functions.numeric import floor_stable
+
+    labels = basin_labels(cells, value_col)
+    banded = cells.select(
+        "cell",
+        F.least(
+            floor_stable(F.col(value_col).cast("double") * int(bands)),
+            F.lit(int(bands) - 1),
+        )
+        .cast("int")
+        .alias("band"),
+    )
+    return (
+        labels.join(banded, "cell")
+        .groupBy("basin", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    )

@@ -349,3 +349,67 @@ def test_cost_distance_matches_python_oracle(spark):
     assert all(
         cost >= 1 for s, cost in got.values() if not s and cost is not None
     )
+
+
+def test_flow_path_cost_matches_python_oracle(spark):
+    import math
+
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        COST_SCALE,
+        flow_path_cost,
+    )
+
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    fd = {c: t[0] for c, t in _py_flow(vals).items()}
+    w = {c: 1 + math.floor(v * COST_SCALE + 1e-9) for c, v in vals.items()}
+    want = {}
+    for c in vals:
+        tot, cur = 0, fd[c]
+        while cur is not None:
+            tot += w[cur]
+            cur = fd[cur]
+        want[c] = tot
+    got = {r["cell"]: r["path_cost"] for r in flow_path_cost(cells).collect()}
+    assert got == want
+
+
+def test_stream_magnitude_matches_python_oracle_and_is_additive(spark):
+    from cuda_gis_smoothing_spark.operators.hydrology import stream_magnitude
+
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    fd = {c: t[0] for c, t in _py_flow(vals).items()}
+    inflows = {}
+    for c, t in fd.items():
+        if t is not None:
+            inflows.setdefault(t, []).append(c)
+    leaves = [c for c in vals if c not in inflows]
+    want = {c: 0 for c in vals}
+    for leaf in leaves:
+        want[leaf] += 1
+        cur = fd[leaf]
+        while cur is not None:
+            want[cur] += 1
+            cur = fd[cur]
+    got = {r["cell"]: r["magnitude"] for r in stream_magnitude(cells).collect()}
+    assert got == want
+    # Shreve additivity: a cell with inflows carries exactly the sum of
+    # its tributaries' magnitudes (non-leaf cells contribute no source)
+    for c, ins in inflows.items():
+        assert got[c] == sum(got[n] for n in ins)
+
+
+def test_basin_hypsometry_sums_to_basin_sizes(spark):
+    from cuda_gis_smoothing_spark.operators.hydrology import basin_hypsometry
+
+    cells = _grid(spark)
+    hyp = basin_hypsometry(cells).collect()
+    sizes = {
+        r["basin"]: r["n_cells"] for r in watershed_basins(cells).collect()
+    }
+    by_basin = {}
+    for r in hyp:
+        assert 0 <= r["band"] < 10
+        by_basin[r["basin"]] = by_basin.get(r["basin"], 0) + r["n_cells"]
+    assert by_basin == sizes
