@@ -2715,6 +2715,16 @@ def _q_stream_magnitude(spark, sf_dir):
     return stream_magnitude(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_events_seasonality(spark, sf_dir):
+    """Day-of-week profile per event type: epoch-anchored integer
+    weekday (engine weekday functions disagree on numbering — integer
+    day arithmetic doesn't) + exact-integer-ratio shares over the
+    #types x 7 aggregate."""
+    from cuda_gis_smoothing_spark.operators.events import events_seasonality
+
+    return events_seasonality(load(spark, sf_dir, "events"))
+
+
 def _q_basin_hypsometry(spark, sf_dir):
     """Per-basin hypsometric (area-elevation) histogram: integer
     uniform bands over the unit value surface, grouped by the derived
@@ -2962,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_path_cost": _q_flow_path_cost,
         "stream_magnitude": _q_stream_magnitude,
         "basin_hypsometry": _q_basin_hypsometry,
+        "events_seasonality": _q_events_seasonality,
     }
     return qs
 
@@ -4520,6 +4531,11 @@ GROUP BY 1
     out["daily_trend"] = DAILY_TREND_SQL
     # single-batch maintained state == the batch operator exactly
     out["daily_trend_maintained"] = DAILY_TREND_SQL
+    from cuda_gis_smoothing_spark.operators.events import (
+        EVENTS_SEASONALITY_SQL,
+    )
+
+    out["events_seasonality"] = EVENTS_SEASONALITY_SQL
     from cuda_gis_smoothing_spark.functions.text import quality_mannwhitney_sql
 
     out["quality_mannwhitney"] = f"""

@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "flow_path_cost",
     "stream_magnitude",
     "basin_hypsometry",
+    "events_seasonality",
 ]
 
 

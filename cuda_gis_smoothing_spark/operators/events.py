@@ -1705,3 +1705,59 @@ SELECT nd.event_type, nd.n_days,
        ROUND(st.med + 1e-09, 6) AS theil_sen_slope
 FROM nd LEFT JOIN st USING (event_type)
 """.strip()
+
+
+def events_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality profile per event type: event counts
+    and the exact-integer-ratio share per (type, dow). ``dow`` is the
+    EPOCH-ANCHORED weekday ``datediff(day, 1970-01-01) % 7`` (0 =
+    Thursday): engine weekday functions disagree on week start and
+    numbering (Spark dayofweek is 1=Sunday, DuckDB dayofweek 0=Sunday
+    with locale-shaped cousins), while integer day arithmetic is
+    identical everywhere — the event_interarrival integerize lesson
+    applied to calendars. NULL type/day rows are dropped (the
+    *_from_daily kernel contract). The share window runs over the
+    #types x 7 aggregate, never event rows. Output
+    ``(event_type, dow, n_events, share)``."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    d = daily_counts(events).where(
+        F.col("event_type").isNotNull() & F.col("day").isNotNull()
+    )
+    per = d.groupBy(
+        "event_type",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+        )
+        .cast("int")
+        .alias("dow"),
+    ).agg(F.sum("n").cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type")
+    return per.select(
+        "event_type",
+        "dow",
+        "n_events",
+        round6(
+            F.col("n_events").cast("double") / F.sum("n_events").over(w)
+        ).alias("share"),
+    )
+
+
+EVENTS_SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type,
+         CAST(((day - DATE '1970-01-01') % 7) AS INT) AS dow,
+         SUM(n) AS n_events
+  FROM daily GROUP BY 1, 2
+)
+SELECT event_type, dow, CAST(n_events AS BIGINT) AS n_events,
+       ROUND((CAST(n_events AS DOUBLE)
+              / SUM(n_events) OVER (PARTITION BY event_type)) + 1e-09, 6) AS share
+FROM per
+""".strip()

@@ -192,6 +192,11 @@ _HOSTILE_SAMPLE = [
     "multitouch_attribution",
     "quality_mannwhitney",
     "events_cusum_maintained",
+    # cost-family rep: 8 chained Bellman-Ford relaxation joins over a
+    # localCheckpointed edge table + the closure-derived seed set,
+    # under 3 shuffle partitions with broadcasts disabled — the
+    # unrolled min-plus iteration must be partition-invariant
+    "cost_distance",
 ]
 
 

@@ -53,6 +53,9 @@ EVENTS_GATES = [
     "value_quantiles_sketch",
     "value_quantiles_maintained",
     "value_outliers",
+    # epoch-anchored integer weekday + exact-integer-ratio shares —
+    # aggregation-only, so tied timestamps are a pure no-op
+    "events_seasonality",
     # lag-pair gates: the fuzz corpus's tied timestamps exercise the
     # (epoch_us, event_id) total-order contract in both windows
     "event_transitions",
