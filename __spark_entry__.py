@@ -2725,6 +2725,25 @@ def _q_events_seasonality(spark, sf_dir):
     return events_seasonality(load(spark, sf_dir, "events"))
 
 
+def _q_events_seasonality_maintained(spark, sf_dir):
+    """The SAME weekday profile served from the maintained (type, day)
+    count log through the shared seasonality_from_daily kernel (the
+    events_cusum_maintained precedent)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.daily_counts import (
+        MaintainedDailyCounts,
+    )
+
+    state = tempfile.mkdtemp(prefix="daily_state_")
+    m = MaintainedDailyCounts(spark, state)
+    m.process_batch(load(spark, sf_dir, "events"), 0)
+    out = m.seasonality().localCheckpoint(eager=True)  # state dir GC'd next
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_basin_hypsometry(spark, sf_dir):
     """Per-basin hypsometric (area-elevation) histogram: integer
     uniform bands over the unit value surface, grouped by the derived
@@ -2973,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_magnitude": _q_stream_magnitude,
         "basin_hypsometry": _q_basin_hypsometry,
         "events_seasonality": _q_events_seasonality,
+        "events_seasonality_maintained": _q_events_seasonality_maintained,
     }
     return qs
 
@@ -4536,6 +4556,8 @@ GROUP BY 1
     )
 
     out["events_seasonality"] = EVENTS_SEASONALITY_SQL
+    # single-batch maintained state == the batch operator exactly
+    out["events_seasonality_maintained"] = EVENTS_SEASONALITY_SQL
     from cuda_gis_smoothing_spark.functions.text import quality_mannwhitney_sql
 
     out["quality_mannwhitney"] = f"""

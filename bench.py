@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "stream_magnitude",
     "basin_hypsometry",
     "events_seasonality",
+    "events_seasonality_maintained",
 ]
 
 

@@ -1707,14 +1707,15 @@ FROM nd LEFT JOIN st USING (event_type)
 """.strip()
 
 
-def events_seasonality(events: DataFrame) -> DataFrame:
-    """Day-of-week seasonality profile per event type: event counts
-    and the exact-integer-ratio share per (type, dow). ``dow`` is the
-    EPOCH-ANCHORED weekday ``datediff(day, 1970-01-01) % 7`` (0 =
-    Thursday): engine weekday functions disagree on week start and
-    numbering (Spark dayofweek is 1=Sunday, DuckDB dayofweek 0=Sunday
-    with locale-shaped cousins), while integer day arithmetic is
-    identical everywhere — the event_interarrival integerize lesson
+def seasonality_from_daily(daily: DataFrame) -> DataFrame:
+    """The weekday-profile kernel over a (event_type, day, n) table —
+    ONE shared body for the batch gate and the MaintainedDailyCounts
+    serving path (the cusum_from_daily drift-prevention shape).
+    ``dow`` is the EPOCH-ANCHORED weekday ``datediff(day, 1970-01-01)
+    % 7`` (0 = Thursday): engine weekday functions disagree on week
+    start and numbering (Spark dayofweek is 1=Sunday, DuckDB dayofweek
+    0=Sunday with locale-shaped cousins), while integer day arithmetic
+    is identical everywhere — the event_interarrival integerize lesson
     applied to calendars. NULL type/day rows are dropped (the
     *_from_daily kernel contract). The share window runs over the
     #types x 7 aggregate, never event rows. Output
@@ -1723,7 +1724,7 @@ def events_seasonality(events: DataFrame) -> DataFrame:
 
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
-    d = daily_counts(events).where(
+    d = daily.where(
         F.col("event_type").isNotNull() & F.col("day").isNotNull()
     )
     per = d.groupBy(
@@ -1743,6 +1744,13 @@ def events_seasonality(events: DataFrame) -> DataFrame:
             F.col("n_events").cast("double") / F.sum("n_events").over(w)
         ).alias("share"),
     )
+
+
+def events_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality profile per event type — the batch
+    gate: :func:`daily_counts` into the shared
+    :func:`seasonality_from_daily` kernel."""
+    return seasonality_from_daily(daily_counts(events))
 
 
 EVENTS_SEASONALITY_SQL = """

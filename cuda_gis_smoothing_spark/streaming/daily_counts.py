@@ -117,6 +117,17 @@ class MaintainedDailyCounts:
 
         return trend_from_daily(self.daily())
 
+    def seasonality(self) -> DataFrame:
+        """Weekday profile served from state alone — the SHARED
+        seasonality_from_daily kernel over the maintained table
+        (counts are additive, so the served profile equals the batch
+        operator over the union of all ingested batches)."""
+        from cuda_gis_smoothing_spark.operators.events import (
+            seasonality_from_daily,
+        )
+
+        return seasonality_from_daily(self.daily())
+
     # ------------------------------------------------------------------
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         from cuda_gis_smoothing_spark.streaming.windows import EVENTS_SCHEMA

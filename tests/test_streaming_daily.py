@@ -138,3 +138,25 @@ def test_trend_served_equals_batch_multi_batch(spark, state_dir):
         for r in daily_trend(full).collect()
     }
     assert served == want and served
+
+
+def test_seasonality_served_equals_batch_multi_batch(spark, state_dir):
+    """The shared seasonality kernel over maintained state must equal
+    the batch operator over the concatenated stream (additive counts:
+    weekday shares re-normalize as later batches grow the totals)."""
+    from cuda_gis_smoothing_spark.operators.events import events_seasonality
+
+    b0, b1, b2 = _batches(spark)
+    m = MaintainedDailyCounts(spark, state_dir)
+    for i, b in enumerate((b0, b1, b2)):
+        m.process_batch(b, i)
+    full = b0.unionByName(b1).unionByName(b2)
+    got = {
+        (r.event_type, r.dow): (r.n_events, r.share)
+        for r in m.seasonality().collect()
+    }
+    want = {
+        (r.event_type, r.dow): (r.n_events, r.share)
+        for r in events_seasonality(full).collect()
+    }
+    assert got == want and len(got) > 2
