@@ -2697,6 +2697,15 @@ def _q_cost_distance(spark, sf_dir):
     return cost_distance(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_cost_allocation(spark, sf_dir):
+    """Cost allocation (Voronoi-under-cost): the claiming seed decoded
+    from the SAME combined integer min-plus key as cost_distance —
+    cost ties break to the smallest seed id BY the encoding."""
+    from cuda_gis_smoothing_spark.operators.hydrology import cost_allocation
+
+    return cost_allocation(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_flow_path_cost(spark, sf_dir):
     """Integer cost accumulated along each cell's committed D6 flow
     path (sum of crossing weights over its descendants; 0 for sinks) —
@@ -2988,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_bloom": _q_decontaminated_bloom,
         "doc_skyline": _q_doc_skyline,
         "cost_distance": _q_cost_distance,
+        "cost_allocation": _q_cost_allocation,
         "flow_path_cost": _q_flow_path_cost,
         "stream_magnitude": _q_stream_magnitude,
         "basin_hypsometry": _q_basin_hypsometry,
@@ -4370,11 +4380,22 @@ GROUP BY p.basin
     # cost_distance: seeds ride the shared recursive closure; the
     # relaxations are UNROLLED integer min-plus CTEs (cell_pagerank
     # precedent — LEAST skips NULLs identically in both engines)
+    from cuda_gis_smoothing_spark.operators.hydrology import ALLOC_SHIFT
+
     out["cost_distance"] = f"""
 WITH RECURSIVE {_FLOW},
 {flow_closure_ctes()},
 {cost_ctes()}
-SELECT cell, seed, cost FROM cd{COST_ROUNDS}
+SELECT cell, seed, CAST(k // {ALLOC_SHIFT} AS BIGINT) AS cost FROM cd{COST_ROUNDS}
+""".strip()
+    out["cost_allocation"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+{cost_ctes()}
+SELECT cell, seed,
+       CAST(k // {ALLOC_SHIFT} AS BIGINT) AS cost,
+       CAST(k % {ALLOC_SHIFT} AS BIGINT) AS nearest_seed
+FROM cd{COST_ROUNDS}
 """.strip()
     from cuda_gis_smoothing_spark.operators.hydrology import (
         HYPSO_BANDS,

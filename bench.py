@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "events_cusum_maintained",
     "daily_trend_maintained",
     "cost_distance",
+    "cost_allocation",
     "flow_path_cost",
     "stream_magnitude",
     "basin_hypsometry",

@@ -517,6 +517,39 @@ def cost_distance(
     multi-consumer class); each round is one equi-join + one integer
     hash MIN + one cell-keyed left join — the smoothing shuffle shape,
     no windows, no collect. Output ``(cell, seed, cost)``."""
+    d = _cost_relax(cells, value_col, threshold, rounds, max_rounds)
+    return d.select(
+        "cell",
+        "seed",
+        F.expr(f"_k div {ALLOC_SHIFT}").cast("long").alias("cost"),
+    )
+
+
+#: seed-id shift for the combined (cost, seed) relaxation key:
+#: combined = cost * ALLOC_SHIFT + seed_cell. Exact while seed cell
+#: ids < 2^34 (q, r < ~2^17 grids — continental at the reference's hex
+#: pitch) and cost <= COST_ROUNDS * (1 + COST_SCALE) < 2^13, so
+#: combined < 2^47 << 2^62 (the portable-int invariant). min(combined)
+#: IS the lexicographic (cost, seed-id) minimum, and adding w·SHIFT
+#: preserves it — the argmin rides the SAME integer min-plus for free
+#: (the integerize-the-argmin lesson).
+ALLOC_SHIFT = 1 << 34
+
+
+def _cost_relax(
+    cells: DataFrame,
+    value_col: str,
+    threshold: int,
+    rounds: int,
+    max_rounds: int,
+) -> DataFrame:
+    """The ONE bounded Bellman-Ford kernel behind
+    :func:`cost_distance` and :func:`cost_allocation`: relaxes the
+    COMBINED integer key ``k = cost * ALLOC_SHIFT + seed_cell`` (NULL =
+    unreached), so one pass yields both the minimal cost (``k div
+    SHIFT``) and its claiming seed (``k % SHIFT``, smallest seed id on
+    cost ties — lexicographic by construction). Output
+    ``(cell, seed, _k)``."""
     acc = flow_accumulation(cells, value_col, max_rounds)
     wts = cost_weights(cells, value_col)
     offs = F.array(*[F.lit(d) for d in R1_DELTAS])
@@ -533,23 +566,47 @@ def cost_distance(
     d = seeds.select(
         "cell",
         "seed",
-        F.when(F.col("seed"), F.lit(0).cast("long")).alias("cost"),
+        F.when(F.col("seed"), F.col("cell").cast("long")).alias("_k"),
     ).localCheckpoint()  # cuts the closure lineage out of every round
     for _ in range(int(rounds)):
         relax = (
             edges.join(
-                d.where(F.col("cost").isNotNull()).select(
-                    F.col("cell").alias("nbr"), F.col("cost").alias("_cn")
+                d.where(F.col("_k").isNotNull()).select(
+                    F.col("cell").alias("nbr"), F.col("_k").alias("_kn")
                 ),
                 "nbr",
             )
             .groupBy("cell")
-            .agg(F.min(F.col("_cn") + F.col("w")).alias("_nc"))
+            .agg(F.min(F.col("_kn") + F.col("w") * ALLOC_SHIFT).alias("_nk"))
         )
         d = d.join(relax, "cell", "left").select(
-            "cell", "seed", F.least(F.col("cost"), F.col("_nc")).alias("cost")
+            "cell", "seed", F.least(F.col("_k"), F.col("_nk")).alias("_k")
         )
     return d
+
+
+def cost_allocation(
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    threshold: int = STREAM_THRESHOLD,
+    rounds: int = COST_ROUNDS,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Cost allocation — the companion raster to :func:`cost_distance`
+    (ArcGIS "cost allocation"/Voronoi-under-cost): which seed cell
+    claims each cell, = the seed of the lexicographically minimal
+    (cost, seed-id) path, decoded from the SAME combined-key
+    relaxation (zero extra arithmetic; cost ties break to the smallest
+    seed id — deterministic cross-engine BY the integer encoding).
+    Output ``(cell, seed, cost, nearest_seed)``; both NULL beyond the
+    horizon."""
+    d = _cost_relax(cells, value_col, threshold, rounds, max_rounds)
+    return d.select(
+        "cell",
+        "seed",
+        F.expr(f"_k div {ALLOC_SHIFT}").cast("long").alias("cost"),
+        (F.col("_k") % ALLOC_SHIFT).cast("long").alias("nearest_seed"),
+    )
 
 
 def cost_weight_cte(source: str = "cells4", value_col: str = "ndvi") -> str:
@@ -569,12 +626,15 @@ def cost_ctes(
     source: str = "cells4",
     value_col: str = "ndvi",
 ) -> str:
-    """DuckDB twin CTEs for :func:`cost_distance` — seeds from the
-    shared recursive closure (:func:`flow_closure_ctes` must precede),
-    then ``rounds`` UNROLLED relaxation CTEs ``cd0..cd{rounds}`` (the
+    """DuckDB twin CTEs for the :func:`_cost_relax` kernel — seeds
+    from the shared recursive closure (:func:`flow_closure_ctes` must
+    precede), then ``rounds`` UNROLLED relaxation CTEs over the
+    COMBINED key ``k = cost * ALLOC_SHIFT + seed_cell`` (the
     cell_pagerank unrolled-iteration precedent; all-integer min-plus,
-    LEAST skips NULLs in both engines). Final table: ``cd{rounds}
-    (cell, seed, cost)``."""
+    LEAST skips NULLs in both engines; ``//`` and Spark ``div``
+    agree on non-negative integers). Final table: ``cd{rounds}
+    (cell, seed, k)`` — callers decode cost ``k // SHIFT`` and
+    nearest_seed ``k % SHIFT``."""
     parts = [
         "cacc AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst)",
         cost_weight_cte(source, value_col),
@@ -587,18 +647,18 @@ def cost_ctes(
   SELECT c.cell,
          (1 + COALESCE(a.n, 0)) >= {int(threshold)} AS seed,
          CASE WHEN (1 + COALESCE(a.n, 0)) >= {int(threshold)}
-              THEN CAST(0 AS BIGINT) END AS cost
+              THEN CAST(c.cell AS BIGINT) END AS k
   FROM {source} c LEFT JOIN cacc a ON a.dst = c.cell
 )""",
     ]
     for t in range(1, int(rounds) + 1):
         parts.append(
             f"""cd{t} AS (
-  SELECT p.cell, p.seed, LEAST(p.cost, m.nc) AS cost
+  SELECT p.cell, p.seed, LEAST(p.k, m.nk) AS k
   FROM cd{t - 1} p LEFT JOIN (
-    SELECT e.cell, MIN(pn.cost + w.w) AS nc
+    SELECT e.cell, MIN(pn.k + w.w * {ALLOC_SHIFT}) AS nk
     FROM cedges e
-    JOIN cd{t - 1} pn ON pn.cell = e.nbr AND pn.cost IS NOT NULL
+    JOIN cd{t - 1} pn ON pn.cell = e.nbr AND pn.k IS NOT NULL
     JOIN cw w ON w.cell = e.cell
     GROUP BY e.cell
   ) m ON m.cell = p.cell

@@ -413,3 +413,50 @@ def test_basin_hypsometry_sums_to_basin_sizes(spark):
         assert 0 <= r["band"] < 10
         by_basin[r["basin"]] = by_basin.get(r["basin"], 0) + r["n_cells"]
     assert by_basin == sizes
+
+
+def test_cost_allocation_matches_python_lexicographic_oracle(spark):
+    import math
+
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        COST_ROUNDS,
+        COST_SCALE,
+        STREAM_THRESHOLD,
+        cost_allocation,
+    )
+
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    seeds, _ = _py_cost_distance(vals, COST_ROUNDS, STREAM_THRESHOLD)
+    w = {c: 1 + math.floor(v * COST_SCALE + 1e-9) for c, v in vals.items()}
+    # relax (cost, seed) tuples — tuple min IS the lexicographic order
+    # the combined-key encoding computes
+    dist = {c: ((0, c) if c in seeds else None) for c in vals}
+    for _ in range(COST_ROUNDS):
+        nxt = dict(dist)
+        for c in vals:
+            best = dist[c]
+            for d in R1_DELTAS:
+                n = c + d
+                if n in vals and dist[n] is not None:
+                    cand = (dist[n][0] + w[c], dist[n][1])
+                    if best is None or cand < best:
+                        best = cand
+            nxt[c] = best
+        dist = nxt
+    got = {
+        r["cell"]: (r["seed"], r["cost"], r["nearest_seed"])
+        for r in cost_allocation(cells).collect()
+    }
+    assert set(got) == set(vals)
+    for c in vals:
+        s, cost, ns = got[c]
+        assert s == (c in seeds)
+        if dist[c] is None:
+            assert cost is None and ns is None
+        else:
+            assert (cost, ns) == dist[c], f"cell {c}"
+            assert ns in seeds  # the claimant is a real seed cell
+    # seeds claim themselves at cost 0
+    for c in seeds:
+        assert got[c][1] == 0 and got[c][2] == c
