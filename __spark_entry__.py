@@ -786,6 +786,16 @@ def _q_knn_graph(spark, sf_dir):
     return knn_graph(load(spark, sf_dir, "embeddings"), k=5)
 
 
+def _q_knn_mutual_pairs(spark, sf_dir):
+    """Reciprocal k-NN filter: pairs where EACH vector ranks the other
+    in its own top-k — one reversed-pair self-join of the
+    localCheckpoint'ed exact graph; twin composed from the knn_graph
+    SQL (the rrf_fusion nested-derived-table precedent)."""
+    from cuda_gis_smoothing_spark.operators.similarity import knn_mutual_pairs
+
+    return knn_mutual_pairs(load(spark, sf_dir, "embeddings"), k=5)
+
+
 def _q_knn_graph_ivf(spark, sf_dir):
     """Approximate (IVF-blocked) corpus k-NN graph — the scale path of
     knn_graph (candidates from each vector's probed buckets, never
@@ -3003,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basin_hypsometry": _q_basin_hypsometry,
         "events_seasonality": _q_events_seasonality,
         "events_seasonality_maintained": _q_events_seasonality_maintained,
+        "knn_mutual_pairs": _q_knn_mutual_pairs,
     }
     return qs
 
@@ -4945,7 +4956,7 @@ SELECT c.doc_id, CAST(c.dim_index AS BIGINT) AS dim_index,
        ROUND(c.c / nm.nrm + 1e-09, 6) AS weight
 FROM c JOIN nm USING (doc_id)
 """.strip()
-    out["knn_graph"] = """
+    _KNN_GRAPH_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
 p AS (
@@ -4959,6 +4970,18 @@ SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
   FROM p
 )
 WHERE rank <= 5
+""".strip()
+    out["knn_graph"] = _KNN_GRAPH_SQL
+    # mutual pairs COMPOSED from the graph twin (the rrf_fusion
+    # nested-derived-table precedent — one definition, no drift)
+    out["knn_mutual_pairs"] = f"""
+WITH g AS (
+  SELECT * FROM ({_KNN_GRAPH_SQL})
+)
+SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b, a.cosine,
+       a.rank AS rank_ab, b.rank AS rank_ba
+FROM g a JOIN g b ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+WHERE a.vec_id < a.neighbor_id
 """.strip()
     out["knn_graph_ivf"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

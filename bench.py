@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "doc_tfidf_maintained",
     "feature_hashing",
     "knn_graph",
+    "knn_mutual_pairs",
     "knn_graph_ivf",
     "knn_graph_ivf_trained",
     "knn_ivf_maintained",

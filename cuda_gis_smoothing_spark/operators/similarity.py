@@ -325,6 +325,40 @@ def knn_graph(
     )
 
 
+def knn_mutual_pairs(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Mutual (reciprocal) k-NN pairs — the standard high-precision
+    neighbor filter for semantic dedup/clustering (a pair survives only
+    if EACH vector ranks the other in its own top-k; hubs that appear
+    in many lists but reciprocate few are dropped). One self-join of
+    the :func:`knn_graph` table on the reversed pair — the graph is
+    localCheckpoint'ed ahead of its two differently-projected consumers
+    (the multi-consumer re-execute class; at 100 TB the k-NN graph is a
+    stored table anyway and this join is O(N·k) on (vec, nbr) keys).
+    Output ``(vec_a, vec_b, cosine, rank_ab, rank_ba)`` with
+    vec_a < vec_b; cosine is the round6 pair cosine (symmetric)."""
+    g = knn_graph(embeddings, k, id_col, n_blocks).localCheckpoint()
+    a = g.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        "cosine",
+        F.col("rank").alias("rank_ab"),
+    ).where(F.col("vec_a") < F.col("vec_b"))
+    b = g.select(
+        F.col(id_col).alias("_vb"),
+        F.col("neighbor_id").alias("_va"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return a.join(
+        b,
+        (F.col("vec_a") == F.col("_va")) & (F.col("vec_b") == F.col("_vb")),
+    ).select("vec_a", "vec_b", "cosine", "rank_ab", "rank_ba")
+
+
 def _probe_buckets_udf(spark, cents, n_probe: int):
     """Vectorized ``n_probe``-nearest-centroid assignment (broadcast +
     numpy matmul per Arrow batch; STABLE argsort so exact
