@@ -2307,6 +2307,33 @@ def _q_flow_direction_maintained(spark, sf_dir):
     return out
 
 
+def _q_cost_distance_maintained(spark, sf_dir):
+    """Cost-distance served from MAINTAINED cell state (the
+    flow_direction_maintained precedent; closure products recompute on
+    read): one partials batch folds the grid, the bounded relaxation
+    runs over the recovered surface. Single batch == the batch gate
+    exactly (SHARED twin)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.incremental import (
+        IncrementalFlowRouter,
+    )
+
+    cells = grid_from_lineitem(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="flow_state_")
+    rt = IncrementalFlowRouter(spark, state)
+    rt.process_partials(
+        cells.select(
+            "cell", F.col("ndvi").alias("sum_ndvi"), F.lit(1).cast("long").alias("n")
+        ),
+        0,
+    )
+    out = rt.cost_distance().localCheckpoint(eager=True)  # state dir GC'd next
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_aspect_sectors(spark, sf_dir):
     """Hex-native aspect classification: sector = canonical ring-1
     index of the steepest-descent neighbor (−1 for sinks) — pure
@@ -3014,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality": _q_events_seasonality,
         "events_seasonality_maintained": _q_events_seasonality_maintained,
         "knn_mutual_pairs": _q_knn_mutual_pairs,
+        "cost_distance_maintained": _q_cost_distance_maintained,
     }
     return qs
 
@@ -4399,6 +4427,8 @@ WITH RECURSIVE {_FLOW},
 {cost_ctes()}
 SELECT cell, seed, CAST(k // {ALLOC_SHIFT} AS BIGINT) AS cost FROM cd{COST_ROUNDS}
 """.strip()
+    # single-batch maintained state == the batch operator exactly
+    out["cost_distance_maintained"] = out["cost_distance"]
     out["cost_allocation"] = f"""
 WITH RECURSIVE {_FLOW},
 {flow_closure_ctes()},

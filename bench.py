@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "daily_trend_maintained",
     "cost_distance",
     "cost_allocation",
+    "cost_distance_maintained",
     "flow_path_cost",
     "stream_magnitude",
     "basin_hypsometry",

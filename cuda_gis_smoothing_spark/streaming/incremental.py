@@ -353,6 +353,21 @@ class IncrementalFlowRouter:
             "cell", (F.col("sum_ndvi") / F.col("n")).alias("ndvi")
         )
 
+    def cost_distance(self, **kwargs) -> DataFrame | None:
+        """Cost-distance to the stream network served from maintained
+        cell state — a CLOSURE product (the basins/accumulation
+        recompute-on-read contract: one updated cell can re-route an
+        arbitrarily long optimal path, so the bounded relaxation
+        recomputes over the maintained surface; the aggregate log IS
+        its stored input table at 100 TB). sum/n recovers values
+        exactly when partials ride as (value, n=1), so a single-batch
+        instance equals the batch operator bit-for-bit (the SHARED
+        twin argument)."""
+        from cuda_gis_smoothing_spark.operators.hydrology import cost_distance
+
+        cells = self.state_cells()
+        return None if cells is None else cost_distance(cells, **kwargs)
+
     # -- the foreachBatch body -------------------------------------------------
     def process_batch(self, images_batch: DataFrame, batch_id: int) -> None:
         self.process_partials(cell_partials(images_batch, self.grid), batch_id)

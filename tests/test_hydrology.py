@@ -460,3 +460,30 @@ def test_cost_allocation_matches_python_lexicographic_oracle(spark):
     # seeds claim themselves at cost 0
     for c in seeds:
         assert got[c][1] == 0 and got[c][2] == c
+
+
+def test_router_cost_distance_served_equals_batch_after_update(spark, tmp_path):
+    """Cost-distance served from router state (recompute-on-read) must
+    equal the batch operator over the MERGED surface — including after
+    an update batch that changes crossing weights and flow routing."""
+    from cuda_gis_smoothing_spark.operators.hydrology import cost_distance
+    from cuda_gis_smoothing_spark.streaming.incremental import (
+        IncrementalFlowRouter,
+    )
+
+    cells = _grid(spark)
+    rt = IncrementalFlowRouter(spark, str(tmp_path / "state"))
+    rt.process_partials(
+        cells.selectExpr("cell", "ndvi AS sum_ndvi", "CAST(1 AS LONG) AS n"), 0
+    )
+    one = cells.select("cell").limit(1).collect()[0]["cell"]
+    rt.process_partials(_partials(spark, [(one, 0.9)]), 1)
+    got = {
+        r["cell"]: (r["seed"], r["cost"])
+        for r in rt.cost_distance().collect()
+    }
+    want = {
+        r["cell"]: (r["seed"], r["cost"])
+        for r in cost_distance(rt.state_cells()).collect()
+    }
+    assert got == want and len(got) == cells.count()
