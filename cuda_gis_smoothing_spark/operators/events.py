@@ -1317,14 +1317,31 @@ def autocorr_from_daily(
     )
 
 
+def daily_cte(
+    *, null_filter: bool, varchar_day: bool = False, bigint_n: bool = False
+) -> str:
+    """The ONE ``daily (event_type, day, n)`` CTE text for every
+    events-family twin (review catch — six hand-written copies had
+    accumulated; the band_union_sql drift-prevention class). Variants
+    are explicit parameters: ``null_filter`` (the *_from_daily kernel
+    contract drops NULL type/day; the autocorrelation family keeps
+    them — NULLs never join a lag pair), ``varchar_day`` (the
+    events_rollup date-vs-text normalization) and ``bigint_n``."""
+    day = "CAST(CAST(ts AS DATE) AS VARCHAR)" if varchar_day else "CAST(ts AS DATE)"
+    n = "CAST(COUNT(*) AS BIGINT)" if bigint_n else "COUNT(*)"
+    where = (
+        "WHERE ts IS NOT NULL AND event_type IS NOT NULL " if null_filter else ""
+    )
+    return f"""daily AS (
+  SELECT event_type, {day} AS day, {n} AS n
+  FROM events {where}GROUP BY 1, 2
+)"""
+
+
 def event_autocorrelation_sql(lags: tuple[int, ...] = AUTOCORR_LAGS) -> str:
     vals = ", ".join(f"({int(k)})" for k in lags)
     return f"""
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
-),
+WITH {daily_cte(null_filter=False, bigint_n=True)},
 lags (lag) AS (VALUES {vals}),
 pairs AS (
   SELECT x.event_type, l.lag, x.n AS nx, y.n AS ny
@@ -1406,11 +1423,7 @@ def daily_anomaly_robust_sql() -> str:
 
     c = flit(ROBUST_Z_CONSISTENCY)
     return f"""
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
-),
+WITH {daily_cte(null_filter=False, bigint_n=True)},
 med AS (
   SELECT event_type, quantile_cont(n, 0.5) AS _med
   FROM daily GROUP BY event_type
@@ -1485,11 +1498,8 @@ def events_cusum(events: DataFrame) -> DataFrame:
     return cusum_from_daily(daily_counts(events))
 
 
-EVENTS_CUSUM_SQL = """
-WITH daily AS (
-  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n
-  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
-),
+EVENTS_CUSUM_SQL = f"""
+WITH {daily_cte(null_filter=True, varchar_day=True)},
 w AS (
   SELECT event_type, day, n,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
@@ -1681,11 +1691,8 @@ def daily_trend(events: DataFrame) -> DataFrame:
     return trend_from_daily(daily_counts(events))
 
 
-DAILY_TREND_SQL = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
-  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
-),
+DAILY_TREND_SQL = f"""
+WITH {daily_cte(null_filter=True)},
 dix AS (
   SELECT event_type, (day - DATE '1970-01-01') AS d, n FROM daily
 ),
@@ -1753,11 +1760,8 @@ def events_seasonality(events: DataFrame) -> DataFrame:
     return seasonality_from_daily(daily_counts(events))
 
 
-EVENTS_SEASONALITY_SQL = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
-  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
-),
+EVENTS_SEASONALITY_SQL = f"""
+WITH {daily_cte(null_filter=True)},
 per AS (
   SELECT event_type,
          CAST(((day - DATE '1970-01-01') % 7) AS INT) AS dow,

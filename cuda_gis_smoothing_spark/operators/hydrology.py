@@ -494,6 +494,7 @@ def cost_distance(
     threshold: int = STREAM_THRESHOLD,
     rounds: int = COST_ROUNDS,
     max_rounds: int = 16,
+    fd: DataFrame | None = None,
 ) -> DataFrame:
     """Cost-distance to the stream network — the classic GIS
     cost-surface accumulation (riparian-buffer / proximity modelling):
@@ -517,7 +518,7 @@ def cost_distance(
     multi-consumer class); each round is one equi-join + one integer
     hash MIN + one cell-keyed left join — the smoothing shuffle shape,
     no windows, no collect. Output ``(cell, seed, cost)``."""
-    d = _cost_relax(cells, value_col, threshold, rounds, max_rounds)
+    d = _cost_relax(cells, value_col, threshold, rounds, max_rounds, fd=fd)
     return d.select(
         "cell",
         "seed",
@@ -542,15 +543,22 @@ def _cost_relax(
     threshold: int,
     rounds: int,
     max_rounds: int,
+    fd: DataFrame | None = None,
 ) -> DataFrame:
     """The ONE bounded Bellman-Ford kernel behind
     :func:`cost_distance` and :func:`cost_allocation`: relaxes the
     COMBINED integer key ``k = cost * ALLOC_SHIFT + seed_cell`` (NULL =
     unreached), so one pass yields both the minimal cost (``k div
     SHIFT``) and its claiming seed (``k % SHIFT``, smallest seed id on
-    cost ties — lexicographic by construction). Output
-    ``(cell, seed, _k)``."""
-    acc = flow_accumulation(cells, value_col, max_rounds)
+    cost ties — lexicographic by construction). Each round's state is
+    localCheckpoint'ed: the loop references ``d`` TWICE per round (in
+    the relax subquery and as the combine side), so an un-materialized
+    chain doubles the physical plan per round — 510 joins at rounds=8
+    vs the linear 16 (the multi-consumer re-execute class; the
+    descendant_pairs per-round checkpoint pattern). Pass a
+    pre-checkpointed ``fd`` to share the flow derivation (the
+    drainage_density contract). Output ``(cell, seed, _k)``."""
+    acc = flow_accumulation(cells, value_col, max_rounds, fd=fd)
     wts = cost_weights(cells, value_col)
     offs = F.array(*[F.lit(d) for d in R1_DELTAS])
     edges = (
@@ -579,8 +587,12 @@ def _cost_relax(
             .groupBy("cell")
             .agg(F.min(F.col("_kn") + F.col("w") * ALLOC_SHIFT).alias("_nk"))
         )
-        d = d.join(relax, "cell", "left").select(
-            "cell", "seed", F.least(F.col("_k"), F.col("_nk")).alias("_k")
+        d = (
+            d.join(relax, "cell", "left")
+            .select(
+                "cell", "seed", F.least(F.col("_k"), F.col("_nk")).alias("_k")
+            )
+            .localCheckpoint()  # two consumers next round — keep the plan linear
         )
     return d
 
@@ -591,6 +603,7 @@ def cost_allocation(
     threshold: int = STREAM_THRESHOLD,
     rounds: int = COST_ROUNDS,
     max_rounds: int = 16,
+    fd: DataFrame | None = None,
 ) -> DataFrame:
     """Cost allocation — the companion raster to :func:`cost_distance`
     (ArcGIS "cost allocation"/Voronoi-under-cost): which seed cell
@@ -600,7 +613,7 @@ def cost_allocation(
     seed id — deterministic cross-engine BY the integer encoding).
     Output ``(cell, seed, cost, nearest_seed)``; both NULL beyond the
     horizon."""
-    d = _cost_relax(cells, value_col, threshold, rounds, max_rounds)
+    d = _cost_relax(cells, value_col, threshold, rounds, max_rounds, fd=fd)
     return d.select(
         "cell",
         "seed",
@@ -713,9 +726,7 @@ def stream_magnitude(
     every cell downstream of one; pure-sink isolated cells report 1
     (they are their own source)."""
     fd = flow_direction(cells, value_col).localCheckpoint()
-    edges = fd.where(F.col("flow_to").isNotNull()).select(
-        F.col("cell").alias("src"), F.col("flow_to").alias("dst")
-    )
+    edges = _flow_edges(cells, value_col, fd)
     # leaves: no edge flows INTO the cell
     leaves = cells.select("cell").join(
         edges.select(F.col("dst").alias("cell")), "cell", "left_anti"

@@ -362,11 +362,17 @@ class IncrementalFlowRouter:
         its stored input table at 100 TB). sum/n recovers values
         exactly when partials ride as (value, n=1), so a single-batch
         instance equals the batch operator bit-for-bit (the SHARED
-        twin argument)."""
+        twin argument). The seed derivation reuses the MAINTAINED flow
+        log (fd=current_flow) — the whole point of the router's state
+        is that the fd derivation is never recomputed at read time
+        (review catch)."""
         from cuda_gis_smoothing_spark.operators.hydrology import cost_distance
 
         cells = self.state_cells()
-        return None if cells is None else cost_distance(cells, **kwargs)
+        if cells is None:
+            return None
+        fd = self.current_flow().localCheckpoint()  # closure consumers
+        return cost_distance(cells, fd=fd, **kwargs)
 
     # -- the foreachBatch body -------------------------------------------------
     def process_batch(self, images_batch: DataFrame, batch_id: int) -> None:

@@ -2,7 +2,7 @@
 (dedup_containment 56.6 s, curate_packed 40.1 s) plus calibrator gates
 with known clean walls, per the re-run-don't-re-architect policy.
 Writes JSONL to BENCH/rerun_outliers_r5close.jsonl."""
-import time, json, sys
+import time, json
 import sys; sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import __spark_entry__ as e
