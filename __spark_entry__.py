@@ -796,6 +796,16 @@ def _q_knn_mutual_pairs(spark, sf_dir):
     return knn_mutual_pairs(load(spark, sf_dir, "embeddings"), k=5)
 
 
+def _q_knn_label_vote(spark, sf_dir):
+    """k-NN majority-vote label transfer across the portable-hash
+    holdout cut — blocked pairwise cosines, round6 rank total order,
+    integer vote argmax; the label-noise audit beside
+    label_centroid_similarity."""
+    from cuda_gis_smoothing_spark.operators.similarity import knn_label_vote
+
+    return knn_label_vote(load(spark, sf_dir, "embeddings"))
+
+
 def _q_knn_graph_ivf(spark, sf_dir):
     """Approximate (IVF-blocked) corpus k-NN graph — the scale path of
     knn_graph (candidates from each vector's probed buckets, never
@@ -3042,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality_maintained": _q_events_seasonality_maintained,
         "knn_mutual_pairs": _q_knn_mutual_pairs,
         "cost_distance_maintained": _q_cost_distance_maintained,
+        "knn_label_vote": _q_knn_label_vote,
     }
     return qs
 
@@ -5002,6 +5013,51 @@ SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 WHERE rank <= 5
 """.strip()
     out["knn_graph"] = _KNN_GRAPH_SQL
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        SPLIT_TRAIN_LT as _TRLT,
+        SPLIT_VAL_LT as _VLLT,
+        sample_hash_sql as _shs,
+    )
+    from cuda_gis_smoothing_spark.operators.similarity import KNN_VOTE_K
+
+    # label vote: the knn_graph pair/rank definition restricted to
+    # (val -> train) directions over the shared split hash cut
+    out["knn_label_vote"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+n AS (SELECT vec_id, emb, label, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
+sp AS (
+  SELECT vec_id,
+         CASE WHEN {_shs('vec_id')} < {_TRLT} THEN 'train'
+              WHEN {_shs('vec_id')} < {_VLLT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM e
+),
+p AS (
+  SELECT q.vec_id AS val_id, t.vec_id AS train_id, t.label,
+         ROUND(list_dot_product(q.emb, t.emb) / (q.nrm * t.nrm) + 1e-09, 6) AS cosine
+  FROM n q JOIN sp sq ON sq.vec_id = q.vec_id AND sq.split = 'val'
+  JOIN n t ON t.vec_id <> q.vec_id
+  JOIN sp st ON st.vec_id = t.vec_id AND st.split = 'train'
+  WHERE t.label IS NOT NULL
+),
+topk AS (
+  SELECT val_id, label FROM (
+    SELECT val_id, label,
+           ROW_NUMBER() OVER (PARTITION BY val_id ORDER BY cosine DESC, train_id) AS rk
+    FROM p
+  ) WHERE rk <= {KNN_VOTE_K}
+),
+votes AS (SELECT val_id, label, CAST(COUNT(*) AS BIGINT) AS votes FROM topk GROUP BY 1, 2),
+pred AS (
+  SELECT val_id, label AS predicted_label, votes,
+         ROW_NUMBER() OVER (PARTITION BY val_id ORDER BY votes DESC, label) AS pr
+  FROM votes
+)
+SELECT p.val_id AS vec_id, CAST(e.label AS BIGINT) AS true_label,
+       CAST(p.predicted_label AS BIGINT) AS predicted_label, p.votes
+FROM pred p JOIN e ON e.vec_id = p.val_id
+WHERE p.pr = 1
+""".strip()
     # mutual pairs COMPOSED from the graph twin (the rrf_fusion
     # nested-derived-table precedent — one definition, no drift)
     out["knn_mutual_pairs"] = f"""

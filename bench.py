@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "feature_hashing",
     "knn_graph",
     "knn_mutual_pairs",
+    "knn_label_vote",
     "knn_graph_ivf",
     "knn_graph_ivf_trained",
     "knn_ivf_maintained",

@@ -359,6 +359,116 @@ def knn_mutual_pairs(
     ).select("vec_a", "vec_b", "cosine", "rank_ab", "rank_ba")
 
 
+#: k for the label-vote classifier gate (matches the knn_graph gate k)
+KNN_VOTE_K = 5
+
+
+def knn_label_vote(
+    embeddings: DataFrame,
+    k: int = KNN_VOTE_K,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """k-NN majority-vote label transfer across the deterministic
+    holdout cut — the classic label-propagation / label-quality audit
+    a training pipeline runs over a labeled embedding table (predict
+    each val-split vector's label from its k nearest train-split
+    vectors; disagreement with the stored label flags label noise or
+    non-separable classes, the actionable sibling of
+    label_centroid_similarity's global report).
+
+    Deterministic end-to-end: the split is the portable-hash
+    dataset_split cut, neighbor ranking is on the ROUND6'd cosine with
+    train-id tie-break (the knn_graph total-order contract), and the
+    vote argmax is integer (votes DESC, label ASC). Train vectors with
+    NULL labels don't vote; val vectors keep a possibly-NULL
+    true_label. Pairwise cosines come from the SAME blocked triangle
+    kernel as knn_graph (pinned parallelism, no broadcast-of-corpus);
+    both (val, train) orientations are emitted from ONE pass via the
+    explode-of-two-structs idiom (a union of two filters would run the
+    pair join twice — the span_coverage class). Output
+    ``(vec_id, true_label, predicted_label, votes)`` per val vector
+    with >= 1 labeled train neighbor."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.operators.dedup import embedding_neardup_pairs
+    from cuda_gis_smoothing_spark.operators.sampling import dataset_split
+
+    sp = dataset_split(embeddings.select(id_col), id_col=id_col)
+    pairs = embedding_neardup_pairs(
+        embeddings, threshold=-2.0, id_col=id_col, n_blocks=n_blocks
+    )
+    cand = pairs.join(
+        sp.select(F.col(id_col).alias("vec_a"), F.col("split").alias("_sa")),
+        "vec_a",
+    ).join(
+        sp.select(F.col(id_col).alias("vec_b"), F.col("split").alias("_sb")),
+        "vec_b",
+    )
+    directed = (
+        cand.select(
+            "cosine",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("vec_a").alias("v"),
+                        F.col("vec_b").alias("t"),
+                        F.col("_sa").alias("sv"),
+                        F.col("_sb").alias("st"),
+                    ),
+                    F.struct(
+                        F.col("vec_b").alias("v"),
+                        F.col("vec_a").alias("t"),
+                        F.col("_sb").alias("sv"),
+                        F.col("_sa").alias("st"),
+                    ),
+                )
+            ).alias("_e"),
+        )
+        .where((F.col("_e.sv") == "val") & (F.col("_e.st") == "train"))
+        .select(
+            F.col("_e.v").alias("val_id"),
+            F.col("_e.t").alias("train_id"),
+            "cosine",
+        )
+    )
+    tl = embeddings.select(
+        F.col(id_col).alias("train_id"), F.col(label_col).alias("_tl")
+    ).where(F.col("_tl").isNotNull())
+    w = Window.partitionBy("val_id").orderBy(
+        F.col("cosine").desc(), F.col("train_id").asc()
+    )
+    topk = (
+        directed.join(tl, "train_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(k))
+    )
+    votes = topk.groupBy("val_id", "_tl").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    pw = Window.partitionBy("val_id").orderBy(
+        F.col("votes").desc(), F.col("_tl").asc()
+    )
+    pred = (
+        votes.withColumn("_pr", F.row_number().over(pw))
+        .where(F.col("_pr") == 1)
+        .select(
+            "val_id",
+            F.col("_tl").cast("long").alias("predicted_label"),
+            "votes",
+        )
+    )
+    truth = embeddings.select(
+        F.col(id_col).alias("val_id"),
+        F.col(label_col).cast("long").alias("true_label"),
+    )
+    return pred.join(truth, "val_id").select(
+        F.col("val_id").alias(id_col), "true_label", "predicted_label", "votes"
+    )
+
+
 def _probe_buckets_udf(spark, cents, n_probe: int):
     """Vectorized ``n_probe``-nearest-centroid assignment (broadcast +
     numpy matmul per Arrow batch; STABLE argsort so exact
