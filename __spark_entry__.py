@@ -806,6 +806,15 @@ def _q_knn_label_vote(spark, sf_dir):
     return knn_label_vote(load(spark, sf_dir, "embeddings"))
 
 
+def _q_split_leakage_check(spark, sf_dir):
+    """Cross-split near-dup leakage audit: LSH candidates filtered to
+    boundary-crossing pairs before the exact-jaccard verify; the
+    cross-SPLIT sibling of contamination_report."""
+    from cuda_gis_smoothing_spark.operators.curate import split_leakage_check
+
+    return split_leakage_check(load(spark, sf_dir, "documents"))
+
+
 def _q_knn_graph_ivf(spark, sf_dir):
     """Approximate (IVF-blocked) corpus k-NN graph — the scale path of
     knn_graph (candidates from each vector's probed buckets, never
@@ -3053,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_mutual_pairs": _q_knn_mutual_pairs,
         "cost_distance_maintained": _q_cost_distance_maintained,
         "knn_label_vote": _q_knn_label_vote,
+        "split_leakage_check": _q_split_leakage_check,
     }
     return qs
 
@@ -3780,6 +3790,53 @@ SELECT doc_id, n_tokens, quality_score
 FROM kept2
 WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
   AND {sample_hash_sql("doc_id")} < {int(CURATE_SAMPLE_F * _DENOM)}
+""".strip()
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        SPLIT_TRAIN_LT as _SLTR,
+        SPLIT_VAL_LT as _SLVL,
+    )
+
+    # cross-split leakage: the minhash_lsh candidate definition + the
+    # shared split-hash cut + the one verify formula
+    _shsd = sample_hash_sql("doc_id")
+    out["split_leakage_check"] = f"""
+WITH {tok_cte},
+h AS (SELECT doc_id, {th} AS h FROM tok),
+sig AS (SELECT doc_id, {mh_aggs} FROM h GROUP BY doc_id),
+banded AS (
+  {band_union}
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {_shsd} < {_SLTR} THEN 'train'
+              WHEN {_shsd} < {_SLVL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+xb AS (
+  SELECT c.doc_a, c.doc_b, sa.split AS split_a, sb.split AS split_b
+  FROM cand c JOIN sp sa ON sa.doc_id = c.doc_a JOIN sp sb ON sb.doc_id = c.doc_b
+  WHERE sa.split <> sb.split
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_a, x.doc_b, COUNT(*) AS i
+  FROM xb x
+  JOIN tok a ON a.doc_id = x.doc_a
+  JOIN tok b ON b.doc_id = x.doc_b AND b.t = a.t
+  GROUP BY 1, 2
+)
+SELECT x.doc_a, x.doc_b, x.split_a, x.split_b,
+       ROUND(i2.i * 1.0 / (sa.n + sb.n - i2.i) + 1e-09, 6) AS jaccard
+FROM inter i2
+JOIN xb x ON x.doc_a = i2.doc_a AND x.doc_b = i2.doc_b
+JOIN sz sa ON sa.doc_id = i2.doc_a
+JOIN sz sb ON sb.doc_id = i2.doc_b
+WHERE ROUND(i2.i * 1.0 / (sa.n + sb.n - i2.i) + 1e-09, 6) >= {flit(CURATE_NEARDUP_J)}
 """.strip()
     from cuda_gis_smoothing_spark.operators.sampling import stratified_sample_sql
 

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "knn_graph",
     "knn_mutual_pairs",
     "knn_label_vote",
+    "split_leakage_check",
     "knn_graph_ivf",
     "knn_graph_ivf_trained",
     "knn_ivf_maintained",

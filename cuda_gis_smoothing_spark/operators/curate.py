@@ -1012,3 +1012,52 @@ SELECT source, n_docs, tokens,
        ROUND(CAST(wsc AS DOUBLE) / NULLIF(WS, 0) + 1e-09, 6) AS mixture_weight
 FROM ws, tot
 """.strip()
+
+def split_leakage_check(
+    docs,
+    threshold: float = CURATE_NEARDUP_J,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Train/eval leakage audit: near-duplicate pairs that CROSS the
+    deterministic holdout cut — the check every training pipeline runs
+    before trusting a val/test score (a train doc whose near-dup sits
+    in the test split inflates eval silently; the cross-SPLIT sibling
+    of contamination_report's external-benchmark check). MinHash-LSH
+    candidates (the shared banded kernel, pinned parallelism) filtered
+    to cross-split pairs BEFORE the exact-jaccard verify — same-split
+    pairs dominate the candidate mass and are irrelevant here, so the
+    verify runs on the boundary-crossing sliver only. The candidate
+    table feeds two consumers (verify + split re-attach) →
+    localCheckpoint (the multi-consumer class). Output
+    ``(doc_a, doc_b, split_a, split_b, jaccard)``, jaccard >= threshold
+    round6."""
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        verified_jaccard_pairs,
+    )
+    from cuda_gis_smoothing_spark.operators.sampling import dataset_split
+
+    cand = minhash_lsh_pairs(docs, text_col, id_col)
+    sp = dataset_split(docs, id_col)
+    cross = (
+        cand.join(
+            sp.select(F.col(id_col).alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col(id_col).alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+        .localCheckpoint()  # verify + split re-attach consumers
+    )
+    ver = verified_jaccard_pairs(
+        cross.select("doc_a", "doc_b"), docs, docs, threshold, id_col, text_col
+    )
+    return ver.join(cross, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "split_a", "split_b", "jaccard"
+    )

@@ -63,6 +63,9 @@ DOC_GATES = [
     "dedup_containment",
     "dedup_containment_banded",
     "cross_source_dups",
+    # LSH candidates x split-hash boundary x exact verify — NULL-text
+    # docs must vanish identically from signatures AND token sides
+    "split_leakage_check",
     "decontaminated_corpus",
     "decontaminated_bloom",
     "vocab_df_idf",
