@@ -815,6 +815,15 @@ def _q_split_leakage_check(spark, sf_dir):
     return split_leakage_check(load(spark, sf_dir, "documents"))
 
 
+def _q_label_confusion(spark, sf_dir):
+    """Confusion matrix of the k-NN label vote — integer rollup of the
+    gated vote output; twin nests the vote SQL (the knn_mutual_pairs
+    composition precedent)."""
+    from cuda_gis_smoothing_spark.operators.similarity import label_confusion
+
+    return label_confusion(load(spark, sf_dir, "embeddings"))
+
+
 def _q_knn_graph_ivf(spark, sf_dir):
     """Approximate (IVF-blocked) corpus k-NN graph — the scale path of
     knn_graph (candidates from each vector's probed buckets, never
@@ -3063,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance_maintained": _q_cost_distance_maintained,
         "knn_label_vote": _q_knn_label_vote,
         "split_leakage_check": _q_split_leakage_check,
+        "label_confusion": _q_label_confusion,
     }
     return qs
 
@@ -5114,6 +5124,11 @@ SELECT p.val_id AS vec_id, CAST(e.label AS BIGINT) AS true_label,
        CAST(p.predicted_label AS BIGINT) AS predicted_label, p.votes
 FROM pred p JOIN e ON e.vec_id = p.val_id
 WHERE p.pr = 1
+""".strip()
+    out["label_confusion"] = f"""
+SELECT true_label, predicted_label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM ({out["knn_label_vote"]}) v
+GROUP BY 1, 2
 """.strip()
     # mutual pairs COMPOSED from the graph twin (the rrf_fusion
     # nested-derived-table precedent — one definition, no drift)

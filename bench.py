@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "knn_mutual_pairs",
     "knn_label_vote",
     "split_leakage_check",
+    "label_confusion",
     "knn_graph_ivf",
     "knn_graph_ivf_trained",
     "knn_ivf_maintained",

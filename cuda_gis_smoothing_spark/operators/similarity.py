@@ -469,6 +469,28 @@ def knn_label_vote(
     )
 
 
+def label_confusion(
+    embeddings: DataFrame,
+    k: int = KNN_VOTE_K,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Confusion matrix of the k-NN label vote over the val split —
+    the evaluation report consuming :func:`knn_label_vote` (which
+    class pairs the embedding space confuses, and how much label noise
+    each class carries): one integer rollup
+    ``(true_label, predicted_label, n_vectors)``. NULL true_labels
+    group as their own row (both engines group NULLs together). Sparse
+    contract: absent combinations are absent."""
+    return (
+        knn_label_vote(embeddings, k, id_col, emb_col, label_col, n_blocks)
+        .groupBy("true_label", "predicted_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+
+
 def _probe_buckets_udf(spark, cents, n_probe: int):
     """Vectorized ``n_probe``-nearest-centroid assignment (broadcast +
     numpy matmul per Arrow batch; STABLE argsort so exact

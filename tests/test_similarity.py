@@ -55,3 +55,22 @@ def test_knn_label_vote_matches_python_vote_over_spark_pairs(spark):
         for r in knn_label_vote(emb).collect()
     }
     assert got == want and len(got) > 10
+
+
+def test_label_confusion_is_the_vote_rollup(spark):
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        knn_label_vote,
+        label_confusion,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    votes = knn_label_vote(emb).collect()
+    want = {}
+    for r in votes:
+        key = (r["true_label"], r["predicted_label"])
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r["true_label"], r["predicted_label"]): r["n_vectors"]
+        for r in label_confusion(emb).collect()
+    }
+    assert got == want and sum(got.values()) == len(votes)
