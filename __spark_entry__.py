@@ -824,6 +824,16 @@ def _q_label_confusion(spark, sf_dir):
     return label_confusion(load(spark, sf_dir, "embeddings"))
 
 
+def _q_ivf_silhouette(spark, sf_dir):
+    """Per-vector silhouette over the seeded IVF buckets: a and b are
+    ROUND6'd per-bucket means FIRST, the b argmin is a (mean, bucket)
+    struct-MIN total order, and s divides the two rounded values — so
+    both engines compute s from bit-identical inputs."""
+    from cuda_gis_smoothing_spark.operators.similarity import ivf_silhouette
+
+    return ivf_silhouette(load(spark, sf_dir, "embeddings"))
+
+
 def _q_knn_graph_ivf(spark, sf_dir):
     """Approximate (IVF-blocked) corpus k-NN graph — the scale path of
     knn_graph (candidates from each vector's probed buckets, never
@@ -3073,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": _q_knn_label_vote,
         "split_leakage_check": _q_split_leakage_check,
         "label_confusion": _q_label_confusion,
+        "ivf_silhouette": _q_ivf_silhouette,
     }
     return qs
 
@@ -5050,6 +5061,50 @@ SELECT CAST(cent.cid AS INT) AS bucket,
        CAST(COALESCE(bcnt.n_vectors, 0) AS BIGINT) AS n_vectors,
        ROUND(COALESCE(bcnt.n_vectors, 0) / tot.T + 1e-09, 6) AS share
 FROM cent LEFT JOIN bcnt ON bcnt.cid = cent.cid, tot
+""".strip()
+    out["ivf_silhouette"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         emb AS cemb, SQRT(list_dot_product(emb, emb)) AS cnrm
+  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT n.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm) DESC, c.cid
+         ) AS rk
+  FROM n CROSS JOIN cent c
+),
+bkt AS (SELECT vec_id, CAST(cid AS INT) AS bucket FROM assign WHERE rk = 1),
+p AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         1e0 - ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6) AS d
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+per AS (
+  SELECT p.i, bi.bucket AS bi, bj.bucket AS bj,
+         ROUND(AVG(p.d) + 1e-09, 6) AS m
+  FROM p JOIN bkt bi ON bi.vec_id = p.i JOIN bkt bj ON bj.vec_id = p.j
+  GROUP BY 1, 2, 3
+),
+own AS (SELECT i, m AS a_mean FROM per WHERE bi = bj),
+oth AS (
+  SELECT i, m AS b_mean FROM (
+    SELECT i, m, ROW_NUMBER() OVER (PARTITION BY i ORDER BY m, bj) AS rk
+    FROM per WHERE bi <> bj
+  ) WHERE rk = 1
+)
+SELECT k.vec_id, k.bucket, o.a_mean, t.b_mean,
+       CASE WHEN o.a_mean IS NULL OR t.b_mean IS NULL THEN NULL
+            WHEN GREATEST(o.a_mean, t.b_mean) = 0 THEN 0e0
+            ELSE ROUND((t.b_mean - o.a_mean) / GREATEST(o.a_mean, t.b_mean) + 1e-09, 6)
+       END AS silhouette
+FROM bkt k
+LEFT JOIN own o ON o.i = k.vec_id
+LEFT JOIN oth t ON t.i = k.vec_id
 """.strip()
     out["feature_hashing"] = f"""
 WITH occ AS (

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "knn_label_vote",
     "split_leakage_check",
     "label_confusion",
+    "ivf_silhouette",
     "knn_graph_ivf",
     "knn_graph_ivf_trained",
     "knn_ivf_maintained",

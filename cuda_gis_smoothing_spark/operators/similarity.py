@@ -678,6 +678,113 @@ def ivf_bucket_stats(
     )
 
 
+def ivf_silhouette(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector silhouette over the seeded IVF coarse buckets — the
+    clustering-quality card beside ivf_bucket_stats' occupancy report
+    (is the quantizer actually separating the space, per vector):
+    with cosine distance d = 1 − cosine,
+
+        a(i) = mean d to OWN-bucket members      (NULL if singleton)
+        b(i) = min over OTHER buckets of mean d  (NULL if one bucket)
+        s(i) = (b − a) / max(a, b)
+
+    Cross-engine determinism by construction: a and b are ROUND6'd
+    per-bucket means FIRST (the aggregate-gate sum-association class),
+    the b argmin is a struct-MIN over (rounded mean, bucket id) — a
+    total order — and s divides the two ROUNDED values, so both
+    engines compute s from bit-identical inputs. Pairwise distances
+    come from the blocked triangle kernel (each unordered pair once,
+    both directions via the explode-of-two-structs idiom — one pass).
+    Output ``(vec_id, bucket, a_mean, b_mean, silhouette)``.
+
+    Scale note: exact silhouette is inherently Σ bucket² pair work;
+    the 100 TB path samples per-bucket representatives before this
+    operator — the report semantics are unchanged."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.dedup import embedding_neardup_pairs
+
+    spark = embeddings.sparkSession
+    seeds = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = np.asarray([r[0] for r in seeds], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+    probe = _probe_buckets_udf(spark, cents, 1)
+    assign = embeddings.select(
+        F.col(id_col),
+        F.element_at(probe(F.col("embedding")), 1).alias("bucket"),
+    ).localCheckpoint()  # three consumers (two pair sides + the spine)
+    pairs = embedding_neardup_pairs(embeddings, threshold=-2.0, id_col=id_col)
+    directed = pairs.select(
+        (1.0 - F.col("cosine")).alias("_d"),
+        F.explode(
+            F.array(
+                F.struct(F.col("vec_a").alias("i"), F.col("vec_b").alias("j")),
+                F.struct(F.col("vec_b").alias("i"), F.col("vec_a").alias("j")),
+            )
+        ).alias("_e"),
+    ).select(F.col("_e.i").alias("i"), F.col("_e.j").alias("j"), "_d")
+    withb = directed.join(
+        assign.select(F.col(id_col).alias("i"), F.col("bucket").alias("_bi")), "i"
+    ).join(
+        assign.select(F.col(id_col).alias("j"), F.col("bucket").alias("_bj")), "j"
+    )
+    per = withb.groupBy("i", "_bi", "_bj").agg(
+        round6(F.avg("_d")).alias("_m")
+    )
+    own = per.where(F.col("_bi") == F.col("_bj")).select(
+        "i", F.col("_m").alias("a_mean")
+    )
+    other = (
+        per.where(F.col("_bi") != F.col("_bj"))
+        .groupBy("i")
+        .agg(F.min(F.struct(F.col("_m").alias("m"), F.col("_bj").alias("b"))).alias("_mb"))
+        .select("i", F.col("_mb.m").alias("b_mean"))
+    )
+    return (
+        assign.select(F.col(id_col), "bucket")
+        .join(own.withColumnRenamed("i", id_col), id_col, "left")
+        .join(other.withColumnRenamed("i", id_col), id_col, "left")
+        .select(
+            id_col,
+            "bucket",
+            "a_mean",
+            "b_mean",
+            # NULL when either side is undefined (singleton bucket /
+            # single occupied bucket); 0 when both rounded means are 0
+            # (coincident points — the scikit convention); else the
+            # ratio of the two ROUNDED values under round6. Spark ANSI
+            # raises on /0 where DuckDB NULLs, so the zero branch is
+            # explicit (the source_mixture_weights class).
+            F.when(
+                F.col("a_mean").isNull() | F.col("b_mean").isNull(),
+                F.lit(None).cast("double"),
+            )
+            .when(
+                F.greatest(F.col("a_mean"), F.col("b_mean")) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                round6(
+                    (F.col("b_mean") - F.col("a_mean"))
+                    / F.greatest(F.col("a_mean"), F.col("b_mean"))
+                )
+            )
+            .alias("silhouette"),
+        )
+    )
+
+
 def embedding_norms(embeddings: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Embedding-table dataset card: ONE row of
     ``(n_vectors, n_dims, min_norm, max_norm, avg_norm, n_zero)`` —

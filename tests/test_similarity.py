@@ -1,4 +1,6 @@
-"""Batch similarity operators: reciprocal k-NN filter differential."""
+"""Batch similarity operators: reciprocal k-NN filter, label vote and
+silhouette differentials."""
+import pytest
 def test_knn_mutual_pairs_matches_python_reciprocal_filter(spark):
     from cuda_gis_smoothing_spark.operators.similarity import (
         knn_graph,
@@ -74,3 +76,62 @@ def test_label_confusion_is_the_vote_rollup(spark):
         for r in label_confusion(emb).collect()
     }
     assert got == want and sum(got.values()) == len(votes)
+
+
+def test_ivf_silhouette_matches_numpy_differential(spark):
+    """Numpy recomputation with the SAME rounding discipline (round6
+    per-bucket means, ratio of rounded values) over the same seeded
+    assignment."""
+    import numpy as np
+
+    from cuda_gis_smoothing_spark.operators.similarity import ivf_silhouette
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        for r in emb.collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    nrm = np.linalg.norm(X, axis=1)
+    cents = X[:8] / (np.linalg.norm(X[:8], axis=1, keepdims=True) + 1e-12)
+    bucket = np.argmax((X / nrm[:, None]) @ cents.T, axis=1)  # ties: lowest cid
+
+    def r6(x):
+        return np.floor((x + 1e-9) * 1e6 + 0.5) / 1e6
+
+    cos = r6((X @ X.T) / np.outer(nrm, nrm))
+    d = 1.0 - cos
+    want = {}
+    for ix, vid in enumerate(ids):
+        per = {}
+        for jx in range(len(ids)):
+            if jx == ix:
+                continue
+            per.setdefault(bucket[jx], []).append(d[ix, jx])
+        a = r6(float(np.mean(per[bucket[ix]]))) if bucket[ix] in per else None
+        others = sorted(
+            (r6(float(np.mean(v))), b) for b, v in per.items() if b != bucket[ix]
+        )
+        b = others[0][0] if others else None
+        if a is None or b is None:
+            sil = None
+        elif max(a, b) == 0:
+            sil = 0.0
+        else:
+            sil = r6((b - a) / max(a, b))
+        want[vid] = (int(bucket[ix]), a, b, sil)
+    got = {
+        r["vec_id"]: (r["bucket"], r["a_mean"], r["b_mean"], r["silhouette"])
+        for r in ivf_silhouette(emb).collect()
+    }
+    assert set(got) == set(want)
+    for vid in want:
+        gb, ga, gbm, gs = got[vid]
+        wb, wa, wbm, ws = want[vid]
+        assert gb == wb, vid
+        for g, w in ((ga, wa), (gbm, wbm), (gs, ws)):
+            if w is None:
+                assert g is None
+            else:
+                assert g == pytest.approx(w, abs=2e-6), vid
