@@ -834,6 +834,23 @@ def _q_ivf_silhouette(spark, sf_dir):
     return ivf_silhouette(load(spark, sf_dir, "embeddings"))
 
 
+def _q_doc_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per doc: one window over the gated sparse
+    vectors, rank on (round6 tfidf DESC, token ASC) — a cross-engine
+    total order."""
+    from cuda_gis_smoothing_spark.functions.text import doc_keywords
+
+    return doc_keywords(load(spark, sf_dir, "documents"))
+
+
+def _q_basin_adjacency(spark, sf_dir):
+    """Basin border report: ring-1 edges crossing basin labels,
+    unordered pairs counted once — all-integer, tie-proof."""
+    from cuda_gis_smoothing_spark.operators.hydrology import basin_adjacency
+
+    return basin_adjacency(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_knn_graph_ivf(spark, sf_dir):
     """Approximate (IVF-blocked) corpus k-NN graph — the scale path of
     knn_graph (candidates from each vector's probed buckets, never
@@ -3084,6 +3101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_check": _q_split_leakage_check,
         "label_confusion": _q_label_confusion,
         "ivf_silhouette": _q_ivf_silhouette,
+        "doc_keywords": _q_doc_keywords,
+        "basin_adjacency": _q_basin_adjacency,
     }
     return qs
 
@@ -4201,6 +4220,16 @@ GROUP BY o.ring
 WITH {TFIDF_VEC_CTES}
 SELECT doc_id, token, tf, tfidf FROM vec
 """.strip()
+    from cuda_gis_smoothing_spark.functions.text import DOC_KEYWORDS_K
+
+    out["doc_keywords"] = f"""
+WITH {TFIDF_VEC_CTES}
+SELECT doc_id, token, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+  FROM vec
+) WHERE rank <= {DOC_KEYWORDS_K}
+""".strip()
     out["tfidf_topk"] = tfidf_topk_sql()
     # identical semantics, different Spark path (maintained index logs)
     out["doc_tfidf_maintained"] = out["doc_tfidf"]
@@ -4452,6 +4481,18 @@ SELECT p.basin,
        ROUND((MAX(c.ndvi) - MIN(c.ndvi)) + 1e-09, 6) AS relief
 FROM fcomp p JOIN cells4 c ON c.cell = p.cell
 GROUP BY p.basin
+""".strip()
+    out["basin_adjacency"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_component_ctes()}
+SELECT pa.basin AS basin_a, pb.basin AS basin_b,
+       CAST(COUNT(*) AS BIGINT) AS n_border_edges
+FROM cells4 c CROSS JOIN f_offsets o
+JOIN cells4 nb ON nb.cell = c.cell + o.delta
+JOIN fcomp pa ON pa.cell = c.cell
+JOIN fcomp pb ON pb.cell = nb.cell
+WHERE pa.basin < pb.basin
+GROUP BY 1, 2
 """.strip()
     out["twi"] = f"""
 WITH RECURSIVE {_FLOW},

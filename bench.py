@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "split_leakage_check",
     "label_confusion",
     "ivf_silhouette",
+    "doc_keywords",
+    "basin_adjacency",
     "knn_graph_ivf",
     "knn_graph_ivf_trained",
     "knn_ivf_maintained",

@@ -340,6 +340,34 @@ def doc_tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+DOC_KEYWORDS_K = 5
+
+
+def doc_keywords(
+    df: DataFrame,
+    k: int = DOC_KEYWORDS_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` tokens by TF-IDF
+    — the summary card / weak-labeling signal built directly on
+    :func:`doc_tfidf` (one window over the sparse vectors; ranking on
+    the ROUND6'd tfidf with token-text tie-break — a cross-engine
+    total order, the knn_graph rank contract). Output
+    ``(doc_id, token, tfidf, rank)``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        doc_tfidf(df, text_col, id_col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(id_col, "token", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def bigram_pmi(
     df: DataFrame, k: int = 30, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -782,3 +782,30 @@ def basin_hypsometry(
         .groupBy("basin", "band")
         .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
     )
+
+def basin_adjacency(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Basin adjacency report: which drainage basins share a border,
+    and how many ring-1 cell edges cross it — the input to basin
+    merging / pruning (small basins dissolve into their
+    largest-border neighbor). Each unordered border cell pair counts
+    ONCE (directed edges exist both ways; the basin_a < basin_b filter
+    keeps exactly one direction). Labels come from ONE checkpointed
+    basin_labels pass consumed by both edge endpoints. All-integer —
+    tie-proof. Output ``(basin_a, basin_b, n_border_edges)``."""
+    labels = basin_labels(cells, value_col).localCheckpoint()  # two sides
+    offs = F.array(*[F.lit(d) for d in R1_DELTAS])
+    e = cells.select("cell", F.explode(offs).alias("_d")).select(
+        "cell", (F.col("cell") + F.col("_d")).alias("nbr")
+    )
+    return (
+        e.join(labels.select("cell", F.col("basin").alias("basin_a")), "cell")
+        .join(
+            labels.select(
+                F.col("cell").alias("nbr"), F.col("basin").alias("basin_b")
+            ),
+            "nbr",
+        )
+        .where(F.col("basin_a") < F.col("basin_b"))
+        .groupBy("basin_a", "basin_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_border_edges"))
+    )

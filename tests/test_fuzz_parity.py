@@ -63,6 +63,9 @@ DOC_GATES = [
     "dedup_containment",
     "dedup_containment_banded",
     "cross_source_dups",
+    # per-doc top-k over round6 tfidf: the tie-heavy fuzz corpus
+    # exercises the (tfidf, token) total-order cut
+    "doc_keywords",
     # LSH candidates x split-hash boundary x exact verify — NULL-text
     # docs must vanish identically from signatures AND token sides
     "split_leakage_check",

@@ -487,3 +487,25 @@ def test_router_cost_distance_served_equals_batch_after_update(spark, tmp_path):
         for r in cost_distance(rt.state_cells()).collect()
     }
     assert got == want and len(got) == cells.count()
+
+
+def test_basin_adjacency_matches_python_recount(spark):
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        basin_adjacency,
+        basin_labels,
+    )
+
+    cells = _grid(spark)
+    lab = {r["cell"]: r["basin"] for r in basin_labels(cells).collect()}
+    want = {}
+    for c in lab:
+        for d in R1_DELTAS:
+            n = c + d
+            if n in lab and lab[c] < lab[n]:
+                key = (lab[c], lab[n])
+                want[key] = want.get(key, 0) + 1
+    got = {
+        (r["basin_a"], r["basin_b"]): r["n_border_edges"]
+        for r in basin_adjacency(cells).collect()
+    }
+    assert got == want and len(got) > 3
