@@ -851,6 +851,27 @@ def _q_basin_adjacency(spark, sf_dir):
     return basin_adjacency(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_pq_recall_report(spark, sf_dir):
+    """Recall@5 of PQ ADC search vs the exact ranker, per query —
+    accuracy as a gated queryable artifact (integer overlap of two
+    gated total orders; twin composes both ranker SQLs)."""
+    from cuda_gis_smoothing_spark.operators.similarity import rank_overlap_report
+
+    return rank_overlap_report(
+        _q_knn_cosine(spark, sf_dir), _q_pq_search(spark, sf_dir)
+    )
+
+
+def _q_ivf_recall_report(spark, sf_dir):
+    """Recall@5 of seeded-IVF probe search vs the exact ranker, per
+    query (the pq_recall_report sibling)."""
+    from cuda_gis_smoothing_spark.operators.similarity import rank_overlap_report
+
+    return rank_overlap_report(
+        _q_knn_cosine(spark, sf_dir), _q_knn_ivf(spark, sf_dir)
+    )
+
+
 def _q_knn_graph_ivf(spark, sf_dir):
     """Approximate (IVF-blocked) corpus k-NN graph — the scale path of
     knn_graph (candidates from each vector's probed buckets, never
@@ -3103,6 +3124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_silhouette": _q_ivf_silhouette,
         "doc_keywords": _q_doc_keywords,
         "basin_adjacency": _q_basin_adjacency,
+        "pq_recall_report": _q_pq_recall_report,
+        "ivf_recall_report": _q_ivf_recall_report,
     }
     return qs
 
@@ -5080,6 +5103,12 @@ JOIN sz sa ON sa.doc_id = i.doc_a
 JOIN sz sb ON sb.doc_id = i.doc_b
 WHERE ROUND(i.i * 1.0 / LEAST(sa.n, sb.n) + 1e-09, 6) >= {_CONTAINMENT_T}
 """.strip()
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        recall_report_sql,
+    )
+
+    out["pq_recall_report"] = recall_report_sql(out["knn_cosine"], out["pq_search"])
+    out["ivf_recall_report"] = recall_report_sql(out["knn_cosine"], out["knn_ivf"])
     out["ivf_bucket_stats"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),

@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "ivf_silhouette",
     "doc_keywords",
     "basin_adjacency",
+    "pq_recall_report",
+    "ivf_recall_report",
     "knn_graph_ivf",
     "knn_graph_ivf_trained",
     "knn_ivf_maintained",

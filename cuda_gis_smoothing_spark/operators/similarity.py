@@ -785,6 +785,56 @@ def ivf_silhouette(
     )
 
 
+def rank_overlap_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of an approximate ranker against the exact
+    one — accuracy as a QUERYABLE, gated artifact instead of only a
+    pytest floor (both inputs are themselves gated total-order
+    rankers, so the integer overlap is deterministic cross-engine).
+    ``exact``/``approx``: (query_id, neighbor_id, ...) top-k tables.
+    Output ``(query_id, n_exact, overlap, recall)``, recall the exact
+    integer ratio under round6. The exact side feeds two consumers →
+    localCheckpoint."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    ex = exact.select("query_id", "neighbor_id").localCheckpoint()
+    ov = (
+        ex.join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ov"))
+    )
+    base = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return base.join(ov, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("_ov"), F.lit(0)).cast("long").alias("overlap"),
+        round6(
+            F.coalesce(F.col("_ov"), F.lit(0)).cast("double") / F.col("n_exact")
+        ).alias("recall"),
+    )
+
+
+def recall_report_sql(exact_sql: str, approx_sql: str) -> str:
+    """DuckDB twin builder for :func:`rank_overlap_report` — nests the
+    two gated ranker SQLs as derived tables (the rrf_fusion
+    composition precedent: one ranking definition each, no drift)."""
+    return f"""
+WITH x AS (SELECT query_id, neighbor_id FROM ({exact_sql})),
+a AS (SELECT query_id, neighbor_id FROM ({approx_sql})),
+ov AS (
+  SELECT x.query_id, COUNT(*) AS overlap
+  FROM x JOIN a ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY 1
+),
+b AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM x GROUP BY 1)
+SELECT b.query_id, b.n_exact,
+       CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+       ROUND(COALESCE(ov.overlap, 0) * 1.0 / b.n_exact + 1e-09, 6) AS recall
+FROM b LEFT JOIN ov USING (query_id)
+""".strip()
+
+
 def embedding_norms(embeddings: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Embedding-table dataset card: ONE row of
     ``(n_vectors, n_dims, min_norm, max_norm, avg_norm, n_zero)`` —
