@@ -872,6 +872,74 @@ def _q_ivf_recall_report(spark, sf_dir):
     )
 
 
+def _q_graph_recall_report(spark, sf_dir):
+    """Per-vector recall@5 of the IVF-probed k-NN graph against the
+    exact graph (the pq_recall_report sibling at graph scale)."""
+    from cuda_gis_smoothing_spark.operators.similarity import rank_overlap_report
+
+    def as_q(df):
+        return df.select(
+            F.col("vec_id").alias("query_id"), "neighbor_id"
+        )
+
+    return rank_overlap_report(
+        as_q(_q_knn_graph(spark, sf_dir)), as_q(_q_knn_graph_ivf(spark, sf_dir))
+    )
+
+
+def _q_kmv_error_report(spark, sf_dir):
+    """KMV sketch accuracy as a gated artifact: per event type, the
+    exact distinct-user count vs the sketch estimate and the relative
+    error (rounded estimate − exact integer) / exact. NULL event types
+    excluded (a NULL group key cannot equi-join its twin row)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    est = (
+        _q_kmv_distinct_users(spark, sf_dir)
+        .where(F.col("event_type").isNotNull())
+        .select("event_type", "est_distinct")
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "est_distinct",
+        F.when(
+            F.col("exact_distinct") > 0,
+            round6(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ),
+        ).alias("rel_error"),
+    )
+
+
+def _q_cms_error_report(spark, sf_dir):
+    """Count-Min overestimation summary over the probed vocabulary:
+    integer counts/max (CMS never underestimates) + the round6 mean
+    relative overestimate — the sketch-health card."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    t = _q_vocab_cms_estimates(spark, sf_dir)
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("cms_estimate") > F.col("df")).cast("long"))
+        .cast("long")
+        .alias("n_overestimated"),
+        F.max(F.col("cms_estimate") - F.col("df"))
+        .cast("long")
+        .alias("max_overestimate"),
+        round6(
+            F.avg((F.col("cms_estimate") - F.col("df")) / F.col("df"))
+        ).alias("mean_rel_overestimate"),
+    )
+
+
 def _q_knn_graph_ivf(spark, sf_dir):
     """Approximate (IVF-blocked) corpus k-NN graph — the scale path of
     knn_graph (candidates from each vector's probed buckets, never
@@ -3126,6 +3194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basin_adjacency": _q_basin_adjacency,
         "pq_recall_report": _q_pq_recall_report,
         "ivf_recall_report": _q_ivf_recall_report,
+        "graph_recall_report": _q_graph_recall_report,
+        "kmv_error_report": _q_kmv_error_report,
+        "cms_error_report": _q_cms_error_report,
     }
     return qs
 
@@ -5489,6 +5560,34 @@ FROM p
     out["smooth_maintained"] = smoothing_sql(
         "gaussian_k2", ["ndvi"], "duckdb", source="cells4", with_ctes=GRID_CELLS_SQL
     )
+    def _as_q(sql):
+        return f"SELECT vec_id AS query_id, neighbor_id FROM ({sql})"
+
+    out["graph_recall_report"] = recall_report_sql(
+        _as_q(out["knn_graph"]), _as_q(out["knn_graph_ivf"])
+    )
+    out["kmv_error_report"] = f"""
+WITH est AS (
+  SELECT event_type, est_distinct FROM ({out["kmv_distinct_users"]})
+  WHERE event_type IS NOT NULL
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+)
+SELECT ex.event_type, ex.exact_distinct, est.est_distinct,
+       CASE WHEN ex.exact_distinct > 0
+            THEN ROUND((est.est_distinct - ex.exact_distinct) * 1.0
+                       / ex.exact_distinct + 1e-09, 6) END AS rel_error
+FROM ex JOIN est USING (event_type)
+""".strip()
+    out["cms_error_report"] = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN cms_estimate > df THEN 1 ELSE 0 END) AS BIGINT) AS n_overestimated,
+       CAST(MAX(cms_estimate - df) AS BIGINT) AS max_overestimate,
+       ROUND(AVG((cms_estimate - df) * 1.0 / df) + 1e-09, 6) AS mean_rel_overestimate
+FROM ({out["vocab_cms_estimates"]}) t
+""".strip()
     return out
 
 

@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "basin_adjacency",
     "pq_recall_report",
     "ivf_recall_report",
+    "graph_recall_report",
+    "kmv_error_report",
+    "cms_error_report",
     "knn_graph_ivf",
     "knn_graph_ivf_trained",
     "knn_ivf_maintained",
