@@ -940,6 +940,51 @@ def _q_cms_error_report(spark, sf_dir):
     )
 
 
+def _q_banded_pair_recall(spark, sf_dir):
+    """Pair-set recall of the banded embedding near-dup against the
+    exact blocked join at the SAME threshold (banding verifies
+    exactly, so banded pairs are a subset — the report quantifies the
+    candidate-generation loss the banded docs describe): one integer
+    row (n_exact_pairs, n_banded_pairs, n_common, recall)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_banded,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = (
+        embedding_neardup_pairs(emb, threshold=_EMB_BANDED_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()  # count + intersection consumers
+    )
+    banded = (
+        embedding_neardup_pairs_banded(emb, threshold=_EMB_BANDED_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    nb = banded.agg(F.count(F.lit(1)).cast("long").alias("n_banded_pairs"))
+    nc = exact.join(banded, ["vec_a", "vec_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        ne.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_exact_pairs",
+            "n_banded_pairs",
+            "n_common",
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                round6(
+                    F.col("n_common").cast("double") / F.col("n_exact_pairs")
+                ),
+            ).alias("recall"),
+        )
+    )
+
+
 def _q_knn_graph_ivf(spark, sf_dir):
     """Approximate (IVF-blocked) corpus k-NN graph — the scale path of
     knn_graph (candidates from each vector's probed buckets, never
@@ -3197,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_recall_report": _q_graph_recall_report,
         "kmv_error_report": _q_kmv_error_report,
         "cms_error_report": _q_cms_error_report,
+        "banded_pair_recall": _q_banded_pair_recall,
     }
     return qs
 
@@ -5563,6 +5609,26 @@ FROM p
     def _as_q(sql):
         return f"SELECT vec_id AS query_id, neighbor_id FROM ({sql})"
 
+    out["banded_pair_recall"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm FROM e),
+xp AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) + 1e-09, 6)
+        >= {flit(_EMB_BANDED_THRESHOLD)}
+),
+bp AS (SELECT vec_a, vec_b FROM ({out["dedup_embedding_banded"]})),
+nc AS (SELECT COUNT(*) AS n_common FROM xp JOIN bp USING (vec_a, vec_b)),
+ne AS (SELECT COUNT(*) AS n FROM xp),
+nb AS (SELECT COUNT(*) AS n FROM bp)
+SELECT CAST(ne.n AS BIGINT) AS n_exact_pairs,
+       CAST(nb.n AS BIGINT) AS n_banded_pairs,
+       CAST(nc.n_common AS BIGINT) AS n_common,
+       CASE WHEN ne.n > 0
+            THEN ROUND(nc.n_common * 1.0 / ne.n + 1e-09, 6) END AS recall
+FROM ne, nb, nc
+""".strip()
     out["graph_recall_report"] = recall_report_sql(
         _as_q(out["knn_graph"]), _as_q(out["knn_graph_ivf"])
     )

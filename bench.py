@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "graph_recall_report",
     "kmv_error_report",
     "cms_error_report",
+    "banded_pair_recall",
     "knn_graph_ivf",
     "knn_graph_ivf_trained",
     "knn_ivf_maintained",

@@ -197,6 +197,11 @@ _HOSTILE_SAMPLE = [
     # under 3 shuffle partitions with broadcasts disabled — the
     # unrolled min-plus iteration must be partition-invariant
     "cost_distance",
+    # part-13 reps: the vectorized bucket-assignment UDF + pair
+    # explode + two chained windows under the hostile config, and the
+    # LSH boundary filter + verify with broadcasts disabled
+    "ivf_silhouette",
+    "split_leakage_check",
 ]
 
 
