@@ -985,6 +985,73 @@ def _q_banded_pair_recall(spark, sf_dir):
     )
 
 
+def _q_minhash_error_report(spark, sf_dir):
+    """MinHash estimator accuracy card (the kmv/cms_error_report
+    sibling for the near-dup family): over the LSH candidate pairs
+    (>=1 shared band — the regime where the pipeline actually consults
+    the estimator, and sub-quadratic by construction), group by the
+    matching-component count m and report integer pair counts plus the
+    POOLED exact jaccard (sum_intersect / sum_union — integer sums,
+    ONE division under round6; a per-pair mean of float jaccards would
+    be a sum-association hazard) against the estimator's m/6.
+
+    A band collision without any shared token is possible, so the
+    intersection may be 0 — the twin LEFT-joins its token-equijoin
+    intersection and coalesces to 0."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        token_array_side,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # two differently-renamed consumers of the signature aggregate
+    sig = minhash_signatures(docs).localCheckpoint()
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(6)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(6)],
+    )
+    m_expr = sum(
+        (F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}")).cast("long") for i in range(6)
+    )
+    i_expr = F.size(F.array_intersect("_ta", "_tb")).cast("long")
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(token_array_side(docs, "doc_a"), "doc_a")
+        .join(token_array_side(docs, "doc_b"), "doc_b")
+        .select(
+            m_expr.alias("n_matching"),
+            i_expr.alias("_i"),
+            (
+                F.size("_ta").cast("long") + F.size("_tb").cast("long") - i_expr
+            ).alias("_u"),
+        )
+    )
+    return pairs.groupBy("n_matching").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_i").cast("long").alias("sum_intersect"),
+        F.sum("_u").cast("long").alias("sum_union"),
+    ).select(
+        "n_matching",
+        "n_pairs",
+        "sum_intersect",
+        "sum_union",
+        round6(F.col("n_matching").cast("double") / F.lit(6.0)).alias(
+            "est_jaccard"
+        ),
+        round6(
+            F.col("sum_intersect").cast("double") / F.col("sum_union")
+        ).alias("pooled_jaccard"),
+    )
+
+
 def _q_knn_graph_ivf(spark, sf_dir):
     """Approximate (IVF-blocked) corpus k-NN graph — the scale path of
     knn_graph (candidates from each vector's probed buckets, never
@@ -3243,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_error_report": _q_kmv_error_report,
         "cms_error_report": _q_cms_error_report,
         "banded_pair_recall": _q_banded_pair_recall,
+        "minhash_error_report": _q_minhash_error_report,
     }
     return qs
 
@@ -5653,6 +5721,47 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(MAX(cms_estimate - df) AS BIGINT) AS max_overestimate,
        ROUND(AVG((cms_estimate - df) * 1.0 / df) + 1e-09, 6) AS mean_rel_overestimate
 FROM ({out["vocab_cms_estimates"]}) t
+""".strip()
+    out["minhash_error_report"] = f"""
+WITH {tok_cte},
+h AS (SELECT doc_id, {th} AS h FROM tok),
+sig AS (SELECT doc_id, {mh_aggs} FROM h GROUP BY doc_id),
+banded AS (
+  {band_union}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN tok a ON a.doc_id = c.doc_a
+  JOIN tok b ON b.doc_id = c.doc_b AND b.t = a.t
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(6))} AS BIGINT) AS n_matching,
+         COALESCE(i.i, 0) AS i,
+         sza.n + szb.n - COALESCE(i.i, 0) AS u
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  JOIN sz sza ON sza.doc_id = c.doc_a
+  JOIN sz szb ON szb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+)
+SELECT n_matching,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(i) AS BIGINT) AS sum_intersect,
+       CAST(SUM(u) AS BIGINT) AS sum_union,
+       ROUND(n_matching * 1.0 / 6 + 1e-09, 6) AS est_jaccard,
+       ROUND(SUM(i) * 1.0 / SUM(u) + 1e-09, 6) AS pooled_jaccard
+FROM m
+GROUP BY n_matching
 """.strip()
     return out
 

@@ -36,6 +36,10 @@ DOC_GATES = [
     "doc_fingerprint",
     "minhash_signatures",
     "minhash_lsh",
+    # estimator-accuracy card: NULL-text docs must vanish identically
+    # from signatures, band join AND both token-array sides; duplicate
+    # texts pin the m=6 / jaccard=1 band
+    "minhash_error_report",
     "simhash",
     "simhash_pairs",
     "simhash_pairs_banded",

@@ -385,6 +385,11 @@ def test_no_quadratic_join_in_any_batch_gate(spark):
         "knn_cosine",
         "pq_search",
         "pq_search_trained",
+        # composes pq_search as its approx side, inheriting that
+        # gate's bounded broadcast-query BNL (the exact side is
+        # localCheckpoint'ed inside rank_overlap_report, so only the
+        # approx ranker's deliberate BNL survives into this plan)
+        "pq_recall_report",
         # #sources² pair joins over per-source aggregate rows (source
         # cardinality is tiny by design)
         "source_overlap_kmv",
