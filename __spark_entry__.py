@@ -194,6 +194,15 @@ def _q_focal_stats(spark, sf_dir):
     return focal_stats(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_local_extrema(spark, sf_dir):
+    """Peak/pit classification over the valid ring-1 neighborhood —
+    strict-inequality extrema, plateau members 'other' (raw-double
+    compares against association-order-free min/max)."""
+    from cuda_gis_smoothing_spark.operators.stats import local_extrema
+
+    return local_extrema(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_zonal_stats(spark, sf_dir):
     """Zonal statistics: the PIP region tag (broadcast + vectorized
     ray-cast, no shuffle on the point side) composed with one
@@ -3311,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_error_report": _q_cms_error_report,
         "banded_pair_recall": _q_banded_pair_recall,
         "minhash_error_report": _q_minhash_error_report,
+        "local_extrema": _q_local_extrema,
     }
     return qs
 
@@ -5762,6 +5772,24 @@ SELECT n_matching,
        ROUND(SUM(i) * 1.0 / SUM(u) + 1e-09, 6) AS pooled_jaccard
 FROM m
 GROUP BY n_matching
+""".strip()
+    # strict-inequality extrema vs association-order-free min/max:
+    # raw-double compares, identical operands both engines
+    out["local_extrema"] = f"""
+WITH {GRID_CELLS_SQL},
+offsets (delta) AS (VALUES {_vals(_R1)}),
+nb AS (
+  SELECT c.cell, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         MIN(n.ndvi) AS nmin, MAX(n.ndvi) AS nmax, MIN(c.ndvi) AS x
+  FROM cells4 c CROSS JOIN offsets o
+  JOIN cells4 n ON n.cell = c.cell + o.delta
+  GROUP BY c.cell
+)
+SELECT cell, n_neighbors,
+       CASE WHEN x > nmax THEN 'max'
+            WHEN x < nmin THEN 'min'
+            ELSE 'other' END AS extremum
+FROM nb
 """.strip()
     return out
 

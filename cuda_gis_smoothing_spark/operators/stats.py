@@ -867,6 +867,52 @@ def focal_stats(
     )
 
 
+def local_extrema(
+    cells: DataFrame, value_col: str = "ndvi"
+) -> DataFrame:
+    """Local-extremum classification (the peak/pit morphometry layer
+    beside :func:`focal_stats`): every cell with >= 1 valid ring-1
+    neighbor is 'max' iff its value strictly exceeds every neighbor,
+    'min' iff strictly below every neighbor, else 'other' — plateau
+    members compare equal to a neighbor and classify 'other'.
+    Isolated cells (no valid neighbor) are excluded by contract (the
+    terrain_ruggedness precedent). Output ``(cell, n_neighbors,
+    extremum)``.
+
+    Cross-engine: the compares consume the RAW stored double vs
+    min/max of raw stored doubles — min/max are association-order-free
+    selections (the focal_stats contract), so both engines compare
+    identical doubles and the CASE cannot diverge even at exact ties.
+
+    Plan (100 TB): the smooth() shape — one ring-1 explode +
+    equi-join + one groupBy, then a broadcast-free join back to the
+    center value on the same key."""
+    from cuda_gis_smoothing_spark.operators.smoothing import kring_edges
+
+    vals = cells.select(
+        F.col("cell").alias("nbr"), F.col(value_col).cast("double").alias("_v")
+    )
+    edges = kring_edges(cells.select("cell"), 1, include_center=False)
+    nb = (
+        edges.join(vals, "nbr")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.min("_v").alias("_nmin"),
+            F.max("_v").alias("_nmax"),
+        )
+    )
+    center = cells.select("cell", F.col(value_col).cast("double").alias("_x"))
+    return nb.join(center, "cell").select(
+        "cell",
+        "n_neighbors",
+        F.when(F.col("_x") > F.col("_nmax"), F.lit("max"))
+        .when(F.col("_x") < F.col("_nmin"), F.lit("min"))
+        .otherwise(F.lit("other"))
+        .alias("extremum"),
+    )
+
+
 #: line-of-sight range (cells) along each hex axis — small fixed range
 #: keeps the explode constant-factor (6 · R²/2 rows per cell)
 VISIBILITY_RANGE = 4
