@@ -1608,6 +1608,27 @@ def _q_source_kl_maintained(spark, sf_dir):
     return out
 
 
+def _q_zipf_fit_maintained(spark, sf_dir):
+    """The SAME corpus Zipf fit served from maintained (source, token)
+    count logs — the second read-side statistic over the
+    MaintainedSourceTokens state (zero corpus re-tokenization at read
+    time); single-batch state == the batch count table exactly, so the
+    batch twin is SHARED (the source_kl_maintained precedent)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.source_stats import (
+        MaintainedSourceTokens,
+    )
+
+    state = tempfile.mkdtemp(prefix="zipf_state_")
+    mst = MaintainedSourceTokens(spark, state)
+    mst.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = mst.zipf()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 _QSK_K = 64
 
 
@@ -3321,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "banded_pair_recall": _q_banded_pair_recall,
         "minhash_error_report": _q_minhash_error_report,
         "local_extrema": _q_local_extrema,
+        "zipf_fit_maintained": _q_zipf_fit_maintained,
     }
     return qs
 
@@ -5791,6 +5813,9 @@ SELECT cell, n_neighbors,
             ELSE 'other' END AS extremum
 FROM nb
 """.strip()
+    # single-batch maintained state == the batch count table exactly,
+    # so the twin is SHARED (the source_kl_maintained precedent)
+    out["zipf_fit_maintained"] = ZIPF_FIT_SQL
     return out
 
 

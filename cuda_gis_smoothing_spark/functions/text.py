@@ -845,9 +845,6 @@ def zipf_fit(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     so uniform range cuts would put the df=1 mass in one bucket), and
     the regression is a 1-row aggregate. No global sort anywhere.
     """
-    from cuda_gis_smoothing_spark.functions.numeric import round6
-    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
-
     counts = (
         df.select(id_col, F.explode(tokens_col(text_col)).alias("t"))
         .where(F.col("t") != "")
@@ -855,6 +852,19 @@ def zipf_fit(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
         .agg(F.count(F.lit(1)).alias("_c"))
         .localCheckpoint()
     )
+    return zipf_fit_from_counts(counts)
+
+
+def zipf_fit_from_counts(counts: DataFrame) -> DataFrame:
+    """The Zipf regression over a PREPARED ``(t, _c)`` token-count
+    table (already materialized — the caller owns the checkpoint): the
+    shared kernel behind :func:`zipf_fit` and
+    ``MaintainedSourceTokens.zipf`` (the ``*_from_daily`` precedent —
+    one rank/regression definition, batch and maintained paths cannot
+    drift)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
+
     vocab = counts.agg(F.count(F.lit(1)).alias("_v"))
     ranked = (
         global_ranks(counts, ["_c", "t"], out_col="_r", boundaries="quantile")

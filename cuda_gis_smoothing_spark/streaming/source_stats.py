@@ -266,6 +266,31 @@ class MaintainedSourceTokens:
             )
         )
 
+    def zipf(self) -> DataFrame:
+        """Corpus Zipf-law fit served from the maintained counts —
+        the second read-side statistic over the same state as
+        :meth:`kl` (the MaintainedDailyCounts cusum/trend precedent):
+        global token counts are integer sums of the (source, token)
+        cells (sentinel-keyed NULL-source tokens INCLUDED — the batch
+        operator has no source concept), fed to the SHARED
+        ``zipf_fit_from_counts`` kernel. Nothing re-tokenizes
+        documents at read time. Reads state through an EAGER
+        localCheckpoint — callers may delete the state directory once
+        the plan is built (the MaintainedPostings.search contract)."""
+        from cuda_gis_smoothing_spark.functions.text import (
+            zipf_fit_from_counts,
+        )
+
+        stc = self.counts()
+        if stc is None:
+            raise ValueError("MaintainedSourceTokens: empty state")
+        counts = (
+            stc.groupBy("t")
+            .agg(F.sum("cnt").cast("long").alias("_c"))
+            .localCheckpoint(eager=True)
+        )
+        return zipf_fit_from_counts(counts)
+
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         from cuda_gis_smoothing_spark.streaming.dedup import DOCS_SCHEMA
 

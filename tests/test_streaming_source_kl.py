@@ -53,6 +53,30 @@ def test_multibatch_state_equals_batch_kl(spark, tmp_path):
     )
 
 
+def test_multibatch_zipf_equals_batch(spark, tmp_path):
+    """The second read-side statistic over the same state: a
+    multi-batch-built (and doc-updated) state serves the SAME Zipf fit
+    as the batch operator over the final corpus — including through a
+    NULL-text update (token removal) that shrinks the count table."""
+    from cuda_gis_smoothing_spark.functions.text import zipf_fit
+
+    docs = _docs(spark)
+    mst = MaintainedSourceTokens(spark, str(tmp_path / "state"))
+    for bid, (lo, hi) in enumerate(((0, 200), (200, 10**9))):
+        mst.process_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), bid
+        )
+    assert mst.zipf().collect() == zipf_fit(docs).collect()
+    # update: null one doc's text — its occurrences leave the fit
+    some = docs.orderBy("doc_id").limit(1).select(
+        "doc_id", F.lit(None).cast("string").alias("text"), "lang",
+        "source", "n_chars",
+    )
+    mst.process_batch(some, 2)
+    updated = docs.join(some.select("doc_id"), "doc_id", "left_anti")
+    assert mst.zipf().collect() == zipf_fit(updated).collect()
+
+
 def test_delta_writes_are_o_batch_vocab(spark, tmp_path):
     docs = _docs(spark)
     mst = MaintainedSourceTokens(spark, str(tmp_path / "state"))
