@@ -249,6 +249,9 @@ BENCH_QUERIES = [
     "basin_hypsometry",
     "events_seasonality",
     "events_seasonality_maintained",
+    "minhash_error_report",
+    "local_extrema",
+    "zipf_fit_maintained",
 ]
 
 
