@@ -580,6 +580,14 @@ def _q_contamination(spark, sf_dir):
     )
 
 
+def _q_pii_scan_report(spark, sf_dir):
+    """Per-source PII exposure audit (email / digit-run / SSN shapes)
+    — regex classes restricted to the RE2 ∩ Java search subset."""
+    from cuda_gis_smoothing_spark.operators.curate import pii_scan_report
+
+    return pii_scan_report(load(spark, sf_dir, "documents"))
+
+
 def _q_source_stats(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.curate import source_stats
 
@@ -3343,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_error_report": _q_minhash_error_report,
         "local_extrema": _q_local_extrema,
         "zipf_fit_maintained": _q_zipf_fit_maintained,
+        "pii_scan_report": _q_pii_scan_report,
     }
     return qs
 
@@ -5816,6 +5825,30 @@ FROM nb
     # single-batch maintained state == the batch count table exactly,
     # so the twin is SHARED (the source_kl_maintained precedent)
     out["zipf_fit_maintained"] = ZIPF_FIT_SQL
+    from cuda_gis_smoothing_spark.operators.curate import PII_PATTERNS
+
+    _pii_flags = ",\n         ".join(
+        f"CASE WHEN text IS NOT NULL AND regexp_matches(lower(text), '{p}')"
+        f" THEN 1 ELSE 0 END AS _{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    _pii_sums = ",\n       ".join(
+        f"CAST(SUM(_{k}) AS BIGINT) AS n_{k}" for k in PII_PATTERNS
+    )
+    _pii_any = " + ".join(f"_{k}" for k in PII_PATTERNS)
+    out["pii_scan_report"] = f"""
+WITH f AS (
+  SELECT source,
+         {_pii_flags}
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {_pii_sums},
+       CAST(SUM(CASE WHEN {_pii_any} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM f
+GROUP BY source
+""".strip()
     return out
 
 

@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "minhash_error_report",
     "local_extrema",
     "zipf_fit_maintained",
+    "pii_scan_report",
 ]
 
 

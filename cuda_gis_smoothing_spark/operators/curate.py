@@ -358,6 +358,59 @@ def source_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+#: PII detector patterns — deliberately restricted to the RE2 ∩ Java
+#: common subset (character classes + unbounded reps, no lookaround, no
+#: anchors: these are SEARCH patterns under rlike/regexp_matches, so
+#: the Java-'$'-before-trailing-newline divergence class cannot bind).
+#: Matched against lower(text) in BOTH engines. No single quotes (the
+#: patterns are interpolated into the twin SQL).
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
+    "long_digits": r"[0-9]{9}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scan_report(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source PII exposure audit — the pre-release compliance card
+    of a training-data pipeline (the integrity_report sibling for the
+    corpus): per source, how many docs contain an email shape, a 9+
+    digit run, or an SSN shape, plus the any-detector union. Counts
+    only (the audit LOCATES exposure; redaction is a downstream
+    transform). NULL-text docs count toward n_docs and no detector
+    (three-valued rlike NULL → explicit coalesce to 0 on both sides).
+
+    Plan (100 TB): one projection evaluating each regex ONCE into a
+    named column (the CollapseProject lesson — never inline a regex
+    into a multi-reference fold) + one hash aggregate keyed on the
+    low-cardinality source. No joins, no windows."""
+    flags = docs.select(
+        source_col,
+        *[
+            F.coalesce(
+                F.lower(F.col(text_col)).rlike(p), F.lit(False)
+            )
+            .cast("long")
+            .alias(f"_{k}")
+            for k, p in PII_PATTERNS.items()
+        ],
+    )
+    hit_sum = None
+    for k in PII_PATTERNS:
+        c = F.col(f"_{k}")
+        hit_sum = c if hit_sum is None else hit_sum + c
+    return flags.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(f"_{k}").cast("long").alias(f"n_{k}")
+            for k in PII_PATTERNS
+        ],
+        F.sum((hit_sum > 0).cast("long")).cast("long").alias("n_flagged"),
+    )
+
+
 def filtered_base(docs: DataFrame, lang: str, min_quality: float) -> DataFrame:
     """Stage 1-2 of curation: (doc_id, text, n_tokens, quality_score)
     for docs passing the language and quality filters — one scan, one

@@ -47,6 +47,9 @@ DOC_GATES = [
     "dedup_canonicals",
     "dedup_component_sizes",
     "vocab_top_tokens",
+    # the engineered PII docs pin each detector class + the no-match
+    # hyphenated number; NULL-text docs pin the coalesce-to-0 branch
+    "pii_scan_report",
     "doc_length_histogram",
     "contamination_report",
     "source_stats",
@@ -197,6 +200,14 @@ def _fuzz_corpus(seed: int = 20260816, n: int = 160):
     t = rand_text(10, 20)
     rows.append((next_id(), t + "\n", "en", "src3", len(t) + 1))
     rows.append((next_id(), t + " café", "fr", "src3", len(t) + 5))
+    # PII-shaped strings pin pii_scan_report's regex classes in both
+    # engines (SEARCH patterns, unanchored — the \A..\z class doesn't
+    # bind): an email with mixed case, a 9+ digit run, an SSN shape,
+    # and a short hyphenated number that must match NOTHING
+    add("contact me at John.Doe+spam@Example.COM today", "src4")
+    add("order 123456789012 shipped", "src4")
+    add("ssn 123-45-6789 on file", "src5")
+    add("call 555-1234 maybe", "src5")
     rng.shuffle(rows)
     return rows
 
