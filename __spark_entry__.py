@@ -2185,6 +2185,19 @@ def _q_event_transitions_maintained(spark, sf_dir):
     return out
 
 
+def _q_transition_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain: damped
+    fixed-iteration power iteration over the GATED event_transitions
+    matrix (round-first layering — both engines iterate on identical
+    round6 probabilities); unrolled 5-CTE twin (the cell_pagerank
+    precedent)."""
+    from cuda_gis_smoothing_spark.operators.events import (
+        transition_stationary,
+    )
+
+    return transition_stationary(load(spark, sf_dir, "events"))
+
+
 def _q_late_shipments(spark, sf_dir):
     """TPC-H Q4-shaped priority audit — the LEFT SEMI (EXISTS) plan
     shape over the order key with the exact-microsecond lateness
@@ -3352,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_extrema": _q_local_extrema,
         "zipf_fit_maintained": _q_zipf_fit_maintained,
         "pii_scan_report": _q_pii_scan_report,
+        "transition_stationary": _q_transition_stationary,
     }
     return qs
 
@@ -5849,6 +5863,11 @@ SELECT source,
 FROM f
 GROUP BY source
 """.strip()
+    from cuda_gis_smoothing_spark.operators.events import (
+        transition_stationary_sql,
+    )
+
+    out["transition_stationary"] = transition_stationary_sql()
     return out
 
 

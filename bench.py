@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "local_extrema",
     "zipf_fit_maintained",
     "pii_scan_report",
+    "transition_stationary",
 ]
 
 

@@ -884,6 +884,114 @@ FROM c
 """.strip()
 
 
+def transition_stationary(
+    events: DataFrame, damping: float = 0.85, iters: int = 5
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — the
+    long-run "where does a user session settle" ranking over the
+    :func:`event_transitions` matrix, via damped fixed-iteration power
+    iteration (the cell_pagerank formulation applied to the events
+    family):
+
+        π⁰(t)   = 1 / k
+        πᵗ⁺¹(j) = (1 − d) / k  +  d · Σ_i πᵗ(i) · P(i, j)
+
+    State space = event types participating in ≥ 1 observed transition
+    (from ∪ to, NULL types excluded — a NULL state can't equi-join its
+    twin row); dangling states (no outgoing row) leak their mass, the
+    standard simple formulation, identical in the twin.
+
+    Cross-engine: P is the GATED event_transitions table — its round6
+    p_transition values are bit-identical in both engines BEFORE the
+    iteration (the ivf_silhouette round-first layering), so every
+    iterate multiplies/sums identical doubles; per-iteration sums
+    aggregate ≤ k ≈ #types doubles (fp-association noise absorbed by
+    round6 — the cell_pagerank class). Damping constants flow through
+    flit() of the same Python doubles.
+
+    Plan (100 TB): the transition matrix is #types²-sized — tiny
+    forever; materialized once (localCheckpoint, ``iters`` consumers)
+    with the iteration running on #types-row tables. The one
+    corpus-scale job is the event_transitions window+aggregate."""
+    tm = (
+        event_transitions(events)
+        .where(F.col("from_type").isNotNull() & F.col("to_type").isNotNull())
+        .select("from_type", "to_type", "p_transition")
+        .localCheckpoint()  # iters consumers
+    )
+    types = (
+        tm.select(F.col("from_type").alias("t"))
+        .union(tm.select("to_type"))
+        .distinct()
+        .localCheckpoint()  # iters + 1 consumers
+    )
+    nn = types.agg(F.count(F.lit(1)).alias("_k"))
+    pi = types.crossJoin(F.broadcast(nn)).select(
+        "t", (F.lit(1.0) / F.col("_k")).alias("_pi")
+    )
+    teleport = F.lit(1.0 - damping) / F.col("_k")
+    for _ in range(iters):
+        inb = (
+            tm.join(pi.withColumnRenamed("t", "from_type"), "from_type")
+            .groupBy("to_type")
+            .agg(F.sum(F.col("_pi") * F.col("p_transition")).alias("_s"))
+        )
+        pi = (
+            types.join(inb, types["t"] == inb["to_type"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "t",
+                (
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("_pi"),
+            )
+        )
+    return pi.select(
+        F.col("t").alias("event_type"), round6(F.col("_pi")).alias("stationary_p")
+    )
+
+
+def transition_stationary_sql(damping: float = 0.85, iters: int = 5) -> str:
+    """Unrolled fixed-iteration twin of :func:`transition_stationary`,
+    COMPOSED over the gated event_transitions SQL (the rrf_fusion
+    nesting precedent — one transition-matrix definition) with the
+    _pagerank_sql CTE-chain shape."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
+    d, omd = flit(damping), flit(1.0 - damping)
+    ctes = [
+        f"pi0 AS (SELECT t, {flit(1.0)} / nn.k AS pi FROM ty CROSS JOIN nn)"
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""pi{t} AS (
+  SELECT ty.t, {omd} / nn.k + {d} * COALESCE(inb.s, {flit(0.0)}) AS pi
+  FROM ty CROSS JOIN nn
+  LEFT JOIN (
+    SELECT tm.to_type AS t2, SUM(p.pi * tm.p_transition) AS s
+    FROM tm JOIN pi{t - 1} p ON p.t = tm.from_type
+    GROUP BY tm.to_type
+  ) inb ON inb.t2 = ty.t
+)"""
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH tm AS (
+  SELECT from_type, to_type, p_transition FROM ({EVENT_TRANSITIONS_SQL})
+  WHERE from_type IS NOT NULL AND to_type IS NOT NULL
+),
+ty AS (
+  SELECT DISTINCT t FROM (
+    SELECT from_type AS t FROM tm UNION ALL SELECT to_type FROM tm
+  )
+),
+nn AS (SELECT COUNT(*) AS k FROM ty),
+{chain}
+SELECT t AS event_type, ROUND(pi + 1e-09, 6) AS stationary_p FROM pi{iters}
+""".strip()
+
+
 #: inter-arrival percentile fractions (median + tail)
 INTERARRIVAL_QS = (0.5, 0.9)
 

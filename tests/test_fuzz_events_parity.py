@@ -60,6 +60,9 @@ EVENTS_GATES = [
     # (epoch_us, event_id) total-order contract in both windows
     "event_transitions",
     "event_transitions_maintained",
+    # power iteration over the gated matrix: round-first layering means
+    # tied-timestamp lag flakes would surface here too if they existed
+    "transition_stationary",
     "event_interarrival",
     # the k-cut total-orders on (count, path); tied timestamps exercise
     # the session-boundary and within-session ordering contracts

@@ -295,3 +295,36 @@ def test_label_centroid_similarity_numpy_differential(spark):
             r = got[(a, b)]
             assert (r.n_a, r.n_b) == (na, nb)
             assert abs(r.centroid_cosine - want) < 1e-5
+
+
+def test_transition_stationary_matches_python(spark):
+    """Differential vs a pure-Python power iteration over the SAME
+    gated transition matrix (round6 p_transition values — the
+    round-first layering) and constants. Tolerance 2e-6: distributed
+    sums reassociate vs Python's fold; bit-equality is only promised
+    through round6, which the DuckDB twin gates."""
+    from cuda_gis_smoothing_spark.operators.events import (
+        event_transitions,
+        transition_stationary,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    tm = [
+        (r.from_type, r.to_type, r.p_transition)
+        for r in event_transitions(events)
+        .where("from_type IS NOT NULL AND to_type IS NOT NULL")
+        .collect()
+    ]
+    nodes = sorted({t for f, t, _ in tm} | {f for f, t, _ in tm})
+    k = len(nodes)
+    d, omd = 0.85, 1.0 - 0.85
+    pi = {t: 1.0 / k for t in nodes}
+    for _ in range(5):
+        inb = {t: 0.0 for t in nodes}
+        for f, t, p in tm:
+            inb[t] += pi[f] * p
+        pi = {t: omd / k + d * inb[t] for t in nodes}
+    got = {r.event_type: r.stationary_p for r in transition_stationary(events).collect()}
+    assert set(got) == set(nodes) and k > 1
+    for t in nodes:
+        assert abs(got[t] - pi[t]) <= 2e-6, (t, got[t], pi[t])
