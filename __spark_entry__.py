@@ -2198,6 +2198,26 @@ def _q_transition_stationary(spark, sf_dir):
     return transition_stationary(load(spark, sf_dir, "events"))
 
 
+def _q_transition_stationary_maintained(spark, sf_dir):
+    """The SAME stationary distribution served from maintained
+    transition state (shared stationary_from_matrix kernel over the
+    maintained matrix — the source_kl_maintained precedent; batch twin
+    SHARED)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.transitions import (
+        MaintainedTransitions,
+    )
+
+    state = tempfile.mkdtemp(prefix="statdist_state_")
+    mt = MaintainedTransitions(spark, state)
+    mt.process_batch(load(spark, sf_dir, "events"), 0)
+    out = mt.stationary()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_late_shipments(spark, sf_dir):
     """TPC-H Q4-shaped priority audit — the LEFT SEMI (EXISTS) plan
     shape over the order key with the exact-microsecond lateness
@@ -3366,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit_maintained": _q_zipf_fit_maintained,
         "pii_scan_report": _q_pii_scan_report,
         "transition_stationary": _q_transition_stationary,
+        "transition_stationary_maintained": _q_transition_stationary_maintained,
     }
     return qs
 
@@ -5868,6 +5889,9 @@ GROUP BY source
     )
 
     out["transition_stationary"] = transition_stationary_sql()
+    # single-batch maintained matrix == the batch matrix exactly →
+    # shared twin (the zipf_fit_maintained precedent)
+    out["transition_stationary_maintained"] = transition_stationary_sql()
     return out
 
 

@@ -913,9 +913,20 @@ def transition_stationary(
     forever; materialized once (localCheckpoint, ``iters`` consumers)
     with the iteration running on #types-row tables. The one
     corpus-scale job is the event_transitions window+aggregate."""
+    return stationary_from_matrix(event_transitions(events), damping, iters)
+
+
+def stationary_from_matrix(
+    tm: DataFrame, damping: float = 0.85, iters: int = 5
+) -> DataFrame:
+    """The power iteration over a PREPARED (from_type, to_type,
+    p_transition) matrix — the shared kernel behind
+    :func:`transition_stationary` and
+    ``MaintainedTransitions.stationary`` (the
+    transition_probabilities precedent: one iteration definition,
+    batch and maintained paths cannot drift)."""
     tm = (
-        event_transitions(events)
-        .where(F.col("from_type").isNotNull() & F.col("to_type").isNotNull())
+        tm.where(F.col("from_type").isNotNull() & F.col("to_type").isNotNull())
         .select("from_type", "to_type", "p_transition")
         .localCheckpoint()  # iters consumers
     )

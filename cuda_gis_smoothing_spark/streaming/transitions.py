@@ -185,6 +185,19 @@ class MaintainedTransitions:
         ).localCheckpoint(eager=True)
         return transition_probabilities(counts)
 
+    def stationary(self, damping: float = 0.85, iters: int = 5) -> DataFrame:
+        """Stationary distribution served from the maintained matrix —
+        the second read-side statistic over the same state (the
+        MaintainedSourceTokens.zipf precedent), through the SHARED
+        ``stationary_from_matrix`` kernel: since :meth:`transitions`
+        equals the batch matrix exactly, the power iteration consumes
+        identical round6 probabilities and the batch twin is shared."""
+        from cuda_gis_smoothing_spark.operators.events import (
+            stationary_from_matrix,
+        )
+
+        return stationary_from_matrix(self.transitions(), damping, iters)
+
     # ------------------------------------------------------------------
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         from cuda_gis_smoothing_spark.streaming.windows import EVENTS_SCHEMA

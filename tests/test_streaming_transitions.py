@@ -87,6 +87,32 @@ def test_multi_batch_equals_batch_over_concat(spark, tmp_path):
     assert all(k[0] is not None for k in expected)  # from NULL type drops
 
 
+def test_multibatch_stationary_equals_batch(spark, tmp_path):
+    """The second read-side statistic over the same state: the
+    stationary distribution served from a multi-batch-built matrix
+    equals the batch operator over the concatenation bit-for-bit (both
+    consume the identical round6 matrix through the one shared
+    kernel)."""
+    from cuda_gis_smoothing_spark.operators.events import (
+        transition_stationary,
+    )
+
+    b0, b1, b2 = _batches(spark)
+    mt = MaintainedTransitions(spark, str(tmp_path / "s"))
+    for i, b in enumerate((b0, b1, b2)):
+        mt.process_batch(b, i)
+    got = {
+        r.event_type: r.stationary_p for r in mt.stationary().collect()
+    }
+    want = {
+        r.event_type: r.stationary_p
+        for r in transition_stationary(
+            b0.unionByName(b1).unionByName(b2)
+        ).collect()
+    }
+    assert got == want and len(want) > 1
+
+
 def test_out_of_order_batch_raises_before_writing(spark, tmp_path):
     b0, b1, _ = _batches(spark)
     mt = MaintainedTransitions(spark, str(tmp_path / "s"))
