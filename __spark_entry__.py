@@ -229,6 +229,48 @@ def _q_zonal_stats(spark, sf_dir):
     )
 
 
+def _q_zonal_majority(spark, sf_dir):
+    """Zonal majority — the CATEGORICAL zonal statistic beside
+    _q_zonal_stats' means (land-cover share per district): class =
+    floor_stable(ndvi · 8) (the majority_filter banding contract),
+    per-zone mode with the deterministic (count DESC, class ASC)
+    tie-break folded as one struct-MIN argmax (no window sort); the
+    NULL zone (outside every polygon) is kept. Plan: broadcast PIP tag
+    (no shuffle on the cell side) + two zone-keyed hash aggregates."""
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.functions.numeric import floor_stable
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        centroid_sql,
+        point_in_polygon,
+    )
+
+    _ensure_shipped(spark)
+    cells = grid_from_lineitem(spark, sf_dir).select("cell", "ndvi")
+    lat, lon = centroid_sql("cell", "spark")
+    pts = cells.select(
+        floor_stable(F.col("ndvi") * 8).cast("long").alias("cls"),
+        F.expr(lat).alias("lat"),
+        F.expr(lon).alias("lon"),
+    )
+    tagged = point_in_polygon(pts, datagen.gen_boundaries())
+    counts = tagged.groupBy("region_id", "cls").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    pick = F.min(
+        F.struct((-F.col("_n")).alias("neg"), F.col("cls").alias("cls"))
+    )
+    return (
+        counts.groupBy("region_id")
+        .agg(pick.alias("_m"), F.sum("_n").alias("_t"))
+        .select(
+            "region_id",
+            F.col("_m.cls").alias("mode_class"),
+            (-F.col("_m.neg")).cast("long").alias("mode_count"),
+            F.col("_t").cast("long").alias("n_cells"),
+        )
+    )
+
+
 def _q_neighbor_stats(spark, sf_dir):
     return stats_ops.neighbor_stats(grid_from_lineitem(spark, sf_dir), k=1)
 
@@ -3387,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_report": _q_pii_scan_report,
         "transition_stationary": _q_transition_stationary,
         "transition_stationary_maintained": _q_transition_stationary_maintained,
+        "zonal_majority": _q_zonal_majority,
     }
     return qs
 
@@ -5892,6 +5935,7 @@ GROUP BY source
     # single-batch maintained matrix == the batch matrix exactly →
     # shared twin (the zipf_fit_maintained precedent)
     out["transition_stationary_maintained"] = transition_stationary_sql()
+    out["zonal_majority"] = _zonal_majority_sql()
     return out
 
 
@@ -6151,6 +6195,34 @@ SELECT region_id,
        MAX(ndvi) AS max_ndvi
 FROM z
 GROUP BY region_id
+""".strip()
+
+
+def _zonal_majority_sql() -> str:
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        centroid_sql,
+        pip_region_sql,
+    )
+
+    lat, lon = centroid_sql("cell", "duckdb")
+    case = pip_region_sql("pt.lat", "pt.lon", datagen.gen_boundaries())
+    # the window ORDER BY is a TOTAL order per zone (cls unique in the
+    # count table) — the span_coverage tied-window lesson doesn't bind
+    return f"""
+WITH {GRID_CELLS_SQL},
+pt AS (SELECT CAST(FLOOR(ndvi * 8 + 1e-09) AS BIGINT) AS cls,
+              {lat} AS lat, {lon} AS lon FROM cells4),
+z AS (SELECT cls, {case} AS region_id FROM pt),
+cnt AS (SELECT region_id, cls, COUNT(*) AS n FROM z GROUP BY 1, 2)
+SELECT region_id, cls AS mode_class, CAST(n AS BIGINT) AS mode_count,
+       CAST(t AS BIGINT) AS n_cells
+FROM (
+  SELECT region_id, cls, n, SUM(n) OVER (PARTITION BY region_id) AS t,
+         ROW_NUMBER() OVER (PARTITION BY region_id ORDER BY n DESC, cls ASC) AS rk
+  FROM cnt
+)
+WHERE rk = 1
 """.strip()
 
 
