@@ -2260,6 +2260,46 @@ def _q_transition_stationary_maintained(spark, sf_dir):
     return out
 
 
+def _q_transition_entropy_rate(spark, sf_dir):
+    """Entropy rate of the event-type Markov chain — H = −Σ_i π_i ·
+    Σ_j P_ij · ln P_ij (nats): how predictable the next event is from
+    the current one, the clickstream-regularity headline. Round-FIRST
+    layering twice over: both π and P are the GATED round6 tables, so
+    the product/ln terms are identical doubles in both engines (ln is
+    the doc_logprob ≤1-ulp class, absorbed — with the #types²-term sum
+    association — by the final round6). The matrix is computed ONCE
+    (checkpointed, feeding the stationary iteration AND the entropy
+    join — the multi-consumer class)."""
+    from cuda_gis_smoothing_spark.operators.events import (
+        event_transitions,
+        stationary_from_matrix,
+    )
+
+    tm = (
+        event_transitions(load(spark, sf_dir, "events"))
+        .where(F.col("from_type").isNotNull() & F.col("to_type").isNotNull())
+        .select("from_type", "to_type", "p_transition")
+        .localCheckpoint()  # stationary iteration + entropy join
+    )
+    pi = stationary_from_matrix(tm).localCheckpoint()  # count + join
+    ns = pi.agg(F.count(F.lit(1)).cast("long").alias("n_states"))
+    ent = (
+        tm.join(pi, tm["from_type"] == pi["event_type"])
+        .agg(
+            (
+                -F.sum(
+                    F.col("stationary_p")
+                    * F.col("p_transition")
+                    * F.log(F.col("p_transition"))
+                )
+            ).alias("_h")
+        )
+    )
+    return ent.crossJoin(F.broadcast(ns)).select(
+        "n_states", round6(F.col("_h")).alias("entropy_rate")
+    )
+
+
 def _q_late_shipments(spark, sf_dir):
     """TPC-H Q4-shaped priority audit — the LEFT SEMI (EXISTS) plan
     shape over the order key with the exact-microsecond lateness
@@ -3159,6 +3199,34 @@ def _q_events_seasonality_maintained(spark, sf_dir):
     return out
 
 
+def _q_events_burstiness(spark, sf_dir):
+    """Per-type Fano-factor dispersion card — calendar span zero-fills
+    for free (zero days add nothing to the integer moments), one exact
+    integer ratio per type under round6."""
+    from cuda_gis_smoothing_spark.operators.events import events_burstiness
+
+    return events_burstiness(load(spark, sf_dir, "events"))
+
+
+def _q_events_burstiness_maintained(spark, sf_dir):
+    """The SAME dispersion card served from the maintained (type, day)
+    count log through the shared burstiness_from_daily kernel (the
+    events_seasonality_maintained precedent)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.daily_counts import (
+        MaintainedDailyCounts,
+    )
+
+    state = tempfile.mkdtemp(prefix="daily_state_")
+    m = MaintainedDailyCounts(spark, state)
+    m.process_batch(load(spark, sf_dir, "events"), 0)
+    out = m.burstiness().localCheckpoint(eager=True)  # state dir GC'd next
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_basin_hypsometry(spark, sf_dir):
     """Per-basin hypsometric (area-elevation) histogram: integer
     uniform bands over the unit value surface, grouped by the derived
@@ -3430,6 +3498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_stationary": _q_transition_stationary,
         "transition_stationary_maintained": _q_transition_stationary_maintained,
         "zonal_majority": _q_zonal_majority,
+        "transition_entropy_rate": _q_transition_entropy_rate,
+        "events_burstiness": _q_events_burstiness,
+        "events_burstiness_maintained": _q_events_burstiness_maintained,
     }
     return qs
 
@@ -5936,6 +6007,28 @@ GROUP BY source
     # shared twin (the zipf_fit_maintained precedent)
     out["transition_stationary_maintained"] = transition_stationary_sql()
     out["zonal_majority"] = _zonal_majority_sql()
+    # both π and P nested from their own gated SQLs (round-first
+    # layering — the rrf_fusion composition precedent)
+    out["transition_entropy_rate"] = f"""
+WITH pi AS (
+  SELECT event_type, stationary_p FROM ({transition_stationary_sql()})
+),
+tm AS (
+  SELECT from_type, to_type, p_transition FROM ({EVENT_TRANSITIONS_SQL})
+  WHERE from_type IS NOT NULL AND to_type IS NOT NULL
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pi) AS n_states,
+       ROUND(-SUM(pi.stationary_p * tm.p_transition * ln(tm.p_transition))
+             + 1e-09, 6) AS entropy_rate
+FROM tm JOIN pi ON pi.event_type = tm.from_type
+""".strip()
+    from cuda_gis_smoothing_spark.operators.events import (
+        EVENTS_BURSTINESS_SQL,
+    )
+
+    out["events_burstiness"] = EVENTS_BURSTINESS_SQL
+    # additive counts: maintained state == batch daily table exactly
+    out["events_burstiness_maintained"] = EVENTS_BURSTINESS_SQL
     return out
 
 

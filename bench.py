@@ -254,6 +254,9 @@ BENCH_QUERIES = [
     "zipf_fit_maintained",
     "pii_scan_report",
     "transition_stationary",
+    "zonal_majority",
+    "transition_entropy_rate",
+    "events_burstiness",
 ]
 
 

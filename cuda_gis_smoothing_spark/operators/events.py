@@ -1879,6 +1879,78 @@ def events_seasonality(events: DataFrame) -> DataFrame:
     return seasonality_from_daily(daily_counts(events))
 
 
+def burstiness_from_daily(daily: DataFrame) -> DataFrame:
+    """Per-type burstiness (Fano factor / index of dispersion of the
+    daily volume) over a (event_type, day, n) table — the
+    dispersion-card sibling of the autocorrelation/seasonality
+    kernels (Fano ≈ 1 → Poisson-like arrivals; ≫ 1 → bursty).
+
+    The calendar span [min_day, max_day] is zero-filled FOR FREE: days
+    without events contribute 0 to both Σn and Σn², so only the span
+    length enters the moments — no day explode, no join. Population
+    variance/mean collapses to ONE exact integer ratio:
+
+        fano = (d·Σn² − (Σn)²) / (d·Σn),   d = span days
+
+    all-integer until the single division under round6 (the
+    quality_mannwhitney integerize-the-moments preference). Bound:
+    d·Σn² must stay < 2^63 (the lang_source_chi2 class — at corpus
+    scale widen to DECIMAL). NULL type/day rows are dropped (the
+    *_from_daily kernel contract). Output ``(event_type, n_days,
+    n_active_days, total_events, mean_daily, fano_factor)``."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    d = daily.where(
+        F.col("event_type").isNotNull() & F.col("day").isNotNull()
+    )
+    agg = d.groupBy("event_type").agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1)
+        .cast("long")
+        .alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("_q"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "n_active_days",
+        "total_events",
+        round6(F.col("total_events") / F.col("n_days")).alias("mean_daily"),
+        round6(
+            (
+                F.col("n_days") * F.col("_q")
+                - F.col("total_events") * F.col("total_events")
+            )
+            / (F.col("n_days") * F.col("total_events"))
+        ).alias("fano_factor"),
+    )
+
+
+def events_burstiness(events: DataFrame) -> DataFrame:
+    """Per-type Fano-factor dispersion card — the batch gate:
+    :func:`daily_counts` into the shared :func:`burstiness_from_daily`
+    kernel."""
+    return burstiness_from_daily(daily_counts(events))
+
+
+EVENTS_BURSTINESS_SQL = f"""
+WITH {daily_cte(null_filter=True)},
+m AS (
+  SELECT event_type,
+         CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS nd,
+         CAST(COUNT(*) AS BIGINT) AS nad,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS q
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, nd AS n_days, nad AS n_active_days, s AS total_events,
+       ROUND(s * 1.0 / nd + 1e-09, 6) AS mean_daily,
+       ROUND((nd * q - s * s) * 1.0 / (nd * s) + 1e-09, 6) AS fano_factor
+FROM m
+""".strip()
+
+
 EVENTS_SEASONALITY_SQL = f"""
 WITH {daily_cte(null_filter=True)},
 per AS (

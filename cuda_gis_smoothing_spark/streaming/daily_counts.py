@@ -128,6 +128,17 @@ class MaintainedDailyCounts:
 
         return seasonality_from_daily(self.daily())
 
+    def burstiness(self) -> DataFrame:
+        """Fano-factor dispersion card served from state alone — the
+        SHARED burstiness_from_daily kernel over the maintained table
+        (counts are additive, so the served card equals the batch
+        operator over the union of all ingested batches)."""
+        from cuda_gis_smoothing_spark.operators.events import (
+            burstiness_from_daily,
+        )
+
+        return burstiness_from_daily(self.daily())
+
     # ------------------------------------------------------------------
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         from cuda_gis_smoothing_spark.streaming.windows import EVENTS_SCHEMA

@@ -56,6 +56,9 @@ EVENTS_GATES = [
     # epoch-anchored integer weekday + exact-integer-ratio shares —
     # aggregation-only, so tied timestamps are a pure no-op
     "events_seasonality",
+    # all-integer span/moment aggregates, one division — tie-proof by
+    # design; the fuzz span exercises the zero-filled-day contract
+    "events_burstiness",
     # lag-pair gates: the fuzz corpus's tied timestamps exercise the
     # (epoch_us, event_id) total-order contract in both windows
     "event_transitions",

@@ -160,3 +160,29 @@ def test_seasonality_served_equals_batch_multi_batch(spark, state_dir):
         for r in events_seasonality(full).collect()
     }
     assert got == want and len(got) > 2
+
+
+def test_burstiness_served_equals_batch_multi_batch(spark, state_dir):
+    """The shared burstiness kernel over maintained state must equal
+    the batch operator over the concatenated stream (additive counts:
+    spans and moments grow as later batches extend the calendar)."""
+    from cuda_gis_smoothing_spark.operators.events import events_burstiness
+
+    b0, b1, b2 = _batches(spark)
+    m = MaintainedDailyCounts(spark, state_dir)
+    for i, b in enumerate((b0, b1, b2)):
+        m.process_batch(b, i)
+    full = b0.unionByName(b1).unionByName(b2)
+    cols = (
+        "n_days", "n_active_days", "total_events", "mean_daily",
+        "fano_factor",
+    )
+    got = {
+        r.event_type: tuple(r[c] for c in cols)
+        for r in m.burstiness().collect()
+    }
+    want = {
+        r.event_type: tuple(r[c] for c in cols)
+        for r in events_burstiness(full).collect()
+    }
+    assert got == want and len(got) > 1
