@@ -2641,6 +2641,15 @@ def _q_flow_direction(spark, sf_dir):
     return flow_direction(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_fill_sinks(spark, sf_dir):
+    """Planchon–Darboux depression filling (bounded-horizon unrolled
+    relaxation; the entire data path is min/max selections over exact
+    doubles — zero float-association exposure)."""
+    from cuda_gis_smoothing_spark.operators.hydrology import fill_sinks
+
+    return fill_sinks(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_watershed_basins(spark, sf_dir):
     """Drainage basins = connected components of the undirected flow
     forest (exactly one sink per basin — strict descent is acyclic);
@@ -3501,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_entropy_rate": _q_transition_entropy_rate,
         "events_burstiness": _q_events_burstiness,
         "events_burstiness_maintained": _q_events_burstiness_maintained,
+        "fill_sinks": _q_fill_sinks,
     }
     return qs
 
@@ -6029,6 +6039,19 @@ FROM tm JOIN pi ON pi.event_type = tm.from_type
     out["events_burstiness"] = EVENTS_BURSTINESS_SQL
     # additive counts: maintained state == batch daily table exactly
     out["events_burstiness_maintained"] = EVENTS_BURSTINESS_SQL
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        FILL_ROUNDS,
+        fill_sinks_sql,
+    )
+
+    out["fill_sinks"] = f"""
+WITH {GRID_CELLS_SQL},
+{fill_sinks_sql()}
+SELECT f.cell,
+       CASE WHEN f.w < 1000000000.0 THEN f.w END AS filled_level,
+       CASE WHEN f.w < 1000000000.0 THEN f.w - b.z END AS fill_depth
+FROM w{FILL_ROUNDS} f JOIN fs_b b ON b.cell = f.cell
+""".strip()
     return out
 
 

@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "zonal_majority",
     "transition_entropy_rate",
     "events_burstiness",
+    "fill_sinks",
 ]
 
 

@@ -809,3 +809,153 @@ def basin_adjacency(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
         .groupBy("basin_a", "basin_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_border_edges"))
     )
+
+
+# -- depression filling (Planchon–Darboux) ----------------------------
+
+#: water-level propagation horizon: each round carries border
+#: information one ring inward, so ``rounds`` bounds the border-path
+#: length considered (the COST_ROUNDS bounded-horizon contract). The
+#: fixture grid is 40x40 (interior distance to border <= 20); 24
+#: covers it with slack, and the differential pytest asserts the
+#: bounded result IS the unbounded fixpoint there.
+FILL_ROUNDS = 24
+#: pre-fill water level for interior cells — an exact integer-valued
+#: double far above any grid value (ndvi-scale variables are O(1));
+#: surviving sentinels mark cells the horizon never reached (NULL out)
+FILL_SENTINEL = 1.0e9
+
+
+def fill_sinks(
+    cells: DataFrame, value_col: str = "ndvi", rounds: int = FILL_ROUNDS
+) -> DataFrame:
+    """Planchon–Darboux depression filling — the standard DEM
+    preprocessing step before flow routing (a filled surface drains
+    everywhere; :func:`flow_direction`'s sinks become flats):
+
+        W⁰(c) = z(c) on BORDER cells, sentinel elsewhere
+        Wᵗ⁺¹(c) = max(z(c), min_{n ∈ ring1(c)} Wᵗ(n)) on interior cells
+
+    Border = valid ring-1 degree < 6: both true grid-edge cells and
+    hole-adjacent cells spill off-grid (the documented hole contract —
+    a missing neighbor is open boundary, matching the strict ring-2
+    hole semantics' treatment of absent cells). The fixpoint W is the
+    MINIMAX border-path level: min over paths to the border of the
+    max elevation en route; after ``rounds`` rounds each W is exact
+    over paths of ≤ rounds edges (an upper bound on the true fill —
+    identical in both engines since the twin unrolls the SAME rounds).
+    Cells no border wave reached emit NULL (none on the fixture).
+
+    Cross-engine: the entire data path is min / max / GREATEST over
+    exact stored doubles and the integer-valued sentinel — selections,
+    never arithmetic, so the gate has ZERO float-association exposure
+    (the focal_stats class) and ``fill_depth = W − z`` subtracts
+    identical doubles. Output ``(cell, filled_level, fill_depth)``.
+
+    Plan (100 TB): edges materialized once (localCheckpoint, degree +
+    every round consume it); each round is one equi-join + one
+    min-aggregate + one left join on the cell key — the smoothing
+    shuffle shape — with per-round localCheckpoint (the _cost_relax
+    double-reference lesson: the loop variable feeds both the neighbor
+    scan and the combine side)."""
+    vals = cells.select("cell", F.col(value_col).cast("double").alias("_z"))
+    offs = F.array(*[F.lit(d) for d in R1_DELTAS])
+    edges = (
+        vals.select("cell", F.explode(offs).alias("_d"))
+        .select("cell", (F.col("cell") + F.col("_d")).alias("nbr"))
+        .join(vals.select(F.col("cell").alias("nbr")), "nbr")
+        .localCheckpoint()  # degree + rounds consumers
+    )
+    deg = edges.groupBy("cell").agg(F.count(F.lit(1)).alias("_nn"))
+    base = vals.join(deg, "cell", "left").select(
+        "cell", "_z", F.coalesce(F.col("_nn"), F.lit(0)).alias("_nn")
+    )
+    w = base.select(
+        "cell",
+        "_z",
+        "_nn",
+        F.when(F.col("_nn") < 6, F.col("_z"))
+        .otherwise(F.lit(FILL_SENTINEL))
+        .alias("_w"),
+    ).localCheckpoint()
+    for _ in range(int(rounds)):
+        mn = (
+            edges.join(
+                w.select(F.col("cell").alias("nbr"), F.col("_w").alias("_wn")),
+                "nbr",
+            )
+            .groupBy("cell")
+            .agg(F.min("_wn").alias("_mn"))
+        )
+        w = (
+            w.join(mn, "cell", "left")
+            .select(
+                "cell",
+                "_z",
+                "_nn",
+                F.when(F.col("_nn") < 6, F.col("_z"))
+                .otherwise(F.greatest(F.col("_z"), F.col("_mn")))
+                .alias("_w"),
+            )
+            .localCheckpoint()
+        )
+    return w.select(
+        "cell",
+        F.when(F.col("_w") < FILL_SENTINEL, F.col("_w")).alias(
+            "filled_level"
+        ),
+        F.when(F.col("_w") < FILL_SENTINEL, F.col("_w") - F.col("_z")).alias(
+            "fill_depth"
+        ),
+    )
+
+
+def fill_sinks_sql(
+    source: str = "cells4",
+    value_col: str = "ndvi",
+    rounds: int = FILL_ROUNDS,
+) -> str:
+    """Unrolled fixed-iteration twin of :func:`fill_sinks` (the
+    _pagerank_sql CTE-chain shape; one CTE per round). Compose after
+    the cells CTEs."""
+    vals = ", ".join(f"({d})" for d in R1_DELTAS)
+    sent = "1000000000.0"
+    # every wt references w{t-1} exactly ONCE (base rows come from the
+    # stable fs_b — z/nn never change): a twice-referenced loop CTE
+    # inlines 2^rounds deep in DuckDB (the _cost_relax double-reference
+    # lesson, twin side); fs_edges/fs_b are MATERIALIZED because all
+    # ``rounds`` iterations reference them
+    ctes = [
+        f"""fs_edges AS MATERIALIZED (
+  SELECT c.cell, n.cell AS nbr
+  FROM {source} c CROSS JOIN fs_offsets o
+  JOIN {source} n ON n.cell = c.cell + o.delta
+)""",
+        "fs_deg AS (SELECT cell, COUNT(*) AS nn FROM fs_edges GROUP BY cell)",
+        f"""fs_b AS MATERIALIZED (
+  SELECT s.cell, s.{value_col} AS z, COALESCE(d.nn, 0) AS nn
+  FROM {source} s LEFT JOIN fs_deg d ON d.cell = s.cell
+)""",
+        f"w0 AS (SELECT cell, nn, CASE WHEN nn < 6 THEN z ELSE {sent} END AS w FROM fs_b)",
+    ]
+    # each round MATERIALIZED as well: inlined, the 24-deep nested tree
+    # costs DuckDB's optimizer ~2 minutes (measured) vs sub-second when
+    # every round executes once over the #cells-row table
+    for t in range(1, int(rounds) + 1):
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT b.cell, b.nn,
+         CASE WHEN b.nn < 6 THEN b.z ELSE GREATEST(b.z, m.mn) END AS w
+  FROM fs_b b
+  LEFT JOIN (
+    SELECT e.cell, MIN(p.w) AS mn
+    FROM fs_edges e JOIN w{t - 1} p ON p.cell = e.nbr
+    GROUP BY e.cell
+  ) m ON m.cell = b.cell
+)"""
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+fs_offsets (delta) AS (VALUES {vals}),
+{chain}
+""".strip()

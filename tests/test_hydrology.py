@@ -509,3 +509,49 @@ def test_basin_adjacency_matches_python_recount(spark):
         for r in basin_adjacency(cells).collect()
     }
     assert got == want and len(got) > 3
+
+
+def test_fill_sinks_matches_python_fixpoint(spark):
+    """The bounded 24-round gate result equals the UNBOUNDED Jacobi
+    fixpoint computed in pure Python over the same grid — exact
+    equality (the data path is min/max selections over identical
+    doubles, so no tolerance is needed), proving the horizon covers
+    the fixture; plus the structural invariants (no NULLs, depth ≥ 0,
+    border cells keep their elevation)."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        FILL_SENTINEL,
+        fill_sinks,
+    )
+
+    cells = _grid(spark)
+    z = {r.cell: r.ndvi for r in cells.select("cell", "ndvi").collect()}
+    nbrs = {c: [c + d for d in R1_DELTAS if c + d in z] for c in z}
+    w = {c: (z[c] if len(nbrs[c]) < 6 else FILL_SENTINEL) for c in z}
+    while True:
+        nw = {
+            c: (
+                z[c]
+                if len(nbrs[c]) < 6
+                else max(z[c], min(w[n] for n in nbrs[c]))
+            )
+            for c in z
+        }
+        if nw == w:
+            break
+        w = nw
+    got = {
+        r.cell: (r.filled_level, r.fill_depth)
+        for r in fill_sinks(cells).collect()
+    }
+    assert set(got) == set(z)
+    n_filled = 0
+    for c in z:
+        fl, fd = got[c]
+        assert fl is not None, c  # the horizon reached every cell
+        assert fl == w[c], (c, fl, w[c])
+        assert fd == fl - z[c] and fd >= 0
+        if len(nbrs[c]) < 6:
+            assert fl == z[c]
+        n_filled += fd > 0
+    # the fixture actually HAS depressions (the op does work here)
+    assert n_filled > 0
