@@ -2650,6 +2650,27 @@ def _q_fill_sinks(spark, sf_dir):
     return fill_sinks(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_flow_direction_filled(spark, sf_dir):
+    """Routing over the FILLED surface — the standard DEM pipeline
+    composition (fill then route): depressions drain to their pour
+    level first, so only true spill paths remain; cells the fill
+    turned flat have no strict descent and stay sinks (flat-direction
+    resolution documented out — the plain D8 convention). Twin
+    composes the fill CTE chain under the SHARED flow_ctes builder."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        fill_sinks,
+        flow_direction,
+    )
+
+    cells = grid_from_lineitem(spark, sf_dir)
+    filled = (
+        fill_sinks(cells)
+        .where(F.col("filled_level").isNotNull())
+        .select("cell", F.col("filled_level").alias("ndvi"))
+    )
+    return flow_direction(filled)
+
+
 def _q_watershed_basins(spark, sf_dir):
     """Drainage basins = connected components of the undirected flow
     forest (exactly one sink per basin — strict descent is acyclic);
@@ -3511,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burstiness": _q_events_burstiness,
         "events_burstiness_maintained": _q_events_burstiness_maintained,
         "fill_sinks": _q_fill_sinks,
+        "flow_direction_filled": _q_flow_direction_filled,
     }
     return qs
 
@@ -6051,6 +6073,14 @@ SELECT f.cell,
        CASE WHEN f.w < 1000000000.0 THEN f.w END AS filled_level,
        CASE WHEN f.w < 1000000000.0 THEN f.w - b.z END AS fill_depth
 FROM w{FILL_ROUNDS} f JOIN fs_b b ON b.cell = f.cell
+""".strip()
+    out["flow_direction_filled"] = f"""
+WITH {GRID_CELLS_SQL},
+{fill_sinks_sql()},
+filled AS (SELECT f.cell, f.w AS ndvi FROM w{FILL_ROUNDS} f WHERE f.w < 1000000000.0),
+{flow_ctes(source="filled")}
+SELECT cell, flow_to, ROUND(descent_raw + 1e-09, 6) AS descent
+FROM fd
 """.strip()
     return out
 

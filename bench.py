@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "transition_entropy_rate",
     "events_burstiness",
     "fill_sinks",
+    "flow_direction_filled",
 ]
 
 

@@ -555,3 +555,23 @@ def test_fill_sinks_matches_python_fixpoint(spark):
         n_filled += fd > 0
     # the fixture actually HAS depressions (the op does work here)
     assert n_filled > 0
+
+
+def test_flow_direction_filled_downhill_invariant(spark):
+    """On the filled surface every routed edge descends strictly, and
+    cells the fill raised (depth > 0) sit INSIDE filled depressions:
+    routing starts only where a strict descent exists at the pour
+    level or below."""
+    from __spark_entry__ import _q_flow_direction_filled
+    from cuda_gis_smoothing_spark.operators.hydrology import fill_sinks
+
+    cells = _grid(spark)
+    lvl = {
+        r.cell: r.filled_level for r in fill_sinks(cells).collect()
+    }
+    routed = 0
+    for r in _q_flow_direction_filled(spark, SF_DIR).collect():
+        if r.flow_to is not None:
+            assert lvl[r.flow_to] < lvl[r.cell], (r.cell, r.flow_to)
+            routed += 1
+    assert routed > 0
