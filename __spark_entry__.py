@@ -630,6 +630,14 @@ def _q_pii_scan_report(spark, sf_dir):
     return pii_scan_report(load(spark, sf_dir, "documents"))
 
 
+def _q_doc_novelty(spark, sf_dir):
+    """Per-doc share of corpus-first k-gram shingles (min doc id =
+    deterministic ingest order) — the dedup-ordering card."""
+    from cuda_gis_smoothing_spark.operators.curate import doc_novelty
+
+    return doc_novelty(load(spark, sf_dir, "documents"))
+
+
 def _q_source_stats(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.curate import source_stats
 
@@ -3533,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burstiness_maintained": _q_events_burstiness_maintained,
         "fill_sinks": _q_fill_sinks,
         "flow_direction_filled": _q_flow_direction_filled,
+        "doc_novelty": _q_doc_novelty,
     }
     return qs
 
@@ -6081,6 +6090,29 @@ filled AS (SELECT f.cell, f.w AS ndvi FROM w{FILL_ROUNDS} f WHERE f.w < 10000000
 {flow_ctes(source="filled")}
 SELECT cell, flow_to, ROUND(descent_raw + 1e-09, 6) AS descent
 FROM fd
+""".strip()
+    from cuda_gis_smoothing_spark.operators.curate import DOC_NOVELTY_K
+
+    _nk = DOC_NOVELTY_K
+    out["doc_novelty"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, len(string_split(lower(text), ' ')) - {_nk - 1}),
+             i -> array_to_string((string_split(lower(text), ' '))[i:i+{_nk - 1}], ' '))) AS shingle
+    FROM documents
+    WHERE len(string_split(lower(text), ' ')) >= {_nk}
+  )
+),
+fst AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) + 1e-09, 6) AS novelty
+FROM sh JOIN fst USING (shingle)
+GROUP BY sh.doc_id
 """.strip()
     return out
 

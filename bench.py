@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "events_burstiness",
     "fill_sinks",
     "flow_direction_filled",
+    "doc_novelty",
 ]
 
 

@@ -411,6 +411,56 @@ def pii_scan_report(
     )
 
 
+#: k-gram width for the novelty card (the decontamination family's k)
+DOC_NOVELTY_K = 4
+
+
+def doc_novelty(
+    docs: DataFrame, k: int = DOC_NOVELTY_K, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc novelty share — the dedup-ORDERING card: fraction of
+    the doc's DISTINCT k-gram shingles whose corpus-FIRST occurrence
+    (minimum doc id — the deterministic stand-in for ingest order) is
+    this doc. A crawl re-ingest shows novelty collapsing toward 0;
+    span-dedup thresholds (Lee et al.) are cuts over exactly this
+    distribution. Docs with < k tokens have no shingles and no row
+    (the contamination_report short-doc contract — Spark sequence(1,0)
+    DESCENDS, so short docs are filtered BEFORE the explode on both
+    sides). All-integer counts, one exact division under round6.
+
+    Plan (100 TB): ONE distinct (doc, shingle) table, checkpointed
+    ahead of its two differently-grouped consumers (gram-keyed min +
+    doc-keyed counts — the multi-consumer class); both aggregates are
+    map-side-combinable hash aggs, no windows."""
+    from cuda_gis_smoothing_spark.operators.dedup import shingles_expr
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    sh = (
+        docs.select(id_col, toks.alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .select(id_col, F.explode(shingles_expr(k)).alias("_shingle"))
+        .distinct()
+        .localCheckpoint()  # gram-keyed min + doc-keyed counts
+    )
+    first = sh.groupBy("_shingle").agg(F.min(id_col).alias("_first"))
+    return (
+        sh.join(first, "_shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            round6(F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
+        )
+    )
+
+
 def filtered_base(docs: DataFrame, lang: str, min_quality: float) -> DataFrame:
     """Stage 1-2 of curation: (doc_id, text, n_tokens, quality_score)
     for docs passing the language and quality filters — one scan, one

@@ -76,6 +76,10 @@ DOC_GATES = [
     # LSH candidates x split-hash boundary x exact verify — NULL-text
     # docs must vanish identically from signatures AND token sides
     "split_leakage_check",
+    # corpus-first shingle attribution: exact-dup families pin the
+    # all-novel-first-copy / zero-novel-later-copy split; NULL/short
+    # texts drop identically pre-explode
+    "doc_novelty",
     "decontaminated_corpus",
     "decontaminated_bloom",
     "vocab_df_idf",
