@@ -2649,6 +2649,15 @@ def _q_flow_direction(spark, sf_dir):
     return flow_direction(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_stream_order(spark, sf_dir):
+    """Strahler order of the flow forest (bounded bottom-up rounds,
+    integer max-order + ≥2-at-max flag folded into one key — exact
+    for tree heights ≤ 8; fixture height is 4, differential-pinned)."""
+    from cuda_gis_smoothing_spark.operators.hydrology import stream_order
+
+    return stream_order(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_fill_sinks(spark, sf_dir):
     """Planchon–Darboux depression filling (bounded-horizon unrolled
     relaxation; the entire data path is min/max selections over exact
@@ -3542,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_sinks": _q_fill_sinks,
         "flow_direction_filled": _q_flow_direction_filled,
         "doc_novelty": _q_doc_novelty,
+        "stream_order": _q_stream_order,
     }
     return qs
 
@@ -6113,6 +6123,17 @@ SELECT sh.doc_id,
              / COUNT(*) + 1e-09, 6) AS novelty
 FROM sh JOIN fst USING (shingle)
 GROUP BY sh.doc_id
+""".strip()
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        STRAHLER_ROUNDS,
+        strahler_ctes,
+    )
+
+    out["stream_order"] = f"""
+WITH {GRID_CELLS_SQL},
+{flow_ctes()},
+{strahler_ctes()}
+SELECT cell, ord AS strahler_order FROM o{STRAHLER_ROUNDS}
 """.strip()
     return out
 

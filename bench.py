@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "fill_sinks",
     "flow_direction_filled",
     "doc_novelty",
+    "stream_order",
 ]
 
 

@@ -959,3 +959,106 @@ def fill_sinks_sql(
 fs_offsets (delta) AS (VALUES {vals}),
 {chain}
 """.strip()
+
+
+# -- Strahler stream order -------------------------------------------
+
+#: bottom-up propagation horizon: order is exact for every cell whose
+#: flow-tree HEIGHT is <= rounds (the COST_ROUNDS bounded-horizon
+#: contract); the fixture's longest flow path is 4 edges, pinned by
+#: the unbounded-fixpoint differential pytest
+STRAHLER_ROUNDS = 8
+
+
+def stream_order(
+    cells: DataFrame, value_col: str = "ndvi", rounds: int = STRAHLER_ROUNDS
+) -> DataFrame:
+    """Strahler order of the D6 flow forest — the stream-hierarchy
+    classifier Shreve's additive :func:`stream_magnitude` cannot
+    express (Strahler increments only when two EQUAL-order tributaries
+    meet; the backlog documented it out pending the bounded-horizon
+    contract cost_distance later established):
+
+        order(leaf) = 1
+        order(v)    = m + 1 if ≥ 2 children reach m = max child order,
+                      m     otherwise
+
+    computed as a Jacobi iteration from all-ones (orders only ever
+    grow, so after t rounds every cell of flow-tree height ≤ t is
+    final). The per-round combine folds (max child order, ≥2-at-max
+    flag) into ONE integer key ``k = ord·2 + flag`` (max(k) picks the
+    max order and, within it, the flag — the cost_allocation
+    integerize-the-argmin lesson), decoded as ``k div 2 + k % 2``.
+    All-integer → tie-proof, twin-exact.
+
+    Plan (100 TB): edges + base materialized once; each round is one
+    equi-join + two hash aggregates + one left join keyed on the cell
+    (the fill_sinks round shape, per-round localCheckpoint — the
+    _cost_relax double-reference lesson). Output
+    ``(cell, strahler_order)`` over every grid cell (non-stream cells
+    carry their drainage-tree order; filter on upslope for channels).
+    """
+    fd = flow_direction(cells, value_col)
+    edges = (
+        fd.where(F.col("flow_to").isNotNull())
+        .select(F.col("cell").alias("src"), F.col("flow_to").alias("dst"))
+        .localCheckpoint()  # rounds consumers
+    )
+    base = cells.select("cell").localCheckpoint()  # rounds + 1 consumers
+    o = base.select("cell", F.lit(1).cast("long").alias("ord"))
+    for _ in range(int(rounds)):
+        ca = (
+            edges.join(
+                o.select(F.col("cell").alias("src"), "ord"), "src"
+            )
+            .groupBy("dst", "ord")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        mm = ca.groupBy("dst").agg(
+            F.max(
+                F.col("ord") * 2 + (F.col("_cnt") >= 2).cast("long")
+            ).alias("_k")
+        )
+        o = (
+            base.join(mm, base["cell"] == mm["dst"], "left")
+            .select(
+                "cell",
+                F.when(F.col("_k").isNull(), F.lit(1).cast("long"))
+                .otherwise(F.expr("_k div 2 + _k % 2"))
+                .alias("ord"),
+            )
+            .localCheckpoint()
+        )
+    return o.select("cell", F.col("ord").alias("strahler_order"))
+
+
+def strahler_ctes(
+    source: str = "cells4", rounds: int = STRAHLER_ROUNDS
+) -> str:
+    """Unrolled twin CTEs for :func:`stream_order` — compose AFTER
+    :func:`flow_ctes` (consumes ``fd``). Every round references the
+    previous one exactly once and is MATERIALIZED (the fill_sinks
+    twin lesson: inlined chains cost DuckDB minutes)."""
+    ctes = [
+        "so_edges AS MATERIALIZED (SELECT cell AS src, flow_to AS dst FROM fd WHERE flow_to IS NOT NULL)",
+        f"o0 AS MATERIALIZED (SELECT cell, CAST(1 AS BIGINT) AS ord FROM {source})",
+    ]
+    for t in range(1, int(rounds) + 1):
+        ctes.append(
+            f"""o{t} AS MATERIALIZED (
+  SELECT b.cell,
+         CASE WHEN m.k IS NULL THEN CAST(1 AS BIGINT)
+              ELSE m.k // 2 + m.k % 2 END AS ord
+  FROM {source} b
+  LEFT JOIN (
+    SELECT ca.dst, MAX(ca.ord * 2 + CASE WHEN ca.cnt >= 2 THEN 1 ELSE 0 END) AS k
+    FROM (
+      SELECT e.dst, p.ord, COUNT(*) AS cnt
+      FROM so_edges e JOIN o{t - 1} p ON p.cell = e.src
+      GROUP BY 1, 2
+    ) ca
+    GROUP BY ca.dst
+  ) m ON m.dst = b.cell
+)"""
+        )
+    return ",\n".join(ctes)
