@@ -202,6 +202,16 @@ _HOSTILE_SAMPLE = [
     # LSH boundary filter + verify with broadcasts disabled
     "ivf_silhouette",
     "split_leakage_check",
+    # part-14 reps: the 24-round min/max Jacobi chain (per-round
+    # localCheckpoint under 3 shuffle partitions — fill levels must be
+    # partition-invariant), the bounded Strahler integer iteration,
+    # the LSH candidate × signature × token-array multi-join with
+    # broadcasts disabled, and the power iteration whose 1-row count
+    # rides a crossJoin(broadcast(...))
+    "fill_sinks",
+    "stream_order",
+    "minhash_error_report",
+    "transition_stationary",
 ]
 
 
