@@ -2714,6 +2714,19 @@ def _q_flow_path_length(spark, sf_dir):
     return flow_path_length(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_flow_upstream_length(spark, sf_dir):
+    """Longest UPSTREAM flow path per cell (hops from the farthest
+    headwater draining through it) — from the shared closure via
+    steps(ancestor) − steps(cell) (unique downstream paths make hop
+    distance a difference of descendant counts); integers only,
+    tie-proof."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        flow_upstream_length,
+    )
+
+    return flow_upstream_length(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_basin_stats(spark, sf_dir):
     """Zonal statistics over the DERIVED basin partition (count, mean,
     min/max, relief per drainage basin) — zonal_stats with the polygon
@@ -3552,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_direction_filled": _q_flow_direction_filled,
         "doc_novelty": _q_doc_novelty,
         "stream_order": _q_stream_order,
+        "flow_upstream_length": _q_flow_upstream_length,
     }
     return qs
 
@@ -4918,6 +4932,21 @@ SELECT t.src AS cell, st.path_steps, t.sink_cell
 FROM fsteps st JOIN fterm t ON t.src = st.src
 UNION ALL
 SELECT cell, CAST(0 AS BIGINT) AS path_steps, cell AS sink_cell FROM fsinks
+""".strip()
+    out["flow_upstream_length"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+fsteps AS (
+  SELECT c.cell, CAST(COALESCE(s.n, 0) AS BIGINT) AS steps
+  FROM cells4 c
+  LEFT JOIN (SELECT src, COUNT(*) AS n FROM freach GROUP BY src) s ON s.src = c.cell
+),
+fanc AS (
+  SELECT r.dst, MAX(st.steps) AS mx
+  FROM freach r JOIN fsteps st ON st.cell = r.src GROUP BY r.dst
+)
+SELECT s.cell, CAST(COALESCE(a.mx - s.steps, 0) AS BIGINT) AS upstream_steps
+FROM fsteps s LEFT JOIN fanc a ON a.dst = s.cell
 """.strip()
     out["basin_stats"] = f"""
 WITH RECURSIVE {_FLOW},

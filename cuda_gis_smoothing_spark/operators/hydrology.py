@@ -263,6 +263,58 @@ def flow_path_length(
     return non_sinks.unionByName(sink_rows)
 
 
+def flow_upstream_length(
+    cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
+) -> DataFrame:
+    """Per-cell LONGEST upstream flow path — ``upstream_steps`` = D6
+    hops from the farthest headwater whose flow path passes through the
+    cell (0 for ridge cells nothing drains into): the upstream sibling
+    of :func:`flow_path_length` and the classic "flow length (up)"
+    raster op (drives time-of-concentration / erosion-length models).
+
+    Because every cell's DOWNSTREAM path is unique, the hop distance
+    from an ancestor ``a`` to the cell ``c`` it drains through is
+    ``steps(a) − steps(c)`` where ``steps(x)`` = |descendants(x)| (the
+    :func:`flow_path_length` argument — the path from ``a`` visits each
+    of its descendants exactly once, ``c`` among them), so the maximum
+    over ancestors needs only the SHARED closure plus one integer MAX —
+    no per-pair distance bookkeeping. Integers/ids only: tie-proof
+    cross-engine. Output ``(cell, upstream_steps)`` over every input
+    cell.
+
+    Plan (100 TB): one closure (O(log L) squaring rounds, shared shape
+    with accumulation/path-length), two hash aggregates, two joins on
+    cell ids. ``descendant_pairs`` returns a localCheckpoint, so its
+    two differently-pruned consumers (steps by src, ancestor max by
+    dst) cannot re-execute the closure; the tiny per-cell steps table
+    is checkpointed for the same reason."""
+    fd = flow_direction(cells, value_col)
+    pairs = descendant_pairs(_flow_edges(cells, value_col, fd), max_rounds)
+    cnt = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("_n"))
+    steps = (
+        cells.select("cell")
+        .join(cnt, cells["cell"] == cnt["src"], "left")
+        .select(
+            "cell", F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("_steps")
+        )
+        .localCheckpoint()  # feeds the ancestor max AND the final join
+    )
+    anc = (
+        pairs.join(
+            steps.select(F.col("cell").alias("src"), F.col("_steps").alias("_as")),
+            "src",
+        )
+        .groupBy("dst")
+        .agg(F.max("_as").alias("_mx"))
+    )
+    return steps.join(anc, steps["cell"] == anc["dst"], "left").select(
+        "cell",
+        F.coalesce(F.col("_mx") - F.col("_steps"), F.lit(0))
+        .cast("long")
+        .alias("upstream_steps"),
+    )
+
+
 def basin_stats(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     """Zonal statistics over DERIVED zones: per drainage basin, cell
     count, mean/min/max of the value surface and relief (max − min) —

@@ -134,6 +134,62 @@ def test_flow_path_length_matches_python_oracle(spark):
         assert got[c] == (steps, cur), f"cell {c}"
 
 
+def test_flow_upstream_length_matches_python_oracle(spark):
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        flow_upstream_length,
+    )
+
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    fd = {c: nbr for c, (nbr, _) in _py_flow(vals).items()}
+    # longest-path DP over the (acyclic) flow forest: up(c) = max over
+    # in-neighbors a of up(a) + 1
+    inn = {}
+    for c, nbr in fd.items():
+        if nbr is not None:
+            inn.setdefault(nbr, []).append(c)
+    memo = {}
+
+    def up(c):
+        if c not in memo:
+            memo[c] = (
+                0
+                if c not in inn
+                else 1 + max(up(a) for a in inn[c])
+            )
+        return memo[c]
+
+    got = {
+        r["cell"]: r["upstream_steps"]
+        for r in flow_upstream_length(cells).collect()
+    }
+    assert set(got) == set(vals)
+    for c in vals:
+        assert got[c] == up(c), f"cell {c}"
+
+
+def test_flow_upstream_length_engineered_chain(spark):
+    # the flow_accumulation chain fixture: chain of 5 plus a tributary
+    # into chain[2] — upstream lengths 0,1,2,3,4 along the chain (the
+    # tributary's 1-hop path never beats the chain's own), 0 at the
+    # tributary head
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        flow_upstream_length,
+    )
+
+    base = (20 + 1) * ENC + 20
+    chain = [(base + i, 10.0 - i) for i in range(5)]
+    trib = (base + 2 - ENC, 9.0)
+    cells = spark.createDataFrame(chain + [trib], "cell long, ndvi double")
+    got = {
+        r["cell"]: r["upstream_steps"]
+        for r in flow_upstream_length(cells).collect()
+    }
+    assert got[trib[0]] == 0
+    for i, (c, _) in enumerate(chain):
+        assert got[c] == i, f"chain[{i}]"
+
+
 def _py_basins(vals):
     """{cell: basin} with basin = min cell id of the undirected flow
     component (the star-CC label contract)."""
