@@ -2619,6 +2619,14 @@ def _q_cell_quantile_norm(spark, sf_dir):
     return stats_ops.cell_quantile_norm(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_patch_metrics(spark, sf_dir):
+    """Patch shape metrics (cell count, hex perimeter = 6n − internal
+    directed edges, shape index P/(6√n)) over the same above-mean CC
+    patches as ndvi_patches — pure integers plus one identical-shape
+    scalar tail, twin over the SHARED patch CTE builder."""
+    return stats_ops.patch_metrics(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_correlogram(spark, sf_dir):
     """Spatial correlogram: Moran's I per ring distance (1, 2) — the
     autocorrelation-decay diagnostic; ring 1 reproduces morans_i."""
@@ -3566,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": _q_doc_novelty,
         "stream_order": _q_stream_order,
         "flow_upstream_length": _q_flow_upstream_length,
+        "patch_metrics": _q_patch_metrics,
     }
     return qs
 
@@ -5400,8 +5409,9 @@ SELECT CAST(cr.ring AS INT) AS ring,
        ROUND((dn.n * 1.0 / cr.W) * cr.num / dn.den + 1e-09, 6) AS morans_i
 FROM cr, dn
 """.strip()
-    out["ndvi_patches"] = f"""
-WITH RECURSIVE {GRID_CELLS_SQL},
+    # ONE patch CTE builder (mark/sym/reach/comp) shared by the
+    # ndvi_patches and patch_metrics twins — drift-prevention class
+    _PATCH_CTES = f"""
 offsets (delta) AS (VALUES {_vals(_R1)}),
 mu AS (SELECT AVG(ndvi) AS mu FROM cells4),
 mark AS (SELECT cell, ndvi FROM cells4, mu WHERE ndvi > mu.mu),
@@ -5421,11 +5431,29 @@ comp AS (
   FROM mark m
   LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) r ON r.a = m.cell
 )
+""".strip()
+    out["ndvi_patches"] = f"""
+WITH RECURSIVE {GRID_CELLS_SQL},
+{_PATCH_CTES}
 SELECT patch_id,
        CAST(COUNT(*) AS BIGINT) AS n_cells,
        ROUND(AVG(ndvi) + 1e-09, 6) AS mean_ndvi
 FROM comp
 GROUP BY patch_id
+""".strip()
+    out["patch_metrics"] = f"""
+WITH RECURSIVE {GRID_CELLS_SQL},
+{_PATCH_CTES},
+psize AS (SELECT patch_id, CAST(COUNT(*) AS BIGINT) AS n_cells FROM comp GROUP BY 1),
+pint AS (
+  SELECT p.patch_id, CAST(COUNT(*) AS BIGINT) AS ie
+  FROM sym s JOIN comp p ON p.cell = s.a GROUP BY 1
+)
+SELECT s.patch_id, s.n_cells,
+       CAST(6 * s.n_cells - COALESCE(i.ie, 0) AS BIGINT) AS perimeter,
+       ROUND((CAST(6 * s.n_cells - COALESCE(i.ie, 0) AS DOUBLE)
+              / (6e0 * SQRT(CAST(s.n_cells AS DOUBLE)))) + 1e-09, 6) AS shape_index
+FROM psize s LEFT JOIN pint i ON i.patch_id = s.patch_id
 """.strip()
     out["smooth_residual_k2"] = smoothing_sql(
         "gaussian_k2",

@@ -714,6 +714,66 @@ def value_patches(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def patch_metrics(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Landscape-ecology patch SHAPE metrics over the same above-mean
+    patches as :func:`value_patches`: per patch, cell count, hex
+    PERIMETER (exposed cell sides: ``6·n − directed internal edges`` —
+    a side is hidden iff the neighbor is in the same patch, and
+    adjacent marked cells are same-patch by CC definition) and a hex
+    shape index ``perimeter / (6·sqrt(n))`` (1.0 for a lone hexagon,
+    growing with boundary complexity — the FRAGSTATS shape-index
+    analog). Perimeter is pure integers; the index divides two
+    correctly-rounded scalars computed from integers in the identical
+    op sequence on both engines (the axis_visibility exactness class),
+    then round6. Mark-boundary caveat as in :func:`value_patches`.
+
+    Plan (100 TB): 1-row μ broadcast → marked filter (checkpointed:
+    feeds both edge endpoints and the size aggregate) → ring-1
+    equi-join edges (checkpointed: feeds the CC core AND the internal-
+    edge count) → star CC → two patch-keyed hash aggregates.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.dedup import star_components
+
+    mu = cells.agg(F.avg(value_col).alias("_mu"))
+    marked = (
+        cells.crossJoin(F.broadcast(mu))
+        .where(F.col(value_col) > F.col("_mu"))
+        .select("cell")
+        .localCheckpoint()
+    )
+    edges = (
+        valid_edges(marked, 1)
+        .select(F.col("cell").alias("a"), F.col("nbr").alias("b"))
+        .localCheckpoint()  # feeds star CC and the internal-edge count
+    )
+    comp = star_components(edges, marked.select("cell"), id_col="cell")
+    comp = comp.localCheckpoint()  # feeds sizes and the edge-side join
+    sizes = comp.groupBy(F.col("component").alias("patch_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    internal = (
+        edges.join(comp, edges["a"] == comp["cell"])
+        .groupBy(F.col("component").alias("patch_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_ie"))
+    )
+    perim = (
+        F.lit(6) * F.col("n_cells") - F.coalesce(F.col("_ie"), F.lit(0))
+    ).cast("long")
+    return (
+        sizes.join(internal, "patch_id", "left")
+        .select(
+            "patch_id",
+            "n_cells",
+            perim.alias("perimeter"),
+            round6(
+                perim.cast("double")
+                / (F.lit(6.0) * F.sqrt(F.col("n_cells").cast("double")))
+            ).alias("shape_index"),
+        )
+    )
+
+
 def correlogram(cells: DataFrame, value_col: str = "ndvi", k: int = 2) -> DataFrame:
     """Spatial correlogram: Moran's I per ring distance 1..k — the
     range-of-dependence diagnostic (how fast autocorrelation decays

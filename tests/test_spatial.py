@@ -165,6 +165,53 @@ def test_terrain_ruggedness_differential(spark):
         assert got[c].tri == pytest.approx(sum(ds) / len(ds), abs=2e-6)
 
 
+def test_patch_metrics_differential(spark):
+    """Python differential over the real grid: union-find patches of
+    above-mean cells, perimeter = Σ per cell (6 − marked neighbors),
+    shape index recomputed; plus singleton perimeter == 6 invariant."""
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+    from cuda_gis_smoothing_spark.operators.stats import patch_metrics
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    rows = {r.cell: r.ndvi for r in cells.select("cell", "ndvi").collect()}
+    mu = sum(rows.values()) / len(rows)
+    marked = {c for c, x in rows.items() if x > mu}
+    parent = {c: c for c in marked}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    deg = {c: 0 for c in marked}
+    for c in marked:
+        for d in R1_DELTAS:
+            if c + d in marked:
+                deg[c] += 1
+                ra, rb = find(c), find(c + d)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    patches = {}
+    for c in marked:
+        patches.setdefault(find(c), []).append(c)
+    want = {
+        p: (len(ms), 6 * len(ms) - sum(deg[c] for c in ms))
+        for p, ms in patches.items()
+    }
+    got = {r.patch_id: r for r in patch_metrics(cells).collect()}
+    assert set(got) == set(want) and len(want) > 1
+    for p, (n, perim) in want.items():
+        r = got[p]
+        assert (r.n_cells, r.perimeter) == (n, perim), f"patch {p}"
+        assert r.shape_index == pytest.approx(
+            perim / (6.0 * n**0.5), abs=2e-6
+        )
+        if n == 1:
+            assert r.perimeter == 6 and r.shape_index == 1.0
+
+
 def test_axis_visibility_differential(spark):
     """Python differential: brute-force line-of-sight along the 6 axes
     (missing intermediates block the ray), plus an engineered ridge —
