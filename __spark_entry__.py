@@ -2496,6 +2496,17 @@ def _q_user_rfm(spark, sf_dir):
     return user_rfm(load(spark, sf_dir, "events"))
 
 
+def _q_session_event_affinity(spark, sf_dir):
+    """Within-session event-type lift (sessions as baskets — the
+    basket_part_pairs shape over the shared session boundaries);
+    integer counts + one round6 division."""
+    from cuda_gis_smoothing_spark.operators.events import (
+        session_event_affinity,
+    )
+
+    return session_event_affinity(load(spark, sf_dir, "events"))
+
+
 def _q_session_paths(spark, sf_dir):
     """Top session-opening event-type paths (first 3 events per
     session under sessionize's exact gap boundaries) — the
@@ -3575,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_order": _q_stream_order,
         "flow_upstream_length": _q_flow_upstream_length,
         "patch_metrics": _q_patch_metrics,
+        "session_event_affinity": _q_session_event_affinity,
     }
     return qs
 
@@ -5303,6 +5315,11 @@ FROM pt
 
     out["session_paths"] = SESSION_PATHS_SQL
     out["user_rfm"] = user_rfm_sql()
+    from cuda_gis_smoothing_spark.operators.events import (
+        session_event_affinity_sql,
+    )
+
+    out["session_event_affinity"] = session_event_affinity_sql()
     from cuda_gis_smoothing_spark.operators.analytics import (
         PROMO_REVENUE_SQL,
         SUPPLIER_BALANCES_SQL,

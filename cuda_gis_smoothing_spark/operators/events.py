@@ -1145,6 +1145,120 @@ LIMIT {SESSION_PATHS_K}
 """.strip()
 
 
+#: minimum co-occurring sessions for an affinity pair
+AFFINITY_MIN_SUPPORT = 2
+
+
+def session_event_affinity(
+    events: DataFrame, min_support: int = AFFINITY_MIN_SUPPORT
+) -> DataFrame:
+    """Within-session event-type affinity: for every type pair
+    (a < b), the number of sessions containing BOTH and the lift
+    ``S·c(ab) / (c(a)·c(b))`` over distinct (session, type) rows —
+    :func:`~cuda_gis_smoothing_spark.operators.analytics.basket_part_pairs`
+    with sessions as baskets and the :func:`session_events` gap
+    boundaries as the basket key (identical SESSION_GAP_US semantics
+    to sessionize — the shared-CTE class). All counts exact integers,
+    the int64 products bounded by sessions² < 2^62, ONE double
+    division under round6. NULL event types drop out of the pair join
+    identically in both engines (NULL < x is never true) — by
+    construction, not by filter.
+
+    Output: ``(event_a, event_b, n_both, lift)`` for every pair at
+    ``min_support`` — the pair universe is #types², so no k-cut is
+    needed (unlike the part-pair basket).
+
+    Plan (100 TB): sessionizing is the one user-keyed shuffle; the
+    distinct (session, type) table feeds FOUR differently-pruned
+    consumers (both self-join sides, type counts, the session count)
+    → localCheckpoint (the basket/bm25-postings class); the
+    per-session self-join fans out ≤ #types² rows per session."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    min_support = int(min_support)
+    st = (
+        session_events(events)
+        .select("user_id", "session_seq", "event_type")
+        .distinct()
+        .localCheckpoint()
+    )
+    n = (
+        st.select("user_id", "session_seq")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    )
+    tc = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    a = st.select("user_id", "session_seq", F.col("event_type").alias("event_a"))
+    b = st.select(
+        F.col("user_id").alias("_u"),
+        F.col("session_seq").alias("_s"),
+        F.col("event_type").alias("event_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("session_seq") == F.col("_s"))
+            & (F.col("event_a") < F.col("event_b")),
+        )
+        .groupBy("event_a", "event_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+    )
+    return (
+        pairs.join(
+            tc.select(F.col("event_type").alias("event_a"), F.col("_c").alias("_ca")),
+            "event_a",
+        )
+        .join(
+            tc.select(F.col("event_type").alias("event_b"), F.col("_c").alias("_cb")),
+            "event_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_a",
+            "event_b",
+            "n_both",
+            round6(
+                (F.col("n_both") * F.col("_N")).cast("double")
+                / (F.col("_ca") * F.col("_cb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def session_event_affinity_sql(
+    min_support: int = AFFINITY_MIN_SUPPORT,
+) -> str:
+    """DuckDB twin of :func:`session_event_affinity` — baskets from
+    the SHARED :func:`_session_ctes` builder."""
+    min_support = int(min_support)
+    return f"""
+WITH {_session_ctes("event_type")},
+st AS (SELECT DISTINCT user_id, session_seq, event_type FROM sess),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS N
+      FROM (SELECT DISTINCT user_id, session_seq FROM st)),
+tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM st GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS event_a, b.event_type AS event_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+)
+SELECT event_a, event_b, n_both,
+       ROUND(CAST(n_both * N AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)
+             + 1e-09, 6) AS lift
+FROM pairs
+JOIN tc ca ON ca.event_type = event_a
+JOIN tc cb ON cb.event_type = event_b
+CROSS JOIN n
+""".strip()
+
+
 #: RFM quartile fractions (shared by the operator and its twin)
 RFM_QS = (0.25, 0.5, 0.75)
 

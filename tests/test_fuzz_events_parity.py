@@ -70,6 +70,10 @@ EVENTS_GATES = [
     # the k-cut total-orders on (count, path); tied timestamps exercise
     # the session-boundary and within-session ordering contracts
     "session_paths",
+    # integer basket counts over the same session boundaries + one
+    # round6 division; NULL event types drop from the pair join by
+    # construction in both engines
+    "session_event_affinity",
     # quartile-threshold scoring over integers/round6 values only; the
     # fuzz corpus's NULL values exercise the NULL-monetary score class
     "user_rfm",
