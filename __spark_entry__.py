@@ -271,6 +271,47 @@ def _q_zonal_majority(spark, sf_dir):
     )
 
 
+def _q_zonal_crosstab(spark, sf_dir):
+    """Zone × class contingency — the full land-cover-composition
+    table zonal_majority cuts to its mode row: per (zone, class) cell
+    count plus the class share of the zone (exact integer ratio under
+    round6; the zone total is an integer window sum). Classes use the
+    majority_filter banding contract; the NULL zone is kept. Plan:
+    broadcast PIP tag + one hash aggregate + a #zones×#classes-row
+    window."""
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.functions.numeric import floor_stable
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        centroid_sql,
+        point_in_polygon,
+    )
+
+    _ensure_shipped(spark)
+    cells = grid_from_lineitem(spark, sf_dir).select("cell", "ndvi")
+    lat, lon = centroid_sql("cell", "spark")
+    pts = cells.select(
+        floor_stable(F.col("ndvi") * 8).cast("long").alias("cls"),
+        F.expr(lat).alias("lat"),
+        F.expr(lon).alias("lon"),
+    )
+    tagged = point_in_polygon(pts, datagen.gen_boundaries())
+    counts = tagged.groupBy("region_id", "cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("region_id")
+    return counts.select(
+        "region_id",
+        "cls",
+        "n_cells",
+        round6(
+            F.col("n_cells").cast("double")
+            / F.sum("n_cells").over(w).cast("double")
+        ).alias("zone_share"),
+    )
+
+
 def _q_neighbor_stats(spark, sf_dir):
     return stats_ops.neighbor_stats(grid_from_lineitem(spark, sf_dir), k=1)
 
@@ -3587,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_upstream_length": _q_flow_upstream_length,
         "patch_metrics": _q_patch_metrics,
         "session_event_affinity": _q_session_event_affinity,
+        "zonal_crosstab": _q_zonal_crosstab,
     }
     return qs
 
@@ -6132,6 +6174,7 @@ GROUP BY source
     # shared twin (the zipf_fit_maintained precedent)
     out["transition_stationary_maintained"] = transition_stationary_sql()
     out["zonal_majority"] = _zonal_majority_sql()
+    out["zonal_crosstab"] = _zonal_crosstab_sql()
     # both π and P nested from their own gated SQLs (round-first
     # layering — the rrf_fusion composition precedent)
     out["transition_entropy_rate"] = f"""
@@ -6496,6 +6539,32 @@ FROM (
   FROM cnt
 )
 WHERE rk = 1
+""".strip()
+
+
+def _zonal_crosstab_sql() -> str:
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        centroid_sql,
+        pip_region_sql,
+    )
+
+    lat, lon = centroid_sql("cell", "duckdb")
+    case = pip_region_sql("pt.lat", "pt.lon", datagen.gen_boundaries())
+    # integer counts; the zone total is an integer window sum (PARTITION
+    # BY groups the NULL zone identically in both engines); one exact-
+    # integer-ratio division under round6
+    return f"""
+WITH {GRID_CELLS_SQL},
+pt AS (SELECT CAST(FLOOR(ndvi * 8 + 1e-09) AS BIGINT) AS cls,
+              {lat} AS lat, {lon} AS lon FROM cells4),
+z AS (SELECT cls, {case} AS region_id FROM pt),
+cnt AS (SELECT region_id, cls, CAST(COUNT(*) AS BIGINT) AS n_cells FROM z GROUP BY 1, 2)
+SELECT region_id, cls, n_cells,
+       ROUND((CAST(n_cells AS DOUBLE)
+              / CAST(SUM(n_cells) OVER (PARTITION BY region_id) AS DOUBLE))
+             + 1e-09, 6) AS zone_share
+FROM cnt
 """.strip()
 
 
