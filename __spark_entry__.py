@@ -2211,6 +2211,17 @@ def _q_label_centroid_similarity(spark, sf_dir):
     return label_centroid_similarity(load(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers (k farthest from own centroid by
+    cosine) — the mislabeled-example screen; round-FIRST centroid
+    layering, sequential-fold cosine, (round6 cosine, vec_id) rank."""
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    return embedding_outliers(load(spark, sf_dir, "embeddings"))
+
+
 def _q_doc_entropy(spark, sf_dir):
     """Per-doc unigram Shannon entropy + type-token ratio (lexical-
     diversity quality signals; the self-distribution complement of
@@ -3629,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "patch_metrics": _q_patch_metrics,
         "session_event_affinity": _q_session_event_affinity,
         "zonal_crosstab": _q_zonal_crosstab,
+        "embedding_outliers": _q_embedding_outliers,
     }
     return qs
 
@@ -4925,6 +4937,11 @@ FROM cr, dn
     )
 
     out["label_centroid_similarity"] = LABEL_CENTROID_SQL
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        embedding_outliers_sql,
+    )
+
+    out["embedding_outliers"] = embedding_outliers_sql()
     from cuda_gis_smoothing_spark.operators.events import VALUE_OUTLIERS_SQL
 
     out["value_outliers"] = VALUE_OUTLIERS_SQL

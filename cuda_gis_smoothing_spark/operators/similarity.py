@@ -1234,3 +1234,109 @@ FROM num
 JOIN stats sa ON sa.label = num.label_a
 JOIN stats sb ON sb.label = num.label_b
 """.strip()
+
+
+#: outliers reported per label (shared by the operator and its twin)
+EMBEDDING_OUTLIERS_K = 5
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    k: int = EMBEDDING_OUTLIERS_K,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding outliers: the ``k`` vectors FARTHEST from
+    their own label's centroid by cosine — the mislabeled-example /
+    contamination screen run before training on labeled embeddings
+    (:func:`label_centroid_similarity` asks whether classes separate;
+    this asks which members don't belong).
+
+    Twin-exactness by the ROUND-FIRST layering (the ivf_silhouette
+    precedent): the per-(label, dim) SUM — the one cross-row float
+    aggregate — is round6'ed FIRST, the centroid is assembled from the
+    rounded coordinates (ordered by pos: unique, so collect order is
+    never observable), and everything downstream (dot products, norms,
+    cosine, the rank cut) is a SEQUENTIAL fold / scalar op over
+    bit-identical inputs in both engines — zero association exposure
+    past the rounded layer. The mean's 1/n cancels in cosine, so sums
+    stand in for centroids. Rank total-orders on (round6 cosine ASC,
+    vec_id ASC). NULL labels / embeddings are excluded.
+
+    Output ``(label, vec_id, centroid_cosine, rank)``, k rows per
+    label. Plan (100 TB): one posexplode + (label, dim) hash aggregate
+    (L×d rows), the L-row centroid table broadcast back onto the
+    corpus, and a per-label top-k window over corpus rows — one
+    shuffle on label, bounded output L·k."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    valid = embeddings.where(
+        F.col(label_col).isNotNull() & F.col(emb_col).isNotNull()
+    )
+    coords = (
+        valid.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(emb_col).cast("array<double>")),
+        )
+        .groupBy("label", "pos")
+        .agg(round6(F.sum("col")).alias("_s"))
+    )
+    cen = coords.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, _s))), x -> x._s)"
+        ).alias("_cen")
+    )
+    v = with_norm(valid, emb_col).select(
+        F.col(label_col).alias("label"), "vec_id", "_emb", "_nrm"
+    )
+    cos = (
+        dot_col("_emb", "_cen")
+        / (F.col("_nrm") * F.sqrt(dot_col("_cen", "_cen")))
+    )
+    scored = v.join(F.broadcast(cen), "label").select(
+        "label", "vec_id", round6(cos).alias("centroid_cosine")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_cosine").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select("label", "vec_id", "centroid_cosine", "rank")
+    )
+
+
+def embedding_outliers_sql(k: int = EMBEDDING_OUTLIERS_K) -> str:
+    """DuckDB twin of :func:`embedding_outliers` — identical rounded
+    layer, then list_dot_product (the knn_cosine fold precedent)."""
+    return f"""
+WITH valid AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+coords AS (
+  SELECT label, i - 1 AS pos,
+         ROUND(SUM(emb[i]) + 1e-09, 6) AS s
+  FROM valid, LATERAL (
+    SELECT unnest(generate_series(1, len(emb))) AS i
+  )
+  GROUP BY 1, 2
+),
+cen AS (
+  SELECT label, LIST(s ORDER BY pos) AS cen FROM coords GROUP BY label
+),
+scored AS (
+  SELECT v.label, v.vec_id,
+         ROUND(list_dot_product(v.emb, c.cen)
+               / (SQRT(list_dot_product(v.emb, v.emb))
+                  * SQRT(list_dot_product(c.cen, c.cen))) + 1e-09, 6) AS centroid_cosine
+  FROM valid v JOIN cen c ON c.label = v.label
+)
+SELECT label, vec_id, centroid_cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT label, vec_id, centroid_cosine,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY centroid_cosine ASC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {int(k)}
+""".strip()

@@ -23,6 +23,53 @@ def test_knn_mutual_pairs_matches_python_reciprocal_filter(spark):
     assert got == want and 0 < len(got) < len(g)
 
 
+def test_embedding_outliers_matches_numpy_differential(spark):
+    """Numpy differential with the SAME round-first layering: per-label
+    per-dim sums rounded to 6 decimals, cosine to own centroid,
+    bottom-k on (round6 cosine, vec_id)."""
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        EMBEDDING_OUTLIERS_K,
+        embedding_outliers,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = [
+        (r["vec_id"], r["label"], r["embedding"])
+        for r in emb.collect()
+        if r["label"] is not None and r["embedding"] is not None
+    ]
+    sums = {}
+    for _, lab, v in rows:
+        s = sums.setdefault(lab, [0.0] * len(v))
+        for i, x in enumerate(v):
+            s[i] += float(x)
+    cen = {
+        lab: [round(x + 1e-09, 6) for x in s] for lab, s in sums.items()
+    }
+    scored = {}
+    for vid, lab, v in rows:
+        c = cen[lab]
+        dot = sum(float(a) * b for a, b in zip(v, c))
+        nv = sum(float(a) * float(a) for a in v) ** 0.5
+        nc = sum(b * b for b in c) ** 0.5
+        scored.setdefault(lab, []).append(
+            (round(dot / (nv * nc) + 1e-09, 6), vid)
+        )
+    want = {}
+    for lab, lst in scored.items():
+        lst.sort()
+        for rk, (cos, vid) in enumerate(lst[:EMBEDDING_OUTLIERS_K], 1):
+            want[(lab, vid)] = (cos, rk)
+    got = {
+        (r["label"], r["vec_id"]): (r["centroid_cosine"], r["rank"])
+        for r in embedding_outliers(emb).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for key, (cos, rk) in want.items():
+        assert got[key][1] == rk, key
+        assert got[key][0] == pytest.approx(cos, abs=2e-6)
+
+
 def test_knn_label_vote_matches_python_vote_over_spark_pairs(spark):
     """Re-implement ranking + voting in Python from the SAME pair
     cosines Spark computed (no independent float path — rank flips on
