@@ -2682,6 +2682,13 @@ def _q_cell_quantile_norm(spark, sf_dir):
     return stats_ops.cell_quantile_norm(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_landscape_summary(spark, sf_dir):
+    """Class-level landscape card (patch count, LPI, mean patch size,
+    edge density) — integer aggregates of patch_metrics rows + exact
+    integer-ratio divisions under round6."""
+    return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_patch_metrics(spark, sf_dir):
     """Patch shape metrics (cell count, hex perimeter = 6n − internal
     directed edges, shape index P/(6√n)) over the same above-mean CC
@@ -2796,6 +2803,16 @@ def _q_flow_upstream_length(spark, sf_dir):
     )
 
     return flow_upstream_length(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_basin_channel_length(spark, sf_dir):
+    """Longest source-to-sink flow path per basin — the sink's
+    upstream length joined onto the basin partition; integers only."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        basin_channel_length,
+    )
+
+    return basin_channel_length(grid_from_lineitem(spark, sf_dir))
 
 
 def _q_basin_stats(spark, sf_dir):
@@ -3641,6 +3658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_event_affinity": _q_session_event_affinity,
         "zonal_crosstab": _q_zonal_crosstab,
         "embedding_outliers": _q_embedding_outliers,
+        "landscape_summary": _q_landscape_summary,
+        "basin_channel_length": _q_basin_channel_length,
     }
     return qs
 
@@ -5028,6 +5047,31 @@ fanc AS (
 SELECT s.cell, CAST(COALESCE(a.mx - s.steps, 0) AS BIGINT) AS upstream_steps
 FROM fsteps s LEFT JOIN fanc a ON a.dst = s.cell
 """.strip()
+    out["basin_channel_length"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_component_ctes()},
+{flow_closure_ctes()},
+fsteps AS (
+  SELECT c.cell, CAST(COALESCE(s.n, 0) AS BIGINT) AS steps
+  FROM cells4 c
+  LEFT JOIN (SELECT src, COUNT(*) AS n FROM freach GROUP BY src) s ON s.src = c.cell
+),
+fanc AS (
+  SELECT r.dst, MAX(st.steps) AS mx
+  FROM freach r JOIN fsteps st ON st.cell = r.src GROUP BY r.dst
+),
+fup AS (
+  SELECT s.cell, CAST(COALESCE(a.mx - s.steps, 0) AS BIGINT) AS upstream_steps
+  FROM fsteps s LEFT JOIN fanc a ON a.dst = s.cell
+),
+fsizes AS (SELECT basin, CAST(COUNT(*) AS BIGINT) AS n_cells FROM fcomp GROUP BY 1)
+SELECT p.basin, z.n_cells, k.cell AS sink_cell, u.upstream_steps AS channel_steps
+FROM fd k
+JOIN fcomp p ON p.cell = k.cell
+JOIN fsizes z ON z.basin = p.basin
+JOIN fup u ON u.cell = k.cell
+WHERE k.flow_to IS NULL
+""".strip()
     out["basin_stats"] = f"""
 WITH RECURSIVE {_FLOW},
 {flow_component_ctes()}
@@ -5530,6 +5574,30 @@ SELECT s.patch_id, s.n_cells,
        ROUND((CAST(6 * s.n_cells - COALESCE(i.ie, 0) AS DOUBLE)
               / (6e0 * SQRT(CAST(s.n_cells AS DOUBLE)))) + 1e-09, 6) AS shape_index
 FROM psize s LEFT JOIN pint i ON i.patch_id = s.patch_id
+""".strip()
+    out["landscape_summary"] = f"""
+WITH RECURSIVE {GRID_CELLS_SQL},
+{_PATCH_CTES},
+psize AS (SELECT patch_id, CAST(COUNT(*) AS BIGINT) AS n_cells FROM comp GROUP BY 1),
+pint AS (
+  SELECT p.patch_id, CAST(COUNT(*) AS BIGINT) AS ie
+  FROM sym s JOIN comp p ON p.cell = s.a GROUP BY 1
+),
+pm AS (
+  SELECT s.patch_id, s.n_cells,
+         CAST(6 * s.n_cells - COALESCE(i.ie, 0) AS BIGINT) AS perimeter
+  FROM psize s LEFT JOIN pint i ON i.patch_id = s.patch_id
+),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS grid_cells FROM cells4)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_patches,
+       CAST(SUM(n_cells) AS BIGINT) AS marked_cells,
+       CAST(MAX(n_cells) AS BIGINT) AS largest_patch,
+       CAST(SUM(perimeter) AS BIGINT) AS total_perimeter,
+       ROUND((CAST(MAX(n_cells) AS DOUBLE) / CAST(SUM(n_cells) AS DOUBLE)) + 1e-09, 6) AS lpi,
+       ROUND((CAST(SUM(n_cells) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) + 1e-09, 6) AS mean_patch_cells,
+       ROUND((CAST(SUM(perimeter) AS DOUBLE) / (6e0 * CAST(g.grid_cells AS DOUBLE))) + 1e-09, 6) AS edge_density
+FROM pm CROSS JOIN g
+GROUP BY g.grid_cells
 """.strip()
     out["smooth_residual_k2"] = smoothing_sql(
         "gaussian_k2",

@@ -315,6 +315,30 @@ def flow_upstream_length(
     )
 
 
+def basin_channel_length(
+    cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
+) -> DataFrame:
+    """Longest flow path per basin (the hydrologic "longest flow
+    path" driving time-of-concentration): because every path ends at
+    the basin's unique sink, the basin's longest source-to-sink path
+    is exactly the sink's :func:`flow_upstream_length` — one join, no
+    new closure semantics. Output ``(basin, n_cells, sink_cell,
+    channel_steps)``; integers/ids only, tie-proof. At 100 TB ``fd``
+    would be a stored table shared by both derivations (the
+    flow_direction_maintained serving path); here each op derives it
+    — gate-scale cost, not a scale hazard."""
+    basins = watershed_basins(cells, value_col).select(
+        "basin", "n_cells", "sink_cell"
+    )
+    up = flow_upstream_length(cells, value_col, max_rounds).select(
+        F.col("cell").alias("sink_cell"),
+        F.col("upstream_steps").alias("channel_steps"),
+    )
+    return basins.join(up, "sink_cell").select(
+        "basin", "n_cells", "sink_cell", "channel_steps"
+    )
+
+
 def basin_stats(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     """Zonal statistics over DERIVED zones: per drainage basin, cell
     count, mean/min/max of the value surface and relief (max − min) —

@@ -774,6 +774,46 @@ def patch_metrics(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def landscape_summary(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Class-level landscape metrics over the above-mean patch mosaic
+    (the FRAGSTATS class summary): patch count, total marked cells,
+    largest-patch cells, LPI (largest / total marked), mean patch
+    size, total perimeter and edge density (total perimeter / 6·grid
+    cells). One row. Every aggregate is an INTEGER sum/max/count over
+    :func:`patch_metrics` rows (association-free), the ratios are
+    exact-integer-ratio divisions under round6 — tie-proof
+    cross-engine. Plan: patch_metrics' aggregates + one 1-row reduce +
+    a 1-row grid count broadcast."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    pm = patch_metrics(cells, value_col)
+    total = cells.agg(F.count(F.lit(1)).cast("long").alias("_g"))
+    agg = pm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_patches"),
+        F.sum("n_cells").cast("long").alias("marked_cells"),
+        F.max("n_cells").cast("long").alias("largest_patch"),
+        F.sum("perimeter").cast("long").alias("total_perimeter"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "n_patches",
+        "marked_cells",
+        "largest_patch",
+        "total_perimeter",
+        round6(
+            F.col("largest_patch").cast("double")
+            / F.col("marked_cells").cast("double")
+        ).alias("lpi"),
+        round6(
+            F.col("marked_cells").cast("double")
+            / F.col("n_patches").cast("double")
+        ).alias("mean_patch_cells"),
+        round6(
+            F.col("total_perimeter").cast("double")
+            / (F.lit(6.0) * F.col("_g").cast("double"))
+        ).alias("edge_density"),
+    )
+
+
 def correlogram(cells: DataFrame, value_col: str = "ndvi", k: int = 2) -> DataFrame:
     """Spatial correlogram: Moran's I per ring distance 1..k — the
     range-of-dependence diagnostic (how fast autocorrelation decays

@@ -190,6 +190,24 @@ def test_flow_upstream_length_engineered_chain(spark):
         assert got[c] == i, f"chain[{i}]"
 
 
+def test_basin_channel_length_engineered_chain(spark):
+    # the chain fixture: one basin of 6 cells whose longest path is
+    # the 4-hop chain (the tributary's path is only 3 hops)
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        basin_channel_length,
+    )
+
+    base = (20 + 1) * ENC + 20
+    chain = [(base + i, 10.0 - i) for i in range(5)]
+    trib = (base + 2 - ENC, 9.0)
+    cells = spark.createDataFrame(chain + [trib], "cell long, ndvi double")
+    got = basin_channel_length(cells).collect()
+    assert len(got) == 1
+    assert got[0]["n_cells"] == 6
+    assert got[0]["sink_cell"] == chain[4][0]
+    assert got[0]["channel_steps"] == 4
+
+
 def _py_basins(vals):
     """{cell: basin} with basin = min cell id of the undirected flow
     component (the star-CC label contract)."""

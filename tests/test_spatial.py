@@ -212,6 +212,28 @@ def test_patch_metrics_differential(spark):
             assert r.perimeter == 6 and r.shape_index == 1.0
 
 
+def test_landscape_summary_consistent_with_patch_metrics(spark):
+    from cuda_gis_smoothing_spark.operators.stats import (
+        landscape_summary,
+        patch_metrics,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    pm = patch_metrics(cells).collect()
+    row = landscape_summary(cells).collect()[0]
+    assert row["n_patches"] == len(pm)
+    assert row["marked_cells"] == sum(r.n_cells for r in pm)
+    assert row["largest_patch"] == max(r.n_cells for r in pm)
+    assert row["total_perimeter"] == sum(r.perimeter for r in pm)
+    assert row["lpi"] == pytest.approx(
+        row["largest_patch"] / row["marked_cells"], abs=2e-6
+    )
+    assert row["edge_density"] == pytest.approx(
+        row["total_perimeter"] / (6.0 * cells.count()), abs=2e-6
+    )
+
+
 def test_axis_visibility_differential(spark):
     """Python differential: brute-force line-of-sight along the 6 axes
     (missing intermediates block the ray), plus an engineered ridge —
