@@ -2222,6 +2222,27 @@ def _q_embedding_outliers(spark, sf_dir):
     return embedding_outliers(load(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_outliers_maintained(spark, sf_dir):
+    """embedding_outliers served from the MAINTAINED labeled-vector
+    log (single-batch state == the batch operator; the bm25_search
+    precedent — this row gates the incremental path; multi-batch /
+    update / tombstone equality in tests/test_streaming_similarity)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.similarity import (
+        MaintainedLabeledVectors,
+    )
+
+    state = tempfile.mkdtemp(prefix="lblvec_")
+    mv = MaintainedLabeledVectors(spark, state)
+    mv.process_batch(load(spark, sf_dir, "embeddings"), 0)
+    out = mv.outliers()
+    # outliers() reads state through an EAGER localCheckpoint — safe to GC
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_doc_entropy(spark, sf_dir):
     """Per-doc unigram Shannon entropy + type-token ratio (lexical-
     diversity quality signals; the self-distribution complement of
@@ -3660,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,
         "landscape_summary": _q_landscape_summary,
         "basin_channel_length": _q_basin_channel_length,
+        "embedding_outliers_maintained": _q_embedding_outliers_maintained,
     }
     return qs
 
@@ -4961,6 +4983,9 @@ FROM cr, dn
     )
 
     out["embedding_outliers"] = embedding_outliers_sql()
+    # single-batch maintained state == the batch operator exactly, so
+    # the twin is SHARED (the smooth_maintained precedent)
+    out["embedding_outliers_maintained"] = embedding_outliers_sql()
     from cuda_gis_smoothing_spark.operators.events import VALUE_OUTLIERS_SQL
 
     out["value_outliers"] = VALUE_OUTLIERS_SQL

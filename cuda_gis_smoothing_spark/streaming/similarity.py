@@ -174,3 +174,64 @@ class MaintainedIVF:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class MaintainedLabeledVectors:
+    """Vec-keyed latest-wins log of LABELED vectors — the maintained
+    substrate for per-label embedding analytics (outlier screens,
+    centroid audits) over a continuously labeled corpus: a batch
+    writes O(batch) ``(vec_id, label, emb)`` rows; a re-ingested
+    vec_id REPLACES its row; a NULL-label OR NULL-embedding row is an
+    explicit TOMBSTONE (the MaintainedIVF / MaintainedPostings NULL
+    lesson: zero emitted rows silently keep stale state) so
+    latest-wins removes the vector from every served report.
+
+    Serving: :meth:`outliers` runs the batch
+    ``operators/similarity.embedding_outliers`` over the current view
+    — single-batch state equals the batch operator exactly (the
+    smooth_maintained precedent; tested, plus multi-batch
+    update/tombstone equality vs a batch rebuild). State is read
+    through an EAGER localCheckpoint so callers may delete the state
+    directory once the plan is built (the MaintainedPostings.search
+    contract)."""
+
+    def __init__(self, spark: SparkSession, state_root: str, id_col: str = "vec_id"):
+        self.spark = spark
+        self.id_col = id_col
+        self.log = SnapshotLog(
+            spark, os.path.join(state_root, "labeled_vectors"), key=id_col
+        )
+
+    def process_batch(self, embeddings: DataFrame, batch_id: int) -> None:
+        if self.log.has(batch_id):
+            return  # crash replay of an applied batch: no-op
+        live = F.col("label").isNotNull() & F.col("embedding").isNotNull()
+        rows = embeddings.select(
+            self.id_col,
+            F.when(live, F.col("label")).cast("int").alias("label"),
+            F.when(live, F.col("embedding"))
+            .cast("array<double>")
+            .alias("emb"),
+        )
+        self.log.write_delta(rows, batch_id)
+
+    def corpus(self) -> DataFrame | None:
+        """Latest (vec_id, label, emb) per vector; tombstones excluded."""
+        t = self.log.read()
+        return None if t is None else t.where(F.col("label").isNotNull())
+
+    def outliers(self, k: int | None = None) -> DataFrame:
+        from cuda_gis_smoothing_spark.operators.similarity import (
+            EMBEDDING_OUTLIERS_K,
+            embedding_outliers,
+        )
+
+        c = self.corpus()
+        if c is None:
+            raise ValueError(
+                "MaintainedLabeledVectors: empty state (no batches applied)"
+            )
+        c = c.localCheckpoint(eager=True)
+        return embedding_outliers(
+            c, k=EMBEDDING_OUTLIERS_K if k is None else k, emb_col="emb"
+        )

@@ -174,3 +174,68 @@ def test_null_embedding_tombstone_removes_vector(spark, tmp_path):
         )
     )
     assert got == want
+
+
+# -- MaintainedLabeledVectors (embedding_outliers served from state) --
+
+
+def _out_res(df):
+    return {
+        (r.label, r.vec_id): (r.centroid_cosine, r.rank) for r in df.collect()
+    }
+
+
+def test_labeled_vectors_multibatch_equals_batch_operator(spark, tmp_path):
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        embedding_outliers,
+    )
+    from cuda_gis_smoothing_spark.streaming.similarity import (
+        MaintainedLabeledVectors,
+    )
+
+    emb = _emb(spark)
+    mv = MaintainedLabeledVectors(spark, str(tmp_path / "state"))
+    for bid, (lo, hi) in enumerate(((0, 150), (150, 300), (300, 10**9))):
+        mv.process_batch(
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), bid
+        )
+    assert _out_res(mv.outliers()) == _out_res(embedding_outliers(emb))
+    # crash replay of an applied batch is a no-op
+    before = mv.log.delta_count()
+    mv.process_batch(emb.limit(3), 1)
+    assert mv.log.delta_count() == before
+
+
+def test_labeled_vectors_update_and_tombstone_track_batch_rebuild(
+    spark, tmp_path
+):
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        embedding_outliers,
+    )
+    from cuda_gis_smoothing_spark.streaming.similarity import (
+        MaintainedLabeledVectors,
+    )
+
+    emb = _emb(spark)
+    mv = MaintainedLabeledVectors(spark, str(tmp_path / "state"))
+    mv.process_batch(emb, 0)
+    # pick the current worst outlier of label 0; relabel it to 1, and
+    # tombstone (NULL embedding) the worst of label 1
+    first = mv.outliers().where(
+        (F.col("label") == 0) & (F.col("rank") == 1)
+    ).collect()[0]["vec_id"]
+    tomb = mv.outliers().where(
+        (F.col("label") == 1) & (F.col("rank") == 1)
+    ).collect()[0]["vec_id"]
+    moved = emb.where(F.col("vec_id") == first).select(
+        "vec_id", "embedding", F.lit(1).cast("int").alias("label")
+    ).select("vec_id", "embedding", "label")
+    nulled = spark.createDataFrame(
+        [(tomb, None, 1)], "vec_id long, embedding array<float>, label int"
+    )
+    mv.process_batch(moved.unionByName(nulled), 1)
+    rebuilt = emb.where(F.col("vec_id") != tomb).withColumn(
+        "label",
+        F.when(F.col("vec_id") == first, F.lit(1)).otherwise(F.col("label")),
+    )
+    assert _out_res(mv.outliers()) == _out_res(embedding_outliers(rebuilt))
