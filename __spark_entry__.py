@@ -2710,6 +2710,13 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_landform_classes(spark, sf_dir):
+    """Two-scale TPI landform classification (Weiss 3x3 sign grid) —
+    fine = ring-1 TPI, coarse = geometric ring-2 TPI; fully-interior
+    cells only; classes named from the round6'd TPI pair."""
+    return stats_ops.landform_classes(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_patch_metrics(spark, sf_dir):
     """Patch shape metrics (cell count, hex perimeter = 6n − internal
     directed edges, shape index P/(6√n)) over the same above-mean CC
@@ -3682,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landscape_summary": _q_landscape_summary,
         "basin_channel_length": _q_basin_channel_length,
         "embedding_outliers_maintained": _q_embedding_outliers_maintained,
+        "landform_classes": _q_landform_classes,
     }
     return qs
 
@@ -6362,6 +6370,11 @@ WITH {GRID_CELLS_SQL},
 {strahler_ctes()}
 SELECT cell, ord AS strahler_order FROM o{STRAHLER_ROUNDS}
 """.strip()
+    from cuda_gis_smoothing_spark.operators.stats import landform_classes_sql
+
+    out["landform_classes"] = landform_classes_sql(
+        source="cells4", with_ctes=GRID_CELLS_SQL
+    )
     return out
 
 

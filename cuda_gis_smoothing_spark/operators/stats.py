@@ -1354,3 +1354,152 @@ JOIN {source} qm ON qm.cell = c.cell - {ENC}
 JOIN {source} rp ON rp.cell = c.cell + 1
 JOIN {source} rm ON rm.cell = c.cell - 1
 """.strip()
+
+
+# -- landform classification (Weiss TPI, two scales) -----------------------
+
+#: TPI magnitude below which a cell counts as "level" at that scale —
+#: a flit-able literal so both engines compare the SAME double against
+#: identical round6 inputs
+LANDFORM_TPI_T = 0.01
+
+#: the 9 (fine, coarse) sign combinations, Weiss-style names; keys are
+#: (sign_fine, sign_coarse) with sign in {-1, 0, 1}
+LANDFORM_CLASSES = {
+    (1, 1): "ridge",
+    (1, 0): "local_ridge",
+    (1, -1): "knoll_in_valley",
+    (0, 1): "upper_slope",
+    (0, 0): "plane",
+    (0, -1): "lower_slope",
+    (-1, 1): "dip_on_ridge",
+    (-1, 0): "local_valley",
+    (-1, -1): "valley",
+}
+
+
+def landform_classes(
+    cells: DataFrame, value_col: str = "ndvi", t: float = LANDFORM_TPI_T
+) -> DataFrame:
+    """Two-scale TPI landform classification (Weiss, simplified to the
+    3×3 sign grid): TPI_k = x − mean(ring-k neighborhood) at ring 1
+    (fine, = −laplacian/6 on the interior) and GEOMETRIC ring 2
+    (coarse, the 12 cells at exact hex distance 2 —
+    /root/reference/src/cuda/hex_smooth_cuda_v5.cu:423-463's "second
+    order" neighborhood). Each scale classifies to {−1, 0, +1} via
+    |TPI| vs ``t``; the pair names one of 9 landforms (ridge / valley
+    / plane / local_ridge / upper_slope / ...). Restricted to FULLY
+    INTERIOR cells (6 ring-1 AND 12 ring-2 neighbors — a partial
+    neighborhood silently changes the stencil, the cell_gradient
+    border contract). Output ``(cell, tpi_fine, tpi_coarse,
+    landform)``.
+
+    Cross-engine: TPI sums are ≤ 12 ring terms (the smoothing/
+    focal_stats round6 class); the threshold CASE compares the
+    ROUND6'd values against a flit literal, so identical rounded
+    doubles classify identically — a cell whose true TPI sits at
+    fp-noise distance from ±t could legally differ only if round6
+    itself diverged (the local_morans_i quadrant-label class, but
+    strictly safer: the compare reads the already-gated columns).
+
+    Plan (100 TB): ONE 18-offset explode + equi-join + one conditional
+    hash aggregate — the smooth_strict_k2 shuffle shape; no windows,
+    no self-join on values."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.hexgrid import (
+        RING1_OFFSETS,
+        RING2_OFFSETS,
+        neighbor_delta,
+    )
+
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(neighbor_delta(dq, dr)).alias("d"), F.lit(g).alias("g")
+            )
+            for g, ring in ((1, RING1_OFFSETS), (2, RING2_OFFSETS))
+            for dq, dr in ring
+        ]
+    )
+    vals = cells.select("cell", F.col(value_col).cast("double").alias("_x"))
+    e = vals.select(
+        "cell", F.col("_x").alias("_c"), F.explode(offs).alias("_o")
+    ).select(
+        "cell",
+        "_c",
+        (F.col("cell") + F.col("_o.d")).alias("nbr"),
+        F.col("_o.g").alias("_g"),
+    )
+    nb = e.join(
+        vals.select(F.col("cell").alias("nbr"), F.col("_x").alias("_xn")), "nbr"
+    )
+    agg = (
+        nb.groupBy("cell", "_c")
+        .agg(
+            F.sum(F.when(F.col("_g") == 1, 1).otherwise(0)).alias("_n1"),
+            F.sum(F.when(F.col("_g") == 2, 1).otherwise(0)).alias("_n2"),
+            F.sum(F.when(F.col("_g") == 1, F.col("_xn"))).alias("_s1"),
+            F.sum(F.when(F.col("_g") == 2, F.col("_xn"))).alias("_s2"),
+        )
+        .where((F.col("_n1") == 6) & (F.col("_n2") == 12))
+        .select(
+            "cell",
+            round6(F.col("_c") - F.col("_s1") / 6.0).alias("tpi_fine"),
+            round6(F.col("_c") - F.col("_s2") / 12.0).alias("tpi_coarse"),
+        )
+    )
+
+    def sign(col: str):
+        return (
+            F.when(F.col(col) > t, 1).when(F.col(col) < -t, -1).otherwise(0)
+        )
+
+    expr = None
+    for (sf_, sc_), name in LANDFORM_CLASSES.items():
+        cond = (sign("tpi_fine") == sf_) & (sign("tpi_coarse") == sc_)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return agg.select("cell", "tpi_fine", "tpi_coarse", expr.alias("landform"))
+
+
+def landform_classes_sql(
+    source: str = "cells4", with_ctes: str = "", t: float = LANDFORM_TPI_T
+) -> str:
+    """DuckDB twin of :func:`landform_classes` — identical 18-offset
+    conditional aggregate; the CASE reads the same ROUND6'd columns."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit, round6_sql
+    from cuda_gis_smoothing_spark.hexgrid import (
+        RING1_OFFSETS,
+        RING2_OFFSETS,
+        neighbor_delta,
+    )
+
+    rows = ", ".join(
+        f"({neighbor_delta(dq, dr)}, {g})"
+        for g, ring in ((1, RING1_OFFSETS), (2, RING2_OFFSETS))
+        for dq, dr in ring
+    )
+    tl = flit(t)
+    sf = f"(CASE WHEN tpi_fine > {tl} THEN 1 WHEN tpi_fine < -{tl} THEN -1 ELSE 0 END)"
+    sc = f"(CASE WHEN tpi_coarse > {tl} THEN 1 WHEN tpi_coarse < -{tl} THEN -1 ELSE 0 END)"
+    cases = "\n         ".join(
+        f"WHEN {sf} = {a} AND {sc} = {b} THEN '{name}'"
+        for (a, b), name in LANDFORM_CLASSES.items()
+    )
+    pre = f"WITH {with_ctes}," if with_ctes else "WITH"
+    return f"""
+{pre}
+lfoffsets (delta, ring) AS (VALUES {rows}),
+lftpi AS (
+  SELECT c.cell,
+         {round6_sql(f"c.ndvi - SUM(CASE WHEN o.ring = 1 THEN n.ndvi END) / 6e0")} AS tpi_fine,
+         {round6_sql(f"c.ndvi - SUM(CASE WHEN o.ring = 2 THEN n.ndvi END) / 12e0")} AS tpi_coarse
+  FROM {source} c CROSS JOIN lfoffsets o
+  JOIN {source} n ON n.cell = c.cell + o.delta
+  GROUP BY c.cell, c.ndvi
+  HAVING SUM(CASE WHEN o.ring = 1 THEN 1 ELSE 0 END) = 6
+     AND SUM(CASE WHEN o.ring = 2 THEN 1 ELSE 0 END) = 12
+)
+SELECT cell, tpi_fine, tpi_coarse,
+       CASE {cases} END AS landform
+FROM lftpi
+""".strip()
