@@ -2710,6 +2710,22 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_user_event_entropy(spark, sf_dir):
+    """Per-user behavioral diversity: Shannon entropy of the user's
+    event-type distribution (stable one-pass form, ln under round6) +
+    integer totals; NULL user/type rows excluded."""
+    from cuda_gis_smoothing_spark.operators.events import user_event_entropy
+
+    return user_event_entropy(load(spark, sf_dir, "events"))
+
+
+def _q_terrain_openness(spark, sf_dir):
+    """Topographic openness in the tangent domain: per-axis horizon
+    tangent maxima (association-free MAX over identical rounded
+    expressions), 6-axis mean under round6; ring-1-complete cells."""
+    return stats_ops.terrain_openness(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_landform_classes(spark, sf_dir):
     """Two-scale TPI landform classification (Weiss 3x3 sign grid) —
     fine = ring-1 TPI, coarse = geometric ring-2 TPI; fully-interior
@@ -3690,6 +3706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basin_channel_length": _q_basin_channel_length,
         "embedding_outliers_maintained": _q_embedding_outliers_maintained,
         "landform_classes": _q_landform_classes,
+        "terrain_openness": _q_terrain_openness,
+        "user_event_entropy": _q_user_event_entropy,
     }
     return qs
 
@@ -6375,6 +6393,16 @@ SELECT cell, ord AS strahler_order FROM o{STRAHLER_ROUNDS}
     out["landform_classes"] = landform_classes_sql(
         source="cells4", with_ctes=GRID_CELLS_SQL
     )
+    from cuda_gis_smoothing_spark.operators.stats import terrain_openness_sql
+
+    out["terrain_openness"] = terrain_openness_sql(
+        source="cells4", with_ctes=GRID_CELLS_SQL
+    )
+    from cuda_gis_smoothing_spark.operators.events import (
+        USER_EVENT_ENTROPY_SQL,
+    )
+
+    out["user_event_entropy"] = USER_EVENT_ENTROPY_SQL
     return out
 
 

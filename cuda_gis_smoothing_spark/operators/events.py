@@ -2078,3 +2078,51 @@ SELECT event_type, dow, CAST(n_events AS BIGINT) AS n_events,
               / SUM(n_events) OVER (PARTITION BY event_type)) + 1e-09, 6) AS share
 FROM per
 """.strip()
+
+
+def user_event_entropy(events: DataFrame) -> DataFrame:
+    """Per-user behavioral diversity card: Shannon entropy (nats) of
+    the user's event-type distribution plus totals — the events-table
+    sibling of ``doc_token_entropy`` (low entropy = single-action bots
+    / scripted traffic; high entropy = diverse organic usage). Entropy
+    uses the same one-pass stable form ``ln(n) − Σ c·ln(c) / n`` over
+    per-(user, type) counts; ln is the doc_logprob ≤1-ulp class under
+    round6, and the Σ runs over ≤ |event types| terms per user. NULL
+    user_id / event_type rows are excluded (a NULL key cannot equi-join
+    its twin row — the kmv_error_report contract).
+
+    Plan (100 TB): two partial-agg hash shuffles, both keyed by user
+    so the second reuses the first's partitioning; no windows, no
+    joins."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    counts = (
+        events.where(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return counts.groupBy("user_id").agg(
+        F.sum("_c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        round6(
+            F.log(F.sum("_c")) - F.sum(F.col("_c") * F.log("_c")) / F.sum("_c")
+        ).alias("type_entropy"),
+    )
+
+
+USER_EVENT_ENTROPY_SQL = """
+WITH uec AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) + 1e-09, 6) AS type_entropy
+FROM uec
+GROUP BY user_id
+""".strip()

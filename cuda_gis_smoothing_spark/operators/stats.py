@@ -1503,3 +1503,101 @@ SELECT cell, tpi_fine, tpi_coarse,
        CASE {cases} END AS landform
 FROM lftpi
 """.strip()
+
+
+def terrain_openness(
+    cells: DataFrame, value_col: str = "ndvi", r: int = VISIBILITY_RANGE
+) -> DataFrame:
+    """Topographic openness (Yokoyama et al.) in the TANGENT domain:
+    along each of the 6 hex axes, the horizon tangent is
+    ``max over k ≤ r of (x_{c+k·d} − x_c) / k`` over EXISTING targets
+    (no opacity — openness measures elevation angles, unlike
+    :func:`axis_visibility`'s sight-line blocking; holes simply
+    contribute no candidate). Reported per cell as the mean and max of
+    the 6 axis horizon tangents, restricted to cells where EVERY axis
+    has at least one target (ring-1 complete — the border contract).
+    The classic angular form is π/2 − atan(tan) averaged; atan is
+    monotone, so the tangent domain carries the same ordering with
+    ZERO libm exposure (the hillshade rational-form lesson). Output
+    ``(cell, horizon_tan_mean, horizon_tan_max)``.
+
+    Cross-engine: each candidate tangent is the IDENTICAL
+    correctly-rounded expression shape in both engines, MAX is
+    association-order-free (the focal_stats lesson), and the 6-term
+    axis-mean is the smoothing round6 class.
+
+    Plan (100 TB): one 6r-offset literal explode + equi-join + two
+    hash aggregates keyed by cell — the smooth() constant-fan-out
+    shape; no windows, no self-join on values."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+
+    vals = cells.select("cell", F.col(value_col).cast("double").alias("_x"))
+    offs = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), F.lit(k).alias("k"))
+            for d in R1_DELTAS
+            for k in range(1, r + 1)
+        ]
+    )
+    rays = (
+        vals.select("cell", "_x", F.explode(offs).alias("_o"))
+        .select(
+            "cell",
+            "_x",
+            F.col("_o.d").alias("_d"),
+            F.col("_o.k").alias("_k"),
+            (F.col("cell") + F.col("_o.d") * F.col("_o.k")).alias("_t"),
+        )
+        .join(
+            vals.select(F.col("cell").alias("_t"), F.col("_x").alias("_xt")),
+            "_t",
+        )
+    )
+    tan = (F.col("_xt") - F.col("_x")) / F.col("_k").cast("double")
+    per_axis = rays.groupBy("cell", "_d").agg(F.max(tan).alias("_mtan"))
+    return (
+        per_axis.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("_na"),
+            F.sum("_mtan").alias("_s"),
+            F.max("_mtan").alias("_mx"),
+        )
+        .where(F.col("_na") == 6)
+        .select(
+            "cell",
+            round6(F.col("_s") / 6.0).alias("horizon_tan_mean"),
+            round6(F.col("_mx")).alias("horizon_tan_max"),
+        )
+    )
+
+
+def terrain_openness_sql(
+    source: str = "cells4", with_ctes: str = "", r: int = VISIBILITY_RANGE
+) -> str:
+    """DuckDB twin of :func:`terrain_openness` — identical tangent
+    expression shape over the same (axis, k) offset grid."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6_sql
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+
+    rows = ", ".join(
+        f"({d}, {k})" for d in R1_DELTAS for k in range(1, r + 1)
+    )
+    pre = f"WITH {with_ctes}," if with_ctes else "WITH"
+    return f"""
+{pre}
+toffs (delta, k) AS (VALUES {rows}),
+taxis AS (
+  SELECT c.cell, o.delta,
+         MAX((t.ndvi - c.ndvi) / CAST(o.k AS DOUBLE)) AS mtan
+  FROM {source} c CROSS JOIN toffs o
+  JOIN {source} t ON t.cell = c.cell + o.delta * o.k
+  GROUP BY c.cell, o.delta
+)
+SELECT cell,
+       {round6_sql("SUM(mtan) / 6e0")} AS horizon_tan_mean,
+       {round6_sql("MAX(mtan)")} AS horizon_tan_max
+FROM taxis
+GROUP BY cell
+HAVING COUNT(*) = 6
+""".strip()

@@ -585,3 +585,39 @@ def test_landform_classes_engineered(spark):
     # at the fine scale (the spike inflates it) but ABOVE at ring 2
     # only if the spike is inside — just assert they are not 'plane'
     assert out2[center + 1] != "plane"
+
+
+def test_terrain_openness_differential(spark):
+    """Python differential: per-axis max tangent over existing targets
+    within range, mean/max of the 6 axis maxima, ring-1-complete cells
+    only."""
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+    from cuda_gis_smoothing_spark.operators.stats import (
+        VISIBILITY_RANGE,
+        terrain_openness,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    vals = {r.cell: r.ndvi for r in cells.select("cell", "ndvi").collect()}
+    got = {r.cell: r for r in terrain_openness(cells).collect()}
+    want = {}
+    for c, x in vals.items():
+        axes = []
+        ok = True
+        for d in R1_DELTAS:
+            cands = [
+                (vals[c + d * k] - x) / k
+                for k in range(1, VISIBILITY_RANGE + 1)
+                if c + d * k in vals
+            ]
+            if not cands:
+                ok = False
+                break
+            axes.append(max(cands))
+        if ok:
+            want[c] = (sum(axes) / 6.0, max(axes))
+    assert set(got) == set(want) and len(want) > 0
+    for c, (m, mx) in want.items():
+        assert got[c].horizon_tan_mean == pytest.approx(m, abs=2e-6)
+        assert got[c].horizon_tan_max == pytest.approx(mx, abs=2e-6)
