@@ -2710,6 +2710,22 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_user_activity_zipf(spark, sf_dir):
+    """Power-law fit of per-user event counts through the SHARED zipf
+    rank/regression kernel — the user-skew concentration card."""
+    from cuda_gis_smoothing_spark.operators.events import user_activity_zipf
+
+    return user_activity_zipf(load(spark, sf_dir, "events"))
+
+
+def _q_doc_readability(spark, sf_dir):
+    """ARI readability card — three integer counts + a literal-folded
+    linear combo, zero shuffles (pure per-row expressions)."""
+    from cuda_gis_smoothing_spark.functions.text import doc_readability
+
+    return doc_readability(load(spark, sf_dir, "documents"))
+
+
 def _q_user_event_entropy(spark, sf_dir):
     """Per-user behavioral diversity: Shannon entropy of the user's
     event-type distribution (stable one-pass form, ln under round6) +
@@ -3708,6 +3724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landform_classes": _q_landform_classes,
         "terrain_openness": _q_terrain_openness,
         "user_event_entropy": _q_user_event_entropy,
+        "user_activity_zipf": _q_user_activity_zipf,
+        "doc_readability": _q_doc_readability,
     }
     return qs
 
@@ -6403,6 +6421,14 @@ SELECT cell, ord AS strahler_order FROM o{STRAHLER_ROUNDS}
     )
 
     out["user_event_entropy"] = USER_EVENT_ENTROPY_SQL
+    from cuda_gis_smoothing_spark.operators.events import (
+        user_activity_zipf_sql,
+    )
+
+    out["user_activity_zipf"] = user_activity_zipf_sql()
+    from cuda_gis_smoothing_spark.functions.text import doc_readability_sql
+
+    out["doc_readability"] = doc_readability_sql()
     return out
 
 

@@ -896,13 +896,13 @@ def zipf_fit_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
-ZIPF_FIT_SQL = """
-WITH occ AS (
-  SELECT t FROM (
-    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
-  ) WHERE t <> ''
-),
-c AS (SELECT t, COUNT(*) AS c FROM occ GROUP BY t),
+def zipf_sql_from_counts(counts_ctes: str) -> str:
+    """DuckDB twin of :func:`zipf_fit_from_counts` over prepared CTEs
+    that define ``c(t, c)`` — the ONE regression twin builder behind
+    every zipf gate (corpus tokens, maintained source tokens, user
+    activity), so batch/maintained/adapted paths cannot drift."""
+    return f"""
+WITH {counts_ctes},
 v AS (SELECT COUNT(*) AS v FROM c),
 ranked AS (
   SELECT ln(v.v - ROW_NUMBER() OVER (ORDER BY c.c, c.t) + 1) AS x,
@@ -921,6 +921,16 @@ SELECT CAST(n AS BIGINT) AS n_vocab,
          AS zipf_intercept
 FROM s
 """.strip()
+
+
+ZIPF_FIT_SQL = zipf_sql_from_counts(
+    """occ AS (
+  SELECT t FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+c AS (SELECT t, COUNT(*) AS c FROM occ GROUP BY t)"""
+)
 
 
 #: vocabulary-coverage targets (shared by operator and twin)
@@ -1221,4 +1231,82 @@ SELECT n1 AS n_a, n2 AS n_b,
        ROUND(u + 1e-09, 6) AS u_a,
        ROUND((u - mu) / SQRT(NULLIF(GREATEST(var, 0.0), 0.0)) + 1e-09, 6) AS z
 FROM dv
+""".strip()
+
+
+# Automated Readability Index constants (Senter & Smith 1967) — the
+# syllable-free readability formula, so the whole data path is integer
+# counts + one literal-folded linear combination (zero libm)
+ARI_CHARS = 4.71
+ARI_WORDS = 0.5
+ARI_BIAS = -21.43
+
+
+def doc_readability(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document readability card via the Automated Readability
+    Index: ARI = 4.71·(chars/words) + 0.5·(words/sentences) − 21.43 —
+    chosen over Flesch BECAUSE it needs no syllable counting, so the
+    data path is three integer counts (alnum chars via one
+    regexp_replace, words via the shared tokenizer, sentences via
+    terminator-character counting with translate — both exact string
+    ops) and a literal-folded linear combo of two integer ratios
+    (every op correctly rounded on identical inputs — the
+    axis_visibility identical-expression-shape class). Terminator-free
+    docs count as ONE sentence; wordless/NULL docs get no row (the
+    signature-operator contract). Output ``(doc_id, n_alnum_chars,
+    n_words, n_sentences, avg_word_len, words_per_sentence, ari)``.
+
+    Plan (100 TB): pure per-row expressions — one scan, ZERO shuffles;
+    streaming-legal by construction."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    low = F.lower(F.col(text_col))
+    words = F.filter(F.split(low, " "), lambda x: x != "")
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(F.regexp_replace(low, "[^a-z0-9]", "")).cast("long")
+    n_sent = F.greatest(
+        (F.length(low) - F.length(F.translate(low, ".!?", ""))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    cw = n_chars.cast("double") / n_words.cast("double")
+    ws = n_words.cast("double") / n_sent.cast("double")
+    ari = F.lit(ARI_CHARS) * cw + F.lit(ARI_WORDS) * ws + F.lit(ARI_BIAS)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            n_chars.alias("n_alnum_chars"),
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            round6(cw).alias("avg_word_len"),
+            round6(ws).alias("words_per_sentence"),
+            round6(ari).alias("ari"),
+        )
+        .where(F.col("n_words") > 0)
+    )
+
+
+def doc_readability_sql() -> str:
+    """DuckDB twin of :func:`doc_readability` — identical counts and
+    literal-folded linear combination (flit doubles; DuckDB
+    regexp_replace needs the explicit 'g' flag — the dedup_normalized
+    lesson)."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit, round6_sql
+
+    return f"""
+WITH rb AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum_chars,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_words,
+         GREATEST(CAST(length(lower(text)) - length(translate(lower(text), '.!?', '')) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS n_sentences
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT doc_id, n_alnum_chars, n_words, n_sentences,
+       {round6_sql("CAST(n_alnum_chars AS DOUBLE) / CAST(n_words AS DOUBLE)")} AS avg_word_len,
+       {round6_sql("CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)")} AS words_per_sentence,
+       {round6_sql(f"{flit(ARI_CHARS)} * (CAST(n_alnum_chars AS DOUBLE) / CAST(n_words AS DOUBLE)) + {flit(ARI_WORDS)} * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) + {flit(ARI_BIAS)}")} AS ari
+FROM rb
+WHERE n_words > 0
 """.strip()

@@ -2126,3 +2126,57 @@ SELECT user_id,
 FROM uec
 GROUP BY user_id
 """.strip()
+
+
+def user_activity_zipf(events: DataFrame) -> DataFrame:
+    """Power-law fit of the user-activity distribution: the corpus
+    Zipf regression (`functions/text.py::zipf_fit_from_counts` — ONE
+    rank/regression kernel) run over per-user event counts instead of
+    token counts. Web activity is classically Zipf-like; the slope is
+    the concentration diagnostic (steep = a few power users dominate —
+    the measurement step before salting user-keyed jobs, beside
+    key_skew_report's gini). One summary row:
+    (n_users, n_events, activity_slope, activity_intercept). NULL
+    user_id excluded (the entropy-gate contract).
+
+    Plan (100 TB): one user-keyed partial-agg shuffle to the count
+    table (users-sized, localCheckpoint'ed — it feeds the rank stage's
+    differently-pruned subplans, the multi-consumer class), then the
+    shared partition-parallel rank + 1-row regression."""
+    from cuda_gis_smoothing_spark.functions.text import zipf_fit_from_counts
+
+    counts = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("t"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
+    )
+    return zipf_fit_from_counts(counts).select(
+        F.col("n_vocab").alias("n_users"),
+        F.col("n_occurrences").alias("n_events"),
+        F.col("zipf_slope").alias("activity_slope"),
+        F.col("zipf_intercept").alias("activity_intercept"),
+    )
+
+
+def user_activity_zipf_sql() -> str:
+    """DuckDB twin of :func:`user_activity_zipf` — the shared zipf
+    twin builder over the per-user count CTE, columns renamed to the
+    activity domain."""
+    from cuda_gis_smoothing_spark.functions.text import zipf_sql_from_counts
+
+    inner = zipf_sql_from_counts(
+        """c AS (
+  SELECT user_id AS t, COUNT(*) AS c
+  FROM events
+  WHERE user_id IS NOT NULL
+  GROUP BY 1
+)"""
+    )
+    return f"""
+SELECT n_vocab AS n_users,
+       n_occurrences AS n_events,
+       zipf_slope AS activity_slope,
+       zipf_intercept AS activity_intercept
+FROM ({inner})
+""".strip()
