@@ -2710,6 +2710,25 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_user_event_entropy_maintained(spark, sf_dir):
+    """The SAME diversity card served from the maintained
+    (user, type) count log through the shared user_entropy_from_counts
+    kernel (single batch == the batch operator exactly, shared twin)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.user_stats import (
+        MaintainedUserTypes,
+    )
+
+    state = tempfile.mkdtemp(prefix="usertypes_state_")
+    m = MaintainedUserTypes(spark, state)
+    m.process_batch(load(spark, sf_dir, "events"), 0)
+    out = m.entropy().localCheckpoint(eager=True)  # state dir GC'd next
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_user_activity_zipf(spark, sf_dir):
     """Power-law fit of per-user event counts through the SHARED zipf
     rank/regression kernel — the user-skew concentration card."""
@@ -3726,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_entropy": _q_user_event_entropy,
         "user_activity_zipf": _q_user_activity_zipf,
         "doc_readability": _q_doc_readability,
+        "user_event_entropy_maintained": _q_user_event_entropy_maintained,
     }
     return qs
 
@@ -6421,6 +6441,9 @@ SELECT cell, ord AS strahler_order FROM o{STRAHLER_ROUNDS}
     )
 
     out["user_event_entropy"] = USER_EVENT_ENTROPY_SQL
+    # single-batch maintained state == the batch operator exactly, so
+    # the twin is SHARED (the smooth_maintained precedent)
+    out["user_event_entropy_maintained"] = USER_EVENT_ENTROPY_SQL
     from cuda_gis_smoothing_spark.operators.events import (
         user_activity_zipf_sql,
     )

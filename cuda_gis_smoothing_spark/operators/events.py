@@ -2094,15 +2094,29 @@ def user_event_entropy(events: DataFrame) -> DataFrame:
     Plan (100 TB): two partial-agg hash shuffles, both keyed by user
     so the second reuses the first's partitioning; no windows, no
     joins."""
-    from cuda_gis_smoothing_spark.functions.numeric import round6
+    return user_entropy_from_counts(user_type_counts(events))
 
-    counts = (
+
+def user_type_counts(events: DataFrame) -> DataFrame:
+    """The per-(user, type) count table ``(user_id, event_type, _c)``
+    behind :func:`user_event_entropy` — shared with the maintained log
+    (``streaming/user_stats.py``) so batch and incremental paths fold
+    the identical aggregate."""
+    return (
         events.where(
             F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
         )
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+
+
+def user_entropy_from_counts(counts: DataFrame) -> DataFrame:
+    """The entropy rollup over a PREPARED ``(user_id, event_type, _c)``
+    table — ONE kernel for the batch gate and the maintained serve
+    (the *_from_daily precedent)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
     return counts.groupBy("user_id").agg(
         F.sum("_c").cast("long").alias("n_events"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
