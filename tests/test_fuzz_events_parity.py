@@ -59,6 +59,14 @@ EVENTS_GATES = [
     # all-integer span/moment aggregates, one division — tie-proof by
     # design; the fuzz span exercises the zero-filled-day contract
     "events_burstiness",
+    # per-user type-count entropy (the doc_entropy integer-count
+    # shape); NULL user/type rows pin the exclusion contract on both
+    # the batch and maintained (shared-kernel) paths
+    "user_event_entropy",
+    "user_event_entropy_maintained",
+    # the shared zipf kernel over per-user counts — tie blocks have
+    # constant y so the regression sums are permutation-invariant
+    "user_activity_zipf",
     # lag-pair gates: the fuzz corpus's tied timestamps exercise the
     # (epoch_us, event_id) total-order contract in both windows
     "event_transitions",

@@ -105,6 +105,9 @@ DOC_GATES = [
     "lang_source_chi2",
     "doc_entropy",
     "zipf_fit",
+    # integer counts + literal-folded linear combo; the NULL-text /
+    # newline / non-ASCII docs pin the drop + terminator contracts
+    "doc_readability",
     "winnowing_fingerprints",
     "winnowing_maintained",
     "dedup_winnowed",
