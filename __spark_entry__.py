@@ -2710,6 +2710,15 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_stream_networks(spark, sf_dir):
+    """Drainage-network labeling: star CC over the stream-cell
+    subgraph (5th CC domain) + per-network source/confluence/outlet
+    census — integers/ids only."""
+    from cuda_gis_smoothing_spark.operators.hydrology import stream_networks
+
+    return stream_networks(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_user_event_entropy_maintained(spark, sf_dir):
     """The SAME diversity card served from the maintained
     (user, type) count log through the shared user_entropy_from_counts
@@ -3746,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_zipf": _q_user_activity_zipf,
         "doc_readability": _q_doc_readability,
         "user_event_entropy_maintained": _q_user_event_entropy_maintained,
+        "stream_networks": _q_stream_networks,
     }
     return qs
 
@@ -6452,6 +6462,17 @@ SELECT cell, ord AS strahler_order FROM o{STRAHLER_ROUNDS}
     from cuda_gis_smoothing_spark.functions.text import doc_readability_sql
 
     out["doc_readability"] = doc_readability_sql()
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        STREAM_NETWORKS_SELECT,
+        stream_network_ctes,
+    )
+
+    out["stream_networks"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+{stream_network_ctes()}
+{STREAM_NETWORKS_SELECT}
+""".strip()
     return out
 
 

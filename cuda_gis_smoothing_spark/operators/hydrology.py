@@ -1138,3 +1138,127 @@ def strahler_ctes(
 )"""
         )
     return ",\n".join(ctes)
+
+
+def stream_networks(
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    threshold: int = STREAM_THRESHOLD,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Drainage-network labeling — connected components of the
+    STREAM-CELL subgraph (cells with ``upslope_cells >= threshold``,
+    edges = flow edges whose BOTH endpoints are stream cells): the
+    star-CC core's 5th graph domain (near-dup / embedding / basin /
+    raster-patch / stream network). Per network: cell count, source
+    count (stream cells with zero stream inflows), confluence count
+    (≥ 2 stream inflows), the unique outlet (the one stream cell with
+    no outgoing stream edge — the directed forest inside a component
+    drains to exactly one exit, the watershed one-sink argument) and
+    the peak accumulation. Integers/ids only — tie-proof. Output
+    ``(network, n_cells, n_sources, n_confluences, outlet_cell,
+    max_upslope)``.
+
+    Plan (100 TB): fd is checkpointed ONCE and feeds the accumulation
+    closure + edge restriction (the multi-consumer class); the stream
+    set is checkpointed ahead of its 4 consumers (both edge endpoints,
+    labels, the aggregate); the CC then runs on the stream subgraph —
+    orders of magnitude smaller than the grid (that asymmetry is the
+    whole point of extracting the network before labeling it)."""
+    from cuda_gis_smoothing_spark.operators.dedup import star_components
+
+    fd = flow_direction(cells, value_col).localCheckpoint()
+    acc = flow_accumulation(cells, value_col, max_rounds, fd=fd)
+    stream = (
+        acc.where(F.col("upslope_cells") >= threshold)
+        .select("cell", "upslope_cells")
+        .localCheckpoint()
+    )
+    sedges = (
+        fd.where(F.col("flow_to").isNotNull())
+        .join(stream.select("cell"), "cell", "left_semi")
+        .join(
+            stream.select(F.col("cell").alias("flow_to")),
+            "flow_to",
+            "left_semi",
+        )
+        .select("cell", "flow_to")
+        .localCheckpoint()
+    )
+    comp = star_components(
+        sedges.select(F.col("cell").alias("a"), F.col("flow_to").alias("b")),
+        stream.select("cell"),
+        "cell",
+    ).select("cell", F.col("component").alias("network"))
+    inflows = sedges.groupBy(F.col("flow_to").alias("cell")).agg(
+        F.count(F.lit(1)).alias("_n_in")
+    )
+    has_out = sedges.select("cell").distinct().withColumn(
+        "_has_out", F.lit(1)
+    )
+    return (
+        comp.join(stream, "cell")
+        .join(inflows, "cell", "left")
+        .join(has_out, "cell", "left")
+        .groupBy("network")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum((F.coalesce("_n_in", F.lit(0)) == 0).cast("long"))
+            .cast("long")
+            .alias("n_sources"),
+            F.sum((F.coalesce("_n_in", F.lit(0)) >= 2).cast("long"))
+            .cast("long")
+            .alias("n_confluences"),
+            F.min(F.when(F.col("_has_out").isNull(), F.col("cell"))).alias(
+                "outlet_cell"
+            ),
+            F.max("upslope_cells").alias("max_upslope"),
+        )
+    )
+
+
+def stream_network_ctes(threshold: int = STREAM_THRESHOLD) -> str:
+    """DuckDB twin CTEs for :func:`stream_networks` — compose after
+    ``flow_ctes()`` + ``flow_closure_ctes()``: stream set from the
+    shared closure, edge restriction, symmetric recursive closure
+    (min-reachable label = the star-CC contract), inflow counts."""
+    return f"""
+sn_acc AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst),
+sn_cells AS (
+  SELECT c.cell, CAST(1 + COALESCE(a.n, 0) AS BIGINT) AS up
+  FROM cells4 c LEFT JOIN sn_acc a ON a.dst = c.cell
+  WHERE 1 + COALESCE(a.n, 0) >= {threshold}
+),
+sn_edges AS (
+  SELECT f.cell AS a, f.flow_to AS b
+  FROM fd f JOIN sn_cells s ON s.cell = f.cell
+            JOIN sn_cells t ON t.cell = f.flow_to
+),
+sn_sym AS (SELECT a, b FROM sn_edges UNION ALL SELECT b, a FROM sn_edges),
+sn_reach(a, b) AS (
+  SELECT a, b FROM sn_sym
+  UNION
+  SELECT r.a, s.b FROM sn_reach r JOIN sn_sym s ON r.b = s.a WHERE s.b <> r.a
+),
+sn_comp AS (
+  SELECT s.cell, s.up, LEAST(s.cell, COALESCE(r.mn, s.cell)) AS network
+  FROM sn_cells s
+  LEFT JOIN (SELECT a, MIN(b) AS mn FROM sn_reach GROUP BY a) r ON r.a = s.cell
+),
+sn_in AS (SELECT b AS cell, COUNT(*) AS n_in FROM sn_edges GROUP BY b),
+sn_out AS (SELECT DISTINCT a AS cell FROM sn_edges)
+""".strip()
+
+
+STREAM_NETWORKS_SELECT = """
+SELECT p.network,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN COALESCE(i.n_in, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN COALESCE(i.n_in, 0) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_confluences,
+       MIN(CASE WHEN o.cell IS NULL THEN p.cell END) AS outlet_cell,
+       MAX(p.up) AS max_upslope
+FROM sn_comp p
+LEFT JOIN sn_in i ON i.cell = p.cell
+LEFT JOIN sn_out o ON o.cell = p.cell
+GROUP BY p.network
+""".strip()

@@ -682,3 +682,57 @@ def test_stream_order_matches_python_fixpoint(spark):
     got = {r.cell: r.strahler_order for r in stream_order(cells).collect()}
     assert got == order
     assert max(got.values()) >= 2  # the fixture has real confluences
+
+
+def test_stream_networks_invariants(spark):
+    """Structural invariants + consistency with the accumulation core:
+    every network has EXACTLY one outlet, ≥1 source, and the network
+    cell census equals the stream-cell count from flow_accumulation;
+    a Python union-find differential pins the labeling."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        STREAM_THRESHOLD,
+        flow_accumulation,
+        flow_direction,
+        stream_networks,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    nets = stream_networks(cells).collect()
+    assert len(nets) > 0
+    for r in nets:
+        assert r.outlet_cell is not None  # exactly one (MIN of the one)
+        assert r.n_sources >= 1
+        assert r.max_upslope >= STREAM_THRESHOLD
+        assert r.n_cells >= 1
+
+    # differential: union-find over the restricted edge set
+    fd = {r.cell: r.flow_to for r in flow_direction(cells).collect()}
+    up = {r.cell: r.upslope_cells for r in flow_accumulation(cells).collect()}
+    stream = {c for c, u in up.items() if u >= STREAM_THRESHOLD}
+    assert sum(r.n_cells for r in nets) == len(stream)
+    parent = {c: c for c in stream}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    outlets = set()
+    for c in stream:
+        t = fd.get(c)
+        if t is not None and t in stream:
+            parent[find(c)] = find(t)
+        else:
+            outlets.add(c)
+    groups = {}
+    for c in stream:
+        groups.setdefault(find(c), set()).add(c)
+    want = {min(g): g for g in groups.values()}
+    got = {r.network: r for r in nets}
+    assert set(got) == set(want)
+    for label, members in want.items():
+        r = got[label]
+        assert r.n_cells == len(members)
+        assert r.outlet_cell in outlets and r.outlet_cell in members
