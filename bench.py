@@ -261,6 +261,21 @@ BENCH_QUERIES = [
     "flow_direction_filled",
     "doc_novelty",
     "stream_order",
+    "flow_upstream_length",
+    "patch_metrics",
+    "session_event_affinity",
+    "zonal_crosstab",
+    "embedding_outliers",
+    "landscape_summary",
+    "basin_channel_length",
+    "embedding_outliers_maintained",
+    "landform_classes",
+    "terrain_openness",
+    "user_event_entropy",
+    "user_activity_zipf",
+    "doc_readability",
+    "user_event_entropy_maintained",
+    "stream_networks",
 ]
 
 

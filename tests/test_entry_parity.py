@@ -212,6 +212,14 @@ _HOSTILE_SAMPLE = [
     "stream_order",
     "minhash_error_report",
     "transition_stationary",
+    # part-16 reps: the 18-offset two-ring conditional aggregate +
+    # threshold CASE under 3 shuffle partitions, the stream-subgraph
+    # star CC whose edge restriction is two chained semi-joins with
+    # broadcasts disabled, and maintained (user, type) count state
+    # BUILT under the hostile config
+    "landform_classes",
+    "stream_networks",
+    "user_event_entropy_maintained",
 ]
 
 
