@@ -2710,6 +2710,17 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_split_centroid_drift(spark, sf_dir):
+    """Distribution-shift audit across the deterministic holdout cut:
+    pairwise split-centroid cosines through the shared centroid
+    kernel."""
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        split_centroid_drift,
+    )
+
+    return split_centroid_drift(load(spark, sf_dir, "embeddings"))
+
+
 def _q_embedding_assortativity(spark, sf_dir):
     """Degree assortativity of the banded near-dup graph — all-integer
     moments over both edge orientations, one final division (NULL on a
@@ -3770,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_entropy_maintained": _q_user_event_entropy_maintained,
         "stream_networks": _q_stream_networks,
         "embedding_assortativity": _q_embedding_assortativity,
+        "split_centroid_drift": _q_split_centroid_drift,
     }
     return qs
 
@@ -6494,6 +6506,11 @@ WITH RECURSIVE {_FLOW},
     out["embedding_assortativity"] = embedding_assortativity_sql(
         _emb_banded_sql()
     )
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        split_centroid_drift_sql,
+    )
+
+    out["split_centroid_drift"] = split_centroid_drift_sql()
     return out
 
 

@@ -1206,12 +1206,17 @@ def label_centroid_similarity(
     )
 
 
-LABEL_CENTROID_SQL = """
+def label_centroid_sql(source: str = "embeddings") -> str:
+    """DuckDB twin of :func:`label_centroid_similarity` over any
+    relation providing ``(label, embedding)`` — the ONE centroid-pair
+    twin builder (the zipf_sql_from_counts precedent) behind the label
+    gate and the split-drift gate."""
+    return f"""
 WITH coords AS (
   SELECT label, i - 1 AS pos,
          SUM(CAST(embedding[i] AS DOUBLE)) AS s,
          COUNT(*) AS n
-  FROM embeddings, LATERAL (
+  FROM {source}, LATERAL (
     SELECT unnest(generate_series(1, len(embedding))) AS i
   )
   WHERE label IS NOT NULL AND embedding IS NOT NULL
@@ -1233,6 +1238,89 @@ SELECT CAST(num.label_a AS INT) AS label_a,
 FROM num
 JOIN stats sa ON sa.label = num.label_a
 JOIN stats sb ON sb.label = num.label_b
+""".strip()
+
+
+LABEL_CENTROID_SQL = label_centroid_sql()
+
+#: split ids shared by split_centroid_drift and its twin (ordering
+#: train < val < test rides the integer encoding)
+SPLIT_IDS = {0: "train", 1: "val", 2: "test"}
+
+
+def split_centroid_drift(
+    embeddings: DataFrame, emb_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Distribution-shift audit across the holdout cut: pairwise
+    centroid cosine BETWEEN dataset splits (train/val/test assigned by
+    the SAME portable hash as :func:`~cuda_gis_smoothing_spark.
+    operators.sampling.dataset_split`) — a low train↔test centroid
+    cosine means the deterministic split is not iid in embedding space
+    (ingestion-order correlation), the check run before trusting
+    holdout metrics. Splits ride as INTEGER labels (0/1/2) through the
+    SHARED :func:`label_centroid_similarity` kernel, then map to
+    names. Output per pair: ``(split_a, split_b, n_a, n_b,
+    centroid_cosine)``."""
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        sample_hash_col,
+    )
+
+    h = sample_hash_col(id_col)
+    sid = (
+        F.when(h < SPLIT_TRAIN_LT, 0).when(h < SPLIT_VAL_LT, 1).otherwise(2)
+    )
+    tagged = embeddings.select(
+        sid.alias("label"), F.col(emb_col).alias("embedding")
+    )
+    out = label_centroid_similarity(tagged, "embedding", "label")
+
+    def name(col: str):
+        expr = None
+        for i, nm in SPLIT_IDS.items():
+            c = F.col(col) == i
+            expr = F.when(c, nm) if expr is None else expr.when(c, nm)
+        return expr
+
+    return out.select(
+        name("label_a").alias("split_a"),
+        name("label_b").alias("split_b"),
+        "n_a",
+        "n_b",
+        "centroid_cosine",
+    )
+
+
+def split_centroid_drift_sql() -> str:
+    """DuckDB twin of :func:`split_centroid_drift` — the shared
+    centroid builder over the hash-tagged subquery, ids mapped to the
+    same names."""
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        sample_hash_sql,
+    )
+
+    h = sample_hash_sql("vec_id")
+    src = f"""(
+    SELECT CASE WHEN {h} < {SPLIT_TRAIN_LT} THEN 0
+                WHEN {h} < {SPLIT_VAL_LT} THEN 1
+                ELSE 2 END AS label,
+           embedding
+    FROM embeddings
+  )"""
+    cases_a = " ".join(
+        f"WHEN label_a = {i} THEN '{nm}'" for i, nm in SPLIT_IDS.items()
+    )
+    cases_b = " ".join(
+        f"WHEN label_b = {i} THEN '{nm}'" for i, nm in SPLIT_IDS.items()
+    )
+    return f"""
+SELECT CASE {cases_a} END AS split_a,
+       CASE {cases_b} END AS split_b,
+       n_a, n_b, centroid_cosine
+FROM ({label_centroid_sql(src)})
 """.strip()
 
 

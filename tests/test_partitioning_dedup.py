@@ -811,3 +811,35 @@ def test_embedding_assortativity_differential(spark):
     assert r.n_edges == len(sp) and r.n_nodes == len(d2)
     if sp and len({v for v in d2.values()}) == 1:
         assert r.degree_assortativity is None  # regular graph
+
+
+def test_split_centroid_drift_matches_manual(spark):
+    """split_centroid_drift == the shared centroid kernel over a
+    manually split-tagged table (names ride the integer encoding)."""
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        sample_hash_col,
+    )
+    from cuda_gis_smoothing_spark.operators.similarity import (
+        label_centroid_similarity,
+        split_centroid_drift,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {
+        (r.split_a, r.split_b): (r.n_a, r.n_b, r.centroid_cosine)
+        for r in split_centroid_drift(emb).collect()
+    }
+    h = sample_hash_col("vec_id")
+    sid = F.when(h < SPLIT_TRAIN_LT, 0).when(h < SPLIT_VAL_LT, 1).otherwise(2)
+    tagged = emb.select(sid.alias("label"), "embedding")
+    names = {0: "train", 1: "val", 2: "test"}
+    want = {
+        (names[r.label_a], names[r.label_b]): (r.n_a, r.n_b, r.centroid_cosine)
+        for r in label_centroid_similarity(tagged, "embedding", "label").collect()
+    }
+    assert got == want and len(got) == 3
