@@ -2710,6 +2710,31 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_stream_networks_maintained(spark, sf_dir):
+    """Drainage networks served from MAINTAINED router state (the
+    cost_distance_maintained closure-product contract). Single batch
+    == the batch gate exactly (SHARED twin)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.incremental import (
+        IncrementalFlowRouter,
+    )
+
+    cells = grid_from_lineitem(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="flow_state_")
+    rt = IncrementalFlowRouter(spark, state)
+    rt.process_partials(
+        cells.select(
+            "cell", F.col("ndvi").alias("sum_ndvi"), F.lit(1).cast("long").alias("n")
+        ),
+        0,
+    )
+    out = rt.stream_networks().localCheckpoint(eager=True)  # state GC'd next
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_split_centroid_drift(spark, sf_dir):
     """Distribution-shift audit across the deterministic holdout cut:
     pairwise split-centroid cosines through the shared centroid
@@ -3782,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_networks": _q_stream_networks,
         "embedding_assortativity": _q_embedding_assortativity,
         "split_centroid_drift": _q_split_centroid_drift,
+        "stream_networks_maintained": _q_stream_networks_maintained,
     }
     return qs
 
@@ -6511,6 +6537,9 @@ WITH RECURSIVE {_FLOW},
     )
 
     out["split_centroid_drift"] = split_centroid_drift_sql()
+    # single-batch maintained state == the batch operator exactly, so
+    # the twin is SHARED (the cost_distance_maintained precedent)
+    out["stream_networks_maintained"] = out["stream_networks"]
     return out
 
 

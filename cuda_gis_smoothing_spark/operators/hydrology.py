@@ -1145,6 +1145,7 @@ def stream_networks(
     value_col: str = "ndvi",
     threshold: int = STREAM_THRESHOLD,
     max_rounds: int = 16,
+    fd: DataFrame | None = None,
 ) -> DataFrame:
     """Drainage-network labeling — connected components of the
     STREAM-CELL subgraph (cells with ``upslope_cells >= threshold``,
@@ -1167,7 +1168,8 @@ def stream_networks(
     whole point of extracting the network before labeling it)."""
     from cuda_gis_smoothing_spark.operators.dedup import star_components
 
-    fd = flow_direction(cells, value_col).localCheckpoint()
+    if fd is None:
+        fd = flow_direction(cells, value_col).localCheckpoint()
     acc = flow_accumulation(cells, value_col, max_rounds, fd=fd)
     stream = (
         acc.where(F.col("upslope_cells") >= threshold)

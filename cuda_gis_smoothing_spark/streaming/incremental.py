@@ -374,6 +374,22 @@ class IncrementalFlowRouter:
         fd = self.current_flow().localCheckpoint()  # closure consumers
         return cost_distance(cells, fd=fd, **kwargs)
 
+    def stream_networks(self, **kwargs) -> DataFrame | None:
+        """Drainage-network labeling served from maintained state —
+        the same closure-product contract as :meth:`cost_distance`
+        (accumulation + CC recompute over the maintained fd/value
+        surface on read; the fd derivation itself is never recomputed).
+        Single batch == the batch operator exactly (SHARED twin)."""
+        from cuda_gis_smoothing_spark.operators.hydrology import (
+            stream_networks,
+        )
+
+        cells = self.state_cells()
+        if cells is None:
+            return None
+        fd = self.current_flow().localCheckpoint()  # closure consumers
+        return stream_networks(cells, fd=fd, **kwargs)
+
     # -- the foreachBatch body -------------------------------------------------
     def process_batch(self, images_batch: DataFrame, batch_id: int) -> None:
         self.process_partials(cell_partials(images_batch, self.grid), batch_id)

@@ -736,3 +736,32 @@ def test_stream_networks_invariants(spark):
         r = got[label]
         assert r.n_cells == len(members)
         assert r.outlet_cell in outlets and r.outlet_cell in members
+
+
+def test_router_stream_networks_served_equals_batch_after_update(spark, tmp_path):
+    """Drainage networks served from router state (recompute-on-read)
+    must equal the batch operator over the MERGED surface — including
+    after an update batch that re-routes flow."""
+    from cuda_gis_smoothing_spark.operators.hydrology import stream_networks
+    from cuda_gis_smoothing_spark.streaming.incremental import (
+        IncrementalFlowRouter,
+    )
+
+    cells = _grid(spark)
+    rt = IncrementalFlowRouter(spark, str(tmp_path / "state"))
+    rt.process_partials(
+        cells.selectExpr("cell", "ndvi AS sum_ndvi", "CAST(1 AS LONG) AS n"), 0
+    )
+    one = cells.select("cell").limit(1).collect()[0]["cell"]
+    rt.process_partials(_partials(spark, [(one, 0.9)]), 1)
+    got = {
+        r["network"]: (r["n_cells"], r["n_sources"], r["n_confluences"],
+                       r["outlet_cell"], r["max_upslope"])
+        for r in rt.stream_networks().collect()
+    }
+    want = {
+        r["network"]: (r["n_cells"], r["n_sources"], r["n_confluences"],
+                       r["outlet_cell"], r["max_upslope"])
+        for r in stream_networks(rt.state_cells()).collect()
+    }
+    assert got == want and len(got) > 0
