@@ -2710,6 +2710,18 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_shipping_lag_percentiles(spark, sf_dir):
+    """Order-to-ship latency: integer day lags through the shared
+    exact percentile kernel, grouped by order priority."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        shipping_lag_percentiles,
+    )
+
+    return shipping_lag_percentiles(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    )
+
+
 def _q_stream_networks_maintained(spark, sf_dir):
     """Drainage networks served from MAINTAINED router state (the
     cost_distance_maintained closure-product contract). Single batch
@@ -3808,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_assortativity": _q_embedding_assortativity,
         "split_centroid_drift": _q_split_centroid_drift,
         "stream_networks_maintained": _q_stream_networks_maintained,
+        "shipping_lag_percentiles": _q_shipping_lag_percentiles,
     }
     return qs
 
@@ -6540,6 +6553,11 @@ WITH RECURSIVE {_FLOW},
     # single-batch maintained state == the batch operator exactly, so
     # the twin is SHARED (the cost_distance_maintained precedent)
     out["stream_networks_maintained"] = out["stream_networks"]
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        shipping_lag_percentiles_sql,
+    )
+
+    out["shipping_lag_percentiles"] = shipping_lag_percentiles_sql()
     return out
 
 

@@ -1729,3 +1729,66 @@ UNION ALL
 SELECT 'events_null_user',
        CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id IS NULL
 """.strip()
+
+
+def shipping_lag_percentiles(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Order-to-ship latency card: exact percentiles of the integer
+    day lag ``l_shipdate − o_orderdate`` per order priority — the
+    fulfillment-SLA question beside Q3/Q4's priority rollups. The lag
+    is an INTEGER day count (both engines truncate the NTZ timestamp
+    to a calendar date and difference in days — tz-free, the
+    events-micros lesson), so the shared percentile kernel crosses
+    engines exactly (the value_percentiles integer-dyadic argument).
+    Output ``(o_orderpriority, q, lag_days)``.
+
+    Plan (100 TB): one orderkey equi-join (orders side prunable to
+    2 columns) + the kernel's per-group sort over bounded group count
+    (5 priorities)."""
+    from cuda_gis_smoothing_spark.operators.events import (
+        PCT_QS,
+        percentile_explode,
+    )
+
+    lag = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lag_days"),
+    )
+    return percentile_explode(
+        lag,
+        "lag_days",
+        PCT_QS,
+        group_cols=("o_orderpriority",),
+        out_value="lag_days",
+    )
+
+
+def shipping_lag_percentiles_sql() -> str:
+    """DuckDB twin — the shared percentile twin builder over the same
+    integer day-lag join."""
+    from cuda_gis_smoothing_spark.operators.events import (
+        PCT_QS,
+        percentile_sql,
+    )
+
+    src = (
+        "SELECT o.o_orderpriority, "
+        "CAST(date_diff('day', CAST(o.o_orderdate AS DATE), "
+        "CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+    )
+    return percentile_sql(
+        src,
+        "lag_days",
+        PCT_QS,
+        group_cols=("o_orderpriority",),
+        out_value="lag_days",
+    )
