@@ -2710,6 +2710,12 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_median_filter(spark, sf_dir):
+    """Median smoothing over self∪ring-1 windows — the shared exact
+    percentile aggregate at q=0.5 under round6."""
+    return stats_ops.median_filter(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_shipping_lag_percentiles(spark, sf_dir):
     """Order-to-ship latency: integer day lags through the shared
     exact percentile kernel, grouped by order priority."""
@@ -3821,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_centroid_drift": _q_split_centroid_drift,
         "stream_networks_maintained": _q_stream_networks_maintained,
         "shipping_lag_percentiles": _q_shipping_lag_percentiles,
+        "median_filter": _q_median_filter,
     }
     return qs
 
@@ -6558,6 +6565,11 @@ WITH RECURSIVE {_FLOW},
     )
 
     out["shipping_lag_percentiles"] = shipping_lag_percentiles_sql()
+    from cuda_gis_smoothing_spark.operators.stats import median_filter_sql
+
+    out["median_filter"] = median_filter_sql(
+        source="cells4", with_ctes=GRID_CELLS_SQL
+    )
     return out
 
 

@@ -276,6 +276,11 @@ BENCH_QUERIES = [
     "doc_readability",
     "user_event_entropy_maintained",
     "stream_networks",
+    "embedding_assortativity",
+    "split_centroid_drift",
+    "stream_networks_maintained",
+    "shipping_lag_percentiles",
+    "median_filter",
 ]
 
 

@@ -1601,3 +1601,64 @@ FROM taxis
 GROUP BY cell
 HAVING COUNT(*) = 6
 """.strip()
+
+
+def median_filter(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+    """Median smoothing — the salt-and-pepper-robust sibling of the
+    reference's weighted-mean pass (majority_filter is its categorical
+    cousin): per cell, the EXACT median of {self ∪ valid ring-1
+    neighbors} (1–7 values; holes shrink the window — the reference's
+    validity-filter semantics, hex_smooth_cuda_v1.cu:52). Median =
+    the shared exact-percentile aggregate at q=0.5 (Spark percentile
+    == DuckDB quantile_cont bit-for-bit on identical doubles — the
+    value_percentiles contract; even-count windows interpolate the
+    midpoint, one correctly-rounded averaging op), under round6.
+    Output ``(cell, n_window, median_ndvi)``.
+
+    Plan (100 TB): the smooth() shape — one 7-offset explode +
+    equi-join + one cell-keyed aggregate; per-group sorts are 7-element
+    (bounded), so the exact percentile is NOT the scale hazard it is
+    for high-cardinality value groups."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.events import (
+        percentile_array_expr,
+    )
+    from cuda_gis_smoothing_spark.operators.smoothing import kring_edges
+
+    vals = cells.select(
+        F.col("cell").alias("nbr"), F.col(value_col).cast("double").alias("_v")
+    )
+    edges = kring_edges(cells.select("cell"), k=1, include_center=True)
+    return (
+        edges.join(vals, "nbr")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_window"),
+            percentile_array_expr("_v", (0.5,)).alias("_p"),
+        )
+        .select(
+            "cell",
+            "n_window",
+            round6(F.col("_p")[0]).alias("median_ndvi"),
+        )
+    )
+
+
+def median_filter_sql(source: str = "cells4", with_ctes: str = "") -> str:
+    """DuckDB twin of :func:`median_filter` — quantile_cont over the
+    same self∪ring-1 window."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6_sql
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+
+    rows = ", ".join(f"({d})" for d in (0, *R1_DELTAS))
+    pre = f"WITH {with_ctes}," if with_ctes else "WITH"
+    return f"""
+{pre}
+mfoffs (delta) AS (VALUES {rows})
+SELECT c.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_window,
+       {round6_sql("quantile_cont(n.ndvi, 0.5)")} AS median_ndvi
+FROM {source} c CROSS JOIN mfoffs o
+JOIN {source} n ON n.cell = c.cell + o.delta
+GROUP BY c.cell
+""".strip()

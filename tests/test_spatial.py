@@ -621,3 +621,36 @@ def test_terrain_openness_differential(spark):
     for c, (m, mx) in want.items():
         assert got[c].horizon_tan_mean == pytest.approx(m, abs=2e-6)
         assert got[c].horizon_tan_max == pytest.approx(mx, abs=2e-6)
+
+
+def test_median_filter_differential(spark):
+    """Python differential: exact median (with midpoint interpolation)
+    over self∪valid-ring-1 windows."""
+    import statistics
+
+    from cuda_gis_smoothing_spark.operators.hydrology import R1_DELTAS
+    from cuda_gis_smoothing_spark.operators.stats import median_filter
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    vals = {r.cell: r.ndvi for r in cells.select("cell", "ndvi").collect()}
+    got = {r.cell: r for r in median_filter(cells).collect()}
+    assert set(got) == set(vals)
+    for c, x in vals.items():
+        window = [x] + [vals[c + d] for d in R1_DELTAS if c + d in vals]
+        r = got[c]
+        assert r.n_window == len(window)
+        assert r.median_ndvi == pytest.approx(
+            statistics.median(window), abs=2e-6
+        )
+    # a spiked center is REMOVED by the median (robustness) while the
+    # mean would move: interior window of 7, spike is the max
+    interior = [c for c in vals if all(c + d in vals for d in R1_DELTAS)]
+    c0 = min(interior)
+    spiked = dict(vals)
+    spiked[c0] = 1e6
+    sdf = spark.createDataFrame(
+        list(spiked.items()), "cell long, ndvi double"
+    )
+    r0 = {r.cell: r.median_ndvi for r in median_filter(sdf).collect()}[c0]
+    assert r0 < 1e5  # the spike itself does not survive its own window
