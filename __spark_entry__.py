@@ -2710,6 +2710,22 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_pii_redact(spark, sf_dir):
+    """PII redaction transform — three pinned-order global regex
+    replaces, pure per-row (streaming-legal)."""
+    from cuda_gis_smoothing_spark.operators.curate import pii_redact
+
+    return pii_redact(load(spark, sf_dir, "documents"))
+
+
+def _q_active_users_weekly(spark, sf_dir):
+    """DAU/WAU stickiness per epoch-anchored week — integer distinct
+    counts + exact ratios under round6."""
+    from cuda_gis_smoothing_spark.operators.events import active_users_weekly
+
+    return active_users_weekly(load(spark, sf_dir, "events"))
+
+
 def _q_median_filter(spark, sf_dir):
     """Median smoothing over self∪ring-1 windows — the shared exact
     percentile aggregate at q=0.5 under round6."""
@@ -3828,6 +3844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_networks_maintained": _q_stream_networks_maintained,
         "shipping_lag_percentiles": _q_shipping_lag_percentiles,
         "median_filter": _q_median_filter,
+        "pii_redact": _q_pii_redact,
+        "active_users_weekly": _q_active_users_weekly,
     }
     return qs
 
@@ -6570,6 +6588,14 @@ WITH RECURSIVE {_FLOW},
     out["median_filter"] = median_filter_sql(
         source="cells4", with_ctes=GRID_CELLS_SQL
     )
+    from cuda_gis_smoothing_spark.operators.curate import pii_redact_sql
+
+    out["pii_redact"] = pii_redact_sql()
+    from cuda_gis_smoothing_spark.operators.events import (
+        ACTIVE_USERS_WEEKLY_SQL,
+    )
+
+    out["active_users_weekly"] = ACTIVE_USERS_WEEKLY_SQL
     return out
 
 

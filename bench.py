@@ -281,6 +281,8 @@ BENCH_QUERIES = [
     "stream_networks_maintained",
     "shipping_lag_percentiles",
     "median_filter",
+    "pii_redact",
+    "active_users_weekly",
 ]
 
 

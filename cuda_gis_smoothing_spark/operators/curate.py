@@ -1164,3 +1164,47 @@ def split_leakage_check(
     return ver.join(cross, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "split_a", "split_b", "jaccard"
     )
+
+
+#: redaction patterns — the PII_PATTERNS shapes widened to mixed case
+#: (redaction runs over RAW text, detection over lower(text)); applied
+#: in THIS order (emails first so digit runs inside addresses are
+#:  already gone; ssn before long_digits is irrelevant — the dash
+#: breaks the 9-digit run — but the order is pinned anyway)
+PII_REDACT_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+", "[EMAIL]"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+    ("long_digits", r"[0-9]{9}", "[NUMBER]"),
+)
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction — the transform downstream of
+    :func:`pii_scan_report`'s audit: emails / SSN shapes / 9-digit
+    runs replaced with typed placeholder tokens, all other text
+    byte-preserved. Three sequential global regexp_replace passes in a
+    PINNED order (each pattern projected once — the CollapseProject
+    lesson); the patterns stay in the RE2 ∩ Java SEARCH subset (no
+    anchors, no alternation, no lookaround) so leftmost-match
+    semantics agree cross-engine. NULL text stays NULL (regexp_replace
+    propagates NULL in both engines). Output ``(doc_id,
+    text_redacted)``.
+
+    Plan (100 TB): pure per-row expressions — one scan, zero shuffles,
+    streaming-legal."""
+    out = F.col(text_col)
+    for _, pat, rep in PII_REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return docs.select(id_col, out.alias("text_redacted"))
+
+
+def pii_redact_sql() -> str:
+    """DuckDB twin of :func:`pii_redact` — the same three global
+    ('g' flag — the dedup_normalized lesson) replaces in the same
+    order."""
+    expr = "text"
+    for _, pat, rep in PII_REDACT_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"SELECT doc_id, {expr} AS text_redacted FROM documents"

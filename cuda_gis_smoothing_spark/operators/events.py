@@ -2194,3 +2194,82 @@ SELECT n_vocab AS n_users,
        zipf_intercept AS activity_intercept
 FROM ({inner})
 """.strip()
+
+
+def active_users_weekly(events: DataFrame) -> DataFrame:
+    """DAU/WAU stickiness — the standard product-analytics engagement
+    card: per epoch-anchored integer week (days-since-epoch DIV 7 —
+    engine week functions disagree on week start/numbering, the
+    events_seasonality lesson), weekly active users, the number of
+    active days, mean daily active users (exact integer ratio) and
+    stickiness = avg_dau / wau (division of a round6 double by an
+    integer — one correctly-rounded op). NULL ts / user_id excluded.
+    Output ``(week, n_active_days, wau, avg_dau, stickiness)``.
+
+    Plan (100 TB): two distinct-aggregates keyed by (week[, day]) —
+    both expand to partial-agg shuffles on bounded keys; no windows,
+    one week-keyed join."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    base = events.where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("_days"),
+        "user_id",
+    )
+    tagged = base.select(
+        F.expr("_days div 7").cast("long").alias("week"), "_days", "user_id"
+    )
+    dau = (
+        tagged.groupBy("week", "_days")
+        .agg(F.countDistinct("user_id").alias("_dau"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active_days"),
+            F.sum("_dau").cast("long").alias("_sdau"),
+        )
+    )
+    wau = tagged.groupBy("week").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return dau.join(wau, "week").select(
+        "week",
+        "n_active_days",
+        "wau",
+        round6(F.col("_sdau").cast("double") / F.col("n_active_days")).alias(
+            "avg_dau"
+        ),
+        round6(
+            (F.col("_sdau").cast("double") / F.col("n_active_days"))
+            / F.col("wau")
+        ).alias("stickiness"),
+    )
+
+
+ACTIVE_USERS_WEEKLY_SQL = """
+WITH au AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS days,
+         user_id
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+au2 AS (SELECT days // 7 AS week, days, user_id FROM au),
+dau AS (
+  SELECT week, days, COUNT(DISTINCT user_id) AS d FROM au2 GROUP BY 1, 2
+),
+dwk AS (
+  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active_days,
+         CAST(SUM(d) AS BIGINT) AS sdau
+  FROM dau GROUP BY week
+),
+wwk AS (
+  SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM au2 GROUP BY week
+)
+SELECT CAST(d.week AS BIGINT) AS week, d.n_active_days, w.wau,
+       ROUND(CAST(d.sdau AS DOUBLE) / d.n_active_days + 1e-09, 6) AS avg_dau,
+       ROUND((CAST(d.sdau AS DOUBLE) / d.n_active_days) / w.wau + 1e-09, 6) AS stickiness
+FROM dwk d JOIN wwk w ON w.week = d.week
+""".strip()

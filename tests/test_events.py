@@ -56,3 +56,38 @@ def test_user_activity_zipf_matches_kernel(spark):
     assert got.activity_slope == want.zipf_slope
     assert got.activity_intercept == want.zipf_intercept
     assert got.n_users > 1
+
+
+def test_active_users_weekly_differential(spark):
+    """Python differential: epoch-anchored weeks, exact distinct
+    counts, stickiness == avg_dau / wau."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from cuda_gis_smoothing_spark.operators.events import active_users_weekly
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    rows = [
+        (r.ts, r.user_id)
+        for r in ev.select("ts", "user_id").collect()
+        if r.ts is not None and r.user_id is not None
+    ]
+    epoch = dt.date(1970, 1, 1)
+    weeks = {}
+    for ts, u in rows:
+        days = (ts.date() - epoch).days
+        wk = days // 7
+        weeks.setdefault(wk, {}).setdefault(days, set()).add(u)
+    got = {r.week: r for r in active_users_weekly(ev).collect()}
+    assert set(got) == set(weeks) and len(weeks) > 0
+    for wk, by_day in weeks.items():
+        r = got[wk]
+        wau = len(set().union(*by_day.values()))
+        sdau = sum(len(s) for s in by_day.values())
+        assert r.n_active_days == len(by_day)
+        assert r.wau == wau
+        assert r.avg_dau == _pt.approx(sdau / len(by_day), abs=2e-6)
+        assert r.stickiness == _pt.approx(sdau / len(by_day) / wau, abs=2e-6)
+        assert r.stickiness <= 1.0 + 1e-9

@@ -67,6 +67,9 @@ EVENTS_GATES = [
     # the shared zipf kernel over per-user counts — tie blocks have
     # constant y so the regression sums are permutation-invariant
     "user_activity_zipf",
+    # distinct-count aggregates over epoch-anchored integer day/week
+    # keys — tied timestamps collapse into the same buckets identically
+    "active_users_weekly",
     # lag-pair gates: the fuzz corpus's tied timestamps exercise the
     # (epoch_us, event_id) total-order contract in both windows
     "event_transitions",

@@ -108,6 +108,10 @@ DOC_GATES = [
     # integer counts + literal-folded linear combo; the NULL-text /
     # newline / non-ASCII docs pin the drop + terminator contracts
     "doc_readability",
+    # the redaction transform over the engineered PII docs + NULL /
+    # newline / non-ASCII texts — leftmost-match agreement pinned on
+    # hostile content
+    "pii_redact",
     "winnowing_fingerprints",
     "winnowing_maintained",
     "dedup_winnowed",

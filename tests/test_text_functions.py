@@ -43,3 +43,35 @@ def test_doc_readability_differential(spark):
             ARI_CHARS * cw + ARI_WORDS * ws + ARI_BIAS, abs=2e-6
         )
     assert got[2].n_sentences == 1
+
+
+def test_pii_redact_python_oracle(spark):
+    """re.sub oracle over engineered texts: typed placeholders, pinned
+    order, NULL propagation, non-PII text byte-preserved."""
+    import re
+
+    from cuda_gis_smoothing_spark.operators.curate import (
+        PII_REDACT_PATTERNS,
+        pii_redact,
+    )
+
+    rows = [
+        (1, "Contact John.Doe+x@Example.ORG today"),
+        (2, "ssn 123-45-6789 card 4111111111111111"),
+        (3, "plain text, no pii; café ümlaut\n"),
+        (4, None),
+        (5, "a@b.co9 digits 987654321 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.text_redacted for r in pii_redact(df).collect()}
+    for did, text in rows:
+        if text is None:
+            assert got[did] is None
+            continue
+        want = text
+        for _, pat, rep in PII_REDACT_PATTERNS:
+            want = re.sub(pat, rep.replace("\\", "\\\\"), want)
+        assert got[did] == want, (did, got[did], want)
+    assert got[3] == rows[2][1]  # untouched byte-for-byte
+    assert "[SSN]" in got[2] and "[NUMBER]" in got[2]
+    assert "[EMAIL]" in got[1]
