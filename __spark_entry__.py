@@ -2710,6 +2710,19 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_supplier_part_variety(spark, sf_dir):
+    """Q16 adapted (lineitem stands in for the absent partsupp):
+    distinct-supplier variety per (brand, type, size) with the
+    NOT-predicates; broadcast part dimension."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        supplier_part_variety,
+    )
+
+    return supplier_part_variety(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
 def _q_pii_redact(spark, sf_dir):
     """PII redaction transform — three pinned-order global regex
     replaces, pure per-row (streaming-legal)."""
@@ -3846,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_filter": _q_median_filter,
         "pii_redact": _q_pii_redact,
         "active_users_weekly": _q_active_users_weekly,
+        "supplier_part_variety": _q_supplier_part_variety,
     }
     return qs
 
@@ -6596,6 +6610,11 @@ WITH RECURSIVE {_FLOW},
     )
 
     out["active_users_weekly"] = ACTIVE_USERS_WEEKLY_SQL
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        supplier_part_variety_sql,
+    )
+
+    out["supplier_part_variety"] = supplier_part_variety_sql()
     return out
 
 

@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "median_filter",
     "pii_redact",
     "active_users_weekly",
+    "supplier_part_variety",
 ]
 
 

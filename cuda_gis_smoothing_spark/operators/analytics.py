@@ -1792,3 +1792,51 @@ def shipping_lag_percentiles_sql() -> str:
         group_cols=("o_orderpriority",),
         out_value="lag_days",
     )
+
+
+#: Q16-adapted exclusion literals (shared by operator and twin)
+VARIETY_EXCL_BRAND = "Brand#13"
+VARIETY_EXCL_TYPE = "PROMO"
+
+
+def supplier_part_variety(
+    lineitem: DataFrame,
+    part: DataFrame,
+    excl_brand: str = VARIETY_EXCL_BRAND,
+    excl_type: str = VARIETY_EXCL_TYPE,
+) -> DataFrame:
+    """TPC-H Q16 ADAPTED to this schema: parts/suppliers-relationship
+    comes from observed lineitem shipments instead of the absent
+    partsupp table — per (brand, type, size) bucket, the number of
+    DISTINCT suppliers that shipped such parts, excluding one brand
+    and one type (Q16's NOT-predicates). Distinct counts are exact
+    integers — tie-proof; ordering is the consumer's concern (the
+    driver hash is order-free). Output ``(p_brand, p_type, p_size,
+    supplier_cnt)``.
+
+    Plan (100 TB): the part dimension filters BEFORE the join
+    (pushdown) and broadcasts; one partkey equi-join + one distinct
+    aggregate on the bounded (brand, type, size) grid."""
+    p = part.where(
+        (F.col("p_brand") != excl_brand) & (F.col("p_type") != excl_type)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def supplier_part_variety_sql(
+    excl_brand: str = VARIETY_EXCL_BRAND,
+    excl_type: str = VARIETY_EXCL_TYPE,
+) -> str:
+    return f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{excl_brand}' AND p.p_type <> '{excl_type}'
+GROUP BY 1, 2, 3
+""".strip()

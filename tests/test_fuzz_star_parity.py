@@ -64,6 +64,13 @@ GATES = [
     # Q7: supplier nations 0-7 x customer nations 0-5 — non-empty,
     # pins the cross-nation matrix incl. customer-less nations 6/7
     "volume_shipping",
+    # Q16-adapted: distinct-supplier variety over the fuzz brands
+    # (Brand#0-4) — the NOT-predicates select real rows; integer
+    # distinct counts are tie-proof
+    "supplier_part_variety",
+    # integer day lags through the exact percentile kernel — tied
+    # ship/order dates collapse into equal lags identically
+    "shipping_lag_percentiles",
 ]
 
 

@@ -374,8 +374,11 @@ def test_no_quadratic_join_in_any_batch_gate(spark):
     from cuda_gis_smoothing_spark.sources.tables import clear_cells_cache
 
     # only gates whose wrappers EXECUTE state builds are skipped; the
-    # IVF/PQ/winnowing BATCH gates are all in the sweep
-    skip = re.compile(r"maintained|stream")
+    # IVF/PQ/winnowing BATCH gates are all in the sweep (an earlier
+    # `|stream` alternative silently excluded the BATCH hydrology
+    # stream_* gates — every queries() name containing "stream" is a
+    # batch gate, so "maintained" alone is the correct skip)
+    skip = re.compile(r"maintained")
     # BNLs that are deliberate bounded-side designs the text heuristic
     # cannot see (each documented in its operator's docstring):
     exempt = {
