@@ -2710,6 +2710,14 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_grid_upsample(spark, sf_dir):
+    """Overview→detail serve: fine cells joined to their broadcast
+    pyramid parents + the round6 residual detail layer."""
+    from cuda_gis_smoothing_spark.operators.spatial import grid_upsample
+
+    return grid_upsample(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_supplier_part_variety(spark, sf_dir):
     """Q16 adapted (lineitem stands in for the absent partsupp):
     distinct-supplier variety per (brand, type, size) with the
@@ -3860,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "active_users_weekly": _q_active_users_weekly,
         "supplier_part_variety": _q_supplier_part_variety,
+        "grid_upsample": _q_grid_upsample,
     }
     return qs
 
@@ -6615,6 +6624,23 @@ WITH RECURSIVE {_FLOW},
     )
 
     out["supplier_part_variety"] = supplier_part_variety_sql()
+    out["grid_upsample"] = f"""
+WITH {GRID_CELLS_SQL},
+upc AS (
+  SELECT ((cell // {ENC}) // 2) * {ENC} + ((cell % {ENC}) // 2) AS coarse_cell,
+         ROUND(AVG(ndvi) + 1e-09, 6) AS coarse_mean
+  FROM cells4 GROUP BY 1
+),
+upf AS (
+  SELECT cell,
+         ((cell // {ENC}) // 2) * {ENC} + ((cell % {ENC}) // 2) AS coarse_cell,
+         ROUND(ndvi + 1e-09, 6) AS value
+  FROM cells4
+)
+SELECT f.cell, f.coarse_cell, f.value, c.coarse_mean,
+       ROUND((f.value - c.coarse_mean) + 1e-09, 6) AS residual
+FROM upf f JOIN upc c ON c.coarse_cell = f.coarse_cell
+""".strip()
     return out
 
 

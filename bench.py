@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "active_users_weekly",
     "supplier_part_variety",
+    "grid_upsample",
 ]
 
 

@@ -350,3 +350,38 @@ def knn(
     return ranked.where(F.col("rank") <= k).select(
         query_id_col, id_col, "rank", F.round(F.sqrt("d2"), 9).alias("dist_deg")
     )
+
+
+def grid_upsample(
+    cells: DataFrame, factor: int = 2, value_col: str = "ndvi"
+) -> DataFrame:
+    """Overview→detail serve completing the pyramid family: each fine
+    cell joined back to its :func:`grid_downsample` parent plus the
+    residual ``value − parent mean`` (the detail layer a pyramid
+    renderer blends — the smooth_residual_k2 high-pass idea at the
+    pyramid scale). The parent key is the same truncating coarse
+    derivation (non-negative packing makes it floor division — the
+    grid_downsample contract); residual subtracts a round6'd mean from
+    a raw value, one correctly-rounded op under round6. Output
+    ``(cell, coarse_cell, value, coarse_mean, residual)``.
+
+    Plan (100 TB): the coarse aggregate (grid/factor² rows) broadcasts
+    against the fine table — one map-side join, no shuffle of the
+    detail level."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    coarse = grid_downsample(cells, factor, value_col).select(
+        "coarse_cell", F.col("mean_value").alias("coarse_mean")
+    )
+    fine = cells.select(
+        "cell",
+        coarse_cell_expr(factor).alias("coarse_cell"),
+        round6(F.col(value_col).cast("double")).alias("value"),
+    )
+    return fine.join(F.broadcast(coarse), "coarse_cell").select(
+        "cell",
+        "coarse_cell",
+        "value",
+        "coarse_mean",
+        round6(F.col("value") - F.col("coarse_mean")).alias("residual"),
+    )

@@ -654,3 +654,29 @@ def test_median_filter_differential(spark):
     )
     r0 = {r.cell: r.median_ndvi for r in median_filter(sdf).collect()}[c0]
     assert r0 < 1e5  # the spike itself does not survive its own window
+
+
+def test_grid_upsample_consistency(spark):
+    """Every fine cell appears once with its downsample parent; per
+    parent, residuals sum to ~0 (bounded by the round6 mass lesson:
+    n·(5e-7 + 1e-9) per member plus the rounded-mean offset)."""
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        grid_downsample,
+        grid_upsample,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import grid_from_lineitem
+
+    cells = grid_from_lineitem(spark, "/root/testdata/sf0.001")
+    up = grid_upsample(cells).collect()
+    down = {r.coarse_cell: r for r in grid_downsample(cells).collect()}
+    assert len(up) == cells.count()
+    by_parent = {}
+    for r in up:
+        assert r.coarse_cell in down
+        assert r.coarse_mean == down[r.coarse_cell].mean_value
+        by_parent.setdefault(r.coarse_cell, []).append(r.residual)
+    for cc, res in by_parent.items():
+        n = down[cc].n_cells
+        assert len(res) == n
+        # Σ(value_i − mean) over the group: each term round6'd twice
+        assert abs(sum(res)) <= n * 2e-6
