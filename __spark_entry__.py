@@ -2710,6 +2710,33 @@ def _q_landscape_summary(spark, sf_dir):
     return stats_ops.landscape_summary(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_zonal_quantiles(spark, sf_dir):
+    """Per-zone exact percentiles (the ECDF layer over zonal_stats'
+    moments): the PIP region tag composed with the shared percentile
+    kernel; the NULL zone is kept (the zonal_stats coverage-gap
+    contract) — NULL groups appear identically in both engines."""
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.operators.events import (
+        PCT_QS,
+        percentile_explode,
+    )
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        centroid_sql,
+        point_in_polygon,
+    )
+
+    _ensure_shipped(spark)
+    cells = grid_from_lineitem(spark, sf_dir).select("cell", "ndvi")
+    lat, lon = centroid_sql("cell", "spark")
+    pts = cells.select(
+        "cell", "ndvi", F.expr(lat).alias("lat"), F.expr(lon).alias("lon")
+    )
+    tagged = point_in_polygon(pts, datagen.gen_boundaries())
+    return percentile_explode(
+        tagged, "ndvi", PCT_QS, group_cols=("region_id",), out_value="ndvi_q"
+    )
+
+
 def _q_grid_upsample(spark, sf_dir):
     """Overview→detail serve: fine cells joined to their broadcast
     pyramid parents + the round6 residual detail layer."""
@@ -3869,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users_weekly": _q_active_users_weekly,
         "supplier_part_variety": _q_supplier_part_variety,
         "grid_upsample": _q_grid_upsample,
+        "zonal_quantiles": _q_zonal_quantiles,
     }
     return qs
 
@@ -6624,6 +6652,27 @@ WITH RECURSIVE {_FLOW},
     )
 
     out["supplier_part_variety"] = supplier_part_variety_sql()
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.operators.events import percentile_sql as _psql
+    from cuda_gis_smoothing_spark.operators.events import PCT_QS as _PCTQ
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        centroid_sql,
+        pip_region_sql,
+    )
+
+    _zlat, _zlon = centroid_sql("cell", "duckdb")
+    _zcase = pip_region_sql("pt.lat", "pt.lon", datagen.gen_boundaries())
+    # nested WITH inside the kernel's derived table — the rrf_fusion
+    # nesting precedent
+    out["zonal_quantiles"] = _psql(
+        f"""WITH {GRID_CELLS_SQL},
+pt AS (SELECT cell, ndvi, {_zlat} AS lat, {_zlon} AS lon FROM cells4)
+SELECT {_zcase} AS region_id, ndvi FROM pt""",
+        "ndvi",
+        _PCTQ,
+        group_cols=("region_id",),
+        out_value="ndvi_q",
+    )
     out["grid_upsample"] = f"""
 WITH {GRID_CELLS_SQL},
 upc AS (

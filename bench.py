@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "active_users_weekly",
     "supplier_part_variety",
     "grid_upsample",
+    "zonal_quantiles",
 ]
 
 
