@@ -3361,6 +3361,30 @@ def _q_embedding_triangles(spark, sf_dir):
     )
 
 
+def _q_embedding_local_clustering(spark, sf_dir):
+    """Per-vector local clustering coefficient over the banded graph —
+    clique cores (cc≈1, safe transitive collapse) vs chain bridges
+    (cc≈0, over-merge hazard), per member."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_local_clustering,
+    )
+
+    return embedding_local_clustering(
+        load(spark, sf_dir, "embeddings"), threshold=_EMB_BANDED_THRESHOLD
+    )
+
+
+def _q_embedding_kcore(spark, sf_dir):
+    """2-core of the banded near-dup graph — cycle-corroborated dup
+    clusters survive, single-collision chain periphery peels away
+    (raises if peeling hasn't stabilized, so green == true k-core)."""
+    from cuda_gis_smoothing_spark.operators.dedup import embedding_kcore
+
+    return embedding_kcore(
+        load(spark, sf_dir, "embeddings"), threshold=_EMB_BANDED_THRESHOLD
+    )
+
+
 def _q_lang_source_chi2(spark, sf_dir):
     """Pearson χ² independence between lang and source (+ Cramér's V)
     — the dataset-card homogeneity check."""
@@ -3517,6 +3541,16 @@ def _q_cost_allocation(spark, sf_dir):
     from cuda_gis_smoothing_spark.operators.hydrology import cost_allocation
 
     return cost_allocation(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_cost_next_hop(spark, sf_dir):
+    """Least-cost-path backlink raster: per reached cell, the ring-1
+    neighbor the minimal-cost path to the stream leaves through
+    (struct-MIN argmin over the final combined key — strict descent,
+    so chains always terminate at seeds)."""
+    from cuda_gis_smoothing_spark.operators.hydrology import cost_next_hop
+
+    return cost_next_hop(grid_from_lineitem(spark, sf_dir))
 
 
 def _q_flow_path_cost(spark, sf_dir):
@@ -3897,6 +3931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": _q_supplier_part_variety,
         "grid_upsample": _q_grid_upsample,
         "zonal_quantiles": _q_zonal_quantiles,
+        "embedding_local_clustering": _q_embedding_local_clustering,
+        "embedding_kcore": _q_embedding_kcore,
+        "cost_next_hop": _q_cost_next_hop,
     }
     return qs
 
@@ -5410,6 +5447,28 @@ SELECT cell, seed,
        CAST(k % {ALLOC_SHIFT} AS BIGINT) AS nearest_seed
 FROM cd{COST_ROUNDS}
 """.strip()
+    # cost_next_hop: the neighbor argmin is a TOTAL order (k, nbr) —
+    # nbr unique per partition, so the tied-window hazard can't bind
+    out["cost_next_hop"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+{cost_ctes()},
+cnhb AS (
+  SELECT e.cell, p.k AS kn, p.cell AS nbr,
+         ROW_NUMBER() OVER (PARTITION BY e.cell ORDER BY p.k ASC, p.cell ASC) AS rk
+  FROM (SELECT c.cell, c.cell + o.delta AS nbr
+        FROM cells4 c CROSS JOIN f_offsets o) e
+  JOIN cd{COST_ROUNDS} p ON p.cell = e.nbr AND p.k IS NOT NULL
+)
+SELECT d.cell, d.seed,
+       CAST(d.k // {ALLOC_SHIFT} AS BIGINT) AS cost,
+       CAST(d.k % {ALLOC_SHIFT} AS BIGINT) AS nearest_seed,
+       CAST(CASE WHEN NOT d.seed AND d.k IS NOT NULL THEN b.nbr END AS BIGINT) AS next_hop,
+       CAST(CASE WHEN NOT d.seed AND d.k IS NOT NULL
+                 THEN b.kn // {ALLOC_SHIFT} END AS BIGINT) AS next_cost
+FROM cd{COST_ROUNDS} d
+LEFT JOIN (SELECT * FROM cnhb WHERE rk = 1) b ON b.cell = d.cell
+""".strip()
     from cuda_gis_smoothing_spark.operators.hydrology import (
         HYPSO_BANDS,
         cost_weight_cte,
@@ -5897,6 +5956,41 @@ SELECT ne.n AS n_edges, w.w AS n_wedges, t.t AS n_triangles,
                    ELSE CAST(0 AS DOUBLE) END) + 1e-09, 6) AS global_clustering
 FROM ne, w, t
 """.strip()
+    out["embedding_local_clustering"] = f"""
+WITH pairs AS ({_emb_banded_sql()}),
+e AS (SELECT vec_a, vec_b FROM pairs),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT vec_a AS v FROM e UNION ALL SELECT vec_b AS v FROM e
+  ) GROUP BY v
+),
+tri AS (
+  SELECT e1.vec_a AS a, e1.vec_b AS b, e2.vec_b AS c
+  FROM e e1
+  JOIN e e2 ON e1.vec_b = e2.vec_a
+  WHERE EXISTS (
+    SELECT 1 FROM e e3
+    WHERE e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b
+  )
+),
+tc AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT a AS v FROM tri
+    UNION ALL SELECT b AS v FROM tri
+    UNION ALL SELECT c AS v FROM tri
+  ) GROUP BY v
+)
+SELECT emb.vec_id,
+       CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+       ROUND((CASE WHEN COALESCE(deg.d, 0) >= 2
+              THEN 2e0 * COALESCE(tc.t, 0) / (deg.d * (deg.d - 1))
+              ELSE CAST(0 AS DOUBLE) END) + 1e-09, 6) AS local_cc
+FROM embeddings emb
+LEFT JOIN deg ON deg.v = emb.vec_id
+LEFT JOIN tc ON tc.v = emb.vec_id
+""".strip()
+    out["embedding_kcore"] = _embedding_kcore_sql()
     from cuda_gis_smoothing_spark.operators.stats import directional_axes
 
     _dir_vals = ", ".join(
@@ -6977,6 +7071,43 @@ FROM (
   FROM cnt
 )
 WHERE rk = 1
+""".strip()
+
+
+def _embedding_kcore_sql() -> str:
+    """Unrolled bounded-peeling twin of embedding_kcore (the fill_sinks
+    CTE-chain shape): every round MATERIALIZED, the previous round's
+    edge table referenced a bounded number of times. The Spark side
+    raises if peeling hasn't stabilized within the horizon, so a green
+    gate certifies both engines computed the TRUE k-core."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+
+    ctes = [f"kc_e0 AS MATERIALIZED (SELECT vec_a, vec_b FROM ({_emb_banded_sql()}))"]
+    for t in range(1, KCORE_ROUNDS + 1):
+        ctes.extend((
+            f"""kc_k{t} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT vec_a AS v FROM kc_e{t - 1}
+    UNION ALL SELECT vec_b AS v FROM kc_e{t - 1}
+  ) GROUP BY v HAVING COUNT(*) >= {KCORE_K}
+)""",
+            f"""kc_e{t} AS MATERIALIZED (
+  SELECT e.vec_a, e.vec_b FROM kc_e{t - 1} e
+  JOIN kc_k{t} a ON a.v = e.vec_a
+  JOIN kc_k{t} b ON b.v = e.vec_b
+)""",
+        ))
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain}
+SELECT v AS vec_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (
+  SELECT vec_a AS v FROM kc_e{KCORE_ROUNDS}
+  UNION ALL SELECT vec_b AS v FROM kc_e{KCORE_ROUNDS}
+) GROUP BY v
 """.strip()
 
 

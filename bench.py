@@ -286,6 +286,9 @@ BENCH_QUERIES = [
     "supplier_part_variety",
     "grid_upsample",
     "zonal_quantiles",
+    "embedding_local_clustering",
+    "embedding_kcore",
+    "cost_next_hop",
 ]
 
 

@@ -1305,6 +1305,162 @@ def embedding_triangles(
     )
 
 
+def embedding_local_clustering(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector local clustering coefficient over the banded
+    embedding near-dup graph — the node-level refinement of
+    :func:`embedding_triangles`' global transitivity: for each vector,
+    ``local_cc = 2·t(v) / (d(v)·(d(v)−1))`` where t(v) counts
+    triangles through v and d(v) its degree. Dedup pipelines read it
+    per-CLUSTER-MEMBER: a near-1 coefficient marks clique cores (safe
+    transitive collapse), a near-0 one marks chain bridges whose
+    collapse over-merges (the canonical-selection hazard the global
+    ratio can only report in aggregate).
+
+    Exactness: degrees and triangle counts are integers; the final
+    ratio is ONE double division of exact int64s (correctly rounded,
+    so identical cross-engine) under round6 — zero sum-association
+    exposure. Every pair arrives a < b and the pair set is distinct,
+    so the a<b<c semi-join enumerates each triangle exactly once; the
+    three members then come from one explode (both-direction-explode
+    precedent, knn_graph). Degree-0/1 vectors get local_cc = 0.0 and
+    stay in the output via the LEFT join against the corpus (the
+    0-degree-mass contract of embedding_degree_histogram).
+
+    Scale: the pair table feeds five consumers (degree, three join
+    legs, edge enum) — localCheckpoint'ed once (at 100 TB it's a
+    stored table); joins are equi-joins on vector ids, never
+    all-pairs. Reference parity: extends the reference's validation-
+    stats layer (src/cpu/hex_smooth_naive.cpp:118-133 neighbor-stats)
+    to the embedding graph domain."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    pairs = (
+        embedding_neardup_pairs_banded(emb, threshold=threshold)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("vec_a").alias("v"))
+        .unionAll(pairs.select(F.col("vec_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    e1 = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    e2 = pairs.select(F.col("vec_a").alias("b"), F.col("vec_b").alias("c"))
+    e3 = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("c"))
+    tri_members = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    )
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(deg, F.col("vec_id") == deg["v"], "left")
+        .drop("v")
+        .join(tri_members, F.col("vec_id") == tri_members["v"], "left")
+        .drop("v")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("_d"), F.lit(0)).cast("long").alias("degree"),
+            F.coalesce(F.col("_t"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            round6(
+                F.when(
+                    F.coalesce(F.col("_d"), F.lit(0)) >= 2,
+                    2.0
+                    * F.coalesce(F.col("_t"), F.lit(0))
+                    / (F.col("_d") * (F.col("_d") - 1)),
+                ).otherwise(F.lit(0.0))
+            ).alias("local_cc"),
+        )
+    )
+
+
+#: bounded peeling horizon for :func:`embedding_kcore` — peeling is
+#: exact once a full round removes nothing; the operator RAISES if the
+#: graph hasn't stabilized within the horizon (the dedup_components
+#: non-convergence precedent), so a green gate certifies the output IS
+#: the true k-core. Long induced chains peel ~2 cells/round; the banded
+#: fixture stabilizes in <= 3 rounds at both SFs.
+KCORE_ROUNDS = 8
+KCORE_K = 2
+
+
+def kcore_pairs(
+    pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Generic k-core peeling over an undirected a<b pair table (the
+    star_components generic-core precedent): repeatedly drop vertices
+    of degree < k and their incident edges until stable. Returns the
+    surviving vertices as ``(vec_id, core_degree)`` — core_degree is
+    the degree WITHIN the core (≥ k by definition).
+
+    Exactness: degrees are integer counts and edges are dropped by
+    integer set membership — zero float exposure, so the bounded
+    unrolled twin matches round-for-round. Raises if a peel after
+    ``rounds`` rounds would still remove vertices.
+
+    Plan (100 TB): the edge table shrinks monotonically; each round is
+    one both-direction hash aggregate + two semi-joins on vertex ids,
+    with a per-round localCheckpoint (the _cost_relax double-reference
+    lesson: each round's table feeds the degree union twice AND both
+    semi-join legs)."""
+    e = pairs.select("vec_a", "vec_b").localCheckpoint()
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("vec_a").alias("v"))
+            .unionAll(edges.select(F.col("vec_b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        )
+
+    for _ in range(int(rounds)):
+        keep = degrees(e).where(F.col("_d") >= k).select("v")
+        e = (
+            e.join(keep.select(F.col("v").alias("vec_a")), "vec_a", "left_semi")
+            .join(keep.select(F.col("v").alias("vec_b")), "vec_b", "left_semi")
+            .localCheckpoint()
+        )
+    final = degrees(e).localCheckpoint()
+    if final.where(F.col("_d") < k).limit(1).count() > 0:
+        raise ValueError(
+            f"k-core peeling did not stabilize within {rounds} rounds"
+        )
+    return final.select(
+        F.col("v").alias("vec_id"), F.col("_d").alias("core_degree")
+    )
+
+
+def embedding_kcore(
+    emb: DataFrame,
+    threshold: float,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-core of the banded embedding near-dup graph — the robustness
+    filter between :func:`embedding_local_clustering`'s per-node view
+    and :func:`embedding_components`' reachability view: a vector in
+    the 2-core sits on a CYCLE of near-dup relations (mutually
+    corroborated duplication), while tree-like periphery — the single
+    spurious banded collision that chains two unrelated clusters —
+    peels away. Dedup pipelines collapse the core aggressively and
+    re-verify the periphery."""
+    return kcore_pairs(
+        embedding_neardup_pairs_banded(emb, threshold=threshold),
+        k=k,
+        rounds=rounds,
+    )
+
+
 def component_canonicals(
     df: DataFrame,
     max_hamming: int = 1,

@@ -698,6 +698,64 @@ def cost_allocation(
     )
 
 
+def cost_next_hop(
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    threshold: int = STREAM_THRESHOLD,
+    rounds: int = COST_ROUNDS,
+    max_rounds: int = 16,
+    fd: DataFrame | None = None,
+) -> DataFrame:
+    """Least-cost-path direction field — the backlink raster that turns
+    :func:`cost_distance` into traversable paths (ArcGIS "cost back
+    link"): for each reached non-seed cell, the ring-1 neighbor that
+    the minimal-cost path to the stream network leaves through.
+
+    next_hop = argmin over ring-1 neighbors of the FINAL combined key
+    ``k = cost·SHIFT + seed`` (the own-cell entry weight is constant
+    across neighbors, so the relaxation's argmin reduces to the plain
+    neighbor-key argmin); ties break to the smallest neighbor id via
+    struct-MIN (the flow_direction tie-proof argmin — all-integer, so
+    cross-engine exact). Descent is STRICT: k(c) ≥ min_n k(n) + w(c)·
+    SHIFT > min_n k(n) even under the bounded horizon, so following
+    next_hop always terminates at a seed (pytest-pinned). Seeds and
+    unreached cells emit NULL next_hop.
+
+    Plan (100 TB): ONE extra ring-1 equi-join + struct-MIN hash
+    aggregate over the relaxation's final (checkpointed) state — the
+    flow_direction shuffle shape; no windows. Output ``(cell, seed,
+    cost, nearest_seed, next_hop, next_cost)``."""
+    d = _cost_relax(cells, value_col, threshold, rounds, max_rounds, fd=fd)
+    offs = F.array(*[F.lit(dd) for dd in R1_DELTAS])
+    edges = cells.select("cell", F.explode(offs).alias("_d")).select(
+        "cell", (F.col("cell") + F.col("_d")).alias("nbr")
+    )
+    nbrk = (
+        edges.join(
+            d.where(F.col("_k").isNotNull()).select(
+                F.col("cell").alias("nbr"), F.col("_k").alias("_kn")
+            ),
+            "nbr",
+        )
+        .groupBy("cell")
+        .agg(F.min(F.struct(F.col("_kn"), F.col("nbr"))).alias("_m"))
+    )
+    reached = (~F.col("seed")) & F.col("_k").isNotNull()
+    return (
+        d.join(nbrk, "cell", "left")
+        .select(
+            "cell",
+            "seed",
+            F.expr(f"_k div {ALLOC_SHIFT}").cast("long").alias("cost"),
+            (F.col("_k") % ALLOC_SHIFT).cast("long").alias("nearest_seed"),
+            F.when(reached, F.col("_m.nbr")).cast("long").alias("next_hop"),
+            F.when(reached, F.expr(f"_m._kn div {ALLOC_SHIFT}"))
+            .cast("long")
+            .alias("next_cost"),
+        )
+    )
+
+
 def cost_weight_cte(source: str = "cells4", value_col: str = "ndvi") -> str:
     """The ONE ``cw (cell, w)`` crossing-weight CTE — shared by the
     cost_distance and flow_path_cost twins so the integerization can't

@@ -293,6 +293,74 @@ def frame_sample(videos: DataFrame, every_n: int = 10, fake: bool = False) -> Da
     )
 
 
+def audio_features(audio: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio feature-extraction PLUMBING — the audio sibling of
+    :func:`frame_sample` completing the image/audio/video modality
+    surface: schema, Arrow batching and partitioning are real; actual
+    audio decode is unavailable in this container (STUB).
+
+    Input schema: ``(audio_id string, bytes binary, sample_rate int,
+    n_samples int, fmt string)`` — the opaque-binary-plus-typed-
+    metadata contract every multimodal column here follows. With
+    ``fake=True`` a deterministic stand-in synthesizes an int16 PCM
+    waveform per clip (crc32-seeded, reproducible across partitionings
+    like gen_pixels) and the REAL feature math runs over it: RMS
+    energy, zero-crossing rate, peak amplitude — the standard
+    speech-corpus quality/filtering signals.
+
+    Plan (100 TB): one mapInPandas pass, features only (bytes never
+    re-emitted — the banded_hamming bytes-never-scanned discipline
+    downstream); numeric outputs are floats from a vectorized numpy
+    path, so this is a pipeline stage, not a cross-engine gate."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "no audio codec in this environment; pass fake=True "
+                    "for the deterministic stand-in"
+                )
+            rows = {
+                "audio_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "rms": [],
+                "zcr": [],
+                "peak": [],
+            }
+            for i in range(len(pdf)):
+                n = int(pdf["n_samples"].iat[i])
+                seed = zlib.crc32(str(pdf["audio_id"].iat[i]).encode()) & 0xFFFFFFFF
+                rng = np.random.default_rng(seed)
+                wave = rng.integers(
+                    -(1 << 15), 1 << 15, size=n, dtype=np.int64
+                )
+                x = wave.astype(np.float64) / float(1 << 15)
+                rows["audio_id"].append(pdf["audio_id"].iat[i])
+                rows["sample_rate"].append(int(pdf["sample_rate"].iat[i]))
+                rows["n_samples"].append(n)
+                rows["rms"].append(float(np.sqrt(np.mean(x * x))) if n else 0.0)
+                rows["zcr"].append(
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                rows["peak"].append(float(np.max(np.abs(x))) if n else 0.0)
+            yield pd.DataFrame(rows)
+
+    return audio.select(
+        "audio_id", "bytes", "sample_rate", "n_samples", "fmt"
+    ).mapInPandas(
+        fn,
+        schema=(
+            "audio_id string, sample_rate int, n_samples int, "
+            "rms double, zcr double, peak double"
+        ),
+    )
+
+
 def caption_audit(images: DataFrame) -> DataFrame:
     """Caption byte-equality invariant (BASELINE.json input_hint): the
     caption must survive the pipeline byte-for-byte. Emits a checksum

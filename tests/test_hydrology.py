@@ -536,6 +536,49 @@ def test_cost_allocation_matches_python_lexicographic_oracle(spark):
         assert got[c][1] == 0 and got[c][2] == c
 
 
+def test_cost_next_hop_argmin_descent_and_termination(spark):
+    """The backlink field: next_hop is the (k, nbr) argmin over the
+    FINAL cost surface, descent is strict in k, and every reached
+    non-seed chain terminates at a seed."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        ALLOC_SHIFT,
+        cost_next_hop,
+    )
+
+    cells = _grid(spark)
+    rows = {r["cell"]: r for r in cost_next_hop(cells).collect()}
+    # rebuild the combined key from the gated cost/seed columns (the
+    # surface itself is differentially tested via cost_allocation)
+    k = {
+        c: r["cost"] * ALLOC_SHIFT + r["nearest_seed"]
+        for c, r in rows.items()
+        if r["cost"] is not None
+    }
+    for c, r in rows.items():
+        nbrs = [c + d for d in R1_DELTAS if (c + d) in rows]
+        cands = sorted((k[n], n) for n in nbrs if n in k)
+        if r["seed"] or r["cost"] is None:
+            assert r["next_hop"] is None and r["next_cost"] is None, c
+            continue
+        assert cands, c  # a reached non-seed has a reached neighbor
+        kn, nb = cands[0]
+        assert r["next_hop"] == nb and r["next_cost"] == kn // ALLOC_SHIFT, c
+        assert kn < k[c], c  # strict descent even at the bounded horizon
+    # termination walk: every chain reaches a seed
+    for c, r in rows.items():
+        if r["seed"] or r["cost"] is None:
+            continue
+        cur, steps = c, 0
+        while not rows[cur]["seed"]:
+            cur = rows[cur]["next_hop"]
+            steps += 1
+            assert steps <= len(rows), f"cycle from {c}"
+    # non-degenerate: the fixture has reached non-seed cells
+    assert any(
+        not r["seed"] and r["next_hop"] is not None for r in rows.values()
+    )
+
+
 def test_router_cost_distance_served_equals_batch_after_update(spark, tmp_path):
     """Cost-distance served from router state (recompute-on-read) must
     equal the batch operator over the MERGED surface — including after

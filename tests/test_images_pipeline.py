@@ -155,6 +155,41 @@ def test_frame_sample_stub_plumbing(spark):
         frame_sample(vids, every_n=10, fake=False).collect()
 
 
+def test_audio_features_stub_plumbing(spark):
+    """Audio modality plumbing: deterministic fake waveform, real
+    feature math, determinism across partitionings, honest stub on
+    the real-decode path."""
+    from cuda_gis_smoothing_spark.operators.multimodal import audio_features
+
+    rows = [
+        ("clip0", bytes(4), 16000, 1600, "pcm16"),
+        ("clip1", bytes(4), 8000, 0, "pcm16"),
+        ("clip2", bytes(4), 44100, 321, "pcm16"),
+    ]
+    schema = (
+        "audio_id string, bytes binary, sample_rate int, "
+        "n_samples int, fmt string"
+    )
+    aud = spark.createDataFrame(rows, schema)
+    out = {r["audio_id"]: r for r in audio_features(aud, fake=True).collect()}
+    assert set(out) == {"clip0", "clip1", "clip2"}
+    r0 = out["clip0"]
+    assert r0["n_samples"] == 1600 and r0["sample_rate"] == 16000
+    assert 0.0 < r0["rms"] <= 1.0 and 0.0 < r0["zcr"] < 1.0
+    assert r0["rms"] <= r0["peak"] <= 1.0
+    # empty clip: all-zero features, no crash
+    assert out["clip1"]["rms"] == 0.0 and out["clip1"]["zcr"] == 0.0
+    # deterministic across partitionings (the gen_pixels contract)
+    out2 = {
+        r["audio_id"]: r
+        for r in audio_features(aud.repartition(3), fake=True).collect()
+    }
+    for k in out:
+        assert out[k] == out2[k]
+    with pytest.raises(Exception, match="NotImplementedError|no audio codec"):
+        audio_features(aud, fake=False).collect()
+
+
 def test_iceberg_style_write_read(spark, tmp_path):
     p = write_images(spark, str(tmp_path / "tbl"), 50, partitions=2)
     df = read_images(spark, p)

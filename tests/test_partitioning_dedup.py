@@ -665,6 +665,115 @@ def test_embedding_triangles_differential(spark):
     assert abs(r.global_clustering - want) < 1e-6
 
 
+def test_embedding_local_clustering_differential(spark):
+    """Brute-force per-node triangle/degree census over the SAME
+    banded pair set + the handshake invariants (Σd = 2E, Σt = 3T)."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_local_clustering,
+        embedding_neardup_pairs_banded,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs_banded(emb, threshold=0.2).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_at = {}
+    for a, b in pairs:
+        for c in adj[a] & adj[b]:
+            if b < c:
+                for v in (a, b, c):
+                    tri_at[v] = tri_at.get(v, 0) + 1
+    rows = embedding_local_clustering(emb, threshold=0.2).collect()
+    assert len(rows) == emb.count()  # 0-degree vectors kept
+    for r in rows:
+        d = len(adj.get(r.vec_id, ()))
+        t = tri_at.get(r.vec_id, 0)
+        assert (r.degree, r.n_triangles) == (d, t), r.vec_id
+        want = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert abs(r.local_cc - want) < 1e-6, r.vec_id
+    assert sum(r.degree for r in rows) == 2 * len(pairs)
+    # each triangle increments exactly three nodes → Σt(v) = 3T
+    assert sum(r.n_triangles for r in rows) == sum(tri_at.values())
+    assert sum(r.n_triangles for r in rows) % 3 == 0
+
+
+def _py_kcore(pairs, k):
+    """Fixpoint peeling oracle: true k-core membership + core degree."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, s in adj.items() if len(s) < k]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    return {v: len(s) for v, s in adj.items()}
+
+
+def test_kcore_known_graphs(spark):
+    """Triangle+tail → 2-core is the triangle; a path graph has an
+    EMPTY 2-core; two triangles bridged by one edge keep both
+    triangles but the bridge edge contributes to core degrees."""
+    from cuda_gis_smoothing_spark.operators.dedup import kcore_pairs
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "vec_a long, vec_b long")
+        return {
+            r.vec_id: r.core_degree for r in kcore_pairs(df).collect()
+        }
+
+    # triangle (1,2,3) with tail 3-4-5
+    assert run([(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]) == {1: 2, 2: 2, 3: 2}
+    # pure path: empty 2-core
+    assert run([(1, 2), (2, 3), (3, 4)]) == {}
+    # two triangles bridged: bridge edge survives (both ends in core)
+    got = run([(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)])
+    assert got == {1: 2, 2: 2, 3: 3, 4: 3, 5: 2, 6: 2}
+
+
+def test_kcore_nonconvergence_raises(spark):
+    """A long path peels ~2 vertices per round from the ends; with a
+    1-round horizon the guard must RAISE, not return a non-core."""
+    import pytest
+
+    from cuda_gis_smoothing_spark.operators.dedup import kcore_pairs
+
+    path = [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(path, "vec_a long, vec_b long")
+    with pytest.raises(ValueError, match="stabilize"):
+        kcore_pairs(df, rounds=1)
+
+
+def test_embedding_kcore_differential(spark):
+    """Fixpoint-peeling Python oracle over the SAME banded pair set ==
+    the bounded Spark peel (the convergence guard makes bounded ==
+    fixpoint whenever the gate is green)."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_kcore,
+        embedding_neardup_pairs_banded,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs_banded(emb, threshold=0.2).collect()
+    }
+    want = _py_kcore(pairs, 2)
+    got = {
+        r.vec_id: r.core_degree
+        for r in embedding_kcore(emb, threshold=0.2).collect()
+    }
+    assert got == want and got  # non-degenerate on the fixture
+
+
 def test_winnowing_guarantee_and_density(spark):
     """The winnowing contract: any shared run of window+gram_len-1
     tokens between two docs shares at least one fingerprint VALUE, and
