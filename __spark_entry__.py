@@ -3543,6 +3543,29 @@ def _q_cost_allocation(spark, sf_dir):
     return cost_allocation(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_basin_relief_ratio(spark, sf_dir):
+    """Elevation-relief ratio (== the hypsometric integral estimator)
+    per basin: (mean − min)/(max − min) via round-FIRST layering over
+    basin_stats' gated columns; flat basins NULL."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        basin_relief_ratio,
+    )
+
+    return basin_relief_ratio(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_layout_overlap_report(spark, sf_dir):
+    """Zone-map clustering-depth audit per candidate layout (hash /
+    cell-range / morton-range): would per-file min/max stats prune a
+    cell-range predicate? The measurement step before bucketBy/sort
+    layout choices — all-integer, one corpus scan."""
+    from cuda_gis_smoothing_spark.operators.stats import (
+        layout_overlap_report,
+    )
+
+    return layout_overlap_report(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_cost_next_hop(spark, sf_dir):
     """Least-cost-path backlink raster: per reached cell, the ring-1
     neighbor the minimal-cost path to the stream leaves through
@@ -3934,6 +3957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_local_clustering": _q_embedding_local_clustering,
         "embedding_kcore": _q_embedding_kcore,
         "cost_next_hop": _q_cost_next_hop,
+        "basin_relief_ratio": _q_basin_relief_ratio,
+        "layout_overlap_report": _q_layout_overlap_report,
     }
     return qs
 
@@ -5349,17 +5374,36 @@ JOIN fsizes z ON z.basin = p.basin
 JOIN fup u ON u.cell = k.cell
 WHERE k.flow_to IS NULL
 """.strip()
+    # the ONE basin-stats aggregate CTE — shared with basin_relief_ratio
+    # (the drift-prevention class)
+    _bstats_core = """bst AS (
+  SELECT p.basin,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         ROUND(AVG(c.ndvi) + 1e-09, 6) AS mean_value,
+         MIN(c.ndvi) AS min_value,
+         MAX(c.ndvi) AS max_value,
+         ROUND((MAX(c.ndvi) - MIN(c.ndvi)) + 1e-09, 6) AS relief
+  FROM fcomp p JOIN cells4 c ON c.cell = p.cell
+  GROUP BY p.basin
+)"""
     out["basin_stats"] = f"""
 WITH RECURSIVE {_FLOW},
-{flow_component_ctes()}
-SELECT p.basin,
-       CAST(COUNT(*) AS BIGINT) AS n_cells,
-       ROUND(AVG(c.ndvi) + 1e-09, 6) AS mean_value,
-       MIN(c.ndvi) AS min_value,
-       MAX(c.ndvi) AS max_value,
-       ROUND((MAX(c.ndvi) - MIN(c.ndvi)) + 1e-09, 6) AS relief
-FROM fcomp p JOIN cells4 c ON c.cell = p.cell
-GROUP BY p.basin
+{flow_component_ctes()},
+{_bstats_core}
+SELECT basin, n_cells, mean_value, min_value, max_value, relief FROM bst
+""".strip()
+    # round-FIRST layering: er_ratio reads bst's already-round6'd mean
+    # against the exact min/max — correctly-rounded ops over identical
+    # inputs in both engines
+    out["basin_relief_ratio"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_component_ctes()},
+{_bstats_core}
+SELECT basin, n_cells, relief,
+       ROUND((CASE WHEN max_value - min_value > 0
+                   THEN (mean_value - min_value) / (max_value - min_value)
+              END) + 1e-09, 6) AS er_ratio
+FROM bst
 """.strip()
     out["basin_adjacency"] = f"""
 WITH RECURSIVE {_FLOW},
@@ -5991,6 +6035,7 @@ LEFT JOIN deg ON deg.v = emb.vec_id
 LEFT JOIN tc ON tc.v = emb.vec_id
 """.strip()
     out["embedding_kcore"] = _embedding_kcore_sql()
+    out["layout_overlap_report"] = _layout_overlap_sql()
     from cuda_gis_smoothing_spark.operators.stats import directional_axes
 
     _dir_vals = ", ".join(
@@ -7071,6 +7116,62 @@ FROM (
   FROM cnt
 )
 WHERE rk = 1
+""".strip()
+
+
+def _layout_overlap_sql() -> str:
+    """Twin of layout_overlap_report — identical integer bucket
+    assignment (affine hash / cell / morton keys, width-division via
+    ``//`` on non-negative ints == Spark ``div``), integer zone maps,
+    two exact-integer-ratio divisions under round6."""
+    from cuda_gis_smoothing_spark.operators.sampling import sample_hash_sql
+    from cuda_gis_smoothing_spark.operators.stats import LAYOUT_BUCKETS
+    from cuda_gis_smoothing_spark.plans.partitioning import morton_sql
+
+    B = LAYOUT_BUCKETS
+    sel = ", ".join(
+        f"LEAST({B - 1}, (({k} - {lo}) * {B}) // ({hi} - {lo} + 1)) AS b{k}"
+        for k, lo, hi in (("kh", "h0", "h1"), ("kc", "c0", "c1"), ("km", "m0", "m1"))
+    )
+    return f"""
+WITH {GRID_CELLS_SQL},
+lkeyed AS (
+  SELECT CAST(cell AS BIGINT) AS cell,
+         CAST({sample_hash_sql("cell")} AS BIGINT) AS kh,
+         CAST(cell AS BIGINT) AS kc,
+         CAST({morton_sql("cell", "duckdb")} AS BIGINT) AS km
+  FROM cells4
+),
+lst AS (
+  SELECT MIN(kh) AS h0, MAX(kh) AS h1, MIN(kc) AS c0, MAX(kc) AS c1,
+         MIN(km) AS m0, MAX(km) AS m1
+  FROM lkeyed
+),
+lkb AS (SELECT l.cell, l.kh, l.kc, l.km, s.*, {sel}
+        FROM lkeyed l CROSS JOIN lst s),
+lb AS (
+  SELECT 'hash' AS layout, bkh AS bucket, cell, c1 - c0 + 1 AS w FROM lkb
+  UNION ALL
+  SELECT 'cell_range', bkc, cell, c1 - c0 + 1 FROM lkb
+  UNION ALL
+  SELECT 'morton_range', bkm, cell, c1 - c0 + 1 FROM lkb
+),
+lg AS (
+  SELECT layout, bucket, MIN(cell) AS mn, MAX(cell) AS mx, MAX(w) AS w
+  FROM lb GROUP BY 1, 2
+),
+lov AS (
+  SELECT a.layout, a.bucket, a.mn, a.mx, a.w, CAST(COUNT(*) AS BIGINT) AS ov
+  FROM lg a JOIN lg b2 ON b2.layout = a.layout
+                      AND a.mx >= b2.mn AND b2.mx >= a.mn
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+       ROUND((CAST(SUM(ov) AS DOUBLE) / COUNT(*)) + 1e-09, 6) AS avg_overlap,
+       CAST(MAX(ov) AS BIGINT) AS max_overlap,
+       ROUND((CAST(SUM(mx - mn + 1) AS DOUBLE) / (COUNT(*) * MAX(w))) + 1e-09, 6) AS avg_span_share
+FROM lov GROUP BY layout
 """.strip()
 
 

@@ -289,6 +289,8 @@ BENCH_QUERIES = [
     "embedding_local_clustering",
     "embedding_kcore",
     "cost_next_hop",
+    "basin_relief_ratio",
+    "layout_overlap_report",
 ]
 
 

@@ -364,6 +364,40 @@ def basin_stats(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def basin_relief_ratio(
+    cells: DataFrame, value_col: str = "ndvi"
+) -> DataFrame:
+    """Elevation–relief ratio per basin — Pike & Wilson's estimator of
+    the hypsometric integral, the geomorphic-maturity card read beside
+    :func:`basin_hypsometry`'s band histogram:
+
+        er_ratio = (mean − min) / (max − min)
+
+    ≈1 young/plateau-like basins (mass near the top), ≈0 senile
+    basins. Flat basins (relief 0) emit NULL.
+
+    Cross-engine: round-FIRST layering (the ivf_silhouette class) —
+    the numerator reads :func:`basin_stats`' ALREADY-round6'd mean
+    against the exact min/max (min/max are association-order-free raw
+    doubles), so the final expression is correctly-rounded ops over
+    bit-identical inputs in both engines; one more round6 on the
+    ratio. Output ``(basin, n_cells, relief, er_ratio)``."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    s = basin_stats(cells, value_col)
+    den = F.col("max_value") - F.col("min_value")
+    return s.select(
+        "basin",
+        "n_cells",
+        "relief",
+        round6(
+            F.when(
+                den > 0, (F.col("mean_value") - F.col("min_value")) / den
+            )
+        ).alias("er_ratio"),
+    )
+
+
 #: TWI slope-floor epsilon (flats have zero gradient): a literal folded
 #: identically into both engines via flit on the SQL side
 TWI_EPS = 1e-3

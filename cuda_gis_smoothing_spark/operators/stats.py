@@ -1662,3 +1662,131 @@ FROM {source} c CROSS JOIN mfoffs o
 JOIN {source} n ON n.cell = c.cell + o.delta
 GROUP BY c.cell
 """.strip()
+
+
+#: zone-map audit bucket count — 32 matches the shuffle-partition and
+#: bucketBy defaults, so the card measures the layouts the repo ships
+LAYOUT_BUCKETS = 32
+
+
+def layout_overlap_report(
+    cells: DataFrame, n_buckets: int = LAYOUT_BUCKETS
+) -> DataFrame:
+    """Zone-map clustering-depth audit — the measurement step before
+    choosing a table layout (the key_skew_report of the ORDER
+    dimension, and the 1-D answer to the reference's O1/O2 reorder
+    question, /root/reference/src/cuda/hex_smooth_cuda_v4.cu:264-297):
+    would per-file min/max statistics actually prune a cell-range
+    predicate under each candidate layout?
+
+    Each layout assigns every row to one of ``n_buckets`` equal-width
+    key ranges ("files"): ``hash`` (the portable affine hash — the
+    unclustered baseline), ``cell_range`` (sorted by the packed cell
+    id), ``morton_range`` (the reference's Z-order key). Per bucket we
+    take the CELL min/max zone map, then measure Snowflake-style
+    clustering depth: overlap(b) = how many buckets' zone maps
+    intersect b's (1.0 = perfect pruning, ≈ n_buckets = every range
+    predicate scans everything).
+
+    Exactness: bucket assignment is all-integer (affine hash <
+    MH_PRIME, width-division via integer div over non-negative keys —
+    Spark ``div`` == DuckDB ``//`` there), zone maps are integer
+    min/max, overlaps integer counts; the two ratios are single
+    divisions of exact int64s under round6.
+
+    Plan (100 TB): ONE corpus scan (the three layouts explode from one
+    row — the two-sided-union one-pass lesson) + a 1-row broadcast
+    stats attach + one (layout, bucket)-keyed aggregate; the overlap
+    self-join runs on ≤ 3·n_buckets zone-map rows, checkpointed once
+    ahead of its three consumers. Output per layout:
+    ``(layout, n_buckets_used, avg_overlap, max_overlap,
+    avg_span_share)``."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.sampling import sample_hash_sql
+    from cuda_gis_smoothing_spark.plans.partitioning import morton_sql
+
+    B = int(n_buckets)
+    keyed = cells.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.expr(sample_hash_sql("cell")).cast("long").alias("_kh"),
+        F.col("cell").cast("long").alias("_kc"),
+        F.expr(morton_sql("cell", "spark")).cast("long").alias("_km"),
+    )
+    stats = keyed.agg(
+        F.min("_kh").alias("_h0"),
+        F.max("_kh").alias("_h1"),
+        F.min("_kc").alias("_c0"),
+        F.max("_kc").alias("_c1"),
+        F.min("_km").alias("_m0"),
+        F.max("_km").alias("_m1"),
+    )
+
+    def bucket(k: str, lo: str, hi: str):
+        return F.expr(
+            f"least({B - 1}, (({k} - {lo}) * {B}) div ({hi} - {lo} + 1))"
+        ).cast("long")
+
+    lb = (
+        keyed.crossJoin(F.broadcast(stats))
+        .select(
+            "cell",
+            (F.col("_c1") - F.col("_c0") + 1).alias("_w"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("hash").alias("layout"),
+                        bucket("_kh", "_h0", "_h1").alias("bucket"),
+                    ),
+                    F.struct(
+                        F.lit("cell_range").alias("layout"),
+                        bucket("_kc", "_c0", "_c1").alias("bucket"),
+                    ),
+                    F.struct(
+                        F.lit("morton_range").alias("layout"),
+                        bucket("_km", "_m0", "_m1").alias("bucket"),
+                    ),
+                )
+            ).alias("_lb"),
+        )
+        .select(
+            F.col("_lb.layout").alias("layout"),
+            F.col("_lb.bucket").alias("bucket"),
+            "cell",
+            "_w",
+        )
+    )
+    g = (
+        lb.groupBy("layout", "bucket")
+        .agg(
+            F.min("cell").alias("_mn"),
+            F.max("cell").alias("_mx"),
+            F.max("_w").alias("_w"),
+        )
+        .localCheckpoint()  # both self-join legs + the final aggregate
+    )
+    a, b = g.alias("a"), g.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.layout") == F.col("b.layout"))
+            & (F.col("a._mx") >= F.col("b._mn"))
+            & (F.col("b._mx") >= F.col("a._mn")),
+        )
+        .groupBy(
+            F.col("a.layout").alias("layout"),
+            F.col("a.bucket").alias("bucket"),
+            F.col("a._mn").alias("_mn"),
+            F.col("a._mx").alias("_mx"),
+            F.col("a._w").alias("_w"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_ov"))
+    )
+    return ov.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        round6(F.sum("_ov") / F.count(F.lit(1))).alias("avg_overlap"),
+        F.max("_ov").cast("long").alias("max_overlap"),
+        round6(
+            F.sum(F.col("_mx") - F.col("_mn") + F.lit(1))
+            / (F.count(F.lit(1)) * F.max("_w"))
+        ).alias("avg_span_share"),
+    )

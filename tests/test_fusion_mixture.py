@@ -272,3 +272,30 @@ def test_temperature_mixture_flattens_toward_uniform(spark):
     assert out["small"].mixture_weight > out["small"].natural_share
     # order preserved
     assert out["big"].mixture_weight > out["small"].mixture_weight
+
+
+def test_layout_overlap_sorted_vs_hash(spark):
+    """Zone-map semantics on a contiguous cell range: the cell_range
+    layout yields PERFECT clustering depth (every bucket's zone map
+    overlaps only itself — avg/max overlap 1, span share 1/B) while
+    the hash layout's buckets each span ~the whole key range (overlap
+    ≈ B, span share ≈ 1). Morton over a contiguous 1-D range widens
+    the per-bucket CELL spans (bit interleaving scatters ids)."""
+    from cuda_gis_smoothing_spark.operators.stats import (
+        LAYOUT_BUCKETS,
+        layout_overlap_report,
+    )
+
+    B = LAYOUT_BUCKETS
+    cells = spark.range(0, 128 * B).withColumnRenamed("id", "cell")
+    out = {r.layout: r for r in layout_overlap_report(cells).collect()}
+
+    assert set(out) == {"hash", "cell_range", "morton_range"}
+    cr = out["cell_range"]
+    assert (cr.n_buckets_used, cr.max_overlap) == (B, 1)
+    assert cr.avg_overlap == 1.0
+    assert cr.avg_span_share == pytest.approx(1 / B, abs=1e-6)
+    h = out["hash"]
+    assert h.avg_overlap > B * 0.9
+    assert h.avg_span_share > 0.9
+    assert out["morton_range"].avg_span_share > cr.avg_span_share

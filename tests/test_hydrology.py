@@ -536,6 +536,31 @@ def test_cost_allocation_matches_python_lexicographic_oracle(spark):
         assert got[c][1] == 0 and got[c][2] == c
 
 
+def test_basin_relief_ratio_layering_and_bounds(spark):
+    """er_ratio recomputes exactly from basin_stats' own gated columns
+    (round-first layering) and sits in [0−ε, 1+ε] (the rounded mean
+    can poke ≤ 5e-7 past the exact hull)."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        basin_relief_ratio,
+        basin_stats,
+    )
+
+    cells = _grid(spark)
+    stats = {r["basin"]: r for r in basin_stats(cells).collect()}
+    got = {r["basin"]: r for r in basin_relief_ratio(cells).collect()}
+    assert set(got) == set(stats)
+    for b, r in got.items():
+        s = stats[b]
+        den = s["max_value"] - s["min_value"]
+        if den <= 0:
+            assert r["er_ratio"] is None
+            continue
+        want = round((s["mean_value"] - s["min_value"]) / den + 1e-9, 6)
+        assert abs(r["er_ratio"] - want) < 1e-9, b
+        assert -1e-3 <= r["er_ratio"] <= 1 + 1e-3, b
+    assert any(r["er_ratio"] is not None for r in got.values())
+
+
 def test_cost_next_hop_argmin_descent_and_termination(spark):
     """The backlink field: next_hop is the (k, nbr) argmin over the
     FINAL cost surface, descent is strict in k, and every reached
