@@ -3554,6 +3554,25 @@ def _q_basin_relief_ratio(spark, sf_dir):
     return basin_relief_ratio(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_flow_sinuosity(spark, sf_dir):
+    """Flow-path sinuosity: committed D6 path steps / straight-line
+    axial hex distance to the terminal sink — all-integer until one
+    exact division under round6; sinks NULL; sinuosity >= 1 by the
+    triangle inequality."""
+    from cuda_gis_smoothing_spark.operators.hydrology import flow_sinuosity
+
+    return flow_sinuosity(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_user_burstiness(spark, sf_dir):
+    """Per-user Fano-factor dispersion (the bot/regularity screen):
+    the shared burstiness kernel keyed by user over (user, day)
+    counts — integer moments, one exact division."""
+    from cuda_gis_smoothing_spark.operators.events import user_burstiness
+
+    return user_burstiness(load(spark, sf_dir, "events"))
+
+
 def _q_layout_overlap_report(spark, sf_dir):
     """Zone-map clustering-depth audit per candidate layout (hash /
     cell-range / morton-range): would per-file min/max stats prune a
@@ -3959,6 +3978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_next_hop": _q_cost_next_hop,
         "basin_relief_ratio": _q_basin_relief_ratio,
         "layout_overlap_report": _q_layout_overlap_report,
+        "flow_sinuosity": _q_flow_sinuosity,
+        "user_burstiness": _q_user_burstiness,
     }
     return qs
 
@@ -5323,16 +5344,36 @@ facc AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst)
 SELECT c.cell, CAST(1 + COALESCE(a.n, 0) AS BIGINT) AS upslope_cells
 FROM cells4 c LEFT JOIN facc a ON a.dst = c.cell
 """.strip()
+    # the ONE (cell, path_steps, sink_cell) derivation — shared by the
+    # flow_path_length and flow_sinuosity twins (drift prevention)
+    _fpl_body = """
+fsteps AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS path_steps FROM freach GROUP BY src),
+fsinks AS (SELECT cell FROM fd WHERE flow_to IS NULL),
+fterm AS (SELECT r.src, r.dst AS sink_cell FROM freach r JOIN fsinks s ON s.cell = r.dst),
+fpl AS (
+  SELECT t.src AS cell, st.path_steps, t.sink_cell
+  FROM fsteps st JOIN fterm t ON t.src = st.src
+  UNION ALL
+  SELECT cell, CAST(0 AS BIGINT) AS path_steps, cell AS sink_cell FROM fsinks
+)""".strip()
     out["flow_path_length"] = f"""
 WITH RECURSIVE {_FLOW},
 {flow_closure_ctes()},
-fsteps AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS path_steps FROM freach GROUP BY src),
-fsinks AS (SELECT cell FROM fd WHERE flow_to IS NULL),
-fterm AS (SELECT r.src, r.dst AS sink_cell FROM freach r JOIN fsinks s ON s.cell = r.dst)
-SELECT t.src AS cell, st.path_steps, t.sink_cell
-FROM fsteps st JOIN fterm t ON t.src = st.src
-UNION ALL
-SELECT cell, CAST(0 AS BIGINT) AS path_steps, cell AS sink_cell FROM fsinks
+{_fpl_body}
+SELECT cell, path_steps, sink_cell FROM fpl
+""".strip()
+    from cuda_gis_smoothing_spark.operators.spatial import hex_distance_sql
+
+    _hexd = hex_distance_sql("cell", "sink_cell", "duckdb")
+    out["flow_sinuosity"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+{_fpl_body}
+SELECT cell, path_steps,
+       CAST({_hexd} AS BIGINT) AS hex_distance,
+       ROUND((CASE WHEN {_hexd} > 0
+                   THEN path_steps * 1.0 / {_hexd} END) + 1e-09, 6) AS sinuosity
+FROM fpl
 """.strip()
     out["flow_upstream_length"] = f"""
 WITH RECURSIVE {_FLOW},
@@ -6659,6 +6700,9 @@ FROM tm JOIN pi ON pi.event_type = tm.from_type
     )
 
     out["events_burstiness"] = EVENTS_BURSTINESS_SQL
+    from cuda_gis_smoothing_spark.operators.events import USER_BURSTINESS_SQL
+
+    out["user_burstiness"] = USER_BURSTINESS_SQL
     # additive counts: maintained state == batch daily table exactly
     out["events_burstiness_maintained"] = EVENTS_BURSTINESS_SQL
     from cuda_gis_smoothing_spark.operators.hydrology import (

@@ -291,6 +291,8 @@ BENCH_QUERIES = [
     "cost_next_hop",
     "basin_relief_ratio",
     "layout_overlap_report",
+    "flow_sinuosity",
+    "user_burstiness",
 ]
 
 

@@ -1993,7 +1993,9 @@ def events_seasonality(events: DataFrame) -> DataFrame:
     return seasonality_from_daily(daily_counts(events))
 
 
-def burstiness_from_daily(daily: DataFrame) -> DataFrame:
+def burstiness_from_daily(
+    daily: DataFrame, key: str = "event_type"
+) -> DataFrame:
     """Per-type burstiness (Fano factor / index of dispersion of the
     daily volume) over a (event_type, day, n) table — the
     dispersion-card sibling of the autocorrelation/seasonality
@@ -2014,10 +2016,8 @@ def burstiness_from_daily(daily: DataFrame) -> DataFrame:
     n_active_days, total_events, mean_daily, fano_factor)``."""
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
-    d = daily.where(
-        F.col("event_type").isNotNull() & F.col("day").isNotNull()
-    )
-    agg = d.groupBy("event_type").agg(
+    d = daily.where(F.col(key).isNotNull() & F.col("day").isNotNull())
+    agg = d.groupBy(key).agg(
         (F.datediff(F.max("day"), F.min("day")) + 1)
         .cast("long")
         .alias("n_days"),
@@ -2026,7 +2026,7 @@ def burstiness_from_daily(daily: DataFrame) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).cast("long").alias("_q"),
     )
     return agg.select(
-        "event_type",
+        key,
         "n_days",
         "n_active_days",
         "total_events",
@@ -2059,6 +2059,46 @@ m AS (
   FROM daily GROUP BY event_type
 )
 SELECT event_type, nd AS n_days, nad AS n_active_days, s AS total_events,
+       ROUND(s * 1.0 / nd + 1e-09, 6) AS mean_daily,
+       ROUND((nd * q - s * s) * 1.0 / (nd * s) + 1e-09, 6) AS fano_factor
+FROM m
+""".strip()
+
+
+def user_burstiness(events: DataFrame) -> DataFrame:
+    """Per-USER Fano-factor dispersion card — the bot/regularity
+    screen (scripted traffic posts metronome-regular daily volumes,
+    fano << 1; organic humans are over-dispersed, fano >= 1): the
+    shared :func:`burstiness_from_daily` kernel keyed by user over
+    per-(user, day) counts, each user's calendar span zero-filled for
+    free by the same only-the-span-enters argument. All-integer
+    moments, one exact division under round6 — tie-proof. NULL
+    user/day rows dropped (kernel contract). Output ``(user_id,
+    n_days, n_active_days, total_events, mean_daily, fano_factor)``.
+
+    Plan (100 TB): two user-keyed partial-agg shuffles (the second
+    reuses the first's partitioning), no windows, no joins — the
+    user_event_entropy shape."""
+    daily = events.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return burstiness_from_daily(daily, key="user_id")
+
+
+USER_BURSTINESS_SQL = """
+WITH udaily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT user_id,
+         CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS nd,
+         CAST(COUNT(*) AS BIGINT) AS nad,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS q
+  FROM udaily GROUP BY user_id
+)
+SELECT user_id, nd AS n_days, nad AS n_active_days, s AS total_events,
        ROUND(s * 1.0 / nd + 1e-09, 6) AS mean_daily,
        ROUND((nd * q - s * s) * 1.0 / (nd * s) + 1e-09, 6) AS fano_factor
 FROM m

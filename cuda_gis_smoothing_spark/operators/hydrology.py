@@ -263,6 +263,43 @@ def flow_path_length(
     return non_sinks.unionByName(sink_rows)
 
 
+def flow_sinuosity(
+    cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
+) -> DataFrame:
+    """Flow-path sinuosity per cell — committed D6 path length over
+    the straight-line hex distance to the terminal sink (the channel-
+    meandering card hydrologists read beside drainage_density; 1 =
+    perfectly straight path, larger = meandering around the relief).
+
+    Everything integer until one exact division under round6: steps
+    come from :func:`flow_path_length`, the straight-line separation
+    is the axial hex distance (|dq| + |dr| + |dq+dr|) / 2 — dq/dr are
+    differences of unpacked coordinates where the OFFSET cancels and
+    the sum is always even, so integer floor-div by 2 is exact and
+    Spark ``div`` == DuckDB ``//`` on the non-negative numerator. By
+    the triangle inequality steps >= hex_distance, so sinuosity >= 1
+    (pytest invariant). Sinks emit NULL (0/0). Output ``(cell,
+    path_steps, hex_distance, sinuosity)`` over every input cell.
+
+    Plan (100 TB): flow_path_length's shared closure + one row-local
+    projection — no new shuffles."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.operators.spatial import hex_distance_sql
+
+    p = flow_path_length(cells, value_col, max_rounds)
+    hexd = F.expr(hex_distance_sql("cell", "sink_cell", "spark")).cast(
+        "long"
+    )
+    return p.select(
+        "cell",
+        "path_steps",
+        hexd.alias("hex_distance"),
+        round6(
+            F.when(hexd > 0, F.col("path_steps") / hexd)
+        ).alias("sinuosity"),
+    )
+
+
 def flow_upstream_length(
     cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
 ) -> DataFrame:

@@ -48,6 +48,18 @@ def centroid_sql(cell_expr: str, dialect: str) -> tuple[str, str]:
     return lat, lon
 
 
+def hex_distance_sql(a_expr: str, b_expr: str, dialect: str) -> str:
+    """Integer axial hex distance between two packed cell ids as SQL
+    text — the ONE builder for both engines (drift prevention). The
+    OFFSET cancels in the coordinate differences, the |dq|+|dr|+|dq+dr|
+    sum is always even and non-negative, so floor-div by 2 is exact
+    and Spark ``div`` == DuckDB ``//``."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    dq = f"(({a_expr}) {idiv} {ENC} - ({b_expr}) {idiv} {ENC})"
+    dr = f"(({a_expr}) % {ENC} - ({b_expr}) % {ENC})"
+    return f"((abs({dq}) + abs({dr}) + abs({dq} + {dr})) {idiv} 2)"
+
+
 def tile_sql(cell_expr: str, zoom: int, dialect: str) -> tuple[str, str]:
     """(tile_x, tile_y) SQL text for the cell centroid at ``zoom``."""
     from cuda_gis_smoothing_spark.functions.numeric import flit

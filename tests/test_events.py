@@ -91,3 +91,42 @@ def test_active_users_weekly_differential(spark):
         assert r.avg_dau == _pt.approx(sdau / len(by_day), abs=2e-6)
         assert r.stickiness == _pt.approx(sdau / len(by_day) / wau, abs=2e-6)
         assert r.stickiness <= 1.0 + 1e-9
+
+
+def test_user_burstiness_matches_python(spark):
+    """Per-user Fano == a pure-Python population var/mean over the
+    zero-filled calendar span; regular (daily metronome) user < 1-ish
+    bound checks the dispersion direction."""
+    import datetime as dt
+
+    import pytest
+
+    from cuda_gis_smoothing_spark.operators.events import user_burstiness
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: one event every day for 10 days (regular, fano ~ 0)
+    rows += [(i, base + dt.timedelta(days=i), 1, "a", 1.0, None) for i in range(10)]
+    # user 2: 10 events on day 0, nothing for 9 days (bursty)
+    rows += [(100 + i, base, 2, "a", 1.0, None) for i in range(10)]
+    rows += [(110, base + dt.timedelta(days=9), 2, "a", 1.0, None)]
+    rows += [(120, None, 3, "a", 1.0, None), (121, base, None, "a", 1.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.user_id: r for r in user_burstiness(df).collect()}
+    assert set(got) == {1, 2}
+
+    def fano(counts, nd):
+        xs = counts + [0] * (nd - len(counts))
+        mean = sum(xs) / nd
+        var = sum((x - mean) ** 2 for x in xs) / nd
+        return var / mean
+
+    r1 = got[1]
+    assert (r1.n_days, r1.n_active_days, r1.total_events) == (10, 10, 10)
+    assert r1.fano_factor == pytest.approx(fano([1] * 10, 10), abs=1e-6)
+    r2 = got[2]
+    assert (r2.n_days, r2.n_active_days, r2.total_events) == (10, 2, 11)
+    assert r2.fano_factor == pytest.approx(fano([10, 1], 10), abs=1e-6)
+    assert r2.fano_factor > 1 > r1.fano_factor

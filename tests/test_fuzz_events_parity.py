@@ -103,6 +103,9 @@ EVENTS_GATES = [
     # or x.5 — exact dyadic); the fuzz bursts exercise the MAD-0 NULL
     # branch when a type's counts are all equal
     "events_daily_anomaly_robust",
+    # all-integer Fano moments per user; the fuzz's hot user / burst
+    # days exercise the span zero-fill and single-active-day cases
+    "user_burstiness",
 ]
 
 
