@@ -3564,6 +3564,25 @@ def _q_flow_sinuosity(spark, sf_dir):
     return flow_sinuosity(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_stream_distance(spark, sf_dir):
+    """Flow length to the stream network: per cell, integer D6 hops
+    along the committed path to the first stream cell (steps argmax
+    over stream descendants); stream cells 0, channel-less paths
+    NULL."""
+    from cuda_gis_smoothing_spark.operators.hydrology import stream_distance
+
+    return stream_distance(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit: OLS ln V ~ ln N over the
+    per-doc cumulative curve (integer prefix sums over the doc_id
+    total order; ln/OLS tail is the zipf precedent)."""
+    from cuda_gis_smoothing_spark.functions.text import heaps_fit
+
+    return heaps_fit(load(spark, sf_dir, "documents"))
+
+
 def _q_user_burstiness(spark, sf_dir):
     """Per-user Fano-factor dispersion (the bot/regularity screen):
     the shared burstiness kernel keyed by user over (user, day)
@@ -3980,6 +3999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_overlap_report": _q_layout_overlap_report,
         "flow_sinuosity": _q_flow_sinuosity,
         "user_burstiness": _q_user_burstiness,
+        "stream_distance": _q_stream_distance,
+        "heaps_fit": _q_heaps_fit,
     }
     return qs
 
@@ -5505,6 +5526,30 @@ SELECT p.basin,
 FROM fcomp p JOIN fups u ON u.cell = p.cell
 GROUP BY p.basin
 """.strip()
+    out["stream_distance"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+sdin AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst),
+sdst AS (SELECT src, COUNT(*) AS n FROM freach GROUP BY src),
+sdbase AS (
+  SELECT d.cell,
+         CAST(COALESCE(st.n, 0) AS BIGINT) AS steps,
+         CAST(1 + COALESCE(i.n, 0) AS BIGINT) AS up
+  FROM fd d
+  LEFT JOIN sdst st ON st.src = d.cell
+  LEFT JOIN sdin i ON i.dst = d.cell
+),
+sstreams AS (SELECT cell, steps FROM sdbase WHERE up >= {STREAM_THRESHOLD}),
+scand AS (
+  SELECT r.src, MAX(s.steps) AS mx
+  FROM freach r JOIN sstreams s ON s.cell = r.dst
+  GROUP BY r.src
+)
+SELECT b.cell,
+       CAST(CASE WHEN b.up >= {STREAM_THRESHOLD} THEN 1 ELSE 0 END AS INT) AS is_stream,
+       CAST(CASE WHEN b.up >= {STREAM_THRESHOLD} THEN 0 ELSE b.steps - c.mx END AS BIGINT) AS stream_dist
+FROM sdbase b LEFT JOIN scand c ON c.src = b.cell
+""".strip()
     from cuda_gis_smoothing_spark.operators.hydrology import (
         COST_ROUNDS,
         cost_ctes,
@@ -5773,6 +5818,9 @@ FROM pt
 
     out["doc_entropy"] = DOC_ENTROPY_SQL
     out["zipf_fit"] = ZIPF_FIT_SQL
+    from cuda_gis_smoothing_spark.functions.text import HEAPS_FIT_SQL
+
+    out["heaps_fit"] = HEAPS_FIT_SQL
     out["vocab_coverage"] = vocab_coverage_sql()
     from cuda_gis_smoothing_spark.operators.events import (
         EVENT_INTERARRIVAL_SQL,

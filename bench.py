@@ -293,6 +293,8 @@ BENCH_QUERIES = [
     "layout_overlap_report",
     "flow_sinuosity",
     "user_burstiness",
+    "stream_distance",
+    "heaps_fit",
 ]
 
 

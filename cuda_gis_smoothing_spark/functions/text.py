@@ -933,6 +933,125 @@ c AS (SELECT t, COUNT(*) AS c FROM occ GROUP BY t)"""
 )
 
 
+def heaps_fit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heaps'-law fit V(N) = K·N^β — vocabulary growth against corpus
+    size, the companion corpus-health diagnostic to :func:`zipf_fit`
+    (natural text β ≈ 0.4–0.6; templated corpora saturate early, OCR
+    noise inflates β toward 1): OLS of ``ln V_i`` on ``ln N_i`` over
+    the per-doc cumulative (tokens seen, distinct types seen) curve in
+    doc_id order. One summary row ``(n_points, total_tokens,
+    total_vocab, heaps_beta, heaps_lnk)`` (lnK reported, no exp).
+
+    Cross-engine: per-doc token counts and NEW-type counts (a type is
+    new at its min doc_id) are integers; both cumulatives are INTEGER
+    prefix sums over the unique doc_id total order (the events_cusum
+    integerize-the-cumulative lesson — float running sums diverge by
+    combiner association, integer ones cannot); the ln/OLS tail is the
+    zipf_fit precedent. Docs contributing zero tokens (NULL/empty
+    text) never advance either cumulative and emit no point.
+
+    Plan (100 TB): two corpus scans (per-doc counts; first-occurrence
+    per type — a token-keyed aggregate), then everything runs on the
+    #docs-row per-doc table: checkpointed once ahead of the two
+    partition-parallel ``global_prefix_sums`` passes (no global sort;
+    the packing-family kernel) and the totals aggregate."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.plans.partitioning import (
+        global_prefix_sums,
+    )
+
+    occ = df.select(
+        id_col, F.explode(tokens_col(text_col)).alias("t")
+    ).where(F.col("t") != "")
+    dt = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("_tok"))
+    nt = (
+        occ.groupBy("t")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_new"))
+    )
+    per = (
+        dt.join(nt, id_col, "left")
+        .select(
+            id_col,
+            F.col("_tok").cast("long").alias("_tok"),
+            F.coalesce(F.col("_new"), F.lit(0)).cast("long").alias("_new"),
+        )
+        .localCheckpoint()  # two prefix passes + totals (multi-consumer)
+    )
+    pn = global_prefix_sums(
+        per, [id_col], "_tok", out_col="_pn"
+    ).localCheckpoint()  # the second pass has three subplans of its own
+    pv = global_prefix_sums(pn, [id_col], "_new", out_col="_pv")
+    pts = pv.select(
+        F.log(F.col("_pn") + F.col("_tok")).alias("_x"),
+        F.log(F.col("_pv") + F.col("_new")).alias("_y"),
+    ).where((F.col("_pn") + F.col("_tok") > 0) & (F.col("_pv") + F.col("_new") > 0))
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    totals = per.agg(
+        F.sum("_tok").cast("long").alias("total_tokens"),
+        F.sum("_new").cast("long").alias("total_vocab"),
+    )
+    slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return agg.crossJoin(F.broadcast(totals)).select(
+        F.col("_n").cast("long").alias("n_points"),
+        "total_tokens",
+        "total_vocab",
+        round6(slope).alias("heaps_beta"),
+        round6((F.col("_sy") - slope * F.col("_sx")) / F.col("_n")).alias(
+            "heaps_lnk"
+        ),
+    )
+
+
+HEAPS_FIT_SQL = """
+WITH hocc AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+hdt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM hocc GROUP BY 1),
+hnt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+  FROM (SELECT t, MIN(doc_id) AS doc_id FROM hocc GROUP BY t) GROUP BY 1
+),
+hper AS (
+  SELECT d.doc_id, d.c, COALESCE(n.nv, 0) AS nv
+  FROM hdt d LEFT JOIN hnt n ON n.doc_id = d.doc_id
+),
+hpts AS (
+  SELECT SUM(c) OVER w AS cn, SUM(nv) OVER w AS cv
+  FROM hper
+  WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+hxy AS (
+  SELECT ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y
+  FROM hpts WHERE cn > 0 AND cv > 0
+),
+hs AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM hxy
+),
+ht AS (SELECT CAST(SUM(c) AS BIGINT) AS tt, CAST(SUM(nv) AS BIGINT) AS tv FROM hper)
+SELECT CAST(n AS BIGINT) AS n_points, ht.tt AS total_tokens, ht.tv AS total_vocab,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-09, 6) AS heaps_beta,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n + 1e-09, 6)
+         AS heaps_lnk
+FROM hs, ht
+""".strip()
+
+
 #: vocabulary-coverage targets (shared by operator and twin)
 VOCAB_COVERAGES = (0.5, 0.75, 0.9, 0.99)
 

@@ -542,6 +542,67 @@ def drainage_density(
     )
 
 
+def stream_distance(
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    threshold: int = STREAM_THRESHOLD,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Flow length TO the stream network — the hillslope-routing
+    raster paired with TWI in erosion/transport models (how far does
+    water travel overland before entering a channel?): per cell, D6
+    hops along its committed flow path to the FIRST stream cell
+    (``upslope_cells >= threshold``, the drainage_density definition).
+
+    Along a flow path steps-to-sink decreases by exactly 1 per hop,
+    so the first stream cell reached is the stream descendant with
+    MAXIMUM steps, and the distance is ``steps(c) − max_steps`` — one
+    integer MAX over the closure join, tie-proof. Stream cells emit
+    0; cells whose path never meets a stream (their basin has no
+    channel) emit NULL (the idw_fill coverage contract). Output
+    ``(cell, is_stream, stream_dist)``; is_stream is an INT flag (a
+    BOOLEAN would cross the hash gate as engine-specific text).
+
+    Plan (100 TB): the shared closure + two count aggregates + one
+    semi-filtered MAX join; the per-cell base table is checkpointed
+    once ahead of its three consumers (stream set, candidate join,
+    final projection — the multi-consumer class)."""
+    fd = flow_direction(cells, value_col).localCheckpoint()
+    pairs = descendant_pairs(_flow_edges(cells, value_col, fd), max_rounds)
+    inc = pairs.groupBy("dst").agg(F.count(F.lit(1)).alias("_in"))
+    stp = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("_st"))
+    base = (
+        fd.select("cell")
+        .join(stp, fd["cell"] == stp["src"], "left")
+        .select("cell", F.coalesce(F.col("_st"), F.lit(0)).alias("steps"))
+        .join(inc, F.col("cell") == inc["dst"], "left")
+        .select(
+            "cell",
+            F.col("steps").cast("long").alias("steps"),
+            (F.lit(1) + F.coalesce(F.col("_in"), F.lit(0)))
+            .cast("long")
+            .alias("up"),
+        )
+        .localCheckpoint()  # stream set + candidate join + final
+    )
+    streams = base.where(F.col("up") >= threshold).select(
+        F.col("cell").alias("dst"), F.col("steps").alias("_ss")
+    )
+    cand = (
+        pairs.join(streams, "dst")
+        .groupBy("src")
+        .agg(F.max("_ss").alias("_mx"))
+    )
+    return base.join(cand, base["cell"] == cand["src"], "left").select(
+        "cell",
+        (F.col("up") >= threshold).cast("int").alias("is_stream"),
+        F.when(F.col("up") >= threshold, F.lit(0).cast("long"))
+        .otherwise(F.col("steps") - F.col("_mx"))
+        .cast("long")
+        .alias("stream_dist"),
+    )
+
+
 def flow_ctes(source: str = "cells4", value_col: str = "ndvi") -> str:
     """The ONE DuckDB CTE builder for the family (drift-prevention
     class): emits ``f_offsets`` / ``fnb`` / ``fd`` CTE text, ``fd``

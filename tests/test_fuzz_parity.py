@@ -105,6 +105,9 @@ DOC_GATES = [
     "lang_source_chi2",
     "doc_entropy",
     "zipf_fit",
+    # integer prefix-sum cumulatives over doc order; NULL/empty-text
+    # docs pin the no-point contract (zipf ln/OLS tail precedent)
+    "heaps_fit",
     # integer counts + literal-folded linear combo; the NULL-text /
     # newline / non-ASCII docs pin the drop + terminator contracts
     "doc_readability",

@@ -864,3 +864,45 @@ def test_flow_sinuosity_bounds_and_python_hexdist(spark):
             assert r["sinuosity"] >= 1.0 - 1e-9
             saw_bent = saw_bent or r["sinuosity"] > 1.0
     assert saw_bent  # the fixture surface is not a straight ramp
+
+
+def test_stream_distance_matches_python_walk(spark):
+    """stream_dist == a pure-Python walk down the flow pointers to the
+    first stream cell (streams by the drainage_density upslope
+    definition); stream cells 0, channel-less paths NULL."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        STREAM_THRESHOLD,
+        flow_direction,
+        stream_distance,
+    )
+
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.collect()}
+    fd = {r["cell"]: r["flow_to"] for r in flow_direction(cells).collect()}
+
+    # python upslope: count ancestors by walking every path
+    reach = {c: set() for c in fd}
+    for c in fd:
+        cur = fd[c]
+        while cur is not None:
+            reach[cur].add(c)
+            cur = fd[cur]
+    up = {c: 1 + len(reach[c]) for c in fd}
+    streams = {c for c in fd if up[c] >= STREAM_THRESHOLD}
+
+    def walk(c):
+        d, cur = 0, c
+        while cur not in streams:
+            cur = fd[cur]
+            if cur is None:
+                return None
+            d += 1
+        return d
+
+    got = {r["cell"]: r for r in stream_distance(cells).collect()}
+    assert set(got) == set(fd)
+    assert vals  # fixture sanity
+    for c, r in got.items():
+        assert r["is_stream"] == (1 if c in streams else 0)
+        assert r["stream_dist"] == walk(c), c
+    assert any(r["stream_dist"] not in (None, 0) for r in got.values())

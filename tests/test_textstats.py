@@ -827,3 +827,47 @@ def test_quality_mannwhitney_matches_bruteforce(spark):
     assert (r.n_a, r.n_b) == (n1, n2) and n1 > 0 and n2 > 0
     assert r.u_a == pytest.approx(u, abs=2e-6)
     assert r.z == pytest.approx(z, abs=2e-6)
+
+
+def test_heaps_fit_matches_python_ols(spark):
+    """heaps_fit == a pure-Python cumulative-curve OLS over the same
+    tokenization and doc order; beta lands in a sane (0, 1] band on
+    the fixture corpus."""
+    import math
+
+    import pytest
+
+    from cuda_gis_smoothing_spark.functions.text import heaps_fit
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    rows = sorted(
+        (r.doc_id, r.text)
+        for r in docs.select("doc_id", "text").collect()
+    )
+    seen, N, V, pts = set(), 0, 0, []
+    tt = tv = 0
+    for _, text in rows:
+        toks = [t for t in (text or "").lower().split(" ") if t]
+        if not toks:
+            continue
+        new = {t for t in toks if t not in seen}
+        seen |= new
+        N += len(toks)
+        V += len(new)
+        tt += len(toks)
+        tv += len(new)
+        pts.append((math.log(N), math.log(V)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lnk = (sy - beta * sx) / n
+
+    r = heaps_fit(docs).collect()[0]
+    assert (r.n_points, r.total_tokens, r.total_vocab) == (n, tt, tv)
+    assert r.heaps_beta == pytest.approx(beta, abs=1e-5)
+    assert r.heaps_lnk == pytest.approx(lnk, abs=1e-5)
+    assert 0 < r.heaps_beta <= 1
