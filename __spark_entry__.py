@@ -3574,6 +3574,26 @@ def _q_stream_distance(spark, sf_dir):
     return stream_distance(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_basin_pour_points(spark, sf_dir):
+    """Spill saddles between adjacent basins: per border pair, the min
+    over border edges of max(value_a, value_b) + representative cells
+    — association-free selections, struct-MIN argmin."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        basin_pour_points,
+    )
+
+    return basin_pour_points(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_session_stats(spark, sf_dir):
+    """Session-quality percentile card (duration seconds + events per
+    session) over the shared gap-break session boundaries, via the
+    exact percentile kernel."""
+    from cuda_gis_smoothing_spark.operators.events import session_stats
+
+    return session_stats(load(spark, sf_dir, "events"))
+
+
 def _q_heaps_fit(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit: OLS ln V ~ ln N over the
     per-doc cumulative curve (integer prefix sums over the doc_id
@@ -4001,6 +4021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_burstiness": _q_user_burstiness,
         "stream_distance": _q_stream_distance,
         "heaps_fit": _q_heaps_fit,
+        "basin_pour_points": _q_basin_pour_points,
+        "session_stats": _q_session_stats,
     }
     return qs
 
@@ -5479,6 +5501,32 @@ JOIN fcomp pb ON pb.cell = nb.cell
 WHERE pa.basin < pb.basin
 GROUP BY 1, 2
 """.strip()
+    # representative saddle edge: (saddle, cell, nbr) is a total order
+    # (id pair breaks any value tie), so ROW_NUMBER rk=1 == struct-MIN
+    out["basin_pour_points"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_component_ctes()},
+pedges AS (
+  SELECT pa.basin AS basin_a, pb.basin AS basin_b,
+         c.cell, nb.cell AS nbr,
+         GREATEST(c.ndvi, nb.ndvi) AS s
+  FROM cells4 c CROSS JOIN f_offsets o
+  JOIN cells4 nb ON nb.cell = c.cell + o.delta
+  JOIN fcomp pa ON pa.cell = c.cell
+  JOIN fcomp pb ON pb.cell = nb.cell
+  WHERE pa.basin < pb.basin
+),
+pranked AS (
+  SELECT basin_a, basin_b, cell, nbr, s,
+         CAST(COUNT(*) OVER (PARTITION BY basin_a, basin_b) AS BIGINT) AS n_border_edges,
+         ROW_NUMBER() OVER (PARTITION BY basin_a, basin_b ORDER BY s, cell, nbr) AS rk
+  FROM pedges
+)
+SELECT basin_a, basin_b, n_border_edges,
+       ROUND(s + 1e-09, 6) AS saddle_value,
+       cell AS saddle_cell, nbr AS saddle_nbr
+FROM pranked WHERE rk = 1
+""".strip()
     out["twi"] = f"""
 WITH RECURSIVE {_FLOW},
 {flow_closure_ctes()},
@@ -5818,6 +5866,9 @@ FROM pt
 
     out["doc_entropy"] = DOC_ENTROPY_SQL
     out["zipf_fit"] = ZIPF_FIT_SQL
+    from cuda_gis_smoothing_spark.operators.events import session_stats_sql
+
+    out["session_stats"] = session_stats_sql()
     from cuda_gis_smoothing_spark.functions.text import HEAPS_FIT_SQL
 
     out["heaps_fit"] = HEAPS_FIT_SQL

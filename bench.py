@@ -295,6 +295,8 @@ BENCH_QUERIES = [
     "user_burstiness",
     "stream_distance",
     "heaps_fit",
+    "basin_pour_points",
+    "session_stats",
 ]
 
 

@@ -131,6 +131,68 @@ GROUP BY user_id, session_seq
 """.strip()
 
 
+def session_stats(events: DataFrame) -> DataFrame:
+    """Session-quality percentile card ``(metric, q, value)`` over the
+    gap-break sessions — duration (seconds) and events-per-session
+    distributions, the engagement summary read beside
+    :func:`sessionize`'s per-session table (bounce share = the low
+    quantiles of n_events; session depth = the high ones).
+
+    Cross-engine: both metrics are exact per-session values — the
+    duration is an INTEGER micros span divided by 1e6 (one correctly-
+    rounded op over identical integers, the event_interarrival
+    seconds contract) and n_events is an integer — so the shared
+    exact-percentile kernel crosses the gate bit-for-bit. Session
+    boundaries reuse :func:`session_events` / ``_session_ctes`` (ONE
+    gap definition).
+
+    Plan (100 TB): the sessionize shuffle + one per-session aggregate;
+    the two metrics go long-format via ONE explode-of-two-structs pass
+    (the span_coverage two-sided-union lesson) into a single
+    percentile aggregate — one consumer end to end, nothing to
+    checkpoint."""
+    sess = (
+        session_events(events)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            ((F.max("us") - F.min("us")) / F.lit(1e6)).alias("_dur"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("duration_s").alias("metric"),
+                        F.col("_dur").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("n_events").alias("metric"),
+                        F.col("_n").cast("double").alias("v"),
+                    ),
+                )
+            ).alias("_m")
+        )
+        .select(F.col("_m.metric").alias("metric"), F.col("_m.v").alias("v"))
+    )
+    return percentile_explode(sess, "v", PCT_QS, group_cols=("metric",))
+
+
+def session_stats_sql() -> str:
+    """DuckDB twin — the session CTEs nested inside the percentile
+    twin builder's derived table (the zonal_quantiles precedent)."""
+    src = f"""WITH {_session_ctes("ts")},
+sagg AS (
+  SELECT user_id, session_seq,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         (MAX(us) - MIN(us)) / 1e6 AS duration_s
+  FROM sess GROUP BY 1, 2
+)
+SELECT 'duration_s' AS metric, duration_s AS v FROM sagg
+UNION ALL
+SELECT 'n_events' AS metric, n_events AS v FROM sagg"""
+    return percentile_sql(src, "v", PCT_QS, group_cols=("metric",))
+
+
 def top_event_types_per_user(events: DataFrame, k: int = 3) -> DataFrame:
     """Window-ranking operator: each user's top-k event types by count
     (ties broken by type name for determinism)."""

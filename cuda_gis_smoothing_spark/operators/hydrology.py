@@ -1077,6 +1077,73 @@ def basin_adjacency(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def basin_pour_points(
+    cells: DataFrame, value_col: str = "ndvi"
+) -> DataFrame:
+    """Pour points (spill saddles) between adjacent basins — the
+    elevation at which two drainage basins would merge under rising
+    water, the quantity hierarchical basin-merging and flood-fill
+    connectivity read off :func:`basin_adjacency`'s border report:
+    per adjacent pair, the MINIMUM over border edges of
+    ``max(value_a, value_b)`` plus the representative border cells.
+
+    Cross-engine: greatest/min are association-free SELECTIONS over
+    bit-identical parquet doubles (the fill_sinks zero-float-exposure
+    class); the representative edge is the (saddle, cell, nbr)
+    struct-MIN — a total order, ties impossible past the id pair.
+    Output ``(basin_a, basin_b, n_border_edges, saddle_value,
+    saddle_cell, saddle_nbr)`` with saddle_cell ∈ basin_a,
+    saddle_nbr ∈ basin_b (each undirected border edge enters once via
+    the basin_a < basin_b direction filter).
+
+    Plan (100 TB): basin_adjacency's edge join + one per-pair hash
+    argmin (no window sort); labels checkpointed once ahead of both
+    endpoint joins."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    labels = basin_labels(cells, value_col).localCheckpoint()  # two sides
+    offs = F.array(*[F.lit(d) for d in R1_DELTAS])
+    vals = cells.select("cell", F.col(value_col).alias("_x"))
+    e = (
+        cells.select("cell", F.explode(offs).alias("_d"))
+        .select("cell", (F.col("cell") + F.col("_d")).alias("nbr"))
+        .join(labels.select("cell", F.col("basin").alias("basin_a")), "cell")
+        .join(
+            labels.select(
+                F.col("cell").alias("nbr"), F.col("basin").alias("basin_b")
+            ),
+            "nbr",
+        )
+        .where(F.col("basin_a") < F.col("basin_b"))
+        .join(vals, "cell")
+        .join(
+            vals.select(F.col("cell").alias("nbr"), F.col("_x").alias("_xn")),
+            "nbr",
+        )
+        .select(
+            "basin_a",
+            "basin_b",
+            F.struct(
+                F.greatest("_x", "_xn").alias("s"),
+                F.col("cell").alias("c"),
+                F.col("nbr").alias("n"),
+            ).alias("_k"),
+        )
+    )
+    agg = e.groupBy("basin_a", "basin_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_border_edges"),
+        F.min("_k").alias("_m"),
+    )
+    return agg.select(
+        "basin_a",
+        "basin_b",
+        "n_border_edges",
+        round6(F.col("_m.s")).alias("saddle_value"),
+        F.col("_m.c").alias("saddle_cell"),
+        F.col("_m.n").alias("saddle_nbr"),
+    )
+
+
 # -- depression filling (Planchon–Darboux) ----------------------------
 
 #: water-level propagation horizon: each round carries border

@@ -130,3 +130,45 @@ def test_user_burstiness_matches_python(spark):
     assert (r2.n_days, r2.n_active_days, r2.total_events) == (10, 2, 11)
     assert r2.fano_factor == pytest.approx(fano([10, 1], 10), abs=1e-6)
     assert r2.fano_factor > 1 > r1.fano_factor
+
+
+def test_session_stats_consistent_with_sessionize(spark):
+    """The percentile card recomputes from sessionize's own session
+    table (same boundaries): n_events quantiles match a Python
+    interpolation over the per-session counts, and duration is the
+    integer micros span in seconds."""
+    import pytest
+
+    from cuda_gis_smoothing_spark.operators.events import (
+        PCT_QS,
+        session_stats,
+        sessionize,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    counts = sorted(r.n_events for r in sessionize(ev).collect())
+
+    def quantile(xs, q):
+        i = (len(xs) - 1) * q
+        lo, hi = int(i), min(int(i) + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * (i - lo)
+
+    from cuda_gis_smoothing_spark.operators.events import session_events
+
+    spans = {}
+    for r in session_events(ev).collect():
+        key = (r.user_id, r.session_seq)
+        lo, hi = spans.get(key, (r.us, r.us))
+        spans[key] = (min(lo, r.us), max(hi, r.us))
+    durs = sorted((hi - lo) / 1e6 for lo, hi in spans.values())
+    assert len(durs) == len(counts)
+
+    got = {(r.metric, r.q): r.value for r in session_stats(ev).collect()}
+    for q in PCT_QS:
+        assert got[("n_events", q)] == pytest.approx(
+            quantile(counts, q), abs=2e-6
+        )
+        assert got[("duration_s", q)] == pytest.approx(
+            quantile(durs, q), abs=2e-6
+        )

@@ -106,6 +106,9 @@ EVENTS_GATES = [
     # all-integer Fano moments per user; the fuzz's hot user / burst
     # days exercise the span zero-fill and single-active-day cases
     "user_burstiness",
+    # exact percentiles over integer counts / integer-micros-derived
+    # durations; ties pin the shared (us, event_id) session order
+    "session_stats",
 ]
 
 

@@ -906,3 +906,45 @@ def test_stream_distance_matches_python_walk(spark):
         assert r["is_stream"] == (1 if c in streams else 0)
         assert r["stream_dist"] == walk(c), c
     assert any(r["stream_dist"] not in (None, 0) for r in got.values())
+
+
+def test_basin_pour_points_python_oracle(spark):
+    """Pour points == a pure-Python min-over-border-edges of
+    max(endpoint values), with the (saddle, cell, nbr) tie-break;
+    pair set and edge counts match basin_adjacency."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        R1_DELTAS,
+        basin_adjacency,
+        basin_labels,
+        basin_pour_points,
+    )
+
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.collect()}
+    lab = {r["cell"]: r["basin"] for r in basin_labels(cells).collect()}
+
+    want = {}
+    for c in vals:
+        for d in R1_DELTAS:
+            n = c + d
+            if n not in vals:
+                continue
+            a, b = lab[c], lab[n]
+            if a >= b:
+                continue
+            key = (a, b)
+            edge = (max(vals[c], vals[n]), c, n)
+            cnt, best = want.get(key, (0, None))
+            want[key] = (cnt + 1, edge if best is None or edge < best else best)
+
+    got = {(r.basin_a, r.basin_b): r for r in basin_pour_points(cells).collect()}
+    adj = {
+        (r.basin_a, r.basin_b): r.n_border_edges
+        for r in basin_adjacency(cells).collect()
+    }
+    assert set(got) == set(want) == set(adj)
+    for key, (cnt, (s, c, n)) in want.items():
+        r = got[key]
+        assert r.n_border_edges == cnt == adj[key]
+        assert r.saddle_value == round(s + 1e-9, 6)
+        assert (r.saddle_cell, r.saddle_nbr) == (c, n)
