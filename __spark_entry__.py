@@ -3574,6 +3574,26 @@ def _q_stream_distance(spark, sf_dir):
     return stream_distance(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_basin_mainstem(spark, sf_dir):
+    """Mainstem raster: cells on a longest source-to-sink path of
+    their basin (upstream + downstream hop sum equals the basin max)
+    — all integers, tie-proof; flags every tied path."""
+    from cuda_gis_smoothing_spark.operators.hydrology import basin_mainstem
+
+    return basin_mainstem(grid_from_lineitem(spark, sf_dir))
+
+
+def _q_funnel_step_latency(spark, sf_dir):
+    """Funnel step-transition latency percentiles in seconds over the
+    SHARED earliest-completion chain (integer micros spans / 1e6 into
+    the exact percentile kernel)."""
+    from cuda_gis_smoothing_spark.operators.events import (
+        funnel_step_latency,
+    )
+
+    return funnel_step_latency(load(spark, sf_dir, "events"))
+
+
 def _q_basin_pour_points(spark, sf_dir):
     """Spill saddles between adjacent basins: per border pair, the min
     over border edges of max(value_a, value_b) + representative cells
@@ -4023,6 +4043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": _q_heaps_fit,
         "basin_pour_points": _q_basin_pour_points,
         "session_stats": _q_session_stats,
+        "basin_mainstem": _q_basin_mainstem,
+        "funnel_step_latency": _q_funnel_step_latency,
     }
     return qs
 
@@ -5527,6 +5549,32 @@ SELECT basin_a, basin_b, n_border_edges,
        cell AS saddle_cell, nbr AS saddle_nbr
 FROM pranked WHERE rk = 1
 """.strip()
+    out["basin_mainstem"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_component_ctes()},
+{flow_closure_ctes()},
+msteps AS (
+  SELECT d.cell, CAST(COALESCE(s.n, 0) AS BIGINT) AS steps
+  FROM fd d LEFT JOIN (SELECT src, COUNT(*) AS n FROM freach GROUP BY src) s
+    ON s.src = d.cell
+),
+manc AS (
+  SELECT r.dst, MAX(s2.steps) AS mx
+  FROM freach r JOIN msteps s2 ON s2.cell = r.src
+  GROUP BY r.dst
+),
+mthr AS (
+  SELECT s.cell, p.basin,
+         CAST(COALESCE(a.mx, s.steps) AS BIGINT) AS through_steps
+  FROM msteps s
+  LEFT JOIN manc a ON a.dst = s.cell
+  JOIN fcomp p ON p.cell = s.cell
+),
+mchan AS (SELECT basin, MAX(through_steps) AS chan FROM mthr GROUP BY basin)
+SELECT t.cell, t.basin, t.through_steps,
+       CAST(CASE WHEN t.through_steps = c2.chan THEN 1 ELSE 0 END AS INT) AS is_mainstem
+FROM mthr t JOIN mchan c2 ON c2.basin = t.basin
+""".strip()
     out["twi"] = f"""
 WITH RECURSIVE {_FLOW},
 {flow_closure_ctes()},
@@ -5869,6 +5917,9 @@ FROM pt
     from cuda_gis_smoothing_spark.operators.events import session_stats_sql
 
     out["session_stats"] = session_stats_sql()
+    from cuda_gis_smoothing_spark.operators.events import funnel_latency_sql
+
+    out["funnel_step_latency"] = funnel_latency_sql()
     from cuda_gis_smoothing_spark.functions.text import HEAPS_FIT_SQL
 
     out["heaps_fit"] = HEAPS_FIT_SQL

@@ -297,6 +297,8 @@ BENCH_QUERIES = [
     "heaps_fit",
     "basin_pour_points",
     "session_stats",
+    "basin_mainstem",
+    "funnel_step_latency",
 ]
 
 

@@ -245,27 +245,109 @@ def funnel_conversion(
     passes over the (filtered) events for an S-step funnel. With it,
     events are scanned exactly once per step.
     """
+    comps = _funnel_completions(events, steps)
+    out: DataFrame | None = None
+    for i, (s, c) in enumerate(zip(steps, comps)):
+        row = c.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"), F.lit(s).alias("event_type"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _funnel_completions(
+    events: DataFrame, steps: tuple[str, ...]
+) -> list[DataFrame]:
+    """The ONE earliest-completion funnel chain (drift prevention:
+    :func:`funnel_conversion` counts it, :func:`funnel_step_latency`
+    reads its timing columns). Per step i, a checkpointed
+    ``(user_id, t, prev)`` table — t = MIN step-i time at/after the
+    user's step i−1 completion, prev = that completion (NULL for step
+    1). See funnel_conversion for the O(S) materialization argument."""
     us = event_micros("ts")
     ev = events.select("user_id", "event_type", us.alias("us"))
     cur: DataFrame | None = None
-    out: DataFrame | None = None
-    for i, s in enumerate(steps):
+    out: list[DataFrame] = []
+    for s in steps:
         e = ev.where(F.col("event_type") == s)
         if cur is None:
-            cur = e.groupBy("user_id").agg(F.min("us").alias("t"))
+            cur = e.groupBy("user_id").agg(
+                F.min("us").alias("t"),
+                F.min(F.lit(None).cast("long")).alias("prev"),
+            )
         else:
             cur = (
                 e.join(cur.select("user_id", F.col("t").alias("_prev")), "user_id")
                 .where(F.col("us") >= F.col("_prev"))
                 .groupBy("user_id")
-                .agg(F.min("us").alias("t"))
+                .agg(F.min("us").alias("t"), F.min("_prev").alias("prev"))
             )
         cur = cur.localCheckpoint()
-        row = cur.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i + 1).alias("step"), F.lit(s).alias("event_type"), "n_users"
-        )
-        out = row if out is None else out.unionByName(row)
+        out.append(cur)
     return out
+
+
+def funnel_step_latency(
+    events: DataFrame, steps: tuple[str, ...] = ("signup", "click", "purchase")
+) -> DataFrame:
+    """Step-transition latency percentiles for the funnel — how long
+    converting users take between consecutive completions (the timing
+    card read beside :func:`funnel_conversion`'s counts). Per step
+    i ≥ 2, the per-user latency is ``(t_i − t_{i−1}) / 1e6`` seconds —
+    an INTEGER micros difference divided once (the session_stats
+    seconds contract), so the shared exact-percentile kernel crosses
+    the gate bit-for-bit. Boundaries come from the SHARED
+    :func:`_funnel_completions` chain — the latency card can never
+    disagree with the conversion counts about who converted. Output
+    ``(step, event_type, q, latency_s)``."""
+    comps = _funnel_completions(events, steps)
+    lat: DataFrame | None = None
+    for i, (s, c) in enumerate(zip(steps, comps)):
+        if i == 0:
+            continue
+        l = c.select(
+            F.lit(i + 1).alias("step"),
+            F.lit(s).alias("event_type"),
+            ((F.col("t") - F.col("prev")) / F.lit(1e6)).alias("v"),
+        )
+        lat = l if lat is None else lat.unionByName(l)
+    return percentile_explode(
+        lat, "v", PCT_QS, group_cols=("step", "event_type"), out_value="latency_s"
+    )
+
+
+def funnel_latency_sql(
+    steps: tuple[str, ...] = ("signup", "click", "purchase")
+) -> str:
+    """DuckDB twin — the funnel_sql chain carrying ``prev`` through
+    each stage, nested inside the percentile twin builder."""
+    ctes, selects = [], []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events "
+                f"WHERE event_type = '{s}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i + 1} AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t, "
+                f"MIN(p.t) AS prev "
+                f"FROM events e JOIN s{i} p ON p.user_id = e.user_id "
+                f"WHERE e.event_type = '{s}' AND epoch_us(e.ts) >= p.t GROUP BY 1)"
+            )
+            selects.append(
+                f"SELECT {i + 1} AS step, '{s}' AS event_type, "
+                f"(t - prev) / 1e6 AS v FROM s{i + 1}"
+            )
+    src = (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+    return percentile_sql(
+        src, "v", PCT_QS, group_cols=("step", "event_type"), out_value="latency_s"
+    )
 
 
 def funnel_sql(steps: tuple[str, ...] = ("signup", "click", "purchase")) -> str:

@@ -1077,6 +1077,67 @@ def basin_adjacency(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
     )
 
 
+def basin_mainstem(
+    cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
+) -> DataFrame:
+    """Mainstem raster — the cells lying on a LONGEST source-to-sink
+    flow path of their basin (the "main channel" basin_channel_length
+    reports the length of; all ties flagged when several paths are
+    equally long): the longest path THROUGH a cell has
+    ``upstream_steps(c) + steps(c)`` hops (the flow_upstream_length
+    argument: dist(farthest headwater→c) + dist(c→sink)), so mainstem
+    cells are exactly those where that sum equals the basin maximum.
+    All integers/ids — tie-proof. Output ``(cell, basin,
+    through_steps, is_mainstem)``; is_mainstem is an INT flag (the
+    stream_distance boolean contract).
+
+    Plan (100 TB): ONE shared closure feeding both the steps and
+    ancestor-max aggregates (fd and the per-cell steps table each
+    checkpointed ahead of their two consumers), the basin max is a
+    hash aggregate over cells + one join back — no windows."""
+    fd = flow_direction(cells, value_col).localCheckpoint()
+    pairs = descendant_pairs(_flow_edges(cells, value_col, fd), max_rounds)
+    cnt = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("_n"))
+    steps = (
+        fd.select("cell")
+        .join(cnt, fd["cell"] == cnt["src"], "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("_steps"),
+        )
+        .localCheckpoint()  # ancestor max + the through projection
+    )
+    anc = (
+        pairs.join(
+            steps.select(F.col("cell").alias("src"), F.col("_steps").alias("_as")),
+            "src",
+        )
+        .groupBy("dst")
+        .agg(F.max("_as").alias("_mx"))
+    )
+    thr = (
+        steps.join(anc, steps["cell"] == anc["dst"], "left")
+        .join(basin_labels(cells, value_col, fd=fd), "cell")
+        .select(
+            "cell",
+            "basin",
+            F.coalesce(F.col("_mx"), F.col("_steps"))
+            .cast("long")
+            .alias("through_steps"),
+        )
+        .localCheckpoint()  # basin max + the final flag projection
+    )
+    chan = thr.groupBy("basin").agg(F.max("through_steps").alias("_chan"))
+    return thr.join(chan, "basin").select(
+        "cell",
+        "basin",
+        "through_steps",
+        (F.col("through_steps") == F.col("_chan")).cast("int").alias(
+            "is_mainstem"
+        ),
+    )
+
+
 def basin_pour_points(
     cells: DataFrame, value_col: str = "ndvi"
 ) -> DataFrame:

@@ -172,3 +172,50 @@ def test_session_stats_consistent_with_sessionize(spark):
         assert got[("duration_s", q)] == pytest.approx(
             quantile(durs, q), abs=2e-6
         )
+
+
+def test_funnel_step_latency_matches_python(spark):
+    """Latency quantiles == a Python replay of the earliest-completion
+    chain on an engineered funnel (two converting users with known
+    gaps, one non-converter)."""
+    import datetime as dt
+
+    import pytest
+
+    from cuda_gis_smoothing_spark.operators.events import (
+        PCT_QS,
+        funnel_step_latency,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user, typ):
+        return (eid, base + dt.timedelta(seconds=sec), user, typ, 1.0, None)
+
+    rows = [
+        ev(1, 0, 1, "signup"), ev(2, 10, 1, "click"), ev(3, 40, 1, "purchase"),
+        ev(4, 0, 2, "signup"), ev(5, 30, 2, "click"), ev(6, 90, 2, "purchase"),
+        # user 3 clicks BEFORE signup (doesn't count), never again
+        ev(7, 100, 3, "click"), ev(8, 200, 3, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r.step, r.event_type, r.q): r.latency_s
+        for r in funnel_step_latency(df).collect()
+    }
+
+    def quantile(xs, q):
+        xs = sorted(xs)
+        i = (len(xs) - 1) * q
+        lo, hi = int(i), min(int(i) + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * (i - lo)
+
+    click_lat = [10.0, 30.0]
+    buy_lat = [30.0, 60.0]
+    for q in PCT_QS:
+        assert got[(2, "click", q)] == pytest.approx(quantile(click_lat, q), abs=2e-6)
+        assert got[(3, "purchase", q)] == pytest.approx(quantile(buy_lat, q), abs=2e-6)
+    assert not any(k[0] == 1 for k in got)

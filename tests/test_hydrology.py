@@ -948,3 +948,32 @@ def test_basin_pour_points_python_oracle(spark):
         assert r.n_border_edges == cnt == adj[key]
         assert r.saddle_value == round(s + 1e-9, 6)
         assert (r.saddle_cell, r.saddle_nbr) == (c, n)
+
+
+def test_basin_mainstem_consistent_with_channel_length(spark):
+    """Every basin's flagged mainstem cells carry through_steps ==
+    basin_channel_length's channel_steps; the flagged set contains a
+    full path (channel_steps + 1 cells at least when unique) and every
+    basin flags at least one cell."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        basin_channel_length,
+        basin_mainstem,
+    )
+
+    cells = _grid(spark)
+    chan = {
+        r.basin: r.channel_steps for r in basin_channel_length(cells).collect()
+    }
+    rows = basin_mainstem(cells).collect()
+    assert {r.basin for r in rows} == set(chan)
+    for r in rows:
+        assert r.through_steps <= chan[r.basin]
+        assert r.is_mainstem == (1 if r.through_steps == chan[r.basin] else 0)
+    flagged = {}
+    for r in rows:
+        if r.is_mainstem:
+            flagged[r.basin] = flagged.get(r.basin, 0) + 1
+    assert set(flagged) == set(chan)
+    # a longest path visits channel_steps + 1 distinct cells
+    for b, n in flagged.items():
+        assert n >= chan[b] + 1
