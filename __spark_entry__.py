@@ -3574,6 +3574,23 @@ def _q_stream_distance(spark, sf_dir):
     return stream_distance(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_heaps_fit_maintained(spark, sf_dir):
+    """The SAME vocabulary-growth fit served from maintained per-doc +
+    seen-type logs (zero re-tokenization at read time); single-batch
+    instance == the batch operator exactly, so the twin is SHARED."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.heaps import MaintainedHeaps
+
+    state = tempfile.mkdtemp(prefix="heaps_state_")
+    m = MaintainedHeaps(spark, state)
+    m.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = m.heaps()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_basin_mainstem(spark, sf_dir):
     """Mainstem raster: cells on a longest source-to-sink path of
     their basin (upstream + downstream hop sum equals the basin max)
@@ -4045,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "basin_mainstem": _q_basin_mainstem,
         "funnel_step_latency": _q_funnel_step_latency,
+        "heaps_fit_maintained": _q_heaps_fit_maintained,
     }
     return qs
 
@@ -5923,6 +5941,8 @@ FROM pt
     from cuda_gis_smoothing_spark.functions.text import HEAPS_FIT_SQL
 
     out["heaps_fit"] = HEAPS_FIT_SQL
+    # single-batch maintained state == the batch operator exactly
+    out["heaps_fit_maintained"] = HEAPS_FIT_SQL
     out["vocab_coverage"] = vocab_coverage_sql()
     from cuda_gis_smoothing_spark.operators.events import (
         EVENT_INTERARRIVAL_SQL,

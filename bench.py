@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "session_stats",
     "basin_mainstem",
     "funnel_step_latency",
+    "heaps_fit_maintained",
 ]
 
 

@@ -954,9 +954,10 @@ def heaps_fit(
 
     Plan (100 TB): two corpus scans (per-doc counts; first-occurrence
     per type — a token-keyed aggregate), then everything runs on the
-    #docs-row per-doc table: checkpointed once ahead of the two
-    partition-parallel ``global_prefix_sums`` passes (no global sort;
-    the packing-family kernel) and the totals aggregate."""
+    #docs-row per-doc table through :func:`heaps_from_per_doc` (input
+    checkpointed once ahead of the two partition-parallel
+    ``global_prefix_sums`` passes — no global sort — and the totals
+    aggregate)."""
     from cuda_gis_smoothing_spark.functions.numeric import round6
     from cuda_gis_smoothing_spark.plans.partitioning import (
         global_prefix_sums,
@@ -972,15 +973,27 @@ def heaps_fit(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_new"))
     )
-    per = (
-        dt.join(nt, id_col, "left")
-        .select(
-            id_col,
-            F.col("_tok").cast("long").alias("_tok"),
-            F.coalesce(F.col("_new"), F.lit(0)).cast("long").alias("_new"),
-        )
-        .localCheckpoint()  # two prefix passes + totals (multi-consumer)
+    per = dt.join(nt, id_col, "left").select(
+        id_col,
+        F.col("_tok").cast("long").alias("_tok"),
+        F.coalesce(F.col("_new"), F.lit(0)).cast("long").alias("_new"),
     )
+    return heaps_from_per_doc(per, id_col)
+
+
+def heaps_from_per_doc(per: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The Heaps regression over a prepared ``(id, _tok, _new)``
+    per-doc table — the shared kernel behind :func:`heaps_fit` and
+    ``MaintainedHeaps.heaps`` (the *_from_daily precedent — one
+    curve/OLS definition, batch and maintained paths cannot drift).
+    Checkpoints the input once (eager) ahead of the two prefix passes
+    and the totals aggregate."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+    from cuda_gis_smoothing_spark.plans.partitioning import (
+        global_prefix_sums,
+    )
+
+    per = per.localCheckpoint()  # two prefix passes + totals
     pn = global_prefix_sums(
         per, [id_col], "_tok", out_col="_pn"
     ).localCheckpoint()  # the second pass has three subplans of its own
