@@ -3574,6 +3574,34 @@ def _q_stream_distance(spark, sf_dir):
     return stream_distance(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_source_heaps(spark, sf_dir):
+    """Per-source Heaps'-law fits (the dataset-card view: templated
+    sources saturate early): integer partitioned-window cumulatives,
+    NULLIF-guarded single-point sources."""
+    from cuda_gis_smoothing_spark.functions.text import source_heaps
+
+    return source_heaps(load(spark, sf_dir, "documents"))
+
+
+def _q_user_burstiness_maintained(spark, sf_dir):
+    """The per-user Fano card served from a user-keyed maintained
+    daily-count log (MaintainedDailyCounts key generalization);
+    single-batch instance == the batch operator, shared twin."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.daily_counts import (
+        MaintainedDailyCounts,
+    )
+
+    state = tempfile.mkdtemp(prefix="udaily_state_")
+    m = MaintainedDailyCounts(spark, state, key="user_id")
+    m.process_batch(load(spark, sf_dir, "events"), 0)
+    out = m.burstiness()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_heaps_fit_maintained(spark, sf_dir):
     """The SAME vocabulary-growth fit served from maintained per-doc +
     seen-type logs (zero re-tokenization at read time); single-batch
@@ -4063,6 +4091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basin_mainstem": _q_basin_mainstem,
         "funnel_step_latency": _q_funnel_step_latency,
         "heaps_fit_maintained": _q_heaps_fit_maintained,
+        "user_burstiness_maintained": _q_user_burstiness_maintained,
+        "source_heaps": _q_source_heaps,
     }
     return qs
 
@@ -5941,6 +5971,9 @@ FROM pt
     from cuda_gis_smoothing_spark.functions.text import HEAPS_FIT_SQL
 
     out["heaps_fit"] = HEAPS_FIT_SQL
+    from cuda_gis_smoothing_spark.functions.text import SOURCE_HEAPS_SQL
+
+    out["source_heaps"] = SOURCE_HEAPS_SQL
     # single-batch maintained state == the batch operator exactly
     out["heaps_fit_maintained"] = HEAPS_FIT_SQL
     out["vocab_coverage"] = vocab_coverage_sql()
@@ -6873,6 +6906,8 @@ FROM tm JOIN pi ON pi.event_type = tm.from_type
     from cuda_gis_smoothing_spark.operators.events import USER_BURSTINESS_SQL
 
     out["user_burstiness"] = USER_BURSTINESS_SQL
+    # single-batch maintained state == the batch operator exactly
+    out["user_burstiness_maintained"] = USER_BURSTINESS_SQL
     # additive counts: maintained state == batch daily table exactly
     out["events_burstiness_maintained"] = EVENTS_BURSTINESS_SQL
     from cuda_gis_smoothing_spark.operators.hydrology import (

@@ -300,6 +300,8 @@ BENCH_QUERIES = [
     "basin_mainstem",
     "funnel_step_latency",
     "heaps_fit_maintained",
+    "user_burstiness_maintained",
+    "source_heaps",
 ]
 
 

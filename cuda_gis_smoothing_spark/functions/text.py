@@ -1027,6 +1027,157 @@ def heaps_from_per_doc(per: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def source_heaps(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-SOURCE Heaps'-law fit — the dataset-card view of
+    :func:`heaps_fit` (templated/synthetic sources saturate early =
+    low β; diverse organic sources grow; the mixture-weighting signal
+    beside source_kl_divergence): each source's own cumulative
+    (tokens, types-new-to-THE-SOURCE) curve in doc_id order, OLS per
+    source.
+
+    Cross-engine: the cumulatives are INTEGER window sums PARTITIONED
+    by source over the unique doc_id order (a partitioned window needs
+    no global machinery at all — each source sorts locally); the
+    ln/OLS tail is the zipf/heaps precedent. A single-point source has
+    an EXACTLY-zero OLS denominator (x² − x² over the same double), so
+    the NULLIF-shaped guard is hit identically in both engines (the
+    quality_mannwhitney class) — β/lnK NULL there. NULL sources are
+    dropped (the kmv NULL-key contract); zero-token docs emit no
+    point. Output ``(source, n_points, total_tokens, total_vocab,
+    heaps_beta, heaps_lnk)``.
+
+    Plan (100 TB): two corpus scans (per-doc counts; (source, type)
+    first-occurrence), then one partitioned window + two per-source
+    aggregates over the #docs-row table (checkpointed — window pass +
+    totals)."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    base = df.where(F.col(source_col).isNotNull())
+    occ = base.select(
+        source_col, id_col, F.explode(tokens_col(text_col)).alias("t")
+    ).where(F.col("t") != "")
+    dt = occ.groupBy(source_col, id_col).agg(
+        F.count(F.lit(1)).alias("_tok")
+    )
+    nt = (
+        occ.groupBy(source_col, "t")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(source_col, id_col)
+        .agg(F.count(F.lit(1)).alias("_new"))
+    )
+    per = (
+        dt.join(nt, [source_col, id_col], "left")
+        .select(
+            source_col,
+            id_col,
+            F.col("_tok").cast("long").alias("_tok"),
+            F.coalesce(F.col("_new"), F.lit(0)).cast("long").alias("_new"),
+        )
+        .localCheckpoint()  # window pass + per-source totals
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pts = (
+        per.select(
+            source_col,
+            F.sum("_tok").over(w).alias("_cn"),
+            F.sum("_new").over(w).alias("_cv"),
+        )
+        .where(F.col("_cv") > 0)
+        .select(
+            source_col,
+            F.log("_cn").alias("_x"),
+            F.log("_cv").alias("_y"),
+        )
+    )
+    agg = pts.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    totals = per.groupBy(source_col).agg(
+        F.sum("_tok").cast("long").alias("total_tokens"),
+        F.sum("_new").cast("long").alias("total_vocab"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        den != 0,
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den,
+    )
+    return agg.join(totals, source_col).select(
+        source_col,
+        F.col("_n").cast("long").alias("n_points"),
+        "total_tokens",
+        "total_vocab",
+        round6(slope).alias("heaps_beta"),
+        round6((F.col("_sy") - slope * F.col("_sx")) / F.col("_n")).alias(
+            "heaps_lnk"
+        ),
+    )
+
+
+SOURCE_HEAPS_SQL = """
+WITH socc AS (
+  SELECT source, doc_id, t FROM (
+    SELECT source, doc_id, unnest(string_split(lower(text), ' ')) AS t
+    FROM documents WHERE source IS NOT NULL
+  ) WHERE t <> ''
+),
+sdt AS (
+  SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM socc GROUP BY 1, 2
+),
+snt AS (
+  SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+  FROM (SELECT source, t, MIN(doc_id) AS doc_id FROM socc GROUP BY 1, 2)
+  GROUP BY 1, 2
+),
+sper AS (
+  SELECT d.source, d.doc_id, d.c, COALESCE(n.nv, 0) AS nv
+  FROM sdt d LEFT JOIN snt n ON n.source = d.source AND n.doc_id = d.doc_id
+),
+spts AS (
+  SELECT source, SUM(c) OVER w AS cn, SUM(nv) OVER w AS cv
+  FROM sper
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+shxy AS (
+  SELECT source, ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y
+  FROM spts WHERE cv > 0
+),
+shs AS (
+  SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM shxy GROUP BY source
+),
+sht AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS tt, CAST(SUM(nv) AS BIGINT) AS tv
+  FROM sper GROUP BY source
+)
+SELECT s.source, CAST(s.n AS BIGINT) AS n_points,
+       t.tt AS total_tokens, t.tv AS total_vocab,
+       ROUND(((s.n * s.sxy - s.sx * s.sy) / NULLIF(s.n * s.sxx - s.sx * s.sx, 0))
+             + 1e-09, 6) AS heaps_beta,
+       ROUND(((s.sy - ((s.n * s.sxy - s.sx * s.sy)
+                       / NULLIF(s.n * s.sxx - s.sx * s.sx, 0)) * s.sx) / s.n)
+             + 1e-09, 6) AS heaps_lnk
+FROM shs s JOIN sht t ON t.source = s.source
+""".strip()
+
+
 HEAPS_FIT_SQL = """
 WITH hocc AS (
   SELECT doc_id, t FROM (

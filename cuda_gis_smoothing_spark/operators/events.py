@@ -1639,11 +1639,13 @@ def event_autocorrelation(
     return autocorr_from_daily(daily_counts(events), lags)
 
 
-def daily_counts(events: DataFrame) -> DataFrame:
-    """(event_type, day DATE, n) — the daily volume table both the
-    batch autocorrelation and MaintainedDailyCounts serve from."""
+def daily_counts(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """(key, day DATE, n) — the daily volume table both the batch
+    autocorrelation and MaintainedDailyCounts serve from; ``key``
+    generalizes it to per-user cards (the burstiness_from_daily
+    precedent — ONE daily-count definition)."""
     return events.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
+        key, F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
 
 
@@ -2223,10 +2225,9 @@ def user_burstiness(events: DataFrame) -> DataFrame:
     Plan (100 TB): two user-keyed partial-agg shuffles (the second
     reuses the first's partitioning), no windows, no joins — the
     user_event_entropy shape."""
-    daily = events.groupBy(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    return burstiness_from_daily(daily, key="user_id")
+    return burstiness_from_daily(
+        daily_counts(events, key="user_id"), key="user_id"
+    )
 
 
 USER_BURSTINESS_SQL = """

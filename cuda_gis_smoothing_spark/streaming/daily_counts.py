@@ -25,6 +25,12 @@ Serving routes through the shared ``autocorr_from_daily`` kernel so the
 batch gate and this path cannot drift; the driver gates the path via
 ``event_autocorrelation_maintained`` (single-batch instance vs the
 batch twin's SQL — the source_kl_maintained precedent).
+
+``key`` generalizes the grouping (the burstiness_from_daily precedent):
+a ``key="user_id"`` instance serves ``user_burstiness`` from state
+(gated as ``user_burstiness_maintained``). Only ``burstiness()`` is
+key-generic — the other serves read event_type-keyed kernels and
+assume the default key.
 """
 
 from __future__ import annotations
@@ -47,11 +53,13 @@ class MaintainedDailyCounts:
         spark: SparkSession,
         state_root: str,
         compact_every: int = 4,
+        key: str = "event_type",
     ):
         self.spark = spark
         self.compact_every = compact_every
+        self.key = key
         self.counts_log = SnapshotLog(
-            spark, os.path.join(state_root, "counts"), key=["event_type", "day"]
+            spark, os.path.join(state_root, "counts"), key=[key, "day"]
         )
 
     # ------------------------------------------------------------------
@@ -61,18 +69,18 @@ class MaintainedDailyCounts:
         if self.counts_log.has(batch_id):
             return  # crash replay of an applied batch: no-op
         add = (
-            daily_counts(events)
-            .where(F.col("event_type").isNotNull() & F.col("day").isNotNull())
-            .select("event_type", "day", F.col("n").alias("_d"))
+            daily_counts(events, self.key)
+            .where(F.col(self.key).isNotNull() & F.col("day").isNotNull())
+            .select(self.key, "day", F.col("n").alias("_d"))
         )
         cur = self.counts_log.read(before_batch_id=batch_id)
         if cur is None:
             new_counts = add.select(
-                "event_type", "day", F.col("_d").cast("long").alias("n")
+                self.key, "day", F.col("_d").cast("long").alias("n")
             )
         else:
-            new_counts = add.join(cur, ["event_type", "day"], "left").select(
-                "event_type",
+            new_counts = add.join(cur, [self.key, "day"], "left").select(
+                self.key,
                 "day",
                 (F.coalesce(F.col("n"), F.lit(0)) + F.col("_d"))
                 .cast("long")
@@ -91,7 +99,7 @@ class MaintainedDailyCounts:
         t = self.counts_log.read()
         if t is None:
             raise ValueError("MaintainedDailyCounts: empty state")
-        return t.select("event_type", "day", "n").localCheckpoint(eager=True)
+        return t.select(self.key, "day", "n").localCheckpoint(eager=True)
 
     def autocorrelation(
         self, lags: tuple[int, ...] = AUTOCORR_LAGS
@@ -137,7 +145,7 @@ class MaintainedDailyCounts:
             burstiness_from_daily,
         )
 
-        return burstiness_from_daily(self.daily())
+        return burstiness_from_daily(self.daily(), key=self.key)
 
     # ------------------------------------------------------------------
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):

@@ -108,6 +108,9 @@ DOC_GATES = [
     # integer prefix-sum cumulatives over doc order; NULL/empty-text
     # docs pin the no-point contract (zipf ln/OLS tail precedent)
     "heaps_fit",
+    # the per-source view: partitioned-window cumulatives + the
+    # NULLIF single-point guard over the fuzz's tiny sources
+    "source_heaps",
     # integer counts + literal-folded linear combo; the NULL-text /
     # newline / non-ASCII docs pin the drop + terminator contracts
     "doc_readability",

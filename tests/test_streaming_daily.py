@@ -186,3 +186,25 @@ def test_burstiness_served_equals_batch_multi_batch(spark, state_dir):
         for r in events_burstiness(full).collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_user_keyed_burstiness_served_equals_batch(spark, state_dir):
+    """A key='user_id' instance serves user_burstiness from state:
+    multi-batch == the batch operator over the concatenation."""
+    from cuda_gis_smoothing_spark.operators.events import user_burstiness
+
+    b0 = spark.createDataFrame(
+        _rows([(1, 0, "a"), (2, 0, "a"), (3, 5, "b"), (4, None, "a")]), SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        _rows([(5, 1, "a"), (6, 9, "b"), (7, 9, "b")]), SCHEMA
+    )
+    m = MaintainedDailyCounts(spark, state_dir, key="user_id")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1)
+    got = {r.user_id: r.asDict() for r in m.burstiness().collect()}
+    want = {
+        r.user_id: r.asDict()
+        for r in user_burstiness(b0.unionByName(b1)).collect()
+    }
+    assert got == want and got

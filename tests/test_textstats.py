@@ -871,3 +871,63 @@ def test_heaps_fit_matches_python_ols(spark):
     assert r.heaps_beta == pytest.approx(beta, abs=1e-5)
     assert r.heaps_lnk == pytest.approx(lnk, abs=1e-5)
     assert 0 < r.heaps_beta <= 1
+
+
+def test_source_heaps_matches_python_and_guards_single_doc(spark):
+    """Per-source fits == per-source Python OLS over each source's own
+    curve; a single-doc source gets NULL beta/lnK (exact-zero OLS
+    denominator, the NULLIF guard); NULL sources dropped."""
+    import math
+
+    import pytest
+
+    from cuda_gis_smoothing_spark.functions.text import source_heaps
+
+    rows = [
+        (1, "a", "x y z"),
+        (2, "a", "x y w w"),
+        (3, "a", "v"),
+        (4, "lone", "p q r"),
+        (5, None, "never counted"),
+        (6, "b", None),
+        (7, "b", "m n"),
+        (8, "b", "m o"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in source_heaps(df).collect()}
+    assert set(got) == {"a", "lone", "b"}
+
+    def fit(docs):
+        seen, N, V, pts = set(), 0, 0, []
+        tt = tv = 0
+        for _, text in sorted(docs):
+            toks = [t for t in (text or "").lower().split(" ") if t]
+            if not toks:
+                continue
+            new = {t for t in toks if t not in seen}
+            seen |= new
+            N += len(toks)
+            V += len(new)
+            tt += len(toks)
+            tv += len(new)
+            pts.append((math.log(N), math.log(V)))
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        den = n * sxx - sx * sx
+        beta = (n * sxy - sx * sy) / den if den != 0 else None
+        return n, tt, tv, beta
+
+    for src, docs in (
+        ("a", [(1, "x y z"), (2, "x y w w"), (3, "v")]),
+        ("b", [(7, "m n"), (8, "m o")]),
+    ):
+        n, tt, tv, beta = fit(docs)
+        r = got[src]
+        assert (r.n_points, r.total_tokens, r.total_vocab) == (n, tt, tv)
+        assert r.heaps_beta == pytest.approx(beta, abs=1e-5)
+    lone = got["lone"]
+    assert (lone.n_points, lone.total_tokens, lone.total_vocab) == (1, 3, 3)
+    assert lone.heaps_beta is None and lone.heaps_lnk is None
