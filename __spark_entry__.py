@@ -3783,6 +3783,27 @@ def _q_basin_hypsometry(spark, sf_dir):
     return basin_hypsometry(grid_from_lineitem(spark, sf_dir))
 
 
+
+def _q_value_benford(spark, sf_dir):
+    """Benford first-digit audit over extended-price cents: per-digit
+    observed vs expected shares + chi2 terms (kept per-digit so every
+    float is one correctly-rounded expression over exact integers)."""
+    from cuda_gis_smoothing_spark.operators.analytics import value_benford
+
+    return value_benford(load(spark, sf_dir, "lineitem"))
+
+
+def _q_revenue_concentration(spark, sf_dir):
+    """Customer revenue-concentration card: gini + top-k whale shares
+    of per-customer fixed-point order totals via the descending-rank
+    kernel (no global window, no separate row count)."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        revenue_concentration,
+    )
+
+    return revenue_concentration(load(spark, sf_dir, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver gates only the FIRST 50 entries, so
     # never-driver-checked gates (all r4 additions + the r3 overflow) and any
@@ -4093,6 +4114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit_maintained": _q_heaps_fit_maintained,
         "user_burstiness_maintained": _q_user_burstiness_maintained,
         "source_heaps": _q_source_heaps,
+        "value_benford": _q_value_benford,
+        "revenue_concentration": _q_revenue_concentration,
     }
     return qs
 
@@ -7078,6 +7101,13 @@ SELECT f.cell, f.coarse_cell, f.value, c.coarse_mean,
        ROUND((f.value - c.coarse_mean) + 1e-09, 6) AS residual
 FROM upf f JOIN upc c ON c.coarse_cell = f.coarse_cell
 """.strip()
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        revenue_concentration_sql,
+        value_benford_sql,
+    )
+
+    out["value_benford"] = value_benford_sql()
+    out["revenue_concentration"] = revenue_concentration_sql()
     return out
 
 

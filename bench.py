@@ -302,6 +302,8 @@ BENCH_QUERIES = [
     "heaps_fit_maintained",
     "user_burstiness_maintained",
     "source_heaps",
+    "value_benford",
+    "revenue_concentration",
 ]
 
 

@@ -1840,3 +1840,194 @@ JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand <> '{excl_brand}' AND p.p_type <> '{excl_type}'
 GROUP BY 1, 2, 3
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit + revenue concentration (data-quality cards)
+# ---------------------------------------------------------------------------
+
+#: Benford expected first-digit shares log10(1 + 1/d), folded to Python
+#: double literals ONCE so both engines consume the identical constant
+#: (the cell_pagerank flit precedent).
+import math as _math
+
+BENFORD_PS: tuple[float, ...] = tuple(
+    _math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+)
+
+
+def value_benford(lineitem: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit over extended-price cents — the
+    fabricated-data / unit-mixup screen a warehouse QA card runs on
+    every monetary column. Output one row per digit 1..9:
+    ``(digit, n, share, expected_share, chi2_term)``; Σ chi2_term is
+    the Pearson χ² against the Benford distribution (kept per-digit so
+    every float on the gate is a single correctly-rounded expression
+    over exact integers — no cross-engine sum-association exposure,
+    unlike a one-row χ² total).
+
+    Cross-engine contract: cents are the exact fixed-point money
+    integers (module-header contract); the leading digit comes from
+    CAST(bigint AS string) — integer-to-decimal-string is exact and
+    identical in both engines (no float formatting). Expected shares
+    are module-constant Python doubles flit()-ed into the twin.
+    Zero-count digits are materialized by LEFT-joining the 9-row
+    literal digit table. N rides an unpartitioned window over the
+    9-row join (the source_mixture_weights one-scan lesson — a second
+    aggregate consumer would re-scan the corpus).
+
+    Plan (100 TB): one lineitem scan, map-side combine onto ≤9 digit
+    groups, then constant-size (9-row) joins/windows — no second
+    exchange of corpus data."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    counts = (
+        lineitem.select(cents.alias("_c"))
+        .where(F.col("_c") > 0)
+        .groupBy(
+            F.substring(F.col("_c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    digits = (
+        lineitem.sparkSession.range(1, 10)
+        .select(F.col("id").cast("int").alias("digit"))
+        .withColumn(
+            "_p",
+            F.element_at(
+                F.array(*[F.lit(p) for p in BENFORD_PS]), F.col("digit")
+            ),
+        )
+    )
+    j = digits.join(counts, "digit", "left").select(
+        "digit", "_p", F.coalesce(F.col("_n"), F.lit(0)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy())
+    e = F.col("_tot").cast("double") * F.col("_p")
+    return (
+        j.withColumn("_tot", tot)
+        .select(
+            "digit",
+            "n",
+            round6(F.col("n").cast("double") / F.col("_tot").cast("double")).alias(
+                "share"
+            ),
+            round6(F.col("_p")).alias("expected_share"),
+            round6(
+                (F.col("n").cast("double") - e)
+                * (F.col("n").cast("double") - e)
+                / e
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def value_benford_sql() -> str:
+    """DuckDB twin of :func:`value_benford` — VALUES list carries the
+    identical folded Benford literals."""
+    from cuda_gis_smoothing_spark.functions.numeric import flit, round6_sql
+
+    vals = ", ".join(
+        f"({d}, {flit(p)})" for d, p in zip(range(1, 10), BENFORD_PS)
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n
+  FROM (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem) WHERE cents > 0 GROUP BY 1
+),
+d AS (SELECT * FROM (VALUES {vals}) AS t(digit, p)),
+j AS (SELECT d.digit, d.p, COALESCE(c.n, 0) AS n
+      FROM d LEFT JOIN c USING (digit)),
+t AS (SELECT digit, p, n, SUM(n) OVER () AS tot FROM j)
+SELECT CAST(digit AS INT) AS digit,
+       CAST(n AS BIGINT) AS n,
+       {round6_sql("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)")} AS share,
+       {round6_sql("p")} AS expected_share,
+       {round6_sql("(CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * p)"
+                   " * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * p)"
+                   " / (CAST(tot AS DOUBLE) * p)")} AS chi2_term
+FROM t
+""".strip()
+
+
+def revenue_concentration(orders: DataFrame) -> DataFrame:
+    """Customer revenue-concentration card: gini + top-k shares of
+    per-customer order totals — "do 10 whales own the book?", the
+    skew question asked of revenue instead of join keys
+    (:func:`key_skew_report`'s business-side sibling). Output one row:
+    ``(n_customers, total_cents, gini, top1_share, top10_share,
+    top100_share)``.
+
+    Cross-engine contract: per-customer totals are exact fixed-point
+    cents; ranks are DESCENDING (order by (-total, custkey) through
+    the partition-parallel rank kernel) so the top-k cuts need no
+    separate row count, and the gini rank-sum over descending ranks j
+    is ``((n+1)·S − 2·Σ j·x) / (n·S)`` — integer numerator and
+    denominator, ONE double division (tie blocks hold equal x so the
+    sums are tie-permutation-invariant; a top-k boundary inside a tie
+    block selects equal values either way — share identical).
+    Int64 bound: needs ``n_customers · total_cents < 2^62``; beyond
+    that move the multiply to double as lang_source_chi2 does.
+
+    Plan (100 TB): one orders scan → custkey hash aggregate → bucketed
+    rank kernel (no global window) → 1-row aggregate."""
+    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = (
+        orders.select(F.col("o_custkey").alias("_k"), cents.alias("_c"))
+        .groupBy("_k")
+        .agg(F.sum("_c").cast("long").alias("tot"))
+        .withColumn("_negtot", -F.col("tot"))
+    )
+    ranked = global_ranks(
+        per_cust, ["_negtot", "_k"], out_col="_j", boundaries="quantile"
+    )
+    n, s = F.count(F.lit(1)), F.sum("tot")
+    gini = ((n + 1) * s - F.lit(2) * F.sum(F.col("_j") * F.col("tot"))).cast(
+        "double"
+    ) / (n * s).cast("double")
+    share = lambda k: round6(  # noqa: E731
+        F.sum(F.when(F.col("_j") <= k, F.col("tot")).otherwise(F.lit(0))).cast(
+            "double"
+        )
+        / s.cast("double")
+    )
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        s.cast("long").alias("total_cents"),
+        round6(gini).alias("gini"),
+        share(1).alias("top1_share"),
+        share(10).alias("top10_share"),
+        share(100).alias("top100_share"),
+    )
+
+
+def revenue_concentration_sql() -> str:
+    """DuckDB twin (HUGEINT-safe: integer sums cast to DOUBLE only at
+    each division)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6_sql
+
+    share = lambda k: round6_sql(  # noqa: E731
+        f"CAST(SUM(CASE WHEN j <= {k} THEN tot ELSE 0 END) AS DOUBLE)"
+        " / CAST(SUM(tot) AS DOUBLE)"
+    )
+    return f"""
+WITH pc AS (
+  SELECT o_custkey AS k,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS tot
+  FROM orders GROUP BY 1
+),
+r AS (SELECT tot, ROW_NUMBER() OVER (ORDER BY tot DESC, k) AS j FROM pc)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(tot) AS BIGINT) AS total_cents,
+       {round6_sql("CAST((COUNT(*) + 1) * SUM(tot) - 2 * SUM(j * tot) AS DOUBLE)"
+                   " / CAST(COUNT(*) * SUM(tot) AS DOUBLE)")} AS gini,
+       {share(1)} AS top1_share,
+       {share(10)} AS top10_share,
+       {share(100)} AS top100_share
+FROM r
+""".strip()

@@ -71,6 +71,12 @@ GATES = [
     # integer day lags through the exact percentile kernel — tied
     # ship/order dates collapse into equal lags identically
     "shipping_lag_percentiles",
+    # Benford digits: the identical-lineitem tie orders concentrate
+    # first digits; zero-count digits pin the 9-row LEFT-join contract
+    "value_benford",
+    # concentration: the hot customer (12 orders) pins the top-1 whale
+    # share; equal-total customers pin the tie-block rank invariance
+    "revenue_concentration",
 ]
 
 
