@@ -3804,6 +3804,18 @@ def _q_revenue_concentration(spark, sf_dir):
     return revenue_concentration(load(spark, sf_dir, "orders"))
 
 
+
+def _q_join_size_report(spark, sf_dir):
+    """Self-join output-size estimator card: exact pair mass vs the
+    portable-hash 1/R key-sample estimate per candidate key — the
+    measurement before committing to a pair-join shuffle."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        join_size_report,
+    )
+
+    return join_size_report(load(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver gates only the FIRST 50 entries, so
     # never-driver-checked gates (all r4 additions + the r3 overflow) and any
@@ -4116,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_heaps": _q_source_heaps,
         "value_benford": _q_value_benford,
         "revenue_concentration": _q_revenue_concentration,
+        "join_size_report": _q_join_size_report,
     }
     return qs
 
@@ -7108,6 +7121,11 @@ FROM upf f JOIN upc c ON c.coarse_cell = f.coarse_cell
 
     out["value_benford"] = value_benford_sql()
     out["revenue_concentration"] = revenue_concentration_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        join_size_report_sql,
+    )
+
+    out["join_size_report"] = join_size_report_sql()
     return out
 
 

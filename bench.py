@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "source_heaps",
     "value_benford",
     "revenue_concentration",
+    "join_size_report",
 ]
 
 

@@ -2031,3 +2031,110 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
        {share(100)} AS top100_share
 FROM r
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation card (the sketch step before a pair join)
+# ---------------------------------------------------------------------------
+
+#: Fresh affine pair for join-size key sampling, disjoint from the
+#: MinHash (MH_A/MH_B), sampling (S_A/S_B) and KMV pairs so sampled
+#: keys never correlate with signature buckets or sample membership.
+JS_A = 1_732_584_193
+JS_B = 271_828_183
+#: Inverse sampling rate: keys whose portable hash ≡ 0 (mod JS_RATE)
+#: are measured exactly; the estimate scales their mass by JS_RATE.
+JS_RATE = 16
+
+
+def join_size_report(lineitem: DataFrame, rate: int = JS_RATE) -> DataFrame:
+    """Self-equi-join output-size estimator card — the measurement a
+    planner (or an engineer sizing a pair join / basket explosion)
+    runs BEFORE committing to the shuffle: for each candidate key,
+    the EXACT self-join size Σ cnt² next to a 1/R key-sample estimate
+    R·Σ_{h(k) ≡ 0 mod R} cnt², plus the relative error — the
+    accuracy-card family (kmv/cms_error_report) applied to join
+    planning. Output one row per key column:
+    ``(key_col, n_keys, exact_size, sampled_keys, est_size, rel_err)``.
+
+    Cross-engine contract: the sample is the PORTABLE affine hash
+    (deterministic, twin-exact — the KMV precedent; engine-private
+    sampling would be ungateable); every number but rel_err is an
+    exact integer, and rel_err is one correctly-rounded division.
+    Int64 bound: ``JS_RATE · Σ cnt²  < 2^62`` — holds to ~10^8-row hot
+    keys; beyond that the estimate belongs on a log scale anyway.
+
+    Plan (100 TB): BOTH key columns ride ONE scan via an
+    explode-of-two-structs pass (the span_coverage two-sided-union
+    lesson) into a single (key_col, key) hash aggregate — map-side
+    combinable; everything after is one aggregate per key column."""
+    from cuda_gis_smoothing_spark.operators.dedup import MH_PRIME
+
+    pairs = lineitem.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_partkey").alias("key_col"),
+                    F.col("l_partkey").alias("_k"),
+                ),
+                F.struct(
+                    F.lit("l_suppkey").alias("key_col"),
+                    F.col("l_suppkey").alias("_k"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.key_col", "_e._k")
+    counts = pairs.groupBy("key_col", "_k").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    h = (F.pmod(F.col("_k"), F.lit(MH_PRIME)) * JS_A + JS_B) % MH_PRIME
+    sq = F.col("cnt") * F.col("cnt")
+    sampled = F.when(h % rate == 0, sq).otherwise(F.lit(0))
+    est = F.lit(rate) * F.sum(sampled)
+    return (
+        counts.groupBy("key_col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(sq).cast("long").alias("exact_size"),
+            F.sum(F.when(h % rate == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("sampled_keys"),
+            est.cast("long").alias("est_size"),
+            round6(
+                F.abs(est - F.sum(sq)).cast("double")
+                / F.sum(sq).cast("double")
+            ).alias("rel_err"),
+        )
+    )
+
+
+def join_size_report_sql() -> str:
+    """DuckDB twin (HUGEINT-safe: integer sums cast to DOUBLE only at
+    the rel_err division; the portable hash matches bit-for-bit)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6_sql
+    from cuda_gis_smoothing_spark.operators.dedup import MH_PRIME
+
+    hash_expr = (
+        f"(((k % {MH_PRIME} + {MH_PRIME}) % {MH_PRIME}) * {JS_A} + {JS_B})"
+        f" % {MH_PRIME}"
+    )
+    return f"""
+WITH pairs AS (
+  SELECT 'l_partkey' AS key_col, l_partkey AS k FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey' AS key_col, l_suppkey AS k FROM lineitem
+),
+c AS (SELECT key_col, k, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2)
+SELECT key_col,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS exact_size,
+       CAST(SUM(CASE WHEN ({hash_expr}) % {JS_RATE} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS sampled_keys,
+       CAST({JS_RATE} * SUM(CASE WHEN ({hash_expr}) % {JS_RATE} = 0
+                            THEN cnt * cnt ELSE 0 END) AS BIGINT) AS est_size,
+       {round6_sql(
+           f"CAST(ABS({JS_RATE} * SUM(CASE WHEN ({hash_expr}) % {JS_RATE} = 0 "
+           "THEN cnt * cnt ELSE 0 END) - SUM(cnt * cnt)) AS DOUBLE)"
+           " / CAST(SUM(cnt * cnt) AS DOUBLE)")} AS rel_err
+FROM c GROUP BY 1
+""".strip()

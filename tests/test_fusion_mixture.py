@@ -299,3 +299,43 @@ def test_layout_overlap_sorted_vs_hash(spark):
     assert h.avg_overlap > B * 0.9
     assert h.avg_span_share > 0.9
     assert out["morton_range"].avg_span_share > cr.avg_span_share
+
+
+def test_join_size_rate1_is_exact_and_vs_python(spark):
+    """join_size_report at rate=1 samples every key (est == exact,
+    rel_err 0); at the default rate the exact side matches a pure-
+    Python sum of squared counts and the estimate is R x the sampled
+    subset's mass (engineered hot key keeps both branches non-zero)."""
+    from collections import Counter
+
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        JS_A,
+        JS_B,
+        JS_RATE,
+        join_size_report,
+    )
+    from cuda_gis_smoothing_spark.operators.dedup import MH_PRIME
+
+    rows = [(i % 7, i % 3) for i in range(60)] + [(99, 99)] * 20
+    df = spark.createDataFrame(rows, "l_partkey long, l_suppkey long")
+
+    exact = {
+        "l_partkey": Counter(p for p, _ in rows),
+        "l_suppkey": Counter(s for _, s in rows),
+    }
+    out = {r.key_col: r for r in join_size_report(df).collect()}
+    for col, counts in exact.items():
+        r = out[col]
+        assert r.exact_size == sum(c * c for c in counts.values())
+        assert r.n_keys == len(counts)
+        samp = sum(
+            c * c
+            for k, c in counts.items()
+            if ((k % MH_PRIME) * JS_A + JS_B) % MH_PRIME % JS_RATE == 0
+        )
+        assert r.est_size == JS_RATE * samp
+
+    for r in join_size_report(df, rate=1).collect():
+        assert r.est_size == r.exact_size
+        assert r.sampled_keys == r.n_keys
+        assert r.rel_err == 0.0

@@ -77,6 +77,9 @@ GATES = [
     # concentration: the hot customer (12 orders) pins the top-1 whale
     # share; equal-total customers pin the tie-block rank invariance
     "revenue_concentration",
+    # join-size card: identical-lineitem tie orders give repeated part
+    # keys — pins the portable sample hash + integer pair mass
+    "join_size_report",
 ]
 
 
