@@ -3816,6 +3816,16 @@ def _q_join_size_report(spark, sf_dir):
     return join_size_report(load(spark, sf_dir, "lineitem"))
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """CMS-prefiltered exact heavy hitters: the sketch probes the raw
+    token stream map-side so only candidates reach the exact df
+    aggregate; one-sidedness makes the prefilter lossless and the
+    exact verify removes every collision — output == plain HAVING."""
+    from cuda_gis_smoothing_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(load(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver gates only the FIRST 50 entries, so
     # never-driver-checked gates (all r4 additions + the r3 overflow) and any
@@ -4129,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_benford": _q_value_benford,
         "revenue_concentration": _q_revenue_concentration,
         "join_size_report": _q_join_size_report,
+        "heavy_hitters": _q_heavy_hitters,
     }
     return qs
 
@@ -7126,6 +7137,9 @@ FROM upf f JOIN upc c ON c.coarse_cell = f.coarse_cell
     )
 
     out["join_size_report"] = join_size_report_sql()
+    from cuda_gis_smoothing_spark.operators.sketches import heavy_hitters_sql
+
+    out["heavy_hitters"] = heavy_hitters_sql(tok_cte)
     return out
 
 

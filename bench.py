@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "value_benford",
     "revenue_concentration",
     "join_size_report",
+    "heavy_hitters",
 ]
 
 

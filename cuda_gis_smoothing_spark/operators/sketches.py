@@ -441,3 +441,138 @@ def cms_hash_sql(token_expr: str, j: int) -> str:
         f"(({token_hash_sql_duckdb(token_expr)} * {a} + {b})"
         f" % {MH_PRIME}) % {CMS_WIDTH}"
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS-prefiltered exact heavy hitters (the sketch-probe scale path)
+# ---------------------------------------------------------------------------
+
+#: heavy = token appears in >= n_docs / HH_REL documents (>= 1%),
+#: floored at 2 so a tiny corpus never declares every token heavy
+HH_REL = 100
+
+
+def heavy_hitters(docs: DataFrame, rel: int = HH_REL) -> DataFrame:
+    """Exact document-frequency heavy hitters with a Count-Min
+    PREFILTER — the 100 TB shape for "which tokens are hot": pass 1
+    folds the raw token stream into the d×W counter sketch (map-side
+    combinable, sketch-sized shuffle — ``cms_counters``); the sketch
+    is packed into ONE dense ``array<long>`` row (the
+    decontaminated_bloom assembly: range ⟕ counters, sort_array of
+    (idx, cnt) structs — distributed, no collect) and broadcast; pass
+    2 probes every raw token MAP-SIDE (``least`` over the d
+    ``element_at`` lookups) so only candidate tokens reach the exact
+    document-frequency aggregate — the shuffle ships candidates, not
+    the vocabulary. CMS estimates are ONE-SIDED (est ≥ true df), so a
+    genuinely heavy token always survives the prefilter — the exact
+    ``df ≥ threshold`` verify then removes every collision-inflated
+    false positive: output == the plain ``HAVING df ≥ threshold``
+    bit-for-bit (the lossless-prefilter contract, pytest-pinned).
+
+    Output ``(token, df, cms_estimate, threshold)`` — all BIGINT, the
+    estimate column gates the sketch path itself (not just the final
+    set). Threshold is data-derived: ``greatest(2, n_docs div rel)``
+    (integer floor-div — exact cross-engine on non-negative ints).
+
+    Reference parity: the reference has no sketch layer; this extends
+    its per-cell aggregation vocabulary (hex_smooth_cuda_v5 reduce
+    loops) with the frequency-sketch member of the accuracy-card
+    family (kmv/cms_error_report)."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        _doc_tokens,
+        token_hash_col,
+    )
+
+    spark = docs.sparkSession
+    d = len(CMS_ROWS)
+    toks = _doc_tokens(docs, "text", "doc_id", None)
+    ctr = cms_counters(toks)  # pass 1: unweighted, straight off the stream
+    mask = (
+        spark.range(d * CMS_WIDTH)
+        .select(F.col("id").alias("_i"))
+        .join(
+            ctr.select(
+                (F.col("j").cast("long") * CMS_WIDTH + F.col("counter")).alias(
+                    "_i"
+                ),
+                "cnt",
+            ),
+            "_i",
+            "left",
+        )
+        .select("_i", F.coalesce("cnt", F.lit(0)).cast("long").alias("_c"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_i", "_c"))),
+                lambda s: s["_c"],
+            ).alias("_cms")
+        )
+    )
+    thr = docs.agg(
+        F.expr(f"GREATEST(CAST(2 AS BIGINT), COUNT(*) DIV {rel})").alias(
+            "_thr"
+        )
+    )
+    one_row = mask.crossJoin(thr)
+    # hash projected ONCE to a named column (the CollapseProject
+    # re-reference lesson) — the d probes below each reference it
+    probed = toks.select(
+        "doc_id", "t", token_hash_col("t").alias("_h")
+    ).crossJoin(F.broadcast(one_row))
+    est = F.least(
+        *[
+            F.expr(
+                f"element_at(_cms, CAST({j * CMS_WIDTH} + "
+                f"(pmod(_h * {a} + {b}, {MH_PRIME}) % {CMS_WIDTH})"
+                f" AS INT) + 1)"
+            )
+            for j, (a, b) in enumerate(CMS_ROWS)
+        ]
+    )
+    cand = probed.select(
+        "doc_id", "t", "_thr", est.alias("_est")
+    ).where(F.col("_est") >= F.col("_thr"))
+    return (
+        cand.groupBy(F.col("t").alias("token"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.max("_est").cast("long").alias("cms_estimate"),
+            F.max("_thr").cast("long").alias("threshold"),
+        )
+        .where(F.col("df") >= F.col("threshold"))
+    )
+
+
+def heavy_hitters_sql(tok_cte: str, rel: int = HH_REL) -> str:
+    """DuckDB twin: the sketch built WEIGHTED from the vocab count
+    table (identical counters to the raw-stream build — the
+    vocab_cms_estimates lesson), probed per distinct token via the
+    (j, counter) join; same one-sided prefilter + exact verify."""
+    ctr_branches = "\n    UNION ALL ".join(
+        f"SELECT {j} AS j, {cms_hash_sql('t', j)} AS counter, df FROM counts"
+        for j in range(len(CMS_ROWS))
+    )
+    probe_branches = "\n    UNION ALL ".join(
+        f"SELECT t, df, {j} AS j, {cms_hash_sql('t', j)} AS counter"
+        " FROM counts"
+        for j in range(len(CMS_ROWS))
+    )
+    return f"""
+WITH {tok_cte},
+counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY t),
+ctr AS (
+  SELECT j, counter, CAST(SUM(df) AS BIGINT) AS cnt FROM (
+    {ctr_branches}
+  ) GROUP BY j, counter
+),
+thr AS (SELECT GREATEST(CAST(2 AS BIGINT), COUNT(*) // {rel}) AS threshold
+        FROM documents),
+est AS (
+  SELECT p.t, MAX(p.df) AS df, MIN(c.cnt) AS cms_estimate
+  FROM ({probe_branches}) p JOIN ctr c USING (j, counter)
+  GROUP BY p.t
+)
+SELECT e.t AS token, e.df, e.cms_estimate, t.threshold
+FROM est e, thr t
+WHERE e.cms_estimate >= t.threshold AND e.df >= t.threshold
+""".strip()

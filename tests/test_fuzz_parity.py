@@ -150,6 +150,10 @@ DOC_GATES = [
     "dedup_lines",
     "dedup_lines_maintained",
     "boilerplate_lines",
+    # CMS-prefiltered exact heavy hitters: NULL-text docs count toward
+    # the n_docs threshold but contribute no tokens — pins the
+    # lossless-prefilter contract over the adversarial corpus
+    "heavy_hitters",
 ]
 
 

@@ -130,3 +130,77 @@ def test_cms_matches_python_and_is_one_sided(spark):
         )
         assert r.cms_estimate == want
         assert r.cms_estimate >= r.df  # one-sided error, always
+
+
+def test_heavy_hitters_is_lossless_and_plan_clean(spark):
+    """heavy_hitters == the plain exact HAVING df >= threshold set
+    (the lossless-prefilter contract: CMS one-sidedness means no
+    false negatives, the exact verify removes every false positive);
+    per-token estimates match the Python sketch; the plan carries no
+    uncovered quadratic join (both BNLs are 1-row stats attaches)."""
+    from collections import Counter
+
+    from cuda_gis_smoothing_spark.operators.dedup import MH_PRIME
+    from cuda_gis_smoothing_spark.operators.sketches import (
+        CMS_ROWS,
+        CMS_WIDTH,
+        heavy_hitters,
+    )
+    from cuda_gis_smoothing_spark.plans.audit import assert_no_quadratic_join
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    out = heavy_hitters(docs)
+    assert_no_quadratic_join(out, "heavy_hitters", allow_stats_broadcasts=True)
+    rows = {r.token: r for r in out.collect()}
+
+    raw = docs.select("doc_id", "text").collect()
+    df_counts = Counter()
+    for r in raw:
+        if r.text is None:
+            continue
+        for t in set(r.text.lower().split(" ")):
+            if t:
+                df_counts[t] += 1
+    thr = max(2, len(raw) // 100)
+    exact = {t for t, c in df_counts.items() if c >= thr}
+    assert set(rows) == exact and exact  # lossless, and non-degenerate
+
+    def token_hash(t):
+        acc = 7
+        for ch in t:
+            acc = (acc * 131 + ord(ch)) % MH_PRIME
+        return acc
+
+    ctr = Counter()
+    for t, c in df_counts.items():
+        h = token_hash(t)
+        for j, (a, b) in enumerate(CMS_ROWS):
+            ctr[(j, (h * a + b) % MH_PRIME % CMS_WIDTH)] += c
+    for t, r in rows.items():
+        assert r.df == df_counts[t]
+        assert r.threshold == thr
+        h = token_hash(t)
+        want = min(
+            ctr[(j, (h * a + b) % MH_PRIME % CMS_WIDTH)]
+            for j, (a, b) in enumerate(CMS_ROWS)
+        )
+        assert r.cms_estimate == want and r.cms_estimate >= r.df
+
+
+def test_heavy_hitters_threshold_edge(spark):
+    """Engineered corpus: a token at exactly the threshold df is kept,
+    one at threshold-1 is dropped (the >= contract on BOTH filters)."""
+    from cuda_gis_smoothing_spark.operators.sketches import heavy_hitters
+
+    # 300 docs -> threshold = 3; 'at' in 3 docs, 'under' in 2
+    rows = [
+        (i, "filler%d common" % i + (" at" if i < 3 else "") + (" under" if i in (5, 6) else ""))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.token: r for r in heavy_hitters(docs).collect()}
+    assert "at" in got and got["at"].df == 3 and got["at"].threshold == 3
+    assert "under" not in got
+    assert "common" in got and got["common"].df == 300
