@@ -3002,6 +3002,16 @@ def _q_flow_accumulation(spark, sf_dir):
     return flow_accumulation(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_flow_load(spark, sf_dir):
+    """Value-weighted flow accumulation (the sediment-load raster):
+    integer micro-unit weights summed over the shared descendant
+    closure — exact BIGINT sums, zero float-association exposure,
+    one final division under round6."""
+    from cuda_gis_smoothing_spark.operators.hydrology import flow_load
+
+    return flow_load(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_flow_path_length(spark, sf_dir):
     """Per-cell flow-path length (D6 hops to the basin sink) + the
     terminal sink cell — steps = descendant count of the shared
@@ -3805,6 +3815,17 @@ def _q_revenue_concentration(spark, sf_dir):
 
 
 
+def _q_value_winsorized(spark, sf_dir):
+    """Winsorized + trimmed mean card over order totals: exact-cents
+    middle sum (integer), percentile fences from the shared kernel,
+    fixed-shape float tail — robust revenue average."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        value_winsorized,
+    )
+
+    return value_winsorized(load(spark, sf_dir, "orders"))
+
+
 def _q_join_size_report(spark, sf_dir):
     """Self-join output-size estimator card: exact pair mass vs the
     portable-hash 1/R key-sample estimate per candidate key — the
@@ -4140,6 +4161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": _q_revenue_concentration,
         "join_size_report": _q_join_size_report,
         "heavy_hitters": _q_heavy_hitters,
+        "flow_load": _q_flow_load,
+        "value_winsorized": _q_value_winsorized,
     }
     return qs
 
@@ -5503,6 +5526,26 @@ WITH RECURSIVE {_FLOW},
 facc AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst)
 SELECT c.cell, CAST(1 + COALESCE(a.n, 0) AS BIGINT) AS upslope_cells
 FROM cells4 c LEFT JOIN facc a ON a.dst = c.cell
+""".strip()
+    from cuda_gis_smoothing_spark.functions.numeric import (
+        floor_stable_sql,
+        round6_sql,
+    )
+
+    out["flow_load"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+fw AS (SELECT cell, CAST({floor_stable_sql("ndvi * 1e6")} AS BIGINT) AS w
+       FROM cells4),
+fup AS (
+  SELECT r.dst, CAST(SUM(w.w) AS BIGINT) AS s
+  FROM freach r JOIN fw w ON w.cell = r.src GROUP BY r.dst
+)
+SELECT w.cell,
+       CAST(w.w + COALESCE(u.s, 0) AS BIGINT) AS upslope_micro_load,
+       {round6_sql("CAST(w.w + COALESCE(u.s, 0) AS DOUBLE) / 1e6")}
+         AS upslope_load
+FROM fw w LEFT JOIN fup u ON u.dst = w.cell
 """.strip()
     # the ONE (cell, path_steps, sink_cell) derivation — shared by the
     # flow_path_length and flow_sinuosity twins (drift prevention)
@@ -7140,6 +7183,11 @@ FROM upf f JOIN upc c ON c.coarse_cell = f.coarse_cell
     from cuda_gis_smoothing_spark.operators.sketches import heavy_hitters_sql
 
     out["heavy_hitters"] = heavy_hitters_sql(tok_cte)
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        value_winsorized_sql,
+    )
+
+    out["value_winsorized"] = value_winsorized_sql()
     return out
 
 

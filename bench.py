@@ -306,6 +306,8 @@ BENCH_QUERIES = [
     "revenue_concentration",
     "join_size_report",
     "heavy_hitters",
+    "flow_load",
+    "value_winsorized",
 ]
 
 

@@ -2138,3 +2138,110 @@ SELECT key_col,
            " / CAST(SUM(cnt * cnt) AS DOUBLE)")} AS rel_err
 FROM c GROUP BY 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed mean card (robust revenue average)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def value_winsorized(orders: DataFrame) -> DataFrame:
+    """Winsorized + trimmed mean card over order totals — the robust
+    average a revenue dashboard quotes when whales/typos distort the
+    plain mean. One row: ``(n_orders, p05, p95, n_low, n_high,
+    trimmed_mean_cents, winsorized_mean_cents)``.
+
+    Cross-engine layering (the value_outliers precedent + the
+    integerize-the-sum pattern): totals become exact fixed-point
+    CENTS; the p05/p95 fences come from the ONE exact-percentile
+    aggregate (bit-identical doubles cross-engine), and every row
+    comparison is integer-vs-that-same-double — no tie exposure. The
+    winsorized sum is then decomposed so NO float accumulates over
+    rows: Σ_mid cents is an exact BIGINT sum, the clamped tails enter
+    as count·fence (two products), and the final value is a FIXED
+    left-associated three-term expression + one division — written
+    identically in both engines. Trimmed mean is one exact integer
+    ratio under round6.
+
+    Plan (100 TB): orders scan → 1-row percentile aggregate
+    (broadcast) → map-side compare → final 1-row aggregate. The exact
+    ungrouped percentile sorts once; the approx_percentile swap is
+    the documented non-gateable alternative."""
+    from cuda_gis_smoothing_spark.operators.events import (
+        percentile_array_expr,
+    )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = orders.where(F.col("o_totalprice").isNotNull()).select(
+        cents.alias("_v")
+    )
+    st = c.agg(percentile_array_expr("_v", (WINSOR_LO, WINSOR_HI)).alias("_p")).select(
+        F.element_at("_p", 1).alias("_lo"), F.element_at("_p", 2).alias("_hi")
+    )
+    j = c.crossJoin(F.broadcast(st))
+    mid = F.col("_v").cast("double").between(F.col("_lo"), F.col("_hi"))
+    mid_sum = F.sum(F.when(mid, F.col("_v")).otherwise(F.lit(0)))
+    n_mid = F.sum(F.when(mid, 1).otherwise(0))
+    n_low = F.sum(F.when(F.col("_v") < F.col("_lo"), 1).otherwise(0))
+    n_high = F.sum(F.when(F.col("_v") > F.col("_hi"), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    wins = (
+        mid_sum.cast("double")
+        + n_low.cast("double") * F.max("_lo")
+        + n_high.cast("double") * F.max("_hi")
+    ) / n.cast("double")
+    return j.agg(
+        n.cast("long").alias("n_orders"),
+        round6(F.max("_lo")).alias("p05"),
+        round6(F.max("_hi")).alias("p95"),
+        n_low.cast("long").alias("n_low"),
+        n_high.cast("long").alias("n_high"),
+        round6(mid_sum.cast("double") / n_mid.cast("double")).alias(
+            "trimmed_mean_cents"
+        ),
+        round6(wins).alias("winsorized_mean_cents"),
+    )
+
+
+def value_winsorized_sql() -> str:
+    """DuckDB twin — same fence aggregate, same fixed-shape float
+    tail (left-associated three-term sum, matching Spark's default
+    association), HUGEINT sums cast only at each division."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6_sql
+    from cuda_gis_smoothing_spark.operators.events import (
+        quantile_cont_scalar_sql,
+    )
+
+    mid = "CAST(v AS DOUBLE) >= lo AND CAST(v AS DOUBLE) <= hi"
+    mid_sum = f"CAST(SUM(CASE WHEN {mid} THEN v ELSE 0 END) AS DOUBLE)"
+    n_low = "SUM(CASE WHEN v < lo THEN 1 ELSE 0 END)"
+    n_high = "SUM(CASE WHEN v > hi THEN 1 ELSE 0 END)"
+    wins = (
+        f"({mid_sum} + CAST({n_low} AS DOUBLE) * MAX(lo)"
+        f" + CAST({n_high} AS DOUBLE) * MAX(hi))"
+        " / CAST(COUNT(*) AS DOUBLE)"
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+  WHERE o_totalprice IS NOT NULL
+),
+st AS (
+  SELECT {quantile_cont_scalar_sql("v", WINSOR_LO)} AS lo,
+         {quantile_cont_scalar_sql("v", WINSOR_HI)} AS hi
+  FROM c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {round6_sql("MAX(lo)")} AS p05,
+       {round6_sql("MAX(hi)")} AS p95,
+       CAST({n_low} AS BIGINT) AS n_low,
+       CAST({n_high} AS BIGINT) AS n_high,
+       {round6_sql(
+           f"{mid_sum} / CAST(SUM(CASE WHEN {mid} THEN 1 ELSE 0 END)"
+           " AS DOUBLE)")} AS trimmed_mean_cents,
+       {round6_sql(wins)} AS winsorized_mean_cents
+FROM c, st
+""".strip()

@@ -229,6 +229,53 @@ def flow_accumulation(
     )
 
 
+def flow_load(
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    max_rounds: int = 16,
+    fd: DataFrame | None = None,
+) -> DataFrame:
+    """VALUE-WEIGHTED flow accumulation — the sediment/contaminant
+    load raster (what hydrologists route downstream when cells carry
+    a source strength, not just area): ``upslope_micro_load`` = the
+    cell's own weight plus the weights of every upslope cell, with
+    weight = ``floor_stable(value · 1e6)`` — INTEGER micro-units, so
+    the closure aggregate is an exact BIGINT sum (the
+    integerize-the-sum pattern: a float Σ over an unbounded upslope
+    set is the cross-engine association hazard; the micro-load sum
+    has zero float exposure). ``upslope_load`` = micro/1e6, one
+    correctly-rounded division under round6. Same shared
+    :func:`descendant_pairs` closure as :func:`flow_accumulation` —
+    constant weights reduce this to it exactly (pytest invariant).
+    Int64 bound: |w| ≤ 1e6 · max|value| and upslope counts ≤ grid
+    size, orders of magnitude under 2^62 at any real raster.
+
+    Reference parity: extends the reference's neighbor-reduce
+    vocabulary (hex_smooth_cuda_v5 gather loops) along the D6 flow
+    family; output ``(cell, upslope_micro_load, upslope_load)``."""
+    from cuda_gis_smoothing_spark.functions.numeric import (
+        floor_stable,
+        round6,
+    )
+
+    w = cells.select(
+        "cell",
+        floor_stable(F.col(value_col) * 1e6).cast("long").alias("_w"),
+    )
+    pairs = descendant_pairs(_flow_edges(cells, value_col, fd), max_rounds)
+    up = (
+        pairs.join(w.withColumnRenamed("cell", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum("_w").alias("_s"))
+    )
+    total = F.col("_w") + F.coalesce(F.col("_s"), F.lit(0))
+    return w.join(up, w["cell"] == up["dst"], "left").select(
+        "cell",
+        total.cast("long").alias("upslope_micro_load"),
+        round6(total.cast("double") / F.lit(1e6)).alias("upslope_load"),
+    )
+
+
 def flow_path_length(
     cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
 ) -> DataFrame:

@@ -339,3 +339,42 @@ def test_join_size_rate1_is_exact_and_vs_python(spark):
         assert r.est_size == r.exact_size
         assert r.sampled_keys == r.n_keys
         assert r.rel_err == 0.0
+
+
+def test_value_winsorized_vs_python(spark):
+    """Pure-Python winsorized/trimmed differential over sf0.001
+    orders: linear-interpolated fences, integer middle sum, clamped
+    tails — every column reproduced independently."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        WINSOR_HI,
+        WINSOR_LO,
+        value_winsorized,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    orders = load(spark, SF, "orders")
+    vals = sorted(
+        round(r.o_totalprice * 100)
+        for r in orders.select("o_totalprice").collect()
+        if r.o_totalprice is not None
+    )
+
+    def q(f):
+        pos = (len(vals) - 1) * f
+        i, frac = int(pos), pos - int(pos)
+        return vals[i] + frac * (vals[i + 1] - vals[i]) if frac else float(vals[i])
+
+    lo, hi = q(WINSOR_LO), q(WINSOR_HI)
+    mid = [v for v in vals if lo <= v <= hi]
+    n_low = sum(1 for v in vals if v < lo)
+    n_high = sum(1 for v in vals if v > hi)
+    [r] = value_winsorized(orders).collect()
+    assert r.n_orders == len(vals)
+    assert r.n_low == n_low and r.n_high == n_high
+    assert r.p05 == pytest.approx(lo, abs=2e-6)
+    assert r.p95 == pytest.approx(hi, abs=2e-6)
+    assert r.trimmed_mean_cents == pytest.approx(sum(mid) / len(mid), abs=2e-6)
+    want = (sum(mid) + n_low * lo + n_high * hi) / len(vals)
+    assert r.winsorized_mean_cents == pytest.approx(want, abs=2e-6)
+    # robustness: the winsorized mean sits between the fences
+    assert lo <= r.winsorized_mean_cents <= hi

@@ -80,6 +80,9 @@ GATES = [
     # join-size card: identical-lineitem tie orders give repeated part
     # keys — pins the portable sample hash + integer pair mass
     "join_size_report",
+    # winsorized card: equal-total tie blocks can straddle the p05/p95
+    # fences — pins the identical-fence-double compare contract
+    "value_winsorized",
 ]
 
 

@@ -977,3 +977,38 @@ def test_basin_mainstem_consistent_with_channel_length(spark):
     # a longest path visits channel_steps + 1 distinct cells
     for b, n in flagged.items():
         assert n >= chan[b] + 1
+
+
+def test_flow_load_python_oracle_and_constant_weight_invariant(spark):
+    """flow_load == a pure-Python closure sum of floor(ndvi*1e6)
+    micro-weights over the same flow edges; with a CONSTANT value
+    column the micro-load reduces to upslope_cells x weight exactly
+    (the weighted op degenerates to flow_accumulation)."""
+    import math
+
+    from cuda_gis_smoothing_spark.operators.hydrology import flow_load
+
+    cells = _grid(spark)
+    vals = {r["cell"]: r["ndvi"] for r in cells.select("cell", "ndvi").collect()}
+    fd = _py_flow(vals)
+    w = {c: math.floor(v * 1e6 + 1e-9) for c, v in vals.items()}
+
+    # python closure: push each cell's weight down its full flow path
+    load = dict(w)
+    for c in vals:
+        cur = fd[c][0]
+        while cur is not None:
+            load[cur] += w[c]
+            cur = fd[cur][0]
+
+    got = {r["cell"]: r for r in flow_load(cells).collect()}
+    assert set(got) == set(vals)
+    for c, r in got.items():
+        assert r.upslope_micro_load == load[c], c
+        assert r.upslope_load == pytest.approx(load[c] / 1e6, abs=2e-6)
+
+    # constant-weight degeneracy: load == upslope_cells * w everywhere
+    const = cells.select("cell", F.lit(0.25).alias("ndvi"))
+    acc = {r["cell"]: r["upslope_cells"] for r in flow_accumulation(const).collect()}
+    for r in flow_load(const).collect():
+        assert r.upslope_micro_load == acc[r.cell] * 250000
