@@ -3815,6 +3815,15 @@ def _q_revenue_concentration(spark, sf_dir):
 
 
 
+def _q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training permutation + contiguous
+    shard layout: portable affine hash ranks via the partition-
+    parallel rank kernel over the combined epoch·P + h key."""
+    from cuda_gis_smoothing_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(load(spark, sf_dir, "documents"))
+
+
 def _q_value_winsorized(spark, sf_dir):
     """Winsorized + trimmed mean card over order totals: exact-cents
     middle sum (integer), percentile fences from the shared kernel,
@@ -4163,6 +4172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "flow_load": _q_flow_load,
         "value_winsorized": _q_value_winsorized,
+        "epoch_shuffle": _q_epoch_shuffle,
     }
     return qs
 
@@ -7188,6 +7198,9 @@ FROM upf f JOIN upc c ON c.coarse_cell = f.coarse_cell
     )
 
     out["value_winsorized"] = value_winsorized_sql()
+    from cuda_gis_smoothing_spark.operators.sampling import epoch_shuffle_sql
+
+    out["epoch_shuffle"] = epoch_shuffle_sql()
     return out
 
 

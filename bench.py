@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "flow_load",
     "value_winsorized",
+    "epoch_shuffle",
 ]
 
 

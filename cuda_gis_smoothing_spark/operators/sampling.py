@@ -163,3 +163,105 @@ def source_quota(docs: DataFrame, per_source_cap: int = 50) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= per_source_cap)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (training data-order layout)
+# ---------------------------------------------------------------------------
+
+#: fresh affine pair, disjoint from S_A/S_B (sampling), MH/JS/KMV —
+#: epoch permutations must not correlate with sample membership
+ES_A = 1_327_217_909
+ES_B = 477_218_579
+ES_EPOCHS = 2
+ES_SHARDS = 8
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    epochs: int = ES_EPOCHS,
+    shards: int = ES_SHARDS,
+) -> DataFrame:
+    """Deterministic per-epoch training permutation + shard layout —
+    the data-ORDER step a training pipeline runs after packing: every
+    epoch must visit each example once in a different, reproducible
+    order, and loaders take contiguous position blocks (shards). Per
+    (doc, epoch): position = rank of the portable affine hash
+    ``h = ((id + epoch) mod P · ES_A + ES_B) mod P`` within the epoch
+    (a bijection for ids < P, so positions are a true permutation;
+    the id tie-break keeps ranks total beyond that), shard =
+    ``(position−1)·shards div n`` — balanced contiguous blocks,
+    integer floor-div exact cross-engine.
+
+    Plan (100 TB): epochs ride ONE scan via an explode; ranks come
+    from the partition-parallel :func:`global_ranks` kernel over the
+    COMBINED integer key ``epoch·P + h`` (the cost_allocation
+    integerize-the-key move: one global rank, per-epoch positions
+    recovered by subtracting ``epoch·n``) — no global sort, no
+    per-epoch window over the corpus. Output
+    ``(doc_id, epoch, position, shard)``, all BIGINT."""
+    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
+
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    e = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("_e"),
+    ).select("doc_id", F.col("_e").cast("long").alias("epoch"))
+    h = (
+        F.pmod(F.col("doc_id") + F.col("epoch"), F.lit(MH_PRIME)) * ES_A
+        + ES_B
+    ) % MH_PRIME
+    keyed = e.select(
+        "doc_id", "epoch", (F.col("epoch") * MH_PRIME + h).alias("_k")
+    )
+    ranked = global_ranks(keyed, ["_k", "doc_id"], out_col="_r")
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    pos = F.col("_r") - F.col("epoch") * F.col("_n")
+    return (
+        ranked.crossJoin(F.broadcast(nrow))
+        .select(
+            "doc_id",
+            "epoch",
+            pos.cast("long").alias("position"),
+            ((pos - 1) * shards).cast("long").alias("_t"),
+            "_n",
+        )
+        .select(
+            "doc_id",
+            "epoch",
+            "position",
+            F.expr("_t DIV _n").cast("long").alias("shard"),
+        )
+    )
+
+
+def epoch_shuffle_sql(
+    epochs: int = ES_EPOCHS, shards: int = ES_SHARDS
+) -> str:
+    """DuckDB twin: per-epoch ROW_NUMBER over (h, id) — identical
+    positions because h is unique per epoch (bijection) and the id
+    tie-break totalizes the order regardless."""
+    vals = ", ".join(f"({i})" for i in range(epochs))
+    return f"""
+WITH e AS (
+  SELECT d.doc_id, CAST(ep.epoch AS BIGINT) AS epoch
+  FROM documents d CROSS JOIN (VALUES {vals}) AS ep(epoch)
+),
+k AS (
+  SELECT doc_id, epoch,
+         ((((doc_id + epoch) % {MH_PRIME} + {MH_PRIME}) % {MH_PRIME})
+          * {ES_A} + {ES_B}) % {MH_PRIME} AS h
+  FROM e
+),
+p AS (
+  SELECT doc_id, epoch,
+         CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+              AS BIGINT) AS position
+  FROM k
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT doc_id, epoch, position,
+       CAST((position - 1) * {shards} // n.n AS BIGINT) AS shard
+FROM p, n
+""".strip()

@@ -154,6 +154,9 @@ DOC_GATES = [
     # the n_docs threshold but contribute no tokens — pins the
     # lossless-prefilter contract over the adversarial corpus
     "heavy_hitters",
+    # epoch permutation is text-independent (pure id arithmetic) but
+    # the fuzz corpus pins the rank kernel over its id distribution
+    "epoch_shuffle",
 ]
 
 

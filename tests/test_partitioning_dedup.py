@@ -952,3 +952,35 @@ def test_split_centroid_drift_matches_manual(spark):
         for r in label_centroid_similarity(tagged, "embedding", "label").collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_epoch_shuffle_is_per_epoch_permutation(spark):
+    """Each epoch's positions are exactly 1..n (a true permutation);
+    the two epochs order the corpus DIFFERENTLY (the whole point);
+    shards are balanced contiguous position blocks; and the layout is
+    deterministic under a hostile repartitioning."""
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        ES_SHARDS,
+        epoch_shuffle,
+    )
+    from cuda_gis_smoothing_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    out = epoch_shuffle(docs).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = (r.position, r.shard)
+    assert set(by_epoch) == {0, 1}
+    for e, m in by_epoch.items():
+        assert sorted(p for p, _ in m.values()) == list(range(1, n + 1))
+        for p, s in m.values():
+            assert s == (p - 1) * ES_SHARDS // n
+    order0 = sorted(by_epoch[0], key=lambda d: by_epoch[0][d][0])
+    order1 = sorted(by_epoch[1], key=lambda d: by_epoch[1][d][0])
+    assert order0 != order1
+
+    rep = epoch_shuffle(docs.repartition(13)).collect()
+    assert {(r.doc_id, r.epoch, r.position, r.shard) for r in rep} == {
+        (r.doc_id, r.epoch, r.position, r.shard) for r in out
+    }
