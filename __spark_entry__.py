@@ -3120,6 +3120,31 @@ def _q_cost_distance_maintained(spark, sf_dir):
     return out
 
 
+def _q_flow_load_maintained(spark, sf_dir):
+    """Weighted flow accumulation served from the maintained router
+    state (closure recompute-on-read; fd from the maintained flow
+    log). Single batch == the batch gate exactly (SHARED twin)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.incremental import (
+        IncrementalFlowRouter,
+    )
+
+    cells = grid_from_lineitem(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="flow_state_")
+    rt = IncrementalFlowRouter(spark, state)
+    rt.process_partials(
+        cells.select(
+            "cell", F.col("ndvi").alias("sum_ndvi"), F.lit(1).cast("long").alias("n")
+        ),
+        0,
+    )
+    out = rt.flow_load().localCheckpoint(eager=True)  # state dir GC'd next
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_aspect_sectors(spark, sf_dir):
     """Hex-native aspect classification: sector = canonical ring-1
     index of the steepest-descent neighbor (−1 for sinks) — pure
@@ -4173,6 +4198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_load": _q_flow_load,
         "value_winsorized": _q_value_winsorized,
         "epoch_shuffle": _q_epoch_shuffle,
+        "flow_load_maintained": _q_flow_load_maintained,
     }
     return qs
 
@@ -7201,6 +7227,9 @@ FROM upf f JOIN upc c ON c.coarse_cell = f.coarse_cell
     from cuda_gis_smoothing_spark.operators.sampling import epoch_shuffle_sql
 
     out["epoch_shuffle"] = epoch_shuffle_sql()
+    # single-batch maintained router state == the batch operator
+    # exactly (the cost_distance_maintained precedent) — SHARED twin
+    out["flow_load_maintained"] = out["flow_load"]
     return out
 
 

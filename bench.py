@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     "flow_load",
     "value_winsorized",
     "epoch_shuffle",
+    "flow_load_maintained",
 ]
 
 

@@ -390,6 +390,21 @@ class IncrementalFlowRouter:
         fd = self.current_flow().localCheckpoint()  # closure consumers
         return stream_networks(cells, fd=fd, **kwargs)
 
+    def flow_load(self, **kwargs) -> DataFrame | None:
+        """Value-weighted flow accumulation served from maintained
+        state — same closure-product contract as :meth:`cost_distance`
+        (the upslope micro-load sum recomputes over the maintained
+        fd/value surface on read; the fd derivation itself is never
+        recomputed). Single batch == the batch operator exactly
+        (SHARED twin)."""
+        from cuda_gis_smoothing_spark.operators.hydrology import flow_load
+
+        cells = self.state_cells()
+        if cells is None:
+            return None
+        fd = self.current_flow().localCheckpoint()  # closure consumers
+        return flow_load(cells, fd=fd, **kwargs)
+
     # -- the foreachBatch body -------------------------------------------------
     def process_batch(self, images_batch: DataFrame, batch_id: int) -> None:
         self.process_partials(cell_partials(images_batch, self.grid), batch_id)

@@ -1012,3 +1012,30 @@ def test_flow_load_python_oracle_and_constant_weight_invariant(spark):
     acc = {r["cell"]: r["upslope_cells"] for r in flow_accumulation(const).collect()}
     for r in flow_load(const).collect():
         assert r.upslope_micro_load == acc[r.cell] * 250000
+
+
+def test_router_flow_load_served_equals_batch_after_update(spark, tmp_path):
+    """flow_load served from router state (recompute-on-read) must
+    equal the batch operator over the MERGED surface — including
+    after an update batch that re-routes flow and changes weights."""
+    from cuda_gis_smoothing_spark.operators.hydrology import flow_load
+    from cuda_gis_smoothing_spark.streaming.incremental import (
+        IncrementalFlowRouter,
+    )
+
+    cells = _grid(spark)
+    rt = IncrementalFlowRouter(spark, str(tmp_path / "state"))
+    rt.process_partials(
+        cells.selectExpr("cell", "ndvi AS sum_ndvi", "CAST(1 AS LONG) AS n"), 0
+    )
+    one = cells.select("cell").limit(1).collect()[0]["cell"]
+    rt.process_partials(_partials(spark, [(one, 0.9)]), 1)
+    got = {
+        r["cell"]: (r["upslope_micro_load"], r["upslope_load"])
+        for r in rt.flow_load().collect()
+    }
+    want = {
+        r["cell"]: (r["upslope_micro_load"], r["upslope_load"])
+        for r in flow_load(rt.state_cells()).collect()
+    }
+    assert got == want and len(got) > 0
