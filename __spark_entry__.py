@@ -3840,6 +3840,15 @@ def _q_revenue_concentration(spark, sf_dir):
 
 
 
+def _q_session_bounce(spark, sf_dir):
+    """Bounce-rate card per session entry type over the SHARED
+    gap-break session boundaries — integer-exact counts, two exact
+    integer ratios under round6."""
+    from cuda_gis_smoothing_spark.operators.events import session_bounce
+
+    return session_bounce(load(spark, sf_dir, "events"))
+
+
 def _q_epoch_shuffle(spark, sf_dir):
     """Deterministic per-epoch training permutation + contiguous
     shard layout: portable affine hash ranks via the partition-
@@ -4199,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_winsorized": _q_value_winsorized,
         "epoch_shuffle": _q_epoch_shuffle,
         "flow_load_maintained": _q_flow_load_maintained,
+        "session_bounce": _q_session_bounce,
     }
     return qs
 
@@ -7230,6 +7240,9 @@ FROM upf f JOIN upc c ON c.coarse_cell = f.coarse_cell
     # single-batch maintained router state == the batch operator
     # exactly (the cost_distance_maintained precedent) — SHARED twin
     out["flow_load_maintained"] = out["flow_load"]
+    from cuda_gis_smoothing_spark.operators.events import SESSION_BOUNCE_SQL
+
+    out["session_bounce"] = SESSION_BOUNCE_SQL
     return out
 
 

@@ -310,6 +310,7 @@ BENCH_QUERIES = [
     "value_winsorized",
     "epoch_shuffle",
     "flow_load_maintained",
+    "session_bounce",
 ]
 
 

@@ -2458,3 +2458,78 @@ SELECT CAST(d.week AS BIGINT) AS week, d.n_active_days, w.wau,
        ROUND((CAST(d.sdau AS DOUBLE) / d.n_active_days) / w.wau + 1e-09, 6) AS stickiness
 FROM dwk d JOIN wwk w ON w.week = d.week
 """.strip()
+
+
+def session_bounce(events: DataFrame) -> DataFrame:
+    """Bounce-rate card per session ENTRY type — "which landing event
+    loses the user immediately": for each first-event-of-session type,
+    the session count, single-event (bounce) count, bounce rate and
+    mean session length. Output ``(entry_type, n_sessions, n_bounces,
+    bounce_rate, avg_events)``.
+
+    Shares :func:`session_events`' gap boundaries (one SESSION_GAP_US
+    definition) and the (us, event_id) total order; the entry type is
+    a struct-MIN argmin over that order (no second window sort), so
+    ties cannot exist and the card is integer-exact — both rates are
+    single exact integer ratios under round6. NULL entry types ride
+    the shared NULL_PATH_TOKEN sentinel (the session_paths contract).
+
+    Plan (100 TB): the session window's one user-keyed shuffle → a
+    (user, session) aggregate → a type-keyed aggregate."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    se = session_events(events)
+    per = (
+        se.select(
+            "user_id",
+            "session_seq",
+            "us",
+            "event_id",
+            F.coalesce("event_type", F.lit(NULL_PATH_TOKEN)).alias("_t"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.min(F.struct("us", "event_id", "_t"))["_t"].alias("_entry"),
+        )
+    )
+    n_sessions = F.count(F.lit(1))
+    n_bounces = F.sum(F.when(F.col("_n") == 1, 1).otherwise(0))
+    return per.groupBy(F.col("_entry").alias("entry_type")).agg(
+        n_sessions.cast("long").alias("n_sessions"),
+        n_bounces.cast("long").alias("n_bounces"),
+        round6(
+            n_bounces.cast("double") / n_sessions.cast("double")
+        ).alias("bounce_rate"),
+        round6(
+            F.sum("_n").cast("double") / n_sessions.cast("double")
+        ).alias("avg_events"),
+    )
+
+
+SESSION_BOUNCE_SQL = f"""
+WITH {_session_ctes("event_type")},
+rn AS (
+  SELECT user_id, session_seq,
+         COALESCE(event_type, '{NULL_PATH_TOKEN}') AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq ORDER BY us, event_id) AS rn
+  FROM sess
+),
+cnt AS (
+  SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n
+  FROM sess GROUP BY user_id, session_seq
+),
+per AS (
+  SELECT r.t AS entry, c.n
+  FROM rn r JOIN cnt c USING (user_id, session_seq)
+  WHERE r.rn = 1
+)
+SELECT entry AS entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) + 1e-09, 6) AS bounce_rate,
+       ROUND(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 1e-09, 6)
+         AS avg_events
+FROM per GROUP BY entry
+""".strip()

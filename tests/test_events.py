@@ -219,3 +219,40 @@ def test_funnel_step_latency_matches_python(spark):
         assert got[(2, "click", q)] == pytest.approx(quantile(click_lat, q), abs=2e-6)
         assert got[(3, "purchase", q)] == pytest.approx(quantile(buy_lat, q), abs=2e-6)
     assert not any(k[0] == 1 for k in got)
+
+
+def test_session_bounce_engineered(spark):
+    """Two users, engineered sessions: user 1 opens with 'land' then
+    browses (no bounce), then 31 min later a single-event 'ad' session
+    (bounce); user 2 bounces twice on 'land'. Entry attribution uses
+    the first event of each gap-break session."""
+    import datetime as dt
+
+    import pytest
+
+    from cuda_gis_smoothing_spark.operators.events import session_bounce
+
+    base = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, base, 1, "land", 1.0, None),
+        (2, base + m, 1, "click", 1.0, None),
+        (3, base + 2 * m, 1, "buy", 1.0, None),
+        (4, base + 40 * m, 1, "ad", 1.0, None),       # solo session
+        (5, base, 2, "land", 1.0, None),               # bounce
+        (6, base + 40 * m, 2, "land", 1.0, None),      # bounce again
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.entry_type: r for r in session_bounce(df).collect()}
+    assert set(got) == {"land", "ad"}
+    land = got["land"]
+    assert (land.n_sessions, land.n_bounces) == (3, 2)
+    assert land.bounce_rate == pytest.approx(2 / 3, abs=1e-6)
+    assert land.avg_events == pytest.approx(5 / 3, abs=1e-6)
+    ad = got["ad"]
+    assert (ad.n_sessions, ad.n_bounces) == (1, 1)
+    assert ad.bounce_rate == 1.0 and ad.avg_events == 1.0

@@ -109,6 +109,9 @@ EVENTS_GATES = [
     # exact percentiles over integer counts / integer-micros-derived
     # durations; ties pin the shared (us, event_id) session order
     "session_stats",
+    # entry-type argmin over the SAME total order; tied timestamps pin
+    # the struct-MIN vs ROW_NUMBER rk=1 equivalence
+    "session_bounce",
 ]
 
 
