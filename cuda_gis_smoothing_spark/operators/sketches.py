@@ -485,7 +485,12 @@ def heavy_hitters(docs: DataFrame, rel: int = HH_REL) -> DataFrame:
 
     spark = docs.sparkSession
     d = len(CMS_ROWS)
-    toks = _doc_tokens(docs, "text", "doc_id", None)
+    # the token stream feeds BOTH passes (sketch build + probe) — two
+    # differently-shaped consumers re-tokenize the corpus without the
+    # checkpoint (the multi-consumer class; measured 39→12 s at
+    # sf0.1). At 100 TB swap for two streaming passes over a STORED
+    # token table — the pass structure is unchanged.
+    toks = _doc_tokens(docs, "text", "doc_id", None).localCheckpoint()
     ctr = cms_counters(toks)  # pass 1: unweighted, straight off the stream
     mask = (
         spark.range(d * CMS_WIDTH)
