@@ -2199,9 +2199,10 @@ def value_winsorized(orders: DataFrame) -> DataFrame:
         round6(F.max("_hi")).alias("p95"),
         n_low.cast("long").alias("n_low"),
         n_high.cast("long").alias("n_high"),
-        round6(mid_sum.cast("double") / n_mid.cast("double")).alias(
-            "trimmed_mean_cents"
-        ),
+        round6(
+            mid_sum.cast("double")
+            / F.nullif(n_mid.cast("double"), F.lit(0.0))
+        ).alias("trimmed_mean_cents"),
         round6(wins).alias("winsorized_mean_cents"),
     )
 
@@ -2240,8 +2241,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST({n_low} AS BIGINT) AS n_low,
        CAST({n_high} AS BIGINT) AS n_high,
        {round6_sql(
-           f"{mid_sum} / CAST(SUM(CASE WHEN {mid} THEN 1 ELSE 0 END)"
-           " AS DOUBLE)")} AS trimmed_mean_cents,
+           f"{mid_sum} / NULLIF(CAST(SUM(CASE WHEN {mid} THEN 1 ELSE 0 END)"
+           " AS DOUBLE), 0e0)")} AS trimmed_mean_cents,
        {round6_sql(wins)} AS winsorized_mean_cents
 FROM c, st
 """.strip()

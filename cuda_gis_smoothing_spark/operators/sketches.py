@@ -386,12 +386,16 @@ CMS_WIDTH = 1024
 CMS_TOPK = 20
 
 
-def cms_hash_cols(token_col: str = "t"):
+def cms_hash_cols(token_col: str = "t", h: Column | None = None):
     """The d (j, counter) struct array for one token — shared by the
-    counter build and the query side so the hash family cannot drift."""
+    counter build and the query side so the hash family cannot drift.
+    Pass a pre-projected hash column ``h`` when the caller has already
+    named the token hash (the CollapseProject re-reference lesson —
+    avoids re-folding the token chars once per row)."""
     from cuda_gis_smoothing_spark.operators.dedup import token_hash_col
 
-    h = token_hash_col(token_col)
+    if h is None:
+        h = token_hash_col(token_col)
     return F.array(
         *[
             F.struct(
@@ -520,19 +524,21 @@ def heavy_hitters(docs: DataFrame, rel: int = HH_REL) -> DataFrame:
     )
     one_row = mask.crossJoin(thr)
     # hash projected ONCE to a named column (the CollapseProject
-    # re-reference lesson) — the d probes below each reference it
+    # re-reference lesson); the probe composes cms_hash_cols — ONE
+    # hash-family definition for build and query (review catch: an
+    # inline re-implementation could silently desync from the
+    # counters, breaking the one-sidedness the prefilter relies on)
     probed = toks.select(
         "doc_id", "t", token_hash_col("t").alias("_h")
     ).crossJoin(F.broadcast(one_row))
-    est = F.least(
-        *[
-            F.expr(
-                f"element_at(_cms, CAST({j * CMS_WIDTH} + "
-                f"(pmod(_h * {a} + {b}, {MH_PRIME}) % {CMS_WIDTH})"
-                f" AS INT) + 1)"
-            )
-            for j, (a, b) in enumerate(CMS_ROWS)
-        ]
+    est = F.array_min(
+        F.transform(
+            cms_hash_cols("t", h=F.col("_h")),
+            lambda s: F.element_at(
+                F.col("_cms"),
+                (s["j"] * CMS_WIDTH + s["counter"]).cast("int") + 1,
+            ),
+        )
     )
     cand = probed.select(
         "doc_id", "t", "_thr", est.alias("_est")

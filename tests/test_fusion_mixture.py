@@ -378,3 +378,18 @@ def test_value_winsorized_vs_python(spark):
     assert r.winsorized_mean_cents == pytest.approx(want, abs=2e-6)
     # robustness: the winsorized mean sits between the fences
     assert lo <= r.winsorized_mean_cents <= hi
+
+
+def test_value_winsorized_degenerate_middle_is_null_not_crash(spark):
+    """Review catch: with two extreme totals nothing falls inside
+    [p05, p95] — n_mid = 0 must yield a NULL trimmed mean (matching
+    the DuckDB twin), not an ANSI divide-by-zero crash."""
+    from cuda_gis_smoothing_spark.operators.analytics import value_winsorized
+
+    df = spark.createDataFrame(
+        [(1, 0.01), (2, 1000.00)], "o_orderkey long, o_totalprice double"
+    )
+    [r] = value_winsorized(df).collect()
+    assert r.n_orders == 2
+    assert r.trimmed_mean_cents is None
+    assert r.n_low == 1 and r.n_high == 1
