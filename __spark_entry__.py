@@ -312,6 +312,54 @@ def _q_zonal_crosstab(spark, sf_dir):
     )
 
 
+def _q_zonal_diversity(spark, sf_dir):
+    """Per-zone land-cover DIVERSITY over the zonal_crosstab composition
+    (the FRAGSTATS zone-level SHDI/SIDI card): class count, Simpson
+    index Σc(c−1)/(N(N−1)) — an exact integer ratio — and Shannon
+    H = ln(N) − (Σ c·ln c)/N (the doc_logprob ≤1-ulp ln class; the sum
+    spans ≤ #classes terms, bounded by the banding grid, not the
+    corpus). Same PIP tag + (zone, class) aggregate as zonal_crosstab;
+    the NULL zone is kept. All counts integers; the Simpson sums are
+    integer-valued doubles (association-free < 2^53)."""
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.functions.numeric import floor_stable
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        centroid_sql,
+        point_in_polygon,
+    )
+
+    _ensure_shipped(spark)
+    cells = grid_from_lineitem(spark, sf_dir).select("cell", "ndvi")
+    lat, lon = centroid_sql("cell", "spark")
+    pts = cells.select(
+        floor_stable(F.col("ndvi") * 8).cast("long").alias("cls"),
+        F.expr(lat).alias("lat"),
+        F.expr(lon).alias("lon"),
+    )
+    tagged = point_in_polygon(pts, datagen.gen_boundaries())
+    counts = tagged.groupBy("region_id", "cls").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    agg = counts.groupBy("region_id").agg(
+        F.sum("_c").cast("long").alias("n_cells"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.col("_c").cast("double") * (F.col("_c") - F.lit(1))).alias("_rep"),
+        F.sum(F.col("_c").cast("double") * F.log(F.col("_c").cast("double"))).alias(
+            "_clnc"
+        ),
+    )
+    n = F.col("n_cells").cast("double")
+    return agg.select(
+        "region_id",
+        "n_cells",
+        "n_classes",
+        round6(
+            F.col("_rep") / F.nullif(n * (F.col("n_cells") - F.lit(1)), F.lit(0.0))
+        ).alias("simpson"),
+        round6(F.log(n) - F.col("_clnc") / n).alias("shannon"),
+    )
+
+
 def _q_neighbor_stats(spark, sf_dir):
     return stats_ops.neighbor_stats(grid_from_lineitem(spark, sf_dir), k=1)
 
@@ -3890,6 +3938,112 @@ def _q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(load(spark, sf_dir, "documents"))
 
 
+def _q_source_diversity(spark, sf_dir):
+    """Per-source Simpson index + type-token ratio: the repetition-side
+    complement of source_kl_divergence's drift card — all-integer
+    aggregates (integer-valued-double sums), two exact divisions under
+    round6."""
+    from cuda_gis_smoothing_spark.functions.text import source_diversity
+
+    return source_diversity(load(spark, sf_dir, "documents"))
+
+
+def _q_daily_kendall_tau(spark, sf_dir):
+    """Kendall τ-b between every event-type pair's daily count series —
+    rank statistics over integer counts (the Theil–Sen twin-exactness
+    lesson); pairwise work bounded by the calendar, never the corpus."""
+    from cuda_gis_smoothing_spark.operators.events import daily_kendall_tau
+
+    return daily_kendall_tau(load(spark, sf_dir, "events"))
+
+
+def _q_quality_weighted_quantiles(spark, sf_dir):
+    """Token-weighted quality quantiles: the smallest quality level
+    whose cumulative token weight reaches each probe fraction — integer
+    running weights over the bounded round6 level grid."""
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        quality_weighted_quantiles,
+    )
+
+    return quality_weighted_quantiles(load(spark, sf_dir, "documents"))
+
+
+def _q_event_type_lift(spark, sf_dir):
+    """Market-basket lift between event-type pairs over user baskets —
+    the basket_part_pairs contract on the events table: exact integer
+    counts, one double division under round6, alphabet-bounded
+    fan-out."""
+    from cuda_gis_smoothing_spark.operators.events import event_type_lift
+
+    return event_type_lift(load(spark, sf_dir, "events"))
+
+
+def _q_daily_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test per event type's daily series: exact
+    median exclusion, integer run/sign counts over the day total
+    order, fixed-shape guarded float tail."""
+    from cuda_gis_smoothing_spark.operators.events import daily_runs_test
+
+    return daily_runs_test(load(spark, sf_dir, "events"))
+
+
+def _maintained_daily(spark, sf_dir):
+    """Single-batch MaintainedDailyCounts state, served eagerly so the
+    temp state dir can be GC'd (the events_seasonality_maintained
+    pattern)."""
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.daily_counts import (
+        MaintainedDailyCounts,
+    )
+
+    state = tempfile.mkdtemp(prefix="daily_state_")
+    m = MaintainedDailyCounts(spark, state)
+    m.process_batch(load(spark, sf_dir, "events"), 0)
+    return m, state
+
+
+def _q_daily_kendall_tau_maintained(spark, sf_dir):
+    """The SAME τ-b card served from the maintained (type, day) count
+    log through the shared kendall_from_daily kernel."""
+    import shutil
+
+    m, state = _maintained_daily(spark, sf_dir)
+    out = m.kendall_tau().localCheckpoint(eager=True)
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
+def _q_daily_runs_test_maintained(spark, sf_dir):
+    """The SAME runs-test card served from the maintained (type, day)
+    count log through the shared runs_from_daily kernel."""
+    import shutil
+
+    m, state = _maintained_daily(spark, sf_dir)
+    out = m.runs_test().localCheckpoint(eager=True)
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
+def _q_event_type_lift_maintained(spark, sf_dir):
+    """The SAME basket-lift card served from the maintained
+    (user, type) count log through the shared lift_from_user_types
+    kernel (the user_event_entropy_maintained pattern)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.user_stats import (
+        MaintainedUserTypes,
+    )
+
+    state = tempfile.mkdtemp(prefix="usertype_state_")
+    m = MaintainedUserTypes(spark, state)
+    m.process_batch(load(spark, sf_dir, "events"), 0)
+    out = m.type_lift().localCheckpoint(eager=True)
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver gates only the FIRST 50 entries, so
     # never-driver-checked gates (all r4 additions + the r3 overflow) and any
@@ -4209,6 +4363,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "flow_load_maintained": _q_flow_load_maintained,
         "session_bounce": _q_session_bounce,
+        "source_diversity": _q_source_diversity,
+        "daily_kendall_tau": _q_daily_kendall_tau,
+        "quality_weighted_quantiles": _q_quality_weighted_quantiles,
+        "event_type_lift": _q_event_type_lift,
+        "daily_runs_test": _q_daily_runs_test,
+        "zonal_diversity": _q_zonal_diversity,
+        "daily_kendall_tau_maintained": _q_daily_kendall_tau_maintained,
+        "daily_runs_test_maintained": _q_daily_runs_test_maintained,
+        "event_type_lift_maintained": _q_event_type_lift_maintained,
     }
     return qs
 
@@ -7243,7 +7406,85 @@ FROM upf f JOIN upc c ON c.coarse_cell = f.coarse_cell
     from cuda_gis_smoothing_spark.operators.events import SESSION_BOUNCE_SQL
 
     out["session_bounce"] = SESSION_BOUNCE_SQL
+    from cuda_gis_smoothing_spark.functions.text import SOURCE_DIVERSITY_SQL
+
+    out["source_diversity"] = SOURCE_DIVERSITY_SQL
+    from cuda_gis_smoothing_spark.operators.events import DAILY_KENDALL_TAU_SQL
+
+    out["daily_kendall_tau"] = DAILY_KENDALL_TAU_SQL
+    from cuda_gis_smoothing_spark.functions.numeric import flit as _flit
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        QW_QUANTILE_FRACTIONS,
+    )
+
+    _fr_vals = ", ".join(f"({_flit(f)})" for f in QW_QUANTILE_FRACTIONS)
+    out["quality_weighted_quantiles"] = f"""
+WITH q AS ({out["doc_quality"]}),
+lv AS (
+  SELECT quality_score, CAST(SUM(n_tokens) AS BIGINT) AS w
+  FROM q WHERE n_tokens IS NOT NULL GROUP BY quality_score
+),
+c AS (
+  SELECT quality_score,
+         CAST(SUM(w) OVER (ORDER BY quality_score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cw
+  FROM lv
+),
+tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS W FROM lv),
+fr (fraction) AS (VALUES {_fr_vals})
+SELECT fr.fraction, MIN(c.quality_score) AS weighted_quality
+FROM c CROSS JOIN tot CROSS JOIN fr
+WHERE c.cw >= fr.fraction * tot.W
+GROUP BY fr.fraction
+""".strip()
+    from cuda_gis_smoothing_spark.operators.events import (
+        DAILY_RUNS_TEST_SQL,
+        event_type_lift_sql,
+    )
+
+    out["event_type_lift"] = event_type_lift_sql()
+    out["daily_runs_test"] = DAILY_RUNS_TEST_SQL
+    out["zonal_diversity"] = _zonal_diversity_sql()
+    # single-batch maintained state == the batch operator exactly
+    # (the events_seasonality_maintained precedent) — SHARED twins
+    out["daily_kendall_tau_maintained"] = out["daily_kendall_tau"]
+    out["daily_runs_test_maintained"] = out["daily_runs_test"]
+    out["event_type_lift_maintained"] = out["event_type_lift"]
     return out
+
+
+def _zonal_diversity_sql() -> str:
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.operators.spatial import (
+        centroid_sql,
+        pip_region_sql,
+    )
+
+    lat, lon = centroid_sql("cell", "duckdb")
+    case = pip_region_sql("pt.lat", "pt.lon", datagen.gen_boundaries())
+    # integer counts; Simpson sums as integer-valued doubles; Shannon
+    # via H = ln(N) − (Σ c·ln c)/N over ≤ #classes terms (ln ≤1-ulp)
+    return f"""
+WITH {GRID_CELLS_SQL},
+pt AS (SELECT CAST(FLOOR(ndvi * 8 + 1e-09) AS BIGINT) AS cls,
+              {lat} AS lat, {lon} AS lon FROM cells4),
+z AS (SELECT cls, {case} AS region_id FROM pt),
+cnt AS (SELECT region_id, cls, CAST(COUNT(*) AS BIGINT) AS c FROM z GROUP BY 1, 2),
+agg AS (
+  SELECT region_id,
+         CAST(SUM(c) AS BIGINT) AS n_cells,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         SUM(CAST(c AS DOUBLE) * (c - 1)) AS rep,
+         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+  FROM cnt GROUP BY region_id
+)
+SELECT region_id, n_cells, n_classes,
+       ROUND(rep / NULLIF(CAST(n_cells AS DOUBLE) * (n_cells - 1), 0) + 1e-09, 6)
+         AS simpson,
+       ROUND(ln(CAST(n_cells AS DOUBLE)) - clnc / CAST(n_cells AS DOUBLE)
+             + 1e-09, 6) AS shannon
+FROM agg
+""".strip()
 
 
 def _source_overlap_minhash_sql() -> str:

@@ -311,6 +311,15 @@ BENCH_QUERIES = [
     "epoch_shuffle",
     "flow_load_maintained",
     "session_bounce",
+    "source_diversity",
+    "daily_kendall_tau",
+    "quality_weighted_quantiles",
+    "event_type_lift",
+    "daily_runs_test",
+    "zonal_diversity",
+    "daily_kendall_tau_maintained",
+    "daily_runs_test_maintained",
+    "event_type_lift_maintained",
 ]
 
 

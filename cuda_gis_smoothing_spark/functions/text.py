@@ -579,6 +579,79 @@ def source_kl_divergence(
     )
 
 
+def source_diversity(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source lexical-diversity card: token total, distinct-type
+    count, type-token ratio, and the Simpson index
+
+        simpson = Σ_t c_t·(c_t − 1) / (N·(N − 1))
+
+    (the probability two tokens drawn without replacement from the
+    source are the same type — 1 for a one-word spam source, →0 for a
+    maximally diverse one). The repetition-side complement of
+    :func:`source_kl_divergence`'s drift score: KL flags a source whose
+    vocabulary DIFFERS from the mix, Simpson flags one that barely has
+    a vocabulary at all.
+
+    Exactness: every aggregate is an integer; the Simpson sums are
+    computed as integer-valued DOUBLES (Σ c·(c−1) and N·(N−1) stay
+    exact while < 2^53 — the avgdl lesson: integer-valued double sums
+    are association-free), sidestepping both Spark's silent int64 wrap
+    and DuckDB's HUGEINT promotion. TTR and Simpson are each ONE
+    division of two exact numbers under round6. NULL sources group as
+    one NULL row identically in both engines; NULL-text docs explode to
+    zero tokens in both.
+
+    Plan (100 TB): one corpus token pass into a (source, token) count
+    table (map-side combining), then a source-keyed aggregate over
+    vocabulary-sized rows. No windows, no joins."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    stc = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens_col(text_col)).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = stc.groupBy("source").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("_c").cast("double") * (F.col("_c") - F.lit(1))).alias("_rep"),
+    )
+    n = F.col("n_tokens")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        round6(F.col("n_types") / n).alias("ttr"),
+        round6(
+            F.col("_rep")
+            / F.nullif(n.cast("double") * (n - F.lit(1)), F.lit(0.0))
+        ).alias("simpson"),
+    )
+
+
+SOURCE_DIVERSITY_SQL = """
+WITH stc AS (
+  SELECT source, t, COUNT(*) AS c FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> '' GROUP BY source, t
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) + 1e-09, 6) AS ttr,
+       ROUND(SUM(CAST(c AS DOUBLE) * (c - 1))
+             / NULLIF(CAST(SUM(c) AS DOUBLE) * (SUM(c) - 1), 0) + 1e-09, 6)
+         AS simpson
+FROM stc GROUP BY source
+""".strip()
+
+
 def lang_source_chi2(
     df: DataFrame, lang_col: str = "lang", source_col: str = "source"
 ) -> DataFrame:

@@ -1745,6 +1745,353 @@ FROM m
 """.strip()
 
 
+def daily_kendall_tau(events: DataFrame) -> DataFrame:
+    """Kendall τ-b rank correlation between every pair of event types'
+    daily count series — the monotone-association card ("do logins and
+    purchases move together day-to-day?") that Pearson autocorrelation
+    can't answer across SERIES. Rank statistics over integer counts are
+    the twin-exact choice (the daily_trend Theil–Sen lesson: prefer
+    rank/median statistics over moment statistics when twinning float
+    analytics).
+
+    Series are aligned on days where BOTH types occur (inner join —
+    zero-filling the calendar would make absences dominate the rank
+    signal; documented contract). For each aligned day pair (i < j):
+    concordant when (na_i−na_j)·(nb_i−nb_j) > 0, discordant when < 0;
+    τ-b = (C − D) / √((n0 − Tx)·(n0 − Ty)) with n0 the pair count and
+    Tx/Ty the pairs tied in each series.
+
+    Exactness: C, D, n0, Tx, Ty are integers; the products and the
+    √ arguments are integer-valued doubles (< 2^53 for any daily series
+    shorter than ~10^6 days — exact, association-free); ONE guarded
+    division under round6. NULL types/days are dropped by the kernel
+    contract (daily_counts' consumers all do).
+
+    Plan (100 TB): corpus-scale work is the ONE map-side-combining
+    (type, day) aggregate; everything after runs on day-cardinality
+    rows (the alignment join fans out ≤ #type-pairs × days, the pair
+    join ≤ × days²/2 — days are bounded by the calendar, not the
+    corpus). Both joins are equi-joins; the pair join is pinned against
+    AQE coalescing (tiny-bytes, superlinear-output — the blocked-dedup
+    class)."""
+    return kendall_from_daily(daily_counts(events))
+
+
+def kendall_from_daily(daily: DataFrame) -> DataFrame:
+    """The τ-b kernel over a ``(event_type, day, n)`` table — ONE
+    shared body so the batch gate and the maintained serving path can
+    never drift (the cusum_from_daily precedent). NULL type/day rows
+    are dropped HERE (a NULL key can neither align nor order)."""
+    daily = daily.where(
+        F.col("event_type").isNotNull() & F.col("day").isNotNull()
+    )
+    daily = daily.localCheckpoint()  # both sides of the alignment join
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("n").alias("na")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("_bday"),
+        F.col("n").alias("nb"),
+    )
+    aligned = a.join(
+        b,
+        (F.col("day") == F.col("_bday")) & (F.col("type_a") < F.col("type_b")),
+        "inner",
+    ).select("type_a", "type_b", "day", "na", "nb")
+    parts = daily.sparkSession.sparkContext.defaultParallelism
+    aligned = aligned.localCheckpoint()  # both sides of the pair join
+    x = aligned.repartition(parts, "type_a", "type_b").alias("x")
+    y = (
+        aligned.select(
+            "type_a",
+            "type_b",
+            F.col("day").alias("_yday"),
+            F.col("na").alias("_yna"),
+            F.col("nb").alias("_ynb"),
+        )
+        .repartition(parts, "type_a", "type_b")
+        .alias("y")
+    )
+    pairs = x.join(y, ["type_a", "type_b"]).where(F.col("day") < F.col("_yday"))
+    dx = F.col("na") - F.col("_yna")
+    dy = F.col("nb") - F.col("_ynb")
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("long").alias("n_conc"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("long").alias("n_disc"),
+        F.sum(F.when(dx == 0, 1).otherwise(0)).cast("long").alias("_tx"),
+        F.sum(F.when(dy == 0, 1).otherwise(0)).cast("long").alias("_ty"),
+    )
+    den = F.sqrt(
+        (F.col("n_pairs") - F.col("_tx")).cast("double")
+        * (F.col("n_pairs") - F.col("_ty")).cast("double")
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_pairs",
+        "n_conc",
+        "n_disc",
+        round6(
+            (F.col("n_conc") - F.col("n_disc")).cast("double")
+            / F.nullif(den, F.lit(0.0))
+        ).alias("tau_b"),
+    )
+
+
+def event_type_lift(events: DataFrame, min_support: int = 5) -> DataFrame:
+    """Event-type association: lift between every pair of event types
+    over USER baskets — "do users who search also purchase?", the
+    events-table sibling of basket_part_pairs (same contract: distinct
+    (user, type) rows, ``lift(a,b) = N·c(ab)/(c(a)·c(b))``, all exact
+    integer counts, ONE double division under round6; int64 bound
+    c(ab)·N < 2^62 ⇒ N < 2^31 users — beyond that pre-scale). No k-cut:
+    the type alphabet is bounded (≤ dozens), every supported pair is
+    reported. Baskets come from the SHARED user_type_counts aggregate
+    (NULL user/type dropped there), so the maintained serving path
+    (MaintainedUserTypes.type_lift) folds the identical input."""
+    return lift_from_user_types(user_type_counts(events), min_support)
+
+
+def lift_from_user_types(counts: DataFrame, min_support: int = 5) -> DataFrame:
+    """The lift kernel over a PREPARED ``(user_id, event_type, _c)``
+    count table — ONE shared body so the batch gate and the maintained
+    serving path can never drift (the user_entropy_from_counts
+    precedent). Basket membership is the table's KEY SET (counts are
+    strictly positive by construction in both producers).
+
+    Plan (100 TB): per-user self-join fans out ≤ (#types)² rows per
+    user — bounded by the alphabet, never corpus-quadratic; the basket
+    table feeds FOUR differently-pruned consumers so it is
+    localCheckpoint'ed (the basket_part_pairs class)."""
+    ut = counts.select("user_id", "event_type").localCheckpoint()
+    a = ut.select(F.col("user_id").alias("_u"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("_u2"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("_u") == F.col("_u2")) & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .where(F.col("n_both") >= int(min_support))
+    )
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    n = ut.agg(F.count_distinct(F.col("user_id")).cast("long").alias("_N"))
+    return (
+        pairs.join(
+            F.broadcast(
+                tc.select(F.col("event_type").alias("type_a"), F.col("_c").alias("n_a"))
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                tc.select(F.col("event_type").alias("type_b"), F.col("_c").alias("n_b"))
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            round6(
+                (F.col("n_both") * F.col("_N")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def event_type_lift_sql(min_support: int = 5) -> str:
+    return f"""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS N FROM ut),
+tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {int(min_support)}
+)
+SELECT p.type_a, p.type_b, ca.c AS n_a, cb.c AS n_b, p.n_both,
+       ROUND(CAST(p.n_both * n.N AS DOUBLE)
+             / CAST(ca.c * cb.c AS DOUBLE) + 1e-09, 6) AS lift
+FROM pairs p
+JOIN tc ca ON ca.event_type = p.type_a
+JOIN tc cb ON cb.event_type = p.type_b
+CROSS JOIN n
+""".strip()
+
+
+def daily_runs_test(events: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: is the daily count
+    series random around its median, or does it trend/cluster? Days at
+    the exact median are excluded (the classic treatment — a median
+    day is neither above nor below); runs are counted over the
+    remaining day-ordered sign sequence and compared to the
+    expectation under exchangeability:
+
+        μ_R = 2·n1·n2/n + 1,   σ²_R = 2·n1·n2·(2·n1·n2 − n) / (n²·(n−1))
+
+    Exactness: daily counts are integers and their median is exact
+    dyadic (the value_percentiles lesson), so the ≠/>-median compares
+    are exact; R, n1, n2 are integers (the lag runs over the per-type
+    DAY order — unique days, a total order); every float-tail operand
+    is an integer-valued double (products < 2^53 for series shorter
+    than ~10^6 days) in ONE fixed expression shape under round6, with
+    GREATEST(·, 0) before the sqrt (the cancellation class) and NULLIF
+    guards for degenerate series (n < 2 or a single-sided sequence).
+
+    Plan (100 TB): one map-side (type, day) aggregate; the median, the
+    lag window and the final reduce all run over day-cardinality rows
+    per type."""
+    return runs_from_daily(daily_counts(events))
+
+
+def runs_from_daily(daily: DataFrame) -> DataFrame:
+    """The runs-test kernel over a ``(event_type, day, n)`` table —
+    ONE shared body so the batch gate and the maintained serving path
+    can never drift (the cusum_from_daily precedent). NULL type/day
+    rows are dropped HERE (a NULL ordering key diverges cross-engine —
+    the events_cusum lesson)."""
+    from pyspark.sql import Window
+
+    daily = daily.where(
+        F.col("event_type").isNotNull() & F.col("day").isNotNull()
+    )
+    daily = daily.localCheckpoint()  # two consumers: median + the series
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("_med")
+    )
+    s = (
+        daily.join(F.broadcast(med), "event_type")
+        .where(F.col("n").cast("double") != F.col("_med"))
+        .select(
+            "event_type",
+            "day",
+            (F.col("n").cast("double") > F.col("_med")).cast("int").alias("_s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    runs = s.select(
+        "event_type",
+        "_s",
+        F.when(F.lag("_s").over(w).isNull(), 1)
+        .when(F.lag("_s").over(w) != F.col("_s"), 1)
+        .otherwise(0)
+        .alias("_brk"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_used"),
+        F.sum("_s").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("_s")).cast("long").alias("n_below"),
+        F.sum("_brk").cast("long").alias("n_runs"),
+    )
+    nn = F.col("n_days_used").cast("double")
+    p2 = F.lit(2.0) * F.col("n_above").cast("double") * F.col("n_below").cast("double")
+    mu = p2 / F.nullif(nn, F.lit(0.0)) + F.lit(1.0)
+    var = (
+        p2
+        * (p2 - nn)
+        / F.nullif(nn * nn * (nn - F.lit(1.0)), F.lit(0.0))
+    )
+    return agg.select(
+        "event_type",
+        "n_days_used",
+        "n_above",
+        "n_below",
+        "n_runs",
+        round6(
+            (F.col("n_runs").cast("double") - mu)
+            / F.nullif(F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(0.0))
+        ).alias("z_score"),
+    )
+
+
+DAILY_RUNS_TEST_SQL = f"""
+WITH {daily_cte(null_filter=True, bigint_n=True)},
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5e0) AS med FROM daily GROUP BY 1
+),
+s AS (
+  SELECT d.event_type, d.day,
+         CAST(CAST(d.n AS DOUBLE) > m.med AS INT) AS s
+  FROM daily d JOIN med m USING (event_type)
+  WHERE CAST(d.n AS DOUBLE) <> m.med
+),
+r AS (
+  SELECT event_type, s,
+         CASE WHEN LAG(s) OVER (PARTITION BY event_type ORDER BY day) IS NULL
+              THEN 1
+              WHEN LAG(s) OVER (PARTITION BY event_type ORDER BY day) <> s
+              THEN 1 ELSE 0 END AS brk
+  FROM s
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days_used,
+         CAST(SUM(s) AS BIGINT) AS n_above,
+         CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_below,
+         CAST(SUM(brk) AS BIGINT) AS n_runs
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n_days_used, n_above, n_below, n_runs,
+       ROUND((CAST(n_runs AS DOUBLE)
+              - (2e0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                 / NULLIF(CAST(n_days_used AS DOUBLE), 0) + 1e0))
+             / NULLIF(SQRT(GREATEST(
+                 2e0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                 * (2e0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                    - CAST(n_days_used AS DOUBLE))
+                 / NULLIF(CAST(n_days_used AS DOUBLE) * CAST(n_days_used AS DOUBLE)
+                          * (CAST(n_days_used AS DOUBLE) - 1e0), 0), 0e0)), 0)
+             + 1e-09, 6) AS z_score
+FROM m
+""".strip()
+
+
+DAILY_KENDALL_TAU_SQL = f"""
+WITH {daily_cte(null_filter=True, bigint_n=True)},
+al AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.day, a.n AS na, b.n AS nb
+  FROM daily a JOIN daily b
+    ON b.day = a.day AND a.event_type < b.event_type
+),
+p AS (
+  SELECT x.type_a, x.type_b,
+         x.na - y.na AS dx, x.nb - y.nb AS dy
+  FROM al x JOIN al y
+    ON y.type_a = x.type_a AND y.type_b = x.type_b AND x.day < y.day
+),
+m AS (
+  SELECT type_a, type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+         CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+         CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM p GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_pairs, n_conc, n_disc,
+       ROUND(CAST(n_conc - n_disc AS DOUBLE)
+             / NULLIF(SQRT(CAST(n_pairs - tx AS DOUBLE)
+                           * CAST(n_pairs - ty AS DOUBLE)), 0) + 1e-09, 6)
+         AS tau_b
+FROM m
+""".strip()
+
+
 # -- robust (median/MAD) daily anomaly ------------------------------------
 
 #: 1 / Phi^-1(3/4): scales MAD to a normal-consistent sigma estimate

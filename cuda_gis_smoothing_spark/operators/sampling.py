@@ -106,6 +106,61 @@ def quality_weighted_sample(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "n_tokens", "quality_score")
 
 
+#: weighted-quantile probe fractions — shared by the operator and its
+#: DuckDB twin (flit()-ed there) so the grid cannot drift
+QW_QUANTILE_FRACTIONS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def quality_weighted_quantiles(
+    docs: DataFrame, fractions: tuple[float, ...] = QW_QUANTILE_FRACTIONS
+) -> DataFrame:
+    """TOKEN-weighted quality quantiles: "the median token (not the
+    median document) sits at quality X" — the curation-threshold
+    question that doc-count percentiles answer wrongly when long docs
+    skew low (a 10%-of-docs spam source can be 40% of tokens). For
+    each probe fraction f, the smallest quality level whose cumulative
+    token weight reaches f of the total.
+
+    Exactness: weights are integer token counts; the per-level sums and
+    the running sum are integers; the threshold compare ``cumw ≥ f·W``
+    is one correctly-rounded multiply on each side of an exact compare
+    — the identical expression shape in both engines (the
+    axis_visibility lesson: no aggregate feeds the compare, so even an
+    exact boundary tie resolves identically). MIN over levels is
+    association-free. NULL-text docs carry NULL n_tokens and are out of
+    scope (a NULL weight would poison the sum) — documented contract.
+
+    Plan (100 TB): one quality projection scan → one map-side-combining
+    per-LEVEL aggregate (levels are bounded by the round6 grid, ≤ 1e6
+    rows, NOT the corpus) → one unpartitioned running-sum window over
+    the level table (the locality_metric ≤10M-row window contract) →
+    a 1-row broadcast total and a #fractions-sized probe."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.operators.curate import _with_quality_and_lang
+
+    q = _with_quality_and_lang(docs, "doc_id").where(F.col("n_tokens").isNotNull())
+    lv = q.groupBy("quality_score").agg(
+        F.sum("n_tokens").cast("long").alias("_w")
+    )
+    lv = lv.localCheckpoint()  # two consumers: the running sum and the total
+    w = Window.orderBy("quality_score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = lv.select(
+        "quality_score", F.sum("_w").over(w).cast("double").alias("_cw")
+    )
+    tot = lv.agg(F.sum("_w").cast("double").alias("_W"))
+    fr = F.explode(F.array(*[F.lit(float(f)) for f in fractions])).alias("fraction")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select("quality_score", "_cw", "_W", fr)
+        .where(F.col("_cw") >= F.col("fraction") * F.col("_W"))
+        .groupBy("fraction")
+        .agg(F.min("quality_score").alias("weighted_quality"))
+    )
+
+
 #: train/val/test hash boundaries over the 1e-6-resolution hash space
 #: (train 90%, val 5%, test 5%) — ONE constant pair shared by the
 #: operator and the DuckDB twin so the cut cannot drift

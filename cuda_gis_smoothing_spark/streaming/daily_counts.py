@@ -147,6 +147,24 @@ class MaintainedDailyCounts:
 
         return burstiness_from_daily(self.daily(), key=self.key)
 
+    def kendall_tau(self) -> DataFrame:
+        """Cross-series Kendall τ-b served from state alone — the
+        SHARED kendall_from_daily kernel over the maintained table
+        (counts are additive, so the served card equals the batch
+        operator over the union of all ingested batches)."""
+        from cuda_gis_smoothing_spark.operators.events import (
+            kendall_from_daily,
+        )
+
+        return kendall_from_daily(self.daily())
+
+    def runs_test(self) -> DataFrame:
+        """Wald–Wolfowitz runs test served from state alone — the
+        SHARED runs_from_daily kernel over the maintained table."""
+        from cuda_gis_smoothing_spark.operators.events import runs_from_daily
+
+        return runs_from_daily(self.daily())
+
     # ------------------------------------------------------------------
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         from cuda_gis_smoothing_spark.streaming.windows import EVENTS_SCHEMA

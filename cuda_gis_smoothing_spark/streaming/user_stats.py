@@ -98,3 +98,16 @@ class MaintainedUserTypes:
         nothing re-reads events; the SHARED user_entropy_from_counts
         kernel runs over the (users × types)-sized maintained table."""
         return user_entropy_from_counts(self.counts())
+
+    def type_lift(self, min_support: int = 5) -> DataFrame:
+        """Event-type basket lift served from state alone — the SHARED
+        lift_from_user_types kernel over the maintained table: basket
+        membership is the log's key set, and counts are additive with
+        strictly positive deltas (events are immutable, no decrements),
+        so a key exists in state iff the user ever emitted the type —
+        exactly the batch operator's distinct basket."""
+        from cuda_gis_smoothing_spark.operators.events import (
+            lift_from_user_types,
+        )
+
+        return lift_from_user_types(self.counts(), min_support)

@@ -256,3 +256,157 @@ def test_session_bounce_engineered(spark):
     ad = got["ad"]
     assert (ad.n_sessions, ad.n_bounces) == (1, 1)
     assert ad.bounce_rate == 1.0 and ad.avg_events == 1.0
+
+
+def test_daily_kendall_tau_matches_python(spark):
+    """Pure-Python τ-b differential on an engineered two-type daily
+    grid WITH ties (tied counts exercise the Tx/Ty corrections)."""
+    import datetime as dt
+    import itertools
+
+    import pytest
+
+    from cuda_gis_smoothing_spark.operators.events import daily_kendall_tau
+
+    base = dt.datetime(2024, 3, 1)
+    # daily counts by construction: type a: [1,2,2,3,1], type b: [2,2,1,4,4]
+    na = [1, 2, 2, 3, 1]
+    nb = [2, 2, 1, 4, 4]
+    rows = []
+    eid = 0
+    for d, (ca, cb) in enumerate(zip(na, nb)):
+        for _ in range(ca):
+            rows.append((eid, base + dt.timedelta(days=d), 1, "a", 1.0, None))
+            eid += 1
+        for _ in range(cb):
+            rows.append((eid, base + dt.timedelta(days=d), 1, "b", 1.0, None))
+            eid += 1
+    # a third type on DISJOINT days: aligns with nothing on some days
+    rows.append((eid, base + dt.timedelta(days=0), 1, "c", 1.0, None))
+    rows.append((eid + 1, base + dt.timedelta(days=1), 1, "c", 1.0, None))
+    # NULL type / NULL ts rows must be ignored
+    rows.append((eid + 2, base, 1, None, 1.0, None))
+    rows.append((eid + 3, None, 1, "a", 1.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {(r.type_a, r.type_b): r for r in daily_kendall_tau(df).collect()}
+
+    def tau_b(xs, ys):
+        n0 = c = d = tx = ty = 0
+        for i, j in itertools.combinations(range(len(xs)), 2):
+            dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+            n0 += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+        den = ((n0 - tx) * (n0 - ty)) ** 0.5
+        return n0, c, d, (c - d) / den if den else None
+
+    n0, c, d, tb = tau_b(na, nb)
+    r = got[("a", "b")]
+    assert (r.n_pairs, r.n_conc, r.n_disc) == (n0, c, d)
+    assert r.tau_b == pytest.approx(tb, abs=1e-6)
+    # c aligns with a and b on 2 days -> 1 pair each
+    assert got[("a", "c")].n_pairs == 1
+    assert got[("b", "c")].n_pairs == 1
+
+
+def test_daily_runs_test_matches_python(spark):
+    """Engineered alternating vs clustered daily series: the
+    alternating series has the maximum run count (z > 0), the
+    clustered one the minimum (z < 0); exact-median days drop."""
+    import datetime as dt
+
+    import pytest
+
+    from cuda_gis_smoothing_spark.operators.events import daily_runs_test
+
+    base = dt.datetime(2024, 3, 1)
+
+    def mk(name, counts, start_eid):
+        rows = []
+        eid = start_eid
+        for d, cnt in enumerate(counts):
+            for _ in range(cnt):
+                rows.append((eid, base + dt.timedelta(days=d), 1, name, 1.0, None))
+                eid += 1
+        return rows, eid
+
+    # alternating around median 2 (days at exactly 2 are excluded)
+    alt = [1, 3, 1, 3, 1, 3, 2, 1, 3]
+    # clustered: lows then highs
+    clu = [1, 1, 1, 1, 3, 3, 3, 3, 2]
+    rows, eid = mk("alt", alt, 0)
+    r2, _ = mk("clu", clu, eid)
+    rows += r2
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.event_type: r for r in daily_runs_test(df).collect()}
+
+    def runs_z(counts):
+        import statistics
+
+        med = statistics.median(counts)
+        s = [1 if c > med else 0 for c in counts if c != med]
+        n1, n2, n = sum(s), len(s) - sum(s), len(s)
+        r = 1 + sum(1 for i in range(1, len(s)) if s[i] != s[i - 1])
+        mu = 2 * n1 * n2 / n + 1
+        var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+        return n, n1, n2, r, (r - mu) / var**0.5
+
+    for name, counts in (("alt", alt), ("clu", clu)):
+        n, n1, n2, r, z = runs_z(counts)
+        g = got[name]
+        assert (g.n_days_used, g.n_above, g.n_below, g.n_runs) == (n, n1, n2, r)
+        assert g.z_score == pytest.approx(z, abs=1e-6)
+    assert got["alt"].z_score > 0 > got["clu"].z_score
+
+
+def test_event_type_lift_matches_python(spark):
+    """Engineered user baskets: perfectly co-occurring types have
+    lift N/(c_a·c_b) > 1, disjoint supported pairs never appear (no
+    co-occurrence -> no pair row); min_support prunes."""
+    import datetime as dt
+
+    import pytest
+
+    from cuda_gis_smoothing_spark.operators.events import event_type_lift
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # users 1-4: {a, b} always together; users 5-8: {c} alone;
+    # users 9-10: {a, c}
+    baskets = {1: "ab", 2: "ab", 3: "ab", 4: "ab", 5: "c", 6: "c",
+               7: "c", 8: "c", 9: "ac", 10: "ac"}
+    for u, types in baskets.items():
+        for t in types:
+            # duplicate events of the same type must not inflate counts
+            for _ in range(2):
+                rows.append((eid, base, u, t, 1.0, None))
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {(r.type_a, r.type_b): r for r in event_type_lift(df, min_support=2).collect()}
+    # N=10, c(a)=6, c(b)=4, c(c)=6; c(ab)=4, c(ac)=2, c(bc)=0
+    assert set(got) == {("a", "b"), ("a", "c")}
+    ab = got[("a", "b")]
+    assert (ab.n_a, ab.n_b, ab.n_both) == (6, 4, 4)
+    assert ab.lift == pytest.approx(10 * 4 / (6 * 4), abs=1e-6)
+    ac = got[("a", "c")]
+    assert (ac.n_a, ac.n_b, ac.n_both) == (6, 6, 2)
+    assert ac.lift == pytest.approx(10 * 2 / (6 * 6), abs=1e-6)

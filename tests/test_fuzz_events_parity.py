@@ -112,6 +112,15 @@ EVENTS_GATES = [
     # entry-type argmin over the SAME total order; tied timestamps pin
     # the struct-MIN vs ROW_NUMBER rk=1 equivalence
     "session_bounce",
+    # tied daily counts exercise the τ-b tie corrections (Tx/Ty) and
+    # the integer-valued-double sqrt tail
+    "daily_kendall_tau",
+    # duplicate same-type events per user must collapse to one basket
+    # row; NULL user/type rows drop
+    "event_type_lift",
+    # exact-median days drop; the sign lag runs over the per-type day
+    # total order
+    "daily_runs_test",
 ]
 
 

@@ -157,6 +157,12 @@ DOC_GATES = [
     # epoch permutation is text-independent (pure id arithmetic) but
     # the fuzz corpus pins the rank kernel over its id distribution
     "epoch_shuffle",
+    # NULL-source group + NULL-text zero-token docs pin the
+    # integer-valued-double Simpson sums
+    "source_diversity",
+    # NULL-text docs (NULL n_tokens) are out of scope by contract; the
+    # fuzz corpus pins the filter + the level-grid running sum
+    "quality_weighted_quantiles",
 ]
 
 

@@ -208,3 +208,47 @@ def test_user_keyed_burstiness_served_equals_batch(spark, state_dir):
         for r in user_burstiness(b0.unionByName(b1)).collect()
     }
     assert got == want and got
+
+
+def test_kendall_served_equals_batch_multi_batch(spark, state_dir):
+    """The shared τ-b kernel over maintained state must equal the
+    batch operator over the concatenated stream (additive counts: a
+    later batch growing a day's count re-ranks the pair grid)."""
+    from cuda_gis_smoothing_spark.operators.events import daily_kendall_tau
+
+    b0, b1, b2 = _batches(spark)
+    m = MaintainedDailyCounts(spark, state_dir)
+    for i, b in enumerate((b0, b1, b2)):
+        m.process_batch(b, i)
+    full = b0.unionByName(b1).unionByName(b2)
+    got = {
+        (r.type_a, r.type_b): (r.n_pairs, r.n_conc, r.n_disc, r.tau_b)
+        for r in m.kendall_tau().collect()
+    }
+    want = {
+        (r.type_a, r.type_b): (r.n_pairs, r.n_conc, r.n_disc, r.tau_b)
+        for r in daily_kendall_tau(full).collect()
+    }
+    assert got == want and got
+
+
+def test_runs_test_served_equals_batch_multi_batch(spark, state_dir):
+    """The shared runs-test kernel over maintained state must equal
+    the batch operator over the concatenated stream (the median and
+    the sign sequence both shift as batches extend the series)."""
+    from cuda_gis_smoothing_spark.operators.events import daily_runs_test
+
+    b0, b1, b2 = _batches(spark)
+    m = MaintainedDailyCounts(spark, state_dir)
+    for i, b in enumerate((b0, b1, b2)):
+        m.process_batch(b, i)
+    full = b0.unionByName(b1).unionByName(b2)
+    got = {
+        r.event_type: (r.n_days_used, r.n_above, r.n_below, r.n_runs, r.z_score)
+        for r in m.runs_test().collect()
+    }
+    want = {
+        r.event_type: (r.n_days_used, r.n_above, r.n_below, r.n_runs, r.z_score)
+        for r in daily_runs_test(full).collect()
+    }
+    assert got == want and got

@@ -94,3 +94,26 @@ def test_deltas_are_o_batch_keys(spark, state_dir):
     delta = m.counts_log.read_delta(2)
     assert delta.count() == 2
     assert m.counts().count() == 6
+
+
+def test_type_lift_served_equals_batch_multi_batch(spark, state_dir):
+    """The shared lift kernel over maintained state must equal the
+    batch operator over the concatenated stream — basket membership is
+    the log's key set, so a user acquiring a NEW type in a later batch
+    joins that type's baskets exactly once."""
+    from cuda_gis_smoothing_spark.operators.events import event_type_lift
+
+    b0, b1, b2 = _batches(spark)
+    m = MaintainedUserTypes(spark, state_dir)
+    for i, b in enumerate((b0, b1, b2)):
+        m.process_batch(b, i)
+    full = b0.unionByName(b1).unionByName(b2)
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.n_both, r.lift)
+        for r in m.type_lift(min_support=1).collect()
+    }
+    want = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.n_both, r.lift)
+        for r in event_type_lift(full, min_support=1).collect()
+    }
+    assert got == want and got

@@ -931,3 +931,82 @@ def test_source_heaps_matches_python_and_guards_single_doc(spark):
     lone = got["lone"]
     assert (lone.n_points, lone.total_tokens, lone.total_vocab) == (1, 3, 3)
     assert lone.heaps_beta is None and lone.heaps_lnk is None
+
+
+def test_source_diversity_matches_python(spark):
+    """Engineered repetitive vs diverse sources: Simpson -> 1 for a
+    one-word source, TTR exact integer ratios; NULL source groups as
+    its own row; NULL-text docs contribute zero tokens."""
+    import pytest
+
+    from cuda_gis_smoothing_spark.functions.text import source_diversity
+
+    rows = [
+        (1, "spam spam spam spam", "rep"),
+        (2, "spam spam", "rep"),
+        (3, "a b c d", "div"),
+        (4, "e f g h", "div"),
+        (5, None, "div"),          # NULL text: zero tokens
+        (6, "x x y", None),        # NULL source group
+        (7, "solo", "one"),        # single token: simpson NULL (N(N-1)=0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in source_diversity(df).collect()}
+
+    def simpson(counts):
+        n = sum(counts)
+        return sum(c * (c - 1) for c in counts) / (n * (n - 1))
+
+    rep = got["rep"]
+    assert (rep.n_tokens, rep.n_types) == (6, 1)
+    assert rep.ttr == pytest.approx(1 / 6, abs=1e-6)
+    assert rep.simpson == pytest.approx(1.0, abs=1e-6)
+    div = got["div"]
+    assert (div.n_tokens, div.n_types) == (8, 8)
+    assert div.ttr == 1.0 and div.simpson == 0.0
+    nul = got[None]
+    assert (nul.n_tokens, nul.n_types) == (3, 2)
+    assert nul.simpson == pytest.approx(simpson([2, 1]), abs=1e-6)
+    assert got["one"].simpson is None
+
+
+def test_quality_weighted_quantiles_matches_python(spark):
+    """Brute-force weighted-quantile differential over the operator's
+    OWN (quality, tokens) projection — the probe picks the smallest
+    level whose cumulative token weight reaches f·W."""
+    import pytest
+
+    from cuda_gis_smoothing_spark.operators.curate import _with_quality_and_lang
+    from cuda_gis_smoothing_spark.operators.sampling import (
+        QW_QUANTILE_FRACTIONS,
+        quality_weighted_quantiles,
+    )
+
+    rows = [
+        (1, "one two three four five six seven", "s"),
+        (2, "a, b,,, c!!!! d.... e", "s"),
+        (3, "the and is of to in the and is of", "s"),
+        (4, "word " * 80, "s"),
+        (5, None, "s"),  # NULL text: out of scope by contract
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = [
+        (r.quality_score, r.n_tokens)
+        for r in _with_quality_and_lang(df, "doc_id").collect()
+        if r.n_tokens is not None
+    ]
+    lv = {}
+    for q, w in base:
+        lv[q] = lv.get(q, 0) + w
+    levels = sorted(lv)
+    total = sum(lv.values())
+    expect = {}
+    for f in QW_QUANTILE_FRACTIONS:
+        cum = 0
+        for q in levels:
+            cum += lv[q]
+            if cum >= f * total:
+                expect[f] = q
+                break
+    got = {r.fraction: r.weighted_quality for r in quality_weighted_quantiles(df).collect()}
+    assert got == pytest.approx(expect, abs=1e-9)
