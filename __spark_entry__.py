@@ -3968,6 +3968,23 @@ def _q_quality_weighted_quantiles(spark, sf_dir):
     return quality_weighted_quantiles(load(spark, sf_dir, "documents"))
 
 
+def _q_candidate_family_report(spark, sf_dir):
+    """Candidate-generation accuracy card across the three text
+    near-dup families (MinHash-LSH / SimHash bands / winnowing) vs the
+    exact prefix-filtered Jaccard pair set — integer pair counts, two
+    guarded exact ratios."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        candidate_family_report,
+    )
+
+    return candidate_family_report(
+        load(spark, sf_dir, "documents"),
+        threshold=_JACCARD_THRESHOLD,
+        gram_len=_SPAN_GRAM,
+        window=_WINNOW_W,
+    )
+
+
 def _q_event_type_lift(spark, sf_dir):
     """Market-basket lift between event-type pairs over user baskets —
     the basket_part_pairs contract on the events table: exact integer
@@ -4372,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_kendall_tau_maintained": _q_daily_kendall_tau_maintained,
         "daily_runs_test_maintained": _q_daily_runs_test_maintained,
         "event_type_lift_maintained": _q_event_type_lift_maintained,
+        "candidate_family_report": _q_candidate_family_report,
     }
     return qs
 
@@ -7450,6 +7468,65 @@ GROUP BY fr.fraction
     out["daily_kendall_tau_maintained"] = out["daily_kendall_tau"]
     out["daily_runs_test_maintained"] = out["daily_runs_test"]
     out["event_type_lift_maintained"] = out["event_type_lift"]
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        winnow_ctes as _winnow_ctes,
+    )
+
+    # the rrf_fusion precedent: family pair sets composed from their
+    # OWN gated twins via nested-WITH derived tables; exact truth is
+    # the unblocked form of the ngram_jaccard twin (no lang equi-key)
+    out["candidate_family_report"] = f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({out["minhash_lsh"]}) q),
+sh AS (SELECT doc_a, doc_b FROM ({out["simhash_pairs"]}) q),
+wn AS (SELECT doc_a, doc_b FROM (
+  WITH {_winnow_ctes(_SPAN_GRAM, _WINNOW_W)},
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM wfp a JOIN wfp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  )
+  SELECT doc_a, doc_b FROM cand) q),
+tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE ROUND(i * 1.0 / (sa.n + sb.n - i) + 1e-09, 6) >= {_JACCARD_THRESHOLD}
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM exact),
+fam AS (
+  SELECT 'minhash_lsh' AS family, doc_a, doc_b FROM mh
+  UNION ALL SELECT 'simhash_banded', doc_a, doc_b FROM sh
+  UNION ALL SELECT 'winnowing', doc_a, doc_b FROM wn
+),
+per AS (
+  SELECT family,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true
+  FROM fam f LEFT JOIN exact e ON e.doc_a = f.doc_a AND e.doc_b = f.doc_b
+  GROUP BY family
+)
+SELECT family, n_candidates, n_exact_pairs, n_true,
+       ROUND(CAST(n_true AS DOUBLE)
+             / NULLIF(CAST(n_candidates AS DOUBLE), 0) + 1e-09, 6)
+         AS pair_precision,
+       ROUND(CAST(n_true AS DOUBLE)
+             / NULLIF(CAST(n_exact_pairs AS DOUBLE), 0) + 1e-09, 6)
+         AS pair_recall
+FROM per CROSS JOIN ne
+""".strip()
     return out
 
 

@@ -320,6 +320,7 @@ BENCH_QUERIES = [
     "daily_kendall_tau_maintained",
     "daily_runs_test_maintained",
     "event_type_lift_maintained",
+    "candidate_family_report",
 ]
 
 

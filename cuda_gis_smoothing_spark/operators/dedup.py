@@ -1964,6 +1964,22 @@ def winnowed_neardup_pairs(
     blocked-triangle equi-join form (lsh_blocked_neardup_drops) is the
     lever if a corpus develops megaclusters.
     """
+    cand = winnow_candidate_pairs(docs, gram_len, window, id_col)
+    return verified_jaccard_pairs(cand, docs, docs, threshold, id_col)
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    gram_len: int = 4,
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The winnowing CANDIDATE stage (docs sharing ≥1 winnowed
+    fingerprint, distinct ``(doc_a, doc_b)``) — extracted from
+    :func:`winnowed_neardup_pairs` so the candidate-family accuracy
+    card audits the SAME pair set the verify kernel consumes (the
+    shared-kernel drift-prevention class). Pinned parallelism on the
+    fingerprint key (the AQE-coalesce class)."""
     fps = winnow_fingerprints(docs, gram_len, window, id_col).localCheckpoint()
     parts = docs.sparkSession.sparkContext.defaultParallelism
     a = fps.select(F.col(id_col).alias("doc_a"), "fingerprint").repartition(
@@ -1972,13 +1988,12 @@ def winnowed_neardup_pairs(
     b = fps.select(F.col(id_col).alias("doc_b"), "fingerprint").repartition(
         parts, "fingerprint"
     )
-    cand = (
+    return (
         a.join(b, "fingerprint")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return verified_jaccard_pairs(cand, docs, docs, threshold, id_col)
 
 
 def winnowed_neardup_sql(
@@ -2012,6 +2027,94 @@ JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE ROUND(i * 1.0 / (sa.n + sb.n - i) + 1e-09, 6) >= {threshold}
 """.strip()
+
+
+def candidate_family_report(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 6,
+    bands: int = 3,
+    max_hamming: int = 3,
+    bits: int = 16,
+    gram_len: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Candidate-generation accuracy card across the three text
+    near-dup families — MinHash-LSH bands, SimHash bands, winnowed
+    fingerprints — each measured against the EXACT token-set Jaccard
+    pair set at ``threshold`` (unblocked: prefix-filtered AllPairs, so
+    the truth itself is sub-quadratic). The capacity-planning question
+    every dedup pipeline asks BEFORE committing to a family: how many
+    candidate pairs does each generator emit (verify cost) and what
+    fraction of the true pairs does it reach (recall)? The
+    minhash_error_report sibling one level up: that card grades the
+    ESTIMATOR, this one grades the CANDIDATE SETS.
+
+    One row per family: ``(family, n_candidates, n_exact_pairs,
+    n_true, pair_precision, pair_recall)`` — integer pair counts,
+    two guarded exact-ratio divisions under round6. SimHash pairs are
+    its verified hamming ≤ d output (that family's own gate
+    semantics); winnowing contributes its pre-verify candidate set
+    (the shared :func:`winnow_candidate_pairs` stage).
+
+    Plan (100 TB): each family's pair set is the family's own gated
+    sub-quadratic kernel; the intersections are equi-joins on distinct
+    pair keys; every aggregate is 1-row (the broadcast-stats class).
+    Each pair set feeds two consumers (count + intersection) so each
+    is localCheckpoint'ed."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    exact = (
+        ngram_jaccard_pairs(docs, threshold=threshold, block_col=None)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # count + three intersection consumers
+    )
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    fams = [
+        (
+            "minhash_lsh",
+            minhash_lsh_pairs(docs, n_hashes=n_hashes, bands=bands).select(
+                "doc_a", "doc_b"
+            ),
+        ),
+        (
+            "simhash_banded",
+            simhash_pairs_banded(docs, max_hamming=max_hamming, bits=bits).select(
+                "doc_a", "doc_b"
+            ),
+        ),
+        (
+            "winnowing",
+            winnow_candidate_pairs(docs, gram_len, window),
+        ),
+    ]
+    rows = []
+    for name, cand in fams:
+        cand = cand.localCheckpoint()  # count + intersection consumers
+        nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        nt = exact.join(cand, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_true")
+        )
+        rows.append(
+            nc.crossJoin(F.broadcast(nt)).select(
+                F.lit(name).alias("family"), "n_candidates", "n_true"
+            )
+        )
+    rep = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return rep.crossJoin(F.broadcast(ne)).select(
+        "family",
+        "n_candidates",
+        "n_exact_pairs",
+        "n_true",
+        round6(
+            F.col("n_true").cast("double")
+            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
+        ).alias("pair_precision"),
+        round6(
+            F.col("n_true").cast("double")
+            / F.nullif(F.col("n_exact_pairs").cast("double"), F.lit(0.0))
+        ).alias("pair_recall"),
+    )
 
 
 #: printable-ASCII text gate for byte-vs-char sensitive kernels —

@@ -163,6 +163,9 @@ DOC_GATES = [
     # NULL-text docs (NULL n_tokens) are out of scope by contract; the
     # fuzz corpus pins the filter + the level-grid running sum
     "quality_weighted_quantiles",
+    # near-dup heavy adversarial corpus: all three family pair sets +
+    # the unblocked exact truth cross one report
+    "candidate_family_report",
 ]
 
 

@@ -984,3 +984,35 @@ def test_epoch_shuffle_is_per_epoch_permutation(spark):
     assert {(r.doc_id, r.epoch, r.position, r.shard) for r in rep} == {
         (r.doc_id, r.epoch, r.position, r.shard) for r in out
     }
+
+
+def test_candidate_family_report_invariants(spark):
+    """Engineered corpus: exact dup pair must be TRUE in every family
+    (identical docs share every band/fingerprint); counts obey
+    n_true <= min(n_candidates, n_exact_pairs); the winnowing row's
+    span guarantee holds for a long shared run."""
+    from cuda_gis_smoothing_spark.operators.dedup import candidate_family_report
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "s", 0),
+        (2, base, "en", "s", 0),                   # exact dup of 1
+        (3, base + " extra tail tokens here", "en", "s", 0),  # long shared run
+        (4, "completely different words entirely now", "en", "s", 0),
+        (5, None, "en", "s", 0),                   # NULL text
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    rep = {r.family: r for r in candidate_family_report(df, threshold=0.45).collect()}
+    assert set(rep) == {"minhash_lsh", "simhash_banded", "winnowing"}
+    ne = {r.n_exact_pairs for r in rep.values()}
+    assert len(ne) == 1 and ne.pop() >= 2  # (1,2) and the (1,3)/(2,3) overlap
+    for r in rep.values():
+        assert 0 <= r.n_true <= min(r.n_candidates, r.n_exact_pairs)
+        if r.n_candidates:
+            assert r.pair_precision is not None
+    # identical docs share every fingerprint/band: every family's
+    # candidate set contains (1,2), and winnowing's span guarantee
+    # catches the long shared run (1,3)/(2,3) too
+    assert rep["winnowing"].n_true == rep["winnowing"].n_exact_pairs
