@@ -207,26 +207,54 @@ def _q_zonal_stats(spark, sf_dir):
     """Zonal statistics: the PIP region tag (broadcast + vectorized
     ray-cast, no shuffle on the point side) composed with one
     region-keyed aggregate — cells outside every polygon form the NULL
-    zone (kept: it IS the coverage-gap headline)."""
+    zone (kept: it IS the coverage-gap headline). Routed through the
+    SHARED operators.spatial.zonal_stats kernel (the maintained gate
+    serves the identical body from smoother state)."""
     from cuda_gis_smoothing_spark import datagen
-    from cuda_gis_smoothing_spark.operators.spatial import (
-        centroid_sql,
-        point_in_polygon,
-    )
+    from cuda_gis_smoothing_spark.operators.spatial import zonal_stats
 
     _ensure_shipped(spark)
     cells = grid_from_lineitem(spark, sf_dir).select("cell", "ndvi")
-    lat, lon = centroid_sql("cell", "spark")
-    pts = cells.select(
-        "cell", "ndvi", F.expr(lat).alias("lat"), F.expr(lon).alias("lon")
+    return zonal_stats(cells, datagen.gen_boundaries())
+
+
+def _q_zonal_stats_maintained(spark, sf_dir):
+    """The SAME zonal statistics served from MAINTAINED cell state
+    (the smooth_maintained precedent): the cell table folds into an
+    IncrementalSmoother as one partials batch — ndvi rides as
+    (sum_ndvi, n=1) so state sum/n recovers it exactly — and the
+    shared zonal_stats kernel runs over state_cells(). SHARED twin."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.operators.spatial import zonal_stats
+    from cuda_gis_smoothing_spark.streaming.incremental import IncrementalSmoother
+
+    _ensure_shipped(spark)
+    cells = grid_from_lineitem(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="smooth_state_")
+    sm = IncrementalSmoother(spark, state)
+    sm.process_partials(
+        cells.select(
+            "cell", F.col("ndvi").alias("sum_ndvi"), F.lit(1).cast("long").alias("n")
+        ),
+        0,
     )
-    tagged = point_in_polygon(pts, datagen.gen_boundaries())
-    return tagged.groupBy("region_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
-        round6(F.avg("ndvi")).alias("mean_ndvi"),
-        F.min("ndvi").alias("min_ndvi"),
-        F.max("ndvi").alias("max_ndvi"),
-    )
+    out = zonal_stats(
+        sm.state_cells(), datagen.gen_boundaries()
+    ).localCheckpoint(eager=True)  # state dir is GC'd next line
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
+def _q_stream_junctions(spark, sf_dir):
+    """Confluence census over the D6 stream network: stream cells with
+    >= 2 committed stream inflows — integer census, shared flow
+    closure, the nodes where Strahler order increments."""
+    from cuda_gis_smoothing_spark.operators.hydrology import stream_junctions
+
+    return stream_junctions(grid_from_lineitem(spark, sf_dir))
 
 
 def _q_zonal_majority(spark, sf_dir):
@@ -4390,6 +4418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_runs_test_maintained": _q_daily_runs_test_maintained,
         "event_type_lift_maintained": _q_event_type_lift_maintained,
         "candidate_family_report": _q_candidate_family_report,
+        "zonal_stats_maintained": _q_zonal_stats_maintained,
+        "stream_junctions": _q_stream_junctions,
     }
     return qs
 
@@ -7526,6 +7556,18 @@ SELECT family, n_candidates, n_exact_pairs, n_true,
              / NULLIF(CAST(n_exact_pairs AS DOUBLE), 0) + 1e-09, 6)
          AS pair_recall
 FROM per CROSS JOIN ne
+""".strip()
+    # maintained state sum/n recovers ndvi exactly for a single batch
+    # with n=1 partials (the smooth_maintained precedent) — SHARED twin
+    out["zonal_stats_maintained"] = out["zonal_stats"]
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        stream_junctions_sql,
+    )
+
+    out["stream_junctions"] = f"""
+WITH RECURSIVE {_FLOW},
+{flow_closure_ctes()},
+{stream_junctions_sql()}
 """.strip()
     return out
 

@@ -321,6 +321,8 @@ BENCH_QUERIES = [
     "daily_runs_test_maintained",
     "event_type_lift_maintained",
     "candidate_family_report",
+    "zonal_stats_maintained",
+    "stream_junctions",
 ]
 
 

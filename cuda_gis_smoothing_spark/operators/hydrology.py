@@ -650,6 +650,67 @@ def stream_distance(
     )
 
 
+def stream_junctions(
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    threshold: int = STREAM_THRESHOLD,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Confluence census: stream cells (``upslope_cells >= threshold``,
+    the drainage_density definition) that receive committed flow from
+    TWO OR MORE stream neighbors — the nodes where channels merge, the
+    backbone of network topology (Strahler order increments exactly
+    here; stream_order's >=2-at-max flag fires on this set). Output
+    one row per junction: ``(cell, n_stream_inflows, upslope_cells)``
+    — all integers, tie-proof.
+
+    Plan (100 TB): ONE checkpointed flow direction feeds the shared
+    closure (upslope counts) and the single-hop inflow count (an
+    equi-join of the stream set with fd on flow_to); no windows."""
+    fd = flow_direction(cells, value_col).localCheckpoint()
+    acc = flow_accumulation(cells, value_col, max_rounds, fd=fd)
+    streams = acc.where(F.col("upslope_cells") >= int(threshold)).localCheckpoint()
+    # committed single-hop inflows FROM stream cells: fd rows whose
+    # source is a stream cell, grouped by their target
+    inflows = (
+        fd.where(F.col("flow_to").isNotNull())
+        .join(
+            streams.select(F.col("cell").alias("_src")),
+            F.col("cell") == F.col("_src"),
+        )
+        .groupBy("flow_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_stream_inflows"))
+    )
+    return (
+        streams.join(inflows, streams["cell"] == inflows["flow_to"])
+        .where(F.col("n_stream_inflows") >= 2)
+        .select("cell", "n_stream_inflows", "upslope_cells")
+    )
+
+
+def stream_junctions_sql(threshold: int = STREAM_THRESHOLD) -> str:
+    """DuckDB twin of :func:`stream_junctions` — the shared flow +
+    closure CTEs, the drainage_density upslope definition, one
+    single-hop inflow count. Compose after the cells + flow CTEs."""
+    return f"""
+facc AS (SELECT dst, COUNT(*) AS n FROM freach GROUP BY dst),
+fups AS (
+  SELECT c.cell, CAST(1 + COALESCE(a.n, 0) AS BIGINT) AS upslope_cells
+  FROM cells4 c LEFT JOIN facc a ON a.dst = c.cell
+),
+fstreams AS (SELECT cell, upslope_cells FROM fups WHERE upslope_cells >= {int(threshold)}),
+finflows AS (
+  SELECT d.flow_to AS cell, CAST(COUNT(*) AS BIGINT) AS n_stream_inflows
+  FROM fd d JOIN fstreams s ON s.cell = d.cell
+  WHERE d.flow_to IS NOT NULL
+  GROUP BY d.flow_to
+)
+SELECT s.cell, i.n_stream_inflows, s.upslope_cells
+FROM fstreams s JOIN finflows i ON i.cell = s.cell
+WHERE i.n_stream_inflows >= 2
+""".strip()
+
+
 def flow_ctes(source: str = "cells4", value_col: str = "ndvi") -> str:
     """The ONE DuckDB CTE builder for the family (drift-prevention
     class): emits ``f_offsets`` / ``fnb`` / ``fd`` CTE text, ``fd``

@@ -397,3 +397,31 @@ def grid_upsample(
         "coarse_mean",
         round6(F.col("value") - F.col("coarse_mean")).alias("residual"),
     )
+
+
+def zonal_stats(cells: DataFrame, boundaries_pdf, value_col: str = "ndvi") -> DataFrame:
+    """Zonal statistics over a (cell, value) surface: broadcast PIP
+    region tag (vectorized ray-cast, no shuffle on the cell side) +
+    one region-keyed aggregate; cells outside every polygon form the
+    NULL zone (kept — it IS the coverage-gap headline). Extracted from
+    the gate body so the maintained serving path
+    (IncrementalSmoother.zonal_stats) runs the IDENTICAL kernel (the
+    shared-kernel drift-prevention class). min/max cross the gate as
+    RAW doubles (association-order-free); the mean is the focal_stats
+    mean contract."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    lat, lon = centroid_sql("cell", "spark")
+    pts = cells.select(
+        "cell",
+        F.col(value_col),
+        F.expr(lat).alias("lat"),
+        F.expr(lon).alias("lon"),
+    )
+    tagged = point_in_polygon(pts, boundaries_pdf)
+    return tagged.groupBy("region_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        round6(F.avg(value_col)).alias(f"mean_{value_col}"),
+        F.min(value_col).alias(f"min_{value_col}"),
+        F.max(value_col).alias(f"max_{value_col}"),
+    )

@@ -232,6 +232,20 @@ class IncrementalSmoother:
     def current_smoothed(self) -> DataFrame | None:
         return self._smooth.read()
 
+    def state_cells(self) -> DataFrame | None:
+        """The value surface recovered from state: sum/n is exact when
+        partials ride as (value, n=1) — the same contract as
+        IncrementalFlowRouter.state_cells (one cell-state recovery
+        rule across the maintainers). Serves any (cell, ndvi)-shaped
+        batch operator from maintained state (zonal_stats_maintained
+        routes here)."""
+        state = self._agg.read()
+        if state is None:
+            return None
+        return state.select(
+            "cell", (F.col("sum_ndvi") / F.col("n")).alias("ndvi")
+        )
+
     # -- the foreachBatch body -------------------------------------------------
     def process_batch(self, images_batch: DataFrame, batch_id: int) -> None:
         self.process_partials(cell_partials(images_batch, self.grid), batch_id)

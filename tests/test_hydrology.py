@@ -1039,3 +1039,42 @@ def test_router_flow_load_served_equals_batch_after_update(spark, tmp_path):
         for r in flow_load(rt.state_cells()).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_junctions_matches_python_walk(spark):
+    """Junctions == the pure-Python census: stream cells (the
+    drainage_density upslope definition) with >= 2 committed inflows
+    FROM stream cells."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        STREAM_THRESHOLD,
+        flow_direction,
+        stream_junctions,
+    )
+
+    cells = _grid(spark)
+    fd = {r["cell"]: r["flow_to"] for r in flow_direction(cells).collect()}
+
+    reach = {c: set() for c in fd}
+    for c in fd:
+        cur = fd[c]
+        while cur is not None:
+            reach[cur].add(c)
+            cur = fd[cur]
+    up = {c: 1 + len(reach[c]) for c in fd}
+    streams = {c for c in fd if up[c] >= STREAM_THRESHOLD}
+    inflows = {}
+    for c in streams:
+        t = fd[c]
+        if t is not None:
+            inflows[t] = inflows.get(t, 0) + 1
+    want = {
+        c: (inflows[c], up[c])
+        for c in streams
+        if inflows.get(c, 0) >= 2
+    }
+    got = {
+        r["cell"]: (r["n_stream_inflows"], r["upslope_cells"])
+        for r in stream_junctions(cells).collect()
+    }
+    assert got == want
+    assert want  # fixture sanity: the surface has at least one confluence

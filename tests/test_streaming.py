@@ -192,3 +192,44 @@ def test_incremental_pyramid_multibatch_and_minmax_refresh(spark, tmp_path):
     assert {c: (r.n_cells, r.mean_value, r.min_value, r.max_value) for c, r in again.items()} == {
         c: (r.n_cells, r.mean_value, r.min_value, r.max_value) for c, r in got.items()
     }
+
+
+def test_zonal_stats_served_equals_batch_multi_batch(spark, tmp_path):
+    """zonal_stats over IncrementalSmoother.state_cells() == the batch
+    kernel over the per-cell merged means — two partials batches with
+    overlapping cells exercise the sum/n merge."""
+    from cuda_gis_smoothing_spark import datagen
+    from cuda_gis_smoothing_spark.operators.spatial import zonal_stats
+
+    sm = IncrementalSmoother(spark, str(tmp_path / "state"))
+    enc, off = 1 << 20, 1 << 10
+
+    def cell(q, r):
+        return (q + off) * enc + (r + off)
+
+    b0 = [(cell(q, r), 0.1 * (q + 2 * r), 1) for q in range(6) for r in range(6)]
+    # batch 1 re-observes a subset with different values (means shift)
+    b1 = [(cell(q, r), 0.05 * (q - r), 1) for q in range(3) for r in range(3)]
+    schema = "cell long, sum_ndvi double, n long"
+    sm.process_partials(spark.createDataFrame(b0, schema), 0)
+    sm.process_partials(spark.createDataFrame(b1, schema), 1)
+
+    merged = {}
+    for c, s, n in b0 + b1:
+        t = merged.get(c, (0.0, 0))
+        merged[c] = (t[0] + s, t[1] + n)
+    cells = spark.createDataFrame(
+        [(c, s / n) for c, (s, n) in merged.items()], "cell long, ndvi double"
+    )
+    bnd = datagen.gen_boundaries()
+    got = {r.region_id: r for r in zonal_stats(sm.state_cells(), bnd).collect()}
+    want = {r.region_id: r for r in zonal_stats(cells, bnd).collect()}
+    assert set(got) == set(want) and got
+    for k in want:
+        g, w = got[k], want[k]
+        assert (g.n_cells, g.mean_ndvi, g.min_ndvi, g.max_ndvi) == (
+            w.n_cells,
+            w.mean_ndvi,
+            w.min_ndvi,
+            w.max_ndvi,
+        )
