@@ -4013,6 +4013,32 @@ def _q_candidate_family_report(spark, sf_dir):
     )
 
 
+def _q_embedding_pagerank(spark, sf_dir):
+    """PageRank centrality over the banded embedding near-dup graph —
+    the shared fixed-iteration pagerank_rounds core (7th graph domain
+    for a shared kernel family); hub vectors = dense near-dup
+    neighborhoods, the curation-priority signal."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_neardup_pairs_banded,
+    )
+    from cuda_gis_smoothing_spark.operators.stats import pagerank_rounds
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = (
+        embedding_neardup_pairs_banded(emb, threshold=_EMB_BANDED_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()  # both edge orientations consume it
+    )
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    return pagerank_rounds(
+        emb.select("vec_id"), edges, id_col="vec_id"
+    )
+
+
 def _q_event_type_lift(spark, sf_dir):
     """Market-basket lift between event-type pairs over user baskets —
     the basket_part_pairs contract on the events table: exact integer
@@ -4420,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_family_report": _q_candidate_family_report,
         "zonal_stats_maintained": _q_zonal_stats_maintained,
         "stream_junctions": _q_stream_junctions,
+        "embedding_pagerank": _q_embedding_pagerank,
     }
     return qs
 
@@ -4637,31 +4664,42 @@ WHERE rank <= 5
 """.strip()
 
 
-def _pagerank_sql(damping: float = 0.85, iters: int = 5) -> str:
-    """Unrolled fixed-iteration PageRank twin of
-    operators/stats.py::cell_pagerank: one CTE per iteration, the
-    teleport and damping literals emitted as flit() of the SAME Python
-    doubles the Spark plan uses (1.0 − 0.85 is computed in Python ONCE
-    so both engines see the identical non-representable constant)."""
+def _pagerank_chain_sql(
+    node_cte: str, node_col: str, damping: float = 0.85, iters: int = 5
+) -> str:
+    """The unrolled pr0..prN CTE chain over caller-provided ``edges``
+    / ``deg`` / ``nn`` CTEs — ONE builder shared by every PageRank
+    twin (cells, banded embedding graph) so the rounds cannot drift.
+    Teleport/damping literals are flit() of the SAME Python doubles
+    the Spark kernel uses (1.0 − 0.85 computed in Python ONCE so both
+    engines fold the identical non-representable constant)."""
     from cuda_gis_smoothing_spark.functions.numeric import flit
 
     d, omd = flit(damping), flit(1.0 - damping)
     ctes = [
-        f"pr0 AS (SELECT cell, {flit(1.0)} / nn.n AS pr FROM cells4 CROSS JOIN nn)"
+        f"pr0 AS (SELECT {node_col}, {flit(1.0)} / nn.n AS pr"
+        f" FROM {node_cte} CROSS JOIN nn)"
     ]
     for t in range(1, iters + 1):
         ctes.append(
             f"""pr{t} AS (
-  SELECT m.cell, {omd} / nn.n + {d} * COALESCE(inb.s, {flit(0.0)}) AS pr
-  FROM cells4 m CROSS JOIN nn
+  SELECT m.{node_col}, {omd} / nn.n + {d} * COALESCE(inb.s, {flit(0.0)}) AS pr
+  FROM {node_cte} m CROSS JOIN nn
   LEFT JOIN (
     SELECT ed.dst AS dst, SUM(p.pr / deg.deg) AS s
-    FROM edges ed JOIN pr{t - 1} p ON p.cell = ed.src JOIN deg ON deg.src = ed.src
+    FROM edges ed JOIN pr{t - 1} p ON p.{node_col} = ed.src JOIN deg ON deg.src = ed.src
     GROUP BY ed.dst
-  ) inb ON inb.dst = m.cell
+  ) inb ON inb.dst = m.{node_col}
 )"""
         )
-    chain = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def _pagerank_sql(damping: float = 0.85, iters: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank twin of
+    operators/stats.py::cell_pagerank (rounds via the shared
+    _pagerank_chain_sql builder)."""
+    chain = _pagerank_chain_sql("cells4", "cell", damping, iters)
     return f"""
 WITH {GRID_CELLS_SQL},
 offsets (delta) AS (VALUES {_vals(_R1)}),
@@ -4673,6 +4711,26 @@ deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 nn AS (SELECT COUNT(*) AS n FROM cells4),
 {chain}
 SELECT cell, ROUND(pr + 1e-09, 6) AS pagerank FROM pr{iters}
+""".strip()
+
+
+def _embedding_pagerank_sql(damping: float = 0.85, iters: int = 5) -> str:
+    """PageRank over the banded embedding near-dup graph — the SAME
+    unrolled chain (shared builder) over the banded pairs twin, both
+    edge orientations; isolated vectors hold the teleport term."""
+    chain = _pagerank_chain_sql("nodes", "vec_id", damping, iters)
+    return f"""
+WITH pairs AS ({_emb_banded_sql()}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT vec_id FROM embeddings),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+{chain}
+SELECT vec_id, ROUND(pr + 1e-09, 6) AS pagerank FROM pr{iters}
 """.strip()
 
 
@@ -7569,6 +7627,7 @@ WITH RECURSIVE {_FLOW},
 {flow_closure_ctes()},
 {stream_junctions_sql()}
 """.strip()
+    out["embedding_pagerank"] = _embedding_pagerank_sql()
     return out
 
 

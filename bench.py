@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "candidate_family_report",
     "zonal_stats_maintained",
     "stream_junctions",
+    "embedding_pagerank",
 ]
 
 

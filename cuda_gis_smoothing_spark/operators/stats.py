@@ -398,35 +398,56 @@ def cell_pagerank(
     the same shuffle-on-cell the smoothing pass runs.
 
     Output: (cell, pagerank round6), one row per cell."""
+    e = valid_edges(cells, 1).select(
+        F.col("cell").alias("src"), F.col("nbr").alias("dst")
+    )
+    return pagerank_rounds(cells, e, damping, iters, id_col="cell")
+
+
+def pagerank_rounds(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    id_col: str = "cell",
+) -> DataFrame:
+    """The fixed-iteration PageRank core over an arbitrary DIRECTED
+    ``(src, dst)`` edge table — extracted from :func:`cell_pagerank` so
+    other graph domains (the banded embedding near-dup graph) run the
+    IDENTICAL rounds (the star_components one-kernel-many-domains
+    precedent). Undirected callers pass both orientations. Same
+    contracts as the cell form: fixed unrolling (twin = chained CTEs),
+    zero-degree nodes hold the teleport term, per-node inbound sums are
+    degree-bounded doubles whose association noise round6 absorbs.
+    Output ``(id_col, pagerank)``."""
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
-    e = valid_edges(cells, 1).select(F.col("cell").alias("src"), F.col("nbr").alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    edges = e.join(deg, "src").localCheckpoint()  # iters consumers
-    base = cells.select("cell").localCheckpoint()  # iters + 2 consumers
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    edges = edges.join(deg, "src").localCheckpoint()  # iters consumers
+    base = nodes.select(id_col).localCheckpoint()  # iters + 2 consumers
     nn = base.agg(F.count(F.lit(1)).alias("_n"))
     pr = base.crossJoin(F.broadcast(nn)).select(
-        "cell", (F.lit(1.0) / F.col("_n")).alias("pr")
+        id_col, (F.lit(1.0) / F.col("_n")).alias("pr")
     )
     teleport = F.lit(1.0 - damping) / F.col("_n")
     for _ in range(iters):
         inb = (
-            edges.join(pr.withColumnRenamed("cell", "src"), "src")
+            edges.join(pr.withColumnRenamed(id_col, "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_s"))
         )
         pr = (
-            base.join(inb, base["cell"] == inb["dst"], "left")
+            base.join(inb, base[id_col] == inb["dst"], "left")
             .crossJoin(F.broadcast(nn))
             .select(
-                "cell",
+                id_col,
                 (
                     teleport
                     + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
                 ).alias("pr"),
             )
         )
-    return pr.select("cell", round6(F.col("pr")).alias("pagerank"))
+    return pr.select(id_col, round6(F.col("pr")).alias("pagerank"))
 
 
 def semivariogram(

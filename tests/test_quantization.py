@@ -328,3 +328,44 @@ def test_transition_stationary_matches_python(spark):
     assert set(got) == set(nodes) and k > 1
     for t in nodes:
         assert abs(got[t] - pi[t]) <= 2e-6, (t, got[t], pi[t])
+
+
+def test_embedding_pagerank_matches_python(spark):
+    """The shared pagerank_rounds core over the banded embedding graph
+    == a pure-Python power iteration over the SAME (symmetrized) edge
+    set; isolated vectors hold exactly the teleport share."""
+    from __spark_entry__ import _EMB_BANDED_THRESHOLD, _q_embedding_pagerank, load
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_neardup_pairs_banded,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs_banded(
+            emb, threshold=_EMB_BANDED_THRESHOLD
+        )
+        .select("vec_a", "vec_b")
+        .collect()
+    ]
+    nodes = [r.vec_id for r in emb.select("vec_id").collect()]
+    edges = pairs + [(b, a) for a, b in pairs]
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    d, omd = 0.85, 1.0 - 0.85
+    pr = {c: 1.0 / n for c in nodes}
+    for _ in range(5):
+        inb = {c: 0.0 for c in nodes}
+        for s, t in edges:
+            inb[t] += pr[s] / deg[s]
+        pr = {c: omd / n + d * inb[c] for c in nodes}
+    got = {r.vec_id: r.pagerank for r in _q_embedding_pagerank(spark, SF).collect()}
+    assert set(got) == set(nodes)
+    for c in nodes:
+        assert abs(got[c] - pr[c]) <= 2e-6, (c, got[c], pr[c])
+    isolated = [c for c in nodes if c not in deg]
+    assert isolated  # fixture sanity: the banded graph has 0-degree vectors
+    for c in isolated:
+        assert abs(got[c] - omd / n) <= 2e-6
