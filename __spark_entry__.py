@@ -4013,6 +4013,24 @@ def _q_candidate_family_report(spark, sf_dir):
     )
 
 
+def _q_customer_rfm(spark, sf_dir):
+    """Warehouse RFM segmentation over orders — the user_rfm house
+    pattern (all-integer axes, quartiles from the exact percentile
+    kernel over the SAME values)."""
+    from cuda_gis_smoothing_spark.operators.analytics import customer_rfm
+
+    return customer_rfm(load(spark, sf_dir, "orders"))
+
+
+def _q_source_token_gini(spark, sf_dir):
+    """Per-source document-length inequality (gini over doc token
+    counts, descending-rank integer formula) — the length-mass skew
+    card beside source_diversity's vocabulary card."""
+    from cuda_gis_smoothing_spark.functions.text import source_token_gini
+
+    return source_token_gini(load(spark, sf_dir, "documents"))
+
+
 def _q_embedding_pagerank(spark, sf_dir):
     """PageRank centrality over the banded embedding near-dup graph —
     the shared fixed-iteration pagerank_rounds core (7th graph domain
@@ -4447,6 +4465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_maintained": _q_zonal_stats_maintained,
         "stream_junctions": _q_stream_junctions,
         "embedding_pagerank": _q_embedding_pagerank,
+        "customer_rfm": _q_customer_rfm,
+        "source_token_gini": _q_source_token_gini,
     }
     return qs
 
@@ -7628,6 +7648,12 @@ WITH RECURSIVE {_FLOW},
 {stream_junctions_sql()}
 """.strip()
     out["embedding_pagerank"] = _embedding_pagerank_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import customer_rfm_sql
+
+    out["customer_rfm"] = customer_rfm_sql()
+    from cuda_gis_smoothing_spark.functions.text import SOURCE_TOKEN_GINI_SQL
+
+    out["source_token_gini"] = SOURCE_TOKEN_GINI_SQL
     return out
 
 

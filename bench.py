@@ -324,6 +324,8 @@ BENCH_QUERIES = [
     "zonal_stats_maintained",
     "stream_junctions",
     "embedding_pagerank",
+    "customer_rfm",
+    "source_token_gini",
 ]
 
 

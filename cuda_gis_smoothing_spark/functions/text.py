@@ -635,6 +635,66 @@ def source_diversity(
     )
 
 
+def source_token_gini(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source inequality of document LENGTHS: gini over doc token
+    counts within each source — "is this source a few megadocs plus
+    chaff?", the length-mass skew card beside source_diversity's
+    vocabulary card (key_skew_report's corpus-side sibling, grouped).
+    Gini over DESCENDING ranks j: ((n+1)·S − 2·Σ j·x) / (n·S) — integer
+    numerator and denominator, ONE double division under round6; tie
+    blocks hold equal x so the rank sum is tie-permutation-invariant
+    (the revenue_concentration argument). Ranks are per-source
+    ROW_NUMBERs over the (−n_tokens, doc_id) TOTAL order (source
+    partitions are bounded; no global window). NULL-text docs are out
+    of scope (no length); NULL sources group as one row. Int64 bound:
+    per-source n_docs · total_tokens < 2^62.
+
+    Output ``(source, n_docs, total_tokens, gini)``."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    d = df.where(F.col(text_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        F.col("doc_id"),
+        n_tokens_col(text_col).cast("long").alias("_x"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("_x").desc(), F.col("doc_id")
+    )
+    ranked = d.select("source", "_x", F.row_number().over(w).alias("_j"))
+    n, s = F.count(F.lit(1)), F.sum("_x")
+    gini = ((n + 1) * s - F.lit(2) * F.sum(F.col("_j") * F.col("_x"))).cast(
+        "double"
+    ) / F.nullif((n * s).cast("double"), F.lit(0.0))
+    return ranked.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        s.cast("long").alias("total_tokens"),
+        round6(gini).alias("gini"),
+    )
+
+
+SOURCE_TOKEN_GINI_SQL = """
+WITH d AS (
+  SELECT source, doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT source, x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY x DESC, doc_id) AS j
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(x) AS BIGINT) AS total_tokens,
+       ROUND(CAST((COUNT(*) + 1) * SUM(x) - 2 * SUM(j * x) AS DOUBLE)
+             / NULLIF(CAST(COUNT(*) * SUM(x) AS DOUBLE), 0) + 1e-09, 6) AS gini
+FROM r GROUP BY source
+""".strip()
+
+
 SOURCE_DIVERSITY_SQL = """
 WITH stc AS (
   SELECT source, t, COUNT(*) AS c FROM (

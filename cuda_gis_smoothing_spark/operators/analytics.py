@@ -2246,3 +2246,112 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
        {round6_sql(wins)} AS winsorized_mean_cents
 FROM c, st
 """.strip()
+
+
+#: RFM quartile probe fractions — shared with the events-side user_rfm
+RFM_QS_ORDERS = (0.25, 0.5, 0.75)
+
+
+def customer_rfm(orders: DataFrame) -> DataFrame:
+    """RFM segmentation over the ORDERS book — the warehouse-side
+    sibling of events.user_rfm (same house pattern: every compared
+    quantity is an integer, quartile boundaries come from the exact
+    percentile kernel over those SAME values, so both engines compare
+    identical doubles): per customer, Recency = days between the
+    corpus's last order date and the customer's last order (integer
+    DATE difference), Frequency = order count, Monetary = exact
+    fixed-point cents sum. Scores 1–4 per axis (recency inverted),
+    segment = r·100 + f·10 + m. Customers are those WITH orders (the
+    table derives from orders alone — Q22 probing showed every fixture
+    customer orders, and a no-order customer has no RFM row by
+    definition in both engines).
+
+    Plan (100 TB): one orders scan → custkey hash aggregate → one
+    1-row quartile aggregate broadcast back. No windows."""
+    from cuda_gis_smoothing_spark.operators.events import (
+        percentile_array_expr,
+    )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("_mx"))
+    m = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.min(F.datediff(F.col("_mx"), F.col("o_orderdate").cast("date")))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(cents).cast("long").alias("monetary_cents"),
+        )
+        .localCheckpoint()  # feeds the quartile aggregate AND the scoring
+    )
+    qs = m.agg(
+        percentile_array_expr("recency_days", RFM_QS_ORDERS).alias("_qr"),
+        percentile_array_expr("frequency", RFM_QS_ORDERS).alias("_qf"),
+        percentile_array_expr("monetary_cents", RFM_QS_ORDERS).alias("_qm"),
+    )
+
+    def asc(col: str, q: str):
+        s = F.lit(1)
+        for i in range(1, 4):
+            s = s + (F.col(col) > F.element_at(F.col(q), i)).cast("int")
+        return s
+
+    return m.crossJoin(F.broadcast(qs)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.lit(5) - asc("recency_days", "_qr")).cast("int").alias("r_score"),
+        asc("frequency", "_qf").cast("int").alias("f_score"),
+        asc("monetary_cents", "_qm").cast("int").alias("m_score"),
+        (
+            (F.lit(5) - asc("recency_days", "_qr")) * 100
+            + asc("frequency", "_qf") * 10
+            + asc("monetary_cents", "_qm")
+        )
+        .cast("int")
+        .alias("segment"),
+    )
+
+
+def customer_rfm_sql() -> str:
+    """DuckDB twin of :func:`customer_rfm` — integer recency days via
+    date_diff, exact-cents monetary, quantile_cont over the SAME
+    integers (bit-identical boundaries, the value_percentiles
+    lesson)."""
+    qs = ", ".join(str(q) for q in RFM_QS_ORDERS)
+    cmp = lambda col, q: " + ".join(  # noqa: E731
+        f"CASE WHEN {col} > {q}[{i}] THEN 1 ELSE 0 END" for i in (1, 2, 3)
+    )
+    return f"""
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+m AS (
+  SELECT o_custkey AS custkey,
+         CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), mx.mx)) AS BIGINT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders, mx
+  GROUP BY o_custkey
+),
+q AS (
+  SELECT quantile_cont(recency_days, [{qs}]) AS qr,
+         quantile_cont(frequency, [{qs}]) AS qf,
+         quantile_cont(monetary_cents, [{qs}]) AS qm
+  FROM m
+),
+s AS (
+  SELECT custkey, recency_days, frequency, monetary_cents,
+         CAST(5 - (1 + {cmp("recency_days", "qr")}) AS INT) AS r_score,
+         CAST(1 + {cmp("frequency", "qf")} AS INT) AS f_score,
+         CAST(1 + {cmp("monetary_cents", "qm")} AS INT) AS m_score
+  FROM m, q
+)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+FROM s
+""".strip()

@@ -166,6 +166,10 @@ DOC_GATES = [
     # near-dup heavy adversarial corpus: all three family pair sets +
     # the unblocked exact truth cross one report
     "candidate_family_report",
+    # tie-heavy doc lengths pin the per-source descending-rank gini
+    # (rank-sum tie invariance); NULL text out of scope, NULL source
+    # groups as one row
+    "source_token_gini",
 ]
 
 

@@ -83,6 +83,9 @@ GATES = [
     # winsorized card: equal-total tie blocks can straddle the p05/p95
     # fences — pins the identical-fence-double compare contract
     "value_winsorized",
+    # RFM: integer axes vs quartiles of the SAME integers; engineered
+    # order-count/total ties pin the score-boundary compares
+    "customer_rfm",
 ]
 
 

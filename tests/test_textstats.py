@@ -1010,3 +1010,37 @@ def test_quality_weighted_quantiles_matches_python(spark):
                 break
     got = {r.fraction: r.weighted_quality for r in quality_weighted_quantiles(df).collect()}
     assert got == pytest.approx(expect, abs=1e-9)
+
+
+def test_source_token_gini_matches_python(spark):
+    """Descending-rank gini differential: a one-megadoc source is far
+    more unequal than a uniform one; singleton gini = 0."""
+    import pytest
+
+    from cuda_gis_smoothing_spark.functions.text import source_token_gini
+
+    rows = [
+        (1, "w " * 99 + "w", "whale"),     # 100 tokens
+        (2, "a b", "whale"),
+        (3, "a b", "whale"),
+        (4, "x y z", "flat"),
+        (5, "p q r", "flat"),
+        (6, None, "flat"),                  # NULL text out of scope
+        (7, "solo doc", None),              # NULL source group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in source_token_gini(df).collect()}
+
+    def gini(xs):
+        xs = sorted(xs, reverse=True)
+        n, s = len(xs), sum(xs)
+        return ((n + 1) * s - 2 * sum((j + 1) * x for j, x in enumerate(xs))) / (n * s)
+
+    w = got["whale"]
+    assert (w.n_docs, w.total_tokens) == (3, 104)
+    assert w.gini == pytest.approx(gini([100, 2, 2]), abs=1e-6)
+    f = got["flat"]
+    assert (f.n_docs, f.total_tokens) == (2, 6)
+    assert f.gini == pytest.approx(0.0, abs=1e-6)
+    assert got[None].n_docs == 1 and got[None].gini == pytest.approx(0.0, abs=1e-6)
+    assert w.gini > f.gini
