@@ -4013,6 +4013,33 @@ def _q_candidate_family_report(spark, sf_dir):
     )
 
 
+def _q_cohort_revenue(spark, sf_dir):
+    """Monthly revenue cohorts over orders: epoch-anchored integer
+    month ids (engine month-diff conventions never enter), exact-cents
+    revenue — all integers, tie-proof."""
+    from cuda_gis_smoothing_spark.operators.analytics import cohort_revenue
+
+    return cohort_revenue(load(spark, sf_dir, "orders"))
+
+
+def _q_order_gap_days(spark, sf_dir):
+    """Inter-order interval percentiles: integer day gaps from LAG
+    over the per-customer (date, orderkey) total order through the
+    shared percentile kernel."""
+    from cuda_gis_smoothing_spark.operators.analytics import order_gap_days
+
+    return order_gap_days(load(spark, sf_dir, "orders"))
+
+
+def _q_riparian_zones(spark, sf_dir):
+    """Riparian gradient: mean value per flow-distance-to-stream band
+    (NULL-distance unrouted row kept) — the buffer-zone analysis over
+    the shared stream_distance composition."""
+    from cuda_gis_smoothing_spark.operators.hydrology import riparian_zones
+
+    return riparian_zones(grid_from_lineitem(spark, sf_dir))
+
+
 def _q_customer_rfm(spark, sf_dir):
     """Warehouse RFM segmentation over orders — the user_rfm house
     pattern (all-integer axes, quartiles from the exact percentile
@@ -4467,6 +4494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pagerank": _q_embedding_pagerank,
         "customer_rfm": _q_customer_rfm,
         "source_token_gini": _q_source_token_gini,
+        "cohort_revenue": _q_cohort_revenue,
+        "order_gap_days": _q_order_gap_days,
+        "riparian_zones": _q_riparian_zones,
     }
     return qs
 
@@ -7654,6 +7684,24 @@ WITH RECURSIVE {_FLOW},
     from cuda_gis_smoothing_spark.functions.text import SOURCE_TOKEN_GINI_SQL
 
     out["source_token_gini"] = SOURCE_TOKEN_GINI_SQL
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        COHORT_REVENUE_SQL,
+        order_gap_days_sql,
+    )
+
+    out["cohort_revenue"] = COHORT_REVENUE_SQL
+    out["order_gap_days"] = order_gap_days_sql()
+    # riparian gradient: the stream_distance twin nested as a derived
+    # table (the rrf_fusion precedent), grouped by distance band
+    out["riparian_zones"] = f"""
+WITH sd AS (SELECT cell, stream_dist FROM ({out["stream_distance"]}) q),
+{GRID_CELLS_SQL}
+SELECT sd.stream_dist,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(AVG(c.ndvi) + 1e-09, 6) AS mean_ndvi
+FROM sd JOIN cells4 c USING (cell)
+GROUP BY sd.stream_dist
+""".strip()
     return out
 
 

@@ -326,6 +326,9 @@ BENCH_QUERIES = [
     "embedding_pagerank",
     "customer_rfm",
     "source_token_gini",
+    "cohort_revenue",
+    "order_gap_days",
+    "riparian_zones",
 ]
 
 

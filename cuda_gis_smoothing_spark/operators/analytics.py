@@ -2355,3 +2355,99 @@ SELECT custkey, recency_days, frequency, monetary_cents,
        CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
 FROM s
 """.strip()
+
+
+def cohort_revenue(orders: DataFrame) -> DataFrame:
+    """Monthly revenue cohorts over the orders book — the warehouse
+    sibling of events.cohort_retention, with REVENUE instead of
+    presence: customers bucketed by their first-order month, revenue
+    and distinct-buyer counts per (cohort, months-since-first). Month
+    ids are EPOCH-ANCHORED integers ``year·12 + (month−1)`` from the
+    DATE-truncated NTZ timestamp — engine month-diff functions disagree
+    on boundary conventions, the extracted-integer form cannot (the
+    events_seasonality calendar-integerize lesson). Revenue is exact
+    fixed-point cents. Output ``(cohort_ym, month_idx, n_customers,
+    revenue_cents)`` — all integers, tie-proof.
+
+    Plan (100 TB): one custkey hash aggregate (first month), one
+    broadcast-or-shuffle equi-join back, one (cohort, idx) aggregate."""
+    ym = (
+        F.year(F.col("o_orderdate").cast("date")) * 12
+        + F.month(F.col("o_orderdate").cast("date"))
+        - 1
+    ).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o = orders.select(
+        F.col("o_custkey").alias("custkey"), ym.alias("_ym"), cents.alias("_c")
+    ).localCheckpoint()  # first-month aggregate + the join back
+    first = o.groupBy("custkey").agg(F.min("_ym").alias("cohort_ym"))
+    return (
+        o.join(first, "custkey")
+        .groupBy("cohort_ym", (F.col("_ym") - F.col("cohort_ym")).alias("month_idx"))
+        .agg(
+            F.count_distinct(F.col("custkey")).cast("long").alias("n_customers"),
+            F.sum("_c").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+COHORT_REVENUE_SQL = """
+WITH o AS (
+  SELECT o_custkey AS custkey,
+         CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+              + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS ym,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+first AS (SELECT custkey, MIN(ym) AS cohort_ym FROM o GROUP BY custkey)
+SELECT f.cohort_ym,
+       CAST(o.ym - f.cohort_ym AS BIGINT) AS month_idx,
+       CAST(COUNT(DISTINCT o.custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(o.c) AS BIGINT) AS revenue_cents
+FROM o JOIN first f USING (custkey)
+GROUP BY 1, 2
+""".strip()
+
+
+def order_gap_days(orders: DataFrame) -> DataFrame:
+    """Inter-order interval card: exact percentiles of the integer day
+    gap between a customer's consecutive orders — the
+    event_interarrival question asked of the purchase cycle (churn
+    models key on it). Gaps come from LAG over the per-customer
+    ``(order date, orderkey)`` TOTAL order (the tie-break makes the
+    window deterministic cross-engine); day differences are integers,
+    so the shared percentile kernel crosses engines exactly. Customers
+    with one order contribute no gap. Output ``(q, gap_days)``.
+
+    Plan (100 TB): one custkey-partitioned window + the percentile
+    kernel's single ungrouped aggregate."""
+    from pyspark.sql import Window
+
+    from cuda_gis_smoothing_spark.operators.events import (
+        PCT_QS,
+        percentile_explode,
+    )
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("_d"), F.col("o_orderkey")
+    )
+    d = orders.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("_d")
+    )
+    gaps = d.select(
+        F.datediff(F.col("_d"), F.lag("_d").over(w)).cast("long").alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return percentile_explode(gaps, "gap_days", PCT_QS, out_value="gap_days")
+
+
+def order_gap_days_sql() -> str:
+    from cuda_gis_smoothing_spark.operators.events import PCT_QS, percentile_sql
+
+    src = (
+        "SELECT CAST(date_diff('day', prev_d, d) AS BIGINT) AS gap_days FROM ("
+        "SELECT CAST(o_orderdate AS DATE) AS d, "
+        "LAG(CAST(o_orderdate AS DATE)) OVER ("
+        "PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey"
+        ") AS prev_d FROM orders) WHERE prev_d IS NOT NULL"
+    )
+    return percentile_sql(src, "gap_days", PCT_QS, out_value="gap_days")

@@ -650,6 +650,37 @@ def stream_distance(
     )
 
 
+def riparian_zones(
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    threshold: int = STREAM_THRESHOLD,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Riparian gradient: the value surface aggregated by flow distance
+    to the stream network — "how does vegetation change as you move
+    away from the channel?", the buffer-zone analysis hydrologists run
+    after extracting streams. One row per :func:`stream_distance` value
+    (bounded by the longest flow path, never the corpus):
+    ``(stream_dist, n_cells, mean_value)`` — the NULL-distance row
+    (cells whose path never meets a channel) is kept, it IS the
+    unrouted-area headline. Counts integer; the mean is the zonal
+    focal-mean contract.
+
+    Plan (100 TB): the stream_distance composition + one cell equi-join
+    + a distance-keyed hash aggregate."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    sd = stream_distance(cells, value_col, threshold, max_rounds)
+    return (
+        sd.join(cells.select("cell", value_col), "cell")
+        .groupBy("stream_dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            round6(F.avg(value_col)).alias(f"mean_{value_col}"),
+        )
+    )
+
+
 def stream_junctions(
     cells: DataFrame,
     value_col: str = "ndvi",

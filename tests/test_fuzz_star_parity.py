@@ -86,6 +86,12 @@ GATES = [
     # RFM: integer axes vs quartiles of the SAME integers; engineered
     # order-count/total ties pin the score-boundary compares
     "customer_rfm",
+    # epoch-anchored integer month ids + exact cents — the revenue
+    # tie blocks pin the first-month argmin
+    "cohort_revenue",
+    # LAG over the (date, orderkey) total order: same-date order pairs
+    # (gap 0) pin the tie-break determinism
+    "order_gap_days",
 ]
 
 

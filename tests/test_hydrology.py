@@ -1078,3 +1078,26 @@ def test_stream_junctions_matches_python_walk(spark):
     }
     assert got == want
     assert want  # fixture sanity: the surface has at least one confluence
+
+
+def test_riparian_zones_partitions_the_grid(spark):
+    """Every cell lands in exactly one distance band: band counts sum
+    to the grid size; the dist-0 band equals the stream-cell count;
+    bands agree with the stream_distance surface."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        riparian_zones,
+        stream_distance,
+    )
+
+    cells = _grid(spark)
+    sd = {r["cell"]: r for r in stream_distance(cells).collect()}
+    got = {r["stream_dist"]: r for r in riparian_zones(cells).collect()}
+    n = sum(r.n_cells for r in got.values())
+    assert n == len(sd)
+    from collections import Counter
+
+    want = Counter(r["stream_dist"] for r in sd.values())
+    assert {k: v for k, v in want.items()} == {
+        k: r.n_cells for k, r in got.items()
+    }
+    assert got[0].n_cells == sum(1 for r in sd.values() if r["is_stream"] == 1)
