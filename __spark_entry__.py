@@ -299,14 +299,12 @@ def _q_zonal_majority(spark, sf_dir):
     )
 
 
-def _q_zonal_crosstab(spark, sf_dir):
-    """Zone × class contingency — the full land-cover-composition
-    table zonal_majority cuts to its mode row: per (zone, class) cell
-    count plus the class share of the zone (exact integer ratio under
-    round6; the zone total is an integer window sum). Classes use the
-    majority_filter banding contract; the NULL zone is kept. Plan:
-    broadcast PIP tag + one hash aggregate + a #zones×#classes-row
-    window."""
+def _zone_class_counts(spark, sf_dir):
+    """The SHARED (region_id, cls, n_cells) zone×class aggregate behind
+    zonal_crosstab AND zonal_diversity (review catch — the banding
+    expression and PIP composition existed in two gate bodies plus two
+    twin copies; the daily_cte drift-prevention class). Classes use the
+    majority_filter banding contract; the NULL zone is kept."""
     from cuda_gis_smoothing_spark import datagen
     from cuda_gis_smoothing_spark.functions.numeric import floor_stable
     from cuda_gis_smoothing_spark.operators.spatial import (
@@ -323,11 +321,20 @@ def _q_zonal_crosstab(spark, sf_dir):
         F.expr(lon).alias("lon"),
     )
     tagged = point_in_polygon(pts, datagen.gen_boundaries())
-    counts = tagged.groupBy("region_id", "cls").agg(
+    return tagged.groupBy("region_id", "cls").agg(
         F.count(F.lit(1)).cast("long").alias("n_cells")
     )
+
+
+def _q_zonal_crosstab(spark, sf_dir):
+    """Zone × class contingency — the full land-cover-composition
+    table zonal_majority cuts to its mode row: per (zone, class) cell
+    count plus the class share of the zone (exact integer ratio under
+    round6; the zone total is an integer window sum). Plan: broadcast
+    PIP tag + one hash aggregate + a #zones×#classes-row window."""
     from pyspark.sql import Window
 
+    counts = _zone_class_counts(spark, sf_dir)
     w = Window.partitionBy("region_id")
     return counts.select(
         "region_id",
@@ -346,27 +353,12 @@ def _q_zonal_diversity(spark, sf_dir):
     index Σc(c−1)/(N(N−1)) — an exact integer ratio — and Shannon
     H = ln(N) − (Σ c·ln c)/N (the doc_logprob ≤1-ulp ln class; the sum
     spans ≤ #classes terms, bounded by the banding grid, not the
-    corpus). Same PIP tag + (zone, class) aggregate as zonal_crosstab;
-    the NULL zone is kept. All counts integers; the Simpson sums are
-    integer-valued doubles (association-free < 2^53)."""
-    from cuda_gis_smoothing_spark import datagen
-    from cuda_gis_smoothing_spark.functions.numeric import floor_stable
-    from cuda_gis_smoothing_spark.operators.spatial import (
-        centroid_sql,
-        point_in_polygon,
-    )
-
-    _ensure_shipped(spark)
-    cells = grid_from_lineitem(spark, sf_dir).select("cell", "ndvi")
-    lat, lon = centroid_sql("cell", "spark")
-    pts = cells.select(
-        floor_stable(F.col("ndvi") * 8).cast("long").alias("cls"),
-        F.expr(lat).alias("lat"),
-        F.expr(lon).alias("lon"),
-    )
-    tagged = point_in_polygon(pts, datagen.gen_boundaries())
-    counts = tagged.groupBy("region_id", "cls").agg(
-        F.count(F.lit(1)).cast("long").alias("_c")
+    corpus). The SHARED _zone_class_counts stage (one banding + PIP
+    definition with zonal_crosstab); the NULL zone is kept. All counts
+    integers; the Simpson sums are integer-valued doubles
+    (association-free < 2^53)."""
+    counts = _zone_class_counts(spark, sf_dir).withColumnRenamed(
+        "n_cells", "_c"
     )
     agg = counts.groupBy("region_id").agg(
         F.sum("_c").cast("long").alias("n_cells"),
@@ -7706,28 +7698,18 @@ GROUP BY sd.stream_dist
 
 
 def _zonal_diversity_sql() -> str:
-    from cuda_gis_smoothing_spark import datagen
-    from cuda_gis_smoothing_spark.operators.spatial import (
-        centroid_sql,
-        pip_region_sql,
-    )
-
-    lat, lon = centroid_sql("cell", "duckdb")
-    case = pip_region_sql("pt.lat", "pt.lon", datagen.gen_boundaries())
-    # integer counts; Simpson sums as integer-valued doubles; Shannon
-    # via H = ln(N) − (Σ c·ln c)/N over ≤ #classes terms (ln ≤1-ulp)
+    # integer counts via the SHARED zone-class chain; Simpson sums as
+    # integer-valued doubles; Shannon via H = ln(N) − (Σ c·ln c)/N
+    # over ≤ #classes terms (ln ≤1-ulp)
     return f"""
 WITH {GRID_CELLS_SQL},
-pt AS (SELECT CAST(FLOOR(ndvi * 8 + 1e-09) AS BIGINT) AS cls,
-              {lat} AS lat, {lon} AS lon FROM cells4),
-z AS (SELECT cls, {case} AS region_id FROM pt),
-cnt AS (SELECT region_id, cls, CAST(COUNT(*) AS BIGINT) AS c FROM z GROUP BY 1, 2),
+{_zone_class_cnt_ctes()},
 agg AS (
   SELECT region_id,
-         CAST(SUM(c) AS BIGINT) AS n_cells,
+         CAST(SUM(n_cells) AS BIGINT) AS n_cells,
          CAST(COUNT(*) AS BIGINT) AS n_classes,
-         SUM(CAST(c AS DOUBLE) * (c - 1)) AS rep,
-         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+         SUM(CAST(n_cells AS DOUBLE) * (n_cells - 1)) AS rep,
+         SUM(CAST(n_cells AS DOUBLE) * ln(CAST(n_cells AS DOUBLE))) AS clnc
   FROM cnt GROUP BY region_id
 )
 SELECT region_id, n_cells, n_classes,
@@ -8119,7 +8101,12 @@ FROM (
 """.strip()
 
 
-def _zonal_crosstab_sql() -> str:
+def _zone_class_cnt_ctes() -> str:
+    """The ONE ``pt → z → cnt`` (region_id, cls, n_cells) CTE chain
+    behind the zonal_crosstab AND zonal_diversity twins (review catch:
+    the banding expression and PIP CASE existed in two hand-written
+    copies — the daily_cte drift-prevention class). Compose after the
+    cells CTEs."""
     from cuda_gis_smoothing_spark import datagen
     from cuda_gis_smoothing_spark.operators.spatial import (
         centroid_sql,
@@ -8128,15 +8115,19 @@ def _zonal_crosstab_sql() -> str:
 
     lat, lon = centroid_sql("cell", "duckdb")
     case = pip_region_sql("pt.lat", "pt.lon", datagen.gen_boundaries())
+    return f"""pt AS (SELECT CAST(FLOOR(ndvi * 8 + 1e-09) AS BIGINT) AS cls,
+              {lat} AS lat, {lon} AS lon FROM cells4),
+z AS (SELECT cls, {case} AS region_id FROM pt),
+cnt AS (SELECT region_id, cls, CAST(COUNT(*) AS BIGINT) AS n_cells FROM z GROUP BY 1, 2)"""
+
+
+def _zonal_crosstab_sql() -> str:
     # integer counts; the zone total is an integer window sum (PARTITION
     # BY groups the NULL zone identically in both engines); one exact-
     # integer-ratio division under round6
     return f"""
 WITH {GRID_CELLS_SQL},
-pt AS (SELECT CAST(FLOOR(ndvi * 8 + 1e-09) AS BIGINT) AS cls,
-              {lat} AS lat, {lon} AS lon FROM cells4),
-z AS (SELECT cls, {case} AS region_id FROM pt),
-cnt AS (SELECT region_id, cls, CAST(COUNT(*) AS BIGINT) AS n_cells FROM z GROUP BY 1, 2)
+{_zone_class_cnt_ctes()}
 SELECT region_id, cls, n_cells,
        ROUND((CAST(n_cells AS DOUBLE)
               / CAST(SUM(n_cells) OVER (PARTITION BY region_id) AS DOUBLE))

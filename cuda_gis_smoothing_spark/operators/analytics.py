@@ -2270,6 +2270,7 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
     1-row quartile aggregate broadcast back. No windows."""
     from cuda_gis_smoothing_spark.operators.events import (
         percentile_array_expr,
+        rfm_axis_score,
     )
 
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -2292,12 +2293,7 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
         percentile_array_expr("monetary_cents", RFM_QS_ORDERS).alias("_qm"),
     )
 
-    def asc(col: str, q: str):
-        s = F.lit(1)
-        for i in range(1, 4):
-            s = s + (F.col(col) > F.element_at(F.col(q), i)).cast("int")
-        return s
-
+    asc = rfm_axis_score  # the ONE shared 1-4 scorer (NULL-guarded)
     return m.crossJoin(F.broadcast(qs)).select(
         "custkey",
         "recency_days",
@@ -2321,10 +2317,10 @@ def customer_rfm_sql() -> str:
     date_diff, exact-cents monetary, quantile_cont over the SAME
     integers (bit-identical boundaries, the value_percentiles
     lesson)."""
+    from cuda_gis_smoothing_spark.operators.events import rfm_axis_score_sql
+
     qs = ", ".join(str(q) for q in RFM_QS_ORDERS)
-    cmp = lambda col, q: " + ".join(  # noqa: E731
-        f"CASE WHEN {col} > {q}[{i}] THEN 1 ELSE 0 END" for i in (1, 2, 3)
-    )
+    cmp = rfm_axis_score_sql
     return f"""
 WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
 m AS (

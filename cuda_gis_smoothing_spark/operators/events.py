@@ -1444,24 +1444,14 @@ def user_rfm(events: DataFrame) -> DataFrame:
         percentile_array_expr("monetary", RFM_QS).alias("_qm"),
     )
 
-    def asc(col: str, q: str):
-        s = F.lit(1)
-        for i in range(1, 4):
-            # coalesce: NULL monetary (all-NULL values user) must score
-            # 1 like DuckDB's CASE WHEN NULL THEN..ELSE 0, not NULL
-            s = s + F.coalesce(
-                (F.col(col) > F.element_at(F.col(q), i)).cast("int"), F.lit(0)
-            )
-        return s
-
     scored = m.crossJoin(F.broadcast(qs)).select(
         "user_id",
         "recency_us",
         "frequency",
         "monetary",
-        (F.lit(5) - asc("recency_us", "_qr")).cast("int").alias("r_score"),
-        asc("frequency", "_qf").cast("int").alias("f_score"),
-        asc("monetary", "_qm").cast("int").alias("m_score"),
+        (F.lit(5) - rfm_axis_score("recency_us", "_qr")).cast("int").alias("r_score"),
+        rfm_axis_score("frequency", "_qf").cast("int").alias("f_score"),
+        rfm_axis_score("monetary", "_qm").cast("int").alias("m_score"),
     )
     return scored.withColumn(
         "segment",
@@ -1471,11 +1461,32 @@ def user_rfm(events: DataFrame) -> DataFrame:
     )
 
 
-def user_rfm_sql() -> str:
-    qs = ", ".join(str(q) for q in RFM_QS)
-    cmp = lambda col, q: " + ".join(
+def rfm_axis_score(col: str, q: str):
+    """1–4 quartile score column: 1 + #(boundaries strictly exceeded).
+    ONE scorer shared by user_rfm and the warehouse customer_rfm (the
+    percentile_array_expr precedent — a copy diverged once, dropping
+    the NULL guard). coalesce: a NULL axis (all-NULL monetary) must
+    score 1 like DuckDB's CASE WHEN NULL THEN..ELSE 0, not NULL."""
+    s = F.lit(1)
+    for i in range(1, 4):
+        s = s + F.coalesce(
+            (F.col(col) > F.element_at(F.col(q), i)).cast("int"), F.lit(0)
+        )
+    return s
+
+
+def rfm_axis_score_sql(col: str, q: str) -> str:
+    """The DuckDB text of :func:`rfm_axis_score` (without the leading
+    ``1 +`` — callers embed it as ``1 + {..}`` to mirror the twins'
+    existing shape)."""
+    return " + ".join(
         f"CASE WHEN {col} > {q}[{i}] THEN 1 ELSE 0 END" for i in (1, 2, 3)
     )
+
+
+def user_rfm_sql() -> str:
+    qs = ", ".join(str(q) for q in RFM_QS)
+    cmp = rfm_axis_score_sql
     return f"""
 WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
 m AS (

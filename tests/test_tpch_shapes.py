@@ -191,3 +191,32 @@ def test_integrity_report_counts_engineered_violations(spark):
         "documents_null_text": 1,
         "events_null_user": 1,
     }
+
+
+def test_customer_rfm_null_monetary_scores_one(spark):
+    """Review-catch regression: a customer whose order totals are all
+    NULL must score m=1 (the shared rfm_axis_score NULL guard — DuckDB's
+    CASE WHEN NULL THEN..ELSE 0 shape), never a NULL segment."""
+    import datetime as dt
+
+    from cuda_gis_smoothing_spark.operators.analytics import customer_rfm
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, "O", 100.0, d, "1-URGENT"),
+        (2, 10, "O", 200.0, d + dt.timedelta(days=3), "1-URGENT"),
+        (3, 20, "O", None, d, "1-URGENT"),  # all-NULL monetary customer
+        (4, 30, "O", 50.0, d + dt.timedelta(days=7), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {r.custkey: r for r in customer_rfm(df).collect()}
+    nullc = got[20]
+    assert nullc.monetary_cents is None
+    assert nullc.m_score == 1
+    assert nullc.segment is not None
+    for r in got.values():
+        assert r.segment == r.r_score * 100 + r.f_score * 10 + r.m_score
