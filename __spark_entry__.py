@@ -4032,6 +4032,51 @@ def _q_riparian_zones(spark, sf_dir):
     return riparian_zones(grid_from_lineitem(spark, sf_dir))
 
 
+def _q_source_diversity_maintained(spark, sf_dir):
+    """The SAME per-source Simpson/TTR card served from the maintained
+    (source, token) count log through the shared diversity_from_counts
+    kernel (the source_kl_maintained precedent; sentinel key decoded
+    back to the batch operator's NULL group)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.source_stats import (
+        MaintainedSourceTokens,
+    )
+
+    state = tempfile.mkdtemp(prefix="srcdiv_state_")
+    mst = MaintainedSourceTokens(spark, state)
+    mst.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = mst.diversity()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
+def _q_stream_junctions_maintained(spark, sf_dir):
+    """Confluence census served from maintained router state (closure
+    recompute-on-read; fd from the maintained flow log). Single batch
+    == the batch gate exactly (SHARED twin)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.incremental import (
+        IncrementalFlowRouter,
+    )
+
+    cells = grid_from_lineitem(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="flow_state_")
+    rt = IncrementalFlowRouter(spark, state)
+    rt.process_partials(
+        cells.select(
+            "cell", F.col("ndvi").alias("sum_ndvi"), F.lit(1).cast("long").alias("n")
+        ),
+        0,
+    )
+    out = rt.stream_junctions().localCheckpoint(eager=True)  # state GC'd next
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_customer_rfm(spark, sf_dir):
     """Warehouse RFM segmentation over orders — the user_rfm house
     pattern (all-integer axes, quartiles from the exact percentile
@@ -4489,6 +4534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_revenue": _q_cohort_revenue,
         "order_gap_days": _q_order_gap_days,
         "riparian_zones": _q_riparian_zones,
+        "source_diversity_maintained": _q_source_diversity_maintained,
+        "stream_junctions_maintained": _q_stream_junctions_maintained,
     }
     return qs
 
@@ -7694,6 +7741,10 @@ SELECT sd.stream_dist,
 FROM sd JOIN cells4 c USING (cell)
 GROUP BY sd.stream_dist
 """.strip()
+    # single-batch maintained state == the batch operator exactly —
+    # SHARED twins (the source_kl_maintained / flow_load precedents)
+    out["source_diversity_maintained"] = out["source_diversity"]
+    out["stream_junctions_maintained"] = out["stream_junctions"]
     return out
 
 

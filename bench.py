@@ -329,6 +329,8 @@ BENCH_QUERIES = [
     "cohort_revenue",
     "order_gap_days",
     "riparian_zones",
+    "source_diversity_maintained",
+    "stream_junctions_maintained",
 ]
 
 

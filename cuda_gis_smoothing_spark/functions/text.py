@@ -606,8 +606,6 @@ def source_diversity(
     Plan (100 TB): one corpus token pass into a (source, token) count
     table (map-side combining), then a source-keyed aggregate over
     vocabulary-sized rows. No windows, no joins."""
-    from cuda_gis_smoothing_spark.functions.numeric import round6
-
     stc = (
         df.select(
             F.col(source_col).alias("source"),
@@ -617,6 +615,16 @@ def source_diversity(
         .groupBy("source", "t")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    return diversity_from_counts(stc)
+
+
+def diversity_from_counts(stc: DataFrame) -> DataFrame:
+    """The diversity rollup over a PREPARED ``(source, t, _c)`` count
+    table — ONE shared body so the batch gate and the maintained
+    serving path (MaintainedSourceTokens.diversity) can never drift
+    (the user_entropy_from_counts precedent)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
     agg = stc.groupBy("source").agg(
         F.sum("_c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types"),

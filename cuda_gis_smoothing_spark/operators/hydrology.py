@@ -686,6 +686,7 @@ def stream_junctions(
     value_col: str = "ndvi",
     threshold: int = STREAM_THRESHOLD,
     max_rounds: int = 16,
+    fd: DataFrame | None = None,
 ) -> DataFrame:
     """Confluence census: stream cells (``upslope_cells >= threshold``,
     the drainage_density definition) that receive committed flow from
@@ -697,8 +698,11 @@ def stream_junctions(
 
     Plan (100 TB): ONE checkpointed flow direction feeds the shared
     closure (upslope counts) and the single-hop inflow count (an
-    equi-join of the stream set with fd on flow_to); no windows."""
-    fd = flow_direction(cells, value_col).localCheckpoint()
+    equi-join of the stream set with fd on flow_to); no windows.
+    ``fd`` lets maintained callers pass the flow log (the
+    flow_accumulation contract)."""
+    if fd is None:
+        fd = flow_direction(cells, value_col).localCheckpoint()
     acc = flow_accumulation(cells, value_col, max_rounds, fd=fd)
     streams = acc.where(F.col("upslope_cells") >= int(threshold)).localCheckpoint()
     # committed single-hop inflows FROM stream cells: fd rows whose

@@ -404,6 +404,22 @@ class IncrementalFlowRouter:
         fd = self.current_flow().localCheckpoint()  # closure consumers
         return stream_networks(cells, fd=fd, **kwargs)
 
+    def stream_junctions(self, **kwargs) -> DataFrame | None:
+        """Confluence census served from maintained state — the same
+        closure-product contract as :meth:`cost_distance` (upslope +
+        inflow census recompute over the maintained fd/value surface on
+        read; the fd derivation itself is never recomputed). Single
+        batch == the batch operator exactly (SHARED twin)."""
+        from cuda_gis_smoothing_spark.operators.hydrology import (
+            stream_junctions,
+        )
+
+        cells = self.state_cells()
+        if cells is None:
+            return None
+        fd = self.current_flow().localCheckpoint()  # closure consumers
+        return stream_junctions(cells, fd=fd, **kwargs)
+
     def flow_load(self, **kwargs) -> DataFrame | None:
         """Value-weighted flow accumulation served from maintained
         state — same closure-product contract as :meth:`cost_distance`

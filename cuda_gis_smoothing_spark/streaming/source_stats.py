@@ -291,6 +291,30 @@ class MaintainedSourceTokens:
         )
         return zipf_fit_from_counts(counts)
 
+    def diversity(self) -> DataFrame:
+        """Per-source Simpson + TTR served from the maintained counts —
+        the third read-side statistic over the same state (the kl/zipf
+        precedent), through the SHARED ``diversity_from_counts``
+        kernel. Unlike :meth:`kl`, the batch operator KEEPS the NULL
+        source as its own group, so the sentinel key is decoded back
+        to NULL before the rollup. Reads state through an EAGER
+        localCheckpoint (the MaintainedPostings.search contract)."""
+        from cuda_gis_smoothing_spark.functions.text import (
+            diversity_from_counts,
+        )
+
+        stc = self.counts()
+        if stc is None:
+            raise ValueError("MaintainedSourceTokens: empty state")
+        decoded = stc.select(
+            F.when(F.col("source_k") == NULL_SOURCE, F.lit(None))
+            .otherwise(F.col("source_k"))
+            .alias("source"),
+            "t",
+            F.col("cnt").alias("_c"),
+        ).localCheckpoint(eager=True)
+        return diversity_from_counts(decoded)
+
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         from cuda_gis_smoothing_spark.streaming.dedup import DOCS_SCHEMA
 

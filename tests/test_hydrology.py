@@ -1101,3 +1101,33 @@ def test_riparian_zones_partitions_the_grid(spark):
         k: r.n_cells for k, r in got.items()
     }
     assert got[0].n_cells == sum(1 for r in sd.values() if r["is_stream"] == 1)
+
+
+def test_stream_junctions_served_equals_batch_after_update(spark, tmp_path):
+    """Router-served confluence census == the batch operator over the
+    recovered state surface, through an update batch that reshapes the
+    flow field."""
+    from cuda_gis_smoothing_spark.operators.hydrology import stream_junctions
+    from cuda_gis_smoothing_spark.streaming.incremental import (
+        IncrementalFlowRouter,
+    )
+
+    cells = _grid(spark)
+    rt = IncrementalFlowRouter(spark, str(tmp_path / "state"))
+    rt.process_partials(
+        cells.selectExpr("cell", "ndvi AS sum_ndvi", "CAST(1 AS LONG) AS n"), 0
+    )
+    # update batch: re-observe a handful of cells with different values
+    upd = cells.limit(5).selectExpr(
+        "cell", "ndvi + 0.4 AS sum_ndvi", "CAST(1 AS LONG) AS n"
+    )
+    rt.process_partials(upd, 1)
+    got = {
+        r["cell"]: (r["n_stream_inflows"], r["upslope_cells"])
+        for r in rt.stream_junctions().collect()
+    }
+    want = {
+        r["cell"]: (r["n_stream_inflows"], r["upslope_cells"])
+        for r in stream_junctions(rt.state_cells()).collect()
+    }
+    assert got == want and got

@@ -207,3 +207,27 @@ def test_intra_batch_duplicate_ids_resolve_deterministically(spark, tmp_path):
         "doc_id long, text string, source string",
     )
     assert _kl_set(mst.kl()) == _kl_set(source_kl_divergence(final))
+
+
+def test_multibatch_diversity_equals_batch(spark, tmp_path):
+    """The third read-side statistic over the same state: a
+    multi-batch-built state serves the SAME Simpson/TTR card as the
+    batch operator — including the NULL-source group (sentinel key
+    decoded back to NULL, unlike kl's inner-join drop)."""
+    from cuda_gis_smoothing_spark.functions.text import source_diversity
+
+    docs = _docs(spark)
+    mst = MaintainedSourceTokens(spark, str(tmp_path / "state"), compact_every=2)
+    for bid, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 10**9))):
+        mst.process_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), bid
+        )
+    got = {
+        r.source: (r.n_tokens, r.n_types, r.ttr, r.simpson)
+        for r in mst.diversity().collect()
+    }
+    want = {
+        r.source: (r.n_tokens, r.n_types, r.ttr, r.simpson)
+        for r in source_diversity(docs).collect()
+    }
+    assert got == want and got
