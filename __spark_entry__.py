@@ -4077,6 +4077,34 @@ def _q_stream_junctions_maintained(spark, sf_dir):
     return out
 
 
+def _q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (sole late supplier on multi-supplier orders),
+    decorrelated into two order-keyed aggregates; the twin keeps the
+    canonical EXISTS + NOT EXISTS correlated form, so the gate proves
+    the decorrelation."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        waiting_suppliers,
+    )
+
+    return waiting_suppliers(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_embedding_component_density(spark, sf_dir):
+    """Per-cluster edge density (clique vs chain card) over the banded
+    near-dup graph, vs a recursive closure of the SAME banded SQL."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_component_density,
+    )
+
+    return embedding_component_density(
+        load(spark, sf_dir, "embeddings"), threshold=_EMB_BANDED_THRESHOLD
+    )
+
+
 def _q_customer_rfm(spark, sf_dir):
     """Warehouse RFM segmentation over orders — the user_rfm house
     pattern (all-integer axes, quartiles from the exact percentile
@@ -4536,6 +4564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "riparian_zones": _q_riparian_zones,
         "source_diversity_maintained": _q_source_diversity_maintained,
         "stream_junctions_maintained": _q_stream_junctions_maintained,
+        "waiting_suppliers": _q_waiting_suppliers,
+        "embedding_component_density": _q_embedding_component_density,
     }
     return qs
 
@@ -7745,6 +7775,48 @@ GROUP BY sd.stream_dist
     # SHARED twins (the source_kl_maintained / flow_load precedents)
     out["source_diversity_maintained"] = out["source_diversity"]
     out["stream_junctions_maintained"] = out["stream_junctions"]
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        waiting_suppliers_sql,
+    )
+
+    out["waiting_suppliers"] = waiting_suppliers_sql()
+    # per-component census over the SAME banded pair SQL under the
+    # embedding_components recursive closure; density is one double
+    # division of exact int64s
+    out["embedding_component_density"] = f"""
+WITH RECURSIVE pairs AS ({_emb_banded_sql()}),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+verts AS (
+  -- explicit DISTINCT: inside a WITH RECURSIVE list DuckDB 1.0 runs a
+  -- non-recursive member's bare UNION as UNION ALL (measured 498 vs
+  -- 293 rows) — never rely on UNION dedup for a COUNTED CTE there
+  SELECT DISTINCT v FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  )
+),
+lab AS (
+  SELECT v, LEAST(v, COALESCE(r.mn, v)) AS component
+  FROM verts
+  LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) r ON r.a = verts.v
+),
+mem AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members FROM lab GROUP BY 1
+),
+ed AS (
+  SELECT l.component, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM edges g JOIN lab l ON l.v = g.a GROUP BY 1
+)
+SELECT mem.component, mem.n_members, ed.n_edges,
+       ROUND(2.0 * ed.n_edges
+             / (mem.n_members * (mem.n_members - 1)) + 1e-09, 6) AS density
+FROM mem JOIN ed USING (component)
+""".strip()
     return out
 
 

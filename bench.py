@@ -331,6 +331,8 @@ BENCH_QUERIES = [
     "riparian_zones",
     "source_diversity_maintained",
     "stream_junctions_maintained",
+    "waiting_suppliers",
+    "embedding_component_density",
 ]
 
 

@@ -2447,3 +2447,111 @@ def order_gap_days_sql() -> str:
         ") AS prev_d FROM orders) WHERE prev_d IS NOT NULL"
     )
     return percentile_sql(src, "gap_days", PCT_QS, out_value="gap_days")
+
+
+def waiting_suppliers(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    grace_us: int = LATE_SHIP_GRACE_US,
+    k: int = TOPK_DEFAULT,
+) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema's shipdate lateness contract (reference semantics:
+    shipped more than the grace period after the order date — the
+    late_shipment_priority predicate): top-k suppliers by the number
+    of multi-supplier orders where THEY were the only late supplier.
+    This is the TRUE Q21 predicate shape (sole-LATE supplier — Q21's
+    receipt>commit lateness mapped onto this schema's grace-period
+    contract); :func:`blocking_suppliers` is the sibling adaptation
+    (sole LAST-to-ship supplier, no lateness notion). Both exercise
+    the EXISTS + NOT EXISTS double correlation, decorrelated
+    differently: blocking needs the top-2/argmax trick (a MAX compare
+    against the other suppliers), while the boolean late flag here
+    reduces to two counts.
+
+    Spark-first form: the double correlation is DECORRELATED into one
+    per-(order, supplier) aggregate + one per-order aggregate — a
+    supplier waits on order o iff it is late in o, o has ≥ 2 distinct
+    suppliers (the EXISTS), and o has exactly ONE late supplier (the
+    NOT EXISTS). The DuckDB twin keeps the canonical correlated
+    EXISTS/NOT EXISTS form, so the gate proves the decorrelation —
+    exactly what a 100 TB engine must do (two correlated semi/anti
+    joins over lineitem become ONE shuffle on the order key).
+
+    Exactness: lateness is exact integer microseconds (NTZ
+    timestampdiff), counts are integers, and the top-k cut is a total
+    order (numwait DESC, s_suppkey ASC) — tie-proof. Output:
+    (s_suppkey, s_name, numwait).
+
+    Plan (100 TB): one orders ⋈ lineitem hash join on the order key,
+    two map-side-combined aggregates REUSING that partitioning, one
+    small self-join on the order key, broadcast supplier dimension,
+    TakeOrderedAndProject top-k."""
+    o = orders.select("o_orderkey", "o_orderdate")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    tagged = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.expr("timestampdiff(MICROSECOND, o_orderdate, l_shipdate)")
+            > F.lit(int(grace_us))
+        )
+        .cast("int")
+        .alias("_late"),
+    )
+    per_so = tagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_is_late")
+    )
+    per_o = per_so.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supps"), F.sum("_is_late").alias("_n_late")
+    )
+    waiting = per_so.where(F.col("_is_late") == 1).join(
+        per_o.where((F.col("_n_supps") >= 2) & (F.col("_n_late") == 1)),
+        "l_orderkey",
+    )
+    cnt = waiting.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    return (
+        cnt.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(int(k))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+def waiting_suppliers_sql(
+    grace_us: int = LATE_SHIP_GRACE_US, k: int = TOPK_DEFAULT
+) -> str:
+    grace_us, k = int(grace_us), int(k)  # interpolated below
+    return f"""
+WITH tagged AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > {grace_us}
+              AS INT) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+w AS (
+  SELECT DISTINCT t.l_orderkey, t.l_suppkey
+  FROM tagged t
+  WHERE t.late = 1
+    AND EXISTS (
+      SELECT 1 FROM tagged t2
+      WHERE t2.l_orderkey = t.l_orderkey AND t2.l_suppkey <> t.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM tagged t3
+      WHERE t3.l_orderkey = t.l_orderkey
+        AND t3.l_suppkey <> t.l_suppkey AND t3.late = 1
+    )
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT {k}
+""".strip()

@@ -1243,6 +1243,69 @@ def embedding_components(
     )
 
 
+def embedding_component_density(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-cluster edge density over the banded embedding near-dup
+    graph — the cluster-level refinement of
+    :func:`embedding_components`' labels and the decision card behind
+    dedup_canonicals' collapse: density ``2e/(n(n−1))`` near 1 marks a
+    CLIQUE (one canonical per cluster is safe), near 0 a CHAIN whose
+    transitive collapse over-merges (the per-cluster form of
+    :func:`embedding_triangles`' global transitivity question). One
+    row per component with ≥ 1 edge: (component, n_members, n_edges,
+    density). Singleton vectors have no density question and are
+    excluded BY CONSTRUCTION (vertices = pair endpoints only).
+
+    Exactness: member and edge counts are integers; density is ONE
+    double division of exact int64s under round6 (the
+    embedding_local_clustering layering — zero sum-association
+    exposure). Every edge's endpoints share a component by definition,
+    so attributing each pair through its left endpoint's label counts
+    every intra-component edge exactly once.
+
+    Plan (100 TB): the banded pair kernel (blocked, AQE-pinned) + the
+    O(log n) star rounds; pairs and labels each feed two consumers →
+    both localCheckpoint'ed (the multi-consumer scan lesson). The
+    DuckDB twin composes the SAME banded SQL under a recursive
+    closure (the embedding_components precedent)."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    pairs = (
+        embedding_neardup_pairs_banded(emb, threshold=threshold)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    verts = (
+        pairs.select(F.col("vec_a").alias(id_col))
+        .unionAll(pairs.select(F.col("vec_b").alias(id_col)))
+        .distinct()
+    )
+    labels = star_components(
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")),
+        verts,
+        id_col=id_col,
+    ).localCheckpoint()
+    members = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    edges = (
+        pairs.join(labels, pairs["vec_a"] == labels[id_col])
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return members.join(edges, "component").select(
+        "component",
+        "n_members",
+        "n_edges",
+        round6(
+            F.lit(2.0)
+            * F.col("n_edges")
+            / (F.col("n_members") * (F.col("n_members") - F.lit(1)))
+        ).alias("density"),
+    )
+
+
 def embedding_triangles(
     emb: DataFrame, threshold: float, id_col: str = "vec_id"
 ) -> DataFrame:

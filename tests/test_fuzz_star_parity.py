@@ -92,6 +92,10 @@ GATES = [
     # LAG over the (date, orderkey) total order: same-date order pairs
     # (gap 0) pin the tie-break determinism
     "order_gap_days",
+    # Q21 sole-late variant: multi-supplier orders where exactly one
+    # supplier crosses the 60-day grace — the identical-lineitem tie
+    # orders pin the every-supplier-late exclusion branch
+    "waiting_suppliers",
 ]
 
 

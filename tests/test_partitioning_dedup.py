@@ -702,6 +702,56 @@ def test_embedding_local_clustering_differential(spark):
     assert sum(r.n_triangles for r in rows) % 3 == 0
 
 
+def test_embedding_component_density_differential(spark):
+    """Python union-find differential over the SAME banded pair set:
+    per-component member/edge census + the density formula; density
+    bounds (chain floor 2/n, clique 1.0); singletons excluded."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        embedding_component_density,
+        embedding_neardup_pairs_banded,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs_banded(emb, threshold=0.2)
+        .select("vec_a", "vec_b")
+        .collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members, edges = {}, {}
+    for v in parent:
+        members.setdefault(find(v), set()).add(v)
+    for a, b in pairs:
+        edges[find(a)] = edges.get(find(a), 0) + 1
+    rows = {
+        r.component: r
+        for r in embedding_component_density(emb, threshold=0.2).collect()
+    }
+    assert set(rows) == {min(m) for m in members.values()}
+    for root, mem in members.items():
+        r = rows[min(mem)]
+        n, e = len(mem), edges[root]
+        assert (r.n_members, r.n_edges) == (n, e), root
+        want = 2.0 * e / (n * (n - 1))
+        assert abs(r.density - want) < 1e-6
+        # a connected component has at least a spanning tree and at
+        # most a clique: 2/n <= density <= 1 (+ round6 slack)
+        assert 2.0 / n - 1e-6 <= r.density <= 1.0 + 1e-6
+
+
 def _py_kcore(pairs, k):
     """Fixpoint peeling oracle: true k-core membership + core degree."""
     adj = {}
