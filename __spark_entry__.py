@@ -4105,6 +4105,22 @@ def _q_embedding_component_density(spark, sf_dir):
     )
 
 
+_SWEEP_THRESHOLDS = (0.2, 0.3, 0.4)
+
+
+def _q_dedup_threshold_sweep(spark, sf_dir):
+    """Per-cosine-cutoff cluster census over the banded near-dup graph
+    — the threshold-tuning decision card; one star-CC per cutoff over
+    a once-computed verified pair set."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        dedup_threshold_sweep,
+    )
+
+    return dedup_threshold_sweep(
+        load(spark, sf_dir, "embeddings"), thresholds=_SWEEP_THRESHOLDS
+    )
+
+
 def _q_customer_rfm(spark, sf_dir):
     """Warehouse RFM segmentation over orders — the user_rfm house
     pattern (all-integer axes, quartiles from the exact percentile
@@ -4566,6 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_junctions_maintained": _q_stream_junctions_maintained,
         "waiting_suppliers": _q_waiting_suppliers,
         "embedding_component_density": _q_embedding_component_density,
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
     }
     return qs
 
@@ -7817,6 +7834,46 @@ SELECT mem.component, mem.n_members, ed.n_edges,
              / (mem.n_members * (mem.n_members - 1)) + 1e-09, 6) AS density
 FROM mem JOIN ed USING (component)
 """.strip()
+    # threshold sweep: one recursive-closure census per cutoff over the
+    # SAME banded SQL (explicit DISTINCT verts — the WITH-RECURSIVE
+    # bare-UNION class), unioned into the card
+    from cuda_gis_smoothing_spark.functions.numeric import flit
+
+    sweep_parts = []
+    for _t in _SWEEP_THRESHOLDS:
+        sweep_parts.append(f"""SELECT * FROM (
+WITH RECURSIVE pairs AS ({_emb_banded_sql(threshold=_t)}),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  )
+),
+lab AS (
+  SELECT v, LEAST(v, COALESCE(r.mn, v)) AS component
+  FROM verts
+  LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) r ON r.a = verts.v
+),
+sizes AS (SELECT component, COUNT(*) AS sz FROM lab GROUP BY 1),
+summ AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+         CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_clustered,
+         CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS largest_component
+  FROM sizes
+),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM edges)
+SELECT CAST({flit(_t)} AS DOUBLE) AS threshold, np.n_pairs, summ.n_clustered,
+       summ.n_components, summ.largest_component,
+       CAST(summ.n_clustered - summ.n_components AS BIGINT) AS drop_count
+FROM np, summ
+)""")
+    out["dedup_threshold_sweep"] = "\nUNION ALL\n".join(sweep_parts).strip()
     return out
 
 
@@ -8405,7 +8462,7 @@ def _percentiles_sql_oracle() -> str:
     return value_percentiles_sql()
 
 
-def _emb_banded_sql(probe_bits: int = 0) -> str:
+def _emb_banded_sql(probe_bits: int = 0, threshold: float | None = None) -> str:
     """DuckDB twin of operators/dedup.embedding_neardup_pairs_banded:
     same hyperplane family, same band packing, same exact-cosine verify
     (sign margins checked: min |projection| on the fixture is 1.3e-5,
@@ -8413,9 +8470,11 @@ def _emb_banded_sql(probe_bits: int = 0) -> str:
     the band values are engine-independent). ``probe_bits=1`` mirrors
     the multi-probe dial: the right join side also carries every band
     value with one bit flipped (the same xor-key expansion the Spark
-    operator explodes)."""
+    operator explodes). ``threshold`` overrides the default verify
+    cutoff (the threshold-sweep card)."""
     from cuda_gis_smoothing_spark.operators.dedup import EMB_BANDS, EMB_PLANES
 
+    thr = _EMB_BANDED_THRESHOLD if threshold is None else threshold
     width = EMB_PLANES // EMB_BANDS
     band_selects = []
     for b in range(EMB_BANDS):
@@ -8452,7 +8511,7 @@ SELECT c.vec_a, c.vec_b,
 FROM cand c
 JOIN n x ON x.vec_id = c.vec_a
 JOIN n y ON y.vec_id = c.vec_b
-WHERE ROUND(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) + 1e-09, 6) >= {_EMB_BANDED_THRESHOLD}
+WHERE ROUND(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) + 1e-09, 6) >= {thr}
 """.strip()
 
 

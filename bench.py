@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "stream_junctions_maintained",
     "waiting_suppliers",
     "embedding_component_density",
+    "dedup_threshold_sweep",
 ]
 
 

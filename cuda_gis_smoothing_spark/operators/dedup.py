@@ -1306,6 +1306,82 @@ def embedding_component_density(
     )
 
 
+def dedup_threshold_sweep(
+    emb: DataFrame,
+    thresholds: tuple[float, ...] = (0.2, 0.3, 0.4),
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Threshold-tuning card for embedding near-dup: per-cosine-cutoff
+    cluster census over the banded graph — the measurement a pipeline
+    owner reads BEFORE picking the dedup threshold (too low collapses
+    distinct documents through chains, too high keeps duplicates). One
+    row per threshold: n_pairs (verified banded edges), n_clustered
+    (vectors in ≥1 pair), n_components (non-singleton clusters),
+    largest_component, drop_count (vectors a one-canonical-per-cluster
+    collapse would drop = n_clustered − n_components). The census is
+    over the BANDED graph at each cutoff — the same graph the
+    dedup_embedding_banded / embedding_components gates serve, so the
+    card describes exactly what the production collapse would do
+    (banding recall limits at low-sign-stability thresholds are
+    documented on the pair kernel).
+
+    Plan (100 TB): the banded pair kernel runs ONCE at min(thresholds)
+    — candidates don't depend on the cutoff, higher cutoffs are pure
+    filters over the verified pair set (localCheckpoint'ed: every
+    threshold × {count, vertices, CC edges} consumer re-derives it
+    otherwise) — then one star-CC per threshold over a shrinking
+    graph. Exactness: all census values are integers; the ≥-compare
+    runs over round6 cosines against the same parsed literal on both
+    engines (the quality_weighted_quantiles identical-shape class).
+    The DuckDB twin unions one recursive-closure census per threshold
+    over the SAME banded SQL (explicit DISTINCT vertex CTE — the
+    WITH-RECURSIVE bare-UNION class)."""
+    if not thresholds or list(thresholds) != sorted(set(thresholds)):
+        raise ValueError("thresholds must be strictly increasing")
+    base = (
+        embedding_neardup_pairs_banded(emb, threshold=min(thresholds))
+        .select("vec_a", "vec_b", "cosine")
+        .localCheckpoint()
+    )
+    out = None
+    for t in thresholds:
+        pairs = base.where(F.col("cosine") >= F.lit(float(t))).localCheckpoint()
+        verts = (
+            pairs.select(F.col("vec_a").alias(id_col))
+            .unionAll(pairs.select(F.col("vec_b").alias(id_col)))
+            .distinct()
+        )
+        labels = star_components(
+            pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")),
+            verts,
+            id_col=id_col,
+        )
+        sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("_sz"))
+        summary = sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.coalesce(F.sum("_sz"), F.lit(0)).cast("long").alias("n_clustered"),
+            F.coalesce(F.max("_sz"), F.lit(0))
+            .cast("long")
+            .alias("largest_component"),
+        )
+        row = (
+            pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .crossJoin(summary)
+            .select(
+                F.lit(float(t)).alias("threshold"),
+                "n_pairs",
+                "n_clustered",
+                "n_components",
+                "largest_component",
+                (F.col("n_clustered") - F.col("n_components"))
+                .cast("long")
+                .alias("drop_count"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 def embedding_triangles(
     emb: DataFrame, threshold: float, id_col: str = "vec_id"
 ) -> DataFrame:

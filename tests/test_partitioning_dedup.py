@@ -752,6 +752,49 @@ def test_embedding_component_density_differential(spark):
         assert 2.0 / n - 1e-6 <= r.density <= 1.0 + 1e-6
 
 
+def test_dedup_threshold_sweep_invariants(spark):
+    """Monotone census invariants across cutoffs + row-for-row
+    agreement with the standalone components census at each cutoff."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        dedup_threshold_sweep,
+        embedding_neardup_pairs_banded,
+        embedding_components,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(
+        dedup_threshold_sweep(emb, thresholds=(0.2, 0.3, 0.4)).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.2, 0.3, 0.4]
+    for lo, hi in zip(rows, rows[1:]):
+        # raising the cutoff only removes edges — every census count
+        # is non-increasing except n_components, which can go EITHER
+        # way (splitting a cluster adds components; dissolving one
+        # removes it)
+        assert hi.n_pairs <= lo.n_pairs
+        assert hi.n_clustered <= lo.n_clustered
+        assert hi.largest_component <= lo.largest_component
+        assert hi.drop_count <= lo.drop_count
+    for r in rows:
+        pairs = embedding_neardup_pairs_banded(
+            emb, threshold=r.threshold
+        ).count()
+        assert r.n_pairs == pairs
+        comp = embedding_components(emb, threshold=r.threshold)
+        sizes = [
+            c["cnt"]
+            for c in comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+            if c["cnt"] >= 2
+        ]
+        assert r.n_components == len(sizes)
+        assert r.n_clustered == sum(sizes)
+        assert r.largest_component == (max(sizes) if sizes else 0)
+        assert r.drop_count == r.n_clustered - r.n_components
+
+
 def _py_kcore(pairs, k):
     """Fixpoint peeling oracle: true k-core membership + core degree."""
     adj = {}
