@@ -4121,6 +4121,17 @@ def _q_dedup_threshold_sweep(spark, sf_dir):
     )
 
 
+def _q_keyword_textrank(spark, sf_dir):
+    """TextRank keywords: the shared fixed-iteration PageRank core
+    over the distinct token co-occurrence graph (3rd graph domain);
+    round6-rank total-order top-k."""
+    from cuda_gis_smoothing_spark.functions.text import keyword_textrank
+
+    return keyword_textrank(
+        load(spark, sf_dir, "documents"), window=_COOC_WINDOW
+    )
+
+
 def _q_customer_rfm(spark, sf_dir):
     """Warehouse RFM segmentation over orders — the user_rfm house
     pattern (all-integer axes, quartiles from the exact percentile
@@ -4583,6 +4594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": _q_waiting_suppliers,
         "embedding_component_density": _q_embedding_component_density,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
+        "keyword_textrank": _q_keyword_textrank,
     }
     return qs
 
@@ -4829,6 +4841,21 @@ def _pagerank_chain_sql(
 )"""
         )
     return ",\n".join(ctes)
+
+
+def _window_pairs_ctes(window: int) -> str:
+    """toks + pr CTE text — the ONE windowed position-pair derivation
+    (twin of functions/text.py::window_pairs) shared by the
+    cooccurrence_window and keyword_textrank twins."""
+    return f"""toks AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+pr AS (
+  SELECT ts[i] AS t1, ts[j] AS t2
+  FROM toks,
+       UNNEST(CASE WHEN len(ts) >= 2
+              THEN generate_series(1, len(ts) - 1) ELSE [] END) AS u(i),
+       UNNEST(generate_series(i + 1, least(i + {int(window)}, len(ts)))) AS v(j)
+  WHERE ts[i] <> '' AND ts[j] <> ''
+)""".strip()
 
 
 def _pagerank_sql(damping: float = 0.85, iters: int = 5) -> str:
@@ -5819,15 +5846,7 @@ FROM stc JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN tot
 GROUP BY stc.source
 """.strip()
     out["cooccurrence_window"] = f"""
-WITH toks AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
-pr AS (
-  SELECT ts[i] AS t1, ts[j] AS t2
-  FROM toks,
-       UNNEST(CASE WHEN len(ts) >= 2
-              THEN generate_series(1, len(ts) - 1) ELSE [] END) AS u(i),
-       UNNEST(generate_series(i + 1, least(i + {_COOC_WINDOW}, len(ts)))) AS v(j)
-  WHERE ts[i] <> '' AND ts[j] <> ''
-),
+WITH {_window_pairs_ctes(_COOC_WINDOW)},
 pc AS (SELECT t1, t2, COUNT(*) AS c FROM pr GROUP BY t1, t2),
 ranked AS (
   SELECT t1, t2, c, ROW_NUMBER() OVER (ORDER BY c DESC, t1, t2) AS rank FROM pc
@@ -5842,6 +5861,36 @@ FROM ranked WHERE rank <= {_BIGRAM_K}
     out["ivfpq_search"] = _ivfpq_sql()
     out["ivfpq_search_maintained"] = _ivfpq_sql()
     out["cell_pagerank"] = _pagerank_sql()
+    from cuda_gis_smoothing_spark.functions.text import TEXTRANK_K
+
+    # TextRank: the SAME unrolled chain builder over the SAME windowed
+    # pairs CTE text cooccurrence_window's twin uses; rank cut orders
+    # on the ROUNDED pagerank (identical doubles cross-engine)
+    out["keyword_textrank"] = f"""
+WITH {_window_pairs_ctes(_COOC_WINDOW)},
+epairs AS (
+  SELECT DISTINCT LEAST(t1, t2) AS a, GREATEST(t1, t2) AS b
+  FROM pr WHERE t1 <> t2
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM epairs
+  UNION ALL SELECT b AS src, a AS dst FROM epairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (
+  SELECT DISTINCT t AS token
+  FROM (SELECT unnest(ts) AS t FROM toks) WHERE t <> ''
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+{_pagerank_chain_sql("nodes", "token")},
+ranked AS (
+  SELECT token, ROUND(pr + 1e-09, 6) AS pagerank,
+         ROW_NUMBER() OVER (ORDER BY ROUND(pr + 1e-09, 6) DESC, token) AS rank
+  FROM pr5
+)
+SELECT token, pagerank, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TEXTRANK_K}
+""".strip()
     from cuda_gis_smoothing_spark.operators.sketches import kmv_distinct_sql
 
     out["kmv_distinct_users"] = kmv_distinct_sql(

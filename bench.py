@@ -334,6 +334,7 @@ BENCH_QUERIES = [
     "waiting_suppliers",
     "embedding_component_density",
     "dedup_threshold_sweep",
+    "keyword_textrank",
 ]
 
 

@@ -810,6 +810,37 @@ FROM cells
 """.strip()
 
 
+def window_pairs(
+    df: DataFrame, window: int, text_col: str = "text"
+) -> DataFrame:
+    """DIRECTED windowed position pairs (t_i, t_j), i < j ≤ i+window,
+    corpus-wide — the ONE pair derivation :func:`cooccurrence_window`
+    and :func:`keyword_textrank` share (drift prevention). ONE corpus
+    scan; pairs are a pure nested higher-order expression (flatten ∘
+    transform², no positions self-join); empty tokens excluded. The
+    inner ``sequence(i+1, least(i+window, n))`` is always ascending
+    and non-empty for i ≤ n−1 — the descending-``sequence`` trap
+    (contamination_report lesson) cannot fire."""
+    if window < 1:
+        raise ValueError("window_pairs: window must be >= 1")
+    d = df.select(tokens_col(text_col).alias("_t"))
+    return (
+        d.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_t) >= 2 THEN "
+                    "flatten(transform(sequence(1, size(_t) - 1), "
+                    f"i -> transform(sequence(i + 1, least(i + {int(window)}, size(_t))), "
+                    "j -> struct(element_at(_t, i) AS t1, element_at(_t, j) AS t2)))) "
+                    "ELSE CAST(array() AS array<struct<t1: string, t2: string>>) END"
+                )
+            ).alias("_p")
+        )
+        .select("_p.t1", "_p.t2")
+        .where((F.col("t1") != "") & (F.col("t2") != ""))
+    )
+
+
 def cooccurrence_window(
     df: DataFrame,
     window: int = 3,
@@ -838,24 +869,7 @@ def cooccurrence_window(
     (contamination_report lesson) cannot fire."""
     from pyspark.sql import Window
 
-    if window < 1:
-        raise ValueError("cooccurrence_window: window must be >= 1")
-    d = df.select(F.col(id_col), tokens_col(text_col).alias("_t"))
-    pairs = (
-        d.select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(_t) >= 2 THEN "
-                    "flatten(transform(sequence(1, size(_t) - 1), "
-                    f"i -> transform(sequence(i + 1, least(i + {int(window)}, size(_t))), "
-                    "j -> struct(element_at(_t, i) AS t1, element_at(_t, j) AS t2)))) "
-                    "ELSE CAST(array() AS array<struct<t1: string, t2: string>>) END"
-                )
-            ).alias("_p")
-        )
-        .select("_p.t1", "_p.t2")
-        .where((F.col("t1") != "") & (F.col("t2") != ""))
-    )
+    pairs = window_pairs(df, window, text_col)
     counts = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("_c"))
     w = Window.orderBy(F.col("_c").desc(), "t1", "t2")
     return (
@@ -868,6 +882,80 @@ def cooccurrence_window(
             F.col("_c").cast("long").alias("n_pairs"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+TEXTRANK_K = 30
+
+
+def keyword_textrank(
+    df: DataFrame,
+    window: int = 3,
+    k: int = TEXTRANK_K,
+    damping: float = 0.85,
+    iters: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank over
+    the corpus token co-occurrence graph — tokens are vertices, an
+    undirected edge links tokens that co-occur within ``window``
+    positions (DISTINCT pairs: unweighted, the original formulation),
+    and the top-``k`` tokens by rank are the corpus keywords. The
+    THIRD graph domain for the one :func:`~cuda_gis_smoothing_spark.
+    operators.stats.pagerank_rounds` core (grid ring-1, banded
+    embedding graph, now token co-occurrence), so the rounds cannot
+    drift between domains.
+
+    Output ``(token, pagerank, rank)`` by (pagerank DESC, token ASC)
+    — the cut orders on the ROUND6'd rank (both engines compare
+    identical rounded doubles; raw-pr ordering would expose 1e-16
+    association noise at round6 ties), tie-broken on token: a total
+    order, the doc_keywords k-cut class. Tokens that never co-occur
+    (single-token docs) hold the teleport term only — kept as
+    vertices. Hot tokens (stopwords) have unbounded degree: inbound
+    sums aggregate up to deg doubles (association noise ~1e-13 at
+    vocab-scale degrees, absorbed by round6's 1e-9 nudge — the
+    cell_pagerank class, wider but same argument).
+
+    Plan (100 TB): one corpus scan → distinct-pair dedup (the
+    corpus-scale shuffle) → both orientations emitted from ONE pass
+    via explode(array(struct)) (the span_coverage two-sided-union
+    trick — a unionAll of two selects re-executes the distinct) →
+    ``iters`` equi-join + hash-agg rounds over the edge table
+    (checkpointed once inside the core) → TakeOrderedAndProject.
+    DuckDB twin: the SAME shared unrolled pr0..prN chain builder over
+    the SAME pairs CTE text cooccurrence_window's twin uses."""
+    from cuda_gis_smoothing_spark.operators.stats import pagerank_rounds
+    from pyspark.sql import Window
+
+    und = (
+        window_pairs(df, window, text_col)
+        .where(F.col("t1") != F.col("t2"))
+        .select(
+            F.least("t1", "t2").alias("a"), F.greatest("t1", "t2").alias("b")
+        )
+        .distinct()
+    )
+    edges = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    nodes = (
+        df.select(F.explode(tokens_col(text_col)).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    pr = pagerank_rounds(nodes, edges, damping, iters, id_col="token")
+    w = Window.orderBy(F.col("pagerank").desc(), "token")
+    return (
+        pr.orderBy(F.col("pagerank").desc(), "token")
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("token", "pagerank", "rank")
     )
 
 

@@ -369,3 +369,60 @@ def test_embedding_pagerank_matches_python(spark):
     assert isolated  # fixture sanity: the banded graph has 0-degree vectors
     for c in isolated:
         assert abs(got[c] - omd / n) <= 2e-6
+
+
+def test_keyword_textrank_matches_python(spark):
+    """TextRank over a hand-built corpus == pure-Python power
+    iteration over the SAME distinct co-occurrence edge set; top-k cut
+    respects the (round6 pagerank DESC, token ASC) total order;
+    NULL-text and single-token docs contribute vertices only."""
+    from cuda_gis_smoothing_spark.functions.text import keyword_textrank
+
+    docs = spark.createDataFrame(
+        [
+            ("d0", "hub alpha beta"),
+            ("d1", "hub gamma delta"),
+            ("d2", "hub alpha gamma"),
+            ("d3", "solo"),
+            ("d4", None),
+            ("d5", "alpha beta hub epsilon"),
+        ],
+        "doc_id string, text string",
+    )
+    window = 3
+    toks = {
+        "d0": ["hub", "alpha", "beta"],
+        "d1": ["hub", "gamma", "delta"],
+        "d2": ["hub", "alpha", "gamma"],
+        "d3": ["solo"],
+        "d5": ["alpha", "beta", "hub", "epsilon"],
+    }
+    und = set()
+    nodes = set()
+    for ts in toks.values():
+        nodes.update(ts)
+        for i in range(len(ts)):
+            for j in range(i + 1, min(i + window, len(ts) - 1) + 1):
+                if ts[i] != ts[j]:
+                    und.add((min(ts[i], ts[j]), max(ts[i], ts[j])))
+    edges = sorted(und) + [(b, a) for a, b in sorted(und)]
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    d, omd = 0.85, 1.0 - 0.85
+    pr = {c: 1.0 / n for c in nodes}
+    for _ in range(5):
+        inb = {c: 0.0 for c in nodes}
+        for s, t in edges:
+            inb[t] += pr[s] / deg[s]
+        pr = {c: omd / n + d * inb[c] for c in nodes}
+    rows = keyword_textrank(docs, window=window, k=4).collect()
+    assert len(rows) == 4
+    want = sorted(nodes, key=lambda t: (-round(pr[t] + 1e-9, 6), t))[:4]
+    assert [r.token for r in rows] == want
+    for r in rows:
+        assert abs(r.pagerank - pr[r.token]) <= 2e-6, r.token
+    assert [r.rank for r in rows] == [1, 2, 3, 4]
+    # the isolated vertex holds exactly the teleport share
+    assert abs(pr["solo"] - omd / n) < 1e-12
