@@ -4121,6 +4121,21 @@ def _q_dedup_threshold_sweep(spark, sf_dir):
     )
 
 
+def _q_nation_profit(spark, sf_dir):
+    """TPC-H Q9 adapted (cost = 80% of p_retailprice): per-(nation,
+    year) profit over the five-table star; exact 10^4-scaled integer
+    sum, one round6 division."""
+    from cuda_gis_smoothing_spark.operators.analytics import nation_profit
+
+    return nation_profit(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "part"),
+    )
+
+
 def _q_keyword_textrank(spark, sf_dir):
     """TextRank keywords: the shared fixed-iteration PageRank core
     over the distinct token co-occurrence graph (3rd graph domain);
@@ -4595,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_component_density": _q_embedding_component_density,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "keyword_textrank": _q_keyword_textrank,
+        "nation_profit": _q_nation_profit,
     }
     return qs
 
@@ -7846,6 +7862,9 @@ GROUP BY sd.stream_dist
     )
 
     out["waiting_suppliers"] = waiting_suppliers_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import nation_profit_sql
+
+    out["nation_profit"] = nation_profit_sql()
     # per-component census over the SAME banded pair SQL under the
     # embedding_components recursive closure; density is one double
     # division of exact int64s

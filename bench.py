@@ -335,6 +335,7 @@ BENCH_QUERIES = [
     "embedding_component_density",
     "dedup_threshold_sweep",
     "keyword_textrank",
+    "nation_profit",
 ]
 
 

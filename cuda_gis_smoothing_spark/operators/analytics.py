@@ -2449,6 +2449,119 @@ def order_gap_days_sql() -> str:
     return percentile_sql(src, "gap_days", PCT_QS, out_value="gap_days")
 
 
+_PART_LIKE_RE = _re.compile(r"\A[a-z0-9%# -]+\Z")
+NATION_PROFIT_COST_PCT = 80
+
+
+def _check_like(pat: str) -> str:
+    """LIKE pattern interpolated into SQL on both sides — restrict to
+    lowercase word characters + %/space (the check_terms precedent)."""
+    if not _PART_LIKE_RE.match(pat):
+        raise ValueError(f"unsupported LIKE pattern: {pat!r}")
+    return pat
+
+
+def nation_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    part_like: str = "%widget%",
+    cost_pct: int = NATION_PROFIT_COST_PCT,
+) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year),
+    adapted to this schema: no partsupp table, so unit cost is
+    ``cost_pct``% of ``p_retailprice`` (the one part-level price the
+    schema carries) — profit per lineitem is
+    revenue − cost_pct% · retailprice · quantity, rolled up per
+    (supplier nation, order year) over parts matching ``part_like``
+    (Q9's p_name LIKE filter). The LAST canonical TPC-H join topology
+    this schema can express: the five-table star with TWO fact-side
+    keys (part + supplier on lineitem) AND the order-date dimension.
+
+    Exactness: the profit sum is an exact 10^4-scaled integer —
+    revenue via the shared ``_rev_scaled`` (cents × remaining-percent)
+    minus retail-cents × integer quantity × integer cost percent — so
+    association order cannot matter; ONE division under round6 at the
+    end. Year via F.year on NTZ midnights (the nation_market_share
+    precedent). DuckDB SUM(BIGINT) → HUGEINT is cast back before the
+    divide. Output: (n_name, o_year, n_lineitems, profit).
+
+    Plan (100 TB): filtered part broadcast into the lineitem scan
+    (the LIKE filter prunes before the join), supplier/nation
+    broadcast, ONE shuffle join on the order key against the
+    date-projected orders, then a (nation × year)-sized hash
+    aggregate with map-side partials."""
+    from cuda_gis_smoothing_spark.functions.numeric import round6
+
+    part_like, cost_pct = _check_like(part_like), int(cost_pct)
+    p = part.where(F.col("p_name").like(part_like)).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    profit_scaled = _rev_scaled() - (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+        * F.lit(cost_pct)
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        j.groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.sum(profit_scaled).alias("_p"),
+        )
+        .select(
+            "n_name",
+            "o_year",
+            "n_lineitems",
+            round6(F.col("_p") / F.lit(10_000.0)).alias("profit"),
+        )
+    )
+
+
+def nation_profit_sql(
+    part_like: str = "%widget%", cost_pct: int = NATION_PROFIT_COST_PCT
+) -> str:
+    part_like, cost_pct = _check_like(part_like), int(cost_pct)
+    return f"""
+SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       ROUND(CAST(SUM({_REV_SCALED_SQL}
+             - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+               * CAST(ROUND(l_quantity) AS BIGINT) * {cost_pct}) AS BIGINT)
+             / 1e4 + 1e-09, 6) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '{part_like}'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+""".strip()
+
+
 def waiting_suppliers(
     orders: DataFrame,
     lineitem: DataFrame,

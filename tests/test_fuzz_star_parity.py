@@ -96,6 +96,9 @@ GATES = [
     # supplier crosses the 60-day grace — the identical-lineitem tie
     # orders pin the every-supplier-late exclusion branch
     "waiting_suppliers",
+    # Q9-adapted: fuzz part names ("Part#N") miss the '%widget%' LIKE
+    # → pins the empty-result schema contract (the Q3/Q18 precedent)
+    "nation_profit",
 ]
 
 
