@@ -1534,6 +1534,24 @@ def _q_bigram_pmi_maintained(spark, sf_dir):
 _COOC_WINDOW = 3
 
 
+def _q_cooccurrence_window_maintained(spark, sf_dir):
+    """The SAME top-k windowed co-occurrence table served from a
+    maintained pair-count log (window=3 MaintainedBigrams instance —
+    zero corpus re-tokenization at read time; the
+    bigram_pmi_maintained precedent, windowed)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.cooccur import MaintainedBigrams
+
+    state = tempfile.mkdtemp(prefix="cooc_state_")
+    mb = MaintainedBigrams(spark, state, window=_COOC_WINDOW)
+    mb.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = mb.cooccurrence(k=_BIGRAM_K)  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_doc_bigram_logprob(spark, sf_dir):
     """Interpolated bigram-LM self-score per doc — the second-order
     perplexity-filter signal (λ·bigram MLE + (1−λ)·unigram backoff)."""
@@ -4611,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "keyword_textrank": _q_keyword_textrank,
         "nation_profit": _q_nation_profit,
+        "cooccurrence_window_maintained": _q_cooccurrence_window_maintained,
     }
     return qs
 
@@ -5870,6 +5889,10 @@ ranked AS (
 SELECT t1, t2, CAST(c AS BIGINT) AS n_pairs, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {_BIGRAM_K}
 """.strip()
+    # windowed pair counts served from the window=3 maintained log ==
+    # the batch operator exactly (SHARED twin — the bigram_pmi_maintained
+    # precedent)
+    out["cooccurrence_window_maintained"] = out["cooccurrence_window"]
     out["pq_codes"] = _pq_codes_sql()
     out["pq_search"] = _pq_search_sql()
     # identical semantics, different Spark path (maintained codes log)

@@ -336,6 +336,7 @@ BENCH_QUERIES = [
     "dedup_threshold_sweep",
     "keyword_textrank",
     "nation_profit",
+    "cooccurrence_window_maintained",
 ]
 
 

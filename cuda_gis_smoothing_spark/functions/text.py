@@ -821,23 +821,27 @@ def window_pairs(
     inner ``sequence(i+1, least(i+window, n))`` is always ascending
     and non-empty for i ≤ n−1 — the descending-``sequence`` trap
     (contamination_report lesson) cannot fire."""
-    if window < 1:
-        raise ValueError("window_pairs: window must be >= 1")
     d = df.select(tokens_col(text_col).alias("_t"))
     return (
-        d.select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(_t) >= 2 THEN "
-                    "flatten(transform(sequence(1, size(_t) - 1), "
-                    f"i -> transform(sequence(i + 1, least(i + {int(window)}, size(_t))), "
-                    "j -> struct(element_at(_t, i) AS t1, element_at(_t, j) AS t2)))) "
-                    "ELSE CAST(array() AS array<struct<t1: string, t2: string>>) END"
-                )
-            ).alias("_p")
-        )
+        d.select(F.explode(F.expr(window_pairs_expr(window))).alias("_p"))
         .select("_p.t1", "_p.t2")
         .where((F.col("t1") != "") & (F.col("t2") != ""))
+    )
+
+
+def window_pairs_expr(window: int, arr: str = "_t") -> str:
+    """The windowed position-pair SQL expression over a token array
+    column — the ONE derivation text :func:`window_pairs` and the
+    maintained doc-slice builder (streaming/cooccur.py) share;
+    ``window=1`` degenerates to adjacent bigrams."""
+    if window < 1:
+        raise ValueError("window_pairs_expr: window must be >= 1")
+    return (
+        f"CASE WHEN size({arr}) >= 2 THEN "
+        f"flatten(transform(sequence(1, size({arr}) - 1), "
+        f"i -> transform(sequence(i + 1, least(i + {int(window)}, size({arr}))), "
+        f"j -> struct(element_at({arr}, i) AS t1, element_at({arr}, j) AS t2)))) "
+        "ELSE CAST(array() AS array<struct<t1: string, t2: string>>) END"
     )
 
 

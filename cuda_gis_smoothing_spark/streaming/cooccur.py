@@ -59,13 +59,21 @@ _UNI_EMPTY = "CAST(array() AS array<struct<t:string,_n:bigint>>)"
 
 
 def _doc_gram_slices(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 1,
 ) -> DataFrame:
-    """One row per distinct batch doc id: the doc's bigram/unigram
-    count slices and totals, by the batch operator's tokenizer
+    """One row per distinct batch doc id: the doc's pair/unigram count
+    slices and totals, by the batch operator's tokenizer
     (``split(lower(text), ' ')``; empty tokens excluded at both levels,
-    bigrams only where BOTH sides are non-empty —
-    functions/text.py:257-271)."""
+    pairs only where BOTH sides are non-empty —
+    functions/text.py:257-271). ``window=1`` is adjacent bigrams (the
+    bigram_pmi contract); ``window>1`` is the windowed co-occurrence
+    pair derivation (the SHARED ``window_pairs_expr`` text — one
+    definition with the batch operator)."""
+    from cuda_gis_smoothing_spark.functions.text import window_pairs_expr
+
     toks = F.split(F.lower(F.col(text_col)), " ")
     d = docs.select(F.col(id_col), toks.alias("_t"))
     uni = (
@@ -82,14 +90,7 @@ def _doc_gram_slices(
     big = (
         d.select(
             id_col,
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(_t) >= 2 THEN "
-                    "transform(sequence(1, size(_t) - 1), "
-                    "i -> struct(element_at(_t, i) AS t1, element_at(_t, i + 1) AS t2)) "
-                    "ELSE CAST(array() AS array<struct<t1: string, t2: string>>) END"
-                )
-            ).alias("_b"),
+            F.explode(F.expr(window_pairs_expr(window))).alias("_b"),
         )
         .select(id_col, "_b.t1", "_b.t2")
         .where((F.col("t1") != "") & (F.col("t2") != ""))
@@ -123,10 +124,18 @@ class MaintainedBigrams:
         state_root: str,
         id_col: str = "doc_id",
         compact_every: int = 4,
+        window: int = 1,
     ):
+        """``window=1`` maintains adjacent-bigram statistics (the
+        bigram_pmi pairing); ``window>1`` maintains WINDOWED
+        co-occurrence pair counts (the cooccurrence_window pairing —
+        served by :meth:`cooccurrence`; :meth:`bigram_pmi` is
+        adjacent-only and raises). The log layouts are identical —
+        only the per-doc pair derivation widens."""
         self.spark = spark
         self.id_col = id_col
         self.compact_every = compact_every
+        self.window = int(window)
         self.log = SnapshotLog(
             spark, os.path.join(state_root, "doc_grams"), key=id_col
         )
@@ -148,7 +157,10 @@ class MaintainedBigrams:
             return  # crash replay of an applied batch: no-op
         # write the doc-slice delta FIRST, read it back (read_delta: the
         # parquet IS the materialization the diffs below consume)
-        self.log.write_delta(_doc_gram_slices(docs, id_col=self.id_col), batch_id)
+        self.log.write_delta(
+            _doc_gram_slices(docs, id_col=self.id_col, window=self.window),
+            batch_id,
+        )
         delta = self.log.read_delta(batch_id)
         prior = self.log.read(before_batch_id=batch_id)
         old_rows = (
@@ -255,6 +267,11 @@ class MaintainedBigrams:
         state directory once the plan is built."""
         from cuda_gis_smoothing_spark.functions.numeric import round6
 
+        if self.window != 1:
+            raise ValueError(
+                "bigram_pmi is adjacent-bigram-only (window=1); this "
+                "instance maintains windowed co-occurrence counts"
+            )
         bc = self.bigram_counts()
         uni = self.unigram_counts()
         st = self.stats_row()
@@ -281,6 +298,32 @@ class MaintainedBigrams:
                 F.col("cnt").cast("long").alias("n_pairs"),
                 round6(pmi).alias("pmi"),
                 "rank",
+            )
+        )
+
+    def cooccurrence(self, k: int = 30) -> DataFrame:
+        """Top-``k`` windowed co-occurrence pairs over the CURRENT
+        state — the maintained form of
+        ``functions/text.cooccurrence_window``: counts from the
+        maintained pair table, NOTHING re-tokenized at read time; the
+        SAME (count desc, t1, t2) total order over the same exact
+        integers ⇒ bit-identical to the batch operator (tested; gated
+        as ``cooccurrence_window_maintained``). State read through an
+        EAGER localCheckpoint (the search contract)."""
+        bc = self.bigram_counts()
+        if bc is None:
+            raise ValueError("MaintainedBigrams: empty state")
+        bc = bc.localCheckpoint(eager=True)
+        w = Window.orderBy(F.col("cnt").desc(), "t1", "t2")
+        return (
+            bc.orderBy(F.col("cnt").desc(), "t1", "t2")
+            .limit(int(k))
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                "t1",
+                "t2",
+                F.col("cnt").cast("long").alias("n_pairs"),
+                F.col("rank").cast("int").alias("rank"),
             )
         )
 

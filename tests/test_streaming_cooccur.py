@@ -154,3 +154,42 @@ def test_stream_wiring_builds_same_state(spark, tmp_path):
     q = mb.start(f"{src}/part*", str(tmp_path / "ckpt"))
     assert q.awaitTermination(180), "availableNow query did not finish"
     assert _pmi_set(mb.bigram_pmi(k=K)) == _pmi_set(bigram_pmi(docs, k=K))
+
+
+def test_windowed_multibatch_equals_batch_cooccurrence(spark, tmp_path):
+    """window=3 instance: multi-batch state + a doc UPDATE serve the
+    SAME top-k windowed pair table as the batch operator over the
+    final corpus; bigram_pmi refuses on a windowed instance."""
+    import pytest
+
+    from cuda_gis_smoothing_spark.functions.text import cooccurrence_window
+
+    docs = _docs(spark)
+    mb = MaintainedBigrams(
+        spark, str(tmp_path / "state"), compact_every=2, window=3
+    )
+    for bid, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 10**9))):
+        mb.process_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), bid
+        )
+    # update one doc's text: latest-wins, old pair contributions leave
+    upd = spark.createDataFrame(
+        [(5, "alpha beta alpha gamma")], "doc_id long, text string"
+    )
+    mb.process_batch(upd, 3)
+    final = (
+        docs.select("doc_id", "text")
+        .where(F.col("doc_id") != 5)
+        .unionByName(upd)
+    )
+    got = {
+        (r.t1, r.t2, r.n_pairs, r.rank)
+        for r in mb.cooccurrence(k=K).collect()
+    }
+    want = {
+        (r.t1, r.t2, r.n_pairs, r.rank)
+        for r in cooccurrence_window(final, window=3, k=K).collect()
+    }
+    assert got == want and len(want) == K
+    with pytest.raises(ValueError, match="adjacent-bigram-only"):
+        mb.bigram_pmi(k=5)
