@@ -1552,6 +1552,23 @@ def _q_cooccurrence_window_maintained(spark, sf_dir):
     return out
 
 
+def _q_keyword_textrank_maintained(spark, sf_dir):
+    """TextRank served from the window=3 maintained pair log: the
+    distinct co-occurrence graph recovered from state (O(vocab)), the
+    shared pagerank core at read time — zero corpus re-tokenization."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.cooccur import MaintainedBigrams
+
+    state = tempfile.mkdtemp(prefix="textrank_state_")
+    mb = MaintainedBigrams(spark, state, window=_COOC_WINDOW)
+    mb.process_batch(load(spark, sf_dir, "documents"), 0)
+    out = mb.textrank()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_doc_bigram_logprob(spark, sf_dir):
     """Interpolated bigram-LM self-score per doc — the second-order
     perplexity-filter signal (λ·bigram MLE + (1−λ)·unigram backoff)."""
@@ -4630,6 +4647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_textrank": _q_keyword_textrank,
         "nation_profit": _q_nation_profit,
         "cooccurrence_window_maintained": _q_cooccurrence_window_maintained,
+        "keyword_textrank_maintained": _q_keyword_textrank_maintained,
     }
     return qs
 
@@ -5930,6 +5948,8 @@ ranked AS (
 SELECT token, pagerank, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TEXTRANK_K}
 """.strip()
+    # identical semantics, graph recovered from the maintained pair log
+    out["keyword_textrank_maintained"] = out["keyword_textrank"]
     from cuda_gis_smoothing_spark.operators.sketches import kmv_distinct_sql
 
     out["kmv_distinct_users"] = kmv_distinct_sql(

@@ -337,6 +337,7 @@ BENCH_QUERIES = [
     "keyword_textrank",
     "nation_profit",
     "cooccurrence_window_maintained",
+    "keyword_textrank_maintained",
 ]
 
 

@@ -327,6 +327,51 @@ class MaintainedBigrams:
             )
         )
 
+    def textrank(self, k: int = 30, damping: float = 0.85, iters: int = 5) -> DataFrame:
+        """TextRank keywords over the CURRENT state — the maintained
+        form of ``functions/text.keyword_textrank``: the DISTINCT
+        co-occurrence graph is recovered from the maintained pair
+        table (canonical pair keys with cnt > 0 — the same set the
+        batch operator's distinct produces) and vertices from the
+        unigram table, then the shared fixed-iteration
+        ``pagerank_rounds`` core runs over state at read time —
+        recompute-from-state-on-read (the flow-router closure
+        precedent): nothing re-tokenizes the corpus; the graph is
+        O(vocabulary), not O(corpus). Same round6-rank total-order
+        k-cut ⇒ equal to the batch operator (tested; gated as
+        ``keyword_textrank_maintained``, SHARED twin)."""
+        from cuda_gis_smoothing_spark.operators.stats import pagerank_rounds
+
+        bc = self.bigram_counts()
+        uni = self.unigram_counts()
+        if bc is None or uni is None:
+            raise ValueError("MaintainedBigrams: empty state")
+        und = (
+            bc.where(F.col("t1") != F.col("t2"))
+            .select(
+                F.least("t1", "t2").alias("a"), F.greatest("t1", "t2").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
+        nodes = uni.select(F.col("t").alias("token")).localCheckpoint(eager=True)
+        pr = pagerank_rounds(nodes, edges, damping, iters, id_col="token")
+        w = Window.orderBy(F.col("pagerank").desc(), "token")
+        return (
+            pr.orderBy(F.col("pagerank").desc(), "token")
+            .limit(int(k))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("token", "pagerank", "rank")
+        )
+
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         from cuda_gis_smoothing_spark.streaming.dedup import DOCS_SCHEMA
 

@@ -193,3 +193,30 @@ def test_windowed_multibatch_equals_batch_cooccurrence(spark, tmp_path):
     assert got == want and len(want) == K
     with pytest.raises(ValueError, match="adjacent-bigram-only"):
         mb.bigram_pmi(k=5)
+
+
+def test_windowed_textrank_from_state_equals_batch(spark, tmp_path):
+    """Maintained TextRank (graph recovered from the pair log after
+    multi-batch ingest + a doc update) == the batch operator over the
+    final corpus."""
+    from cuda_gis_smoothing_spark.functions.text import keyword_textrank
+
+    docs = _docs(spark)
+    mb = MaintainedBigrams(spark, str(tmp_path / "state"), window=3)
+    mb.process_batch(docs.where(F.col("doc_id") < 200), 0)
+    mb.process_batch(docs.where(F.col("doc_id") >= 200), 1)
+    upd = spark.createDataFrame(
+        [(7, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    mb.process_batch(upd, 2)
+    final = (
+        docs.select("doc_id", "text")
+        .where(F.col("doc_id") != 7)
+        .unionByName(upd)
+    )
+    got = [(r.token, r.pagerank, r.rank) for r in mb.textrank(k=25).collect()]
+    want = [
+        (r.token, r.pagerank, r.rank)
+        for r in keyword_textrank(final, window=3, k=25).collect()
+    ]
+    assert got == want and len(want) == 25
