@@ -4171,6 +4171,14 @@ def _q_nation_profit(spark, sf_dir):
     )
 
 
+def _q_part_similarity(spark, sf_dir):
+    """Item-item CF: per-part top-k co-purchase cosine neighbors over
+    the shared basket kernel; rank on the rounded cosine."""
+    from cuda_gis_smoothing_spark.operators.analytics import part_similarity
+
+    return part_similarity(load(spark, sf_dir, "lineitem"))
+
+
 def _q_keyword_textrank(spark, sf_dir):
     """TextRank keywords: the shared fixed-iteration PageRank core
     over the distinct token co-occurrence graph (3rd graph domain);
@@ -4648,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_profit": _q_nation_profit,
         "cooccurrence_window_maintained": _q_cooccurrence_window_maintained,
         "keyword_textrank_maintained": _q_keyword_textrank_maintained,
+        "part_similarity": _q_part_similarity,
     }
     return qs
 
@@ -7908,6 +7917,9 @@ GROUP BY sd.stream_dist
     from cuda_gis_smoothing_spark.operators.analytics import nation_profit_sql
 
     out["nation_profit"] = nation_profit_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import part_similarity_sql
+
+    out["part_similarity"] = part_similarity_sql()
     # per-component census over the SAME banded pair SQL under the
     # embedding_components recursive closure; density is one double
     # division of exact int64s

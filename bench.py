@@ -338,6 +338,7 @@ BENCH_QUERIES = [
     "nation_profit",
     "cooccurrence_window_maintained",
     "keyword_textrank_maintained",
+    "part_similarity",
 ]
 
 

@@ -872,6 +872,52 @@ BASKET_MIN_SUPPORT = 2
 BASKET_TOPK = 50
 
 
+def _order_part_distinct(lineitem: DataFrame) -> DataFrame:
+    """The distinct (order, part) membership table — localCheckpoint'ed
+    because every basket-family consumer reads it 3-4 differently-pruned
+    ways (the bm25-postings multi-consumer class). Shared by
+    :func:`basket_part_pairs` and :func:`part_similarity`."""
+    return (
+        lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    )
+
+
+def _copurchase_pairs(op: DataFrame, min_support: int) -> DataFrame:
+    """(part_a < part_b, n_both) co-order pair counts over the distinct
+    membership table — the bounded per-order self-join (fan-out ≤
+    (items/order)², the cross_source_dups class), support-filtered."""
+    a = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("_o2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_o") == F.col("_o2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .where(F.col("n_both") >= int(min_support))
+    )
+
+
+def _basket_ctes(min_support: int) -> str:
+    """op / pc / pairs CTE text — the ONE co-purchase derivation the
+    basket_part_pairs and part_similarity twins share."""
+    return f"""op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_support)}
+)""".strip()
+
+
 def basket_part_pairs(
     lineitem: DataFrame,
     min_support: int = BASKET_MIN_SUPPORT,
@@ -897,27 +943,8 @@ def basket_part_pairs(
     ReuseExchange and the corpus scans 3× (plan-verified), so it is
     localCheckpoint'ed (the bm25-postings class)."""
     min_support, k = int(min_support), int(k)
-    op = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_a")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("_o2"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("_o") == F.col("_o2"))
-            & (F.col("part_a") < F.col("part_b")),
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
-        .where(F.col("n_both") >= min_support)
-    )
+    op = _order_part_distinct(lineitem)
+    pairs = _copurchase_pairs(op, min_support)
     pc = op.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )
@@ -954,16 +981,8 @@ def basket_part_pairs_sql(
 ) -> str:
     min_support, k = int(min_support), int(k)
     return f"""
-WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS N FROM op),
-pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1),
-pairs AS (
-  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-         CAST(COUNT(*) AS BIGINT) AS n_both
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
-)
+WITH {_basket_ctes(min_support)},
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS N FROM op)
 SELECT part_a, part_b, n_both,
        ROUND(CAST(n_both * N AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)
              + 1e-09, 6) AS lift
@@ -973,6 +992,125 @@ JOIN pc cb ON cb.l_partkey = part_b
 CROSS JOIN n
 ORDER BY lift DESC, part_a, part_b
 LIMIT {k}
+""".strip()
+
+
+PART_SIM_TOPK = 5
+
+
+def part_similarity(
+    lineitem: DataFrame,
+    min_support: int = BASKET_MIN_SUPPORT,
+    k: int = PART_SIM_TOPK,
+) -> DataFrame:
+    """Item-item collaborative filtering (the Amazon item-to-item
+    recommender, Linden et al.): per part, the top-``k`` co-purchased
+    neighbors by COSINE over binary order-membership vectors —
+    ``cos(a,b) = c(ab) / √(c(a)·c(b))`` with c = distinct co-order /
+    order counts. The neighbor-list sibling of
+    :func:`basket_part_pairs` (global lift leaderboard → per-item
+    ranking), over the SAME shared co-purchase kernel
+    (:func:`_order_part_distinct` + :func:`_copurchase_pairs` — one
+    derivation, twin CTEs shared via :func:`_basket_ctes`).
+
+    Exactness: counts are integers; the cosine is cast-to-double ×,
+    √, ÷ — three correctly-rounded ops over exact inputs, identical
+    expression shape both engines (the axis_visibility class), then
+    round6; the per-part rank orders on the ROUNDED cosine with a
+    neighbor-id tie-break — a total order. Each count is cast to
+    DOUBLE BEFORE the product so c(a)·c(b) > 2^53 (possible at 10^8+
+    orders) never truncates an integer product.
+
+    Plan (100 TB): the bounded per-order self-join (fan-out ≤
+    (items/order)² — the basket class), support filter BEFORE the
+    count joins, part-count table joins (dimension-sized), both pair
+    orientations from ONE pass via explode(array(struct)) (the
+    span_coverage trick), per-part ROW_NUMBER over candidate lists
+    bounded by the support filter. Output:
+    (part, neighbor, n_both, cosine, rank ≤ k)."""
+    min_support, k = int(min_support), int(k)
+    op = _order_part_distinct(lineitem)
+    pairs = _copurchase_pairs(op, min_support)
+    pc = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    scored = (
+        pairs.join(
+            pc.select(F.col("l_partkey").alias("part_a"), F.col("_c").alias("_ca")),
+            "part_a",
+        )
+        .join(
+            pc.select(F.col("l_partkey").alias("part_b"), F.col("_c").alias("_cb")),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            round6(
+                F.col("n_both")
+                / F.sqrt(
+                    F.col("_ca").cast("double") * F.col("_cb").cast("double")
+                )
+            ).alias("cosine"),
+        )
+    )
+    sym = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("part"),
+                    F.col("part_b").alias("neighbor"),
+                    F.col("n_both"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("part"),
+                    F.col("part_a").alias("neighbor"),
+                    F.col("n_both"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.part", "_s.neighbor", "_s.n_both", "_s.cosine")
+    w = Window.partitionBy("part").orderBy(
+        F.col("cosine").desc(), "neighbor"
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("part", "neighbor", "n_both", "cosine", "rank")
+    )
+
+
+def part_similarity_sql(
+    min_support: int = BASKET_MIN_SUPPORT, k: int = PART_SIM_TOPK
+) -> str:
+    min_support, k = int(min_support), int(k)
+    return f"""
+WITH {_basket_ctes(min_support)},
+scored AS (
+  SELECT part_a, part_b, n_both,
+         ROUND(n_both / SQRT(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+               + 1e-09, 6) AS cosine
+  FROM pairs
+  JOIN pc ca ON ca.l_partkey = part_a
+  JOIN pc cb ON cb.l_partkey = part_b
+),
+sym AS (
+  SELECT part_a AS part, part_b AS neighbor, n_both, cosine FROM scored
+  UNION ALL
+  SELECT part_b AS part, part_a AS neighbor, n_both, cosine FROM scored
+),
+ranked AS (
+  SELECT part, neighbor, n_both, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY part ORDER BY cosine DESC, neighbor
+         ) AS rank
+  FROM sym
+)
+SELECT part, neighbor, n_both, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
 """.strip()
 
 

@@ -99,6 +99,9 @@ GATES = [
     # Q9-adapted: fuzz part names ("Part#N") miss the '%widget%' LIKE
     # → pins the empty-result schema contract (the Q3/Q18 precedent)
     "nation_profit",
+    # item-item CF: the identical-lineitem tie orders create equal
+    # co-purchase counts → pins the round6-cosine rank tie-break
+    "part_similarity",
 ]
 
 
