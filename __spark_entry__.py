@@ -4179,6 +4179,17 @@ def _q_part_similarity(spark, sf_dir):
     return part_similarity(load(spark, sf_dir, "lineitem"))
 
 
+def _q_part_recommendations(spark, sf_dir):
+    """Basket completion: per-order top-k candidates by summed integer
+    micro-cosines over the item-item neighbor lists (in-basket parts
+    anti-joined out)."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        part_recommendations,
+    )
+
+    return part_recommendations(load(spark, sf_dir, "lineitem"))
+
+
 def _q_keyword_textrank(spark, sf_dir):
     """TextRank keywords: the shared fixed-iteration PageRank core
     over the distinct token co-occurrence graph (3rd graph domain);
@@ -4657,6 +4668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_window_maintained": _q_cooccurrence_window_maintained,
         "keyword_textrank_maintained": _q_keyword_textrank_maintained,
         "part_similarity": _q_part_similarity,
+        "part_recommendations": _q_part_recommendations,
     }
     return qs
 
@@ -7920,6 +7932,11 @@ GROUP BY sd.stream_dist
     from cuda_gis_smoothing_spark.operators.analytics import part_similarity_sql
 
     out["part_similarity"] = part_similarity_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        part_recommendations_sql,
+    )
+
+    out["part_recommendations"] = part_recommendations_sql()
     # per-component census over the SAME banded pair SQL under the
     # embedding_components recursive closure; density is one double
     # division of exact int64s

@@ -339,6 +339,7 @@ BENCH_QUERIES = [
     "cooccurrence_window_maintained",
     "keyword_textrank_maintained",
     "part_similarity",
+    "part_recommendations",
 ]
 
 

@@ -1002,6 +1002,7 @@ def part_similarity(
     lineitem: DataFrame,
     min_support: int = BASKET_MIN_SUPPORT,
     k: int = PART_SIM_TOPK,
+    op: DataFrame | None = None,
 ) -> DataFrame:
     """Item-item collaborative filtering (the Amazon item-to-item
     recommender, Linden et al.): per part, the top-``k`` co-purchased
@@ -1027,9 +1028,12 @@ def part_similarity(
     orientations from ONE pass via explode(array(struct)) (the
     span_coverage trick), per-part ROW_NUMBER over candidate lists
     bounded by the support filter. Output:
-    (part, neighbor, n_both, cosine, rank ≤ k)."""
+    (part, neighbor, n_both, cosine, rank ≤ k). ``op`` lets a
+    composing caller (part_recommendations) pass the already-
+    checkpointed membership table instead of re-deriving it."""
     min_support, k = int(min_support), int(k)
-    op = _order_part_distinct(lineitem)
+    if op is None:
+        op = _order_part_distinct(lineitem)
     pairs = _copurchase_pairs(op, min_support)
     pc = op.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
@@ -1083,12 +1087,11 @@ def part_similarity(
     )
 
 
-def part_similarity_sql(
-    min_support: int = BASKET_MIN_SUPPORT, k: int = PART_SIM_TOPK
-) -> str:
-    min_support, k = int(min_support), int(k)
-    return f"""
-WITH {_basket_ctes(min_support)},
+def _part_sim_ctes(min_support: int) -> str:
+    """Basket CTEs + scored/sym/sim_ranked — the per-part cosine
+    neighbor ranking CTE text the part_similarity and
+    part_recommendations twins share."""
+    return f"""{_basket_ctes(int(min_support))},
 scored AS (
   SELECT part_a, part_b, n_both,
          ROUND(n_both / SQRT(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
@@ -1102,15 +1105,125 @@ sym AS (
   UNION ALL
   SELECT part_b AS part, part_a AS neighbor, n_both, cosine FROM scored
 ),
-ranked AS (
+sim_ranked AS (
   SELECT part, neighbor, n_both, cosine,
          ROW_NUMBER() OVER (
            PARTITION BY part ORDER BY cosine DESC, neighbor
          ) AS rank
   FROM sym
-)
+)""".strip()
+
+
+def part_similarity_sql(
+    min_support: int = BASKET_MIN_SUPPORT, k: int = PART_SIM_TOPK
+) -> str:
+    min_support, k = int(min_support), int(k)
+    return f"""
+WITH {_part_sim_ctes(min_support)}
 SELECT part, neighbor, n_both, cosine, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= {k}
+FROM sim_ranked WHERE rank <= {k}
+""".strip()
+
+
+PART_REC_TOPK = 3
+
+
+def part_recommendations(
+    lineitem: DataFrame,
+    min_support: int = BASKET_MIN_SUPPORT,
+    k_neighbors: int = PART_SIM_TOPK,
+    k: int = PART_REC_TOPK,
+) -> DataFrame:
+    """Basket completion — the serving composite over
+    :func:`part_similarity`: for each order, score every candidate
+    part by the SUM of its item-item cosines to the basket's members
+    (restricted to each member's top-``k_neighbors`` list, the
+    standard item2item serving cut), drop candidates already in the
+    basket, and keep the top-``k`` per order.
+
+    Exactness: summing round6 cosines is a float-association hazard —
+    so the score sums INTEGER MICRO-COSINES: ``round(cosine·1e6)``
+    recovers the exact integer the round6 produced (both engines round
+    the identical double — the multitouch_attribution integerize-the-
+    sum pattern), the per-order rank total-orders on the integer score
+    with a candidate-id tie-break (tie-proof), and the reported score
+    is ONE division of the exact integer sum under round6.
+
+    Plan (100 TB): the membership table derives ONCE
+    (:func:`_order_part_distinct`, shared into part_similarity via
+    ``op=``); basket × neighbor-list join fans out ≤ items/order ×
+    k_neighbors rows per order; candidate scores hash-aggregate on
+    (order, candidate); the in-basket drop is a LEFT ANTI on the same
+    key; per-order ROW_NUMBER over ≤ items·k_neighbors candidates.
+    Output: (l_orderkey, part, score, rank ≤ k)."""
+    min_support, k_neighbors, k = int(min_support), int(k_neighbors), int(k)
+    op = _order_part_distinct(lineitem)
+    sim = part_similarity(
+        lineitem, min_support=min_support, k=k_neighbors, op=op
+    ).select(
+        "part",
+        "neighbor",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("_micro"),
+    )
+    cand = (
+        op.join(sim, op["l_partkey"] == sim["part"])
+        .groupBy("l_orderkey", "neighbor")
+        .agg(F.sum("_micro").cast("long").alias("_sm"))
+    )
+    filt = cand.join(
+        op.select("l_orderkey", F.col("l_partkey").alias("neighbor")),
+        ["l_orderkey", "neighbor"],
+        "left_anti",
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("_sm").desc(), "neighbor"
+    )
+    return (
+        filt.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "l_orderkey",
+            F.col("neighbor").alias("part"),
+            round6(F.col("_sm") / F.lit(1e6)).alias("score"),
+            "rank",
+        )
+    )
+
+
+def part_recommendations_sql(
+    min_support: int = BASKET_MIN_SUPPORT,
+    k_neighbors: int = PART_SIM_TOPK,
+    k: int = PART_REC_TOPK,
+) -> str:
+    min_support, k_neighbors, k = int(min_support), int(k_neighbors), int(k)
+    return f"""
+WITH {_part_sim_ctes(min_support)},
+sim AS (
+  SELECT part, neighbor, CAST(ROUND(cosine * 1e6) AS BIGINT) AS micro
+  FROM sim_ranked WHERE rank <= {k_neighbors}
+),
+cand AS (
+  SELECT op.l_orderkey, s.neighbor, CAST(SUM(s.micro) AS BIGINT) AS sm
+  FROM op JOIN sim s ON s.part = op.l_partkey
+  GROUP BY 1, 2
+),
+filt AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM op
+    WHERE op.l_orderkey = c.l_orderkey AND op.l_partkey = c.neighbor
+  )
+),
+rec AS (
+  SELECT l_orderkey, neighbor, sm,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey ORDER BY sm DESC, neighbor
+         ) AS rank
+  FROM filt
+)
+SELECT l_orderkey, neighbor AS part,
+       ROUND(sm / 1e6 + 1e-09, 6) AS score, CAST(rank AS INT) AS rank
+FROM rec WHERE rank <= {k}
 """.strip()
 
 

@@ -102,6 +102,9 @@ GATES = [
     # item-item CF: the identical-lineitem tie orders create equal
     # co-purchase counts → pins the round6-cosine rank tie-break
     "part_similarity",
+    # basket completion: integer micro-cosine sums — equal-score
+    # candidates pin the per-order integer rank tie-break
+    "part_recommendations",
 ]
 
 
