@@ -2864,8 +2864,14 @@ def waiting_suppliers(
         .cast("int")
         .alias("_late"),
     )
-    per_so = tagged.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("_late").alias("_is_late")
+    # per_so feeds TWO differently-pruned consumers (per_o and the
+    # waiting filter) — unmaterialized, each re-runs the orders ⋈
+    # lineitem join (plan-measured 2 lineitem scans); the
+    # blocking_suppliers per_os class, same fix
+    per_so = (
+        tagged.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_late").alias("_is_late"))
+        .localCheckpoint()
     )
     per_o = per_so.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("_n_supps"), F.sum("_is_late").alias("_n_late")
