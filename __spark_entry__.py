@@ -4190,6 +4190,25 @@ def _q_part_recommendations(spark, sf_dir):
     return part_recommendations(load(spark, sf_dir, "lineitem"))
 
 
+def _q_part_similarity_maintained(spark, sf_dir):
+    """Item-item CF served from maintained co-purchase count logs
+    (single-batch instance == the batch operator exactly; the
+    smooth_maintained precedent)."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.copurchase import (
+        MaintainedCopurchase,
+    )
+
+    state = tempfile.mkdtemp(prefix="copurchase_state_")
+    mc = MaintainedCopurchase(spark, state)
+    mc.process_batch(load(spark, sf_dir, "lineitem"), 0)
+    out = mc.similarity()  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_keyword_textrank(spark, sf_dir):
     """TextRank keywords: the shared fixed-iteration PageRank core
     over the distinct token co-occurrence graph (3rd graph domain);
@@ -4669,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_textrank_maintained": _q_keyword_textrank_maintained,
         "part_similarity": _q_part_similarity,
         "part_recommendations": _q_part_recommendations,
+        "part_similarity_maintained": _q_part_similarity_maintained,
     }
     return qs
 
@@ -7937,6 +7957,9 @@ GROUP BY sd.stream_dist
     )
 
     out["part_recommendations"] = part_recommendations_sql()
+    # neighbor lists served from maintained co-purchase counts == the
+    # batch operator exactly (SHARED twin — the smooth_maintained class)
+    out["part_similarity_maintained"] = out["part_similarity"]
     # per-component census over the SAME banded pair SQL under the
     # embedding_components recursive closure; density is one double
     # division of exact int64s

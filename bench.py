@@ -340,6 +340,7 @@ BENCH_QUERIES = [
     "keyword_textrank_maintained",
     "part_similarity",
     "part_recommendations",
+    "part_similarity_maintained",
 ]
 
 

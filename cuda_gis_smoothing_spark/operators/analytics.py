@@ -1038,6 +1038,14 @@ def part_similarity(
     pc = op.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )
+    return part_sim_from_counts(pairs, pc, k)
+
+
+def part_sim_from_counts(pairs: DataFrame, pc: DataFrame, k: int) -> DataFrame:
+    """The cosine neighbor-ranking kernel over (part_a, part_b,
+    n_both) pair counts and (l_partkey, _c) part counts — SHARED by
+    the batch :func:`part_similarity` and the maintained serving path
+    (streaming/copurchase.py), so the two cannot drift."""
     scored = (
         pairs.join(
             pc.select(F.col("l_partkey").alias("part_a"), F.col("_c").alias("_ca")),
@@ -1082,7 +1090,7 @@ def part_similarity(
     )
     return (
         sym.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= int(k))
         .select("part", "neighbor", "n_both", "cosine", "rank")
     )
 
