@@ -4209,6 +4209,26 @@ def _q_part_similarity_maintained(spark, sf_dir):
     return out
 
 
+def _q_part_recommendations_maintained(spark, sf_dir):
+    """Basket completion served from maintained co-purchase state:
+    ingest once, score the same orders as queries == the batch
+    composite exactly."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_spark.streaming.copurchase import (
+        MaintainedCopurchase,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    state = tempfile.mkdtemp(prefix="copurchase_rec_state_")
+    mc = MaintainedCopurchase(spark, state)
+    mc.process_batch(li, 0)
+    out = mc.recommendations(li)  # eager-checkpoint contract: GC now
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def _q_keyword_textrank(spark, sf_dir):
     """TextRank keywords: the shared fixed-iteration PageRank core
     over the distinct token co-occurrence graph (3rd graph domain);
@@ -4689,6 +4709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_similarity": _q_part_similarity,
         "part_recommendations": _q_part_recommendations,
         "part_similarity_maintained": _q_part_similarity_maintained,
+        "part_recommendations_maintained": _q_part_recommendations_maintained,
     }
     return qs
 
@@ -7960,6 +7981,7 @@ GROUP BY sd.stream_dist
     # neighbor lists served from maintained co-purchase counts == the
     # batch operator exactly (SHARED twin — the smooth_maintained class)
     out["part_similarity_maintained"] = out["part_similarity"]
+    out["part_recommendations_maintained"] = out["part_recommendations"]
     # per-component census over the SAME banded pair SQL under the
     # embedding_components recursive closure; density is one double
     # division of exact int64s

@@ -341,6 +341,7 @@ BENCH_QUERIES = [
     "part_similarity",
     "part_recommendations",
     "part_similarity_maintained",
+    "part_recommendations_maintained",
 ]
 
 

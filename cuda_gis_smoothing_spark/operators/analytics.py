@@ -1168,13 +1168,24 @@ def part_recommendations(
     op = _order_part_distinct(lineitem)
     sim = part_similarity(
         lineitem, min_support=min_support, k=k_neighbors, op=op
-    ).select(
+    )
+    return recommend_from_sim(op, sim, k)
+
+
+def recommend_from_sim(op: DataFrame, sim: DataFrame, k: int) -> DataFrame:
+    """The basket-completion scoring kernel over a (l_orderkey,
+    l_partkey) membership table and a part_similarity-shaped neighbor
+    list — SHARED by the batch :func:`part_recommendations` and the
+    maintained serving path (streaming/copurchase.py): integer
+    micro-cosine sums, in-basket LEFT ANTI, tie-proof per-order
+    integer rank."""
+    simm = sim.select(
         "part",
         "neighbor",
         F.round(F.col("cosine") * 1e6).cast("long").alias("_micro"),
     )
     cand = (
-        op.join(sim, op["l_partkey"] == sim["part"])
+        op.join(simm, op["l_partkey"] == simm["part"])
         .groupBy("l_orderkey", "neighbor")
         .agg(F.sum("_micro").cast("long").alias("_sm"))
     )
@@ -1188,7 +1199,7 @@ def part_recommendations(
     )
     return (
         filt.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= int(k))
         .select(
             "l_orderkey",
             F.col("neighbor").alias("part"),

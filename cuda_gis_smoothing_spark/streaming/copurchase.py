@@ -34,9 +34,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cuda_gis_smoothing_spark.operators.analytics import (
     BASKET_MIN_SUPPORT,
+    PART_REC_TOPK,
     PART_SIM_TOPK,
     _copurchase_pairs,
     part_sim_from_counts,
+    recommend_from_sim,
 )
 from cuda_gis_smoothing_spark.streaming.incremental import SnapshotLog
 
@@ -150,3 +152,25 @@ class MaintainedCopurchase:
         )
         pc = pc.select("l_partkey", "_c").localCheckpoint(eager=True)
         return part_sim_from_counts(pairs, pc, k)
+
+    def recommendations(
+        self,
+        query_lineitem: DataFrame,
+        min_support: int = BASKET_MIN_SUPPORT,
+        k_neighbors: int = PART_SIM_TOPK,
+        k: int = PART_REC_TOPK,
+    ) -> DataFrame:
+        """Basket completion for a QUERY batch of orders against the
+        maintained neighbor lists — the live serving pattern (score
+        incoming baskets; they need not be ingested). The SHARED
+        ``recommend_from_sim`` kernel over :meth:`similarity`'s
+        output: scoring ingested orders reproduces the batch
+        ``part_recommendations`` exactly (tested; gated as
+        ``part_recommendations_maintained``)."""
+        op = (
+            query_lineitem.select("l_orderkey", "l_partkey")
+            .distinct()
+            .localCheckpoint()  # join side + anti-join side
+        )
+        sim = self.similarity(min_support=min_support, k=k_neighbors)
+        return recommend_from_sim(op, sim, k)

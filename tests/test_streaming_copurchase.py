@@ -72,3 +72,45 @@ def test_delta_o_batch_and_replay_noop(spark, tmp_path):
     clean = _sim_set(mc.similarity())
     mc.process_batch(small, 1)  # replay: guarded no-op (same batch id)
     assert _sim_set(mc.similarity()) == clean
+
+
+def test_recommendations_from_state_and_unseen_queries(spark, tmp_path):
+    """Scoring the ingested orders from multi-batch state == the batch
+    part_recommendations composite; an UNSEEN query basket gets scored
+    against state without being ingested (no state mutation)."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        part_recommendations,
+    )
+
+    li = _li(spark)
+    mc = MaintainedCopurchase(spark, str(tmp_path / "state"))
+    mc.process_batch(li.where(F.col("l_orderkey") < 700), 0)
+    mc.process_batch(li.where(F.col("l_orderkey") >= 700), 1)
+    got = {
+        (r.l_orderkey, r.part, r.score, r.rank)
+        for r in mc.recommendations(li).collect()
+    }
+    want = {
+        (r.l_orderkey, r.part, r.score, r.rank)
+        for r in part_recommendations(li).collect()
+    }
+    assert got == want and want
+    # an unseen basket: two parts that co-occur in state
+    pair = (
+        mc.similarity(k=1)
+        .orderBy("part")
+        .limit(1)
+        .collect()[0]
+    )
+    q = spark.createDataFrame(
+        [(999999, pair.part), (999999, pair.neighbor)],
+        "l_orderkey long, l_partkey long",
+    )
+    recs = mc.recommendations(q).collect()
+    assert all(r.l_orderkey == 999999 for r in recs)
+    basket = {pair.part, pair.neighbor}
+    assert all(r.part not in basket for r in recs)
+    # scoring did not ingest: the query order is absent from the guard
+    assert (
+        mc.orders_log.read().where(F.col("l_orderkey") == 999999).count() == 0
+    )
