@@ -220,6 +220,15 @@ _HOSTILE_SAMPLE = [
     "landform_classes",
     "stream_networks",
     "user_event_entropy_maintained",
+    # part-21 reps: three star-CC runs over threshold-filtered slices
+    # of ONE checkpointed pair table (census must be partition-
+    # invariant), the 5-round pagerank join chain over the distinct
+    # co-occurrence graph with broadcasts disabled, and the basket
+    # self-join + micro-cosine sum + per-order rank with maintained
+    # co-purchase state BUILT under the hostile config
+    "dedup_threshold_sweep",
+    "keyword_textrank",
+    "part_recommendations_maintained",
 ]
 
 
