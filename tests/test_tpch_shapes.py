@@ -220,3 +220,78 @@ def test_customer_rfm_null_monetary_scores_one(spark):
     assert nullc.segment is not None
     for r in got.values():
         assert r.segment == r.r_score * 100 + r.f_score * 10 + r.m_score
+
+
+def test_part_similarity_and_recommendations_differential(spark):
+    """Seeded randomized differential: brute-force Python cosine
+    neighbor lists and basket-completion scores over random baskets ==
+    the Spark operators (ranks, counts, round6 values)."""
+    import math
+    import random
+
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        part_recommendations,
+        part_similarity,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for o in range(60):
+        parts = rng.sample(range(1, 25), rng.randint(1, 6))
+        for p in parts:
+            # duplicate lineitems for the same part: membership is
+            # DISTINCT, so these must not change any count
+            for _ in range(rng.randint(1, 2)):
+                rows.append((o, p))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    baskets = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    pc = {}
+    pair = {}
+    for b in baskets.values():
+        for p in b:
+            pc[p] = pc.get(p, 0) + 1
+        for a in b:
+            for c in b:
+                if a < c:
+                    pair[(a, c)] = pair.get((a, c), 0) + 1
+    min_support, kn, kr = 2, 5, 3
+    sym = {}
+    for (a, c), n in pair.items():
+        if n >= min_support:
+            cos = round(n / math.sqrt(pc[a] * pc[c]) + 1e-9, 6)
+            sym.setdefault(a, []).append((c, n, cos))
+            sym.setdefault(c, []).append((a, n, cos))
+    want_sim = {}
+    for p, lst in sym.items():
+        lst.sort(key=lambda t: (-t[2], t[0]))
+        for rank, (nb, n, cos) in enumerate(lst[:kn], 1):
+            want_sim[(p, nb)] = (n, cos, rank)
+    got_sim = {
+        (r.part, r.neighbor): (r.n_both, r.cosine, r.rank)
+        for r in part_similarity(li, min_support=min_support, k=kn).collect()
+    }
+    assert got_sim == want_sim and want_sim
+
+    micro = {
+        (p, nb): round(v[1] * 1e6) for (p, nb), v in want_sim.items()
+    }
+    want_rec = {}
+    for o, b in baskets.items():
+        scores = {}
+        for p in b:
+            for (pp, nb), mi in micro.items():
+                if pp == p and nb not in b:
+                    scores[nb] = scores.get(nb, 0) + mi
+        ranked = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
+        for rank, (nb, sm) in enumerate(ranked[:kr], 1):
+            want_rec[(o, nb)] = (round(sm / 1e6 + 1e-9, 6), rank)
+    got_rec = {
+        (r.l_orderkey, r.part): (r.score, r.rank)
+        for r in part_recommendations(
+            li, min_support=min_support, k_neighbors=kn, k=kr
+        ).collect()
+    }
+    assert got_rec == want_rec and want_rec
