@@ -4229,6 +4229,19 @@ def _q_part_recommendations_maintained(spark, sf_dir):
     return out
 
 
+def _q_customer_similarity(spark, sf_dir):
+    """User-user CF: per-customer top-k neighbors by shared-part
+    cosine — the co-membership kernel's second domain (baskets=parts,
+    items=customers)."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        customer_similarity,
+    )
+
+    return customer_similarity(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    )
+
+
 def _q_keyword_textrank(spark, sf_dir):
     """TextRank keywords: the shared fixed-iteration PageRank core
     over the distinct token co-occurrence graph (3rd graph domain);
@@ -4710,6 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_recommendations": _q_part_recommendations,
         "part_similarity_maintained": _q_part_similarity_maintained,
         "part_recommendations_maintained": _q_part_recommendations_maintained,
+        "customer_similarity": _q_customer_similarity,
     }
     return qs
 
@@ -7982,6 +7996,11 @@ GROUP BY sd.stream_dist
     # batch operator exactly (SHARED twin — the smooth_maintained class)
     out["part_similarity_maintained"] = out["part_similarity"]
     out["part_recommendations_maintained"] = out["part_recommendations"]
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        customer_similarity_sql,
+    )
+
+    out["customer_similarity"] = customer_similarity_sql()
     # per-component census over the SAME banded pair SQL under the
     # embedding_components recursive closure; density is one double
     # division of exact int64s

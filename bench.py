@@ -342,6 +342,7 @@ BENCH_QUERIES = [
     "part_recommendations",
     "part_similarity_maintained",
     "part_recommendations_maintained",
+    "customer_similarity",
 ]
 
 

@@ -904,10 +904,17 @@ def _copurchase_pairs(op: DataFrame, min_support: int) -> DataFrame:
     )
 
 
-def _basket_ctes(min_support: int) -> str:
-    """op / pc / pairs CTE text — the ONE co-purchase derivation the
-    basket_part_pairs and part_similarity twins share."""
-    return f"""op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+def _basket_ctes(
+    min_support: int,
+    op_sql: str = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem",
+) -> str:
+    """op / pc / pairs CTE text — the ONE co-membership derivation the
+    basket_part_pairs / part_similarity / customer_similarity twins
+    share. ``op_sql`` supplies the (basket, item) membership table
+    under the kernel's canonical column names (l_orderkey = basket,
+    l_partkey = item) — the caller aliases its domain in, exactly as
+    the Spark side does."""
+    return f"""op AS ({op_sql}),
 pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1),
 pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -1095,11 +1102,14 @@ def part_sim_from_counts(pairs: DataFrame, pc: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _part_sim_ctes(min_support: int) -> str:
-    """Basket CTEs + scored/sym/sim_ranked — the per-part cosine
-    neighbor ranking CTE text the part_similarity and
-    part_recommendations twins share."""
-    return f"""{_basket_ctes(int(min_support))},
+def _part_sim_ctes(
+    min_support: int,
+    op_sql: str = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem",
+) -> str:
+    """Basket CTEs + scored/sym/sim_ranked — the per-item cosine
+    neighbor ranking CTE text the part_similarity /
+    part_recommendations / customer_similarity twins share."""
+    return f"""{_basket_ctes(int(min_support), op_sql)},
 scored AS (
   SELECT part_a, part_b, n_both,
          ROUND(n_both / SQRT(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
@@ -1129,6 +1139,76 @@ def part_similarity_sql(
     return f"""
 WITH {_part_sim_ctes(min_support)}
 SELECT part, neighbor, n_both, cosine, CAST(rank AS INT) AS rank
+FROM sim_ranked WHERE rank <= {k}
+""".strip()
+
+
+def customer_similarity(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    min_support: int = BASKET_MIN_SUPPORT,
+    k: int = PART_SIM_TOPK,
+) -> DataFrame:
+    """User-user CF — the co-membership kernel's SECOND domain (the
+    one-kernel-many-domains pattern: star-CC runs 5 graph domains,
+    PageRank 3; this kernel now runs items-by-basket AND
+    customers-by-part): two customers are similar when they bought the
+    same parts — cosine over binary part-membership vectors,
+    ``cos(c1,c2) = |shared parts| / √(|parts c1|·|parts c2|)``. The
+    domains swap roles: baskets are PARTS, members are CUSTOMERS —
+    expressed by aliasing into the kernel's canonical (basket, item)
+    column names, identically in the twin (shared CTE builder with an
+    op_sql slot).
+
+    Same exactness contract as :func:`part_similarity` (integer
+    counts, cast-double ×, √, ÷, round6-rank total order). Fan-out
+    caveat: a part bought by many customers fans out
+    (customers/part)² — the hot-token class (cross_source_dups /
+    dedup_containment); cap or sample hyper-popular parts at scales
+    where that bites. Output: (customer, neighbor, n_both, cosine,
+    rank ≤ k)."""
+    min_support, k = int(min_support), int(k)
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # kernel canon: basket (l_orderkey) := part, item (l_partkey)
+        # := customer
+        .select(
+            F.col("l_partkey").alias("l_orderkey"),
+            F.col("o_custkey").alias("l_partkey"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    pairs = _copurchase_pairs(op, min_support)
+    pc = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    return part_sim_from_counts(pairs, pc, k).select(
+        F.col("part").alias("customer"),
+        "neighbor",
+        "n_both",
+        "cosine",
+        "rank",
+    )
+
+
+_CUST_OP_SQL = (
+    "SELECT DISTINCT l.l_partkey AS l_orderkey, o.o_custkey AS l_partkey "
+    "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+)
+
+
+def customer_similarity_sql(
+    min_support: int = BASKET_MIN_SUPPORT, k: int = PART_SIM_TOPK
+) -> str:
+    min_support, k = int(min_support), int(k)
+    return f"""
+WITH {_part_sim_ctes(min_support, _CUST_OP_SQL)}
+SELECT part AS customer, neighbor, n_both, cosine, CAST(rank AS INT) AS rank
 FROM sim_ranked WHERE rank <= {k}
 """.strip()
 

@@ -105,6 +105,10 @@ GATES = [
     # basket completion: integer micro-cosine sums — equal-score
     # candidates pin the per-order integer rank tie-break
     "part_recommendations",
+    # user-user CF (the kernel's second domain): the hot customer's 12
+    # orders concentrate part co-membership — pins the aliased-domain
+    # counts + round6-cosine rank tie-break
+    "customer_similarity",
 ]
 
 
