@@ -4242,6 +4242,16 @@ def _q_customer_similarity(spark, sf_dir):
     )
 
 
+def _q_source_similarity(spark, sf_dir):
+    """Source vocabulary set-cosine — the co-membership kernel's third
+    domain (baskets=tokens, items=sources)."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        source_similarity,
+    )
+
+    return source_similarity(load(spark, sf_dir, "documents"))
+
+
 def _q_keyword_textrank(spark, sf_dir):
     """TextRank keywords: the shared fixed-iteration PageRank core
     over the distinct token co-occurrence graph (3rd graph domain);
@@ -4724,6 +4734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_similarity_maintained": _q_part_similarity_maintained,
         "part_recommendations_maintained": _q_part_recommendations_maintained,
         "customer_similarity": _q_customer_similarity,
+        "source_similarity": _q_source_similarity,
     }
     return qs
 
@@ -8001,6 +8012,11 @@ GROUP BY sd.stream_dist
     )
 
     out["customer_similarity"] = customer_similarity_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        source_similarity_sql,
+    )
+
+    out["source_similarity"] = source_similarity_sql()
     # per-component census over the SAME banded pair SQL under the
     # embedding_components recursive closure; density is one double
     # division of exact int64s

@@ -343,6 +343,7 @@ BENCH_QUERIES = [
     "part_similarity_maintained",
     "part_recommendations_maintained",
     "customer_similarity",
+    "source_similarity",
 ]
 
 

@@ -1213,6 +1213,70 @@ FROM sim_ranked WHERE rank <= {k}
 """.strip()
 
 
+def source_similarity(
+    docs: DataFrame,
+    min_support: int = BASKET_MIN_SUPPORT,
+    k: int = PART_SIM_TOPK,
+) -> DataFrame:
+    """Source-pair vocabulary cosine — the co-membership kernel's
+    THIRD domain (baskets=tokens, items=sources): two sources are
+    similar when their corpora share vocabulary,
+    ``cos(s1,s2) = |shared vocab| / √(|vocab s1|·|vocab s2|)`` over
+    DISTINCT (token, source) membership. The third source-pair card
+    beside source_overlap (k-gram containment) and
+    source_kl_divergence (distributional): set cosine answers "do
+    these sources write with the same words at all", the cheapest
+    first look before the heavier cards. NULL sources and empty
+    tokens excluded (both engines' join semantics, made explicit).
+
+    Fan-out caveat: a token every source uses fans out (#sources)²
+    per token — bounded by the SMALL source cardinality, so the hot
+    side here is harmless by construction (unlike the customer
+    domain). Output: (source, neighbor, n_both, cosine, rank ≤ k)."""
+    from cuda_gis_smoothing_spark.functions.text import tokens_col
+
+    min_support, k = int(min_support), int(k)
+    op = (
+        docs.where(F.col("source").isNotNull())
+        .select(
+            F.explode(tokens_col("text")).alias("l_orderkey"),
+            F.col("source").alias("l_partkey"),
+        )
+        .where(F.col("l_orderkey") != "")
+        .distinct()
+        .localCheckpoint()
+    )
+    pairs = _copurchase_pairs(op, min_support)
+    pc = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    return part_sim_from_counts(pairs, pc, k).select(
+        F.col("part").alias("source"),
+        "neighbor",
+        "n_both",
+        "cosine",
+        "rank",
+    )
+
+
+_SOURCE_OP_SQL = (
+    "SELECT DISTINCT t AS l_orderkey, source AS l_partkey FROM ("
+    "SELECT source, unnest(list_distinct(string_split(lower(text), ' '))) AS t "
+    "FROM documents WHERE source IS NOT NULL) WHERE t <> ''"
+)
+
+
+def source_similarity_sql(
+    min_support: int = BASKET_MIN_SUPPORT, k: int = PART_SIM_TOPK
+) -> str:
+    min_support, k = int(min_support), int(k)
+    return f"""
+WITH {_part_sim_ctes(min_support, _SOURCE_OP_SQL)}
+SELECT part AS source, neighbor, n_both, cosine, CAST(rank AS INT) AS rank
+FROM sim_ranked WHERE rank <= {k}
+""".strip()
+
+
 PART_REC_TOPK = 3
 
 

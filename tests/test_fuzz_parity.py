@@ -96,6 +96,10 @@ DOC_GATES = [
     "bigram_pmi_maintained",
     "doc_bigram_logprob",
     "source_kl_divergence",
+    # source set-cosine: NULL-text docs contribute no tokens and the
+    # NULL-source doc drops on both sides; distinct-vocab counts pin
+    # the aliased co-membership kernel on the adversarial corpus
+    "source_similarity",
     "cooccurrence_window",
     "dataset_split",
     "source_overlap_kmv",
