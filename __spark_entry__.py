@@ -4242,6 +4242,14 @@ def _q_customer_similarity(spark, sf_dir):
     )
 
 
+def _q_part_pagerank(spark, sf_dir):
+    """Catalog centrality: the shared fixed-iteration pagerank core's
+    4th domain (co-purchase part graph)."""
+    from cuda_gis_smoothing_spark.operators.analytics import part_pagerank
+
+    return part_pagerank(load(spark, sf_dir, "lineitem"))
+
+
 def _q_source_similarity(spark, sf_dir):
     """Source vocabulary set-cosine — the co-membership kernel's third
     domain (baskets=tokens, items=sources)."""
@@ -4735,6 +4743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_recommendations_maintained": _q_part_recommendations_maintained,
         "customer_similarity": _q_customer_similarity,
         "source_similarity": _q_source_similarity,
+        "part_pagerank": _q_part_pagerank,
     }
     return qs
 
@@ -5034,6 +5043,31 @@ nodes AS (SELECT vec_id FROM embeddings),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
 {chain}
 SELECT vec_id, ROUND(pr + 1e-09, 6) AS pagerank FROM pr{iters}
+""".strip()
+
+
+def _part_pagerank_sql(damping: float = 0.85, iters: int = 5) -> str:
+    """PageRank over the co-purchase part graph — the SAME unrolled
+    chain builder (4th domain) over the SAME basket CTEs the
+    similarity twins use; isolated parts hold the teleport term."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        BASKET_MIN_SUPPORT,
+        _basket_ctes,
+    )
+
+    chain = _pagerank_chain_sql("nodes", "l_partkey", damping, iters)
+    return f"""
+WITH {_basket_ctes(BASKET_MIN_SUPPORT)},
+edges AS (
+  SELECT part_a AS src, part_b AS dst FROM pairs
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT l_partkey FROM op),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+{chain}
+SELECT l_partkey, ROUND(pr + 1e-09, 6) AS pagerank FROM pr{iters}
 """.strip()
 
 
@@ -8017,6 +8051,7 @@ GROUP BY sd.stream_dist
     )
 
     out["source_similarity"] = source_similarity_sql()
+    out["part_pagerank"] = _part_pagerank_sql()
     # per-component census over the SAME banded pair SQL under the
     # embedding_components recursive closure; density is one double
     # division of exact int64s

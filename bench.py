@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "part_recommendations_maintained",
     "customer_similarity",
     "source_similarity",
+    "part_pagerank",
 ]
 
 

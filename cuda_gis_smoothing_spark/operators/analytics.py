@@ -1277,6 +1277,43 @@ FROM sim_ranked WHERE rank <= {k}
 """.strip()
 
 
+def part_pagerank(
+    lineitem: DataFrame,
+    min_support: int = BASKET_MIN_SUPPORT,
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """Catalog centrality: fixed-iteration PageRank over the part
+    co-purchase graph (undirected edges = part pairs co-ordered ≥
+    ``min_support`` times) — the FOURTH domain for the one
+    ``pagerank_rounds`` core (grid ring-1, banded embeddings, token
+    co-occurrence, now co-purchase): which parts sit at the center of
+    purchasing behavior, the assortment-planning complement of
+    :func:`part_similarity`'s local neighbor lists. Isolated parts
+    (never co-ordered above support) hold the teleport term. Output
+    ``(l_partkey, pagerank)``, one row per part."""
+    op = _order_part_distinct(lineitem)
+    und = _copurchase_pairs(op, min_support).select("part_a", "part_b")
+    edges = und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    nodes = op.select("l_partkey").distinct()
+    from cuda_gis_smoothing_spark.operators.stats import pagerank_rounds
+
+    return pagerank_rounds(
+        nodes, edges, damping, iters, id_col="l_partkey"
+    )
+
+
 PART_REC_TOPK = 3
 
 

@@ -109,6 +109,10 @@ GATES = [
     # orders concentrate part co-membership — pins the aliased-domain
     # counts + round6-cosine rank tie-break
     "customer_similarity",
+    # co-purchase pagerank: the identical-lineitem tie orders shape
+    # the support-filtered edge set — pins the 5-round chain over the
+    # fuzz graph (symmetric parts get identical round6 ranks)
+    "part_pagerank",
 ]
 
 
