@@ -4242,6 +4242,19 @@ def _q_customer_similarity(spark, sf_dir):
     )
 
 
+def _q_customer_recommendations(spark, sf_dir):
+    """Per-customer part recommendations: item-item neighbor lists
+    scored over each customer's full purchase history (the canonical
+    item2item serving unit)."""
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        customer_recommendations,
+    )
+
+    return customer_recommendations(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    )
+
+
 def _q_part_pagerank(spark, sf_dir):
     """Catalog centrality: the shared fixed-iteration pagerank core's
     4th domain (co-purchase part graph)."""
@@ -4744,6 +4757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_similarity": _q_customer_similarity,
         "source_similarity": _q_source_similarity,
         "part_pagerank": _q_part_pagerank,
+        "customer_recommendations": _q_customer_recommendations,
     }
     return qs
 
@@ -8052,6 +8066,11 @@ GROUP BY sd.stream_dist
 
     out["source_similarity"] = source_similarity_sql()
     out["part_pagerank"] = _part_pagerank_sql()
+    from cuda_gis_smoothing_spark.operators.analytics import (
+        customer_recommendations_sql,
+    )
+
+    out["customer_recommendations"] = customer_recommendations_sql()
     # per-component census over the SAME banded pair SQL under the
     # embedding_components recursive closure; density is one double
     # division of exact int64s

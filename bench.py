@@ -345,6 +345,7 @@ BENCH_QUERIES = [
     "customer_similarity",
     "source_similarity",
     "part_pagerank",
+    "customer_recommendations",
 ]
 
 

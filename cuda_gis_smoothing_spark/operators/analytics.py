@@ -1390,28 +1390,28 @@ def recommend_from_sim(op: DataFrame, sim: DataFrame, k: int) -> DataFrame:
     )
 
 
-def part_recommendations_sql(
-    min_support: int = BASKET_MIN_SUPPORT,
-    k_neighbors: int = PART_SIM_TOPK,
-    k: int = PART_REC_TOPK,
+def _rec_tail_sql(
+    basket_cte: str, out_id_col: str, k_neighbors: int, k: int
 ) -> str:
-    min_support, k_neighbors, k = int(min_support), int(k_neighbors), int(k)
-    return f"""
-WITH {_part_sim_ctes(min_support)},
-sim AS (
+    """sim/cand/filt/rec CTEs + final select over the ``sim_ranked``
+    neighbor lists and a (l_orderkey, l_partkey)-shaped basket CTE —
+    the ONE completion-scoring tail the part_recommendations and
+    customer_recommendations twins share (integer micro-cosine sums,
+    in-basket NOT EXISTS, tie-proof per-basket integer rank)."""
+    return f"""sim AS (
   SELECT part, neighbor, CAST(ROUND(cosine * 1e6) AS BIGINT) AS micro
-  FROM sim_ranked WHERE rank <= {k_neighbors}
+  FROM sim_ranked WHERE rank <= {int(k_neighbors)}
 ),
 cand AS (
-  SELECT op.l_orderkey, s.neighbor, CAST(SUM(s.micro) AS BIGINT) AS sm
-  FROM op JOIN sim s ON s.part = op.l_partkey
+  SELECT b.l_orderkey, s.neighbor, CAST(SUM(s.micro) AS BIGINT) AS sm
+  FROM {basket_cte} b JOIN sim s ON s.part = b.l_partkey
   GROUP BY 1, 2
 ),
 filt AS (
   SELECT c.* FROM cand c
   WHERE NOT EXISTS (
-    SELECT 1 FROM op
-    WHERE op.l_orderkey = c.l_orderkey AND op.l_partkey = c.neighbor
+    SELECT 1 FROM {basket_cte} b2
+    WHERE b2.l_orderkey = c.l_orderkey AND b2.l_partkey = c.neighbor
   )
 ),
 rec AS (
@@ -1421,9 +1421,79 @@ rec AS (
          ) AS rank
   FROM filt
 )
-SELECT l_orderkey, neighbor AS part,
+SELECT l_orderkey AS {out_id_col}, neighbor AS part,
        ROUND(sm / 1e6 + 1e-09, 6) AS score, CAST(rank AS INT) AS rank
-FROM rec WHERE rank <= {k}
+FROM rec WHERE rank <= {int(k)}""".strip()
+
+
+def part_recommendations_sql(
+    min_support: int = BASKET_MIN_SUPPORT,
+    k_neighbors: int = PART_SIM_TOPK,
+    k: int = PART_REC_TOPK,
+) -> str:
+    min_support, k_neighbors, k = int(min_support), int(k_neighbors), int(k)
+    return f"""
+WITH {_part_sim_ctes(min_support)},
+{_rec_tail_sql("op", "l_orderkey", k_neighbors, k)}
+""".strip()
+
+
+def customer_recommendations(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    min_support: int = BASKET_MIN_SUPPORT,
+    k_neighbors: int = PART_SIM_TOPK,
+    k: int = PART_REC_TOPK,
+) -> DataFrame:
+    """Per-CUSTOMER part recommendations — the canonical item2item
+    serving unit (Linden et al.: similarities from ORDER co-occurrence,
+    recommendations over each customer's full purchase HISTORY): the
+    item-item neighbor lists of :func:`part_similarity` score every
+    candidate against the customer's distinct purchased parts via the
+    SHARED :func:`recommend_from_sim` kernel (integer micro-cosine
+    sums, owned-part LEFT ANTI, tie-proof integer rank). Output:
+    (o_custkey, part, score, rank ≤ k).
+
+    Plan (100 TB): the sim table derives from order baskets (the
+    part_similarity kernel); customer histories are one
+    lineitem ⋈ orders projection; the scoring join fans out ≤
+    (parts/customer) × k_neighbors rows per customer."""
+    min_support, k_neighbors, k = int(min_support), int(k_neighbors), int(k)
+    sim = part_similarity(lineitem, min_support=min_support, k=k_neighbors)
+    hist = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # kernel canon: basket id := customer
+        .select(
+            F.col("o_custkey").alias("l_orderkey"), F.col("l_partkey")
+        )
+        .distinct()
+        .localCheckpoint()  # scoring join + anti-join sides
+    )
+    return recommend_from_sim(hist, sim, k).select(
+        F.col("l_orderkey").alias("o_custkey"), "part", "score", "rank"
+    )
+
+
+_CUST_HIST_SQL = (
+    "SELECT DISTINCT o.o_custkey AS l_orderkey, l.l_partkey "
+    "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+)
+
+
+def customer_recommendations_sql(
+    min_support: int = BASKET_MIN_SUPPORT,
+    k_neighbors: int = PART_SIM_TOPK,
+    k: int = PART_REC_TOPK,
+) -> str:
+    min_support, k_neighbors, k = int(min_support), int(k_neighbors), int(k)
+    return f"""
+WITH {_part_sim_ctes(min_support)},
+hist AS ({_CUST_HIST_SQL}),
+{_rec_tail_sql("hist", "o_custkey", k_neighbors, k)}
 """.strip()
 
 

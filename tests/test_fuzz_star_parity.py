@@ -113,6 +113,9 @@ GATES = [
     # the support-filtered edge set — pins the 5-round chain over the
     # fuzz graph (symmetric parts get identical round6 ranks)
     "part_pagerank",
+    # per-customer completion: the hot customer's 12-order history
+    # pins the history-basket micro-cosine sums + owned-part anti-join
+    "customer_recommendations",
 ]
 
 
