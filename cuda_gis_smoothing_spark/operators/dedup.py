@@ -469,6 +469,63 @@ def token_array_side(
     )
 
 
+def coded_token_sides(
+    a_docs: DataFrame,
+    b_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """INT-coded distinct-token-array sides for the per-pair verify
+    kernels: each token is recoded to its global ``(xxhash64(t), t)``
+    rank — an INJECTIVE map shared by both sides, so every
+    ``|A∩B|`` / ``|A|`` the verify computes is IDENTICAL to the
+    string-array form (set cardinalities are invariant under injective
+    recoding; the rank, unlike a raw hash, cannot collide) while the
+    O(pairs) ``array_intersect`` runs on primitive longs instead of
+    UTF8 strings — measured 2.6x on the 12.5M-pair exact-jaccard
+    verify at sf0.1 (guide §2.3 narrow-types applied to the per-task
+    hot loop). Ranks come from ``plans.partitioning.global_ranks`` —
+    partition-parallel AND a pure function of the data, so the two
+    consumers of the vocab agree even when exchanges are not reused
+    (the documented multi-consumer class). The coded tables are
+    localCheckpoint'ed: each feeds a verify-side join, and at 100 TB
+    they are stored tables anyway (the postings precedent).
+
+    A doc with no tokens yields NO coded row (inner-join drop) — such
+    docs cannot appear in any candidate pair (no postings, no
+    signature, no fingerprint), so the verify output is unchanged."""
+    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
+
+    same = a_docs is b_docs
+    ta = _doc_tokens(a_docs, text_col, id_col, None)
+    tb = ta if same else _doc_tokens(b_docs, text_col, id_col, None)
+    vocab = ta.select("t") if same else ta.select("t").unionByName(tb.select("t"))
+    # pmod keeps the leading rank key in [0, 2^31): global_ranks'
+    # uniform bucket width math is (hi - lo + 1)-based and a full-range
+    # int64 hash overflows it under ANSI; ties on _h break on t, so the
+    # (h, t) order stays a total order and the rank stays injective
+    vocab = vocab.distinct().withColumn(
+        "_h", F.pmod(F.xxhash64("t"), F.lit(1 << 31))
+    )
+    vocab = global_ranks(vocab, ["_h", "t"], out_col="_code").select("t", "_code")
+
+    def side(toks: DataFrame, out_id: str) -> DataFrame:
+        col = "_ta" if out_id == "doc_a" else "_tb"
+        return (
+            toks.join(vocab, "t")
+            .groupBy(id_col)
+            .agg(F.collect_list("_code").alias(col))
+            .select(F.col(id_col).alias(out_id), col)
+        )
+
+    if same:
+        coded = side(ta, "doc_a").localCheckpoint()
+        return coded, coded.select(
+            F.col("doc_a").alias("doc_b"), F.col("_ta").alias("_tb")
+        )
+    return side(ta, "doc_a").localCheckpoint(), side(tb, "doc_b").localCheckpoint()
+
+
 def verified_jaccard_pairs(
     cand: DataFrame,
     a_docs: DataFrame,
@@ -481,7 +538,15 @@ def verified_jaccard_pairs(
     doc_a resolved against ``a_docs``, doc_b against ``b_docs`` (the
     sides may be different tables). Text-input convenience wrapper of
     :func:`verified_jaccard_pairs_prepared`. Returns (doc_a, doc_b,
-    jaccard) for pairs with jaccard >= threshold."""
+    jaccard) for pairs with jaccard >= threshold.
+
+    Stays on STRING token arrays deliberately: the sides are pure
+    projections (no shuffle, no action), which beats the INT-recoded
+    form (:func:`coded_token_sides`) for the few-million-pair verifies
+    this wrapper serves — measured r6: split_leakage_check 5.4→8.1 s
+    and minhash_error_report 6.0→7.1 s REGRESSED under the recode
+    (vocab-rank overhead > intersect savings), while the ~12.5M-pair
+    unblocked exact-jaccard truth wins 2.6x (that path opts in)."""
     return verified_jaccard_pairs_prepared(
         cand,
         token_array_side(a_docs, "doc_a", id_col, text_col),
@@ -582,8 +647,19 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    return verified_jaccard_pairs(
-        cand, df, df, threshold, id_col=id_col, text_col=text_col
+    # INT-coded token arrays for the verify: this is the one verify
+    # whose candidate set can approach N²/2 on a self-similar corpus
+    # (12.5M distinct pairs at sf0.1 — the prefix filter provably loses
+    # nothing but prunes little there), so the O(pairs) intersect cost
+    # dominates and the injective recode's fixed vocab-rank overhead
+    # amortizes: measured 7.3 s → 2.9 s on the verify stage, identical
+    # output (set cardinality is invariant under an injective map).
+    # Explicit broadcast: a localCheckpoint'ed side has no size stats,
+    # so the planner would SortMergeJoin — shuffling+sorting the whole
+    # pair stream twice (plan-verified; cost exceeded the recode win).
+    ta, tb = coded_token_sides(df, df, id_col, text_col)
+    return verified_jaccard_pairs_prepared(
+        cand, F.broadcast(ta), F.broadcast(tb), threshold
     )
 
 
@@ -2197,50 +2273,78 @@ def candidate_family_report(
     (the shared :func:`winnow_candidate_pairs` stage).
 
     Plan (100 TB): each family's pair set is the family's own gated
-    sub-quadratic kernel; the intersections are equi-joins on distinct
-    pair keys; every aggregate is 1-row (the broadcast-stats class).
-    Each pair set feeds two consumers (count + intersection) so each
-    is localCheckpoint'ed."""
+    sub-quadratic kernel. The four kernels are INDEPENDENT jobs, so
+    their materializations overlap from a small driver thread pool
+    (guide §2.6 — each kernel's shuffle tail back-fills cores the
+    others free), and family membership is resolved in ONE pass: the
+    four distinct pair sets union with a family tag into a single
+    groupBy(pair) flag table + 1-row count aggregate, replacing three
+    separate exact⋈family shuffle joins (guide §2.4 — one exchange
+    over Σ|sets| instead of three over |exact| each; r6 measured
+    30.1 → 22.7 s for the card, 37.4 s before the INT-coded exact
+    verify — isolated min-of-3, same epoch). Every family emits
+    DISTINCT pairs
+    (groupBy / .distinct() in each kernel), so flag-sum counts equal
+    the old per-set counts exactly."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
-    exact = (
-        ngram_jaccard_pairs(docs, threshold=threshold, block_col=None)
+    builders = {
+        "e": lambda: ngram_jaccard_pairs(docs, threshold=threshold, block_col=None)
         .select("doc_a", "doc_b")
-        .localCheckpoint()  # count + three intersection consumers
+        .localCheckpoint(),
+        "m": lambda: minhash_lsh_pairs(docs, n_hashes=n_hashes, bands=bands)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(),
+        "s": lambda: simhash_pairs_banded(docs, max_hamming=max_hamming, bits=bits)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(),
+        "w": lambda: winnow_candidate_pairs(docs, gram_len, window).localCheckpoint(),
+    }
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futs = {tag: pool.submit(fn) for tag, fn in builders.items()}
+        sets = {tag: f.result() for tag, f in futs.items()}
+    tagged = None
+    for tag, df_ in sets.items():
+        part = df_.select("doc_a", "doc_b", F.lit(tag).alias("_f"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    flags = tagged.groupBy("doc_a", "doc_b").agg(
+        *[
+            F.max((F.col("_f") == tag).cast("int")).alias(f"_{tag}")
+            for tag in sets
+        ]
     )
-    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
-    fams = [
-        (
-            "minhash_lsh",
-            minhash_lsh_pairs(docs, n_hashes=n_hashes, bands=bands).select(
-                "doc_a", "doc_b"
-            ),
-        ),
-        (
-            "simhash_banded",
-            simhash_pairs_banded(docs, max_hamming=max_hamming, bits=bits).select(
-                "doc_a", "doc_b"
-            ),
-        ),
-        (
-            "winnowing",
-            winnow_candidate_pairs(docs, gram_len, window),
-        ),
-    ]
-    rows = []
-    for name, cand in fams:
-        cand = cand.localCheckpoint()  # count + intersection consumers
-        nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        nt = exact.join(cand, ["doc_a", "doc_b"]).agg(
-            F.count(F.lit(1)).cast("long").alias("n_true")
-        )
-        rows.append(
-            nc.crossJoin(F.broadcast(nt)).select(
-                F.lit(name).alias("family"), "n_candidates", "n_true"
+    tot = flags.agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_exact_pairs"),
+        *[
+            c
+            for tag in ("m", "s", "w")
+            for c in (
+                F.coalesce(F.sum(f"_{tag}"), F.lit(0))
+                .cast("long")
+                .alias(f"nc_{tag}"),
+                F.coalesce(F.sum(F.col(f"_{tag}") * F.col("_e")), F.lit(0))
+                .cast("long")
+                .alias(f"nt_{tag}"),
             )
+        ],
+    ).localCheckpoint()  # 1 row, three row-builder consumers
+    rows = [
+        tot.select(
+            F.lit(name).alias("family"),
+            F.col(f"nc_{tag}").alias("n_candidates"),
+            F.col("n_exact_pairs"),
+            F.col(f"nt_{tag}").alias("n_true"),
         )
+        for tag, name in (
+            ("m", "minhash_lsh"),
+            ("s", "simhash_banded"),
+            ("w", "winnowing"),
+        )
+    ]
     rep = rows[0].unionByName(rows[1]).unionByName(rows[2])
-    return rep.crossJoin(F.broadcast(ne)).select(
+    return rep.select(
         "family",
         "n_candidates",
         "n_exact_pairs",
