@@ -1051,6 +1051,8 @@ def _q_ivf_recall_report(spark, sf_dir):
 def _q_graph_recall_report(spark, sf_dir):
     """Per-vector recall@5 of the IVF-probed k-NN graph against the
     exact graph (the pq_recall_report sibling at graph scale)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from cuda_gis_smoothing_spark.operators.similarity import rank_overlap_report
 
     def as_q(df):
@@ -1058,9 +1060,17 @@ def _q_graph_recall_report(spark, sf_dir):
             F.col("vec_id").alias("query_id"), "neighbor_id"
         )
 
-    return rank_overlap_report(
-        as_q(_q_knn_graph(spark, sf_dir)), as_q(_q_knn_graph_ivf(spark, sf_dir))
-    )
+    # the exact and the IVF graphs are independent multi-second jobs:
+    # build+materialize both from a driver thread pool (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ex = pool.submit(
+            lambda: as_q(_q_knn_graph(spark, sf_dir)).localCheckpoint()
+        )
+        f_ap = pool.submit(
+            lambda: as_q(_q_knn_graph_ivf(spark, sf_dir)).localCheckpoint()
+        )
+        ex, ap = f_ex.result(), f_ap.result()
+    return rank_overlap_report(ex, ap)
 
 
 def _q_kmv_error_report(spark, sf_dir):
@@ -1129,16 +1139,24 @@ def _q_banded_pair_recall(spark, sf_dir):
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    exact = (
-        embedding_neardup_pairs(emb, threshold=_EMB_BANDED_THRESHOLD)
-        .select("vec_a", "vec_b")
-        .localCheckpoint()  # count + intersection consumers
-    )
-    banded = (
-        embedding_neardup_pairs_banded(emb, threshold=_EMB_BANDED_THRESHOLD)
-        .select("vec_a", "vec_b")
-        .localCheckpoint()
-    )
+    # the two pair kernels are independent jobs: materialize them from
+    # a driver thread pool so their stage tails overlap (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(
+            lambda: embedding_neardup_pairs(emb, threshold=_EMB_BANDED_THRESHOLD)
+            .select("vec_a", "vec_b")
+            .localCheckpoint()  # count + intersection consumers
+        )
+        f_banded = pool.submit(
+            lambda: embedding_neardup_pairs_banded(
+                emb, threshold=_EMB_BANDED_THRESHOLD
+            )
+            .select("vec_a", "vec_b")
+            .localCheckpoint()
+        )
+        exact, banded = f_exact.result(), f_banded.result()
     ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
     nb = banded.agg(F.count(F.lit(1)).cast("long").alias("n_banded_pairs"))
     nc = exact.join(banded, ["vec_a", "vec_b"]).agg(

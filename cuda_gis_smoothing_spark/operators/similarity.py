@@ -721,24 +721,40 @@ def ivf_silhouette(
     cents = np.asarray([r[0] for r in seeds], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
     probe = _probe_buckets_udf(spark, cents, 1)
-    assign = embeddings.select(
+    # bucket attached to the corpus row and carried THROUGH the pair
+    # kernel (extra_cols): the old shape joined the O(N²) directed pair
+    # stream against the assignment twice — two shuffles of the widest
+    # table in the plan — to recover what each pair row already knew
+    # (guide §2.4: remove shuffles outright; r6 measured 7.2 → 4.2 s).
+    # att feeds the kernel's two sides + the spine → localCheckpoint.
+    att = embeddings.select(
         F.col(id_col),
+        "embedding",
         F.element_at(probe(F.col("embedding")), 1).alias("bucket"),
-    ).localCheckpoint()  # three consumers (two pair sides + the spine)
-    pairs = embedding_neardup_pairs(embeddings, threshold=-2.0, id_col=id_col)
-    directed = pairs.select(
+    ).localCheckpoint()
+    assign = att.select(F.col(id_col), "bucket")
+    pairs = embedding_neardup_pairs(
+        att, threshold=-2.0, id_col=id_col, extra_cols=("bucket",)
+    )
+    withb = pairs.select(
         (1.0 - F.col("cosine")).alias("_d"),
         F.explode(
             F.array(
-                F.struct(F.col("vec_a").alias("i"), F.col("vec_b").alias("j")),
-                F.struct(F.col("vec_b").alias("i"), F.col("vec_a").alias("j")),
+                F.struct(
+                    F.col("vec_a").alias("i"),
+                    F.col("bucket_a").alias("_bi"),
+                    F.col("bucket_b").alias("_bj"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("i"),
+                    F.col("bucket_b").alias("_bi"),
+                    F.col("bucket_a").alias("_bj"),
+                ),
             )
         ).alias("_e"),
-    ).select(F.col("_e.i").alias("i"), F.col("_e.j").alias("j"), "_d")
-    withb = directed.join(
-        assign.select(F.col(id_col).alias("i"), F.col("bucket").alias("_bi")), "i"
-    ).join(
-        assign.select(F.col(id_col).alias("j"), F.col("bucket").alias("_bj")), "j"
+    ).select(
+        F.col("_e.i").alias("i"), F.col("_e._bi").alias("_bi"),
+        F.col("_e._bj").alias("_bj"), "_d",
     )
     per = withb.groupBy("i", "_bi", "_bj").agg(
         round6(F.avg("_d")).alias("_m")
