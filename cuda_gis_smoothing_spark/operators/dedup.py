@@ -369,13 +369,20 @@ def lsh_blocked_neardup_drops(
     parts = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parts:
         docs = docs.repartition(parts, id_col)
+    # INT-coded token arrays (injective global rank — identical
+    # intersect/size arithmetic, see coded_token_arrays): the band join
+    # ships each doc's array bands·(n_blocks+1) times and intersects
+    # O(candidate) pairs, so primitive longs beat UTF8 strings on both
+    # shuffle bytes (guide §2.3) and per-pair verify cost (r6 measured
+    # curate_corpus 6.3 → 5.0 s, curate_packed 6.1 → 5.7 s isolated)
+    coded = coded_token_arrays(docs, id_col, text_col)
     keyed = banded_keys_projection(
-        docs,
+        docs.join(coded, id_col),
         n_hashes,
         bands,
         id_col=id_col,
         text_col=text_col,
-        extra={"_tok": F.expr(TOKEN_ARRAY_SQL.format(text_col=text_col))},
+        extra={"_tok": F.col("_arr")},
         with_band_values=True,
     ).withColumn("_g", F.pmod(F.hash(id_col), F.lit(n_blocks)))
     # both join sides read `keyed`: materialize it once so the per-char
@@ -494,20 +501,15 @@ def coded_token_sides(
     A doc with no tokens yields NO coded row (inner-join drop) — such
     docs cannot appear in any candidate pair (no postings, no
     signature, no fingerprint), so the verify output is unchanged."""
-    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
-
     same = a_docs is b_docs
+    if same:
+        coded = coded_token_arrays(a_docs, id_col, text_col).localCheckpoint()
+        ca = coded.select(F.col(id_col).alias("doc_a"), F.col("_arr").alias("_ta"))
+        cb = coded.select(F.col(id_col).alias("doc_b"), F.col("_arr").alias("_tb"))
+        return ca, cb
     ta = _doc_tokens(a_docs, text_col, id_col, None)
-    tb = ta if same else _doc_tokens(b_docs, text_col, id_col, None)
-    vocab = ta.select("t") if same else ta.select("t").unionByName(tb.select("t"))
-    # pmod keeps the leading rank key in [0, 2^31): global_ranks'
-    # uniform bucket width math is (hi - lo + 1)-based and a full-range
-    # int64 hash overflows it under ANSI; ties on _h break on t, so the
-    # (h, t) order stays a total order and the rank stays injective
-    vocab = vocab.distinct().withColumn(
-        "_h", F.pmod(F.xxhash64("t"), F.lit(1 << 31))
-    )
-    vocab = global_ranks(vocab, ["_h", "t"], out_col="_code").select("t", "_code")
+    tb = _doc_tokens(b_docs, text_col, id_col, None)
+    vocab = _token_rank_vocab(ta.select("t").unionByName(tb.select("t")))
 
     def side(toks: DataFrame, out_id: str) -> DataFrame:
         col = "_ta" if out_id == "doc_a" else "_tb"
@@ -518,12 +520,42 @@ def coded_token_sides(
             .select(F.col(id_col).alias(out_id), col)
         )
 
-    if same:
-        coded = side(ta, "doc_a").localCheckpoint()
-        return coded, coded.select(
-            F.col("doc_a").alias("doc_b"), F.col("_ta").alias("_tb")
-        )
     return side(ta, "doc_a").localCheckpoint(), side(tb, "doc_b").localCheckpoint()
+
+
+def _token_rank_vocab(tokens: DataFrame) -> DataFrame:
+    """(t, _code) injective global token ranks over ``(xxhash64, t)``
+    — partition-parallel (global_ranks) and a pure function of the
+    data, so multiple consumers agree even when exchanges are not
+    reused."""
+    from cuda_gis_smoothing_spark.plans.partitioning import global_ranks
+
+    # pmod keeps the leading rank key in [0, 2^31): global_ranks'
+    # uniform bucket width math is (hi - lo + 1)-based and a full-range
+    # int64 hash overflows it under ANSI; ties on _h break on t, so the
+    # (h, t) order stays a total order and the rank stays injective
+    vocab = tokens.distinct().withColumn(
+        "_h", F.pmod(F.xxhash64("t"), F.lit(1 << 31))
+    )
+    return global_ranks(vocab, ["_h", "t"], out_col="_code").select("t", "_code")
+
+
+def coded_token_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, _arr) — each doc's DISTINCT tokens as an INT-coded
+    array under the injective :func:`_token_rank_vocab` map. The
+    per-doc core behind :func:`coded_token_sides`; also joined onto
+    the doc row by the fused LSH drop kernel so the arrays its band
+    join ships bands·(n_blocks+1) times are primitive longs instead
+    of UTF8 strings. NOT materialized here — callers checkpoint."""
+    toks = _doc_tokens(docs, text_col, id_col, None)
+    vocab = _token_rank_vocab(toks.select("t"))
+    return (
+        toks.join(vocab, "t")
+        .groupBy(id_col)
+        .agg(F.collect_list("_code").alias("_arr"))
+    )
 
 
 def verified_jaccard_pairs(
