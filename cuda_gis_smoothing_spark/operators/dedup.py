@@ -601,6 +601,7 @@ def prefix_postings(
     threshold: float,
     id_col: str = "doc_id",
     block_col: str | None = "lang",
+    keep_stats: bool = False,
 ) -> DataFrame:
     """AllPairs/PPJoin prefix postings: the provably sufficient subset
     of the token-posting index for Jaccard >= ``threshold``.
@@ -635,7 +636,10 @@ def prefix_postings(
     # which would SHORTEN the prefix and silently lose recall; pushing
     # it down only lengthens the prefix (more candidates, still exact)
     alpha = F.ceil(F.col("_n") * threshold - 1e-9)
-    return sized.where(F.col("_pos") <= F.col("_n") - alpha + 1).select(*keys, "t")
+    kept = sized.where(F.col("_pos") <= F.col("_n") - alpha + 1)
+    # keep_stats: carry (_pos, _n) so the candidate join can apply the
+    # PPJoin positional filter (see ngram_jaccard_pairs)
+    return kept.select(*keys, "t", *(["_pos", "_n"] if keep_stats else []))
 
 
 def ngram_jaccard_pairs(
@@ -664,7 +668,9 @@ def ngram_jaccard_pairs(
     # pruned branch re-runs tokenize + posting construction from the
     # corpus (ReuseExchange can't dedup them — the span_coverage
     # lesson). The postings are prefix-filtered (small); stage once.
-    pp = prefix_postings(toks, threshold, id_col, block_col).localCheckpoint()
+    pp = prefix_postings(
+        toks, threshold, id_col, block_col, keep_stats=True
+    ).localCheckpoint()
     join_keys = ["t"] + ([block_col] if block_col else [])
     parts = df.sparkSession.sparkContext.defaultParallelism
     a = pp.repartition(parts, *join_keys).alias("a")
@@ -672,6 +678,25 @@ def ngram_jaccard_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for kcol in join_keys:
         cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
+    # PPJoin positional filter (Xiao et al.), row-local and LOSSLESS:
+    # jaccard >= t forces i >= ceil(t/(1+t)·(na+nb)); for a pair's
+    # FIRST shared token (global df order) all earlier tokens are
+    # disjoint, so i <= 1 + min(na − pa, nb − pb) — and the prefix
+    # theorem guarantees that first shared token sits in BOTH prefixes,
+    # so every qualifying pair keeps at least that row. Later shared
+    # rows may be dropped freely (the pair is already emitted by its
+    # first row; distinct dedups anyway). The threshold rides the same
+    # −1e-6 slack as the verify's round6 boundary. Prunes the raw join
+    # output BEFORE the distinct — the exact kernel's dominant stage
+    # (r6: join+distinct 11.7 → measured below; pairs 12.5M → fewer).
+    te = threshold - 1e-6
+    ubound = F.lit(1) + F.least(
+        F.col("a._n") - F.col("a._pos"), F.col("b._n") - F.col("b._pos")
+    )
+    alpha = F.ceil(
+        (F.col("a._n") + F.col("b._n")) * F.lit(te / (1.0 + te)) - F.lit(1e-9)
+    )
+    cond = cond & (ubound >= alpha)
     cand = (
         a.join(b, cond)
         .select(
