@@ -1109,3 +1109,79 @@ def test_candidate_family_report_invariants(spark):
     # candidate set contains (1,2), and winnowing's span guarantee
     # catches the long shared run (1,3)/(2,3) too
     assert rep["winnowing"].n_true == rep["winnowing"].n_exact_pairs
+
+
+def test_coded_token_arrays_preserve_set_arithmetic(spark, docs_df):
+    """r6 optimization contract: the injective (xxhash64, token) rank
+    recode must preserve EVERY pairwise set statistic the verify
+    kernels compute — |A|, |B| and |A∩B| — for every doc pair on the
+    fixture (so jaccard/containment values are bit-identical), and the
+    codes must actually be injective (distinct count == vocab size)."""
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        TOKEN_ARRAY_SQL,
+        coded_token_sides,
+        _doc_tokens,
+    )
+
+    ta, tb = coded_token_sides(docs_df, docs_df)
+    # injectivity: one code per distinct token
+    n_vocab = _doc_tokens(docs_df, "text", "doc_id", None).select("t").distinct().count()
+    n_codes = (
+        ta.select(F.explode("_ta").alias("c")).distinct().count()
+    )
+    assert n_codes == n_vocab
+    # exact per-pair equality vs the string arrays on a full cross of
+    # a bounded sample (sf0.001 fixture: 500 docs -> sample 40 => 780 pairs)
+    arr = F.expr(TOKEN_ARRAY_SQL.format(text_col="text"))
+    s = docs_df.orderBy("doc_id").limit(40)
+    str_side = s.select(F.col("doc_id").alias("doc_a"), arr.alias("_sa"))
+    str_b = s.select(F.col("doc_id").alias("doc_b"), arr.alias("_sb"))
+    coded_a = ta.withColumnRenamed("_ta", "_ca")
+    coded_b = tb.withColumnRenamed("_tb", "_cb")
+    both = (
+        str_side.join(str_b, F.col("doc_a") < F.col("doc_b"))
+        .join(coded_a, "doc_a")
+        .join(coded_b, "doc_b")
+        .select(
+            (F.size("_sa") == F.size("_ca")).alias("na_ok"),
+            (F.size("_sb") == F.size("_cb")).alias("nb_ok"),
+            (
+                F.size(F.array_intersect("_sa", "_sb"))
+                == F.size(F.array_intersect("_ca", "_cb"))
+            ).alias("i_ok"),
+        )
+    )
+    bad = both.where(~F.col("na_ok") | ~F.col("nb_ok") | ~F.col("i_ok")).count()
+    n = both.count()
+    assert n > 500 and bad == 0
+
+
+def test_embedding_neardup_pairs_extra_cols_alignment(spark):
+    """r6 optimization contract: extra_cols payloads carried through
+    the blocked pair kernel must be id-aligned ({c}_a belongs to
+    vec_a, {c}_b to vec_b) and must not change the pair set or the
+    cosines vs the default kernel."""
+    from cuda_gis_smoothing_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = embedding_neardup_pairs(emb, threshold=0.2)
+    withx = embedding_neardup_pairs(emb, threshold=0.2, extra_cols=("label",))
+    a = sorted(map(tuple, base.select("vec_a", "vec_b", "cosine").collect()))
+    b = sorted(map(tuple, withx.select("vec_a", "vec_b", "cosine").collect()))
+    assert a == b and len(a) > 0
+    # recover labels by join and compare against the carried payload
+    lab = emb.select("vec_id", "label")
+    joined = (
+        withx.join(
+            lab.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("_la")),
+            "vec_a",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("_lb")),
+            "vec_b",
+        )
+        .where(
+            (F.col("label_a") != F.col("_la")) | (F.col("label_b") != F.col("_lb"))
+        )
+    )
+    assert joined.count() == 0
