@@ -10,7 +10,7 @@ identically — no engine-private hash in any correctness-gated output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # modulus < 2^31 so a*x+b stays under 2^62 (no int64 overflow in either
 # engine — DuckDB raises on bigint overflow, Spark wraps; staying exact
@@ -1259,32 +1259,48 @@ def _canonical_edges(e: DataFrame) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond"): every node connects its STRICTLY LARGER
-    neighbors to the minimum of its closed neighborhood. One groupBy +
-    one equi-join on the node id — the same shuffle shape every round.
+    neighbors to the minimum of its closed neighborhood. The
+    neighborhood minimum rides a window over the symmetrized edges
+    (ONE exchange by node id, no join): the old groupBy+equi-join form
+    shipped the full symmetrized list through a SECOND exchange on the
+    same key for no extra information, and per-round exchange count is
+    the latency floor of the whole CC loop once round 1 has collapsed
+    the graph (measured: the post-collapse rounds are fixed-latency,
+    not data-bound). Output may contain duplicate rows — small-star's
+    min is duplicate-insensitive and its trailing distinct dedups, so
+    a distinct here would only add an exchange. Shuffle volume equals
+    the join form's (that join also shuffled all of sym by ``a``); the
+    window adds a per-partition sort but drops a whole pass.
     """
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    mins = sym.groupBy("a").agg(F.min("b").alias("_mv"))
-    m = F.least(F.col("_mv"), F.col("a"))
+    mv = F.min("b").over(Window.partitionBy("a"))
     return (
-        sym.join(mins, "a")
+        sym.withColumn("_m", F.least(mv, F.col("a")))
         .where(F.col("b") > F.col("a"))
-        .select(F.col("b").alias("a"), m.alias("b"))
-        .distinct()
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Small-star round: every node connects itself and its smaller
     neighbors to its minimum smaller neighbor. Input/output canonical
-    (a > b)."""
-    mins = e.groupBy("a").agg(F.min("b").alias("_m"))
-    to_root = mins.select("a", F.col("_m").alias("b"))
-    siblings = (
-        e.join(mins, "a")
-        .where(F.col("b") != F.col("_m"))
-        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+    (a > b). Same windowed shape as :func:`_large_star`: per-group min
+    over one exchange, then every row rewires IN PLACE — a row sitting
+    at the group minimum emits the root edge ``(a, m)``, every other
+    row the sibling edge ``(b, m)`` — and one distinct canonicalizes
+    the round (the set output is what the convergence probe
+    compares)."""
+    m = F.min("b").over(Window.partitionBy("a"))
+    return (
+        e.withColumn("_m", m)
+        .select(
+            F.when(F.col("b") == F.col("_m"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("a"),
+            F.col("_m").alias("b"),
+        )
+        .distinct()
     )
-    return to_root.union(siblings).distinct()
 
 
 def neardup_components(
