@@ -1355,14 +1355,25 @@ def star_components(
     id_col: str,
     max_rounds: int = 16,
     check_every: int = 2,
+    pre_canonicalized: bool = False,
 ) -> DataFrame:
     """The large-star/small-star iteration over an ARBITRARY edge list
     ``(a, b)`` — the generic core :func:`neardup_components` (simhash
     graph) and :func:`embedding_components` (ANN graph) share. Every
     node in ``nodes`` (single column ``id_col``) is labeled with the
     smallest transitively-reachable id; isolated nodes label
-    themselves. Raises on non-convergence (see neardup_components)."""
-    edges = _canonical_edges(edge_pairs).localCheckpoint()
+    themselves. Raises on non-convergence (see neardup_components).
+
+    ``pre_canonicalized=True`` skips the canonical-edge pass AND its
+    checkpoint: the caller asserts ``edge_pairs`` is already canonical
+    (``a > b``, no self-loops), DISTINCT, and materialized (a
+    localCheckpoint the caller also reads for other consumers) —
+    otherwise the same 2M-row stream materializes twice back-to-back
+    (once for the caller's consumers, once here)."""
+    if pre_canonicalized:
+        edges = edge_pairs
+    else:
+        edges = _canonical_edges(edge_pairs).localCheckpoint()
     converged = False
     for r in range(1, max_rounds + 1):
         nxt = _small_star(_large_star(edges)).localCheckpoint()

@@ -48,6 +48,7 @@ maintained-state family to the clustering step).
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -123,30 +124,7 @@ class MaintainedComponents:
         )
         self.fp_log.write_delta(batch_fp, batch_id)
         batch_fp = self.fp_log.read_delta(batch_id)  # materialized
-
-        # contract checks (cheap: batch-sized aggregates)
-        if (
-            batch_fp.groupBy(self.id_col)
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .count()
-        ):
-            raise ValueError("MaintainedComponents: duplicate ids within the batch")
         prior_fp = self.fp_log.read(before_batch_id=batch_id)
-        if prior_fp is not None:
-            seen = (
-                batch_fp.select(self.id_col)
-                .join(prior_fp.select(self.id_col), self.id_col, "left_semi")
-                .limit(1)
-                .count()
-            )
-            if seen:
-                raise ValueError(
-                    "MaintainedComponents is append-only: re-ingesting an "
-                    "existing doc_id would require decremental connectivity "
-                    "(re-ingest under a fresh id instead)"
-                )
 
         # candidate edges: batch x (batch ∪ stored), never stored x stored
         left = self._band_rows(batch_fp, "a")
@@ -168,13 +146,55 @@ class MaintainedComponents:
             )
             .distinct()
         )
-        edges = (
-            cand.where(
-                F.expr("bit_count(ha ^ hb)") <= F.lit(self.max_hamming)
+
+        # the contract checks (batch-sized aggregates) are independent
+        # of the edge build — overlap them from a driver thread pool
+        # (guide §2.6, the threshold-sweep precedent) instead of
+        # serializing three cluster-idle actions ahead of it; the
+        # checks still RAISE before any label/stats write below.
+        def _dup_check() -> int:
+            return (
+                batch_fp.groupBy(self.id_col)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
             )
-            .select("a", "b")
-            .localCheckpoint()
-        )
+
+        def _seen_check() -> int:
+            if prior_fp is None:
+                return 0
+            return (
+                batch_fp.select(self.id_col)
+                .join(prior_fp.select(self.id_col), self.id_col, "left_semi")
+                .limit(1)
+                .count()
+            )
+
+        def _edges() -> DataFrame:
+            return (
+                cand.where(
+                    F.expr("bit_count(ha ^ hb)") <= F.lit(self.max_hamming)
+                )
+                .select("a", "b")
+                .localCheckpoint()
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            dup_f = pool.submit(_dup_check)
+            seen_f = pool.submit(_seen_check)
+            edges_f = pool.submit(_edges)
+            if dup_f.result():
+                raise ValueError(
+                    "MaintainedComponents: duplicate ids within the batch"
+                )
+            if seen_f.result():
+                raise ValueError(
+                    "MaintainedComponents is append-only: re-ingesting an "
+                    "existing doc_id would require decremental connectivity "
+                    "(re-ingest under a fresh id instead)"
+                )
+            edges = edges_f.result()
 
         # project edges onto current labels -> tiny quotient graph
         prior_labels = self.label_log.read(before_batch_id=batch_id)
@@ -191,25 +211,56 @@ class MaintainedComponents:
                 )
             )
         )
+        # q_edges feeds FOUR consumers (the count, both q_nodes sides,
+        # and the star rounds) — canonicalize + distinct HERE and
+        # checkpoint once, instead of re-executing the two label joins
+        # per consumer (the multi-consumer derived-subplan class) and
+        # letting star_components materialize the same stream a second
+        # time for its canonical pass (``pre_canonicalized`` below).
         q_edges = (
             edges.join(
                 lab.select(F.col("_id").alias("a"), F.col("_lbl").alias("la")), "a"
             )
             .join(lab.select(F.col("_id").alias("b"), F.col("_lbl").alias("lb")), "b")
             .where(F.col("la") != F.col("lb"))
-            .select(F.col("la").alias("a"), F.col("lb").alias("b"))
+            .select(
+                F.greatest("la", "lb").alias("a"),
+                F.least("la", "lb").alias("b"),
+            )
+            .distinct()
+            .localCheckpoint()
         )
         q_nodes = q_edges.select(F.col("a").alias("lbl")).unionByName(
             q_edges.select(F.col("b").alias("lbl"))
         ).distinct()
         n_edges = q_edges.count()
-        if n_edges:
-            mapping = star_components(q_edges, q_nodes, id_col="lbl")
-            losers = mapping.where(F.col("component") != F.col("lbl")).select(
-                F.col("lbl").alias("_old"), F.col("component").alias("_new")
-            ).localCheckpoint()
-        else:
-            losers = None
+
+        # the stats inputs (prior totals, batch size, edge count) are
+        # independent of the CC fixpoint — overlap their three small
+        # actions with the star rounds; the stats WRITE still happens
+        # last, after the label delta (the replay-guard write order).
+        def _stats_inputs() -> tuple[int, int, int]:
+            prev = self.stats_log.read(before_batch_id=batch_id)
+            base_n = base_e = 0
+            if prev is not None:
+                r = prev.collect()[0]
+                base_n, base_e = int(r["n_docs"]), int(r["n_edges"])
+            return base_n, base_e, batch_fp.count()
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            stats_f = pool.submit(_stats_inputs)
+            edge_count_f = pool.submit(edges.count)
+            if n_edges:
+                mapping = star_components(
+                    q_edges, q_nodes, id_col="lbl", pre_canonicalized=True
+                )
+                losers = mapping.where(F.col("component") != F.col("lbl")).select(
+                    F.col("lbl").alias("_old"), F.col("component").alias("_new")
+                ).localCheckpoint()
+            else:
+                losers = None
+            base_n, base_e, n_batch = stats_f.result()
+            n_edge_rows = edge_count_f.result()
 
         batch_labels = own.select(
             F.col("_id").alias(self.id_col), F.col("_lbl").alias("component")
@@ -231,15 +282,9 @@ class MaintainedComponents:
             delta = batch_labels
         self.label_log.write_delta(delta, batch_id)
 
-        prev = self.stats_log.read(before_batch_id=batch_id)
-        base_n = base_e = 0
-        if prev is not None:
-            r = prev.collect()[0]
-            base_n, base_e = int(r["n_docs"]), int(r["n_edges"])
-        n_batch = batch_fp.count()
         self.stats_log.write_delta(
             self.spark.createDataFrame(
-                [("total", base_n + n_batch, base_e + int(edges.count()))],
+                [("total", base_n + n_batch, base_e + n_edge_rows)],
                 "k string, n_docs long, n_edges long",
             ),
             batch_id,
