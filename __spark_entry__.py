@@ -1704,28 +1704,39 @@ def _q_ivfpq_search_maintained(spark, sf_dir):
     )
     from cuda_gis_smoothing_spark.streaming.similarity import MaintainedIVF
 
+    from concurrent.futures import ThreadPoolExecutor
+
     _ensure_shipped(spark)  # pandas UDFs run in py workers
     emb = load(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(8)
-        .select(F.col("embedding").cast("array<double>"))
-        .collect()
-    )
+
+    # the seed/codebook collects and the two state builds are pairwise
+    # independent jobs — overlap each pair from a driver thread pool
+    # (guide §2.6, the MaintainedComponents precedent) instead of four
+    # serialized cluster-idle actions; write order WITHIN each log is
+    # unchanged (each process_batch keeps its own replay-guard order).
+    def _seed_rows(n):
+        return (
+            emb.orderBy("vec_id")
+            .limit(n)
+            .select(F.col("embedding").cast("array<double>"))
+            .collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        seeds_f = pool.submit(_seed_rows, 8)
+        brows_f = pool.submit(_seed_rows, _PQ_KSUB)
+        seeds, brows = seeds_f.result(), brows_f.result()
     cents = np.asarray([r[0] for r in seeds], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
-    brows = (
-        emb.orderBy("vec_id")
-        .limit(_PQ_KSUB)
-        .select(F.col("embedding").cast("array<double>"))
-        .collect()
-    )
     book = np.asarray([r[0] for r in brows], dtype=np.float64)
     root = tempfile.mkdtemp(prefix="ivfpq_state_")
     ivf = MaintainedIVF(spark, f"{root}/ivf", cents)
     pq = MaintainedPQ(spark, f"{root}/pq", book, m=_PQ_M)
-    ivf.process_batch(emb, 0)
-    pq.process_batch(emb, 0)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ivf_f = pool.submit(ivf.process_batch, emb, 0)
+        pq_f = pool.submit(pq.process_batch, emb, 0)
+        ivf_f.result()
+        pq_f.result()
     idx = export_ivfpq(ivf, pq, f"{root}/exp")
     queries = emb.where(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
