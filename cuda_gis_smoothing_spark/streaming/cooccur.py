@@ -49,6 +49,7 @@ MaintainedPostings pairs with bm25_search.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -209,21 +210,34 @@ class MaintainedBigrams:
             ).collect()[0]
             return int(r["t"] or 0), int(r["b"] or 0)
 
-        add_t, add_b = _totals(delta)
-        rm_t, rm_b = (0, 0) if old_rows is None else _totals(old_rows)
-        old_stats = self.stats_log.read(before_batch_id=batch_id)
-        if old_stats is None:
-            base_t, base_b = 0, 0
-        else:
-            row = old_stats.collect()[0]
-            base_t, base_b = int(row["n_tokens"]), int(row["n_bigrams"])
+        def _stats_inputs() -> tuple[int, int]:
+            add_t, add_b = _totals(delta)
+            rm_t, rm_b = (0, 0) if old_rows is None else _totals(old_rows)
+            old_stats = self.stats_log.read(before_batch_id=batch_id)
+            if old_stats is None:
+                base_t, base_b = 0, 0
+            else:
+                row = old_stats.collect()[0]
+                base_t, base_b = int(row["n_tokens"]), int(row["n_bigrams"])
+            return base_t - rm_t + add_t, base_b - rm_b + add_b
+
         # write order is the crash contract: doc_grams (above), the two
-        # count logs, then the stats row LAST as the replay guard
-        self.big_log.write_delta(new_big, batch_id)
-        self.uni_log.write_delta(new_uni, batch_id)
+        # count logs, then the stats row LAST as the replay guard. The
+        # two count writes and the stats-input aggregates are
+        # independent reads of the materialized delta — overlap them
+        # from a driver thread pool (guide §2.6; their RELATIVE order
+        # was never part of the contract, only stats-last is) — the
+        # stats write still happens after all three complete.
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            big_f = pool.submit(self.big_log.write_delta, new_big, batch_id)
+            uni_f = pool.submit(self.uni_log.write_delta, new_uni, batch_id)
+            stats_f = pool.submit(_stats_inputs)
+            big_f.result()
+            uni_f.result()
+            n_tokens, n_bigrams = stats_f.result()
         self.stats_log.write_delta(
             self.spark.createDataFrame(
-                [("total", base_t - rm_t + add_t, base_b - rm_b + add_b)],
+                [("total", n_tokens, n_bigrams)],
                 "k string, n_tokens long, n_bigrams long",
             ),
             batch_id,
