@@ -29,6 +29,7 @@ exactly, SHARED twin, the smooth_maintained precedent).
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -113,14 +114,25 @@ class MaintainedCopurchase:
                 .alias(cnt),
             )
 
-        self.pairs_log.write_delta(
-            _absolute(add_pairs, self.pairs_log, ["part_a", "part_b"], "n_both"),
-            batch_id,
-        )
-        self.parts_log.write_delta(
-            _absolute(add_parts, self.parts_log, ["l_partkey"], "_c"),
-            batch_id,
-        )
+        # the two count-log writes are independent reads of the
+        # checkpointed op table — overlap them (guide §2.6, the
+        # MaintainedBigrams pattern); the order-membership guard below
+        # still writes LAST.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            pairs_f = pool.submit(
+                self.pairs_log.write_delta,
+                _absolute(
+                    add_pairs, self.pairs_log, ["part_a", "part_b"], "n_both"
+                ),
+                batch_id,
+            )
+            parts_f = pool.submit(
+                self.parts_log.write_delta,
+                _absolute(add_parts, self.parts_log, ["l_partkey"], "_c"),
+                batch_id,
+            )
+            pairs_f.result()
+            parts_f.result()
         # write order is the crash contract: counts first, the order
         # membership log LAST as the replay guard
         self.orders_log.write_delta(

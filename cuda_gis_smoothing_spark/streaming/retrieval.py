@@ -64,6 +64,7 @@ The stop-term ``max_df`` lever passes through to the kernel.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -182,20 +183,30 @@ class MaintainedPostings:
             ).collect()[0]
             return int(r["n"]), float(r["s"] or 0.0)
 
-        add_n, add_s = _stat_row(delta)
-        rm_n, rm_s = (0, 0.0) if old_rows is None else _stat_row(old_rows)
-        old_stats = self.stats_log.read(before_batch_id=batch_id)
-        if old_stats is None:
-            base_n, base_s = 0, 0.0
-        else:
-            row = old_stats.collect()[0]
-            base_n, base_s = int(row["n_docs"]), float(row["sum_dl"])
+        def _stats_inputs() -> tuple[int, float]:
+            add_n, add_s = _stat_row(delta)
+            rm_n, rm_s = (0, 0.0) if old_rows is None else _stat_row(old_rows)
+            old_stats = self.stats_log.read(before_batch_id=batch_id)
+            if old_stats is None:
+                base_n, base_s = 0, 0.0
+            else:
+                row = old_stats.collect()[0]
+                base_n, base_s = int(row["n_docs"]), float(row["sum_dl"])
+            return base_n - rm_n + add_n, base_s - rm_s + add_s
+
         # write order is the crash contract: postings (above), dfreq,
-        # then the stats row LAST as the replay guard
-        self.df_log.write_delta(new_df, batch_id)
+        # then the stats row LAST as the replay guard. The dfreq write
+        # and the stats-input aggregates are independent reads of the
+        # materialized delta — overlap them (guide §2.6, the
+        # MaintainedBigrams pattern); the stats write still lands last.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            df_f = pool.submit(self.df_log.write_delta, new_df, batch_id)
+            stats_f = pool.submit(_stats_inputs)
+            df_f.result()
+            n_docs, sum_dl = stats_f.result()
         self.stats_log.write_delta(
             self.spark.createDataFrame(
-                [("total", base_n - rm_n + add_n, base_s - rm_s + add_s)],
+                [("total", n_docs, sum_dl)],
                 "k string, n_docs long, sum_dl double",
             ),
             batch_id,
