@@ -836,10 +836,17 @@ def containment_pairs(
         )
         .distinct()
     )
+    # one checkpointed token-array table serves BOTH verify sides (the
+    # containment_pairs_banded lesson: two token_array_side plans
+    # re-tokenized the corpus once per side)
+    arr = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(TOKEN_ARRAY_SQL.format(text_col=text_col)).alias("_arr"),
+    ).localCheckpoint()
     return verified_containment_pairs_prepared(
         cand,
-        token_array_side(df, "doc_a", id_col, text_col),
-        token_array_side(df, "doc_b", id_col, text_col),
+        arr.select(F.col("_id").alias("doc_a"), F.col("_arr").alias("_ta")),
+        arr.select(F.col("_id").alias("doc_b"), F.col("_arr").alias("_tb")),
         threshold,
     )
 
