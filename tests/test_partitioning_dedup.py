@@ -272,6 +272,36 @@ def test_star_components_match_propagation_twin(spark, docs_df):
     assert roots == {0}
 
 
+def test_star_components_pre_canonicalized_equals_default(spark):
+    """The pre_canonicalized fast path (caller-materialized canonical
+    distinct edges — the MaintainedComponents shape) must label
+    identically to the default path, which canonicalizes arbitrarily
+    oriented, duplicated edge rows itself."""
+    from pyspark.sql import functions as F
+
+    from cuda_gis_smoothing_spark.operators.dedup import (
+        _canonical_edges,
+        star_components,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 2), (2, 3), (5, 4), (7, 7), (9, 8), (9, 8)],
+        ["a", "b"],
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], ["id"])
+    default = star_components(raw, nodes, id_col="id")
+    canon = _canonical_edges(raw).localCheckpoint()
+    fast = star_components(canon, nodes, id_col="id", pre_canonicalized=True)
+    assert (
+        default.exceptAll(fast).union(fast.exceptAll(default)).count() == 0
+    )
+    labels = {r.id: r.component for r in fast.collect()}
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[4] == labels[5] == 4
+    assert labels[8] == labels[9] == 8
+    assert labels[7] == 7 and labels[10] == 10  # isolated self-label
+
+
 def test_blocked_embedding_pairs_equal_quadratic_reference(spark):
     """The blocked triangle equi-join must return exactly the rows of a
     straight quadratic all-pairs computation (numpy ground truth), and
