@@ -133,17 +133,21 @@ def basin_labels(
     )
 
 
-def watershed_basins(cells: DataFrame, value_col: str = "ndvi") -> DataFrame:
+def watershed_basins(
+    cells: DataFrame, value_col: str = "ndvi", fd: DataFrame | None = None
+) -> DataFrame:
     """Drainage-basin delineation: label each connected component of
     the (undirected) flow forest — exactly one sink per basin, see the
     module docstring — and report ``(basin, n_cells, sink_cell,
     sink_value)`` with ``basin`` = the component's minimum cell id
-    (the star-CC label contract)."""
+    (the star-CC label contract). Pass a pre-checkpointed ``fd`` to
+    share the flow-direction derivation with a sibling consumer."""
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
     # two differently-pruned consumers (CC edges + the sink rows) —
     # checkpoint the derived table (the multi-consumer re-execute class)
-    fd = flow_direction(cells, value_col).localCheckpoint()
+    if fd is None:
+        fd = flow_direction(cells, value_col).localCheckpoint()
     labels = basin_labels(cells, value_col, fd=fd).withColumnRenamed(
         "basin", "component"
     )
@@ -348,7 +352,10 @@ def flow_sinuosity(
 
 
 def flow_upstream_length(
-    cells: DataFrame, value_col: str = "ndvi", max_rounds: int = 16
+    cells: DataFrame,
+    value_col: str = "ndvi",
+    max_rounds: int = 16,
+    fd: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cell LONGEST upstream flow path — ``upstream_steps`` = D6
     hops from the farthest headwater whose flow path passes through the
@@ -371,8 +378,10 @@ def flow_upstream_length(
     cell ids. ``descendant_pairs`` returns a localCheckpoint, so its
     two differently-pruned consumers (steps by src, ancestor max by
     dst) cannot re-execute the closure; the tiny per-cell steps table
-    is checkpointed for the same reason."""
-    fd = flow_direction(cells, value_col)
+    is checkpointed for the same reason. ``fd`` lets sibling
+    consumers share the flow-direction derivation."""
+    if fd is None:
+        fd = flow_direction(cells, value_col)
     pairs = descendant_pairs(_flow_edges(cells, value_col, fd), max_rounds)
     cnt = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("_n"))
     steps = (
@@ -410,14 +419,25 @@ def basin_channel_length(
     channel_steps)``; integers/ids only, tie-proof. At 100 TB ``fd``
     would be a stored table shared by both derivations (the
     flow_direction_maintained serving path); here each op derives it
-    — gate-scale cost, not a scale hazard."""
-    basins = watershed_basins(cells, value_col).select(
-        "basin", "n_cells", "sink_cell"
-    )
-    up = flow_upstream_length(cells, value_col, max_rounds).select(
-        F.col("cell").alias("sink_cell"),
-        F.col("upstream_steps").alias("channel_steps"),
-    )
+    — gate-scale cost, not a scale hazard. r6: ONE checkpointed
+    ``fd`` now feeds both derivations (the multi-consumer class), and
+    the two eager sub-jobs behind them — the star-CC fixpoint and the
+    closure's squaring rounds — are independent chains of small
+    blocking actions, so they materialize concurrently from a driver
+    thread pool (guide §2.6, the threshold-sweep precedent)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    fd = flow_direction(cells, value_col).localCheckpoint()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        basins_f = pool.submit(watershed_basins, cells, value_col, fd)
+        up_f = pool.submit(
+            flow_upstream_length, cells, value_col, max_rounds, fd
+        )
+        basins = basins_f.result().select("basin", "n_cells", "sink_cell")
+        up = up_f.result().select(
+            F.col("cell").alias("sink_cell"),
+            F.col("upstream_steps").alias("channel_steps"),
+        )
     return basins.join(up, "sink_cell").select(
         "basin", "n_cells", "sink_cell", "channel_steps"
     )
@@ -564,9 +584,17 @@ def drainage_density(
     drainage_density, max_upslope)``."""
     from cuda_gis_smoothing_spark.functions.numeric import round6
 
+    from concurrent.futures import ThreadPoolExecutor
+
     fd = flow_direction(cells, value_col).localCheckpoint()
-    labels = basin_labels(cells, value_col, fd=fd)
-    acc = flow_accumulation(cells, value_col, max_rounds, fd=fd)
+    # the CC fixpoint (labels) and the closure's squaring rounds (acc)
+    # are independent eager action chains over the shared fd — overlap
+    # them (guide §2.6, the basin_channel_length precedent)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        labels_f = pool.submit(basin_labels, cells, value_col, fd)
+        acc_f = pool.submit(flow_accumulation, cells, value_col, max_rounds, fd)
+        labels = labels_f.result()
+        acc = acc_f.result()
     return (
         labels.join(acc, "cell")
         .groupBy("basin")
@@ -1238,18 +1266,33 @@ def basin_mainstem(
     ancestor-max aggregates (fd and the per-cell steps table each
     checkpointed ahead of their two consumers), the basin max is a
     hash aggregate over cells + one join back — no windows."""
+    from concurrent.futures import ThreadPoolExecutor
+
     fd = flow_direction(cells, value_col).localCheckpoint()
-    pairs = descendant_pairs(_flow_edges(cells, value_col, fd), max_rounds)
-    cnt = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("_n"))
-    steps = (
-        fd.select("cell")
-        .join(cnt, fd["cell"] == cnt["src"], "left")
-        .select(
-            "cell",
-            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("_steps"),
+
+    # the CC fixpoint (labels) and the closure chain (pairs + steps
+    # checkpoint) are independent eager action chains over the shared
+    # fd — overlap them (guide §2.6, the basin_channel_length
+    # precedent); the join order below is unchanged.
+    def _closure():
+        pairs = descendant_pairs(_flow_edges(cells, value_col, fd), max_rounds)
+        cnt = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("_n"))
+        steps = (
+            fd.select("cell")
+            .join(cnt, fd["cell"] == cnt["src"], "left")
+            .select(
+                "cell",
+                F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("_steps"),
+            )
+            .localCheckpoint()  # ancestor max + the through projection
         )
-        .localCheckpoint()  # ancestor max + the through projection
-    )
+        return pairs, steps
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        labels_f = pool.submit(basin_labels, cells, value_col, fd)
+        closure_f = pool.submit(_closure)
+        labels = labels_f.result()
+        pairs, steps = closure_f.result()
     anc = (
         pairs.join(
             steps.select(F.col("cell").alias("src"), F.col("_steps").alias("_as")),
@@ -1260,7 +1303,7 @@ def basin_mainstem(
     )
     thr = (
         steps.join(anc, steps["cell"] == anc["dst"], "left")
-        .join(basin_labels(cells, value_col, fd=fd), "cell")
+        .join(labels, "cell")
         .select(
             "cell",
             "basin",
