@@ -1131,3 +1131,29 @@ def test_stream_junctions_served_equals_batch_after_update(spark, tmp_path):
         for r in stream_junctions(rt.state_cells()).collect()
     }
     assert got == want and got
+
+
+def test_fd_passthrough_equals_default_derivation(spark):
+    """r6 focused test: watershed_basins / flow_upstream_length with a
+    pre-checkpointed ``fd`` (the basin_channel_length sharing path)
+    emit exactly the rows of the default own-derivation path."""
+    from cuda_gis_smoothing_spark.operators.hydrology import (
+        flow_upstream_length,
+    )
+
+    cells = _grid(spark)
+    fd = flow_direction(cells, "ndvi").localCheckpoint()
+
+    wb_default = {tuple(r) for r in watershed_basins(cells, "ndvi").collect()}
+    wb_shared = {
+        tuple(r) for r in watershed_basins(cells, "ndvi", fd=fd).collect()
+    }
+    assert wb_shared == wb_default and wb_shared
+
+    up_default = {
+        tuple(r) for r in flow_upstream_length(cells, "ndvi").collect()
+    }
+    up_shared = {
+        tuple(r) for r in flow_upstream_length(cells, "ndvi", fd=fd).collect()
+    }
+    assert up_shared == up_default and up_shared
